@@ -1,0 +1,68 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run graft.Verify first,
+then this script compares each <out>/<name>/ parquet against DuckDB running
+the matching oracle_sql.json entry over the raw sf tables.
+
+Usage: python3 dev/check_oracle.py [sf_dir] [verify_out_dir]
+"""
+import sys, json, math
+import duckdb
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+
+def canon(df):
+    cols = sorted(df.columns)
+    df = df[cols]
+    rows = [tuple(None if (isinstance(v, float) and math.isnan(v)) else v
+                  for v in r) for r in df.itertuples(index=False, name=None)]
+    return cols, sorted(rows, key=lambda r: tuple((v is None, str(v)) for v in r))
+
+n_pass = n_fail = 0
+for name in sorted(oracle):
+    sql = oracle[name]
+    try:
+        got = con.execute(
+            f"SELECT * FROM read_parquet('{OUT}/{name}/*.parquet')").fetch_df()
+        exp = con.execute(sql).fetch_df()
+    except Exception as e:
+        print(f"FAIL {name}: exception {e}")
+        n_fail += 1
+        continue
+    gc, gr = canon(got)
+    ec, er = canon(exp)
+    if gc != ec:
+        print(f"FAIL {name}: columns {gc} vs oracle {ec}")
+        n_fail += 1
+        continue
+    if len(gr) != len(er):
+        print(f"FAIL {name}: {len(gr)} rows vs oracle {len(er)}")
+        n_fail += 1
+        continue
+    bad = [(a, b) for a, b in zip(gr, er) if a != b]
+    if bad:
+        print(f"FAIL {name}: {len(bad)}/{len(gr)} rows differ; first: "
+              f"got={bad[0][0]} exp={bad[0][1]}")
+        # float diagnostics
+        for a, b in bad[:1]:
+            for x, y, c in zip(a, b, gc):
+                if x != y:
+                    extra = ""
+                    if isinstance(x, float) and isinstance(y, float):
+                        extra = f" (reldiff={abs(x-y)/max(abs(y),1e-300):.2e})"
+                    print(f"   col {c}: {x!r} vs {y!r}{extra}")
+        n_fail += 1
+    else:
+        print(f"PASS {name} ({len(gr)} rows)")
+        n_pass += 1
+
+print(f"\n{n_pass} passed, {n_fail} failed of {len(oracle)}")
+sys.exit(1 if n_fail else 0)

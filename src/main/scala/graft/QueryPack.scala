@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** A named group of oracle-checked queries. SparkEntry unions all packs. */
+trait QueryPack {
+  def queries: Map[String, (SparkSession, String) => DataFrame]
+
+  /** DuckDB-dialect SQL equivalent per query key. Keys absent here get the
+    * driver's weaker rows-only check (used for ops not SQL-expressible).
+    */
+  def oracleSql: Map[String, String]
+}
+
+/** Determinism helpers shared by all packs.
+  *
+  * The driver hash-compares our parquet output against DuckDB's result, so
+  * floating-point aggregates must be BIT-equal, not just close. Summation
+  * order differs between engines, so:
+  *   - per-row double arithmetic is fine (IEEE, order-free),
+  *   - any SUM over doubles goes through an exact DECIMAL cast first,
+  *     then back to DOUBLE (decimal->double conversion is deterministic).
+  * A double can never sit exactly on a .5-ulp decimal boundary at scale 6
+  * (5e-7 has a factor-5 denominator), so the engines' rounding-mode
+  * difference (HALF_UP vs HALF_EVEN) never fires.
+  */
+object Num {
+  private val dec2 = DecimalType(18, 2)
+  private val dec6 = DecimalType(18, 6)
+
+  /** Exact SUM of a 2-decimal-place-ish double column, returned as DOUBLE. */
+  def dsum2(c: Column): Column = sum(c.cast(dec2)).cast("double")
+
+  /** Exact SUM of a computed double expression, returned as DOUBLE. */
+  def dsum6(c: Column): Column = sum(c.cast(dec6)).cast("double")
+
+  /** Deterministic AVG: exact decimal sum, double division by count. */
+  def davg2(c: Column): Column = dsum2(c) / count(c)
+
+  /** Matching DuckDB SQL fragments. */
+  def oSum2(expr: String): String =
+    s"CAST(SUM(CAST($expr AS DECIMAL(18,2))) AS DOUBLE)"
+  def oSum6(expr: String): String =
+    s"CAST(SUM(CAST($expr AS DECIMAL(18,6))) AS DOUBLE)"
+  def oAvg2(expr: String): String = s"${oSum2(expr)} / COUNT($expr)"
+}
