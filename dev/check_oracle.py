@@ -19,26 +19,34 @@ for t in TABLES:
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 
-def canon(df):
-    cols = sorted(df.columns)
-    df = df[cols]
-    rows = [tuple(None if (isinstance(v, float) and math.isnan(v)) else v
-                  for v in r) for r in df.itertuples(index=False, name=None)]
-    return cols, sorted(rows, key=lambda r: tuple((v is None, str(v)) for v in r))
+def canon(cols, rows):
+    # fetchall (not fetch_df) so SQL NULL stays None and a float NaN stays
+    # nan — pandas would collapse both to NaN. NaN then canonicalizes to a
+    # distinct sentinel so NaN-vs-NULL divergences fail the compare.
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple("NaN" if (isinstance(r[i], float) and math.isnan(r[i]))
+                 else (tuple(r[i]) if isinstance(r[i], list) else r[i])
+                 for i in order) for r in rows]
+    return sorted(cols), sorted(
+        out, key=lambda r: tuple((v is None, str(v)) for v in r))
 
 n_pass = n_fail = 0
 for name in sorted(oracle):
     sql = oracle[name]
     try:
-        got = con.execute(
-            f"SELECT * FROM read_parquet('{OUT}/{name}/*.parquet')").fetch_df()
-        exp = con.execute(sql).fetch_df()
+        cur = con.execute(
+            f"SELECT * FROM read_parquet('{OUT}/{name}/*.parquet')")
+        got_cols = [d[0] for d in cur.description]
+        got_rows = cur.fetchall()
+        cur = con.execute(sql)
+        exp_cols = [d[0] for d in cur.description]
+        exp_rows = cur.fetchall()
     except Exception as e:
         print(f"FAIL {name}: exception {e}")
         n_fail += 1
         continue
-    gc, gr = canon(got)
-    ec, er = canon(exp)
+    gc, gr = canon(got_cols, got_rows)
+    ec, er = canon(exp_cols, exp_rows)
     if gc != ec:
         print(f"FAIL {name}: columns {gc} vs oracle {ec}")
         n_fail += 1
