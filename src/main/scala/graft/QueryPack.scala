@@ -39,10 +39,23 @@ object Num {
   /** Deterministic AVG: exact decimal sum, double division by count. */
   def davg2(c: Column): Column = dsum2(c) / count(c)
 
+  /** Exact windowed running SUM of a 2-dp double column, as DOUBLE. */
+  def dwin2(c: Column, w: org.apache.spark.sql.expressions.WindowSpec): Column =
+    sum(c.cast(dec2)).over(w).cast("double")
+
+  /** Exact SUM of squares of a 2-dp double column (decimal×decimal is
+    * exact; (18,2)×(18,2)→(37,4) stays within Spark's 38-digit cap).
+    */
+  def dsumsq(c: Column): Column = sum(c.cast(dec2) * c.cast(dec2)).cast("double")
+
   /** Matching DuckDB SQL fragments. */
   def oSum2(expr: String): String =
     s"CAST(SUM(CAST($expr AS DECIMAL(18,2))) AS DOUBLE)"
   def oSum6(expr: String): String =
     s"CAST(SUM(CAST($expr AS DECIMAL(18,6))) AS DOUBLE)"
   def oAvg2(expr: String): String = s"${oSum2(expr)} / COUNT($expr)"
+  def oWin2(expr: String, over: String): String =
+    s"CAST(SUM(CAST($expr AS DECIMAL(18,2))) OVER ($over) AS DOUBLE)"
+  def oSumSq(expr: String): String =
+    s"CAST(SUM(CAST($expr AS DECIMAL(18,2)) * CAST($expr AS DECIMAL(18,2))) AS DOUBLE)"
 }

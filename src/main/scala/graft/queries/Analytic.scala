@@ -1,0 +1,252 @@
+package graft.queries
+
+import graft.{Num, QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window (ranking) functions, multi-dimensional aggregation
+  * (ROLLUP/CUBE/GROUPING SETS), pivot, and statistics — the batch analytic
+  * surface SURVEY.md §2.3 maps to Spark built-ins ("Set ops / sorts /
+  * limits / window functions ... treat as built-in parity").
+  *
+  * Scale notes: every window here partitions by a high-cardinality key
+  * (custkey / brand), so state per partition is bounded and the sort is
+  * local to the hash partition — no global sort, no skewed giant window.
+  * Running sums go through exact decimals (graft.Num) so results are
+  * bit-stable under any partitioning.
+  */
+object Analytic extends QueryPack {
+  import Num._
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Top-N per group via row_number — the standard dedup/TopN pattern
+    // (Flink "Top-N" docs shape; deterministic tie-break on orderkey).
+    "q_win_topn" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+      Tables.load(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 2)
+        .select($"o_custkey", $"rn", $"o_orderkey", $"o_totalprice")
+    }),
+
+    // rank / dense_rank / ntile over a unique ordering.
+    "q_win_rank" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"p_brand")
+        .orderBy($"p_retailprice".desc, $"p_partkey")
+      Tables.load(s, dir, "part")
+        .select($"p_brand", $"p_partkey", $"p_retailprice",
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("quartile"))
+        .filter($"rnk" <= 8)
+    }),
+
+    // lag/lead: order-to-order price delta per customer.
+    "q_win_lag" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")
+      Tables.load(s, dir, "orders")
+        .select($"o_custkey", $"o_orderkey",
+          date_format($"o_orderdate", "yyyy-MM-dd").as("d"),
+          ($"o_totalprice" - lag($"o_totalprice", 1).over(w)).as("delta"),
+          lead($"o_orderkey", 1).over(w).as("next_order"))
+    }),
+
+    // Running (cumulative) sum + count per customer — exact decimal sum.
+    "q_win_running" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, dir, "orders")
+        .select($"o_custkey", $"o_orderkey",
+          dwin2($"o_totalprice", w).as("run_sum"),
+          count(lit(1)).over(w).as("run_n"))
+    }),
+
+    // first_value / last_value over the full partition frame.
+    "q_win_firstlast" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.load(s, dir, "orders")
+        .select($"o_custkey", $"o_orderkey",
+          first($"o_orderkey").over(w).as("first_order"),
+          last($"o_orderkey").over(w).as("last_order"))
+        .distinct()
+    }),
+
+    // ROLLUP over (mktsegment, nation bucket) with GROUPING markers.
+    "q_agg_rollup" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "customer")
+        .select($"c_mktsegment", ($"c_nationkey" % 5).as("nbucket"), $"c_acctbal")
+        .rollup($"c_mktsegment", $"nbucket")
+        .agg(grouping($"c_mktsegment").as("g_seg"),
+          grouping($"nbucket").as("g_nb"),
+          count(lit(1)).as("n"), dsum2($"c_acctbal").as("sum_bal"))
+    }),
+
+    // CUBE over (orderstatus, orderpriority).
+    "q_agg_cube" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "orders")
+        .cube($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum2($"o_totalprice").as("sum_price"))
+    }),
+
+    // Explicit GROUPING SETS via SQL (Catalyst expands to Expand node).
+    "q_agg_groupsets" -> ((s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql(
+        s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           |  ${oSum2("o_totalprice")} AS sum_price
+           |FROM orders
+           |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+           |""".stripMargin)
+    }),
+
+    // Pivot (conditional aggregation): order counts per month × status.
+    "q_pivot_status" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "orders")
+        .groupBy(date_format($"o_orderdate", "yyyy-MM").as("order_month"))
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("O", "F", "P")) // COUNT FILTER yields 0, pivot null
+    }),
+
+    // Deterministic variance/stddev from exact decimal sums:
+    // var = (sumsq - sum*sum/n) / (n-1), all in identical IEEE double ops.
+    "q_agg_stats" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "customer")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n"), dsum2($"c_acctbal").as("s1"),
+          dsumsq($"c_acctbal").as("s2"))
+        .select($"c_mktsegment", $"n",
+          (($"s2" - $"s1" * $"s1" / $"n") / ($"n" - 1)).as("variance"))
+    }),
+
+    // Sorted array aggregation (order-insensitive collect).
+    "q_agg_collect" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "nation")
+        .groupBy($"n_regionkey")
+        .agg(sort_array(collect_list($"n_name")).as("nations"),
+          count(lit(1)).as("n"))
+    }),
+
+    // min/max/count(distinct) per group.
+    "q_agg_minmax" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(min($"l_quantity").as("min_qty"), max($"l_quantity").as("max_qty"),
+          countDistinct($"l_suppkey").as("n_supp"),
+          min($"l_shipdate").cast("date").cast("string").as("first_ship"))
+    }),
+
+    // HAVING (post-aggregation filter).
+    "q_agg_having" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "orders")
+        .groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n_orders"), dsum2($"o_totalprice").as("total"))
+        .filter($"n_orders" >= 25)
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "q_win_topn" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t WHERE rn <= 2""".stripMargin,
+
+    "q_win_rank" ->
+      """SELECT p_brand, p_partkey, p_retailprice, rnk, drnk, quartile FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |    RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk,
+        |    NTILE(4) OVER w AS quartile
+        |  FROM part
+        |  WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey)
+        |) t WHERE rnk <= 8""".stripMargin,
+
+    "q_win_lag" ->
+      """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS d,
+        |  o_totalprice - LAG(o_totalprice, 1) OVER w AS delta,
+        |  LEAD(o_orderkey, 1) OVER w AS next_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+
+    "q_win_running" ->
+      s"""SELECT o_custkey, o_orderkey,
+         |  ${oWin2("o_totalprice",
+               "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey " +
+               "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW")} AS run_sum,
+         |  COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_n
+         |FROM orders""".stripMargin,
+
+    "q_win_firstlast" ->
+      """SELECT DISTINCT o_custkey, o_orderkey,
+        |  FIRST_VALUE(o_orderkey) OVER w AS first_order,
+        |  LAST_VALUE(o_orderkey) OVER w AS last_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+
+    "q_agg_rollup" ->
+      s"""SELECT c_mktsegment, nbucket, GROUPING(c_mktsegment) AS g_seg,
+         |  GROUPING(nbucket) AS g_nb, COUNT(*) AS n,
+         |  ${oSum2("c_acctbal")} AS sum_bal
+         |FROM (SELECT c_mktsegment, c_nationkey % 5 AS nbucket, c_acctbal
+         |      FROM customer) t
+         |GROUP BY ROLLUP (c_mktsegment, nbucket)""".stripMargin,
+
+    "q_agg_cube" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+         |  ${oSum2("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q_agg_groupsets" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+         |  ${oSum2("o_totalprice")} AS sum_price
+         |FROM orders
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
+
+    "q_pivot_status" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+        |  COUNT(*) FILTER (o_orderstatus = 'O') AS "O",
+        |  COUNT(*) FILTER (o_orderstatus = 'F') AS "F",
+        |  COUNT(*) FILTER (o_orderstatus = 'P') AS "P"
+        |FROM orders GROUP BY order_month""".stripMargin,
+
+    "q_agg_stats" ->
+      s"""SELECT c_mktsegment, n, (s2 - s1*s1/n) / (n-1) AS variance FROM (
+         |  SELECT c_mktsegment, COUNT(*) AS n, ${oSum2("c_acctbal")} AS s1,
+         |    ${oSumSq("c_acctbal")} AS s2
+         |  FROM customer GROUP BY c_mktsegment) t""".stripMargin,
+
+    "q_agg_collect" ->
+      """SELECT n_regionkey, list_sort(list(n_name)) AS nations, COUNT(*) AS n
+        |FROM nation GROUP BY n_regionkey""".stripMargin,
+
+    "q_agg_minmax" ->
+      """SELECT l_returnflag, MIN(l_quantity) AS min_qty,
+        |  MAX(l_quantity) AS max_qty, COUNT(DISTINCT l_suppkey) AS n_supp,
+        |  CAST(CAST(MIN(l_shipdate) AS DATE) AS VARCHAR) AS first_ship
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_agg_having" ->
+      s"""SELECT o_custkey, COUNT(*) AS n_orders,
+         |  ${oSum2("o_totalprice")} AS total
+         |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 25""".stripMargin)
+}

@@ -1,0 +1,210 @@
+package graft.queries
+
+import graft.{Num, QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join operators from SURVEY.md §2.3 (reference surface: demo_2.md:76-91
+  * dual-stream equi join, demo_3.md:94-109 lookup join, demo_6.md:154-158
+  * multi-way join) plus the beyond-reference shapes (range join, as-of join)
+  * a 100 TB pipeline needs.
+  *
+  * Scale notes: every small side (customer 150k rows at sf=1, nation,
+  * region, supplier, inline dims) is explicitly broadcast so the big
+  * fact tables (lineitem/orders/events) never shuffle for them; the only
+  * shuffles left are fact-fact joins on their join key. The as-of join is
+  * the union+window formulation — one shuffle on (key), no range explosion,
+  * which is the formulation that survives 1000 executors.
+  */
+object Joins extends QueryPack {
+  import Num._
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Plain equi inner join, dim side broadcast (demo_3 lookup-join shape:
+    // the dim snapshot is small and replicated to every task).
+    "q_join_inner" -> ((s, dir) => {
+      import s.implicits._
+      val cust = Tables.load(s, dir, "customer")
+      Tables.load(s, dir, "orders")
+        .filter($"o_totalprice" > 150000.0)
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .select($"o_orderkey", $"c_name", $"c_mktsegment", $"o_totalprice")
+    }),
+
+    // LEFT join where the right side is filtered → genuine null extension.
+    "q_join_left" -> ((s, dir) => {
+      import s.implicits._
+      val bigOrders = Tables.load(s, dir, "orders")
+        .filter($"o_totalprice" > 300000.0)
+        .groupBy($"o_custkey").agg(count(lit(1)).as("n_big"))
+      Tables.load(s, dir, "customer")
+        .join(bigOrders, $"c_custkey" === $"o_custkey", "left")
+        .select($"c_custkey", $"c_name",
+          coalesce($"n_big", lit(0L)).as("n_big"))
+    }),
+
+    // FULL OUTER join of two filtered aggregates — unmatched rows on both
+    // sides. Both inputs are pre-aggregated (map-side combine) before the
+    // join so the shuffle carries one row per nation, not per fact row.
+    "q_join_full" -> ((s, dir) => {
+      import s.implicits._
+      val csmall = Tables.load(s, dir, "customer")
+        .filter($"c_nationkey" < 15)
+        .groupBy($"c_nationkey").agg(count(lit(1)).as("n_cust"))
+      val ssmall = Tables.load(s, dir, "supplier")
+        .filter($"s_nationkey" >= 10)
+        .groupBy($"s_nationkey").agg(count(lit(1)).as("n_supp"))
+      csmall.join(ssmall, $"c_nationkey" === $"s_nationkey", "full_outer")
+        .select(
+          coalesce($"c_nationkey", $"s_nationkey").as("nationkey"),
+          coalesce($"n_cust", lit(0L)).as("n_cust"),
+          coalesce($"n_supp", lit(0L)).as("n_supp"))
+    }),
+
+    // LEFT SEMI: customers having at least one urgent open order.
+    "q_join_semi" -> ((s, dir) => {
+      import s.implicits._
+      val urgent = Tables.load(s, dir, "orders")
+        .filter($"o_orderpriority" === "1-URGENT" && $"o_orderstatus" === "O")
+      Tables.load(s, dir, "customer")
+        .join(urgent, $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_custkey", $"c_name", $"c_acctbal")
+    }),
+
+    // LEFT ANTI: customers with no high-value order.
+    "q_join_anti" -> ((s, dir) => {
+      import s.implicits._
+      val big = Tables.load(s, dir, "orders").filter($"o_totalprice" > 250000.0)
+      Tables.load(s, dir, "customer")
+        .join(big, $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_mktsegment")
+    }),
+
+    // TPC-H Q5 shape: 6-way join; all dims broadcast, lineitem⋈orders is
+    // the single shuffle (AQE picks sort-merge vs shuffled-hash by size).
+    "q_join_multiway" -> ((s, dir) => {
+      import s.implicits._
+      val region = Tables.load(s, dir, "region").filter($"r_name" === "ASIA")
+      val nation = Tables.load(s, dir, "nation")
+      val cust = Tables.load(s, dir, "customer")
+      val supp = Tables.load(s, dir, "supplier")
+      val ord = Tables.load(s, dir, "orders")
+        .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+      Tables.load(s, dir, "lineitem")
+        .join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .join(broadcast(supp),
+          $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+        .join(broadcast(nation), $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"n_name")
+        .agg(dsum6($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+    }),
+
+    // Range (theta) join against a broadcast inline band dim — BETWEEN
+    // predicate, no equi key. Broadcast-nested-loop on a 4-row dim is the
+    // right physical plan; the fact side streams through untouched.
+    "q_join_range" -> ((s, dir) => {
+      import s.implicits._
+      val bands = s.createDataFrame(Seq(
+        ("low", 0.0, 925.0), ("mid", 925.0, 950.0),
+        ("high", 950.0, 975.0), ("top", 975.0, 1e9)))
+        .toDF("band", "lo", "hi")
+      Tables.load(s, dir, "part")
+        .join(broadcast(bands),
+          $"p_retailprice" >= $"lo" && $"p_retailprice" < $"hi")
+        .groupBy($"band")
+        .agg(count(lit(1)).as("n_parts"), dsum2($"p_retailprice").as("sum_price"))
+    }),
+
+    // As-of join: for each purchase event, the latest click of the same
+    // user at click.ts <= purchase.ts. Implemented as the scalable
+    // union+window formulation: tag both sides, one shuffle on user_id,
+    // last(click_ts) ignoreNulls over (user ORDER BY ts, tag). Clicks sort
+    // before purchases at equal ts, giving <= semantics. DuckDB oracle uses
+    // its native ASOF JOIN.
+    "q_join_asof" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts", lit(0).as("tag"), lit(null).cast("double").as("pvalue"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", lit(1).as("tag"), $"value".as("pvalue"))
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionByName(purchases)
+        .withColumn("click_ts",
+          last(when($"tag" === 0, $"ts"), ignoreNulls = true).over(w))
+        .filter($"tag" === 1)
+        .select($"user_id",
+          date_format($"ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purchase_ts"),
+          date_format($"click_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"),
+          $"pvalue")
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "q_join_inner" ->
+      """SELECT o_orderkey, c_name, c_mktsegment, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_totalprice > 150000.0""".stripMargin,
+
+    "q_join_left" ->
+      """SELECT c_custkey, c_name, COALESCE(n_big, 0) AS n_big
+        |FROM customer LEFT JOIN (
+        |  SELECT o_custkey, COUNT(*) AS n_big FROM orders
+        |  WHERE o_totalprice > 300000.0 GROUP BY o_custkey) b
+        |ON c_custkey = b.o_custkey""".stripMargin,
+
+    "q_join_full" ->
+      """SELECT COALESCE(c.c_nationkey, s.s_nationkey) AS nationkey,
+        |  COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+        |FROM (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer
+        |      WHERE c_nationkey < 15 GROUP BY c_nationkey) c
+        |FULL OUTER JOIN
+        |     (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier
+        |      WHERE s_nationkey >= 10 GROUP BY s_nationkey) s
+        |ON c.c_nationkey = s.s_nationkey""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderpriority = '1-URGENT' AND o_orderstatus = 'O')""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_totalprice > 250000.0)""".stripMargin,
+
+    "q_join_multiway" ->
+      s"""SELECT n_name, ${oSum6("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01'
+         |GROUP BY n_name""".stripMargin,
+
+    "q_join_range" ->
+      s"""SELECT band, COUNT(*) AS n_parts, ${oSum2("p_retailprice")} AS sum_price
+         |FROM part
+         |JOIN (VALUES ('low', 0.0, 925.0), ('mid', 925.0, 950.0),
+         |             ('high', 950.0, 975.0), ('top', 975.0, 1e9))
+         |  AS bands(band, lo, hi)
+         |ON p_retailprice >= lo AND p_retailprice < hi
+         |GROUP BY band""".stripMargin,
+
+    "q_join_asof" ->
+      """SELECT p.user_id,
+        |  strftime(CAST(p.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+        |  strftime(CAST(c.ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+        |  p.value AS pvalue
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |ON p.user_id = c.user_id AND c.ts <= p.ts""".stripMargin)
+}
