@@ -1,0 +1,275 @@
+package graft.queries
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a large-scale training-data pipeline:
+  * exact (hash groupBy), keyed keep-first, MinHash+LSH, SimHash with
+  * chunk blocking, exact n-gram Jaccard, embedding-cosine near-dup.
+  *
+  * Everything is deterministic so the DuckDB oracle reproduces results
+  * bit-for-bit: hashes are md5 (identical across engines), minhash
+  * signatures are lexicographic minima of md5 hex strings, cosine goes
+  * through integer-quantized embeddings so the float formula is a pure
+  * function of identical integers.
+  *
+  * Scale notes (100 TB): the LSH paths shuffle on band/bucket keys whose
+  * cardinality grows with the corpus — no O(n²) stage anywhere except the
+  * explicitly-bounded exact-verification baselines. Shingle explode →
+  * groupBy(doc) min-aggregates get map-side combine for free. Hot LSH
+  * buckets (boilerplate-heavy corpora) are the known skew risk: AQE skew
+  * join handles moderate cases; pathological buckets should be salted or
+  * capped upstream.
+  */
+object Dedup extends QueryPack {
+
+  /** 1-based word array, mirroring DuckDB's regexp_split_to_array. */
+  private def words(c: Column): Column = split(c, " ")
+
+  /** Word n-gram shingles (1-based element_at == DuckDB w[i]). */
+  private def shingles(w: Column, n: Int): Column =
+    transform(sequence(lit(1), size(w) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*))
+
+  /** 60-bit token hash: first 15 hex chars of md5, identical to the
+    * oracle's strpos/shift decode. 60 bits keeps it inside a signed long.
+    */
+  private def tokenHash(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Quantize a float embedding to exact BIGINTs: floor(x*1e6 + 0.5).
+    * float→double is exact, the mult/add/floor are identical IEEE ops in
+    * both engines, so both see the same integers.
+    */
+  private def quant(c: Column): Column =
+    transform(c, x => floor(x.cast("double") * lit(1000000.0) + lit(0.5)))
+
+  private def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  private val MinhashK = 16 // 4 bands × 4 rows
+  private val Bands = 4
+  private val RowsPerBand = 4
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: one survivor (min doc_id) per identical text, by md5.
+    // At scale this is a single hash aggregation on the digest — the
+    // canonical first pass of every dedup pipeline.
+    "q_dedup_exact" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .groupBy(md5($"text").as("text_md5"))
+        .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .select($"keep_id", $"n_copies")
+    }),
+
+    // Keyed keep-first dedup (dropDuplicates with a deterministic keep
+    // policy): first event per (user_id, event_type) by (ts, event_id).
+    "q_dedup_keyed" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id", $"event_type")
+        .orderBy($"ts", $"event_id")
+      Tables.load(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"user_id", $"event_type", $"event_id",
+          date_format($"ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").as("first_ts"))
+    }),
+
+    // MinHash + LSH near-dup detection on word-3-gram shingles.
+    // Pipeline: shingle → K minhashes (min md5 per seed, map-side
+    // combined) → band keys → self-join per band (the ONLY shuffle that
+    // scales with corpus size, keyed by band signature) → exact Jaccard
+    // verification of candidates only. K=16, 4 bands × 4 rows targets
+    // the j≥0.8 regime.
+    "q_dedup_minhash" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select($"doc_id", words($"text").as("w"))
+        .filter(size($"w") >= 3)
+      val sh = docs.select($"doc_id",
+        explode(array_distinct(shingles($"w", 3))).as("sng"))
+      val mhAggs = (0 until MinhashK).map(j =>
+        min(md5(concat(lit(s"$j|"), $"sng"))).as(s"h$j"))
+      val mh = sh.groupBy($"doc_id").agg(mhAggs.head, mhAggs.tail: _*)
+      val bands = (0 until Bands).map { b =>
+        val key = concat((0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}")): _*)
+        mh.select($"doc_id", lit(b).as("band"), key.as("bkey"))
+      }.reduce(_ unionByName _)
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          $"a.band" === $"b.band" && $"a.bkey" === $"b.bkey" &&
+            $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("ida"), $"b.doc_id".as("idb"))
+        .distinct()
+      val sets = sh.groupBy($"doc_id").agg(collect_set($"sng").as("ss"))
+      cand
+        .join(sets.select($"doc_id".as("ida"), $"ss".as("sa")), "ida")
+        .join(sets.select($"doc_id".as("idb"), $"ss".as("sb")), "idb")
+        .select($"ida", $"idb",
+          (size(array_intersect($"sa", $"sb")).cast("double") /
+            size(array_union($"sa", $"sb"))).as("jacc"))
+        .filter($"jacc" >= 0.8)
+    }),
+
+    // SimHash near-dup detection: 60-bit signature over word bigrams,
+    // 4×15-bit chunk blocking (pigeonhole: hamming≤3 ⇒ ≥1 chunk equal,
+    // so the blocking is LOSSLESS — the oracle brute-forces hamming
+    // directly and must agree exactly). Verify candidates by hamming≤3.
+    "q_dedup_simhash" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+        .select($"doc_id", words($"text").as("w"))
+        .filter(size($"w") >= 2)
+      val tok = docs.select($"doc_id",
+        explode(array_distinct(shingles($"w", 2))).as("t"))
+        .select($"doc_id", tokenHash($"t").as("h"))
+      val bitAggs = (0 until 60).map(b =>
+        sum(when(shiftright($"h", b).bitwiseAND(1) === 1, 1).otherwise(-1))
+          .as(s"b$b"))
+      val bitSums = tok.groupBy($"doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+      val sim = bitSums.select($"doc_id",
+        (0 until 60).map(b =>
+          when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("sim"))
+      val chunks = (0 until 4).map { c =>
+        sim.select($"doc_id", lit(c).as("chunk"),
+          shiftright($"sim", c * 15).bitwiseAND((1L << 15) - 1).as("ckey"))
+      }.reduce(_ unionByName _)
+      val cand = chunks.as("a")
+        .join(chunks.as("b"),
+          $"a.chunk" === $"b.chunk" && $"a.ckey" === $"b.ckey" &&
+            $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("ida"), $"b.doc_id".as("idb"))
+        .distinct()
+      cand
+        .join(sim.select($"doc_id".as("ida"), $"sim".as("sima")), "ida")
+        .join(sim.select($"doc_id".as("idb"), $"sim".as("simb")), "idb")
+        .select($"ida", $"idb",
+          bit_count($"sima".bitwiseXOR($"simb")).as("hamming"))
+        .filter($"hamming" <= 3)
+    }),
+
+    // Exact word-bigram Jaccard over a bounded block — the brute-force
+    // baseline the LSH paths approximate. Explicitly bounded (doc_id <
+    // 300) because all-pairs does NOT scale; at 100 TB this runs only
+    // within small blocking groups.
+    "q_dedup_ngram" -> ((s, dir) => {
+      import s.implicits._
+      val sets = Tables.load(s, dir, "documents")
+        .filter($"doc_id" < 300)
+        .select($"doc_id", words($"text").as("w"))
+        .filter(size($"w") >= 2)
+        .select($"doc_id", array_distinct(shingles($"w", 2)).as("ss"))
+      sets.as("a").join(sets.as("b"), $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("ida"), $"b.doc_id".as("idb"),
+          (size(array_intersect($"a.ss", $"b.ss")).cast("double") /
+            size(array_union($"a.ss", $"b.ss"))).as("jacc"))
+        .filter($"jacc" >= 0.6)
+    }),
+
+    // Embedding-cosine near-dup pairs via integer-quantized vectors.
+    // Bounded all-pairs here; the scalable bucketed variant lives in the
+    // Similarity pack (q_ann_lsh).
+    "q_dedup_embed" -> ((s, dir) => {
+      import s.implicits._
+      val q = Tables.load(s, dir, "embeddings")
+        .select($"vec_id", quant($"embedding").as("qe"))
+        .withColumn("nrm", dotQ($"qe", $"qe"))
+      q.as("a").join(q.as("b"), $"a.vec_id" < $"b.vec_id")
+        .select($"a.vec_id".as("ida"), $"b.vec_id".as("idb"),
+          (dotQ($"a.qe", $"b.qe").cast("double") /
+            (sqrt($"a.nrm".cast("double")) * sqrt($"b.nrm".cast("double"))))
+            .as("cosine"))
+        .filter($"cosine" >= 0.4)
+    }))
+
+  // --- DuckDB mirrors -----------------------------------------------------
+
+  private val oShingle3 =
+    "list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in generate_series(1, len(w)-2)])"
+  private val oShingle2 =
+    "list_distinct([w[i]||' '||w[i+1] for i in generate_series(1, len(w)-1)])"
+  private val oTokenHash =
+    "list_sum([(CAST(strpos('0123456789abcdef', substr(md5(t), i, 1)) AS BIGINT)-1) << (4*(15-i)) for i in generate_series(1,15)])"
+  private val oQuant =
+    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0+0.5) AS BIGINT))"
+
+  def oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "q_dedup_keyed" ->
+      """SELECT user_id, event_type, event_id,
+        |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS first_ts
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |        ORDER BY ts, event_id) AS rn FROM events) t
+        |WHERE rn = 1""".stripMargin,
+
+    "q_dedup_minhash" -> {
+      val mins = (0 until MinhashK)
+        .map(j => s"min(md5('$j|'||s)) AS h$j").mkString(", ")
+      val bandSelects = (0 until Bands).map { b =>
+        val key = (0 until RowsPerBand).map(r => s"h${b * RowsPerBand + r}").mkString("||")
+        s"SELECT doc_id, $b AS band, $key AS bkey FROM mh"
+      }.mkString(" UNION ALL ")
+      s"""WITH w AS (SELECT doc_id, regexp_split_to_array(text,' ') w FROM documents),
+         |sh AS (SELECT doc_id, unnest($oShingle3) AS s FROM w WHERE len(w) >= 3),
+         |mh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+         |bands AS ($bandSelects),
+         |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+         |  FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |sets AS (SELECT doc_id, $oShingle3 AS ss FROM w WHERE len(w) >= 3)
+         |SELECT ida, idb,
+         |  CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE) /
+         |    len(list_distinct(list_concat(sa.ss, sb.ss))) AS jacc
+         |FROM cand JOIN sets sa ON sa.doc_id = ida
+         |          JOIN sets sb ON sb.doc_id = idb
+         |WHERE CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE) /
+         |    len(list_distinct(list_concat(sa.ss, sb.ss))) >= 0.8""".stripMargin
+    },
+
+    // Oracle brute-forces hamming over all pairs — the chunk blocking on
+    // the Spark side is lossless for hamming<=3, so results must match.
+    "q_dedup_simhash" ->
+      s"""WITH w AS (SELECT doc_id, regexp_split_to_array(text,' ') w FROM documents),
+         |tok AS (SELECT doc_id, unnest($oShingle2) AS t FROM w WHERE len(w) >= 2),
+         |th AS (SELECT doc_id, $oTokenHash AS h FROM tok),
+         |bits AS (SELECT doc_id, g.b,
+         |    SUM(CASE WHEN (h >> g.b) & 1 = 1 THEN 1 ELSE -1 END) AS sb
+         |  FROM th CROSS JOIN generate_series(0, 59) g(b)
+         |  GROUP BY doc_id, g.b),
+         |sim AS (SELECT doc_id,
+         |    SUM(CASE WHEN sb > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS sim
+         |  FROM bits GROUP BY doc_id)
+         |SELECT a.doc_id AS ida, b.doc_id AS idb,
+         |  bit_count(xor(a.sim, b.sim)) AS hamming
+         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sim, b.sim)) <= 3""".stripMargin,
+
+    "q_dedup_ngram" ->
+      s"""WITH w AS (SELECT doc_id, regexp_split_to_array(text,' ') w
+         |  FROM documents WHERE doc_id < 300),
+         |sets AS (SELECT doc_id, $oShingle2 AS ss FROM w WHERE len(w) >= 2)
+         |SELECT a.doc_id AS ida, b.doc_id AS idb,
+         |  CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE) /
+         |    len(list_distinct(list_concat(a.ss, b.ss))) AS jacc
+         |FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+         |WHERE CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE) /
+         |    len(list_distinct(list_concat(a.ss, b.ss))) >= 0.6""".stripMargin,
+
+    "q_dedup_embed" ->
+      s"""WITH q AS (SELECT vec_id, $oQuant AS qe FROM embeddings),
+         |n AS (SELECT vec_id, qe,
+         |    list_sum([x*x for x in qe]) AS nrm FROM q)
+         |SELECT a.vec_id AS ida, b.vec_id AS idb,
+         |  CAST(list_sum([a.qe[i]*b.qe[i] for i in generate_series(1, len(a.qe))]) AS DOUBLE) /
+         |    (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS cosine
+         |FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |WHERE CAST(list_sum([a.qe[i]*b.qe[i] for i in generate_series(1, len(a.qe))]) AS DOUBLE) /
+         |    (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) >= 0.4""".stripMargin)
+}
