@@ -39,15 +39,7 @@ object Dedup extends QueryPack {
   private def tokenHash(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** Quantize a float embedding to exact BIGINTs: floor(x*1e6 + 0.5).
-    * float→double is exact, the mult/add/floor are identical IEEE ops in
-    * both engines, so both see the same integers.
-    */
-  private def quant(c: Column): Column =
-    transform(c, x => floor(x.cast("double") * lit(1000000.0) + lit(0.5)))
-
-  private def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+  import Vec.{quant, dotQ}
 
   private val MinhashK = 16 // 4 bands × 4 rows
   private val Bands = 4
@@ -194,8 +186,7 @@ object Dedup extends QueryPack {
     "list_distinct([w[i]||' '||w[i+1] for i in generate_series(1, len(w)-1)])"
   private val oTokenHash =
     "list_sum([(CAST(strpos('0123456789abcdef', substr(md5(t), i, 1)) AS BIGINT)-1) << (4*(15-i)) for i in generate_series(1,15)])"
-  private val oQuant =
-    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0+0.5) AS BIGINT))"
+  private val oQuant = Vec.oQuant
 
   def oracleSql: Map[String, String] = Map(
     "q_dedup_exact" ->

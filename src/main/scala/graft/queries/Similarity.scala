@@ -1,0 +1,187 @@
+package graft.queries
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the embedding column, in three
+  * tiers that trade recall for scan cost:
+  *
+  *  - q_ann_brute: exact top-k. Query set broadcast against the corpus —
+  *    the corpus is scanned once, never shuffled. The correctness baseline.
+  *  - q_ann_lsh: random-hyperplane (SimHash-for-vectors) bucketing.
+  *    Corpus and queries hash to 8-bit signs of deterministic hyperplane
+  *    dots; the join is on bucket equality, so the per-query scan is
+  *    |corpus| / 256 in expectation. At 100 TB the bucket id is the
+  *    shuffle/partition key and each bucket is a bounded parquet split.
+  *  - q_ann_ivf: inverted-file (IVF) with deterministic centroids; corpus
+  *    vectors assign to their nearest centroid cell, queries probe the 4
+  *    nearest cells. The cell id is the partition-pruning key at scale.
+  *
+  * Cosines go through Vec.quant integer quantization so results are
+  * bit-identical to the DuckDB oracle (see Vec).
+  */
+object Similarity extends QueryPack {
+  import Vec._
+
+  private val K = 5
+  private val NQueries = 8    // vec_id < 8 are the query vectors
+  private val NPlanes = 8
+  private val CentLo = 100    // vec_id in [100, 116) are IVF centroids
+  private val CentN = 16
+  private val NProbe = 4
+
+  /** (vec_id, qe, nrm) for the whole embeddings table. */
+  private def embQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.load(s, dir, "embeddings")
+      .select($"vec_id", quant($"embedding").as("qe"))
+      .withColumn("nrm", dotQ($"qe", $"qe"))
+  }
+
+  /** 8-bit random-hyperplane bucket of a quantized vector column. */
+  private def bucketOf(qe: Column): Column =
+    (0 until NPlanes).map { j =>
+      val plane = typedLit((1 to 64).map(d => planeComp(j, d)))
+      when(dotQ(qe, plane) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact brute-force cosine top-k: broadcast the (tiny) query set, one
+    // corpus scan, per-query heap via row_number.
+    "q_ann_brute" -> ((s, dir) => {
+      import s.implicits._
+      val emb = embQ(s, dir)
+      val qs = emb.filter($"vec_id" < NQueries)
+        .select($"vec_id".as("qid"), $"qe".as("qqe"), $"nrm".as("qnrm"))
+      val corpus = emb.filter($"vec_id" >= NQueries)
+      val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"nid")
+      corpus.join(broadcast(qs))
+        .select($"qid", $"vec_id".as("nid"),
+          cosineQ($"qqe", $"qe", $"qnrm", $"nrm").as("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= K)
+    }),
+
+    // Random-hyperplane LSH: candidates = same 8-bit bucket only.
+    "q_ann_lsh" -> ((s, dir) => {
+      import s.implicits._
+      val emb = embQ(s, dir).withColumn("bucket", bucketOf($"qe"))
+      val qs = emb.filter($"vec_id" < NQueries)
+        .select($"vec_id".as("qid"), $"qe".as("qqe"), $"nrm".as("qnrm"),
+          $"bucket")
+      val corpus = emb.filter($"vec_id" >= NQueries)
+      val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"nid")
+      corpus.join(broadcast(qs), "bucket")
+        .select($"qid", $"vec_id".as("nid"),
+          cosineQ($"qqe", $"qe", $"qnrm", $"nrm").as("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter($"rank" <= K)
+    }),
+
+    // IVF: nearest-centroid cell assignment + 4-cell probe.
+    "q_ann_ivf" -> ((s, dir) => {
+      import s.implicits._
+      val emb = embQ(s, dir)
+      val cent = emb.filter($"vec_id" >= CentLo && $"vec_id" < CentLo + CentN)
+        .select($"vec_id".as("cid"), $"qe".as("ce"), $"nrm".as("cnrm"))
+      val corpus = emb.filter($"vec_id" >= NQueries)
+      val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid")
+      val assign = corpus.join(broadcast(cent))
+        .select($"vec_id", $"qe", $"nrm", $"cid",
+          cosineQ($"qe", $"ce", $"nrm", $"cnrm").as("ccos"))
+        .withColumn("crn", row_number().over(wAssign))
+        .filter($"crn" === 1)
+        .select($"vec_id", $"qe", $"nrm", $"cid".as("cell"))
+      val qsN = emb.filter($"vec_id" < NQueries)
+        .select($"vec_id".as("qid"), $"qe".as("qqe"), $"nrm".as("qnrm"))
+      val wProbe = Window.partitionBy($"qid").orderBy($"ccos".desc, $"cid")
+      val probe = qsN.join(broadcast(cent))
+        .select($"qid", $"qqe", $"qnrm", $"cid",
+          cosineQ($"qqe", $"ce", $"qnrm", $"cnrm").as("ccos"))
+        .withColumn("prn", row_number().over(wProbe))
+        .filter($"prn" <= NProbe)
+        .select($"qid", $"qqe", $"qnrm", $"cid".as("cell"))
+      val wTop = Window.partitionBy($"qid").orderBy($"cosine".desc, $"nid")
+      assign.join(broadcast(probe), "cell")
+        .select($"qid", $"vec_id".as("nid"),
+          cosineQ($"qqe", $"qe", $"qnrm", $"nrm").as("cosine"))
+        .distinct() // a neighbor reachable via 2 probed cells counts once
+        .withColumn("rank", row_number().over(wTop))
+        .filter($"rank" <= K)
+    }))
+
+  // --- DuckDB mirrors -----------------------------------------------------
+
+  private def oEmbQ: String =
+    s"""e AS (SELECT vec_id, $oQuant AS qe FROM embeddings),
+       |n AS (SELECT vec_id, qe, list_sum([x*x for x in qe]) AS nrm FROM e)""".stripMargin
+
+  private val oCos = oCosineQ("q.qqe", "c.qe", "q.qnrm", "c.nrm")
+
+  private val oBuckets =
+    s"""planes AS (SELECT g.j, [$oPlaneComp for d in generate_series(1,64)] AS p
+       |  FROM generate_series(0, ${NPlanes - 1}) g(j)),
+       |bk AS (SELECT n.vec_id,
+       |    SUM(CASE WHEN ${oDotQ("n.qe", "pl.p")} > 0
+       |        THEN CAST(1 AS BIGINT) << pl.j ELSE 0 END) AS bucket
+       |  FROM n CROSS JOIN planes pl GROUP BY n.vec_id)""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q_ann_brute" ->
+      s"""WITH $oEmbQ,
+         |scored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS nid, $oCos AS cosine
+         |  FROM (SELECT vec_id, qe AS qqe, nrm AS qnrm FROM n WHERE vec_id < $NQueries) q
+         |  CROSS JOIN (SELECT * FROM n WHERE vec_id >= $NQueries) c)
+         |SELECT qid, nid, cosine, rank FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY cosine DESC, nid) AS rank FROM scored) t
+         |WHERE rank <= $K""".stripMargin,
+
+    "q_ann_lsh" ->
+      s"""WITH $oEmbQ,
+         |$oBuckets,
+         |scored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS nid, $oCos AS cosine
+         |  FROM (SELECT n.vec_id, n.qe AS qqe, n.nrm AS qnrm, bk.bucket
+         |        FROM n JOIN bk ON n.vec_id = bk.vec_id
+         |        WHERE n.vec_id < $NQueries) q
+         |  JOIN (SELECT n.vec_id, n.qe, n.nrm, bk.bucket
+         |        FROM n JOIN bk ON n.vec_id = bk.vec_id
+         |        WHERE n.vec_id >= $NQueries) c
+         |  ON q.bucket = c.bucket)
+         |SELECT qid, nid, cosine, rank FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY cosine DESC, nid) AS rank FROM scored) t
+         |WHERE rank <= $K""".stripMargin,
+
+    "q_ann_ivf" ->
+      s"""WITH $oEmbQ,
+         |cent AS (SELECT vec_id AS cid, qe AS ce, nrm AS cnrm FROM n
+         |  WHERE vec_id >= $CentLo AND vec_id < ${CentLo + CentN}),
+         |assign AS (
+         |  SELECT vec_id, qe, nrm, cid AS cell FROM (
+         |    SELECT c.vec_id, c.qe, c.nrm, cent.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+         |        ${oCosineQ("c.qe", "cent.ce", "c.nrm", "cent.cnrm")} DESC,
+         |        cent.cid) AS crn
+         |    FROM (SELECT * FROM n WHERE vec_id >= $NQueries) c
+         |    CROSS JOIN cent) t WHERE crn = 1),
+         |probe AS (
+         |  SELECT qid, qqe, qnrm, cid AS cell FROM (
+         |    SELECT q.vec_id AS qid, q.qe AS qqe, q.nrm AS qnrm, cent.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |        ${oCosineQ("q.qe", "cent.ce", "q.nrm", "cent.cnrm")} DESC,
+         |        cent.cid) AS prn
+         |    FROM (SELECT * FROM n WHERE vec_id < $NQueries) q
+         |    CROSS JOIN cent) t WHERE prn <= $NProbe),
+         |scored AS (
+         |  SELECT DISTINCT q.qid, c.vec_id AS nid, $oCos AS cosine
+         |  FROM probe q JOIN assign c ON q.cell = c.cell)
+         |SELECT qid, nid, cosine, rank FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY cosine DESC, nid) AS rank FROM scored) t
+         |WHERE rank <= $K""".stripMargin)
+}

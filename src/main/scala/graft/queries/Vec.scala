@@ -1,0 +1,46 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared vector primitives for the dedup / similarity packs.
+  *
+  * Embeddings are float columns; every similarity computation goes through
+  * integer quantization (floor(x*1e6+0.5), exact in IEEE doubles) so that
+  * dot products are exact BIGINT sums and the final cosine double is a
+  * pure function of identical integers in Spark and the DuckDB oracle.
+  */
+private[queries] object Vec {
+  /** Quantize a float array column to exact BIGINTs. */
+  def quant(c: Column): Column =
+    transform(c, x => floor(x.cast("double") * lit(1000000.0) + lit(0.5)))
+
+  /** Exact integer dot product of two quantized array columns. */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Cosine from quantized vectors + precomputed integer square norms. */
+  def cosineQ(a: Column, b: Column, na: Column, nb: Column): Column =
+    dotQ(a, b).cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
+
+  /** Deterministic pseudo-random hyperplane component in [-1000, 1000]:
+    * first 15 hex chars of md5("j_d") decoded to a 60-bit int, mod 2001,
+    * shifted. Both engines derive the same value from the same md5.
+    */
+  def planeComp(j: Int, d: Int): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"${j}_$d".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(15)
+    java.lang.Long.parseLong(hex, 16) % 2001L - 1000L
+  }
+
+  /** DuckDB fragments mirroring the above. */
+  val oQuant: String =
+    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0+0.5) AS BIGINT))"
+  def oDotQ(a: String, b: String): String =
+    s"list_sum([$a[i]*$b[i] for i in generate_series(1, len($a))])"
+  def oCosineQ(a: String, b: String, na: String, nb: String): String =
+    s"CAST(${oDotQ(a, b)} AS DOUBLE) / (sqrt(CAST($na AS DOUBLE)) * sqrt(CAST($nb AS DOUBLE)))"
+  val oPlaneComp: String = // comp(j, d) with j,d in scope
+    "(list_sum([(CAST(strpos('0123456789abcdef', substr(md5(CAST(j AS VARCHAR)||'_'||CAST(d AS VARCHAR)), i, 1)) AS BIGINT)-1) << (4*(15-i)) for i in generate_series(1,15)]) % 2001) - 1000"
+}
