@@ -1,0 +1,171 @@
+package graft.queries
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: token counting,
+  * quality scoring, language-ID heuristic, document fingerprinting, and
+  * corpus n-gram statistics. Everything is a per-row expression or a
+  * single aggregation — embarrassingly parallel at 100 TB, no shuffle
+  * except the final group-bys, all inside whole-stage codegen.
+  *
+  * The language-ID heuristic is marker-word scoring (the standard cheap
+  * pre-filter before a real classifier); the synthetic corpus shares one
+  * vocabulary so it exercises the operator shape, not real discrimination.
+  */
+object TextAnalysis extends QueryPack {
+
+  private val Stopwords = Seq("the", "a", "of", "and", "in", "to", "is")
+  private val BpeIsh = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  private def words(c: Column): Column = split(c, " ")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Token counting: whitespace tokens, BPE-ish regex tokens, chars.
+    "q_text_tokens" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select($"doc_id",
+          size(words($"text")).as("n_ws_tokens"),
+          regexp_count($"text", lit(BpeIsh)).as("n_re_tokens"),
+          length($"text").as("n_chars_real"),
+          $"n_chars")
+    }),
+
+    // Quality scoring: mean token length, stopword ratio, digit/punct
+    // ratios, and a composite score — the usual junk-filter features.
+    "q_text_quality" -> ((s, dir) => {
+      import s.implicits._
+      val w = words($"text")
+      val nTok = size(w)
+      val meanLen = aggregate(transform(w, x => length(x)), lit(0),
+        (acc, x) => acc + x).cast("double") / nTok
+      val stopHits = size(filter(w,
+        x => array_contains(typedLit(Stopwords), x)))
+      val stopRatio = stopHits.cast("double") / nTok
+      val digitRatio = (length($"text") -
+        length(regexp_replace($"text", "[0-9]", ""))).cast("double") /
+        length($"text")
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", meanLen.as("mean_tok_len"),
+          stopRatio.as("stop_ratio"), digitRatio.as("digit_ratio"),
+          (stopRatio * 0.5 + meanLen * 0.1).as("quality_score"))
+    }),
+
+    // Language-ID heuristic: marker-word hit counts per language,
+    // argmax with deterministic tie-break, confusion counts vs the
+    // metadata label.
+    "q_text_langid" -> ((s, dir) => {
+      import s.implicits._
+      val w = words($"text")
+      def hits(markers: Seq[String]): Column =
+        size(filter(w, x => array_contains(typedLit(markers), x)))
+      val en = hits(Seq("the", "a", "of", "and", "in"))
+      val de = hits(Seq("der", "die", "das", "und", "ist"))
+      val fr = hits(Seq("le", "la", "les", "et", "est"))
+      val es = hits(Seq("el", "los", "las", "y", "es"))
+      val predicted = when(de > en, "de")
+        .when(fr > en && fr > de, "fr")
+        .when(es > en && es > de && es > fr, "es")
+        .otherwise("en")
+      Tables.load(s, dir, "documents")
+        .select($"lang", predicted.as("predicted"))
+        .groupBy($"lang", $"predicted")
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
+    // Document fingerprint: order-sensitive polynomial rolling hash over
+    // md5-derived word codes, mod 1e9+7 (no overflow in either engine).
+    "q_text_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      val w = words($"text")
+      val codes = transform(w,
+        x => conv(substring(md5(x), 1, 15), 16, 10).cast("long") % 1000000L)
+      val fp = aggregate(codes, lit(0L),
+        (acc, x) => (acc * 31L + x) % 1000000007L)
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", fp.as("fingerprint"))
+    }),
+
+    // Corpus-level bigram frequency top-20 (deterministic tie-break).
+    "q_text_ngram_freq" -> ((s, dir) => {
+      import s.implicits._
+      val w = words($"text")
+      val bigrams = transform(sequence(lit(1), size(w) - 1),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1)))
+      Tables.load(s, dir, "documents")
+        .filter(size(w) >= 2)
+        .select(explode(bigrams).as("bigram"))
+        .groupBy($"bigram")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"bigram")
+        .limit(20)
+    }))
+
+  def oracleSql: Map[String, String] = {
+    val oStop = Stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+    def oHits(markers: Seq[String]) =
+      s"len(list_filter(w, x -> list_contains(${markers.map(m => s"'$m'").mkString("[", ", ", "]")}, x)))"
+    Map(
+      "q_text_tokens" ->
+        s"""SELECT doc_id, len(regexp_split_to_array(text, ' ')) AS n_ws_tokens,
+           |  len(regexp_extract_all(text, '$BpeIsh')) AS n_re_tokens,
+           |  length(text) AS n_chars_real, n_chars
+           |FROM documents""".stripMargin,
+
+      "q_text_quality" ->
+        s"""WITH t AS (SELECT doc_id, text,
+           |    regexp_split_to_array(text, ' ') AS w FROM documents)
+           |SELECT doc_id,
+           |  CAST(list_sum([length(x) for x in w]) AS DOUBLE) / len(w) AS mean_tok_len,
+           |  CAST(len(list_filter(w, x -> list_contains($oStop, x))) AS DOUBLE)
+           |    / len(w) AS stop_ratio,
+           |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+           |    AS DOUBLE) / length(text) AS digit_ratio,
+           |  (CAST(len(list_filter(w, x -> list_contains($oStop, x))) AS DOUBLE)
+           |    / len(w)) * 0.5 +
+           |  (CAST(list_sum([length(x) for x in w]) AS DOUBLE) / len(w)) * 0.1
+           |    AS quality_score
+           |FROM t""".stripMargin,
+
+      "q_text_langid" ->
+        s"""WITH t AS (SELECT lang, regexp_split_to_array(text, ' ') AS w
+           |    FROM documents),
+           |sc AS (SELECT lang,
+           |    ${oHits(Seq("the", "a", "of", "and", "in"))} AS en,
+           |    ${oHits(Seq("der", "die", "das", "und", "ist"))} AS de,
+           |    ${oHits(Seq("le", "la", "les", "et", "est"))} AS fr,
+           |    ${oHits(Seq("el", "los", "las", "y", "es"))} AS es
+           |  FROM t)
+           |SELECT lang,
+           |  CASE WHEN de > en THEN 'de'
+           |       WHEN fr > en AND fr > de THEN 'fr'
+           |       WHEN es > en AND es > de AND es > fr THEN 'es'
+           |       ELSE 'en' END AS predicted,
+           |  COUNT(*) AS n_docs
+           |FROM sc GROUP BY 1, 2""".stripMargin,
+
+      "q_text_fingerprint" ->
+        """WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS w
+          |    FROM documents),
+          |c AS (SELECT doc_id,
+          |    [list_sum([(CAST(strpos('0123456789abcdef', substr(md5(x), i, 1)) AS BIGINT)-1)
+          |       << (4*(15-i)) for i in generate_series(1,15)]) % 1000000
+          |     for x in w] AS codes
+          |  FROM t)
+          |SELECT doc_id,
+          |  list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+          |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+          |FROM c""".stripMargin,
+
+      "q_text_ngram_freq" ->
+        """WITH t AS (SELECT regexp_split_to_array(text, ' ') AS w FROM documents),
+          |bg AS (SELECT unnest([w[i]||' '||w[i+1]
+          |    for i in generate_series(1, len(w)-1)]) AS bigram
+          |  FROM t WHERE len(w) >= 2)
+          |SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram
+          |ORDER BY n DESC, bigram LIMIT 20""".stripMargin)
+  }
+}
