@@ -1,0 +1,97 @@
+package graft.queries
+
+import graft.{Num, QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Event-time windowing — the reference's core streaming operators
+  * (TUMBLE `demo_4.md:77-84`, HOP `demo_5.md:77-84`, session windows as
+  * Flink-SQL parity per SURVEY §2.3) expressed with Spark's `window()` /
+  * `session_window()`. The very same expressions run under readStream with
+  * a watermark (see graft.streaming specs); running them on the batch
+  * events table lets the DuckDB oracle check the windowing semantics
+  * (epoch-aligned bucketing, hop expansion, gap-merge sessions).
+  *
+  * Scale notes: tumble/hop aggregation is a single shuffle keyed by
+  * (window, group) with map-side partial aggregation; session windows
+  * shuffle once by user and sort locally within partitions.
+  */
+object Windows extends QueryPack {
+  import Num._
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Tumbling 1-hour event-time window per event type (TUMBLE +
+    // TUMBLE_START/TUMBLE_END of demo_4).
+    "q_window_tumble" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n"), dsum2($"value").as("sum_value"))
+        .select(
+          date_format($"w.start", "yyyy-MM-dd HH:mm:ss").as("wstart"),
+          date_format($"w.end", "yyyy-MM-dd HH:mm:ss").as("wend"),
+          $"event_type", $"n", $"sum_value")
+    }),
+
+    // Hopping (sliding) window, size 2h slide 1h (HOP of demo_5): every
+    // event lands in exactly two windows.
+    "q_window_hop" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .groupBy(window($"ts", "2 hours", "1 hour").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .select(
+          date_format($"w.start", "yyyy-MM-dd HH:mm:ss").as("wstart"),
+          $"event_type", $"n")
+    }),
+
+    // Session window with a 2-hour inactivity gap per user (Flink SQL
+    // session windows; Spark 3.2+ session_window). Output uses min/max
+    // event times so the oracle's gaps-and-islands formulation matches
+    // without modeling Spark's [start, last+gap) end convention.
+    "q_window_session" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .groupBy(session_window($"ts", "2 hours").as("w"), $"user_id")
+        .agg(count(lit(1)).as("n_events"),
+          date_format(min($"ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("sess_start"),
+          date_format(max($"ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("sess_last"))
+        .select($"user_id", $"sess_start", $"sess_last", $"n_events")
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "q_window_tumble" ->
+      s"""SELECT strftime(tb, '%Y-%m-%d %H:%M:%S') AS wstart,
+         |  strftime(tb + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS wend,
+         |  event_type, COUNT(*) AS n, ${oSum2("value")} AS sum_value
+         |FROM (SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS tb,
+         |        event_type, value FROM events) t
+         |GROUP BY tb, event_type""".stripMargin,
+
+    "q_window_hop" ->
+      """SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS wstart,
+        |  event_type, COUNT(*) AS n
+        |FROM (
+        |  SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))
+        |    - k.k * INTERVAL 1 HOUR AS wstart, event_type
+        |  FROM events CROSS JOIN (VALUES (0), (1)) k(k)) t
+        |GROUP BY wstart, event_type""".stripMargin,
+
+    "q_window_session" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |flag AS (SELECT user_id, ts,
+        |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |         >= INTERVAL 2 HOUR OR
+        |         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |    THEN 1 ELSE 0 END AS new_sess
+        |  FROM e),
+        |sess AS (SELECT user_id, ts,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flag)
+        |SELECT user_id,
+        |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS sess_start,
+        |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS sess_last,
+        |  COUNT(*) AS n_events
+        |FROM sess GROUP BY user_id, sid""".stripMargin)
+}
