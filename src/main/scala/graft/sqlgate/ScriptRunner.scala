@@ -1,0 +1,127 @@
+package graft.sqlgate
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.StreamingQuery
+import scala.collection.mutable
+
+/** The statement router/executor — Spark-native restatement of the
+  * reference driver (`flink-streaming-core/.../execute/ExecuteSql.java:
+  * 26-59` + `JobApplication.java:40-100`):
+  *
+  *   SET k=v                → session conf (with Flink-knob translation)
+  *   CREATE TABLE ... WITH  → connector registry entry (no execution)
+  *   other DDL / SHOW       → `spark.sql` (eager, like `tEnv.executeSql`)
+  *   SELECT                 → rejected (parity: `LogPrint.java:54-58`)
+  *   INSERT INTO sink query → build DataFrame from query with registry
+  *                            sources registered as temp views; start a
+  *                            streaming write or run a batch write
+  *   BEGIN STATEMENT SET/END→ no-op (sql-client compat)
+  *
+  * All INSERTs in one script form one statement set: built first, then
+  * started together (reference: `StatementSet.execute` single job). The
+  * returned queries are the in-process replacement for the JobID scrape
+  * (`StreamingQuery.id` vs `CommandRpcClinetAdapterImpl.java:148-161`).
+  */
+class ScriptRunner(spark: SparkSession,
+    checkpointRoot: Option[String] = None,
+    batchMode: Boolean = false) {
+
+  val registry: mutable.Map[String, TableSpec] = mutable.LinkedHashMap()
+  private val sourcesInstantiated = mutable.Set[String]()
+
+  final case class RunResult(queries: Seq[StreamingQuery],
+      shown: Seq[String], configsSet: Map[String, String])
+
+  private val InsertRe =
+    """(?is)INSERT\s+(?:INTO|OVERWRITE)\s+([`"\w.]+)\s+(.*)""".r
+
+  /** Map Flink tuning keys onto their Spark analogs (SURVEY §4 table). */
+  private def translateConf(k: String): Option[String] = k match {
+    case "table.exec.mini-batch.enabled" => None // micro-batch is inherent
+    case "table.exec.mini-batch.allow-latency" => None // trigger interval
+    case "table.exec.mini-batch.size" => None
+    case "table.exec.resource.default-parallelism" =>
+      Some("spark.sql.shuffle.partitions")
+    case "table.exec.source.cdc-events-duplicate" => None // dropDuplicates
+    case s if s.startsWith("spark.") => Some(s)
+    case _ => None // unknown knobs accepted+ignored, like Flink's tolerant SET
+  }
+
+  def run(script: String): RunResult = {
+    val stmts = SqlSplitter.parse(script)
+    val inserts = mutable.Buffer[(TableSpec, DataFrame)]()
+    val shown = mutable.Buffer[String]()
+    val confs = mutable.LinkedHashMap[String, String]()
+
+    stmts.foreach { c =>
+      c.command match {
+        case SqlCommand.Set =>
+          if (c.operands.size >= 3) {
+            val (k, v) = (c.operands(1), c.operands(2).stripSuffix(";").trim
+              .stripPrefix("'").stripSuffix("'"))
+            confs(k) = v
+            translateConf(k).foreach(spark.conf.set(_, v))
+          }
+        case SqlCommand.BeginStatementSet | SqlCommand.End => // no-op
+        case SqlCommand.Select =>
+          // parity with LogPrint.java:55 — SELECT has no sink; reject.
+          throw new IllegalArgumentException(
+            "SELECT statements are not supported in job scripts")
+        case SqlCommand.CreateTable if TableSpec.isConnectorDdl(c.text) =>
+          val spec = TableSpec.parse(c.text)
+          registry(spec.name) = spec
+        case SqlCommand.InsertInto | SqlCommand.InsertOverwrite =>
+          val m = InsertRe.findFirstMatchIn(c.text).getOrElse(
+            throw new IllegalArgumentException(
+              s"unparseable INSERT: ${c.text.take(80)}"))
+          val sinkName = m.group(1).replace("`", "")
+          val query = m.group(2)
+          val sink = registry.getOrElse(sinkName,
+            throw new IllegalArgumentException(s"unknown sink table: $sinkName"))
+          instantiateSources(query)
+          inserts += ((sink, spark.sql(query)))
+        case SqlCommand.ShowCatalogs | SqlCommand.ShowDatabases |
+            SqlCommand.ShowTables | SqlCommand.ShowFunctions =>
+          shown += spark.sql(c.text).collect().map(_.mkString(",")).mkString("\n")
+        case SqlCommand.ShowModules =>
+          shown += registry.keys.mkString(",") // gate-level registry listing
+        case SqlCommand.CreateCatalog | SqlCommand.UseCatalog =>
+          // Spark catalogs are configured, not created by DDL; accept as
+          // session-level no-op (SURVEY §2.2).
+          shown += s"ok: ${c.command.name}"
+        case _ =>
+          // remaining DDL (CREATE VIEW/DATABASE, USE, DROP, ALTER, plain
+          // CREATE TABLE) goes straight to Spark, like tEnv.executeSql.
+          spark.sql(c.text)
+      }
+    }
+
+    // statement set: start all INSERTs after the whole script parsed
+    val queries = inserts.flatMap { case (sink, df) =>
+      val ckpt = checkpointRoot.map(r => s"$r/${sink.name}")
+      Connectors.write(spark, sink, df, ckpt)
+    }.toSeq
+    RunResult(queries, shown.toSeq, confs.toMap)
+  }
+
+  /** Register every referenced registry table as a temp view so the
+    * INSERT's SELECT resolves source tables through the registry.
+    */
+  private def instantiateSources(query: String): Unit = {
+    registry.foreach { case (name, spec) =>
+      val referenced = ("""(?i)\b""" + java.util.regex.Pattern.quote(name) +
+        """\b""").r.findFirstIn(query).isDefined
+      if (referenced && !sourcesInstantiated.contains(name) &&
+        !isSinkOnly(spec)) {
+        val df = Connectors.source(spark, spec, streaming = !batchMode)
+        df.createOrReplaceTempView(name)
+        sourcesInstantiated += name
+      }
+    }
+  }
+
+  /** print/blackhole/memory/jdbc-upsert tables can't be sources. */
+  private def isSinkOnly(spec: TableSpec): Boolean =
+    Set("print", "blackhole", "memory").contains(spec.connector) ||
+      (spec.connector == "jdbc" && spec.primaryKey.nonEmpty)
+}
