@@ -1,0 +1,113 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import scala.collection.concurrent.TrieMap
+
+/** Reusable Structured Streaming transforms — the streaming operator
+  * surface the reference exposes through Flink SQL (SURVEY §2.3:
+  * windowed aggs `demo_4`/`demo_5`, dual-stream join `demo_2.md:76-91`,
+  * continuous agg + upsert `demo_1.md:58-61`, CDC-duplicate drop
+  * `demo_6.md:187`), expressed as composable DataFrame functions so the
+  * same code path serves the gate layer and direct library users.
+  *
+  * Scale notes: all stateful ops key their state by high-cardinality
+  * columns; watermarks bound state size (Spark evicts window/ join state
+  * past the watermark, the analog of Flink's state TTL + lateness bound).
+  */
+object StreamOps {
+
+  /** Tumbling event-time window counts+sum (TUMBLE of demo_4). */
+  def tumblingAgg(df: DataFrame, tsCol: String, delay: String,
+      size: String, keys: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), size) +: keys.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("wstart") +:
+        col("window.end").as("wend") +:
+        keys.map(col) :+ col("n") :+ col("sum_value"): _*)
+
+  /** Hopping window counts (HOP of demo_5). */
+  def hoppingAgg(df: DataFrame, tsCol: String, delay: String,
+      size: String, slide: String, keys: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), size, slide) +: keys.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("wstart") +:
+        keys.map(col) :+ col("n"): _*)
+
+  /** Session window agg (Flink session windows; Spark session_window). */
+  def sessionAgg(df: DataFrame, tsCol: String, delay: String,
+      gap: String, keys: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, delay)
+      .groupBy(session_window(col(tsCol), gap) +: keys.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("wstart") +:
+        keys.map(col) :+ col("n"): _*)
+
+  /** Watermark-bounded dual-stream inner equi-join (demo_2 shape): right
+    * rows join left rows with rTs in [lTs, lTs + within].
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      lTs: String, rTs: String, delay: String, within: String): DataFrame =
+    left.withWatermark(lTs, delay)
+      .join(right.withWatermark(rTs, delay),
+        expr(s"$key = r_$key AND $rTs >= $lTs AND " +
+          s"$rTs <= $lTs + INTERVAL $within"))
+
+  /** Exact-once-per-key event dedup inside the watermark horizon — the
+    * `table.exec.source.cdc-events-duplicate` analog (demo_6.md:187).
+    */
+  def dedupWithinWatermark(df: DataFrame, tsCol: String, delay: String,
+      idCols: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(idCols)
+
+  /** Custom keyed state via flatMapGroupsWithState: running per-key count
+    * + sum emitted on every update (the unbounded continuous-agg shape of
+    * demo_1 where Spark's built-ins would need a sink-side upsert).
+    */
+  def runningTotals(ds: Dataset[(String, Double)]): Dataset[KeyTotal] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[KeyTotal, KeyTotal](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[(String, Double)],
+         state: GroupState[KeyTotal]) =>
+          val prev = state.getOption.getOrElse(KeyTotal(key, 0L, 0.0))
+          var n = prev.n
+          var s = prev.total
+          rows.foreach { r => n += 1; s += r._2 }
+          val next = KeyTotal(key, n, s)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+
+  /** In-memory keyed upsert store for foreachBatch sinks (the test/local
+    * stand-in for the JDBC `ON DUPLICATE KEY UPDATE` sink; same contract:
+    * last write per key wins, exactly-once per micro-batch re-run because
+    * upserts are idempotent).
+    */
+  object UpsertStore {
+    private val tables = TrieMap[String, TrieMap[String, Seq[Any]]]()
+    def table(name: String): TrieMap[String, Seq[Any]] =
+      tables.getOrElseUpdate(name, TrieMap())
+    def clear(name: String): Unit = tables.remove(name)
+  }
+
+  /** foreachBatch writer upserting rows into UpsertStore by key columns. */
+  def upsertBatch(table: String, keyCols: Seq[String])(
+      batch: Dataset[Row], batchId: Long): Unit = {
+    val cols = batch.columns
+    val keyIdx = keyCols.map(cols.indexOf(_))
+    val t = UpsertStore.table(table)
+    batch.collect().foreach { r =>
+      val key = keyIdx.map(r.get(_).toString).mkString("|")
+      t(key) = r.toSeq
+    }
+  }
+}
+
+final case class KeyTotal(key: String, n: Long, total: Double)

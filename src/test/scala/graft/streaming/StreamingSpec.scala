@@ -1,0 +1,157 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.sql.Timestamp
+
+final case class Ev(user: Long, kind: String, ts: Timestamp, value: Double)
+
+/** Structured Streaming behavior specs driven by MemoryStream: windowed
+  * aggs with watermark + late-data drop, session windows, stream-stream
+  * interval join, within-watermark dedup, custom keyed state, foreachBatch
+  * upsert. These pin the semantics the batch Windows pack checks against
+  * DuckDB, on actual incremental execution.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def t(minute: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:$sec%02d")
+
+  test("tumbling window with watermark: closed windows emit, late rows drop") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val out = StreamOps.tumblingAgg(in.toDF(), "ts", "1 minute",
+      "1 minute", Seq("kind"))
+    val q = out.writeStream.format("memory").queryName("tumble_t")
+      .outputMode("append").start()
+    try {
+      in.addData(Ev(1, "a", t(0, 10), 1.0), Ev(2, "a", t(0, 50), 2.0),
+        Ev(3, "b", t(1, 10), 3.0))
+      q.processAllAvailable() // watermark ~10:00:10; nothing closed yet
+      in.addData(Ev(4, "a", t(5, 0), 4.0)) // advances watermark to 10:04
+      q.processAllAvailable() // closes 10:00 and 10:01 windows
+      val rows = spark.table("tumble_t")
+        .select($"wstart".cast("string"), $"kind", $"n", $"sum_value")
+        .as[(String, String, Long, Double)].collect().toSet
+      assert(rows == Set(
+        ("2024-01-01 10:00:00", "a", 2L, 3.0),
+        ("2024-01-01 10:01:00", "b", 1L, 3.0)))
+      // late row inside an already-closed window: dropped
+      in.addData(Ev(5, "a", t(0, 30), 100.0))
+      q.processAllAvailable()
+      assert(spark.table("tumble_t").count() == 2)
+    } finally q.stop()
+  }
+
+  test("session window merges within gap, splits past gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val out = StreamOps.sessionAgg(in.toDF(), "ts", "1 minute",
+      "2 minutes", Seq("user"))
+    val q = out.writeStream.format("memory").queryName("sess_t")
+      .outputMode("append").start()
+    try {
+      // user 1: events at 10:00, 10:01, 10:05 → sessions {00,01} and {05}
+      in.addData(Ev(1, "a", t(0), 1.0), Ev(1, "a", t(1), 1.0),
+        Ev(1, "a", t(5), 1.0))
+      in.addData(Ev(9, "z", t(30), 0.0)) // watermark pusher
+      q.processAllAvailable()
+      val rows = spark.table("sess_t")
+        .filter($"user" === 1)
+        .select($"wstart".cast("string"), $"n")
+        .as[(String, Long)].collect().toSet
+      assert(rows == Set(("2024-01-01 10:00:00", 2L),
+        ("2024-01-01 10:05:00", 1L)))
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join (demo_2 dual-stream shape)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val buys = MemoryStream[Ev]
+    val joined = StreamOps.intervalJoin(
+      clicks.toDF().select($"user", $"ts"),
+      buys.toDF().select($"user".as("r_user"), $"ts".as("bts"), $"value"),
+      "user", "ts", "bts", "1 minute", "'10' MINUTE")
+    val q = joined.writeStream.format("memory").queryName("join_t")
+      .outputMode("append").start()
+    try {
+      clicks.addData(Ev(1, "c", t(0), 0), Ev(2, "c", t(0), 0))
+      buys.addData(Ev(1, "b", t(5), 9.5), // within 10 min of click → joins
+        Ev(2, "b", t(20), 7.0)) // outside → no join
+      clicks.addData(Ev(9, "c", t(40), 0)) // watermark pushers
+      buys.addData(Ev(9, "b", t(40), 0))
+      q.processAllAvailable()
+      val rows = spark.table("join_t").select($"user", $"value")
+        .as[(Long, Double)].collect().toSet
+      // user 9 is the watermark pusher (joins with itself at t40);
+      // the real assertions: user 1 joined within bounds, user 2 did not.
+      assert(rows.filter(_._1 != 9L) == Set((1L, 9.5)))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark: replayed events collapse") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val out = StreamOps.dedupWithinWatermark(in.toDF(), "ts", "10 minutes",
+      Seq("user", "kind"))
+    val q = out.writeStream.format("memory").queryName("dedup_t")
+      .outputMode("append").start()
+    try {
+      in.addData(Ev(1, "x", t(0), 1.0), Ev(1, "x", t(0, 30), 1.0),
+        Ev(2, "x", t(1), 2.0))
+      q.processAllAvailable()
+      in.addData(Ev(1, "x", t(2), 1.0)) // still a dup within watermark
+      q.processAllAvailable()
+      assert(spark.table("dedup_t").count() == 2) // (1,x) once + (2,x) once
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState: running totals update across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Double)]
+    val q = StreamOps.runningTotals(in.toDS())
+      .writeStream.format("memory").queryName("state_t")
+      .outputMode("update").start()
+    try {
+      in.addData(("a", 1.0), ("a", 2.0), ("b", 5.0))
+      q.processAllAvailable()
+      in.addData(("a", 4.0))
+      q.processAllAvailable()
+      val last = spark.table("state_t").groupBy($"key")
+        .agg(max(struct($"n", $"total")).as("s"))
+        .select($"key", $"s.n", $"s.total")
+        .as[(String, Long, Double)].collect().toSet
+      assert(last == Set(("a", 3L, 7.0), ("b", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("foreachBatch upsert sink: last write per key wins (demo_1 sink)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    StreamOps.UpsertStore.clear("gmv")
+    val in = MemoryStream[Ev]
+    val agg = in.toDF().groupBy($"kind")
+      .agg(sum($"value").as("total"))
+    val q = agg.writeStream
+      .outputMode("update")
+      .foreachBatch(StreamOps.upsertBatch("gmv", Seq("kind")) _)
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      in.addData(Ev(1, "a", t(0), 10.0), Ev(2, "b", t(0), 5.0))
+      q.processAllAvailable()
+      in.addData(Ev(3, "a", t(1), 2.5))
+      q.processAllAvailable()
+      val t2 = StreamOps.UpsertStore.table("gmv")
+      assert(t2("a")(1) == 12.5 && t2("b")(1) == 5.0)
+    } finally q.stop()
+  }
+}
