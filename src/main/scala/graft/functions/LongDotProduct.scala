@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Exact integer dot product of two BIGINT arrays as a native Catalyst
+  * expression with whole-stage codegen — the hot inner loop of every
+  * quantized-embedding similarity operator (Vec.dotQ).
+  *
+  * The composable `aggregate(zip_with(a, b, _*_), 0L, _+_)` formulation is
+  * semantically identical but runs interpreted higher-order lambdas and
+  * allocates an intermediate array per row; on the all-pairs dedup shape
+  * (millions of 64-dim pairs) this expression is an order of magnitude
+  * faster (see VecSpec + BENCH history). Preference order per the build
+  * brief: built-in functions → custom Expression (this) → UDF.
+  */
+case class LongDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "long_dot"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(e => e.dataType match {
+      case ArrayType(LongType, _) => true
+      case ArrayType(org.apache.spark.sql.types.NullType, _) => true // array()
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<BIGINT> inputs, " +
+        s"got ${left.dataType.sql} / ${right.dataType.sql}")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object GraftFunctions {
+  /** Idempotently register graft's native expressions in the session's
+    * function registry (the in-session equivalent of
+    * SparkSessionExtensions.injectFunction for externally-built sessions).
+    */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "long_dot", exprs => LongDotProduct(exprs(0), exprs(1)), "built-in")
+  }
+
+  def longDot(a: Column, b: Column): Column = call_function("long_dot", a, b)
+}

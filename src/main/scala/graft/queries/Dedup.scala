@@ -44,6 +44,15 @@ object Dedup extends QueryPack {
   private val MinhashK = 16 // 4 bands × 4 rows
   private val Bands = 4
   private val RowsPerBand = 4
+  /** Affine minhash family over one md5-derived code: h_j(x) = (a_j*x +
+    * b_j) mod P with P = 2^31-1 and x < P, so a_j*x < 2^62 never
+    * overflows int64 in either engine. One md5 per shingle instead of K.
+    */
+  private val P = 2147483647L
+  private val HashA: Seq[Long] = (0 until MinhashK).map(j =>
+    (((2L * j + 1) * 1103515245L + 12345L) % P + P) % P max 1L)
+  private val HashB: Seq[Long] = (0 until MinhashK).map(j =>
+    ((j * 2654435761L + 1013904223L) % P + P) % P)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: one survivor (min doc_id) per identical text, by md5.
@@ -83,11 +92,13 @@ object Dedup extends QueryPack {
         .filter(size($"w") >= 3)
       val sh = docs.select($"doc_id",
         explode(array_distinct(shingles($"w", 3))).as("sng"))
+      val shH = sh.select($"doc_id", (tokenHash($"sng") % P).as("x"))
       val mhAggs = (0 until MinhashK).map(j =>
-        min(md5(concat(lit(s"$j|"), $"sng"))).as(s"h$j"))
-      val mh = sh.groupBy($"doc_id").agg(mhAggs.head, mhAggs.tail: _*)
+        min((lit(HashA(j)) * $"x" + lit(HashB(j))) % P).as(s"h$j"))
+      val mh = shH.groupBy($"doc_id").agg(mhAggs.head, mhAggs.tail: _*)
       val bands = (0 until Bands).map { b =>
-        val key = concat((0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}")): _*)
+        val key = concat_ws("_",
+          (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}")): _*)
         mh.select($"doc_id", lit(b).as("band"), key.as("bkey"))
       }.reduce(_ unionByName _)
       val cand = bands.as("a")
@@ -167,6 +178,7 @@ object Dedup extends QueryPack {
     // Similarity pack (q_ann_lsh).
     "q_dedup_embed" -> ((s, dir) => {
       import s.implicits._
+      Vec.ensureRegistered(s)
       val q = Tables.load(s, dir, "embeddings")
         .select($"vec_id", quant($"embedding").as("qe"))
         .withColumn("nrm", dotQ($"qe", $"qe"))
@@ -184,8 +196,8 @@ object Dedup extends QueryPack {
     "list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in generate_series(1, len(w)-2)])"
   private val oShingle2 =
     "list_distinct([w[i]||' '||w[i+1] for i in generate_series(1, len(w)-1)])"
-  private val oTokenHash =
-    "list_sum([(CAST(strpos('0123456789abcdef', substr(md5(t), i, 1)) AS BIGINT)-1) << (4*(15-i)) for i in generate_series(1,15)])"
+  private def oTokenHash(v: String) =
+    s"list_sum([(CAST(strpos('0123456789abcdef', substr(md5($v), i, 1)) AS BIGINT)-1) << (4*(15-i)) for i in generate_series(1,15)])"
   private val oQuant = Vec.oQuant
 
   def oracleSql: Map[String, String] = Map(
@@ -202,14 +214,17 @@ object Dedup extends QueryPack {
 
     "q_dedup_minhash" -> {
       val mins = (0 until MinhashK)
-        .map(j => s"min(md5('$j|'||s)) AS h$j").mkString(", ")
+        .map(j => s"min((${HashA(j)} * x + ${HashB(j)}) % $P) AS h$j")
+        .mkString(", ")
       val bandSelects = (0 until Bands).map { b =>
-        val key = (0 until RowsPerBand).map(r => s"h${b * RowsPerBand + r}").mkString("||")
+        val key = (0 until RowsPerBand).map(r => s"h${b * RowsPerBand + r}")
+          .mkString("||'_'||")
         s"SELECT doc_id, $b AS band, $key AS bkey FROM mh"
       }.mkString(" UNION ALL ")
       s"""WITH w AS (SELECT doc_id, regexp_split_to_array(text,' ') w FROM documents),
          |sh AS (SELECT doc_id, unnest($oShingle3) AS s FROM w WHERE len(w) >= 3),
-         |mh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+         |shh AS (SELECT doc_id, ${oTokenHash("s")} % $P AS x FROM sh),
+         |mh AS (SELECT doc_id, $mins FROM shh GROUP BY doc_id),
          |bands AS ($bandSelects),
          |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
          |  FROM bands a JOIN bands b
@@ -229,7 +244,7 @@ object Dedup extends QueryPack {
     "q_dedup_simhash" ->
       s"""WITH w AS (SELECT doc_id, regexp_split_to_array(text,' ') w FROM documents),
          |tok AS (SELECT doc_id, unnest($oShingle2) AS t FROM w WHERE len(w) >= 2),
-         |th AS (SELECT doc_id, $oTokenHash AS h FROM tok),
+         |th AS (SELECT doc_id, ${oTokenHash("t")} AS h FROM tok),
          |bits AS (SELECT doc_id, g.b,
          |    SUM(CASE WHEN (h >> g.b) & 1 = 1 THEN 1 ELSE -1 END) AS sb
          |  FROM th CROSS JOIN generate_series(0, 59) g(b)

@@ -35,6 +35,7 @@ object Similarity extends QueryPack {
   /** (vec_id, qe, nrm) for the whole embeddings table. */
   private def embQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    Vec.ensureRegistered(s)
     Tables.load(s, dir, "embeddings")
       .select($"vec_id", quant($"embedding").as("qe"))
       .withColumn("nrm", dotQ($"qe", $"qe"))

@@ -15,9 +15,16 @@ private[queries] object Vec {
   def quant(c: Column): Column =
     transform(c, x => floor(x.cast("double") * lit(1000000.0) + lit(0.5)))
 
-  /** Exact integer dot product of two quantized array columns. */
+  /** Exact integer dot product of two quantized array columns, via the
+    * codegen'd native expression (graft.functions.LongDotProduct). Callers
+    * must have called [[ensureRegistered]] on the session first.
+    */
   def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    graft.functions.GraftFunctions.longDot(a, b)
+
+  /** Register graft native functions in this session (idempotent). */
+  def ensureRegistered(s: org.apache.spark.sql.SparkSession): Unit =
+    graft.functions.GraftFunctions.register(s)
 
   /** Cosine from quantized vectors + precomputed integer square norms. */
   def cosineQ(a: Column, b: Column, na: Column, nb: Column): Column =

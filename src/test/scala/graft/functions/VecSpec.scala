@@ -1,0 +1,48 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Native LongDotProduct: equivalence with the composable higher-order
+  * formulation, null handling, and codegen participation.
+  */
+class VecSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("long_dot equals aggregate(zip_with(...)) on random vectors") {
+    GraftFunctions.register(spark)
+    val df = spark.range(200).select($"id",
+      transform(sequence(lit(1), lit(64)),
+        i => pmod(hash($"id" * i), lit(1000)).cast("long")).as("a"),
+      transform(sequence(lit(1), lit(64)),
+        i => pmod(hash($"id" + i), lit(1000)).cast("long")).as("b"))
+    val cmp = df.select(
+      GraftFunctions.longDot($"a", $"b").as("fast"),
+      aggregate(zip_with($"a", $"b", (x, y) => x * y), lit(0L),
+        (acc, x) => acc + x).as("slow"))
+    assert(cmp.filter($"fast" =!= $"slow").count() == 0)
+  }
+
+  test("long_dot: null array yields null, empty arrays yield 0") {
+    GraftFunctions.register(spark)
+    val row = spark.sql(
+      """SELECT long_dot(CAST(NULL AS ARRAY<BIGINT>), array(1L)) AS n,
+        |       long_dot(array(), array()) AS z,
+        |       long_dot(array(2L, 3L), array(10L, 100L)) AS v""".stripMargin)
+      .collect().head
+    assert(row.isNullAt(0))
+    assert(row.getLong(1) == 0L)
+    assert(row.getLong(2) == 320L)
+  }
+
+  test("long_dot participates in whole-stage codegen") {
+    GraftFunctions.register(spark)
+    val df = spark.range(10).select(
+      transform(sequence(lit(1), lit(4)), i => i.cast("long")).as("a"))
+      .select(GraftFunctions.longDot($"a", $"a").as("d"))
+    // the `*(n)` prefix marks operators inside a WholeStageCodegen stage
+    val plan = df.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[long_dot""".r.findFirstIn(plan).isDefined, plan)
+    assert(df.collect().map(_.getLong(0)).forall(_ == 30L)) // 1+4+9+16
+  }
+}
