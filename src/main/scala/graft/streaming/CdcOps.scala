@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+import scala.collection.concurrent.TrieMap
+
+/** Changelog (CDC) processing — the reference's demo_6 pipeline (MySQL
+  * binlog → debezium-json → retraction-aware aggregation → upsert sinks).
+  * Spark has no first-class changelog rows (SURVEY §7.4), so the
+  * idiomatic restatement models op/before/after as data columns and
+  * applies them with keyed MERGE semantics in foreachBatch:
+  *
+  *   decodeDebezium  — value bytes/string → (op, before.*, after.*)
+  *                     (`demo_6.md:216-219` debezium-json format)
+  *   applyChangelog  — foreachBatch MERGE into a keyed store: c/u/r
+  *                     upsert the after-image, d deletes by key; within a
+  *                     batch the last event per key wins (binlog order)
+  *   aggregateState  — retraction-aware aggregate = aggregate over the
+  *                     materialized state (correct under update+delete by
+  *                     construction, the `demo_6.md:222-226` SUM shape)
+  *
+  * Scale notes: the per-batch MERGE groups by key inside Spark before
+  * touching the store, so the store sees one write per key per batch.
+  * With a real transactional sink (JDBC/Delta) the same contract maps to
+  * MERGE INTO; state size is the keyed table, not the changelog history.
+  */
+object CdcOps {
+
+  /** Debezium envelope decode: JSON string column → flattened changelog
+    * columns (op, key from after-or-before image).
+    */
+  def decodeDebezium(df: DataFrame, rowSchema: StructType): DataFrame = {
+    val envelope = StructType(Seq(
+      org.apache.spark.sql.types.StructField("op", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts_ms", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("before", rowSchema),
+      org.apache.spark.sql.types.StructField("after", rowSchema)))
+    df.select(from_json(col("value").cast("string"), envelope).as("e"))
+      .select(col("e.op").as("op"), col("e.ts_ms").as("ts_ms"),
+        col("e.before").as("before"), col("e.after").as("after"))
+  }
+
+  /** Keyed in-memory materialization target (the local stand-in for a
+    * JDBC/ES/Delta keyed table; same last-write-wins + delete contract).
+    */
+  object StateStore {
+    private val tables = TrieMap[String, TrieMap[String, Row]]()
+    def table(name: String): TrieMap[String, Row] =
+      tables.getOrElseUpdate(name, TrieMap())
+    def clear(name: String): Unit = tables.remove(name)
+  }
+
+  /** foreachBatch function MERGE-ing a decoded changelog batch into
+    * StateStore(table). Batch rows must carry (op, ts_ms, before, after).
+    * Last event per key (by ts_ms, then arrival order) wins in-batch.
+    */
+  def applyChangelog(table: String, keyCols: Seq[String])(
+      batch: Dataset[Row], batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    // reduce to one event per key inside Spark: max ts_ms + stable order
+    val withKey = batch
+      .withColumn("__key",
+        concat_ws("|", keyCols.map(k =>
+          coalesce(col(s"after.$k"), col(s"before.$k")).cast("string")): _*))
+      .withColumn("__seq", monotonically_increasing_id())
+    val last = withKey
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"__key").orderBy($"ts_ms".desc, $"__seq".desc)))
+      .filter($"__rn" === 1)
+      .select($"__key", $"op", $"after")
+      .collect() // one row per key per batch — bounded by key cardinality
+    val t = StateStore.table(table)
+    last.foreach { r =>
+      val key = r.getString(0)
+      r.getString(1) match {
+        case "d" => t.remove(key)
+        case _   => t(key) = r.getStruct(2) // c / u / r upsert after-image
+      }
+    }
+  }
+
+  /** Retraction-aware aggregate over the materialized state: register the
+    * current state as a local DataFrame and aggregate it. Correct under
+    * inserts, updates, and deletes because it aggregates state, not the
+    * event stream.
+    */
+  def aggregateState(spark: org.apache.spark.sql.SparkSession, table: String,
+      rowSchema: StructType): DataFrame = {
+    val rows = StateStore.table(table).values.toSeq
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), rowSchema)
+  }
+}

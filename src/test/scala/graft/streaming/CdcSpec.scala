@@ -1,0 +1,77 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+final case class CdcRaw(value: String)
+
+/** CDC changelog semantics (demo_6 pipeline): debezium decode, keyed
+  * MERGE with in-batch last-wins, delete handling, retraction-aware
+  * aggregation over materialized state.
+  */
+class CdcSpec extends SparkSpec {
+
+  private val productSchema = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType),
+    StructField("price", DoubleType)))
+
+  private def dz(op: String, ts: Long, before: String, after: String) =
+    CdcRaw(s"""{"op":"$op","ts_ms":$ts,"before":$before,"after":$after}""")
+
+  test("debezium decode → keyed merge → retraction-aware aggregate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    CdcOps.StateStore.clear("products")
+    val in = MemoryStream[CdcRaw]
+    val decoded = CdcOps.decodeDebezium(in.toDF(), productSchema)
+    val q = decoded.writeStream
+      .foreachBatch(CdcOps.applyChangelog("products", Seq("id")) _)
+      .outputMode("append").start()
+    try {
+      // batch 1: two inserts + an update of id=1 in the same batch
+      in.addData(
+        dz("c", 1000, "null", """{"id":1,"name":"scooter","price":3.25}"""),
+        dz("c", 1001, "null", """{"id":2,"name":"hammer","price":11.0}"""),
+        dz("u", 1002, """{"id":1,"name":"scooter","price":3.25}""",
+          """{"id":1,"name":"scooter","price":5.0}"""))
+      q.processAllAvailable()
+      val t = CdcOps.StateStore.table("products")
+      assert(t.size == 2)
+      assert(t("1").getDouble(2) == 5.0) // last event per key won
+      // batch 2: delete id=2, insert id=3
+      in.addData(
+        dz("d", 2000, """{"id":2,"name":"hammer","price":11.0}""", "null"),
+        dz("c", 2001, "null", """{"id":3,"name":"wrench","price":7.5}"""))
+      q.processAllAvailable()
+      assert(t.size == 2 && !t.contains("2") && t.contains("3"))
+      // retraction-aware SUM over state: 5.0 + 7.5, not the event history
+      val agg = CdcOps.aggregateState(spark, "products", productSchema)
+        .agg(sum($"price")).collect().head.getDouble(0)
+      assert(agg == 12.5)
+    } finally q.stop()
+  }
+
+  test("delete of an absent key and reinsert after delete are safe") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    CdcOps.StateStore.clear("p2")
+    val in = MemoryStream[CdcRaw]
+    val q = CdcOps.decodeDebezium(in.toDF(), productSchema).writeStream
+      .foreachBatch(CdcOps.applyChangelog("p2", Seq("id")) _)
+      .outputMode("append").start()
+    try {
+      in.addData(dz("d", 1, """{"id":9,"name":"ghost","price":1.0}""", "null"))
+      q.processAllAvailable()
+      assert(CdcOps.StateStore.table("p2").isEmpty)
+      in.addData(
+        dz("c", 2, "null", """{"id":9,"name":"back","price":2.0}"""),
+        dz("d", 3, """{"id":9,"name":"back","price":2.0}""", "null"),
+        dz("c", 4, "null", """{"id":9,"name":"again","price":3.0}"""))
+      q.processAllAvailable()
+      val t = CdcOps.StateStore.table("p2")
+      assert(t.size == 1 && t("9").getString(1) == "again")
+    } finally q.stop()
+  }
+}
