@@ -34,6 +34,8 @@ class ScriptRunner(spark: SparkSession,
 
   private val InsertRe =
     """(?is)INSERT\s+(?:INTO|OVERWRITE)\s+([`"\w.]+)\s+(.*)""".r
+  private val CreateFnRe =
+    """(?is)CREATE\s+(?:TEMPORARY\s+)?FUNCTION\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+AS\s+'([^']+)'.*""".r
 
   /** Map Flink tuning keys onto their Spark analogs (SURVEY §4 table). */
   private def translateConf(k: String): Option[String] = k match {
@@ -70,6 +72,14 @@ class ScriptRunner(spark: SparkSession,
         case SqlCommand.CreateTable if TableSpec.isConnectorDdl(c.text) =>
           val spec = TableSpec.parse(c.text)
           registry(spec.name) = spec
+        case SqlCommand.CreateFunction =>
+          // `CREATE FUNCTION name AS 'class'` (SqlCommand.java:32-34,
+          // docs/manual-sql.md:102-119); jar shipping becomes classpath.
+          c.text match {
+            case CreateFnRe(fname, clazz) =>
+              graft.functions.Udx.registerByClass(spark, fname, clazz)
+            case _ => spark.sql(c.text) // Spark-native CREATE FUNCTION forms
+          }
         case SqlCommand.InsertInto | SqlCommand.InsertOverwrite =>
           val m = InsertRe.findFirstMatchIn(c.text).getOrElse(
             throw new IllegalArgumentException(
