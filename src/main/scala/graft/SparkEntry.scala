@@ -9,7 +9,8 @@ import graft.{queries => qp}
 object SparkEntry {
   private def packs: Seq[QueryPack] = Seq(
     qp.Relational, qp.Joins, qp.Analytic, qp.Scalars, qp.Dedup,
-    qp.Similarity, qp.TextAnalysis, qp.Windows, qp.Gate, qp.Multimodal)
+    qp.Similarity, qp.TextAnalysis, qp.Windows, qp.Gate, qp.Multimodal,
+    qp.Extras)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

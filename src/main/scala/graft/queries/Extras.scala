@@ -1,0 +1,112 @@
+package graft.queries
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Remaining built-in-parity surface: epoch/unixtime conversions
+  * (demo_4.md:45-46 computed-column shape), array + struct expressions,
+  * null semantics (null-safe equality, NVL family), regexp extraction,
+  * ordered string aggregation, and approximate distinct (rows-only
+  * check — HLL sketches are engine-specific by design).
+  */
+object Extras extends QueryPack {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // FROM_UNIXTIME / UNIX_TIMESTAMP round-trip (reference computed-col
+    // shape TO_TIMESTAMP(FROM_UNIXTIME(ts/1000, ...))).
+    "q_unixtime" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .filter($"event_id" % 50 === 0)
+        .select($"event_id",
+          unix_timestamp($"ts").as("epoch_s"),
+          from_unixtime(unix_timestamp($"ts"), "yyyy-MM-dd HH:mm:ss").as("sec_str"),
+          (unix_timestamp($"ts") / 60).cast("long").as("epoch_min"))
+    }),
+
+    // Array expression battery + struct output.
+    "q_array_funcs" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .filter($"doc_id" < 50)
+        .select($"doc_id",
+          size(split($"text", " ")).as("n"),
+          slice(split($"text", " "), 1, 3).as("first3"),
+          array_contains(split($"text", " "), "spark").as("has_spark"),
+          element_at(split($"text", " "), -1).as("last_word"),
+          array_position(split($"text", " "), "data").cast("long").as("data_pos"),
+          struct($"lang".as("l"), $"source".as("s")).as("meta"))
+    }),
+
+    // Null semantics: NULLIF-generated nulls, null-safe equality,
+    // NVL/NVL2, COUNT(col) vs COUNT(*).
+    "q_null_semantics" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "orders")
+        .select($"o_orderkey",
+          nullif($"o_orderstatus", lit("P")).as("st"),
+          $"o_totalprice")
+        .groupBy($"st")
+        .agg(count(lit(1)).as("n_all"), count($"st").as("n_nonnull"),
+          count(when($"st" <=> lit(null), 1)).as("n_nullsafe_null"))
+    }),
+
+    // Regexp extraction + ordered string aggregation.
+    "q_regexp_stragg" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "customer")
+        .filter($"c_custkey" < 200)
+        .select($"c_mktsegment",
+          regexp_extract($"c_name", "([0-9]+)", 1).as("num"))
+        .groupBy($"c_mktsegment")
+        .agg(array_join(sort_array(collect_list($"num")), ",").as("nums"),
+          count(lit(1)).as("n"))
+    }),
+
+    // Approximate distinct: engine-specific sketch → rows-only check
+    // (no oracleSql entry on purpose; exact companion is oracle-checked
+    // in q_agg_minmax).
+    "q_agg_approx" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(approx_count_distinct($"l_partkey").as("approx_parts"),
+          countDistinct($"l_partkey").as("exact_parts"))
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "q_unixtime" ->
+      """SELECT event_id,
+        |  CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS epoch_s,
+        |  strftime(date_trunc('second', CAST(ts AS TIMESTAMP)),
+        |           '%Y-%m-%d %H:%M:%S') AS sec_str,
+        |  CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 60 AS epoch_min
+        |FROM events WHERE event_id % 50 = 0""".stripMargin,
+
+    "q_array_funcs" ->
+      """WITH t AS (SELECT doc_id, lang, source,
+        |    regexp_split_to_array(text, ' ') AS w FROM documents
+        |  WHERE doc_id < 50)
+        |SELECT doc_id, len(w) AS n, w[1:3] AS first3,
+        |  list_contains(w, 'spark') AS has_spark,
+        |  w[-1] AS last_word,
+        |  CAST(coalesce(list_position(w, 'data'), 0) AS BIGINT) AS data_pos,
+        |  {'l': lang, 's': source} AS meta
+        |FROM t""".stripMargin,
+
+    "q_null_semantics" ->
+      """SELECT NULLIF(o_orderstatus, 'P') AS st, COUNT(*) AS n_all,
+        |  COUNT(NULLIF(o_orderstatus, 'P')) AS n_nonnull,
+        |  COUNT(CASE WHEN NULLIF(o_orderstatus, 'P') IS NOT DISTINCT FROM
+        |    NULL THEN 1 END) AS n_nullsafe_null
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q_regexp_stragg" ->
+      """SELECT c_mktsegment,
+        |  string_agg(regexp_extract(c_name, '([0-9]+)', 1), ','
+        |    ORDER BY regexp_extract(c_name, '([0-9]+)', 1)) AS nums,
+        |  COUNT(*) AS n
+        |FROM customer WHERE c_custkey < 200
+        |GROUP BY c_mktsegment""".stripMargin)
+}
