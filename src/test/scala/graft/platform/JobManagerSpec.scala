@@ -1,0 +1,122 @@
+package graft.platform
+
+import graft.SparkSpec
+import graft.streaming.StreamOps
+import java.nio.file.Files
+
+/** Platform verbs end-to-end: start (with validation + var substitution),
+  * dup-run guard, stop-with-savepoint, restart-from-savepoint resuming
+  * offsets, failure marking, optimistic-lock transitions.
+  */
+class JobManagerSpec extends SparkSpec {
+
+  private def mgr(vars: Map[String, String] = Map.empty) = new JobManager(
+    spark,
+    Files.createTempDirectory("jm_ckpt").toString,
+    Files.createTempDirectory("jm_sp").toString, vars)
+
+  private def srcDir(): String =
+    Files.createTempDirectory("jm_src").toString
+
+  private def script(dir: String, sink: String) =
+    s"""CREATE TABLE src (id BIGINT) WITH (
+       |  'connector' = 'filesystem', 'path' = '$dir',
+       |  'format' = 'parquet');
+       |CREATE TABLE $sink (id BIGINT, PRIMARY KEY (id) NOT ENFORCED)
+       |  WITH ('connector' = 'memory');
+       |INSERT INTO $sink SELECT id FROM src;
+       |""".stripMargin
+
+  test("start → RUNNING → stop with savepoint → restart resumes offsets") {
+    import spark.implicits._
+    val dir = srcDir()
+    val outDir = Files.createTempDirectory("jm_sink").toString
+    // filesystem sink (memory sink does not support checkpoint recovery)
+    val fsScript =
+      s"""CREATE TABLE src (id BIGINT) WITH (
+         |  'connector' = 'filesystem', 'path' = '$dir',
+         |  'format' = 'parquet');
+         |CREATE TABLE fs_snk (id BIGINT) WITH (
+         |  'connector' = 'filesystem', 'path' = '$outDir',
+         |  'format' = 'parquet');
+         |INSERT INTO fs_snk SELECT id FROM src;
+         |""".stripMargin
+    spark.range(0, 4).toDF("id").coalesce(1).write.mode("append").parquet(dir)
+    val m = mgr()
+    val id = m.start("job_a", fsScript)
+    assert(m.status(id) == JobManager.Running)
+    m.info(id).queries.foreach(_.awaitTermination(60000))
+    assert(spark.read.parquet(outDir).as[Long].collect().sorted.toSeq ==
+      (0L until 4L))
+    val sp = m.stop(id)
+    assert(sp.isDefined && m.status(id) == JobManager.Stopped)
+
+    spark.range(4, 7).toDF("id").coalesce(1).write.mode("append").parquet(dir)
+    val id2 = m.restartFromSavepoint(id)
+    m.info(id2).queries.foreach(_.awaitTermination(60000))
+    assert(m.status(id2) == JobManager.Running)
+    // exactly-once across the savepoint boundary: 0..6, no duplicates
+    assert(spark.read.parquet(outDir).as[Long].collect().sorted.toSeq ==
+      (0L until 7L))
+    m.stop(id2, withSavepoint = false)
+  }
+
+  test("dup-run guard: same name RUNNING rejects a second start") {
+    val dir = srcDir()
+    spark.range(0, 2).toDF("id").coalesce(1).write.mode("append").parquet(dir)
+    val m = mgr()
+    val id = m.start("dup_job", script(dir, "jm_out2"))
+    try {
+      val e = intercept[IllegalStateException] {
+        m.start("dup_job", script(dir, "jm_out3"))
+      }
+      assert(e.getMessage.contains("already RUNNING"))
+    } finally m.stop(id, withSavepoint = false)
+  }
+
+  test("validation gate: script without INSERT is rejected at start") {
+    val m = mgr()
+    val e = intercept[IllegalArgumentException] {
+      m.start("bad_job",
+        "CREATE TABLE t (a INT) WITH ('connector' = 'print');")
+    }
+    assert(e.getMessage.contains("INSERT"))
+  }
+
+  test("variable substitution from platform config (Nacos-style ${var})") {
+    val dir = srcDir()
+    spark.range(0, 3).toDF("id").coalesce(1).write.mode("append").parquet(dir)
+    val m = mgr(vars = Map("data_path" -> dir))
+    val id = m.start("var_job", script("${data_path}", "jm_out4"))
+    m.info(id).queries.foreach(_.awaitTermination(60000))
+    import spark.implicits._
+    assert(spark.table("jm_out4").as[Long].collect().sorted.toSeq ==
+      (0L until 3L))
+    m.stop(id, withSavepoint = false)
+  }
+
+  test("failure marking + auto-restart policy hook") {
+    val dir = srcDir()
+    spark.range(0, 2).toDF("id").coalesce(1).write.mode("append").parquet(dir)
+    val m = mgr()
+    val id = m.start("flaky", script(dir, "jm_out5"), autoRestart = true)
+    m.info(id).queries.foreach(_.awaitTermination(60000))
+    m.onJobFailure(id, "simulated executor loss")
+    assert(m.status(id) == JobManager.Failed)
+    // policy resubmitted a new RUNNING job with the same name
+    val restarted = m.list().filter(j => j.name == "flaky" && j.id != id)
+    assert(restarted.nonEmpty &&
+      restarted.forall(_.status == JobManager.Running))
+    restarted.foreach(j => m.stop(j.id, withSavepoint = false))
+  }
+
+  test("optimistic lock: stopping a non-RUNNING job fails cleanly") {
+    val m = mgr()
+    val dir = srcDir()
+    spark.range(0, 1).toDF("id").coalesce(1).write.mode("append").parquet(dir)
+    val id = m.start("ol_job", script(dir, "jm_out6"))
+    m.stop(id, withSavepoint = false)
+    val e = intercept[IllegalArgumentException] { m.stop(id) }
+    assert(e.getMessage.contains("not RUNNING"))
+  }
+}
