@@ -1,0 +1,68 @@
+package graft.queries
+
+import graft.{SparkSpec, SparkEntry}
+
+/** Plan-shape assertions — the 100 TB design claims of SCALE.md pinned as
+  * tests: filters reach the parquet scan, scans are column-pruned,
+  * dimension joins broadcast, fact-fact joins are the only shuffling
+  * joins, and per-group windows don't introduce global sorts.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q1_agg: shipdate filter pushed, scan pruned to 5 columns") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+    val scan = SparkEntry.queries("q1_agg")(spark, sf)
+      .queryExecution.sparkPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head
+    // 5 projected + l_shipdate for the residual filter; 6 of 11 columns
+    val cols = scan.requiredSchema.fieldNames.toSeq
+    assert(cols.length == 6, cols)
+    assert(!cols.contains("l_orderkey"), cols) // unused key pruned
+  }
+
+  test("q3_join_topk: customer dim broadcast, filters pushed on all scans") {
+    val p = plan("q3_join_topk")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+    assert("PushedFilters: \\[[^\\]]*GreaterThan\\(l_shipdate".r
+      .findFirstIn(p).isDefined, p)
+    assert("PushedFilters: \\[[^\\]]*LessThan\\(o_orderdate".r
+      .findFirstIn(p).isDefined, p)
+  }
+
+  test("q_join_multiway: all four dims broadcast; only lineitem⋈orders shuffles") {
+    val p = plan("q_join_multiway")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(broadcasts >= 4, s"expected >=4 broadcast joins, got $broadcasts\n$p")
+    val shuffleJoins = ("SortMergeJoin".r.findAllIn(p).size
+      + "ShuffledHashJoin".r.findAllIn(p).size)
+    assert(shuffleJoins <= 1, s"expected <=1 shuffling join, got $shuffleJoins")
+  }
+
+  test("q_join_range: tiny band dim under broadcast nested loop") {
+    val p = plan("q_join_range")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q_win_topn: per-group window sorts locally, no global Sort") {
+    val p = plan("q_win_topn")
+    // rangepartitioning = global sort; window needs only hash partitioning
+    assert(!p.contains("rangepartitioning"), p)
+    assert(p.contains("hashpartitioning(o_custkey"), p)
+  }
+
+  test("q_top_offset: global order executes as TakeOrdered, not full sort") {
+    val p = plan("q_top_offset")
+    assert(p.contains("TakeOrdered"), p)
+  }
+
+  test("q_dedup_minhash: shuffles keyed by doc/band, no cartesian") {
+    val p = plan("q_dedup_minhash")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+}
