@@ -75,7 +75,11 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "long_dot", exprs => LongDotProduct(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash60", exprs => SimHash60(exprs(0)), "built-in")
   }
 
   def longDot(a: Column, b: Column): Column = call_function("long_dot", a, b)
+
+  def simhash60(a: Column): Column = call_function("simhash60", a)
 }
