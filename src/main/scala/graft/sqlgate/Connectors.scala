@@ -113,7 +113,8 @@ object Connectors {
 
   /** Start (streaming) or run (batch) an INSERT into a sink table. */
   def write(spark: SparkSession, spec: TableSpec, df: DataFrame,
-      checkpointDir: Option[String]): Option[StreamingQuery] = {
+      checkpointDir: Option[String],
+      trigger: Trigger = Trigger.AvailableNow()): Option[StreamingQuery] = {
     if (df.isStreaming) {
       val w0: DataStreamWriter[Row] = spec.connector match {
         case "print" => df.writeStream.format("console")
@@ -140,7 +141,7 @@ object Connectors {
         if (spec.primaryKey.nonEmpty && spec.connector != "filesystem") "update"
         else "append"
       val w1 = checkpointDir.fold(w0)(d => w0.option("checkpointLocation", d))
-      Some(w1.outputMode(mode).trigger(Trigger.AvailableNow()).start())
+      Some(w1.outputMode(mode).trigger(trigger).start())
     } else {
       spec.connector match {
         case "print" => df.show(20, truncate = false); None

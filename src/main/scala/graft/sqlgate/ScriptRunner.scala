@@ -37,10 +37,30 @@ class ScriptRunner(spark: SparkSession,
   private val CreateFnRe =
     """(?is)CREATE\s+(?:TEMPORARY\s+)?FUNCTION\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+AS\s+'([^']+)'.*""".r
 
+  /** Trigger derived from `table.exec.mini-batch.allow-latency` (SET in
+    * the script, demo_4.md:35-39): micro-batch latency → ProcessingTime
+    * trigger. Defaults to AvailableNow (drain-and-stop) when unset.
+    */
+  private[sqlgate] var trigger: org.apache.spark.sql.streaming.Trigger =
+    org.apache.spark.sql.streaming.Trigger.AvailableNow()
+
+  private val DurationRe = """(?i)\s*(\d+)\s*(ms|s|sec|second|min|minute|h|hour)\s*""".r
+  private def parseFlinkDuration(v: String): Option[Long] = v match {
+    case DurationRe(n, u) =>
+      val mult = u.toLowerCase match {
+        case "ms" => 1L
+        case "s" | "sec" | "second" => 1000L
+        case "min" | "minute" => 60000L
+        case _ => 3600000L
+      }
+      Some(n.toLong * mult)
+    case _ => None
+  }
+
   /** Map Flink tuning keys onto their Spark analogs (SURVEY §4 table). */
   private def translateConf(k: String): Option[String] = k match {
     case "table.exec.mini-batch.enabled" => None // micro-batch is inherent
-    case "table.exec.mini-batch.allow-latency" => None // trigger interval
+    case "table.exec.mini-batch.allow-latency" => None // handled via trigger
     case "table.exec.mini-batch.size" => None
     case "table.exec.resource.default-parallelism" =>
       Some("spark.sql.shuffle.partitions")
@@ -62,6 +82,9 @@ class ScriptRunner(spark: SparkSession,
             val (k, v) = (c.operands(1), c.operands(2).stripSuffix(";").trim
               .stripPrefix("'").stripSuffix("'"))
             confs(k) = v
+            if (k == "table.exec.mini-batch.allow-latency")
+              parseFlinkDuration(v).foreach(ms =>
+                trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(ms))
             translateConf(k).foreach(spark.conf.set(_, v))
           }
         case SqlCommand.BeginStatementSet | SqlCommand.End => // no-op
@@ -86,10 +109,19 @@ class ScriptRunner(spark: SparkSession,
               s"unparseable INSERT: ${c.text.take(80)}"))
           val sinkName = m.group(1).replace("`", "")
           val query = m.group(2)
-          val sink = registry.getOrElse(sinkName,
-            throw new IllegalArgumentException(s"unknown sink table: $sinkName"))
-          instantiateSources(query)
-          inserts += ((sink, spark.sql(query)))
+          registry.get(sinkName) match {
+            case Some(sink) =>
+              instantiateSources(query)
+              inserts += ((sink, spark.sql(query)))
+            case None if spark.catalog.tableExists(sinkName) =>
+              // catalog (managed/Hive) table: eager Spark SQL INSERT —
+              // the demo_batch.md batch-write path
+              instantiateSources(query)
+              spark.sql(c.text)
+            case None =>
+              throw new IllegalArgumentException(
+                s"unknown sink table: $sinkName")
+          }
         case SqlCommand.ShowCatalogs | SqlCommand.ShowDatabases |
             SqlCommand.ShowTables | SqlCommand.ShowFunctions =>
           shown += spark.sql(c.text).collect().map(_.mkString(",")).mkString("\n")
@@ -109,7 +141,7 @@ class ScriptRunner(spark: SparkSession,
     // statement set: start all INSERTs after the whole script parsed
     val queries = inserts.flatMap { case (sink, df) =>
       val ckpt = checkpointRoot.map(r => s"$r/${sink.name}")
-      Connectors.write(spark, sink, df, ckpt)
+      Connectors.write(spark, sink, df, ckpt, trigger)
     }.toSeq
     RunResult(queries, shown.toSeq, confs.toMap)
   }
