@@ -1,0 +1,79 @@
+package graft.queries
+
+import graft.{Num, QueryPack}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured Streaming under the DuckDB oracle: the same windowed /
+  * continuous aggregations as the batch packs, executed as REAL streaming
+  * queries (readStream file source → watermark → stateful agg → memory
+  * sink, AvailableNow drain), with the sink contents hash-compared to the
+  * oracle. Proves the incremental path converges to the batch answer —
+  * the reference's core guarantee (same SQL, streaming execution).
+  */
+object StreamingGate extends QueryPack {
+  import Num._
+
+  /** Stage the events table as a file-stream directory (file sources read
+    * directories, TESTDATA ships single files), and return a streaming
+    * DataFrame with the micro-precision ts restored.
+    */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    val staged = java.nio.file.Files.createTempDirectory("gate_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      staged.resolve("part-0.parquet"))
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.readStream
+      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, " +
+        "value DOUBLE, props STRING")
+      .parquet(staged.toString)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
+  private def runToTable(s: SparkSession, df: DataFrame, name: String): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    q.stop()
+    s.table(name)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // streaming tumbling window with watermark → same rows as the batch
+    // q_window_tumble
+    "q_stream_tumble" -> ((s, dir) => {
+      import s.implicits._
+      val agg = eventsStream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n"), dsum2($"value").as("sum_value"))
+        .select(
+          date_format($"w.start", "yyyy-MM-dd HH:mm:ss").as("wstart"),
+          $"event_type", $"n", $"sum_value")
+      runToTable(s, agg, "stream_tumble_gate")
+    }),
+
+    // streaming continuous (unwindowed) aggregation — the demo_1
+    // day_time/SUM shape, complete mode
+    "q_stream_continuous" -> ((s, dir) => {
+      import s.implicits._
+      val agg = eventsStream(s, dir)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), dsum2($"value").as("total"))
+      runToTable(s, agg, "stream_cont_gate")
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "q_stream_tumble" ->
+      s"""SELECT strftime(tb, '%Y-%m-%d %H:%M:%S') AS wstart, event_type,
+         |  COUNT(*) AS n, ${oSum2("value")} AS sum_value
+         |FROM (SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS tb,
+         |        event_type, value FROM events) t
+         |GROUP BY tb, event_type""".stripMargin,
+
+    "q_stream_continuous" ->
+      s"""SELECT event_type, COUNT(*) AS n, ${oSum2("value")} AS total
+         |FROM events GROUP BY event_type""".stripMargin)
+}
