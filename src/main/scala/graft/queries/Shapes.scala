@@ -1,0 +1,75 @@
+package graft.queries
+
+import graft.{Num, QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Generator (UDTF-shape) explode, exact order-statistics, and histogram
+  * bucketing — distribution-analysis operators a data pipeline leans on,
+  * all deterministic and oracle-checked.
+  */
+object Shapes extends QueryPack {
+  import Num._
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // posexplode as the generator/UDTF surface (LATERAL VIEW shape).
+    "q_posexplode" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .filter($"doc_id" < 20)
+        .select($"doc_id", posexplode(split($"text", " ")))
+        .toDF("doc_id", "pos", "word")
+        .filter($"word".startsWith("s"))
+    }),
+
+    // Exact lower-median per group via row_number over a unique order —
+    // bit-identical across engines (interpolating percentile_cont is
+    // engine-specific; order statistics are not).
+    "q_median" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"c_mktsegment")
+        .orderBy($"c_acctbal", $"c_custkey")
+      Tables.load(s, dir, "customer")
+        .select($"c_mktsegment", $"c_acctbal", $"c_custkey")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy($"c_mktsegment")))
+        .filter($"rn" === expr("(n + 1) DIV 2")) // integer div, as oracle's //
+        .select($"c_mktsegment", $"c_acctbal".as("median_bal"))
+    }),
+
+    // Equal-width histogram of order totals (floor bucketing).
+    "q_histogram" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "orders")
+        .select(least(floor($"o_totalprice" / 50000.0), lit(9L)).as("bucket"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n"))
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "q_posexplode" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS w
+        |  FROM documents WHERE doc_id < 20),
+        |u AS (SELECT doc_id,
+        |    unnest([{'pos': i - 1, 'word': w[i]}
+        |            for i in generate_series(1, len(w))]) AS e
+        |  FROM t)
+        |SELECT doc_id, e.pos AS pos, e.word AS word FROM u
+        |WHERE e.word LIKE 's%'""".stripMargin,
+
+    "q_median" ->
+      """SELECT c_mktsegment, c_acctbal AS median_bal FROM (
+        |  SELECT c_mktsegment, c_acctbal,
+        |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY c_acctbal, c_custkey) AS rn,
+        |    COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+        |  FROM customer) t
+        |WHERE rn = (n + 1) // 2""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT LEAST(CAST(floor(o_totalprice / 50000.0) AS BIGINT), 9)
+        |  AS bucket, COUNT(*) AS n
+        |FROM orders GROUP BY 1""".stripMargin)
+}
