@@ -28,6 +28,44 @@ object Dedup extends QueryPack {
   /** 1-based word array, mirroring DuckDB's regexp_split_to_array. */
   private def words(c: Column): Column = split(c, " ")
 
+  /** The MinHash+LSH near-dup pipeline: shingle → K affine minhashes of
+    * one md5 code (map-side combined min-agg) → band keys → per-band
+    * self-join (the only corpus-sized shuffle, keyed by band signature) →
+    * exact Jaccard verification of candidates only. Returns verified
+    * pairs (ida, idb, jacc >= 0.8).
+    */
+  private[queries] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.load(s, dir, "documents")
+      .select($"doc_id", words($"text").as("w"))
+      .filter(size($"w") >= 3)
+    val sh = docs.select($"doc_id",
+      explode(array_distinct(shingles($"w", 3))).as("sng"))
+    val shH = sh.select($"doc_id", (tokenHash($"sng") % P).as("x"))
+    val mhAggs = (0 until MinhashK).map(j =>
+      min((lit(HashA(j)) * $"x" + lit(HashB(j))) % P).as(s"h$j"))
+    val mh = shH.groupBy($"doc_id").agg(mhAggs.head, mhAggs.tail: _*)
+    val bands = (0 until Bands).map { b =>
+      val key = concat_ws("_",
+        (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}")): _*)
+      mh.select($"doc_id", lit(b).as("band"), key.as("bkey"))
+    }.reduce(_ unionByName _)
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        $"a.band" === $"b.band" && $"a.bkey" === $"b.bkey" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("ida"), $"b.doc_id".as("idb"))
+      .distinct()
+    val sets = sh.groupBy($"doc_id").agg(collect_set($"sng").as("ss"))
+    cand
+      .join(sets.select($"doc_id".as("ida"), $"ss".as("sa")), "ida")
+      .join(sets.select($"doc_id".as("idb"), $"ss".as("sb")), "idb")
+      .select($"ida", $"idb",
+        (size(array_intersect($"sa", $"sb")).cast("double") /
+          size(array_union($"sa", $"sb"))).as("jacc"))
+      .filter($"jacc" >= 0.8)
+  }
+
   /** Word n-gram shingles (1-based element_at == DuckDB w[i]). */
   private def shingles(w: Column, n: Int): Column =
     transform(sequence(lit(1), size(w) - (n - 1)),
@@ -85,36 +123,30 @@ object Dedup extends QueryPack {
     // scales with corpus size, keyed by band signature) → exact Jaccard
     // verification of candidates only. K=16, 4 bands × 4 rows targets
     // the j≥0.8 regime.
-    "q_dedup_minhash" -> ((s, dir) => {
+    "q_dedup_minhash" -> ((s, dir) => minhashPairs(s, dir)),
+
+    // Near-dup CLUSTERS: connected components over the verified LSH
+    // pairs via iterative min-label propagation — the "keep one doc per
+    // duplicate cluster" output. 8 rounds bounds the component diameter
+    // (planted dup clusters are tiny); at 100 TB each round is one
+    // shuffle join and intermediate labels should be checkpointed every
+    // few rounds to cut lineage. Oracle: DuckDB recursive CTE closure.
+    "q_dedup_cluster" -> ((s, dir) => {
       import s.implicits._
-      val docs = Tables.load(s, dir, "documents")
-        .select($"doc_id", words($"text").as("w"))
-        .filter(size($"w") >= 3)
-      val sh = docs.select($"doc_id",
-        explode(array_distinct(shingles($"w", 3))).as("sng"))
-      val shH = sh.select($"doc_id", (tokenHash($"sng") % P).as("x"))
-      val mhAggs = (0 until MinhashK).map(j =>
-        min((lit(HashA(j)) * $"x" + lit(HashB(j))) % P).as(s"h$j"))
-      val mh = shH.groupBy($"doc_id").agg(mhAggs.head, mhAggs.tail: _*)
-      val bands = (0 until Bands).map { b =>
-        val key = concat_ws("_",
-          (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}")): _*)
-        mh.select($"doc_id", lit(b).as("band"), key.as("bkey"))
-      }.reduce(_ unionByName _)
-      val cand = bands.as("a")
-        .join(bands.as("b"),
-          $"a.band" === $"b.band" && $"a.bkey" === $"b.bkey" &&
-            $"a.doc_id" < $"b.doc_id")
-        .select($"a.doc_id".as("ida"), $"b.doc_id".as("idb"))
-        .distinct()
-      val sets = sh.groupBy($"doc_id").agg(collect_set($"sng").as("ss"))
-      cand
-        .join(sets.select($"doc_id".as("ida"), $"ss".as("sa")), "ida")
-        .join(sets.select($"doc_id".as("idb"), $"ss".as("sb")), "idb")
-        .select($"ida", $"idb",
-          (size(array_intersect($"sa", $"sb")).cast("double") /
-            size(array_union($"sa", $"sb"))).as("jacc"))
-        .filter($"jacc" >= 0.8)
+      val pairs = minhashPairs(s, dir).select($"ida", $"idb")
+      val edges = pairs
+        .union(pairs.select($"idb", $"ida")).toDF("en", "em")
+      var labels = edges.select($"en".as("node")).distinct()
+        .withColumn("lab", $"node")
+      for (_ <- 1 to 8) {
+        val nb = edges.join(labels, $"em" === $"node")
+          .groupBy($"en").agg(min($"lab").as("nbl"))
+        labels = labels.join(nb, $"node" === $"en", "left")
+          .select($"node",
+            least($"lab", coalesce($"nbl", $"lab")).as("lab"))
+      }
+      labels.select($"node".as("doc_id"), $"lab".as("cluster"),
+        ($"node" === $"lab").as("is_keeper"))
     }),
 
     // SimHash near-dup detection: 60-bit signature over word bigrams,
@@ -200,6 +232,34 @@ object Dedup extends QueryPack {
     "list_distinct([w[i]||' '||w[i+1] for i in generate_series(1, len(w)-1)])"
   private def oTokenHash(v: String) =
     s"list_sum([(CAST(strpos('0123456789abcdef', substr(md5($v), i, 1)) AS BIGINT)-1) << (4*(15-i)) for i in generate_series(1,15)])"
+
+  /** DuckDB mirror of [[minhashPairs]] (full SELECT, usable as a CTE body). */
+  private[queries] lazy val oMinhashPairsSql: String = {
+    val mins = (0 until MinhashK)
+      .map(j => s"min((${HashA(j)} * x + ${HashB(j)}) % $P) AS h$j")
+      .mkString(", ")
+    val bandSelects = (0 until Bands).map { b =>
+      val key = (0 until RowsPerBand).map(r => s"h${b * RowsPerBand + r}")
+        .mkString("||'_'||")
+      s"SELECT doc_id, $b AS band, $key AS bkey FROM mh"
+    }.mkString(" UNION ALL ")
+    s"""WITH w AS (SELECT doc_id, regexp_split_to_array(text,' ') w FROM documents),
+       |sh AS (SELECT doc_id, unnest($oShingle3) AS s FROM w WHERE len(w) >= 3),
+       |shh AS (SELECT doc_id, ${oTokenHash("s")} % $P AS x FROM sh),
+       |mh AS (SELECT doc_id, $mins FROM shh GROUP BY doc_id),
+       |bands AS ($bandSelects),
+       |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+       |  FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |sets AS (SELECT doc_id, $oShingle3 AS ss FROM w WHERE len(w) >= 3)
+       |SELECT ida, idb,
+       |  CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE) /
+       |    len(list_distinct(list_concat(sa.ss, sb.ss))) AS jacc
+       |FROM cand JOIN sets sa ON sa.doc_id = ida
+       |          JOIN sets sb ON sb.doc_id = idb
+       |WHERE CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE) /
+       |    len(list_distinct(list_concat(sa.ss, sb.ss))) >= 0.8""".stripMargin
+  }
   private val oQuant = Vec.oQuant
 
   def oracleSql: Map[String, String] = Map(
@@ -214,32 +274,20 @@ object Dedup extends QueryPack {
         |        ORDER BY ts, event_id) AS rn FROM events) t
         |WHERE rn = 1""".stripMargin,
 
-    "q_dedup_minhash" -> {
-      val mins = (0 until MinhashK)
-        .map(j => s"min((${HashA(j)} * x + ${HashB(j)}) % $P) AS h$j")
-        .mkString(", ")
-      val bandSelects = (0 until Bands).map { b =>
-        val key = (0 until RowsPerBand).map(r => s"h${b * RowsPerBand + r}")
-          .mkString("||'_'||")
-        s"SELECT doc_id, $b AS band, $key AS bkey FROM mh"
-      }.mkString(" UNION ALL ")
-      s"""WITH w AS (SELECT doc_id, regexp_split_to_array(text,' ') w FROM documents),
-         |sh AS (SELECT doc_id, unnest($oShingle3) AS s FROM w WHERE len(w) >= 3),
-         |shh AS (SELECT doc_id, ${oTokenHash("s")} % $P AS x FROM sh),
-         |mh AS (SELECT doc_id, $mins FROM shh GROUP BY doc_id),
-         |bands AS ($bandSelects),
-         |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
-         |  FROM bands a JOIN bands b
-         |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-         |sets AS (SELECT doc_id, $oShingle3 AS ss FROM w WHERE len(w) >= 3)
-         |SELECT ida, idb,
-         |  CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE) /
-         |    len(list_distinct(list_concat(sa.ss, sb.ss))) AS jacc
-         |FROM cand JOIN sets sa ON sa.doc_id = ida
-         |          JOIN sets sb ON sb.doc_id = idb
-         |WHERE CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE) /
-         |    len(list_distinct(list_concat(sa.ss, sb.ss))) >= 0.8""".stripMargin
-    },
+    "q_dedup_minhash" -> oMinhashPairsSql,
+
+    "q_dedup_cluster" ->
+      s"""WITH RECURSIVE pairs AS ($oMinhashPairsSql),
+         |edges AS (SELECT ida AS n, idb AS m FROM pairs
+         |          UNION SELECT idb, ida FROM pairs),
+         |cc(n, m) AS (
+         |  SELECT n, n FROM (SELECT DISTINCT n FROM edges) t
+         |  UNION
+         |  SELECT e.n, cc.m FROM edges e JOIN cc ON e.m = cc.n
+         |)
+         |SELECT n AS doc_id, CAST(MIN(m) AS BIGINT) AS cluster,
+         |  n = MIN(m) AS is_keeper
+         |FROM cc GROUP BY n""".stripMargin,
 
     // Oracle brute-forces hamming over all pairs — the chunk blocking on
     // the Spark side is lossless for hamming<=3, so results must match.

@@ -39,6 +39,19 @@ object Shapes extends QueryPack {
         .select($"c_mktsegment", $"c_acctbal".as("median_bal"))
     }),
 
+    // Deterministic train/val/test split: content-hash bucket (md5 first
+    // byte) → 80/10/10. Hash-based splitting survives re-runs, appends,
+    // and repartitioning — the only splitter that is stable at 100 TB.
+    "q_train_split" -> ((s, dir) => {
+      import s.implicits._
+      val bucket = conv(substring(md5($"text"), 1, 2), 16, 10).cast("int")
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", bucket.as("bucket"),
+          when(bucket < 205, "train")
+            .when(bucket < 230, "val")
+            .otherwise("test").as("split"))
+    }),
+
     // Equal-width histogram of order totals (floor bucketing).
     "q_histogram" -> ((s, dir) => {
       import s.implicits._
@@ -67,6 +80,18 @@ object Shapes extends QueryPack {
         |    COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
         |  FROM customer) t
         |WHERE rn = (n + 1) // 2""".stripMargin,
+
+    "q_train_split" ->
+      """WITH b AS (SELECT doc_id,
+        |    CAST((strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1
+        |      AS INT) AS bucket
+        |  FROM documents)
+        |SELECT doc_id, bucket,
+        |  CASE WHEN bucket < 205 THEN 'train'
+        |       WHEN bucket < 230 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b""".stripMargin,
 
     "q_histogram" ->
       """SELECT LEAST(CAST(floor(o_totalprice / 50000.0) AS BIGINT), 9)

@@ -122,6 +122,23 @@ class ScriptRunnerSpec extends SparkSpec {
     assert(got == exp)
   }
 
+  test("statement set: two INSERTs from one source, both sinks served") {
+    val runner = new ScriptRunner(spark, batchMode = true)
+    runner.run(
+      """CREATE TABLE ms_src (id BIGINT) WITH (
+        |  'connector' = 'datagen', 'number-of-rows' = '50',
+        |  'fields.id.kind' = 'sequence', 'fields.id.start' = '0');
+        |CREATE TABLE ms_a (n BIGINT) WITH ('connector' = 'memory');
+        |CREATE TABLE ms_b (total BIGINT) WITH ('connector' = 'memory');
+        |BEGIN STATEMENT SET;
+        |INSERT INTO ms_a SELECT COUNT(*) AS n FROM ms_src;
+        |INSERT INTO ms_b SELECT SUM(id) AS total FROM ms_src;
+        |END;
+        |""".stripMargin)
+    assert(spark.table("ms_a_out").collect().head.getLong(0) == 50L)
+    assert(spark.table("ms_b_out").collect().head.getLong(0) == 1225L)
+  }
+
   test("SELECT rejected at runtime (LogPrint parity)") {
     val runner = new ScriptRunner(spark, batchMode = true)
     val e = intercept[IllegalArgumentException] {
