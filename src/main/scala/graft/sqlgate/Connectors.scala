@@ -160,9 +160,11 @@ object Connectors {
   }
 }
 
-/** `INSERT ... ON DUPLICATE KEY UPDATE`-style JDBC upsert used by the PK
-  * sink (`demo_1.md:46-56`). SQL generation is unit-tested; execution
-  * requires a live database.
+/** Keyed JDBC upsert used by the PK sink (`demo_1.md:46-56`). Two
+  * dialects: MySQL `INSERT ... ON DUPLICATE KEY UPDATE` (the reference's
+  * target) and ANSI `MERGE INTO` (Derby/DB2/SQLServer-style; exercised
+  * against embedded Derby in JdbcRoundTripSpec). Dialect selected by the
+  * table option 'dialect' = 'mysql' (default) | 'merge'.
   */
 object JdbcUpsert {
   def upsertSql(table: String, cols: Seq[String], pk: Seq[String]): String = {
@@ -174,26 +176,93 @@ object JdbcUpsert {
       s"ON DUPLICATE KEY UPDATE $updates"
   }
 
+  /** ANSI MERGE upsert; `sqlTypes` aligns with cols (Derby requires typed
+    * parameter markers inside VALUES).
+    */
+  def mergeSql(table: String, cols: Seq[String], sqlTypes: Seq[String],
+      pk: Seq[String]): String = {
+    val typedParams = sqlTypes.map(t => s"CAST(? AS $t)").mkString(", ")
+    val src = s"(VALUES ($typedParams)) AS v(${cols.mkString(", ")})"
+    val on = pk.map(k => s"t.$k = v.$k").mkString(" AND ")
+    val sets = cols.filterNot(pk.contains)
+      .map(c => s"t.$c = v.$c").mkString(", ")
+    val insCols = cols.mkString(", ")
+    val insVals = cols.map(c => s"v.$c").mkString(", ")
+    s"MERGE INTO $table t USING $src ON $on " +
+      s"WHEN MATCHED THEN UPDATE SET $sets " +
+      s"WHEN NOT MATCHED THEN INSERT ($insCols) VALUES ($insVals)"
+  }
+
+  private def jdbcType(dt: org.apache.spark.sql.types.DataType): String =
+    dt.typeName match {
+      case "long" => "BIGINT"
+      case "integer" => "INT"
+      case "double" => "DOUBLE"
+      case "string" => "VARCHAR(255)"
+      case "boolean" => "BOOLEAN"
+      case other => other.toUpperCase
+    }
+
   def upsert(df: Dataset[Row], spec: TableSpec): Unit = {
-    val sql = upsertSql(
-      spec.options.getOrElse("table-name", spec.name), df.columns.toSeq,
-      spec.primaryKey)
+    val table = spec.options.getOrElse("table-name", spec.name)
+    val cols = df.columns.toSeq
+    val pk = spec.primaryKey
+    val dialect = spec.options.getOrElse("dialect", "mysql")
     val url = spec.options.getOrElse("url", "")
     val user = spec.options.getOrElse("username", "")
     val pass = spec.options.getOrElse("password", "")
-    df.foreachPartition { rows: Iterator[Row] =>
-      if (rows.hasNext) {
-        val conn = java.sql.DriverManager.getConnection(url, user, pass)
-        try {
-          val ps = conn.prepareStatement(sql)
-          rows.foreach { r =>
-            (0 until r.length).foreach(i => ps.setObject(i + 1, r.get(i)))
-            ps.addBatch()
+    dialect match {
+      case "two-step" =>
+        // Portable UPDATE-then-INSERT (works on any JDBC store, incl.
+        // Derby which restricts MERGE sources to base tables).
+        val nonPk = cols.filterNot(pk.contains)
+        val updSql = s"UPDATE $table SET " +
+          nonPk.map(c => s"$c = ?").mkString(", ") +
+          " WHERE " + pk.map(k => s"$k = ?").mkString(" AND ")
+        val insSql = s"INSERT INTO $table (${cols.mkString(", ")}) VALUES " +
+          cols.map(_ => "?").mkString("(", ", ", ")")
+        val colIdx = cols.zipWithIndex.toMap
+        df.foreachPartition { rows: Iterator[Row] =>
+          if (rows.hasNext) {
+            val conn = java.sql.DriverManager.getConnection(url, user, pass)
+            try {
+              val upd = conn.prepareStatement(updSql)
+              val ins = conn.prepareStatement(insSql)
+              rows.foreach { r =>
+                (nonPk ++ pk).zipWithIndex.foreach { case (c, i) =>
+                  upd.setObject(i + 1, r.get(colIdx(c)))
+                }
+                if (upd.executeUpdate() == 0) {
+                  cols.zipWithIndex.foreach { case (c, i) =>
+                    ins.setObject(i + 1, r.get(colIdx(c)))
+                  }
+                  ins.executeUpdate()
+                }
+              }
+              ()
+            } finally conn.close()
           }
-          ps.executeBatch()
-          ()
-        } finally conn.close()
-      }
+        }
+      case _ =>
+        val sql = dialect match {
+          case "merge" => mergeSql(table, cols,
+            df.schema.fields.map(f => jdbcType(f.dataType)).toSeq, pk)
+          case _ => upsertSql(table, cols, pk)
+        }
+        df.foreachPartition { rows: Iterator[Row] =>
+          if (rows.hasNext) {
+            val conn = java.sql.DriverManager.getConnection(url, user, pass)
+            try {
+              val ps = conn.prepareStatement(sql)
+              rows.foreach { r =>
+                (0 until r.length).foreach(i => ps.setObject(i + 1, r.get(i)))
+                ps.addBatch()
+              }
+              ps.executeBatch()
+              ()
+            } finally conn.close()
+          }
+        }
     }
   }
 }
