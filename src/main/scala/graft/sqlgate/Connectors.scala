@@ -28,9 +28,19 @@ object Connectors {
       case "datagen" =>
         val rps = spec.options.getOrElse("rows-per-second", "1000").toLong
         if (streaming)
-          spark.readStream.format("rate")
-            .option("rowsPerSecond", rps).load()
-            .select(datagenColumns(spec, col("value")): _*)
+          // 'rows-per-batch' selects the deterministic rate-micro-batch
+          // source (fixed rows per micro-batch — reproducible tests);
+          // plain 'rows-per-second' is the wall-clock rate source.
+          spec.options.get("rows-per-batch") match {
+            case Some(rpb) =>
+              spark.readStream.format("rate-micro-batch")
+                .option("rowsPerBatch", rpb.toLong).load()
+                .select(datagenColumns(spec, col("value")): _*)
+            case None =>
+              spark.readStream.format("rate")
+                .option("rowsPerSecond", rps).load()
+                .select(datagenColumns(spec, col("value")): _*)
+          }
         else {
           val n = spec.options.getOrElse("number-of-rows", "1000").toLong
           spark.range(n).select(datagenColumns(spec, col("id")): _*)

@@ -139,6 +139,33 @@ class ScriptRunnerSpec extends SparkSpec {
     assert(spark.table("ms_b_out").collect().head.getLong(0) == 1225L)
   }
 
+  test("streaming datagen (rate-micro-batch) with PROCTIME computed column") {
+    import org.apache.spark.sql.functions.col
+    val runner = new ScriptRunner(spark,
+      checkpointRoot = Some(java.nio.file.Files
+        .createTempDirectory("dg_ckpt").toString))
+    val res = runner.run(
+      """CREATE TABLE dg (
+        |  id BIGINT,
+        |  proctime AS PROCTIME()
+        |) WITH (
+        |  'connector' = 'datagen',
+        |  'rows-per-batch' = '10',
+        |  'fields.id.kind' = 'sequence',
+        |  'fields.id.start' = '100'
+        |);
+        |CREATE TABLE dg_out (id BIGINT, PRIMARY KEY (id) NOT ENFORCED)
+        |  WITH ('connector' = 'memory');
+        |INSERT INTO dg_out SELECT id FROM dg WHERE proctime IS NOT NULL;
+        |""".stripMargin)
+    assert(res.queries.size == 1)
+    res.queries.head.awaitTermination(60000)
+    val ids = spark.table("dg_out").select(col("id"))
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.nonEmpty && ids.head == 100L) // sequence starts at fields.id.start
+    assert(ids.toSeq == (100L until 100L + ids.length)) // contiguous sequence
+  }
+
   test("SELECT rejected at runtime (LogPrint parity)") {
     val runner = new ScriptRunner(spark, batchMode = true)
     val e = intercept[IllegalArgumentException] {
