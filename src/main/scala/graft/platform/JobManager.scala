@@ -21,6 +21,18 @@ class JobManager(spark: SparkSession, checkpointRoot: String,
 
   private val jobs = TrieMap[String, JobState]()
   private val queryToJob = TrieMap[java.util.UUID, String]()
+  // alarm fan-out (DingDing/HTTP callbacks of the reference's
+  // web-alarm module → pluggable handlers here)
+  private val alarmHandlers =
+    scala.collection.mutable.Buffer[AlarmEvent => Unit]()
+
+  def addAlarmHandler(h: AlarmEvent => Unit): Unit =
+    alarmHandlers.synchronized { alarmHandlers += h }
+
+  private def fireAlarm(e: AlarmEvent): Unit =
+    alarmHandlers.synchronized { alarmHandlers.toSeq }.foreach { h =>
+      try h(e) catch { case _: Throwable => () } // alarm failure ≠ job failure
+    }
 
   // monitor: mark FAILED + optional auto-restart (AUTO_START_JOB policy,
   // TaskServiceAOImpl.java:208-295)
@@ -100,14 +112,24 @@ class JobManager(spark: SparkSession, checkpointRoot: String,
       restoreCheckpoint = Some(newCkpt))
   }
 
-  /** Monitor hook: mark FAILED; auto-restart if the job opted in. */
+  /** Monitor hook: mark FAILED, fire alarms, auto-restart if opted in
+    * (the reference's monitor → alarm → AUTO_START_JOB chain).
+    */
   private[platform] def onJobFailure(id: String, reason: String): Unit = {
     jobs.get(id).foreach { st =>
       if (st.status == Running) {
         transition(id, Running, Failed)(identity)
+        fireAlarm(AlarmEvent(id, st.name, "JOB_FAILED", reason))
         if (st.autoRestart) {
-          try start(st.name, st.script, autoRestart = true)
-          catch { case _: Throwable => () } // alarm path: stays FAILED
+          try {
+            val newId = start(st.name, st.script, autoRestart = true)
+            fireAlarm(AlarmEvent(newId, st.name, "AUTO_RESTARTED",
+              s"restarted after: $reason"))
+          } catch {
+            case e: Throwable =>
+              fireAlarm(AlarmEvent(id, st.name, "RESTART_FAILED",
+                Option(e.getMessage).getOrElse("")))
+          }
         }
       }
     }
@@ -142,4 +164,7 @@ object JobManager {
       status: Status, version: Int, checkpointDir: String = "",
       queries: Seq[StreamingQuery] = Nil, autoRestart: Boolean = false,
       lastSavepoint: Option[String] = None)
+
+  final case class AlarmEvent(jobId: String, jobName: String,
+      kind: String, detail: String)
 }

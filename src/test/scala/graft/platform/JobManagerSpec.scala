@@ -99,10 +99,15 @@ class JobManagerSpec extends SparkSpec {
     val dir = srcDir()
     spark.range(0, 2).toDF("id").coalesce(1).write.mode("append").parquet(dir)
     val m = mgr()
+    val alarms = scala.collection.mutable.Buffer[JobManager.AlarmEvent]()
+    m.addAlarmHandler(alarms += _)
     val id = m.start("flaky", script(dir, "jm_out5"), autoRestart = true)
     m.info(id).queries.foreach(_.awaitTermination(60000))
     m.onJobFailure(id, "simulated executor loss")
     assert(m.status(id) == JobManager.Failed)
+    // alarm chain fired: JOB_FAILED then AUTO_RESTARTED
+    assert(alarms.map(_.kind).toSeq == Seq("JOB_FAILED", "AUTO_RESTARTED"))
+    assert(alarms.head.detail.contains("executor loss"))
     // policy resubmitted a new RUNNING job with the same name
     val restarted = m.list().filter(j => j.name == "flaky" && j.id != id)
     assert(restarted.nonEmpty &&
