@@ -55,6 +55,20 @@ object StreamingGate extends QueryPack {
       runToTable(s, agg, "stream_tumble_gate")
     }),
 
+    // streaming hopping window (HOP of demo_5) — every event in two
+    // 2h windows sliding by 1h
+    "q_stream_hop" -> ((s, dir) => {
+      import s.implicits._
+      val agg = eventsStream(s, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window($"ts", "2 hours", "1 hour").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .select(
+          date_format($"w.start", "yyyy-MM-dd HH:mm:ss").as("wstart"),
+          $"event_type", $"n")
+      runToTable(s, agg, "stream_hop_gate")
+    }),
+
     // streaming continuous (unwindowed) aggregation — the demo_1
     // day_time/SUM shape, complete mode
     "q_stream_continuous" -> ((s, dir) => {
@@ -75,5 +89,14 @@ object StreamingGate extends QueryPack {
 
     "q_stream_continuous" ->
       s"""SELECT event_type, COUNT(*) AS n, ${oSum2("value")} AS total
-         |FROM events GROUP BY event_type""".stripMargin)
+         |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_stream_hop" ->
+      """SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS wstart,
+        |  event_type, COUNT(*) AS n
+        |FROM (
+        |  SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))
+        |    - k.k * INTERVAL 1 HOUR AS wstart, event_type
+        |  FROM events CROSS JOIN (VALUES (0), (1)) k(k)) t
+        |GROUP BY wstart, event_type""".stripMargin)
 }
