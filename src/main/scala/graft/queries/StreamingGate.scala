@@ -15,38 +15,52 @@ import org.apache.spark.sql.streaming.Trigger
 object StreamingGate extends QueryPack {
   import Num._
 
+  // one staged copy per source dir per JVM (repeated Verify/Bench passes
+  // must not leak a fresh /tmp copy of events.parquet per invocation)
+  private val stagedDirs =
+    scala.collection.concurrent.TrieMap[String, String]()
+
   /** Stage the events table as a file-stream directory (file sources read
     * directories, TESTDATA ships single files), and return a streaming
     * DataFrame with the micro-precision ts restored.
     */
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
-    val staged = java.nio.file.Files.createTempDirectory("gate_stream")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/events.parquet"),
-      staged.resolve("part-0.parquet"))
+    val staged = stagedDirs.getOrElseUpdate(dir, {
+      val d = java.nio.file.Files.createTempDirectory("gate_stream")
+      d.toFile.deleteOnExit()
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        d.resolve("part-0.parquet"))
+      d.toString
+    })
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.readStream
       .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, " +
         "value DOUBLE, props STRING")
-      .parquet(staged.toString)
+      .parquet(staged)
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
   }
 
   private def runToTable(s: SparkSession, df: DataFrame, name: String): DataFrame = {
     val q = df.writeStream.format("memory").queryName(name)
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    // a timed-out drain must fail the gate loudly, not hash-compare a
+    // partially-filled memory table
+    val finished = q.awaitTermination(300000)
     q.stop()
+    require(finished, s"streaming gate query $name timed out")
     s.table(name)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // streaming tumbling window with watermark → same rows as the batch
     // q_window_tumble
+    // No withWatermark here: complete mode retains all state regardless,
+    // so a watermark would be dead code implying eviction is under test.
+    // Watermark/late-drop semantics are pinned by StreamingSpec instead.
     "q_stream_tumble" -> ((s, dir) => {
       import s.implicits._
       val agg = eventsStream(s, dir)
-        .withWatermark("ts", "1 hour")
         .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
         .agg(count(lit(1)).as("n"), dsum2($"value").as("sum_value"))
         .select(
@@ -60,7 +74,6 @@ object StreamingGate extends QueryPack {
     "q_stream_hop" -> ((s, dir) => {
       import s.implicits._
       val agg = eventsStream(s, dir)
-        .withWatermark("ts", "1 hour")
         .groupBy(window($"ts", "2 hours", "1 hour").as("w"), $"event_type")
         .agg(count(lit(1)).as("n"))
         .select(
@@ -91,6 +104,8 @@ object StreamingGate extends QueryPack {
       s"""SELECT event_type, COUNT(*) AS n, ${oSum2("value")} AS total
          |FROM events GROUP BY event_type""".stripMargin,
 
+    // VALUES (0), (1) = size/slide = 2h/1h windows per event; must track
+    // the Spark side's window(ts, "2 hours", "1 hour") parameters.
     "q_stream_hop" ->
       """SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS wstart,
         |  event_type, COUNT(*) AS n
