@@ -71,10 +71,13 @@ object Connectors {
           from_json(col("value").cast("string"), spec.schema).as("v"))
           .select(col("v.*"))
       case "jdbc" =>
-        spark.read.format("jdbc")
+        val r = spark.read.format("jdbc")
           .option("url", spec.options.getOrElse("url", ""))
           .option("dbtable", spec.options.getOrElse("table-name", spec.name))
-          .load()
+        val r2 = spec.options.get("username").fold(r)(r.option("user", _))
+        val r3 = spec.options.get("password").fold(r2)(r2.option("password", _))
+        val r4 = spec.options.get("driver").fold(r3)(r3.option("driver", _))
+        r4.load()
       case other =>
         throw new IllegalArgumentException(s"unknown source connector: $other")
     }
@@ -121,15 +124,24 @@ object Connectors {
     }
   }
 
-  /** Start (streaming) or run (batch) an INSERT into a sink table. */
+  /** Start (streaming) or run (batch) an INSERT into a sink table.
+    * `queryTag` disambiguates several INSERTs into the same sink within
+    * one statement set (memory queryName / checkpoint subdir);
+    * `overwrite` carries INSERT OVERWRITE semantics (batch only — the
+    * streaming path has no overwrite analog and rejects it).
+    */
   def write(spark: SparkSession, spec: TableSpec, df: DataFrame,
       checkpointDir: Option[String],
-      trigger: Trigger = Trigger.AvailableNow()): Option[StreamingQuery] = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      queryTag: String = "", overwrite: Boolean = false): Option[StreamingQuery] = {
+    val name = if (queryTag.isEmpty) spec.name else s"${spec.name}$queryTag"
     if (df.isStreaming) {
+      require(!overwrite,
+        s"INSERT OVERWRITE is not supported for streaming sink ${spec.name}")
       val w0: DataStreamWriter[Row] = spec.connector match {
         case "print" => df.writeStream.format("console")
         case "blackhole" => df.writeStream.format("noop")
-        case "memory" => df.writeStream.format("memory").queryName(spec.name)
+        case "memory" => df.writeStream.format("memory").queryName(name)
         case "filesystem" =>
           df.writeStream.format(spec.options.getOrElse("format", "parquet"))
             .option("path", spec.options("path"))
@@ -146,9 +158,16 @@ object Connectors {
         case other =>
           throw new IllegalArgumentException(s"unknown sink connector: $other")
       }
-      // Aggregated streams need update/complete mode; plain maps use append.
+      // Output mode: filesystem sinks only support append; otherwise an
+      // aggregating plan needs update (PK-less console/memory aggregation
+      // is legal in the reference and must not die with "Append output
+      // mode not supported").
+      val aggregating = df.queryExecution.analyzed.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.isDefined
       val mode =
-        if (spec.primaryKey.nonEmpty && spec.connector != "filesystem") "update"
+        if (spec.connector == "filesystem") "append"
+        else if (spec.primaryKey.nonEmpty || aggregating) "update"
         else "append"
       val w1 = checkpointDir.fold(w0)(d => w0.option("checkpointLocation", d))
       Some(w1.outputMode(mode).trigger(trigger).start())
@@ -159,9 +178,16 @@ object Connectors {
         case "memory" =>
           df.createOrReplaceTempView(spec.name + "_out"); None
         case "filesystem" =>
-          df.write.mode("append")
+          df.write.mode(if (overwrite) "overwrite" else "append")
             .format(spec.options.getOrElse("format", "parquet"))
             .save(spec.options("path")); None
+        case "kafka" =>
+          df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+            .write.format("kafka")
+            .option("kafka.bootstrap.servers",
+              spec.options.getOrElse("properties.bootstrap.servers", ""))
+            .option("topic", spec.options.getOrElse("topic", ""))
+            .save(); None
         case "jdbc" => JdbcUpsert.upsert(df, spec); None
         case other =>
           throw new IllegalArgumentException(s"unknown sink connector: $other")

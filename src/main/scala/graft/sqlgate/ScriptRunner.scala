@@ -33,7 +33,7 @@ class ScriptRunner(spark: SparkSession,
       shown: Seq[String], configsSet: Map[String, String])
 
   private val InsertRe =
-    """(?is)INSERT\s+(?:INTO|OVERWRITE)\s+([`"\w.]+)\s+(.*)""".r
+    """(?is)INSERT\s+(INTO|OVERWRITE)\s+([`"\w.]+)\s*(\([^)]*\))?\s+(.*)""".r
   private val CreateFnRe =
     """(?is)CREATE\s+(?:TEMPORARY\s+)?FUNCTION\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+AS\s+'([^']+)'.*""".r
 
@@ -71,7 +71,7 @@ class ScriptRunner(spark: SparkSession,
 
   def run(script: String): RunResult = {
     val stmts = SqlSplitter.parse(script)
-    val inserts = mutable.Buffer[(TableSpec, DataFrame)]()
+    val inserts = mutable.Buffer[(TableSpec, DataFrame, Boolean)]()
     val shown = mutable.Buffer[String]()
     val confs = mutable.LinkedHashMap[String, String]()
 
@@ -79,8 +79,10 @@ class ScriptRunner(spark: SparkSession,
       c.command match {
         case SqlCommand.Set =>
           if (c.operands.size >= 3) {
-            val (k, v) = (c.operands(1), c.operands(2).stripSuffix(";").trim
-              .stripPrefix("'").stripSuffix("'"))
+            // Flink sql-client accepts both SET k=v and SET 'k'='v'
+            val k = c.operands(1).stripPrefix("'").stripSuffix("'")
+            val v = c.operands(2).stripSuffix(";").trim
+              .stripPrefix("'").stripSuffix("'")
             confs(k) = v
             if (k == "table.exec.mini-batch.allow-latency")
               parseFlinkDuration(v).foreach(ms =>
@@ -107,16 +109,24 @@ class ScriptRunner(spark: SparkSession,
           val m = InsertRe.findFirstMatchIn(c.text).getOrElse(
             throw new IllegalArgumentException(
               s"unparseable INSERT: ${c.text.take(80)}"))
-          val sinkName = m.group(1).replace("`", "")
-          val query = m.group(2)
+          val overwrite = m.group(1).equalsIgnoreCase("OVERWRITE")
+          val sinkName = m.group(2).replace("`", "")
+          val colList = Option(m.group(3)).map(_.stripPrefix("(")
+            .stripSuffix(")").split(",").map(_.trim.replace("`", "")).toSeq)
+          val query = m.group(4)
           registry.get(sinkName) match {
             case Some(sink) =>
               instantiateSources(query)
-              inserts += ((sink, spark.sql(query)))
+              val df0 = spark.sql(query)
+              // explicit column list renames the query output positionally
+              val df = colList.fold(df0)(cs => df0.toDF(cs: _*))
+              inserts += ((sink, df, overwrite))
             case None if spark.catalog.tableExists(sinkName) =>
               // catalog (managed/Hive) table: eager Spark SQL INSERT —
-              // the demo_batch.md batch-write path
-              instantiateSources(query)
+              // the demo_batch.md batch-write path. Referenced registry
+              // sources must be batch DataFrames here regardless of the
+              // runner mode: an eager INSERT cannot read streaming views.
+              instantiateSources(query, forceBatch = true)
               spark.sql(c.text)
             case None =>
               throw new IllegalArgumentException(
@@ -138,10 +148,16 @@ class ScriptRunner(spark: SparkSession,
       }
     }
 
-    // statement set: start all INSERTs after the whole script parsed
-    val queries = inserts.flatMap { case (sink, df) =>
-      val ckpt = checkpointRoot.map(r => s"$r/${sink.name}")
-      Connectors.write(spark, sink, df, ckpt, trigger)
+    // statement set: start all INSERTs after the whole script parsed.
+    // Per-insert index disambiguates several INSERTs into one sink
+    // (memory queryName / checkpoint subdir must be unique per query).
+    val seen = mutable.Map[String, Int]()
+    val queries = inserts.flatMap { case (sink, df, overwrite) =>
+      val n = seen.getOrElse(sink.name, 0)
+      seen(sink.name) = n + 1
+      val tag = if (n == 0) "" else s"_$n"
+      val ckpt = checkpointRoot.map(r => s"$r/${sink.name}$tag")
+      Connectors.write(spark, sink, df, ckpt, trigger, tag, overwrite)
     }.toSeq
     RunResult(queries, shown.toSeq, confs.toMap)
   }
@@ -149,13 +165,15 @@ class ScriptRunner(spark: SparkSession,
   /** Register every referenced registry table as a temp view so the
     * INSERT's SELECT resolves source tables through the registry.
     */
-  private def instantiateSources(query: String): Unit = {
+  private def instantiateSources(query: String,
+      forceBatch: Boolean = false): Unit = {
     registry.foreach { case (name, spec) =>
       val referenced = ("""(?i)\b""" + java.util.regex.Pattern.quote(name) +
         """\b""").r.findFirstIn(query).isDefined
       if (referenced && !sourcesInstantiated.contains(name) &&
         !isSinkOnly(spec)) {
-        val df = Connectors.source(spark, spec, streaming = !batchMode)
+        val df = Connectors.source(spark, spec,
+          streaming = !batchMode && !forceBatch)
         df.createOrReplaceTempView(name)
         sourcesInstantiated += name
       }

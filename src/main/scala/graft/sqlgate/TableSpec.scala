@@ -40,9 +40,9 @@ object TableSpec {
   private val CreateRe =
     """(?is)CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([`"\w.]+)\s*\((.*)\)\s*(?:COMMENT\s+'[^']*'\s*)?WITH\s*\((.*)\)\s*""".r
   private val WatermarkRe =
-    """(?is)WATERMARK\s+FOR\s+(\w+)\s+AS\s+\1\s*-\s*INTERVAL\s+'(\d+)'\s+(\w+)""".r
+    """(?is)WATERMARK\s+FOR\s+`?(\w+)`?\s+AS\s+`?\1`?\s*-\s*INTERVAL\s+'(\d+)'\s+(\w+)""".r
   private val PkRe =
-    """(?is)PRIMARY\s+KEY\s*\(([^)]*)\)\s*(?:NOT\s+ENFORCED)?""".r
+    """(?is)(?:CONSTRAINT\s+\w+\s+)?PRIMARY\s+KEY\s*\(([^)]*)\)\s*(?:NOT\s+ENFORCED)?""".r
   private val OptionRe = """'([^']*)'\s*=\s*'([^']*)'""".r
 
   def parse(ddl: String): TableSpec = {
@@ -63,6 +63,13 @@ object TableSpec {
         watermark = Some((col, s"$n ${unit.toLowerCase.stripSuffix("s")}s"))
       case PkRe(keys) =>
         pk = keys.split(",").map(_.trim.replace("`", "")).toSeq
+      case item if item.trim.toUpperCase.startsWith("WATERMARK") ||
+          item.trim.toUpperCase.startsWith("PRIMARY") ||
+          item.trim.toUpperCase.startsWith("CONSTRAINT") =>
+        // loud failure instead of silently parsing a malformed constraint
+        // clause as a bogus physical column
+        throw new IllegalArgumentException(
+          s"unparseable constraint clause: ${item.trim.take(80)}")
       case item =>
         val cleaned = item.replaceAll("(?is)\\s+COMMENT\\s+'[^']*'", "")
         cleaned.split("\\s+", 2) match {

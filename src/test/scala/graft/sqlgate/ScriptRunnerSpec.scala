@@ -166,6 +166,86 @@ class ScriptRunnerSpec extends SparkSpec {
     assert(ids.toSeq == (100L until 100L + ids.length)) // contiguous sequence
   }
 
+  test("INSERT OVERWRITE replaces a filesystem sink; INTO appends") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("ow_sink").toString
+    def script(verb: String, lo: Int, hi: Int) =
+      s"""CREATE TABLE ow_src (id BIGINT) WITH (
+         |  'connector' = 'datagen', 'number-of-rows' = '${hi - lo}',
+         |  'fields.id.kind' = 'sequence', 'fields.id.start' = '$lo');
+         |CREATE TABLE ow_snk (id BIGINT) WITH (
+         |  'connector' = 'filesystem', 'path' = '$out',
+         |  'format' = 'parquet');
+         |INSERT $verb ow_snk SELECT id FROM ow_src;
+         |""".stripMargin
+    new ScriptRunner(spark, batchMode = true).run(script("INTO", 0, 5))
+    new ScriptRunner(spark, batchMode = true).run(script("INTO", 5, 10))
+    assert(spark.read.parquet(out).count() == 10) // INTO appends
+    new ScriptRunner(spark, batchMode = true).run(script("OVERWRITE", 100, 103))
+    assert(spark.read.parquet(out).as[Long].collect().sorted.toSeq ==
+      Seq(100L, 101L, 102L)) // OVERWRITE replaces
+  }
+
+  test("INSERT with explicit column list renames positionally") {
+    val runner = new ScriptRunner(spark, batchMode = true)
+    runner.run(
+      """CREATE TABLE cl_src (id BIGINT) WITH (
+        |  'connector' = 'datagen', 'number-of-rows' = '3',
+        |  'fields.id.kind' = 'sequence', 'fields.id.start' = '7');
+        |CREATE TABLE cl_snk (renamed BIGINT) WITH ('connector' = 'memory');
+        |INSERT INTO cl_snk (renamed) SELECT id FROM cl_src;
+        |""".stripMargin)
+    assert(spark.table("cl_snk_out").columns.toSeq == Seq("renamed"))
+    assert(spark.table("cl_snk_out").count() == 3)
+  }
+
+  test("SET with quoted key (sql-client form) still maps the trigger") {
+    import org.apache.spark.sql.streaming.Trigger
+    val runner = new ScriptRunner(spark, batchMode = true)
+    runner.run(
+      """SET 'table.exec.mini-batch.allow-latency' = '2 s';
+        |CREATE TABLE qk (a INT) WITH ('connector'='print');
+        |INSERT INTO qk SELECT 1;
+        |""".stripMargin)
+    assert(runner.trigger == Trigger.ProcessingTime(2000))
+  }
+
+  test("two INSERTs into the same memory sink coexist (unique query tags)") {
+    val runner = new ScriptRunner(spark,
+      checkpointRoot = Some(java.nio.file.Files
+        .createTempDirectory("same_sink").toString))
+    val res = runner.run(
+      s"""CREATE TABLE ss_src (id BIGINT) WITH (
+         |  'connector' = 'datagen', 'rows-per-batch' = '5',
+         |  'fields.id.kind' = 'sequence', 'fields.id.start' = '0');
+         |CREATE TABLE ss_snk (v BIGINT) WITH ('connector' = 'memory');
+         |INSERT INTO ss_snk SELECT id FROM ss_src;
+         |INSERT INTO ss_snk SELECT id * 10 AS id FROM ss_src;
+         |""".stripMargin)
+    assert(res.queries.size == 2)
+    res.queries.foreach(_.awaitTermination(60000))
+    // both queries started and produced distinct memory tables
+    assert(spark.table("ss_snk").count() >= 5)
+    assert(spark.table("ss_snk_1").count() >= 5)
+  }
+
+  test("streaming aggregation into a PK-less console-style sink starts (update mode)") {
+    val runner = new ScriptRunner(spark,
+      checkpointRoot = Some(java.nio.file.Files
+        .createTempDirectory("agg_nopk").toString))
+    val res = runner.run(
+      s"""CREATE TABLE an_src (id BIGINT) WITH (
+         |  'connector' = 'datagen', 'rows-per-batch' = '8',
+         |  'fields.id.kind' = 'sequence', 'fields.id.start' = '0');
+         |CREATE TABLE an_snk (g BIGINT, n BIGINT) WITH ('connector' = 'memory');
+         |INSERT INTO an_snk SELECT id % 2 AS g, COUNT(*) AS n
+         |FROM an_src GROUP BY id % 2;
+         |""".stripMargin)
+    assert(res.queries.size == 1) // would throw in append mode pre-fix
+    res.queries.foreach(_.awaitTermination(60000))
+    assert(spark.table("an_snk").count() >= 2)
+  }
+
   test("SELECT rejected at runtime (LogPrint parity)") {
     val runner = new ScriptRunner(spark, batchMode = true)
     val e = intercept[IllegalArgumentException] {

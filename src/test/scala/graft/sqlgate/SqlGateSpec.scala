@@ -32,6 +32,21 @@ class SqlGateSpec extends AnyFunSuite {
     assert(SqlSplitter.split("SET a=b") == Seq("SET a=b"))
   }
 
+  test("splitter: string literals shield ' -- ' and ';' from the scanner") {
+    val s1 = SqlSplitter.split(
+      "INSERT INTO p SELECT concat(name, ' -- ', city) FROM s;")
+    assert(s1 == Seq("INSERT INTO p SELECT concat(name, ' -- ', city) FROM s"))
+    val s2 = SqlSplitter.split(
+      """INSERT INTO p SELECT 'ends with;
+        |more' FROM s;
+        |SET a=b;""".stripMargin)
+    assert(s2.size == 2)
+    assert(s2.head.contains("'ends with;\nmore'"))
+    // real inline comment still stripped
+    val s3 = SqlSplitter.split("SET a=b; -- trailing note")
+    assert(s3 == Seq("SET a=b"))
+  }
+
   test("splitter properties: every emitted statement is nonempty and " +
     "comment-free; statement count matches semicolons") {
     val word = Gen.identifier.map(_.take(8)).suchThat(_.nonEmpty)
@@ -102,6 +117,25 @@ class SqlGateSpec extends AnyFunSuite {
     assert(spec.schema.fieldNames.toSeq == Seq("f0", "f1", "f3", "amnount", "ts"))
     assert(spec.schema("f3").dataType.typeName == "string")
     assert(spec.schema("ts").dataType.typeName == "timestamp")
+  }
+
+  test("TableSpec: backticked watermark, CONSTRAINT pk, malformed clause fails loud") {
+    val spec = TableSpec.parse(
+      """CREATE TABLE t (
+        |  id INT,
+        |  ts TIMESTAMP(3),
+        |  WATERMARK FOR `ts` AS `ts` - INTERVAL '5' SECOND,
+        |  CONSTRAINT pk PRIMARY KEY (id) NOT ENFORCED
+        |) WITH ('connector' = 'print')""".stripMargin)
+    assert(spec.watermark.contains(("ts", "5 seconds")))
+    assert(spec.primaryKey == Seq("id"))
+    val e = intercept[IllegalArgumentException] {
+      TableSpec.parse(
+        """CREATE TABLE t (id INT,
+          |  WATERMARK FOR ts AS other_col - INTERVAL '5' SECOND
+          |) WITH ('connector' = 'print')""".stripMargin)
+    }
+    assert(e.getMessage.contains("unparseable constraint clause"))
   }
 
   test("TableSpec: splitTopLevel respects parens and quotes") {
