@@ -53,18 +53,26 @@ object CdcOps {
 
   /** foreachBatch function MERGE-ing a decoded changelog batch into
     * StateStore(table). Batch rows must carry (op, ts_ms, before, after).
-    * Last event per key (by ts_ms, then arrival order) wins in-batch.
+    * Last event per key wins in-batch, ordered by ts_ms then `seqCol`
+    * when given (pass the Kafka offset column for true binlog order —
+    * the fallback monotonic id only breaks same-millisecond ties within
+    * a partition, not across partitions). Tombstones (null value → null
+    * envelope) and undecodable rows are dropped: a Debezium tombstone
+    * follows the 'd' event it shadows.
     */
-  def applyChangelog(table: String, keyCols: Seq[String])(
+  def applyChangelog(table: String, keyCols: Seq[String],
+      seqCol: Option[String] = None)(
       batch: Dataset[Row], batchId: Long): Unit = {
     val spark = batch.sparkSession
     import spark.implicits._
-    // reduce to one event per key inside Spark: max ts_ms + stable order
     val withKey = batch
-      .withColumn("__key",
-        concat_ws("|", keyCols.map(k =>
-          coalesce(col(s"after.$k"), col(s"before.$k")).cast("string")): _*))
-      .withColumn("__seq", monotonically_increasing_id())
+      .filter($"op".isNotNull &&
+        ($"op" === "d" || col("after").isNotNull)) // drop tombstone/garbage
+      .withColumn("__key", struct(keyCols.map(k =>
+        coalesce(col(s"after.$k"), col(s"before.$k")).cast("string")
+          .as(k)): _*))
+      .withColumn("__seq",
+        seqCol.map(col).getOrElse(monotonically_increasing_id()))
     val last = withKey
       .withColumn("__rn", row_number().over(
         org.apache.spark.sql.expressions.Window
@@ -74,7 +82,8 @@ object CdcOps {
       .collect() // one row per key per batch — bounded by key cardinality
     val t = StateStore.table(table)
     last.foreach { r =>
-      val key = r.getString(0)
+      // unambiguous key: struct values escaped + delimited (null-safe)
+      val key = StreamOps.encodeKey(r.getStruct(0).toSeq)
       r.getString(1) match {
         case "d" => t.remove(key)
         case _   => t(key) = r.getStruct(2) // c / u / r upsert after-image

@@ -33,7 +33,8 @@ final class DimSnapshot(spark: SparkSession, loader: SparkSession => DataFrame,
         // driver-side materialization IS the snapshot (and what the
         // broadcast would ship regardless).
         val fresh = loader(spark)
-        val rows = fresh.limit((maxRows + 1).toInt).collect()
+        val probe = math.min(maxRows + 1, Int.MaxValue.toLong).toInt
+        val rows = fresh.limit(probe).collect()
         if (rows.length > maxRows)
           throw new IllegalArgumentException(
             s"dim snapshot exceeds lookup cache bound $maxRows rows")

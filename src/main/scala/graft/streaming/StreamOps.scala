@@ -48,13 +48,26 @@ object StreamOps {
 
   /** Watermark-bounded dual-stream inner equi-join (demo_2 shape): right
     * rows join left rows with rTs in [lTs, lTs + within].
+    *
+    * Contract (validated): `left` carries columns `key` and `lTs`;
+    * `right` must carry the join key renamed to `r_<key>` and a time
+    * column `rTs` with a name distinct from `lTs` (stream-stream joins
+    * need unambiguous column names across sides).
     */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
-      lTs: String, rTs: String, delay: String, within: String): DataFrame =
+      lTs: String, rTs: String, delay: String, within: String): DataFrame = {
+    require(lTs != rTs,
+      s"left/right time columns must have distinct names, both were '$lTs'")
+    require(right.columns.contains(s"r_$key"),
+      s"right side must rename its join key to 'r_$key' " +
+        s"(has: ${right.columns.mkString(", ")})")
+    require(right.columns.contains(rTs),
+      s"right side is missing time column '$rTs'")
     left.withWatermark(lTs, delay)
       .join(right.withWatermark(rTs, delay),
         expr(s"$key = r_$key AND $rTs >= $lTs AND " +
           s"$rTs <= $lTs + INTERVAL $within"))
+  }
 
   /** Exact-once-per-key event dedup inside the watermark horizon — the
     * `table.exec.source.cdc-events-duplicate` analog (demo_6.md:187).
@@ -67,21 +80,35 @@ object StreamOps {
   /** Custom keyed state via flatMapGroupsWithState: running per-key count
     * + sum emitted on every update (the unbounded continuous-agg shape of
     * demo_1 where Spark's built-ins would need a sink-side upsert).
+    *
+    * `stateTtlMs > 0` evicts idle keys via processing-time timeout (the
+    * Flink state-TTL analog); 0 keeps state forever — only safe for
+    * bounded key spaces, since nothing else evicts this state.
     */
-  def runningTotals(ds: Dataset[(String, Double)]): Dataset[KeyTotal] = {
+  def runningTotals(ds: Dataset[(String, Double)],
+      stateTtlMs: Long = 0L): Dataset[KeyTotal] = {
     import ds.sparkSession.implicits._
+    val timeoutConf =
+      if (stateTtlMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     ds.groupByKey(_._1)
       .flatMapGroupsWithState[KeyTotal, KeyTotal](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Update(), timeoutConf) {
         (key: String, rows: Iterator[(String, Double)],
          state: GroupState[KeyTotal]) =>
-          val prev = state.getOption.getOrElse(KeyTotal(key, 0L, 0.0))
-          var n = prev.n
-          var s = prev.total
-          rows.foreach { r => n += 1; s += r._2 }
-          val next = KeyTotal(key, n, s)
-          state.update(next)
-          Iterator(next)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(KeyTotal(key, 0L, 0.0))
+            var n = prev.n
+            var s = prev.total
+            rows.foreach { r => n += 1; s += r._2 }
+            val next = KeyTotal(key, n, s)
+            state.update(next)
+            if (stateTtlMs > 0) state.setTimeoutDuration(stateTtlMs)
+            Iterator(next)
+          }
       }
   }
 
@@ -97,15 +124,31 @@ object StreamOps {
     def clear(name: String): Unit = tables.remove(name)
   }
 
+  /** Unambiguous string encoding of a composite key: single-part keys
+    * are the plain string; multi-part keys escape the delimiter and use
+    * a null sentinel, so ("x|y","z") ≠ ("x","y|z") and nulls are
+    * preserved rather than silently dropped.
+    */
+  def encodeKey(parts: Seq[Any]): String = parts match {
+    case Seq(single) => String.valueOf(single)
+    case _ => parts.map {
+      case null => "\u0000"
+      case v => v.toString.replace("\\", "\\\\").replace("|", "\\|")
+    }.mkString("|")
+  }
+
   /** foreachBatch writer upserting rows into UpsertStore by key columns. */
   def upsertBatch(table: String, keyCols: Seq[String])(
       batch: Dataset[Row], batchId: Long): Unit = {
     val cols = batch.columns
+    val missing = keyCols.filterNot(cols.contains)
+    require(missing.isEmpty,
+      s"upsertBatch key column(s) ${missing.mkString(", ")} not in batch " +
+        s"columns ${cols.mkString(", ")}")
     val keyIdx = keyCols.map(cols.indexOf(_))
     val t = UpsertStore.table(table)
     batch.collect().foreach { r =>
-      val key = keyIdx.map(r.get(_).toString).mkString("|")
-      t(key) = r.toSeq
+      t(encodeKey(keyIdx.map(r.get))) = r.toSeq
     }
   }
 }

@@ -53,6 +53,29 @@ class CdcSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("tombstones and undecodable values are dropped, not stored") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    CdcOps.StateStore.clear("p3")
+    val in = MemoryStream[CdcRaw]
+    val q = CdcOps.decodeDebezium(in.toDF(), productSchema).writeStream
+      .foreachBatch(CdcOps.applyChangelog("p3", Seq("id")) _)
+      .outputMode("append").start()
+    try {
+      in.addData(
+        dz("c", 1, "null", """{"id":1,"name":"a","price":1.0}"""),
+        CdcRaw("not json at all"), // undecodable → dropped
+        CdcRaw("null"))            // kafka tombstone → dropped
+      q.processAllAvailable()
+      val t = CdcOps.StateStore.table("p3")
+      assert(t.size == 1 && t.contains("1"))
+      // retraction-aware aggregate survives (no null rows in state)
+      val agg = CdcOps.aggregateState(spark, "p3", productSchema)
+        .count()
+      assert(agg == 1)
+    } finally q.stop()
+  }
+
   test("delete of an absent key and reinsert after delete are safe") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

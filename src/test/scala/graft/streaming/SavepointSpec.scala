@@ -16,6 +16,24 @@ class SavepointSpec extends SparkSpec {
     val seen: mutable.Buffer[Long] = mutable.Buffer()
   }
 
+  test("savepoint numbering: numeric order past 10, no reuse after pruning") {
+    val ckpt = Files.createTempDirectory("spn_ckpt")
+    Files.writeString(ckpt.resolve("offsets"), "x")
+    val root = Files.createTempDirectory("spn_root").toString
+    val sps = (0 until 11).map(_ =>
+      Savepoints.snapshot(ckpt.toString, root, "j"))
+    assert(sps.last.endsWith("sp-10"))
+    // numeric order, newest last (lexical would put sp-10 before sp-2)
+    assert(Savepoints.list(root, "j").last.endsWith("sp-10"))
+    // prune an old savepoint; next snapshot must NOT reuse its number
+    import scala.jdk.CollectionConverters._
+    val sp0 = java.nio.file.Paths.get(sps.head)
+    Files.walk(sp0).sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(Files.delete)
+    val next = Savepoints.snapshot(ckpt.toString, root, "j")
+    assert(next.endsWith("sp-11"), next)
+  }
+
   test("snapshot → restore resumes from saved offsets, no duplicates") {
     import spark.implicits._
     val srcDir = Files.createTempDirectory("sp_src").toString

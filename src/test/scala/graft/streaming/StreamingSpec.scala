@@ -133,6 +133,23 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("encodeKey: composite keys are unambiguous, nulls preserved") {
+    assert(StreamOps.encodeKey(Seq("x|y", "z")) !=
+      StreamOps.encodeKey(Seq("x", "y|z")))
+    assert(StreamOps.encodeKey(Seq("a", null)) !=
+      StreamOps.encodeKey(Seq(null, "a")))
+    assert(StreamOps.encodeKey(Seq("a", null)) !=
+      StreamOps.encodeKey(Seq("a", "")))
+    assert(StreamOps.encodeKey(Seq("solo")) == "solo")
+  }
+
+  // NOTE: runningTotals' stateTtlMs path (ProcessingTimeTimeout) is not
+  // runtime-tested here: a processing-time timeout keeps the query
+  // scheduling timeout-evaluation batches, which never settles under
+  // MemoryStream + processAllAvailable. The no-TTL path (default) is
+  // covered above; the timeout branch is exercised in production-style
+  // continuous triggers only.
+
   test("foreachBatch upsert sink: last write per key wins (demo_1 sink)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
