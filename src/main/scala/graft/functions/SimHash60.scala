@@ -27,12 +27,17 @@ case class SimHash60(child: Expression) extends UnaryExpression {
       s"$prettyName requires ARRAY<BIGINT>, got ${t.sql}")
   }
 
+  // a NULL token hash nulls the signature (SQL conformance), rather than
+  // being silently read as hash 0
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val counts = new Array[Int](60)
     var i = 0
     while (i < n) {
+      if (arr.isNullAt(i)) return null
       val h = arr.getLong(i)
       var b = 0
       while (b < 60) { counts(b) += ((h >>> b) & 1L).toInt; b += 1 }
@@ -56,16 +61,19 @@ case class SimHash60(child: Expression) extends UnaryExpression {
          |int $n = $a.numElements();
          |int[] $counts = new int[60];
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  long $h = $a.getLong($i);
          |  for (int $b = 0; $b < 60; $b++) {
          |    $counts[$b] += (int) (($h >>> $b) & 1L);
          |  }
          |}
-         |long $sim = 0L;
-         |for (int $b = 0; $b < 60; $b++) {
-         |  if (2 * $counts[$b] > $n) $sim |= 1L << $b;
+         |if (!${ev.isNull}) {
+         |  long $sim = 0L;
+         |  for (int $b = 0; $b < 60; $b++) {
+         |    if (2 * $counts[$b] > $n) $sim |= 1L << $b;
+         |  }
+         |  ${ev.value} = $sim;
          |}
-         |${ev.value} = $sim;
        """.stripMargin
     })
 

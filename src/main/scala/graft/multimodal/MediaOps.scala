@@ -41,13 +41,20 @@ object MediaOps {
     java.security.MessageDigest.getInstance("MD5")
       .digest(bytes).map("%02x".format(_)).mkString
 
+  /** Rows with NULL payloads (failed fetches are normal in a crawled
+    * corpus) are dropped by every operator — an executor-side NPE hours
+    * into a 100 TB job is the alternative.
+    */
+  private def nonNullMedia(df: DataFrame): DataFrame =
+    df.select(col("id"), col("media")).filter(col("media").isNotNull)
+
   /** Decode + per-payload features. Input df needs (id BIGINT,
     * media BINARY); output drops the payload immediately.
     */
   def features(df: DataFrame): Dataset[MediaFeatures] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col("id"), col("media")).as[(Long, Array[Byte])]
+    nonNullMedia(df).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
           val (w, h) = StubCodec.decodeDims(bytes)
@@ -62,12 +69,13 @@ object MediaOps {
   def frameSample(df: DataFrame, k: Int): Dataset[FrameFeature] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col("id"), col("media")).as[(Long, Array[Byte])]
+    nonNullMedia(df).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (id, bytes) =>
           (0 until k).map { i =>
-            val from = i * bytes.length / k
-            val until = (i + 1) * bytes.length / k
+            // long arithmetic: i * length overflows Int for ~100MB+ media
+            val from = (i.toLong * bytes.length / k).toInt
+            val until = ((i + 1).toLong * bytes.length / k).toInt
             FrameFeature(id, i, byteSum(bytes.slice(from, until)))
           }
         }
@@ -80,11 +88,11 @@ object MediaOps {
   def histogram(df: DataFrame): Dataset[MediaHistogram] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col("id"), col("media")).as[(Long, Array[Byte])]
+    nonNullMedia(df).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
           val h = new Array[Long](8)
-          bytes.foreach { b => val v = b & 0xff; if (v < 256) h(v / 32) += 1 }
+          bytes.foreach { b => h((b & 0xff) / 32) += 1 }
           MediaHistogram(id, h.toSeq)
         }
       }

@@ -152,14 +152,24 @@ class ScriptRunner(spark: SparkSession,
     // Per-insert index disambiguates several INSERTs into one sink
     // (memory queryName / checkpoint subdir must be unique per query).
     val seen = mutable.Map[String, Int]()
-    val queries = inserts.flatMap { case (sink, df, overwrite) =>
-      val n = seen.getOrElse(sink.name, 0)
-      seen(sink.name) = n + 1
-      val tag = if (n == 0) "" else s"_$n"
-      val ckpt = checkpointRoot.map(r => s"$r/${sink.name}$tag")
-      Connectors.write(spark, sink, df, ckpt, trigger, tag, overwrite)
-    }.toSeq
-    RunResult(queries, shown.toSeq, confs.toMap)
+    val started = mutable.Buffer[org.apache.spark.sql.streaming.StreamingQuery]()
+    try {
+      inserts.foreach { case (sink, df, overwrite) =>
+        val n = seen.getOrElse(sink.name, 0)
+        seen(sink.name) = n + 1
+        val tag = if (n == 0) "" else s"_$n"
+        val ckpt = checkpointRoot.map(r => s"$r/${sink.name}$tag")
+        Connectors.write(spark, sink, df, ckpt, trigger, tag, overwrite)
+          .foreach(started += _)
+      }
+    } catch {
+      case e: Throwable =>
+        // statement-set atomicity: if the Nth INSERT fails to start, the
+        // already-started siblings must not keep writing unmanaged
+        started.foreach(q => try q.stop() catch { case _: Throwable => () })
+        throw e
+    }
+    RunResult(started.toSeq, shown.toSeq, confs.toMap)
   }
 
   /** Register every referenced registry table as a temp view so the

@@ -23,16 +23,20 @@ class VecSpec extends SparkSpec {
     assert(cmp.filter($"fast" =!= $"slow").count() == 0)
   }
 
-  test("long_dot: null array yields null, empty arrays yield 0") {
+  test("long_dot: SQL-conformant nulls — null array, length mismatch, null element") {
     GraftFunctions.register(spark)
     val row = spark.sql(
       """SELECT long_dot(CAST(NULL AS ARRAY<BIGINT>), array(1L)) AS n,
         |       long_dot(array(), array()) AS z,
-        |       long_dot(array(2L, 3L), array(10L, 100L)) AS v""".stripMargin)
+        |       long_dot(array(2L, 3L), array(10L, 100L)) AS v,
+        |       long_dot(array(1L, 2L, 3L), array(1L, 2L)) AS mismatch,
+        |       long_dot(array(1L, CAST(NULL AS BIGINT)), array(1L, 1L)) AS nullel""".stripMargin)
       .collect().head
     assert(row.isNullAt(0))
     assert(row.getLong(1) == 0L)
     assert(row.getLong(2) == 320L)
+    assert(row.isNullAt(3)) // zip_with would pad with NULL → NULL sum
+    assert(row.isNullAt(4)) // NULL element nulls the sum, not read as 0
   }
 
   test("long_dot participates in whole-stage codegen") {

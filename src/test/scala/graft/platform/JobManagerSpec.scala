@@ -70,7 +70,7 @@ class JobManagerSpec extends SparkSpec {
       val e = intercept[IllegalStateException] {
         m.start("dup_job", script(dir, "jm_out3"))
       }
-      assert(e.getMessage.contains("already RUNNING"))
+      assert(e.getMessage.contains("already active"))
     } finally m.stop(id, withSavepoint = false)
   }
 
@@ -95,16 +95,34 @@ class JobManagerSpec extends SparkSpec {
     m.stop(id, withSavepoint = false)
   }
 
-  test("failure marking + auto-restart policy hook") {
+  test("failure marking + auto-restart policy hook resumes from checkpoint") {
     val dir = srcDir()
     spark.range(0, 2).toDF("id").coalesce(1).write.mode("append").parquet(dir)
+    // filesystem sink: auto-restart resumes from the failed job's
+    // checkpoint, which memory sinks cannot recover from
+    val outDir = Files.createTempDirectory("ar_sink").toString
+    val fsScript =
+      s"""CREATE TABLE src (id BIGINT) WITH (
+         |  'connector' = 'filesystem', 'path' = '$dir',
+         |  'format' = 'parquet');
+         |CREATE TABLE ar_snk (id BIGINT) WITH (
+         |  'connector' = 'filesystem', 'path' = '$outDir',
+         |  'format' = 'parquet');
+         |INSERT INTO ar_snk SELECT id FROM src;
+         |""".stripMargin
     val m = mgr()
     val alarms = scala.collection.mutable.Buffer[JobManager.AlarmEvent]()
     m.addAlarmHandler(alarms += _)
-    val id = m.start("flaky", script(dir, "jm_out5"), autoRestart = true)
+    val id = m.start("flaky", fsScript, autoRestart = true)
     m.info(id).queries.foreach(_.awaitTermination(60000))
     m.onJobFailure(id, "simulated executor loss")
     assert(m.status(id) == JobManager.Failed)
+    // restart resumed from the SAME checkpoint: no duplicate rows
+    m.list().filter(j => j.name == "flaky" && j.id != id)
+      .flatMap(_.queries).foreach(_.awaitTermination(60000))
+    import spark.implicits._
+    assert(spark.read.parquet(outDir).as[Long].collect().sorted.toSeq ==
+      Seq(0L, 1L))
     // alarm chain fired: JOB_FAILED then AUTO_RESTARTED
     assert(alarms.map(_.kind).toSeq == Seq("JOB_FAILED", "AUTO_RESTARTED"))
     assert(alarms.head.detail.contains("executor loss"))
