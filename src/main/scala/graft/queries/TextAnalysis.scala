@@ -89,6 +89,21 @@ object TextAnalysis extends QueryPack {
         .select($"doc_id", fp.as("fingerprint"))
     }),
 
+    // Corpus term statistics: per-term total frequency (tf) and document
+    // frequency (df) — the exact-integer precursor of TF-IDF (the log
+    // weighting is left to consumers: libm log is not bit-stable across
+    // engines, counts are). Top-30 by (df desc, term).
+    "q_text_tfdf" -> ((s, dir) => {
+      import s.implicits._
+      val tok = Tables.load(s, dir, "documents")
+        .select($"doc_id", explode(words($"text")).as("term"))
+      tok.groupBy($"term")
+        .agg(count(lit(1)).as("tf"),
+          countDistinct($"doc_id").as("df"))
+        .orderBy($"df".desc, $"term")
+        .limit(30)
+    }),
+
     // Corpus-level bigram frequency top-20 (deterministic tie-break).
     "q_text_ngram_freq" -> ((s, dir) => {
       import s.implicits._
@@ -159,6 +174,13 @@ object TextAnalysis extends QueryPack {
           |  list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
           |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
           |FROM c""".stripMargin,
+
+      "q_text_tfdf" ->
+        """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(text, ' ')) AS term
+          |  FROM documents)
+          |SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+          |FROM tok GROUP BY term
+          |ORDER BY df DESC, term LIMIT 30""".stripMargin,
 
       "q_text_ngram_freq" ->
         """WITH t AS (SELECT regexp_split_to_array(text, ' ') AS w FROM documents),
