@@ -144,13 +144,22 @@ object Dedup extends QueryPack {
       var labels = edges.select($"en".as("node")).distinct()
         .withColumn("lab", $"node")
         .localCheckpoint()
-      for (_ <- 1 to 8) {
+      // iterate to convergence: labels only decrease, so the label sum
+      // strictly decreases iff any label changed — one cheap action per
+      // round instead of a fixed iteration count, correct for any
+      // component diameter
+      var prevSum = labels.agg(sum($"lab")).head.getLong(0)
+      var converged = false
+      while (!converged) {
         val nb = edges.join(labels, $"em" === $"node")
           .groupBy($"en").agg(min($"lab").as("nbl"))
         labels = labels.join(nb, $"node" === $"en", "left")
           .select($"node",
             least($"lab", coalesce($"nbl", $"lab")).as("lab"))
           .localCheckpoint()
+        val s2 = labels.agg(sum($"lab")).head.getLong(0)
+        converged = s2 == prevSum
+        prevSum = s2
       }
       labels.select($"node".as("doc_id"), $"lab".as("cluster"),
         ($"node" === $"lab").as("is_keeper"))
