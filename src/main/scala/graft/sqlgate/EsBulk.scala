@@ -1,0 +1,68 @@
+package graft.sqlgate
+
+import org.apache.spark.sql.{Dataset, Row}
+
+/** Elasticsearch-7 keyed-index sink (`demo_6.md:148-152`) as a
+  * foreachBatch bulk-upsert writer. The container ships no ES client, so
+  * transport is a pluggable `post` function; the REST bulk NDJSON payload
+  * generation — the actual sink logic — is real and unit-tested. Each
+  * row becomes an `index` action (idempotent upsert when `_id` is set
+  * from the PK), matching the keyed-index semantics of the reference.
+  */
+object EsBulk {
+
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  private def jsonValue(v: Any): String = v match {
+    case null => "null"
+    case s: String => "\"" + jsonEscape(s) + "\""
+    case b: Boolean => b.toString
+    case n: java.lang.Number => n.toString
+    case ts: java.sql.Timestamp => "\"" + ts.toString + "\""
+    case d: java.sql.Date => "\"" + d.toString + "\""
+    case other => "\"" + jsonEscape(other.toString) + "\""
+  }
+
+  /** NDJSON `_bulk` body for one batch: an `index` action line (with
+    * `_id` from the PK columns when present → idempotent upsert) followed
+    * by the document line, per row.
+    */
+  def bulkBody(index: String, cols: Seq[String], pk: Seq[String],
+      rows: Iterator[Row]): String = {
+    val sb = new StringBuilder
+    val pkIdx = pk.map(cols.indexOf(_))
+    rows.foreach { r =>
+      val action =
+        if (pk.nonEmpty) {
+          val id = jsonEscape(pkIdx.map(i => String.valueOf(r.get(i)))
+            .mkString("|"))
+          s"""{"index":{"_index":"${jsonEscape(index)}","_id":"$id"}}"""
+        } else s"""{"index":{"_index":"${jsonEscape(index)}"}}"""
+      val doc = cols.zipWithIndex.map { case (c, i) =>
+        "\"" + jsonEscape(c) + "\":" + jsonValue(r.get(i))
+      }.mkString("{", ",", "}")
+      sb.append(action).append('\n').append(doc).append('\n')
+    }
+    sb.toString
+  }
+
+  /** foreachBatch writer: build the bulk body per partition and hand it
+    * to `post` (in production an HTTP POST to `<host>/_bulk`).
+    */
+  def writer(index: String, pk: Seq[String], post: String => Unit)(
+      batch: Dataset[Row], batchId: Long): Unit = {
+    val cols = batch.columns.toSeq
+    batch.collect().grouped(500).foreach { chunk =>
+      val body = bulkBody(index, cols, pk, chunk.iterator)
+      if (body.nonEmpty) post(body)
+    }
+  }
+}

@@ -91,6 +91,21 @@ object CdcOps {
     }
   }
 
+  /** Debezium envelope ENCODE — the changelog-out side (`upsert-kafka` /
+    * `debezium-json` sink of demo_6.md:206-220): rows with an `op` column
+    * become envelope JSON strings ready for a kafka value column.
+    * Round-trips with [[decodeDebezium]].
+    */
+  def encodeDebezium(df: DataFrame, rowCols: Seq[String]): DataFrame = {
+    val rowStruct = struct(rowCols.map(col): _*)
+    df.select(to_json(struct(
+      col("op"),
+      col("ts_ms"),
+      when(col("op") === "d", rowStruct).otherwise(lit(null)).as("before"),
+      when(col("op") =!= "d", rowStruct).otherwise(lit(null)).as("after")
+    )).as("value"))
+  }
+
   /** Retraction-aware aggregate over the materialized state: register the
     * current state as a local DataFrame and aggregate it. Correct under
     * inserts, updates, and deletes because it aggregates state, not the

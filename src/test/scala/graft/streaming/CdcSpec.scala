@@ -76,6 +76,24 @@ class CdcSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("debezium encode round-trips through decode (changelog-out side)") {
+    import spark.implicits._
+    val rows = Seq(
+      ("c", 100L, 1L, "scooter", 3.25),
+      ("d", 200L, 2L, "hammer", 11.0))
+      .toDF("op", "ts_ms", "id", "name", "price")
+    val encoded = CdcOps.encodeDebezium(rows, Seq("id", "name", "price"))
+    val decoded = CdcOps.decodeDebezium(encoded, productSchema)
+      .collect().sortBy(_.getLong(1))
+    assert(decoded.length == 2)
+    val c = decoded.head
+    assert(c.getString(0) == "c" && c.isNullAt(2)) // create: before null
+    assert(c.getStruct(3).getString(1) == "scooter")
+    val d = decoded(1)
+    assert(d.getString(0) == "d" && d.isNullAt(3)) // delete: after null
+    assert(d.getStruct(2).getDouble(2) == 11.0)
+  }
+
   test("delete of an absent key and reinsert after delete are safe") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
