@@ -131,7 +131,10 @@ object Analytic extends QueryPack {
         .agg(count(lit(1)).as("n"), dsum2($"c_acctbal").as("s1"),
           dsumsq($"c_acctbal").as("s2"))
         .select($"c_mktsegment", $"n",
-          (($"s2" - $"s1" * $"s1" / $"n") / ($"n" - 1)).as("variance"))
+          // nullif: a 1-row group divides by zero, which throws under
+          // Spark 4's default ANSI mode while DuckDB yields NULL
+          (($"s2" - $"s1" * $"s1" / $"n") / nullif($"n" - 1, lit(0L)))
+            .as("variance"))
     }),
 
     // Sorted array aggregation (order-insensitive collect).
@@ -230,7 +233,7 @@ object Analytic extends QueryPack {
         |FROM orders GROUP BY order_month""".stripMargin,
 
     "q_agg_stats" ->
-      s"""SELECT c_mktsegment, n, (s2 - s1*s1/n) / (n-1) AS variance FROM (
+      s"""SELECT c_mktsegment, n, (s2 - s1*s1/n) / nullif(n-1, 0) AS variance FROM (
          |  SELECT c_mktsegment, COUNT(*) AS n, ${oSum2("c_acctbal")} AS s1,
          |    ${oSumSq("c_acctbal")} AS s2
          |  FROM customer GROUP BY c_mktsegment) t""".stripMargin,

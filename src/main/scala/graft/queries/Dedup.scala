@@ -126,11 +126,10 @@ object Dedup extends QueryPack {
     "q_dedup_minhash" -> ((s, dir) => minhashPairs(s, dir)),
 
     // Near-dup CLUSTERS: connected components over the verified LSH
-    // pairs via iterative min-label propagation — the "keep one doc per
-    // duplicate cluster" output. 8 rounds bounds the component diameter
-    // (planted dup clusters are tiny); at 100 TB each round is one
-    // shuffle join and intermediate labels should be checkpointed every
-    // few rounds to cut lineage. Oracle: DuckDB recursive CTE closure.
+    // pairs via min-label propagation iterated to convergence — the
+    // "keep one doc per duplicate cluster" output. At 100 TB each round
+    // is one shuffle join; rounds ≈ component diameter (tiny for real
+    // dup clusters). Oracle: DuckDB recursive CTE closure.
     "q_dedup_cluster" -> ((s, dir) => {
       import s.implicits._
       // localCheckpoint truncates lineage each round — without it the
@@ -148,8 +147,12 @@ object Dedup extends QueryPack {
       // strictly decreases iff any label changed — one cheap action per
       // round instead of a fixed iteration count, correct for any
       // component diameter
-      var prevSum = labels.agg(sum($"lab")).head.getLong(0)
-      var converged = false
+      // coalesce: sum over an EMPTY labels frame (corpus with no
+      // near-dup pairs) is NULL, and getLong on NULL throws
+      def labelSum(df: org.apache.spark.sql.DataFrame): Long =
+        df.agg(coalesce(sum($"lab"), lit(0L))).head.getLong(0)
+      var prevSum = labelSum(labels)
+      var converged = labels.isEmpty
       while (!converged) {
         val nb = edges.join(labels, $"em" === $"node")
           .groupBy($"en").agg(min($"lab").as("nbl"))
@@ -157,7 +160,7 @@ object Dedup extends QueryPack {
           .select($"node",
             least($"lab", coalesce($"nbl", $"lab")).as("lab"))
           .localCheckpoint()
-        val s2 = labels.agg(sum($"lab")).head.getLong(0)
+        val s2 = labelSum(labels)
         converged = s2 == prevSum
         prevSum = s2
       }

@@ -79,8 +79,8 @@ object Scalars extends QueryPack {
         .filter($"c_mktsegment" === "AUTOMOBILE").select($"c_nationkey")
       val rich = Tables.load(s, dir, "customer")
         .filter($"c_acctbal" > 9900.0).select($"c_nationkey")
+      // intersect/except already have distinct set semantics
       building.intersect(auto).except(rich)
-        .distinct()
         .select($"c_nationkey".as("nationkey"))
     }),
 

@@ -32,19 +32,26 @@ object Similarity extends QueryPack {
   private val CentN = 16
   private val NProbe = 4
 
+  private val NDim = 64 // bucketOf's hyperplanes are built for this dim
+
   /** (vec_id, qe, nrm) for the whole embeddings table. */
   private def embQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Vec.ensureRegistered(s)
-    Tables.load(s, dir, "embeddings")
-      .select($"vec_id", quant($"embedding").as("qe"))
+    val df = Tables.load(s, dir, "embeddings")
+    // loud check: a non-NDim corpus would silently collapse every vector
+    // into LSH bucket 0 (NULL dot > 0 is false for all planes)
+    val dim = df.select(size($"embedding")).head.getInt(0)
+    require(dim == NDim,
+      s"embeddings have dim $dim but LSH hyperplanes are built for $NDim")
+    df.select($"vec_id", quant($"embedding").as("qe"))
       .withColumn("nrm", dotQ($"qe", $"qe"))
   }
 
   /** 8-bit random-hyperplane bucket of a quantized vector column. */
   private def bucketOf(qe: Column): Column =
     (0 until NPlanes).map { j =>
-      val plane = typedLit((1 to 64).map(d => planeComp(j, d)))
+      val plane = typedLit((1 to NDim).map(d => planeComp(j, d)))
       when(dotQ(qe, plane) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 

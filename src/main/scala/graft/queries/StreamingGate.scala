@@ -104,14 +104,6 @@ object StreamingGate extends QueryPack {
       s"""SELECT event_type, COUNT(*) AS n, ${oSum2("value")} AS total
          |FROM events GROUP BY event_type""".stripMargin,
 
-    // VALUES (0), (1) = size/slide = 2h/1h windows per event; must track
-    // the Spark side's window(ts, "2 hours", "1 hour") parameters.
-    "q_stream_hop" ->
-      """SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS wstart,
-        |  event_type, COUNT(*) AS n
-        |FROM (
-        |  SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))
-        |    - k.k * INTERVAL 1 HOUR AS wstart, event_type
-        |  FROM events CROSS JOIN (VALUES (0), (1)) k(k)) t
-        |GROUP BY wstart, event_type""".stripMargin)
+    // shared with the batch pack so the mirrors cannot drift
+    "q_stream_hop" -> Windows.oHopSql)
 }

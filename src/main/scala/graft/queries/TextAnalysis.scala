@@ -45,9 +45,10 @@ object TextAnalysis extends QueryPack {
       val stopHits = size(filter(w,
         x => array_contains(typedLit(Stopwords), x)))
       val stopRatio = stopHits.cast("double") / nTok
+      // nullif: empty documents would divide by zero (ANSI throw)
       val digitRatio = (length($"text") -
         length(regexp_replace($"text", "[0-9]", ""))).cast("double") /
-        length($"text")
+        nullif(length($"text"), lit(0))
       Tables.load(s, dir, "documents")
         .select($"doc_id", meanLen.as("mean_tok_len"),
           stopRatio.as("stop_ratio"), digitRatio.as("digit_ratio"),
@@ -138,7 +139,7 @@ object TextAnalysis extends QueryPack {
            |  CAST(len(list_filter(w, x -> list_contains($oStop, x))) AS DOUBLE)
            |    / len(w) AS stop_ratio,
            |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
-           |    AS DOUBLE) / length(text) AS digit_ratio,
+           |    AS DOUBLE) / nullif(length(text), 0) AS digit_ratio,
            |  (CAST(len(list_filter(w, x -> list_contains($oStop, x))) AS DOUBLE)
            |    / len(w)) * 0.5 +
            |  (CAST(list_sum([length(x) for x in w]) AS DOUBLE) / len(w)) * 0.1

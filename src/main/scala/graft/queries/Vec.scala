@@ -26,9 +26,14 @@ private[queries] object Vec {
   def ensureRegistered(s: org.apache.spark.sql.SparkSession): Unit =
     graft.functions.GraftFunctions.register(s)
 
-  /** Cosine from quantized vectors + precomputed integer square norms. */
+  /** Cosine from quantized vectors + precomputed integer square norms.
+    * Zero-norm vectors yield NULL (nullif guard) — Spark 4 runs ANSI mode
+    * by default, where a bare /0.0 throws while the DuckDB oracle
+    * returns NULL.
+    */
   def cosineQ(a: Column, b: Column, na: Column, nb: Column): Column =
-    dotQ(a, b).cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
+    dotQ(a, b).cast("double") /
+      nullif(sqrt(na.cast("double")) * sqrt(nb.cast("double")), lit(0.0))
 
   /** Deterministic pseudo-random hyperplane component in [-1000, 1000]:
     * first 15 hex chars of md5("j_d") decoded to a 60-bit int, mod 2001,
@@ -47,7 +52,7 @@ private[queries] object Vec {
   def oDotQ(a: String, b: String): String =
     s"list_sum([$a[i]*$b[i] for i in generate_series(1, len($a))])"
   def oCosineQ(a: String, b: String, na: String, nb: String): String =
-    s"CAST(${oDotQ(a, b)} AS DOUBLE) / (sqrt(CAST($na AS DOUBLE)) * sqrt(CAST($nb AS DOUBLE)))"
+    s"CAST(${oDotQ(a, b)} AS DOUBLE) / nullif(sqrt(CAST($na AS DOUBLE)) * sqrt(CAST($nb AS DOUBLE)), 0.0)"
   val oPlaneComp: String = // comp(j, d) with j,d in scope
     "(list_sum([(CAST(strpos('0123456789abcdef', substr(md5(CAST(j AS VARCHAR)||'_'||CAST(d AS VARCHAR)), i, 1)) AS BIGINT)-1) << (4*(15-i)) for i in generate_series(1,15)]) % 2001) - 1000"
 }

@@ -19,6 +19,19 @@ import org.apache.spark.sql.functions._
 object Windows extends QueryPack {
   import Num._
 
+  /** Shared hop-window oracle (2h windows sliding 1h → VALUES (0),(1)
+    * window offsets per event); StreamingGate's q_stream_hop reuses it so
+    * the batch and streaming mirrors cannot drift apart.
+    */
+  private[queries] val oHopSql: String =
+    """SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS wstart,
+      |  event_type, COUNT(*) AS n
+      |FROM (
+      |  SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))
+      |    - k.k * INTERVAL 1 HOUR AS wstart, event_type
+      |  FROM events CROSS JOIN (VALUES (0), (1)) k(k)) t
+      |GROUP BY wstart, event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Tumbling 1-hour event-time window per event type (TUMBLE +
     // TUMBLE_START/TUMBLE_END of demo_4).
@@ -68,14 +81,7 @@ object Windows extends QueryPack {
          |        event_type, value FROM events) t
          |GROUP BY tb, event_type""".stripMargin,
 
-    "q_window_hop" ->
-      """SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS wstart,
-        |  event_type, COUNT(*) AS n
-        |FROM (
-        |  SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))
-        |    - k.k * INTERVAL 1 HOUR AS wstart, event_type
-        |  FROM events CROSS JOIN (VALUES (0), (1)) k(k)) t
-        |GROUP BY wstart, event_type""".stripMargin,
+    "q_window_hop" -> Windows.oHopSql,
 
     "q_window_session" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
