@@ -27,6 +27,15 @@ class CompactionSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 10000)
   }
 
+  test("writeCompacted on an empty frame still writes a readable table") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cmp0").toString
+    val files = Compaction.writeCompacted(
+      spark.range(0).toDF("id"), dir, targetRowsPerFile = 1000)
+    assert(files == 1)
+    assert(spark.read.parquet(dir).count() == 0)
+  }
+
   test("compactDir rewrites a fragmented directory") {
     import spark.implicits._
     val frag = Files.createTempDirectory("cmp3").toString

@@ -32,6 +32,18 @@ class ScaleOpsSpec extends SparkSpec {
     assert(hot.getLong(0) == 7L && hot.getLong(1) == 900L)
   }
 
+  test("bucketize: equal-width buckets, clamped at the edges") {
+    import spark.implicits._
+    val out = spark.range(1).select(
+      ScaleOps.bucketize(lit(-5.0), 0.0, 100.0, 10).as("lo"),
+      ScaleOps.bucketize(lit(0.0), 0.0, 100.0, 10).as("b0"),
+      ScaleOps.bucketize(lit(55.0), 0.0, 100.0, 10).as("b5"),
+      ScaleOps.bucketize(lit(100.0), 0.0, 100.0, 10).as("hi"),
+      ScaleOps.bucketize(lit(999.0), 0.0, 100.0, 10).as("over"))
+      .as[(Int, Int, Int, Int, Int)].head()
+    assert(out == ((0, 0, 5, 9, 9)))
+  }
+
   test("bucketed tables join without a shuffle (co-located SMJ)") {
     import spark.implicits._
     spark.sql("DROP TABLE IF EXISTS bko_a")
