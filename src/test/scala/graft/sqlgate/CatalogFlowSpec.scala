@@ -31,6 +31,27 @@ class CatalogFlowSpec extends SparkSpec {
     assert(!spark.catalog.tableExists("graft_db.managed_t"))
   }
 
+  test("ALTER TABLE routed through the gate (rename + add column)") {
+    import spark.implicits._
+    val runner = new ScriptRunner(spark, batchMode = true)
+    runner.run(
+      """CREATE DATABASE IF NOT EXISTS alter_db;
+        |USE alter_db;
+        |CREATE TABLE alt_t (k INT) USING parquet;
+        |INSERT INTO alt_t SELECT 5;
+        |ALTER TABLE alt_t ADD COLUMNS (note STRING);
+        |ALTER TABLE alt_t RENAME TO alt_t2;
+        |USE default;
+        |CREATE TABLE p0 (a INT) WITH ('connector'='print');
+        |INSERT INTO p0 SELECT 1;
+        |""".stripMargin)
+    assert(!spark.catalog.tableExists("alter_db.alt_t"))
+    val t2 = spark.table("alter_db.alt_t2")
+    assert(t2.columns.toSeq == Seq("k", "note"))
+    assert(t2.select($"k").as[Int].collect().toSeq == Seq(5))
+    spark.sql("DROP TABLE alter_db.alt_t2")
+  }
+
   test("SET table.exec.mini-batch.allow-latency maps to ProcessingTime trigger") {
     val runner = new ScriptRunner(spark, batchMode = true)
     runner.run(
