@@ -3,10 +3,14 @@ import org.apache.spark.sql.SparkSession
 import scala.collection.immutable.ListMap
 
 /** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR and
-  * prints ONE JSON line. Failures are recorded explicitly (value -1 plus an
-  * "errors" map) so a crashed query can never masquerade as a fast one.
-  * Each query runs once untimed (JVM/codegen warm-up), then timed — the
-  * steady-state number is what a long-running cluster job would see.
+  * prints ONE JSON line. Failures in the timed pass are recorded
+  * explicitly (value -1 plus an "errors" map) so a crashed query can
+  * never masquerade as a fast one; warm-up-only hiccups don't fail the
+  * run. Each query runs once untimed (JVM/codegen warm-up), then timed —
+  * the steady-state number is what a long-running cluster job would see.
+  * Queries materialize through a noop write (NOT count(): Catalyst prunes
+  * the final projection under count, which would skip the per-row compute
+  * of projection-only queries).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -22,27 +26,26 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    def materialize(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val ordered = ListMap(SparkEntry.queries.toSeq.sortBy(_._1): _*)
-    // warm-up pass: JIT + codegen + file-footer caches
-    ordered.foreach { case (name, fn) =>
-      try fn(spark, sfDir).count()
-      catch { case e: Throwable => errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200) }
+    // warm-up pass: JIT + codegen + file-footer caches (failures here are
+    // NOT recorded — only the timed pass decides pass/fail)
+    ordered.foreach { case (_, fn) =>
+      try materialize(fn) catch { case _: Throwable => () }
     }
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
+      val ok = try { materialize(fn); true }
       catch { case e: Throwable =>
         errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200); false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-      } + "\""
-    val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
-    val errs = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v) => JsonUtil.str(k) + ":" + v }
+      .mkString("{", ",", "}")
+    val errs = errors.map { case (k, v) => JsonUtil.str(k) + ":" + JsonUtil.str(v) }
+      .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${errors.size},"sf":"$sfDir"}""")
     spark.stop()

@@ -22,9 +22,14 @@ trait QueryPack {
   *   - per-row double arithmetic is fine (IEEE, order-free),
   *   - any SUM over doubles goes through an exact DECIMAL cast first,
   *     then back to DOUBLE (decimal->double conversion is deterministic).
-  * A double can never sit exactly on a .5-ulp decimal boundary at scale 6
-  * (5e-7 has a factor-5 denominator), so the engines' rounding-mode
-  * difference (HALF_UP vs HALF_EVEN) never fires.
+  * Residual risk: the engines' rounding-mode difference (HALF_UP vs
+  * HALF_EVEN) fires only when a double sits EXACTLY on a decimal .5
+  * boundary. Such doubles exist (dyadic halves like 1/128 = 0.0078125 at
+  * scale 6, 1/8 = 0.125 at scale 2) but require a value with ≤7
+  * fractional mantissa bits — essentially impossible for products of
+  * 2-decimal business data, and none occur in the test corpus. If a
+  * future dataset trips it, switch the cast to RoundingMode-explicit
+  * expressions on both sides.
   */
 object Num {
   private val dec2 = DecimalType(18, 2)

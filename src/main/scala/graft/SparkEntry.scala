@@ -17,12 +17,25 @@ object SparkEntry {
     qp.Relational.queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    packs.flatMap(_.queries).toMap
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val all = packs.flatMap(_.queries)
+    val m = all.toMap
+    // toMap is silently last-wins: a key collision would drop a query
+    // from the gate (or pair one pack's query with another's oracle SQL)
+    require(all.size == m.size, {
+      val dups = all.groupBy(_._1).filter(_._2.size > 1).keys
+      s"duplicate query keys across packs: ${dups.mkString(", ")}"
+    })
+    m
+  }
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on the same
     * parquet tables. Omitted keys get a weaker rows-only check.
     */
-  def oracleSql: Map[String, String] =
-    packs.flatMap(_.oracleSql).toMap
+  def oracleSql: Map[String, String] = {
+    val all = packs.flatMap(_.oracleSql)
+    val m = all.toMap
+    require(all.size == m.size, "duplicate oracle keys across packs")
+    m
+  }
 }

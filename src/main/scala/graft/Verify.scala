@@ -7,18 +7,7 @@ import java.nio.file.{Files, Paths}
   * gate instead of silently missing from the comparison.
   */
 object Verify {
-  // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-  // — a tab or CR in builder-authored SQL would otherwise make the
-  // driver's json.load fail and silently zero the round's correctness.
-  private def q(s: String): String = "\"" + s.flatMap {
-    case '"'  => "\\\""
-    case '\\' => "\\\\"
-    case '\n' => "\\n"
-    case '\r' => "\\r"
-    case '\t' => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  } + "\""
+  private def q(s: String): String = JsonUtil.str(s)
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
@@ -45,6 +34,13 @@ object Verify {
         val msg = Option(e.getMessage).getOrElse(e.getClass.getName).take(500)
         failed(name) = msg
         System.err.println(s"[verify] $name failed: $msg")
+        // a failed query must not leave a stale result from a previous
+        // run for the driver's compare to pick up as a pass
+        val staleDir = new java.io.File(s"$outDir/$name")
+        if (staleDir.isDirectory) {
+          staleDir.listFiles().foreach(_.delete())
+          staleDir.delete()
+        }
       }
     }
     val json = SparkEntry.oracleSql
