@@ -45,6 +45,30 @@ for name in sorted(oracle):
         print(f"FAIL {name}: exception {e}")
         n_fail += 1
         continue
+    # Emulate the driver harness, which fetches via pandas, sorts rows by
+    # every column (crashes on array/struct cells), and hashes the string
+    # form of each cell (int32 1234 and int64 1234 both read "1234", but a
+    # DuckDB HUGEINT arrives as float64 and reads "1234.0" — hash mismatch
+    # even when values are numerically equal).
+    try:
+        gdf = con.execute(
+            f"SELECT * FROM read_parquet('{OUT}/{name}/*.parquet')").df()
+        edf = con.execute(sql).df()
+        gdf = gdf[sorted(gdf.columns)].sort_values(by=sorted(gdf.columns))
+        edf = edf[sorted(edf.columns)].sort_values(by=sorted(edf.columns))
+        gstr = [tuple(map(str, r)) for r in gdf.itertuples(index=False)]
+        estr = [tuple(map(str, r)) for r in edf.itertuples(index=False)]
+        if sorted(gstr) != sorted(estr):
+            diff = next((a, b) for a, b in zip(sorted(gstr), sorted(estr))
+                        if a != b)
+            print(f"FAIL {name}: pandas-form mismatch; first diff "
+                  f"got={diff[0]} exp={diff[1]}")
+            n_fail += 1
+            continue
+    except Exception as e:
+        print(f"FAIL {name}: driver-emulation exception {e}")
+        n_fail += 1
+        continue
     gc, gr = canon(got_cols, got_rows)
     ec, er = canon(exp_cols, exp_rows)
     if gc != ec:

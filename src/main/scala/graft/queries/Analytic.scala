@@ -137,12 +137,13 @@ object Analytic extends QueryPack {
             .as("variance"))
     }),
 
-    // Sorted array aggregation (order-insensitive collect).
+    // Sorted array aggregation (order-insensitive collect); joined to a
+    // string so the driver harness can hash the compared column.
     "q_agg_collect" -> ((s, dir) => {
       import s.implicits._
       Tables.load(s, dir, "nation")
         .groupBy($"n_regionkey")
-        .agg(sort_array(collect_list($"n_name")).as("nations"),
+        .agg(array_join(sort_array(collect_list($"n_name")), ",").as("nations"),
           count(lit(1)).as("n"))
     }),
 
@@ -239,7 +240,8 @@ object Analytic extends QueryPack {
          |  FROM customer GROUP BY c_mktsegment) t""".stripMargin,
 
     "q_agg_collect" ->
-      """SELECT n_regionkey, list_sort(list(n_name)) AS nations, COUNT(*) AS n
+      """SELECT n_regionkey, array_to_string(list_sort(list(n_name)), ',')
+        |    AS nations, COUNT(*) AS n
         |FROM nation GROUP BY n_regionkey""".stripMargin,
 
     "q_agg_minmax" ->

@@ -25,18 +25,25 @@ object Extras extends QueryPack {
           (unix_timestamp($"ts") / 60).cast("long").as("epoch_min"))
     }),
 
-    // Array expression battery + struct output.
+    // Array expression battery + struct output. Array/struct columns are
+    // built with the real array/struct ops, then serialized to strings for
+    // the compared output — the driver's pandas-based hasher cannot sort
+    // array- or struct-typed columns.
     "q_array_funcs" -> ((s, dir) => {
       import s.implicits._
       Tables.load(s, dir, "documents")
         .filter($"doc_id" < 50)
         .select($"doc_id",
           size(split($"text", " ")).as("n"),
-          slice(split($"text", " "), 1, 3).as("first3"),
+          slice(split($"text", " "), 1, 3).as("first3_arr"),
           array_contains(split($"text", " "), "spark").as("has_spark"),
           element_at(split($"text", " "), -1).as("last_word"),
           array_position(split($"text", " "), "data").cast("long").as("data_pos"),
-          struct($"lang".as("l"), $"source".as("s")).as("meta"))
+          struct($"lang".as("l"), $"source".as("s")).as("meta_struct"))
+        .select($"doc_id", $"n",
+          array_join($"first3_arr", " ").as("first3"),
+          $"has_spark", $"last_word", $"data_pos",
+          concat_ws("|", $"meta_struct.l", $"meta_struct.s").as("meta"))
     }),
 
     // Null semantics: NULLIF-generated nulls, null-safe equality,
@@ -64,15 +71,19 @@ object Extras extends QueryPack {
           count(lit(1)).as("n"))
     }),
 
-    // Approximate distinct: engine-specific sketch → rows-only check
-    // (no oracleSql entry on purpose; exact companion is oracle-checked
-    // in q_agg_minmax).
+    // Approximate distinct. HLL++ sketch values are engine-specific, so the
+    // compared output carries the exact count plus a tolerance check on the
+    // sketch (|approx-exact| <= 15% of exact — 3x the default 5% rsd); the
+    // oracle asserts the exact column and that the bound held.
     "q_agg_approx" -> ((s, dir) => {
       import s.implicits._
       Tables.load(s, dir, "lineitem")
         .groupBy($"l_returnflag")
         .agg(approx_count_distinct($"l_partkey").as("approx_parts"),
           countDistinct($"l_partkey").as("exact_parts"))
+        .select($"l_returnflag", $"exact_parts",
+          (abs($"approx_parts" - $"exact_parts") <=
+            $"exact_parts" * 0.15).as("approx_within_tol"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -88,11 +99,11 @@ object Extras extends QueryPack {
       """WITH t AS (SELECT doc_id, lang, source,
         |    regexp_split_to_array(text, ' ') AS w FROM documents
         |  WHERE doc_id < 50)
-        |SELECT doc_id, len(w) AS n, w[1:3] AS first3,
+        |SELECT doc_id, len(w) AS n, array_to_string(w[1:3], ' ') AS first3,
         |  list_contains(w, 'spark') AS has_spark,
         |  w[-1] AS last_word,
         |  CAST(coalesce(list_position(w, 'data'), 0) AS BIGINT) AS data_pos,
-        |  {'l': lang, 's': source} AS meta
+        |  concat_ws('|', lang, source) AS meta
         |FROM t""".stripMargin,
 
     "q_null_semantics" ->
@@ -101,6 +112,11 @@ object Extras extends QueryPack {
         |  COUNT(CASE WHEN NULLIF(o_orderstatus, 'P') IS NOT DISTINCT FROM
         |    NULL THEN 1 END) AS n_nullsafe_null
         |FROM orders GROUP BY 1""".stripMargin,
+
+    "q_agg_approx" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS approx_within_tol
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q_regexp_stragg" ->
       """SELECT c_mktsegment,

@@ -27,32 +27,38 @@ object Multimodal extends QueryPack {
     "q_media_frames" -> ((s, dir) =>
       MediaOps.frameSample(mediaDF(s, dir), 4).toDF()),
 
-    // integer byte-histogram embedding
+    // integer byte-histogram embedding; serialized to a CSV string so the
+    // driver harness (pandas sort) can hash-compare it — arrays are
+    // unhashable on its side.
     "q_media_hist" -> ((s, dir) =>
-      MediaOps.histogram(mediaDF(s, dir)).toDF()))
+      MediaOps.histogram(mediaDF(s, dir)).toDF()
+        .select(col("id"),
+          array_join(col("hist").cast("array<string>"), ",").as("hist"))))
 
   private val oCodes =
     "[ascii(text[i]) for i in generate_series(1, length(text))]"
 
   def oracleSql: Map[String, String] = Map(
+    // NOTE: DuckDB list_sum returns HUGEINT (int128); the driver hashes the
+    // physical type, so every sum is CAST to BIGINT to match Spark's LongType.
     "q_media_features" ->
       s"""SELECT doc_id AS id, length(text) AS n_bytes, md5(text) AS digest,
-         |  list_sum($oCodes) AS byte_sum,
+         |  CAST(list_sum($oCodes) AS BIGINT) AS byte_sum,
          |  CAST(list_sum($oCodes) % 640 AS INT) AS fake_width,
          |  CAST(length(text) % 480 AS INT) AS fake_height
          |FROM documents""".stripMargin,
 
     "q_media_frames" ->
       s"""SELECT doc_id AS id, f.i AS frame_idx,
-         |  coalesce(list_sum([ascii(text[j]) for j in
+         |  CAST(coalesce(list_sum([ascii(text[j]) for j in
          |    generate_series((f.i * length(text)) // 4 + 1,
          |                    ((f.i + 1) * length(text)) // 4)]), 0)
-         |    AS chunk_sum
+         |    AS BIGINT) AS chunk_sum
          |FROM documents CROSS JOIN generate_series(0, 3) f(i)""".stripMargin,
 
     "q_media_hist" ->
       s"""SELECT doc_id AS id,
-         |  [CAST(len(list_filter($oCodes, c -> c // 32 = b)) AS BIGINT)
-         |   for b in generate_series(0, 7)] AS hist
+         |  array_to_string([CAST(len(list_filter($oCodes, c -> c // 32 = b))
+         |      AS BIGINT) for b in generate_series(0, 7)], ',') AS hist
          |FROM documents""".stripMargin)
 }

@@ -172,8 +172,8 @@ object TextAnalysis extends QueryPack {
           |     for x in w] AS codes
           |  FROM t)
           |SELECT doc_id,
-          |  list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
-          |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+          |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+          |    (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS fingerprint
           |FROM c""".stripMargin,
 
       "q_text_tfdf" ->
