@@ -208,8 +208,13 @@ object JdbcUpsert {
     val params = cols.map(_ => "?").mkString(", ")
     val updates = cols.filterNot(pk.contains)
       .map(c => s"$c = VALUES($c)").mkString(", ")
-    s"INSERT INTO $table ($collist) VALUES ($params) " +
-      s"ON DUPLICATE KEY UPDATE $updates"
+    // key-only table: nothing to update on conflict → insert-if-absent
+    // (an empty ON DUPLICATE KEY UPDATE list is a syntax error)
+    if (updates.isEmpty)
+      s"INSERT IGNORE INTO $table ($collist) VALUES ($params)"
+    else
+      s"INSERT INTO $table ($collist) VALUES ($params) " +
+        s"ON DUPLICATE KEY UPDATE $updates"
   }
 
   /** ANSI MERGE upsert; `sqlTypes` aligns with cols (Derby requires typed
@@ -224,8 +229,10 @@ object JdbcUpsert {
       .map(c => s"t.$c = v.$c").mkString(", ")
     val insCols = cols.mkString(", ")
     val insVals = cols.map(c => s"v.$c").mkString(", ")
-    s"MERGE INTO $table t USING $src ON $on " +
-      s"WHEN MATCHED THEN UPDATE SET $sets " +
+    // key-only table: no WHEN MATCHED clause (empty SET list is invalid)
+    val matched =
+      if (sets.isEmpty) "" else s"WHEN MATCHED THEN UPDATE SET $sets "
+    s"MERGE INTO $table t USING $src ON $on " + matched +
       s"WHEN NOT MATCHED THEN INSERT ($insCols) VALUES ($insVals)"
   }
 
@@ -250,11 +257,16 @@ object JdbcUpsert {
     dialect match {
       case "two-step" =>
         // Portable UPDATE-then-INSERT (works on any JDBC store, incl.
-        // Derby which restricts MERGE sources to base tables).
+        // Derby which restricts MERGE sources to base tables). Key-only
+        // tables have no SET list, so probe existence instead.
         val nonPk = cols.filterNot(pk.contains)
-        val updSql = s"UPDATE $table SET " +
-          nonPk.map(c => s"$c = ?").mkString(", ") +
-          " WHERE " + pk.map(k => s"$k = ?").mkString(" AND ")
+        val probeSql =
+          if (nonPk.isEmpty)
+            s"SELECT 1 FROM $table WHERE " +
+              pk.map(k => s"$k = ?").mkString(" AND ")
+          else
+            s"UPDATE $table SET " + nonPk.map(c => s"$c = ?").mkString(", ") +
+              " WHERE " + pk.map(k => s"$k = ?").mkString(" AND ")
         val insSql = s"INSERT INTO $table (${cols.mkString(", ")}) VALUES " +
           cols.map(_ => "?").mkString("(", ", ", ")")
         val colIdx = cols.zipWithIndex.toMap
@@ -262,13 +274,18 @@ object JdbcUpsert {
           if (rows.hasNext) {
             val conn = java.sql.DriverManager.getConnection(url, user, pass)
             try {
-              val upd = conn.prepareStatement(updSql)
+              val probe = conn.prepareStatement(probeSql)
               val ins = conn.prepareStatement(insSql)
               rows.foreach { r =>
                 (nonPk ++ pk).zipWithIndex.foreach { case (c, i) =>
-                  upd.setObject(i + 1, r.get(colIdx(c)))
+                  probe.setObject(i + 1, r.get(colIdx(c)))
                 }
-                if (upd.executeUpdate() == 0) {
+                val exists =
+                  if (nonPk.isEmpty) {
+                    val rs = probe.executeQuery()
+                    try rs.next() finally rs.close()
+                  } else probe.executeUpdate() > 0
+                if (!exists) {
                   cols.zipWithIndex.foreach { case (c, i) =>
                     ins.setObject(i + 1, r.get(colIdx(c)))
                   }
@@ -299,6 +316,33 @@ object JdbcUpsert {
             } finally conn.close()
           }
         }
+    }
+  }
+
+  /** Executor-side keyed DELETE: every column of `df` is a key column of
+    * the WHERE clause. The changelog-apply path routes `op='d'` rows here
+    * so CDC deletes reach the same keyed JDBC table the upserts target.
+    */
+  def delete(df: Dataset[Row], spec: TableSpec): Unit = {
+    val table = spec.options.getOrElse("table-name", spec.name)
+    val url = spec.options.getOrElse("url", "")
+    val user = spec.options.getOrElse("username", "")
+    val pass = spec.options.getOrElse("password", "")
+    val sql = s"DELETE FROM $table WHERE " +
+      df.columns.map(k => s"$k = ?").mkString(" AND ")
+    df.foreachPartition { rows: Iterator[Row] =>
+      if (rows.hasNext) {
+        val conn = java.sql.DriverManager.getConnection(url, user, pass)
+        try {
+          val ps = conn.prepareStatement(sql)
+          rows.foreach { r =>
+            (0 until r.length).foreach(i => ps.setObject(i + 1, r.get(i)))
+            ps.addBatch()
+          }
+          ps.executeBatch()
+          ()
+        } finally conn.close()
+      }
     }
   }
 }

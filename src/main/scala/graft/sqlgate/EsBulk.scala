@@ -42,8 +42,11 @@ object EsBulk {
     rows.foreach { r =>
       val action =
         if (pk.nonEmpty) {
-          val id = jsonEscape(pkIdx.map(i => String.valueOf(r.get(i)))
-            .mkString("|"))
+          // encodeKey escapes the delimiter and preserves nulls, so
+          // composite keys like ("a|b","c") and ("a","b|c") get distinct
+          // _ids — same scheme as the keyed upsert store.
+          val id = jsonEscape(
+            graft.streaming.StreamOps.encodeKey(pkIdx.map(r.get)))
           s"""{"index":{"_index":"${jsonEscape(index)}","_id":"$id"}}"""
         } else s"""{"index":{"_index":"${jsonEscape(index)}"}}"""
       val doc = cols.zipWithIndex.map { case (c, i) =>
@@ -54,15 +57,25 @@ object EsBulk {
     sb.toString
   }
 
-  /** foreachBatch writer: build the bulk body per partition and hand it
-    * to `post` (in production an HTTP POST to `<host>/_bulk`).
+  /** Max documents per `_bulk` request — bounds request size the way the
+    * reference's connector batches do, independent of partition size.
+    */
+  val MaxDocsPerRequest = 500
+
+  /** foreachBatch writer: each executor partition builds and POSTs its own
+    * `_bulk` payloads (in production an HTTP POST to `<host>/_bulk`), in
+    * chunks of [[MaxDocsPerRequest]]. Nothing is materialized on the
+    * driver, so batch size is bounded by partition size, not cluster
+    * output. `post` runs on executors and must be serializable.
     */
   def writer(index: String, pk: Seq[String], post: String => Unit)(
       batch: Dataset[Row], batchId: Long): Unit = {
     val cols = batch.columns.toSeq
-    batch.collect().grouped(500).foreach { chunk =>
-      val body = bulkBody(index, cols, pk, chunk.iterator)
-      if (body.nonEmpty) post(body)
+    batch.foreachPartition { (it: Iterator[Row]) =>
+      it.grouped(MaxDocsPerRequest).foreach { chunk =>
+        val body = bulkBody(index, cols, pk, chunk.iterator)
+        if (body.nonEmpty) post(body)
+      }
     }
   }
 }
