@@ -208,10 +208,13 @@ object JdbcUpsert {
     val params = cols.map(_ => "?").mkString(", ")
     val updates = cols.filterNot(pk.contains)
       .map(c => s"$c = VALUES($c)").mkString(", ")
-    // key-only table: nothing to update on conflict → insert-if-absent
-    // (an empty ON DUPLICATE KEY UPDATE list is a syntax error)
+    // key-only table: nothing to update on conflict → no-op update of the
+    // first PK column (an empty ON DUPLICATE KEY UPDATE list is a syntax
+    // error; INSERT IGNORE would swallow FK/truncation errors too, not
+    // just duplicate keys)
     if (updates.isEmpty)
-      s"INSERT IGNORE INTO $table ($collist) VALUES ($params)"
+      s"INSERT INTO $table ($collist) VALUES ($params) " +
+        s"ON DUPLICATE KEY UPDATE ${pk.head} = ${pk.head}"
     else
       s"INSERT INTO $table ($collist) VALUES ($params) " +
         s"ON DUPLICATE KEY UPDATE $updates"
@@ -244,6 +247,18 @@ object JdbcUpsert {
       case "string" => "VARCHAR(255)"
       case "boolean" => "BOOLEAN"
       case other => other.toUpperCase
+    }
+
+  /** java.sql.Types code for typed setNull (drivers like Derby reject an
+    * untyped setObject(i, null)).
+    */
+  private def sqlTypeCode(dt: org.apache.spark.sql.types.DataType): Int =
+    dt.typeName match {
+      case "long" => java.sql.Types.BIGINT
+      case "integer" => java.sql.Types.INTEGER
+      case "double" => java.sql.Types.DOUBLE
+      case "boolean" => java.sql.Types.BOOLEAN
+      case _ => java.sql.Types.VARCHAR
     }
 
   def upsert(df: Dataset[Row], spec: TableSpec): Unit = {
@@ -320,8 +335,12 @@ object JdbcUpsert {
   }
 
   /** Executor-side keyed DELETE: every column of `df` is a key column of
-    * the WHERE clause. The changelog-apply path routes `op='d'` rows here
-    * so CDC deletes reach the same keyed JDBC table the upserts target.
+    * the WHERE clause. [[graft.streaming.CdcOps.applyChangelogJdbc]]
+    * routes `op='d'` rows here so CDC deletes reach the same keyed JDBC
+    * table the upserts target. The predicate is null-safe: a NULL key
+    * component matches NULL-keyed rows instead of silently never matching
+    * (plain `k = NULL` is UNKNOWN under SQL semantics) — each key binds
+    * the value plus an is-null flag, portable across dialects.
     */
   def delete(df: Dataset[Row], spec: TableSpec): Unit = {
     val table = spec.options.getOrElse("table-name", spec.name)
@@ -329,14 +348,24 @@ object JdbcUpsert {
     val user = spec.options.getOrElse("username", "")
     val pass = spec.options.getOrElse("password", "")
     val sql = s"DELETE FROM $table WHERE " +
-      df.columns.map(k => s"$k = ?").mkString(" AND ")
+      df.columns.map(k => s"($k = ? OR ($k IS NULL AND ? = 1))")
+        .mkString(" AND ")
+    val typeCodes = df.schema.fields.map(f => sqlTypeCode(f.dataType))
     df.foreachPartition { rows: Iterator[Row] =>
       if (rows.hasNext) {
         val conn = java.sql.DriverManager.getConnection(url, user, pass)
         try {
           val ps = conn.prepareStatement(sql)
           rows.foreach { r =>
-            (0 until r.length).foreach(i => ps.setObject(i + 1, r.get(i)))
+            (0 until r.length).foreach { i =>
+              if (r.isNullAt(i)) {
+                ps.setNull(2 * i + 1, typeCodes(i))
+                ps.setInt(2 * i + 2, 1)
+              } else {
+                ps.setObject(2 * i + 1, r.get(i))
+                ps.setInt(2 * i + 2, 0)
+              }
+            }
             ps.addBatch()
           }
           ps.executeBatch()

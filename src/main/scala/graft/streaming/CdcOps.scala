@@ -51,21 +51,19 @@ object CdcOps {
     def clear(name: String): Unit = tables.remove(name)
   }
 
-  /** foreachBatch function MERGE-ing a decoded changelog batch into
-    * StateStore(table). Batch rows must carry (op, ts_ms, before, after).
-    * Last event per key wins in-batch, ordered by ts_ms then `seqCol`
-    * when given (pass the Kafka offset column for true binlog order —
-    * the fallback monotonic id only breaks same-millisecond ties within
-    * a partition, not across partitions). Tombstones (null value → null
-    * envelope) and undecodable rows are dropped: a Debezium tombstone
-    * follows the 'd' event it shadows.
+  /** In-batch reduce-to-last-per-key: drops tombstones/garbage, then
+    * keeps the newest event per key ordered by ts_ms then `seqCol` when
+    * given (pass the Kafka offset column for true binlog order — the
+    * fallback monotonic id only breaks same-millisecond ties within a
+    * partition, not across partitions). One shuffle keyed by the PK;
+    * output is one (op, before, after) row per key — bounded by in-batch
+    * key cardinality, never by changelog length.
     */
-  def applyChangelog(table: String, keyCols: Seq[String],
-      seqCol: Option[String] = None)(
-      batch: Dataset[Row], batchId: Long): Unit = {
+  def lastPerKey(batch: Dataset[Row], keyCols: Seq[String],
+      seqCol: Option[String] = None): DataFrame = {
     val spark = batch.sparkSession
     import spark.implicits._
-    val withKey = batch
+    batch
       .filter($"op".isNotNull &&
         ($"op" === "d" || col("after").isNotNull)) // drop tombstone/garbage
       .withColumn("__key", struct(keyCols.map(k =>
@@ -73,13 +71,25 @@ object CdcOps {
           .as(k)): _*))
       .withColumn("__seq",
         seqCol.map(col).getOrElse(monotonically_increasing_id()))
-    val last = withKey
       .withColumn("__rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy($"__key").orderBy($"ts_ms".desc, $"__seq".desc)))
       .filter($"__rn" === 1)
-      .select($"__key", $"op", $"after")
-      .collect() // one row per key per batch — bounded by key cardinality
+      .select($"__key", $"op", $"before", $"after")
+  }
+
+  /** foreachBatch function MERGE-ing a decoded changelog batch into
+    * StateStore(table) — the TEST-ONLY stand-in for a keyed JDBC/Delta
+    * table (the production path is [[applyChangelogJdbc]]). Batch rows
+    * must carry (op, ts_ms, before, after). A Debezium tombstone follows
+    * the 'd' event it shadows, so dropping it is safe.
+    */
+  def applyChangelog(table: String, keyCols: Seq[String],
+      seqCol: Option[String] = None)(
+      batch: Dataset[Row], batchId: Long): Unit = {
+    val last = lastPerKey(batch, keyCols, seqCol)
+      .select(col("__key"), col("op"), col("after"))
+      .collect() // test-only store: one row per key per batch
     val t = StateStore.table(table)
     last.foreach { r =>
       // unambiguous key: struct values escaped + delimited (null-safe)
@@ -89,6 +99,33 @@ object CdcOps {
         case _   => t(key) = r.getStruct(2) // c / u / r upsert after-image
       }
     }
+  }
+
+  /** PRODUCTION changelog materialization: foreachBatch function MERGE-ing
+    * a decoded changelog batch into a real keyed JDBC table through
+    * [[graft.sqlgate.JdbcUpsert]] — demo_6's MySQL-CDC → keyed-upsert
+    * pipeline (`demo_6.md:87-226`) with a transactional store instead of
+    * the in-memory test stand-in. Upserts (c/u/r) flatten the after-image
+    * and go through the spec's upsert dialect; deletes route the key
+    * columns (before-image, original types) to a null-safe keyed DELETE.
+    * All data movement is executor-side (foreachPartition inside
+    * JdbcUpsert); nothing is collected to the driver. After the in-batch
+    * reduce each key appears exactly once, so upsert-then-delete order
+    * across *different* keys cannot conflict.
+    */
+  def applyChangelogJdbc(spec: graft.sqlgate.TableSpec, keyCols: Seq[String],
+      seqCol: Option[String] = None)(
+      batch: Dataset[Row], batchId: Long): Unit = {
+    val last = lastPerKey(batch, keyCols, seqCol)
+      // one row per key: safe to cache the tiny reduced frame for two scans
+      .persist()
+    try {
+      val ups = last.filter(col("op") =!= "d").select(col("after.*"))
+      if (!ups.isEmpty) graft.sqlgate.JdbcUpsert.upsert(ups, spec)
+      val dels = last.filter(col("op") === "d").select(keyCols.map(k =>
+        coalesce(col(s"before.$k"), col(s"after.$k")).as(k)): _*)
+      if (!dels.isEmpty) graft.sqlgate.JdbcUpsert.delete(dels, spec)
+    } finally { last.unpersist(); () }
   }
 
   /** Debezium envelope ENCODE — the changelog-out side (`upsert-kafka` /

@@ -94,6 +94,79 @@ class CdcSpec extends SparkSpec {
     assert(d.getStruct(2).getDouble(2) == 11.0)
   }
 
+  test("applyChangelogJdbc materializes c/u/d into a live Derby keyed table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val url = "jdbc:derby:memory:cdcdb;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try conn.createStatement().execute(
+      "CREATE TABLE products_cdc (id BIGINT PRIMARY KEY, " +
+        "name VARCHAR(64), price DOUBLE)")
+    finally conn.close()
+    val spec = graft.sqlgate.TableSpec.parse(
+      s"""CREATE TABLE products_cdc (id BIGINT, name VARCHAR, price DOUBLE,
+         |  PRIMARY KEY (id) NOT ENFORCED) WITH (
+         |  'connector' = 'jdbc', 'url' = '$url',
+         |  'table-name' = 'products_cdc', 'dialect' = 'two-step')""".stripMargin)
+
+    def scan() = graft.sqlgate.Connectors
+      .source(spark, spec, streaming = false)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .sortBy(_._1)
+
+    val in = MemoryStream[CdcRaw]
+    val q = CdcOps.decodeDebezium(in.toDF(), productSchema).writeStream
+      .foreachBatch(CdcOps.applyChangelogJdbc(spec, Seq("id")) _)
+      .outputMode("append").start()
+    try {
+      // batch 1: two inserts + an in-batch update of id=1 (last-wins)
+      in.addData(
+        dz("c", 1000, "null", """{"id":1,"name":"scooter","price":3.25}"""),
+        dz("c", 1001, "null", """{"id":2,"name":"hammer","price":11.0}"""),
+        dz("u", 1002, """{"id":1,"name":"scooter","price":3.25}""",
+          """{"id":1,"name":"scooter","price":5.0}"""))
+      q.processAllAvailable()
+      assert(scan().toSeq == Seq(
+        (1L, "scooter", 5.0), (2L, "hammer", 11.0)))
+      // batch 2: delete id=2 (before-image key), insert id=3
+      in.addData(
+        dz("d", 2000, """{"id":2,"name":"hammer","price":11.0}""", "null"),
+        dz("c", 2001, "null", """{"id":3,"name":"wrench","price":7.5}"""))
+      q.processAllAvailable()
+      assert(scan().toSeq == Seq(
+        (1L, "scooter", 5.0), (3L, "wrench", 7.5)))
+      // retraction-aware aggregate = aggregate over the materialized
+      // table (demo_6's SUM survives the update and the delete)
+      val total = graft.sqlgate.Connectors
+        .source(spark, spec, streaming = false)
+        .agg(sum($"price")).collect().head.getDouble(0)
+      assert(total == 12.5)
+    } finally q.stop()
+  }
+
+  test("JDBC keyed delete predicate is null-safe") {
+    import spark.implicits._
+    val url = "jdbc:derby:memory:cdcnull;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE kv_nullkey (k VARCHAR(16), v INT)")
+      st.execute("INSERT INTO kv_nullkey VALUES ('a', 1)")
+      st.execute("INSERT INTO kv_nullkey VALUES (NULL, 2)")
+      st.execute("INSERT INTO kv_nullkey VALUES ('b', 3)")
+    } finally conn.close()
+    val spec = graft.sqlgate.TableSpec.parse(
+      s"""CREATE TABLE kv_nullkey (k VARCHAR, v INT) WITH (
+         |  'connector' = 'jdbc', 'url' = '$url',
+         |  'table-name' = 'kv_nullkey')""".stripMargin)
+    // delete by a NULL key: plain `k = ?` would never match (SQL NULL)
+    graft.sqlgate.JdbcUpsert.delete(
+      Seq(Option.empty[String], Some("a")).toDF("k"), spec)
+    val left = graft.sqlgate.Connectors.source(spark, spec, streaming = false)
+      .collect().map(_.getInt(1)).sorted.toSeq
+    assert(left == Seq(3)) // NULL-keyed and 'a' rows deleted, 'b' kept
+  }
+
   test("delete of an absent key and reinsert after delete are safe") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
