@@ -59,8 +59,9 @@ for name in sorted(oracle):
         gstr = [tuple(map(str, r)) for r in gdf.itertuples(index=False)]
         estr = [tuple(map(str, r)) for r in edf.itertuples(index=False)]
         if sorted(gstr) != sorted(estr):
-            diff = next((a, b) for a, b in zip(sorted(gstr), sorted(estr))
-                        if a != b)
+            diff = next(((a, b) for a, b in zip(sorted(gstr), sorted(estr))
+                         if a != b),
+                        ('<row-count>', f'{len(gstr)} vs {len(estr)} rows'))
             print(f"FAIL {name}: pandas-form mismatch; first diff "
                   f"got={diff[0]} exp={diff[1]}")
             n_fail += 1

@@ -70,6 +70,31 @@ object Connectors {
         loaded.select(
           from_json(col("value").cast("string"), spec.schema).as("v"))
           .select(col("v.*"))
+      case "mysql-cdc" =>
+        // No binlog client exists in this environment; the gate emulates
+        // the connector by replaying a debezium-json changelog (one
+        // envelope per line, the exact wire format the reference's CDC
+        // jobs consume — `demo_6.md:87-99,186-204`) to its current
+        // snapshot: decode → last event per key → drop deletes. A batch
+        // read therefore sees the same rows a Flink job sees after binlog
+        // catch-up. Continuous materialization into a keyed store is
+        // graft.streaming.CdcOps.applyChangelogJdbc.
+        val path = spec.options.getOrElse("changelog-path",
+          throw new IllegalArgumentException(
+            s"mysql-cdc table ${spec.name}: no binlog client in this " +
+              "environment; set 'changelog-path' to a debezium-json " +
+              "changelog file/dir to replay"))
+        require(!streaming,
+          s"mysql-cdc table ${spec.name}: snapshot replay is batch-only; " +
+            "use CdcOps.applyChangelogJdbc for continuous materialization")
+        require(spec.primaryKey.nonEmpty,
+          s"mysql-cdc table ${spec.name}: PRIMARY KEY required (changelog " +
+            "replay is keyed)")
+        val decoded = graft.streaming.CdcOps.decodeDebezium(
+          spark.read.text(path), spec.schema)
+        graft.streaming.CdcOps.lastPerKey(decoded, spec.primaryKey)
+          .filter(col("op") =!= "d")
+          .select(col("after.*"))
       case "jdbc" =>
         val r = spark.read.format("jdbc")
           .option("url", spec.options.getOrElse("url", ""))
@@ -88,7 +113,10 @@ object Connectors {
   private def withDerived(spec: TableSpec, df: DataFrame): DataFrame = {
     val withComputed = spec.computed.foldLeft(df) { case (d, (name, ex)) =>
       val sparkExpr = ex.trim match {
-        case e if e.equalsIgnoreCase("PROCTIME()") => "current_timestamp()"
+        // whitespace-tolerant: the demos write both PROCTIME() and
+        // PROCTIME () (demo_2.md:31)
+        case e if e.replaceAll("\\s+", "").equalsIgnoreCase("PROCTIME()") =>
+          "current_timestamp()"
         case e if e.equalsIgnoreCase("localtimestamp") => "localtimestamp()"
         case e => e
       }

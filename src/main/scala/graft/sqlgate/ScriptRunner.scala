@@ -113,13 +113,23 @@ class ScriptRunner(spark: SparkSession,
           val sinkName = m.group(2).replace("`", "")
           val colList = Option(m.group(3)).map(_.stripPrefix("(")
             .stripSuffix(")").split(",").map(_.trim.replace("`", "")).toSeq)
-          val query = m.group(4)
+          val query = FlinkSqlRewrite(m.group(4))
           registry.get(sinkName) match {
             case Some(sink) =>
               instantiateSources(query)
               val df0 = spark.sql(query)
-              // explicit column list renames the query output positionally
-              val df = colList.fold(df0)(cs => df0.toDF(cs: _*))
+              // Flink INSERT maps the query output to the sink schema by
+              // POSITION, not by name (a `COUNT(x)` with no alias lands in
+              // the declared column): an explicit column list renames to
+              // that list, otherwise the sink DDL's declared columns do.
+              val df = colList match {
+                case Some(cs) => df0.toDF(cs: _*)
+                case None =>
+                  val declared = sink.columns.map(_._1)
+                  if (declared.nonEmpty && declared.size == df0.columns.length)
+                    df0.toDF(declared: _*)
+                  else df0
+              }
               inserts += ((sink, df, overwrite))
             case None if spark.catalog.tableExists(sinkName) =>
               // catalog (managed/Hive) table: eager Spark SQL INSERT —
@@ -127,7 +137,7 @@ class ScriptRunner(spark: SparkSession,
               // sources must be batch DataFrames here regardless of the
               // runner mode: an eager INSERT cannot read streaming views.
               instantiateSources(query, forceBatch = true)
-              spark.sql(c.text)
+              spark.sql(FlinkSqlRewrite(c.text))
             case None =>
               throw new IllegalArgumentException(
                 s"unknown sink table: $sinkName")
@@ -172,16 +182,29 @@ class ScriptRunner(spark: SparkSession,
     RunResult(started.toSeq, shown.toSeq, confs.toMap)
   }
 
+  /** Exact table references of a query: parse (not analyze) the SQL and
+    * collect `UnresolvedRelation` names, traversing expression subqueries
+    * too. Names inside string literals or comments can't false-positive
+    * (the old word-boundary regex did), and backtick-quoted names with
+    * special characters resolve exactly.
+    */
+  private def referencedTables(query: String): Set[String] = {
+    val plan = spark.sessionState.sqlParser.parsePlan(query)
+    plan.collectWithSubqueries {
+      case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
+        r.multipartIdentifier.last.toLowerCase(java.util.Locale.ROOT)
+    }.toSet
+  }
+
   /** Register every referenced registry table as a temp view so the
     * INSERT's SELECT resolves source tables through the registry.
     */
   private def instantiateSources(query: String,
       forceBatch: Boolean = false): Unit = {
+    val refs = referencedTables(query)
     registry.foreach { case (name, spec) =>
-      val referenced = ("""(?i)\b""" + java.util.regex.Pattern.quote(name) +
-        """\b""").r.findFirstIn(query).isDefined
-      if (referenced && !sourcesInstantiated.contains(name) &&
-        !isSinkOnly(spec)) {
+      if (refs.contains(name.toLowerCase(java.util.Locale.ROOT)) &&
+        !sourcesInstantiated.contains(name) && !isSinkOnly(spec)) {
         val df = Connectors.source(spark, spec,
           streaming = !batchMode && !forceBatch)
         df.createOrReplaceTempView(name)

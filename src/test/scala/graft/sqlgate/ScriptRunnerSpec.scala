@@ -256,6 +256,24 @@ class ScriptRunnerSpec extends SparkSpec {
     assert(e.getMessage.contains("SELECT"))
   }
 
+  test("source resolution is exact: a table name inside a string literal is not a reference") {
+    val runner = new ScriptRunner(spark, batchMode = true)
+    // 'lit_ghost' is registered but only appears inside a string literal —
+    // the parse-based resolver must NOT instantiate it (the old
+    // word-boundary regex did, and its bogus path would explode here)
+    runner.run(
+      """CREATE TABLE lit_ghost (x INT) WITH (
+        |  'connector' = 'filesystem', 'path' = '/nonexistent/path/zzz',
+        |  'format' = 'parquet');
+        |CREATE TABLE lit_src (id BIGINT) WITH (
+        |  'connector' = 'datagen', 'number-of-rows' = '2',
+        |  'fields.id.kind' = 'sequence', 'fields.id.start' = '0');
+        |CREATE TABLE lit_snk (tag VARCHAR, id BIGINT) WITH ('connector' = 'memory');
+        |INSERT INTO lit_snk SELECT 'lit_ghost rocks' AS tag, id FROM lit_src;
+        |""".stripMargin)
+    assert(spark.table("lit_snk_out").count() == 2)
+  }
+
   test("SHOW statements route through spark.sql; SHOW MODULES lists registry") {
     val runner = new ScriptRunner(spark, batchMode = true)
     val res = runner.run(
