@@ -15,11 +15,32 @@ import scala.collection.concurrent.TrieMap
   * replaces REST polling (`SchedulerTask.java:47-128`).
   */
 class JobManager(spark: SparkSession, checkpointRoot: String,
-    savepointRoot: String, vars: Map[String, String] = Map.empty) {
+    savepointRoot: String, vars: Map[String, String] = Map.empty,
+    registry: Option[JobRegistry] = None) {
 
   import JobManager._
 
   private val jobs = TrieMap[String, JobState]()
+
+  // Recovery (the reference's restart-survival via MySQL): adopt every
+  // persisted job. A job that was RUNNING/STARTING when the previous
+  // process died has no surviving queries — mark it FAILED (honest
+  // status; its checkpoint/savepoint pointers stay intact so
+  // restartFromSavepoint can resume it).
+  registry.foreach { reg =>
+    reg.loadAll().foreach { st =>
+      val adopted =
+        if (st.status == Running || st.status == Starting)
+          st.copy(status = Failed, version = st.version + 1)
+        else st
+      jobs(adopted.id) = adopted
+      if (adopted ne st) {
+        reg.save(adopted)
+        reg.logRun(adopted.id, "RECOVERED_AS_FAILED",
+          "process restart found job marked active with no live queries")
+      }
+    }
+  }
   private val queryToJob = TrieMap[java.util.UUID, String]()
   // alarm fan-out (DingDing/HTTP callbacks of the reference's
   // web-alarm module → pluggable handlers here)
@@ -80,6 +101,9 @@ class JobManager(spark: SparkSession, checkpointRoot: String,
       val ckpt = restoreCheckpoint.getOrElse(s"$checkpointRoot/$id")
       jobs(id) = JobState(id, name, script, Starting, version = 1,
         checkpointDir = ckpt, queries = Nil, autoRestart = autoRestart)
+      registry.foreach { r =>
+        r.save(jobs(id)); r.logRun(id, "START", name)
+      }
       (id, new ScriptRunner(spark, Some(ckpt), batchMode))
     }
     try {
@@ -118,6 +142,7 @@ class JobManager(spark: SparkSession, checkpointRoot: String,
         else None
       transition(id, Running, Stopped)(s =>
         s.copy(lastSavepoint = sp.orElse(s.lastSavepoint)))
+      registry.foreach(_.logRun(id, "STOP", sp.getOrElse("")))
       sp
     }
 
@@ -152,6 +177,7 @@ class JobManager(spark: SparkSession, checkpointRoot: String,
           st.queries.foreach(q => try q.stop() catch { case _: Throwable => () })
           st.queries.foreach(q => queryToJob.remove(q.id))
           transition(id, Running, Failed)(identity)
+          registry.foreach(_.logRun(id, "FAILED", reason))
           fireAlarm(AlarmEvent(id, st.name, "JOB_FAILED", reason))
           st.autoRestart
         case _ => false
@@ -186,6 +212,75 @@ class JobManager(spark: SparkSession, checkpointRoot: String,
       throw new IllegalStateException(
         s"optimistic lock failure: job $id is ${cur.status}, expected $from")
     jobs(id) = f(cur).copy(status = to, version = cur.version + 1)
+    registry.foreach(_.save(jobs(id)))
+  }
+
+  /** Periodic reconciliation + auto-savepoint — the reference's
+    * `SchedulerTask.java:47-128` (liveness poll every few minutes, hourly
+    * checkpoint snapshot) as a daemon scheduler over this manager.
+    * Returns a handle; close() stops the scheduler.
+    */
+  def startScheduler(reconcileIntervalMs: Long,
+      savepointIntervalMs: Long): AutoCloseable = {
+    val exec = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-job-scheduler"); t.setDaemon(true); t
+      })
+    def safely(f: () => Unit): Runnable = () =>
+      try f() catch { case _: Throwable => () } // one bad tick ≠ dead schedule
+    exec.scheduleWithFixedDelay(safely(() => reconcile()),
+      reconcileIntervalMs, reconcileIntervalMs,
+      java.util.concurrent.TimeUnit.MILLISECONDS)
+    exec.scheduleWithFixedDelay(safely(() => autoSavepoint()),
+      savepointIntervalMs, savepointIntervalMs,
+      java.util.concurrent.TimeUnit.MILLISECONDS)
+    () => { exec.shutdownNow(); () }
+  }
+
+  /** One reconciliation pass: a job the registry says is RUNNING whose
+    * queries are all inactive (terminated without an exception reaching
+    * the listener — e.g. stopped behind the manager's back) is wedged;
+    * flip it to STOPPED and raise an alarm, like the reference flipping
+    * DB status when the cluster API no longer knows the job.
+    */
+  private[platform] def reconcile(): Unit = lifecycleLock.synchronized {
+    jobs.values.filter(_.status == Running).foreach { st =>
+      if (st.queries.nonEmpty && st.queries.forall(!_.isActive)) {
+        st.queries.foreach(q => queryToJob.remove(q.id))
+        transition(st.id, Running, Stopped)(identity)
+        registry.foreach(_.logRun(st.id, "RECONCILED",
+          "status RUNNING but no live queries"))
+        fireAlarm(AlarmEvent(st.id, st.name, "RECONCILED",
+          "queries inactive; status corrected to STOPPED"))
+      }
+    }
+  }
+
+  /** One auto-savepoint pass over RUNNING jobs. The snapshot copies a
+    * LIVE checkpoint (the reference savepoints running jobs hourly);
+    * a file vanishing mid-copy (state compaction) aborts this tick's
+    * snapshot and the next tick retries.
+    */
+  private[platform] def autoSavepoint(): Unit = {
+    val running = lifecycleLock.synchronized {
+      jobs.values.filter(_.status == Running).toList
+    }
+    running.foreach { st =>
+      try {
+        if (java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(st.checkpointDir))) {
+          val sp = Savepoints.snapshot(st.checkpointDir, savepointRoot, st.name)
+          lifecycleLock.synchronized {
+            jobs.get(st.id).filter(_.status == Running).foreach { cur =>
+              jobs(st.id) = cur.copy(lastSavepoint = Some(sp),
+                version = cur.version + 1)
+              registry.foreach(_.save(jobs(st.id)))
+            }
+          }
+          registry.foreach(_.logRun(st.id, "AUTO_SAVEPOINT", sp))
+        }
+      } catch { case _: Throwable => () }
+    }
   }
 }
 

@@ -68,10 +68,18 @@ object Savepoints {
     Using.resource(Files.walk(src)) { walk =>
       walk.iterator().asScala.foreach { p =>
         val target = dst.resolve(src.relativize(p).toString)
-        if (Files.isDirectory(p)) Files.createDirectories(target)
-        else {
-          Files.createDirectories(target.getParent)
-          Files.copy(p, target, StandardCopyOption.REPLACE_EXISTING)
+        try {
+          if (Files.isDirectory(p)) Files.createDirectories(target)
+          else {
+            Files.createDirectories(target.getParent)
+            Files.copy(p, target, StandardCopyOption.REPLACE_EXISTING)
+          }
+        } catch {
+          // live-checkpoint snapshot (auto-savepoint of a RUNNING job):
+          // state compaction can delete a file between walk and copy —
+          // skip it; Spark's commit protocol keeps the snapshot usable
+          // (uncommitted batch files are ignored on restore)
+          case _: java.nio.file.NoSuchFileException => ()
         }
       }
     }

@@ -133,6 +133,114 @@ class JobManagerSpec extends SparkSpec {
     restarted.foreach(j => m.stop(j.id, withSavepoint = false))
   }
 
+  private def awaitCond(timeoutMs: Long)(cond: => Boolean): Boolean = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (System.currentTimeMillis() < deadline) {
+      if (cond) return true
+      Thread.sleep(50)
+    }
+    cond
+  }
+
+  test("durable registry: a second manager instance recovers jobs + savepoints") {
+    import spark.implicits._
+    val regUrl = "jdbc:derby:memory:jmreg;create=true"
+    val dir = srcDir()
+    val outDir = Files.createTempDirectory("dr_sink").toString
+    val spRoot = Files.createTempDirectory("dr_sp").toString
+    val fsScript =
+      s"""CREATE TABLE src (id BIGINT) WITH (
+         |  'connector' = 'filesystem', 'path' = '$dir',
+         |  'format' = 'parquet');
+         |CREATE TABLE dr_snk (id BIGINT) WITH (
+         |  'connector' = 'filesystem', 'path' = '$outDir',
+         |  'format' = 'parquet');
+         |INSERT INTO dr_snk SELECT id FROM src;
+         |""".stripMargin
+    spark.range(0, 3).toDF("id").coalesce(1).write.mode("append").parquet(dir)
+    val m1 = new JobManager(spark,
+      Files.createTempDirectory("dr_ckpt").toString, spRoot,
+      registry = Some(new JdbcJobRegistry(regUrl)))
+    val id = m1.start("durable_job", fsScript)
+    m1.info(id).queries.foreach(_.awaitTermination(60000))
+    assert(m1.stop(id).isDefined)
+
+    // "process restart": a FRESH manager over the same registry recovers
+    // the job list, savepoint pointer, and can resume from it
+    val m2 = new JobManager(spark,
+      Files.createTempDirectory("dr_ckpt2").toString, spRoot,
+      registry = Some(new JdbcJobRegistry(regUrl)))
+    val rec = m2.list().find(_.id == id).get
+    assert(rec.status == JobManager.Stopped)
+    assert(rec.lastSavepoint.isDefined && rec.script == fsScript)
+    spark.range(3, 5).toDF("id").coalesce(1).write.mode("append").parquet(dir)
+    val id2 = m2.restartFromSavepoint(id)
+    m2.info(id2).queries.foreach(_.awaitTermination(60000))
+    // exactly-once across the process boundary: 0..4, no duplicates
+    assert(spark.read.parquet(outDir).as[Long].collect().sorted.toSeq ==
+      (0L until 5L))
+    m2.stop(id2, withSavepoint = false)
+  }
+
+  test("durable registry: a job active at crash time recovers as FAILED with run log") {
+    val regUrl = "jdbc:derby:memory:jmreg2;create=true"
+    val dir = srcDir()
+    spark.range(0, 2).toDF("id").coalesce(1).write.mode("append").parquet(dir)
+    val reg1 = new JdbcJobRegistry(regUrl)
+    val m1 = new JobManager(spark,
+      Files.createTempDirectory("cr_ckpt").toString,
+      Files.createTempDirectory("cr_sp").toString,
+      registry = Some(reg1))
+    val id = m1.start("crashy_job", script(dir, "cr_out"))
+    assert(m1.status(id) == JobManager.Running) // persisted as RUNNING
+    // simulate a crash: next process adopts the registry without stopping
+    val reg2 = new JdbcJobRegistry(regUrl)
+    val m2 = new JobManager(spark,
+      Files.createTempDirectory("cr_ckpt2").toString,
+      Files.createTempDirectory("cr_sp2").toString,
+      registry = Some(reg2))
+    assert(m2.status(id) == JobManager.Failed)
+    val log = reg2.runLog(id).map(_._1)
+    assert(log.head == "START" && log.contains("RECOVERED_AS_FAILED"))
+    m1.stop(id, withSavepoint = false) // clean up the live query
+  }
+
+  test("scheduler: periodic auto-savepoints accrue; wedged job reconciled to STOPPED") {
+    val spRoot = Files.createTempDirectory("sch_sp").toString
+    val m = new JobManager(spark,
+      Files.createTempDirectory("sch_ckpt").toString, spRoot)
+    val alarms = scala.collection.mutable.Buffer[JobManager.AlarmEvent]()
+    m.addAlarmHandler(alarms.synchronized { alarms += _ })
+    // continuous job: ProcessingTime trigger (SET mini-batch latency)
+    // over a rate-micro-batch source never drains
+    val id = m.start("sched_job",
+      """SET table.exec.mini-batch.allow-latency = 100 ms;
+        |CREATE TABLE sch_src (id BIGINT) WITH (
+        |  'connector' = 'datagen', 'rows-per-batch' = '5',
+        |  'fields.id.kind' = 'sequence', 'fields.id.start' = '0');
+        |CREATE TABLE sch_snk (id BIGINT, PRIMARY KEY (id) NOT ENFORCED)
+        |  WITH ('connector' = 'memory');
+        |INSERT INTO sch_snk SELECT id FROM sch_src;
+        |""".stripMargin)
+    assert(m.status(id) == JobManager.Running)
+    val sched = m.startScheduler(
+      reconcileIntervalMs = 200, savepointIntervalMs = 150)
+    try {
+      // ≥2 periodic snapshots observed (SchedulerTask hourly-savepoint analog)
+      assert(awaitCond(60000) {
+        graft.streaming.Savepoints.list(spRoot, "sched_job").size >= 2
+      }, "expected at least 2 auto-savepoints")
+      assert(m.info(id).lastSavepoint.isDefined)
+      // wedge the job: stop its queries behind the manager's back — the
+      // listener sees a clean termination, so status stays RUNNING until
+      // reconciliation corrects it
+      m.info(id).queries.foreach(_.stop())
+      assert(awaitCond(60000) { m.status(id) == JobManager.Stopped },
+        "expected reconciliation to flip the wedged job to STOPPED")
+      assert(alarms.synchronized { alarms.exists(_.kind == "RECONCILED") })
+    } finally sched.close()
+  }
+
   test("optimistic lock: stopping a non-RUNNING job fails cleanly") {
     val m = mgr()
     val dir = srcDir()
