@@ -25,6 +25,10 @@ import org.apache.spark.sql.functions._
 object Similarity extends QueryPack {
   import Vec._
 
+  // Oracle defaults, tuned for the sf-test corpus (~2k vectors): 8 planes
+  // = 256 buckets ≈ √n occupancy; 16 cells, 4-probe. At scale use the
+  // `recommended*` sizing below and pass explicit values to the public
+  // kernels (annBrute/annLsh/annIvf).
   private val K = 5
   private val NQueries = 8    // vec_id < 8 are the query vectors
   private val NPlanes = 8
@@ -32,7 +36,22 @@ object Similarity extends QueryPack {
   private val CentN = 16
   private val NProbe = 4
 
-  private val NDim = 64 // bucketOf's hyperplanes are built for this dim
+  private val NDim = 64 // default hyperplane dimension
+
+  /** Hyperplane count so that 2^planes ≈ √n buckets — expected bucket
+    * occupancy √n, the classic balance point where per-query candidate
+    * scans and bucket count grow together as the corpus grows (100 TB ≈
+    * 10^11 docs → 19 planes, not the test default of 8).
+    */
+  def recommendedPlanes(corpusSize: Long): Int =
+    math.max(4, math.ceil(
+      math.log(math.sqrt(corpusSize.toDouble)) / math.log(2.0)).toInt)
+
+  /** IVF cell count k ≈ √n — the standard IVF sizing (per-cell list size
+    * and cell count both √n, so probe cost is nProbe·√n).
+    */
+  def recommendedCentroids(corpusSize: Long): Int =
+    math.max(4, math.ceil(math.sqrt(corpusSize.toDouble)).toInt)
 
   /** (vec_id, qe, nrm) for the whole embeddings table. */
   private def embQ(s: SparkSession, dir: String): DataFrame = {
@@ -48,12 +67,80 @@ object Similarity extends QueryPack {
       .withColumn("nrm", dotQ($"qe", $"qe"))
   }
 
-  /** 8-bit random-hyperplane bucket of a quantized vector column. */
-  private def bucketOf(qe: Column): Column =
-    (0 until NPlanes).map { j =>
-      val plane = typedLit((1 to NDim).map(d => planeComp(j, d)))
+  /** Random-hyperplane bucket of a quantized vector column: `nPlanes`
+    * sign bits of deterministic hyperplane dots (2^nPlanes buckets).
+    */
+  def bucketOf(qe: Column, nPlanes: Int = NPlanes,
+      nDim: Int = NDim): Column = {
+    require(nPlanes >= 1 && nPlanes <= 62, s"nPlanes $nPlanes out of range")
+    (0 until nPlanes).map { j =>
+      val plane = typedLit((1 to nDim).map(d => planeComp(j, d)))
       when(dotQ(qe, plane) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
+  }
+
+  /** Exact brute-force cosine top-k. `corpus` carries (vec_id, qe, nrm),
+    * `qs` carries (qid, qqe, qnrm); the query side is broadcast, the
+    * corpus is scanned once and never shuffled.
+    */
+  def annBrute(corpus: DataFrame, qs: DataFrame, k: Int = K): DataFrame = {
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("nid"))
+    corpus.join(broadcast(qs))
+      .select(col("qid"), col("vec_id").as("nid"),
+        cosineQ(col("qqe"), col("qe"), col("qnrm"), col("nrm")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** LSH top-k: candidates share the query's hyperplane bucket, so the
+    * per-query scan is |corpus| / 2^nPlanes in expectation. Size nPlanes
+    * with [[recommendedPlanes]] (grows with log₂√n).
+    */
+  def annLsh(corpus: DataFrame, qs: DataFrame, k: Int = K,
+      nPlanes: Int = NPlanes, nDim: Int = NDim): DataFrame = {
+    val cb = corpus.withColumn("bucket", bucketOf(col("qe"), nPlanes, nDim))
+    val qb = qs.withColumn("bucket", bucketOf(col("qqe"), nPlanes, nDim))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("nid"))
+    cb.join(broadcast(qb), "bucket")
+      .select(col("qid"), col("vec_id").as("nid"),
+        cosineQ(col("qqe"), col("qe"), col("qnrm"), col("nrm")).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** IVF top-k: corpus rows assign to their nearest centroid cell
+    * (`cent`: (cid, ce, cnrm)), queries probe their `nProbe` nearest
+    * cells. Size the centroid count with [[recommendedCentroids]] (√n).
+    */
+  def annIvf(corpus: DataFrame, qs: DataFrame, cent: DataFrame, k: Int = K,
+      nProbe: Int = NProbe): DataFrame = {
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cid"))
+    val assign = corpus.join(broadcast(cent))
+      .select(col("vec_id"), col("qe"), col("nrm"), col("cid"),
+        cosineQ(col("qe"), col("ce"), col("nrm"), col("cnrm")).as("ccos"))
+      .withColumn("crn", row_number().over(wAssign))
+      .filter(col("crn") === 1)
+      .select(col("vec_id"), col("qe"), col("nrm"), col("cid").as("cell"))
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("ccos").desc, col("cid"))
+    val probe = qs.join(broadcast(cent))
+      .select(col("qid"), col("qqe"), col("qnrm"), col("cid"),
+        cosineQ(col("qqe"), col("ce"), col("qnrm"), col("cnrm")).as("ccos"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nProbe)
+      .select(col("qid"), col("qqe"), col("qnrm"), col("cid").as("cell"))
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("nid"))
+    assign.join(broadcast(probe), "cell")
+      .select(col("qid"), col("vec_id").as("nid"),
+        cosineQ(col("qqe"), col("qe"), col("qnrm"), col("nrm")).as("cosine"))
+      .distinct() // a neighbor reachable via 2 probed cells counts once
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact brute-force cosine top-k: broadcast the (tiny) query set, one
@@ -63,29 +150,16 @@ object Similarity extends QueryPack {
       val emb = embQ(s, dir)
       val qs = emb.filter($"vec_id" < NQueries)
         .select($"vec_id".as("qid"), $"qe".as("qqe"), $"nrm".as("qnrm"))
-      val corpus = emb.filter($"vec_id" >= NQueries)
-      val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"nid")
-      corpus.join(broadcast(qs))
-        .select($"qid", $"vec_id".as("nid"),
-          cosineQ($"qqe", $"qe", $"qnrm", $"nrm").as("cosine"))
-        .withColumn("rank", row_number().over(w))
-        .filter($"rank" <= K)
+      annBrute(emb.filter($"vec_id" >= NQueries), qs)
     }),
 
     // Random-hyperplane LSH: candidates = same 8-bit bucket only.
     "q_ann_lsh" -> ((s, dir) => {
       import s.implicits._
-      val emb = embQ(s, dir).withColumn("bucket", bucketOf($"qe"))
+      val emb = embQ(s, dir)
       val qs = emb.filter($"vec_id" < NQueries)
-        .select($"vec_id".as("qid"), $"qe".as("qqe"), $"nrm".as("qnrm"),
-          $"bucket")
-      val corpus = emb.filter($"vec_id" >= NQueries)
-      val w = Window.partitionBy($"qid").orderBy($"cosine".desc, $"nid")
-      corpus.join(broadcast(qs), "bucket")
-        .select($"qid", $"vec_id".as("nid"),
-          cosineQ($"qqe", $"qe", $"qnrm", $"nrm").as("cosine"))
-        .withColumn("rank", row_number().over(w))
-        .filter($"rank" <= K)
+        .select($"vec_id".as("qid"), $"qe".as("qqe"), $"nrm".as("qnrm"))
+      annLsh(emb.filter($"vec_id" >= NQueries), qs)
     }),
 
     // IVF: nearest-centroid cell assignment + 4-cell probe.
@@ -94,30 +168,9 @@ object Similarity extends QueryPack {
       val emb = embQ(s, dir)
       val cent = emb.filter($"vec_id" >= CentLo && $"vec_id" < CentLo + CentN)
         .select($"vec_id".as("cid"), $"qe".as("ce"), $"nrm".as("cnrm"))
-      val corpus = emb.filter($"vec_id" >= NQueries)
-      val wAssign = Window.partitionBy($"vec_id").orderBy($"ccos".desc, $"cid")
-      val assign = corpus.join(broadcast(cent))
-        .select($"vec_id", $"qe", $"nrm", $"cid",
-          cosineQ($"qe", $"ce", $"nrm", $"cnrm").as("ccos"))
-        .withColumn("crn", row_number().over(wAssign))
-        .filter($"crn" === 1)
-        .select($"vec_id", $"qe", $"nrm", $"cid".as("cell"))
-      val qsN = emb.filter($"vec_id" < NQueries)
+      val qs = emb.filter($"vec_id" < NQueries)
         .select($"vec_id".as("qid"), $"qe".as("qqe"), $"nrm".as("qnrm"))
-      val wProbe = Window.partitionBy($"qid").orderBy($"ccos".desc, $"cid")
-      val probe = qsN.join(broadcast(cent))
-        .select($"qid", $"qqe", $"qnrm", $"cid",
-          cosineQ($"qqe", $"ce", $"qnrm", $"cnrm").as("ccos"))
-        .withColumn("prn", row_number().over(wProbe))
-        .filter($"prn" <= NProbe)
-        .select($"qid", $"qqe", $"qnrm", $"cid".as("cell"))
-      val wTop = Window.partitionBy($"qid").orderBy($"cosine".desc, $"nid")
-      assign.join(broadcast(probe), "cell")
-        .select($"qid", $"vec_id".as("nid"),
-          cosineQ($"qqe", $"qe", $"qnrm", $"nrm").as("cosine"))
-        .distinct() // a neighbor reachable via 2 probed cells counts once
-        .withColumn("rank", row_number().over(wTop))
-        .filter($"rank" <= K)
+      annIvf(emb.filter($"vec_id" >= NQueries), qs, cent)
     }))
 
   // --- DuckDB mirrors -----------------------------------------------------
