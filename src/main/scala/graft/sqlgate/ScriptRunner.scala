@@ -35,7 +35,9 @@ class ScriptRunner(spark: SparkSession,
   private val InsertRe =
     """(?is)INSERT\s+(INTO|OVERWRITE)\s+([`"\w.]+)\s*(\([^)]*\))?\s+(.*)""".r
   private val CreateFnRe =
-    """(?is)CREATE\s+(?:TEMPORARY\s+)?FUNCTION\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+AS\s+'([^']+)'.*""".r
+    ("""(?is)CREATE\s+(?:TEMPORARY\s+)?FUNCTION\s+(?:IF\s+NOT\s+EXISTS\s+)?""" +
+      """([\w.]+)\s+AS\s+'([^']+)'""" +
+      """(?:\s+LANGUAGE\s+\w+)?(?:\s+USING\s+JAR\s+'([^']+)')?.*""").r
 
   /** Trigger derived from `table.exec.mini-batch.allow-latency` (SET in
     * the script, demo_4.md:35-39): micro-batch latency → ProcessingTime
@@ -101,7 +103,9 @@ class ScriptRunner(spark: SparkSession,
           // `CREATE FUNCTION name AS 'class'` (SqlCommand.java:32-34,
           // docs/manual-sql.md:102-119); jar shipping becomes classpath.
           c.text match {
-            case CreateFnRe(fname, clazz) =>
+            case CreateFnRe(fname, clazz, jar) if jar != null =>
+              graft.functions.Udx.registerFromJar(spark, fname, clazz, jar)
+            case CreateFnRe(fname, clazz, _) =>
               graft.functions.Udx.registerByClass(spark, fname, clazz)
             case _ => spark.sql(c.text) // Spark-native CREATE FUNCTION forms
           }

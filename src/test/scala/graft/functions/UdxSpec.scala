@@ -50,4 +50,50 @@ class UdxSpec extends SparkSpec {
     val out = spark.table("fn_snk_out").as[(String, Long)].collect()
     assert(out.toSeq == Seq(("mixed case", 1L)))
   }
+
+  test("gate: CREATE FUNCTION ... USING JAR ships and loads an external jar") {
+    import spark.implicits._
+    // build a real UDF jar at test time: compile a Function<String,String>
+    // implementation that is NOT on the test classpath, jar it
+    val work = java.nio.file.Files.createTempDirectory("udf_jar")
+    val srcDir = work.resolve("src"); java.nio.file.Files.createDirectories(srcDir)
+    java.nio.file.Files.write(srcDir.resolve("ExtUpper.java"),
+      """public class ExtUpper implements java.util.function.Function<String, String> {
+        |  public String apply(String s) {
+        |    return s == null ? null : s.toUpperCase() + "!";
+        |  }
+        |}""".stripMargin.getBytes("UTF-8"))
+    val javac = javax.tools.ToolProvider.getSystemJavaCompiler
+    val rc = javac.run(null, null, null, "-d", work.toString,
+      srcDir.resolve("ExtUpper.java").toString)
+    assert(rc == 0, "javac failed")
+    val jarPath = work.resolve("ext_udf.jar")
+    val jos = new java.util.jar.JarOutputStream(
+      java.nio.file.Files.newOutputStream(jarPath))
+    try {
+      jos.putNextEntry(new java.util.zip.ZipEntry("ExtUpper.class"))
+      jos.write(java.nio.file.Files.readAllBytes(work.resolve("ExtUpper.class")))
+      jos.closeEntry()
+    } finally jos.close()
+
+    val runner = new ScriptRunner(spark, batchMode = true)
+    Seq(("hello", 1L)).toDF("txt", "k").createOrReplaceTempView("xj_src")
+    runner.run(
+      s"""CREATE FUNCTION ext_upper AS 'ExtUpper'
+         |  LANGUAGE JAVA USING JAR 'file://$jarPath';
+         |CREATE TABLE xj_snk (t VARCHAR, k BIGINT)
+         |  WITH ('connector' = 'memory');
+         |INSERT INTO xj_snk SELECT ext_upper(txt) AS t, k FROM xj_src;
+         |""".stripMargin)
+    val out = spark.table("xj_snk_out").as[(String, Long)].collect()
+    assert(out.toSeq == Seq(("HELLO!", 1L)))
+  }
+
+  test("CREATE FUNCTION USING JAR with a missing jar fails fast") {
+    val e = intercept[IllegalArgumentException] {
+      Udx.registerFromJar(spark, "ghost_fn", "No.Such.Class",
+        "/nonexistent/path/ghost.jar")
+    }
+    assert(e.getMessage.contains("jar not found"))
+  }
 }
