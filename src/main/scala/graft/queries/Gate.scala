@@ -46,6 +46,76 @@ object Gate extends QueryPack {
            |END;
            |""".stripMargin)
       s.table("gate_sink_out")
+    }),
+
+    // The same script surface in FLINK's windowing dialect: TUMBLE /
+    // TUMBLE_START / TUMBLE_END SQL (demo_4.md:77-84 shape) through the
+    // FlinkSqlRewrite layer, oracle-checked — proves a reference user's
+    // window SQL runs unmodified, not just the Spark-native spelling.
+    "q_gate_flink_tumble" -> ((s, dir) => {
+      val runner = new ScriptRunner(s, batchMode = true)
+      runner.run(
+        s"""CREATE TABLE ev_src (
+           |  event_id BIGINT,
+           |  ts BIGINT,
+           |  user_id BIGINT,
+           |  event_type VARCHAR,
+           |  value DOUBLE,
+           |  props VARCHAR,
+           |  ts2 AS timestamp_micros(ts DIV 1000)
+           |) WITH (
+           |  'connector' = 'filesystem',
+           |  'path' = '$dir/events.parquet',
+           |  'format' = 'parquet'
+           |);
+           |CREATE TABLE gate_tumble_sink (
+           |  wstart VARCHAR, wend VARCHAR, event_type VARCHAR,
+           |  n BIGINT, sum_value DOUBLE
+           |) WITH ('connector' = 'memory');
+           |INSERT INTO gate_tumble_sink
+           |SELECT
+           |  DATE_FORMAT(TUMBLE_START(ts2, INTERVAL '1' HOUR), 'yyyy-MM-dd HH:mm:ss') as wstart,
+           |  DATE_FORMAT(TUMBLE_END(ts2, INTERVAL '1' HOUR), 'yyyy-MM-dd HH:mm:ss') as wend,
+           |  event_type,
+           |  COUNT(*) as n,
+           |  ${oSum2("value")} as sum_value
+           |FROM ev_src
+           |GROUP BY TUMBLE(ts2, INTERVAL '1' HOUR), event_type;
+           |""".stripMargin)
+      s.table("gate_tumble_sink_out")
+    }),
+
+    // HOP dialect (demo_5.md:77-84 shape) through the gate; Flink's
+    // (time, slide, size) argument order must land as Spark's
+    // (time, size, slide).
+    "q_gate_flink_hop" -> ((s, dir) => {
+      val runner = new ScriptRunner(s, batchMode = true)
+      runner.run(
+        s"""CREATE TABLE ev_src_h (
+           |  event_id BIGINT,
+           |  ts BIGINT,
+           |  user_id BIGINT,
+           |  event_type VARCHAR,
+           |  value DOUBLE,
+           |  props VARCHAR,
+           |  ts2 AS timestamp_micros(ts DIV 1000)
+           |) WITH (
+           |  'connector' = 'filesystem',
+           |  'path' = '$dir/events.parquet',
+           |  'format' = 'parquet'
+           |);
+           |CREATE TABLE gate_hop_sink (
+           |  wstart VARCHAR, event_type VARCHAR, n BIGINT
+           |) WITH ('connector' = 'memory');
+           |INSERT INTO gate_hop_sink
+           |SELECT
+           |  DATE_FORMAT(HOP_START(ts2, INTERVAL '1' HOUR, INTERVAL '2' HOUR), 'yyyy-MM-dd HH:mm:ss') as wstart,
+           |  event_type,
+           |  COUNT(*) as n
+           |FROM ev_src_h
+           |GROUP BY HOP(ts2, INTERVAL '1' HOUR, INTERVAL '2' HOUR), event_type;
+           |""".stripMargin)
+      s.table("gate_hop_sink_out")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -53,5 +123,17 @@ object Gate extends QueryPack {
       s"""SELECT o_orderstatus, COUNT(*) AS n,
          |  ${oSum2("o_totalprice")} AS sum_price
          |FROM orders WHERE o_orderpriority = '1-URGENT'
-         |GROUP BY o_orderstatus""".stripMargin)
+         |GROUP BY o_orderstatus""".stripMargin,
+
+    // same oracle shape as q_window_tumble (the dialect layer must not
+    // change the answer)
+    "q_gate_flink_tumble" ->
+      s"""SELECT strftime(tb, '%Y-%m-%d %H:%M:%S') AS wstart,
+         |  strftime(tb + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS wend,
+         |  event_type, COUNT(*) AS n, ${oSum2("value")} AS sum_value
+         |FROM (SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS tb,
+         |        event_type, value FROM events) t
+         |GROUP BY tb, event_type""".stripMargin,
+
+    "q_gate_flink_hop" -> Windows.oHopSql)
 }

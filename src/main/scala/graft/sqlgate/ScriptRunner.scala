@@ -155,8 +155,11 @@ class ScriptRunner(spark: SparkSession,
           // Spark catalogs are configured, not created by DDL; accept as
           // session-level no-op (SURVEY §2.2).
           shown += s"ok: ${c.command.name}"
+        case SqlCommand.CreateView =>
+          // view bodies are queries in the reference dialect too
+          spark.sql(FlinkSqlRewrite(c.text))
         case _ =>
-          // remaining DDL (CREATE VIEW/DATABASE, USE, DROP, ALTER, plain
+          // remaining DDL (CREATE DATABASE, USE, DROP, ALTER, plain
           // CREATE TABLE) goes straight to Spark, like tEnv.executeSql.
           spark.sql(c.text)
       }

@@ -20,7 +20,8 @@ object SqlCommand {
   case object InsertOverwrite extends SqlCommand("(INSERT\\s+OVERWRITE.*)")
   case object CreateTable extends SqlCommand("(CREATE\\s+TABLE.*)")
   case object CreateFunction extends SqlCommand("(CREATE\\s+(?:TEMPORARY\\s+)?FUNCTION.*)")
-  case object CreateView extends SqlCommand("(CREATE\\s+(?:TEMPORARY\\s+)?VIEW.*)")
+  case object CreateView extends SqlCommand(
+    "(CREATE\\s+(?:OR\\s+REPLACE\\s+)?(?:TEMPORARY\\s+)?VIEW.*)")
   case object CreateDatabase extends SqlCommand("(CREATE\\s+DATABASE.*)")
   case object CreateCatalog extends SqlCommand("(CREATE\\s+CATALOG.*)")
   case object UseCatalog extends SqlCommand("USE\\s+CATALOG\\s+(.*)")

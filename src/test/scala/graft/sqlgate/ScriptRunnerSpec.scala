@@ -274,6 +274,27 @@ class ScriptRunnerSpec extends SparkSpec {
     assert(spark.table("lit_snk_out").count() == 2)
   }
 
+  test("CREATE VIEW bodies run through the Flink dialect rewrite") {
+    import spark.implicits._
+    Seq((1L, java.sql.Timestamp.valueOf("2020-01-05 11:00:10")),
+      (2L, java.sql.Timestamp.valueOf("2020-01-05 11:00:50")),
+      (3L, java.sql.Timestamp.valueOf("2020-01-05 12:30:00")))
+      .toDF("id", "ts").createOrReplaceTempView("vw_src")
+    val runner = new ScriptRunner(spark, batchMode = true)
+    runner.run(
+      """CREATE OR REPLACE TEMPORARY VIEW vw_hourly AS
+        |SELECT DATE_FORMAT(TUMBLE_START(ts, INTERVAL '1' HOUR),
+        |    'yyyy-MM-dd HH:mm:ss') AS wstart, COUNT(*) AS n
+        |FROM vw_src GROUP BY TUMBLE(ts, INTERVAL '1' HOUR);
+        |CREATE TABLE vw_snk (wstart VARCHAR, n BIGINT)
+        |  WITH ('connector' = 'memory');
+        |INSERT INTO vw_snk SELECT wstart, n FROM vw_hourly;
+        |""".stripMargin)
+    val out = spark.table("vw_snk_out").as[(String, Long)].collect().sorted
+    assert(out.toSeq == Seq(("2020-01-05 11:00:00", 2L),
+      ("2020-01-05 12:00:00", 1L)))
+  }
+
   test("SHOW statements route through spark.sql; SHOW MODULES lists registry") {
     val runner = new ScriptRunner(spark, batchMode = true)
     val res = runner.run(
