@@ -232,6 +232,68 @@ class DemoGateSpec extends SparkSpec {
       ("2020-01-05 11:13:00.0", "zhp", 3L)))
   }
 
+  test("demo_4: TUMBLE window over watermarked stream -> keyed JDBC sink (streaming)") {
+    val url = derby("demo4")
+    val c = DriverManager.getConnection(url)
+    try c.createStatement().execute(
+      "CREATE TABLE sync_test_tumble_output (window_start TIMESTAMP, " +
+        "window_end TIMESTAMP, username VARCHAR(255), clicks BIGINT, " +
+        "PRIMARY KEY (window_start, window_end, username))")
+    finally c.close()
+    val t4 = jsonDir(Seq(
+      """{"username":"zhp","click_url":"https://www.infoq.cn/","ts":"2020-01-05 11:12:12"}""",
+      """{"username":"zhp","click_url":"https://www.infoq.cn/video/BYSSg4hGR5oZmUFsL8Kb","ts":"2020-01-05 11:12:15"}""",
+      """{"username":"zhp","click_url":"https://www.infoq.cn/talks","ts":"2020-01-05 11:12:18"}""",
+      """{"username":"zhp","click_url":"https://www.infoq.cn/","ts":"2020-01-05 11:12:55"}""",
+      """{"username":"zhp","click_url":"https://www.infoq.cn/","ts":"2020-01-05 11:13:25"}""",
+      """{"username":"zhp","click_url":"https://www.infoq.cn/talks","ts":"2020-01-05 11:13:25"}""",
+      """{"username":"zhp","click_url":"https://www.infoq.cn/talks","ts":"2020-01-05 11:13:26"}"""))
+
+    // demo_4.md:33-82: mini-batch SETs, 20s WATERMARK, 60s TUMBLE
+    val res = new ScriptRunner(spark,
+      checkpointRoot = Some(Files.createTempDirectory("demo4_ckpt").toString))
+      .run(
+        s"""SET table.exec.mini-batch.enabled=true;
+           |SET table.exec.mini-batch.size=5;
+           |create table user_clicks (
+           |  username varchar,
+           |  click_url varchar,
+           |  ts timestamp,
+           |  WATERMARK FOR ts AS ts - INTERVAL '20' SECOND
+           |) with (
+           |  'connector' = 'filesystem', 'path' = '$t4', 'format' = 'json'
+           |);
+           |CREATE TABLE sync_test_tumble_output (
+           |  window_start TIMESTAMP(3),
+           |  window_end TIMESTAMP(3),
+           |  username VARCHAR,
+           |  clicks BIGINT,
+           |  PRIMARY KEY (window_start, window_end, username) NOT ENFORCED
+           |) WITH (
+           |  'connector' = 'jdbc', 'url' = '$url',
+           |  'table-name' = 'sync_test_tumble_output', 'dialect' = 'two-step'
+           |);
+           |INSERT INTO sync_test_tumble_output
+           |SELECT
+           | TUMBLE_START(ts, INTERVAL '60' SECOND) as window_start,
+           | TUMBLE_END(ts, INTERVAL '60' SECOND) as window_end,
+           | username,
+           | COUNT(click_url)
+           |FROM user_clicks
+           |GROUP BY TUMBLE(ts, INTERVAL '60' SECOND), username;
+           |""".stripMargin)
+    assert(res.queries.size == 1)
+    res.queries.foreach(_.awaitTermination(120000))
+
+    val rows = query(url,
+      "SELECT window_start, username, clicks FROM sync_test_tumble_output " +
+        "ORDER BY window_start")
+      .map(r => (r(0).toString, r(1), r(2)))
+    assert(rows == Seq(
+      ("2020-01-05 11:12:00.0", "zhp", 4L),
+      ("2020-01-05 11:13:00.0", "zhp", 3L)))
+  }
+
   test("demo_6 §2.2: mysql-cdc replay -> daily GMV over changelog state") {
     // changelog mirrors demo_6.md:161-171's INSERT/UPDATE/DELETE script
     val cl = Files.createTempDirectory("demo6_cl")
