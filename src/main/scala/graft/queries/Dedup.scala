@@ -28,34 +28,67 @@ object Dedup extends QueryPack {
   /** 1-based word array, mirroring DuckDB's regexp_split_to_array. */
   private def words(c: Column): Column = split(c, " ")
 
-  /** The MinHash+LSH near-dup pipeline: shingle → K affine minhashes of
-    * one md5 code (map-side combined min-agg) → band keys → per-band
-    * self-join (the only corpus-sized shuffle, keyed by band signature) →
-    * exact Jaccard verification of candidates only. Returns verified
-    * pairs (ida, idb, jacc >= 0.8).
+  /** LSH candidate pairs for documents (doc_id, text): shingle → k
+    * affine minhashes of one md5 code (map-side combined min-agg) →
+    * band keys → per-band self-join (the only corpus-sized shuffle,
+    * keyed by band signature). Band/row counts are the scale knobs —
+    * the effective detection threshold is [[lshThreshold]] ≈
+    * (1/bands)^(1/rowsPerBand); pick them with [[bandConfigFor]].
+    */
+  def minhashCandidates(docs0: DataFrame, k: Int = MinhashK,
+      bands: Int = Bands, rowsPerBand: Int = RowsPerBand): DataFrame = {
+    require(bands * rowsPerBand <= k,
+      s"bands($bands) × rowsPerBand($rowsPerBand) exceeds k($k)")
+    val docs = docs0
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+    val sh = docs.select(col("doc_id"),
+      explode(array_distinct(shingles(col("w"), 3))).as("sng"))
+    val shH = sh.select(col("doc_id"), (tokenHash(col("sng")) % P).as("x"))
+    val mhAggs = (0 until k).map(j =>
+      min((lit(hashA(j)) * col("x") + lit(hashB(j))) % P).as(s"h$j"))
+    val mh = shH.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
+    val bandRows = (0 until bands).map { b =>
+      val key = concat_ws("_",
+        (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)
+      mh.select(col("doc_id"), lit(b).as("band"), key.as("bkey"))
+    }.reduce(_ unionByName _)
+    bandRows.as("a")
+      .join(bandRows.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .distinct()
+  }
+
+  /** Probability-0.5 Jaccard detection threshold of an (bands, rows)
+    * LSH config — the S-curve midpoint (1/b)^(1/r). More bands / fewer
+    * rows per band lowers it (more candidates, higher recall).
+    */
+  def lshThreshold(bands: Int, rowsPerBand: Int): Double =
+    math.pow(1.0 / bands, 1.0 / rowsPerBand)
+
+  /** Pick the (bands, rowsPerBand) factorization of k whose detection
+    * threshold lands closest to the target Jaccard — the standard MMDS
+    * sizing rule. k itself scales with how sharp the S-curve must be
+    * (k = 16 suits ~0.8-threshold dedup; raise for looser thresholds).
+    */
+  def bandConfigFor(k: Int, targetJaccard: Double): (Int, Int) =
+    (1 to k).filter(k % _ == 0).map(b => (b, k / b))
+      .minBy { case (b, r) => math.abs(lshThreshold(b, r) - targetJaccard) }
+
+  /** The MinHash+LSH near-dup pipeline: [[minhashCandidates]] at the
+    * oracle-default config → exact Jaccard verification of candidates
+    * only. Returns verified pairs (ida, idb, jacc >= 0.8).
     */
   private[queries] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val docs = Tables.load(s, dir, "documents")
+    val docs0 = Tables.load(s, dir, "documents")
+    val cand = minhashCandidates(docs0)
+    val sh = docs0
       .select($"doc_id", words($"text").as("w"))
       .filter(size($"w") >= 3)
-    val sh = docs.select($"doc_id",
-      explode(array_distinct(shingles($"w", 3))).as("sng"))
-    val shH = sh.select($"doc_id", (tokenHash($"sng") % P).as("x"))
-    val mhAggs = (0 until MinhashK).map(j =>
-      min((lit(HashA(j)) * $"x" + lit(HashB(j))) % P).as(s"h$j"))
-    val mh = shH.groupBy($"doc_id").agg(mhAggs.head, mhAggs.tail: _*)
-    val bands = (0 until Bands).map { b =>
-      val key = concat_ws("_",
-        (0 until RowsPerBand).map(r => col(s"h${b * RowsPerBand + r}")): _*)
-      mh.select($"doc_id", lit(b).as("band"), key.as("bkey"))
-    }.reduce(_ unionByName _)
-    val cand = bands.as("a")
-      .join(bands.as("b"),
-        $"a.band" === $"b.band" && $"a.bkey" === $"b.bkey" &&
-          $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("ida"), $"b.doc_id".as("idb"))
-      .distinct()
+      .select($"doc_id", explode(array_distinct(shingles($"w", 3))).as("sng"))
     val sets = sh.groupBy($"doc_id").agg(collect_set($"sng").as("ss"))
     cand
       .join(sets.select($"doc_id".as("ida"), $"ss".as("sa")), "ida")
@@ -87,10 +120,12 @@ object Dedup extends QueryPack {
     * overflows int64 in either engine. One md5 per shingle instead of K.
     */
   private val P = 2147483647L
-  private val HashA: Seq[Long] = (0 until MinhashK).map(j =>
-    (((2L * j + 1) * 1103515245L + 12345L) % P + P) % P max 1L)
-  private val HashB: Seq[Long] = (0 until MinhashK).map(j =>
-    ((j * 2654435761L + 1013904223L) % P + P) % P)
+  private def hashA(j: Int): Long =
+    (((2L * j + 1) * 1103515245L + 12345L) % P + P) % P max 1L
+  private def hashB(j: Int): Long =
+    ((j * 2654435761L + 1013904223L) % P + P) % P
+  private val HashA: Seq[Long] = (0 until MinhashK).map(hashA)
+  private val HashB: Seq[Long] = (0 until MinhashK).map(hashB)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: one survivor (min doc_id) per identical text, by md5.

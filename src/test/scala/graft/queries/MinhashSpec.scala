@@ -1,0 +1,33 @@
+package graft.queries
+
+import graft.{SparkSpec, Tables}
+
+/** Parameterized MinHash-LSH: band/row counts are the scale/recall knobs
+  * with MMDS sizing guidance; the oracle defaults stay fixed for the
+  * gate query.
+  */
+class MinhashSpec extends SparkSpec {
+
+  test("band config sizing follows the (1/b)^(1/r) S-curve midpoint") {
+    // default 4×4 config targets ~0.7 — right for the 0.8-verify gate
+    assert(math.abs(Dedup.lshThreshold(4, 4) - 0.707) < 0.01)
+    assert(Dedup.bandConfigFor(16, 0.7) == ((4, 4)))
+    // looser target → more bands, fewer rows per band
+    val (bLoose, rLoose) = Dedup.bandConfigFor(16, 0.3)
+    assert(bLoose > 4 && rLoose < 4)
+    // tighter target → fewer bands, more rows per band
+    val (bTight, rTight) = Dedup.bandConfigFor(16, 0.95)
+    assert(bTight < 4 && rTight > 4)
+  }
+
+  test("more bands / fewer rows per band yields at least as many candidates") {
+    val docs = Tables.load(spark, sf, "documents")
+    val n44 = Dedup.minhashCandidates(docs, k = 16,
+      bands = 4, rowsPerBand = 4).count()
+    val n82 = Dedup.minhashCandidates(docs, k = 16,
+      bands = 8, rowsPerBand = 2).count()
+    // threshold drops 0.71 → 0.35: strictly more pairs collide per band
+    assert(n82 >= n44 && n82 > 0,
+      s"expected candidate growth: 4x4=$n44, 8x2=$n82")
+  }
+}
