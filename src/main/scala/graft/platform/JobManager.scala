@@ -127,6 +127,42 @@ class JobManager(spark: SparkSession, checkpointRoot: String,
     }
   }
 
+  /** /api/start with a config id: run an existing enabled config (the
+    * reference starts jobs by config id; the dup-run guard and validator
+    * apply exactly as for ad-hoc starts).
+    */
+  def startConfig(id: String, batchMode: Boolean = false): Unit = {
+    val runner = lifecycleLock.synchronized {
+      val st = jobs.getOrElse(id,
+        throw new NoSuchElementException(s"unknown job $id"))
+      require(st.enabled, s"job $id is closed; open it before start")
+      if (jobs.values.exists(j => j.name == st.name &&
+        (j.status == Running || j.status == Starting)))
+        throw new IllegalStateException(s"job '${st.name}' is already active")
+      val verdict = SqlValidator.validate(spark, st.script)
+      if (!verdict.ok)
+        throw new IllegalArgumentException(
+          s"validation failed: ${verdict.errors.mkString("; ")}")
+      transition(id, st.status, Starting)(identity)
+      registry.foreach(_.logRun(id, "START", st.name))
+      new ScriptRunner(spark, Some(st.checkpointDir), batchMode)
+    }
+    try {
+      val res = runner.run(jobs(id).script)
+      lifecycleLock.synchronized {
+        res.queries.foreach(q => queryToJob(q.id) = id)
+        if (res.queries.isEmpty) transition(id, Starting, Stopped)(identity)
+        else transition(id, Starting, Running)(_.copy(queries = res.queries))
+      }
+    } catch {
+      case e: Throwable =>
+        lifecycleLock.synchronized {
+          transition(id, Starting, Failed)(identity)
+        }
+        throw e
+    }
+  }
+
   /** /api/stop (+ savepoint first if requested, §3.3). */
   def stop(id: String, withSavepoint: Boolean = true): Option[String] =
     lifecycleLock.synchronized {
@@ -200,6 +236,79 @@ class JobManager(spark: SparkSession, checkpointRoot: String,
   def status(id: String): Status = jobs(id).status
   def info(id: String): JobState = jobs(id)
   def list(): Seq[JobState] = jobs.values.toSeq.sortBy(_.name)
+
+  // --- config-CRUD verbs (the rest of the §2.4 API surface:
+  // /api/open|close|delete|addConfig|editConfig|copyConfig|
+  // jobConfigHistory*, JobConfigApiController.java:89-415) ---------------
+
+  /** /api/addConfig: register a job definition without starting it. */
+  def addConfig(name: String, script: String,
+      autoRestart: Boolean = false): String = lifecycleLock.synchronized {
+    val id = java.util.UUID.randomUUID().toString.take(8)
+    jobs(id) = JobState(id, name, substitute(script), Stopped, version = 1,
+      checkpointDir = s"$checkpointRoot/$id", autoRestart = autoRestart)
+    registry.foreach { r => r.save(jobs(id)); r.logRun(id, "ADD_CONFIG", name) }
+    id
+  }
+
+  /** /api/open: enable a closed config so it can be started. */
+  def open(id: String): Unit = setEnabled(id, enabled = true)
+
+  /** /api/close: disable a config; start() refuses it until reopened.
+    * Like the reference, a RUNNING job must be stopped first.
+    */
+  def close(id: String): Unit = setEnabled(id, enabled = false)
+
+  private def setEnabled(id: String, enabled: Boolean): Unit =
+    lifecycleLock.synchronized {
+      val st = jobs.getOrElse(id,
+        throw new NoSuchElementException(s"unknown job $id"))
+      require(st.status != Running && st.status != Starting,
+        s"job $id is active; stop it before ${if (enabled) "open" else "close"}")
+      jobs(id) = st.copy(enabled = enabled, version = st.version + 1)
+      registry.foreach { r =>
+        r.save(jobs(id))
+        r.logRun(id, if (enabled) "OPEN" else "CLOSE", "")
+      }
+    }
+
+  /** /api/delete: remove a non-active config from manager + registry. */
+  def delete(id: String): Unit = lifecycleLock.synchronized {
+    val st = jobs.getOrElse(id,
+      throw new NoSuchElementException(s"unknown job $id"))
+    require(st.status != Running && st.status != Starting,
+      s"job $id is active; stop it before delete")
+    jobs.remove(id)
+    registry.foreach { r => r.delete(id); r.logRun(id, "DELETE", st.name) }
+  }
+
+  /** /api/editConfig: replace the SQL of a non-active job (optimistic
+    * version bump, like the reference's versioned config updates).
+    */
+  def editConfig(id: String, newScript: String): Unit =
+    lifecycleLock.synchronized {
+      val st = jobs.getOrElse(id,
+        throw new NoSuchElementException(s"unknown job $id"))
+      require(st.status != Running && st.status != Starting,
+        s"job $id is active; stop it before edit")
+      jobs(id) = st.copy(script = substitute(newScript),
+        version = st.version + 1)
+      registry.foreach { r => r.save(jobs(id)); r.logRun(id, "EDIT_CONFIG", "") }
+    }
+
+  /** /api/copyConfig: duplicate a config under a new name (new id, fresh
+    * checkpoint dir, no savepoint/run history carried over).
+    */
+  def copyConfig(id: String, newName: String): String =
+    lifecycleLock.synchronized {
+      val st = jobs.getOrElse(id,
+        throw new NoSuchElementException(s"unknown job $id"))
+      addConfig(newName, st.script, st.autoRestart)
+    }
+
+  /** /api/jobConfigHistoryPage|Detail: the persisted run log. */
+  def history(id: String): Seq[(String, String)] =
+    registry.map(_.runLog(id)).getOrElse(Nil)
 
   /** Status transition with version increment (the optimistic-lock
     * `updateStatusByStart ... WHERE version = ?` of
@@ -294,7 +403,7 @@ object JobManager {
   final case class JobState(id: String, name: String, script: String,
       status: Status, version: Int, checkpointDir: String = "",
       queries: Seq[StreamingQuery] = Nil, autoRestart: Boolean = false,
-      lastSavepoint: Option[String] = None)
+      lastSavepoint: Option[String] = None, enabled: Boolean = true)
 
   final case class AlarmEvent(jobId: String, jobName: String,
       kind: String, detail: String)

@@ -12,6 +12,10 @@ import java.sql.{Connection, DriverManager}
 trait JobRegistry {
   /** Upsert the full row for a job (insert on first write). */
   def save(st: JobManager.JobState): Unit
+  /** Remove a job's config row (run-log rows are kept, like the
+    * reference's audit trail surviving config deletion).
+    */
+  def delete(id: String): Unit
   /** All persisted jobs, without live query handles. */
   def loadAll(): Seq[JobManager.JobState]
   /** Append-only run log (start/stop/fail/savepoint events). */
@@ -52,7 +56,8 @@ final class JdbcJobRegistry(url: String, user: String = "", pass: String = "")
         |  version INT,
         |  checkpoint_dir VARCHAR(1024),
         |  auto_restart SMALLINT,
-        |  last_savepoint VARCHAR(1024))""".stripMargin)
+        |  last_savepoint VARCHAR(1024),
+        |  enabled SMALLINT)""".stripMargin)
     ensure(c,
       """CREATE TABLE job_run_log (
         |  job_id VARCHAR(64),
@@ -71,39 +76,50 @@ final class JdbcJobRegistry(url: String, user: String = "", pass: String = "")
   override def save(st: JobManager.JobState): Unit = withConn { c =>
     val up = c.prepareStatement(
       "UPDATE job_config SET job_name=?, job_sql=?, status=?, version=?, " +
-        "checkpoint_dir=?, auto_restart=?, last_savepoint=? WHERE id=?")
+        "checkpoint_dir=?, auto_restart=?, last_savepoint=?, enabled=? " +
+        "WHERE id=?")
     up.setString(1, st.name); up.setString(2, st.script)
     up.setString(3, statusName(st.status)); up.setInt(4, st.version)
     up.setString(5, st.checkpointDir)
     up.setInt(6, if (st.autoRestart) 1 else 0)
     up.setString(7, st.lastSavepoint.orNull)
-    up.setString(8, st.id)
+    up.setInt(8, if (st.enabled) 1 else 0)
+    up.setString(9, st.id)
     if (up.executeUpdate() == 0) {
       val ins = c.prepareStatement(
         "INSERT INTO job_config (id, job_name, job_sql, status, version, " +
-          "checkpoint_dir, auto_restart, last_savepoint) " +
-          "VALUES (?, ?, ?, ?, ?, ?, ?, ?)")
+          "checkpoint_dir, auto_restart, last_savepoint, enabled) " +
+          "VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?)")
       ins.setString(1, st.id); ins.setString(2, st.name)
       ins.setString(3, st.script); ins.setString(4, statusName(st.status))
       ins.setInt(5, st.version); ins.setString(6, st.checkpointDir)
       ins.setInt(7, if (st.autoRestart) 1 else 0)
       ins.setString(8, st.lastSavepoint.orNull)
+      ins.setInt(9, if (st.enabled) 1 else 0)
       ins.executeUpdate()
     }
+    ()
+  }
+
+  override def delete(id: String): Unit = withConn { c =>
+    val ps = c.prepareStatement("DELETE FROM job_config WHERE id = ?")
+    ps.setString(1, id)
+    ps.executeUpdate()
     ()
   }
 
   override def loadAll(): Seq[JobManager.JobState] = withConn { c =>
     val rs = c.createStatement().executeQuery(
       "SELECT id, job_name, job_sql, status, version, checkpoint_dir, " +
-        "auto_restart, last_savepoint FROM job_config")
+        "auto_restart, last_savepoint, enabled FROM job_config")
     Iterator.continually(rs).takeWhile(_.next()).map { r =>
       JobManager.JobState(
         id = r.getString(1), name = r.getString(2), script = r.getString(3),
         status = statusOf(r.getString(4)), version = r.getInt(5),
         checkpointDir = r.getString(6), queries = Nil,
         autoRestart = r.getInt(7) == 1,
-        lastSavepoint = Option(r.getString(8)))
+        lastSavepoint = Option(r.getString(8)),
+        enabled = r.getInt(9) == 1)
     }.toList
   }
 

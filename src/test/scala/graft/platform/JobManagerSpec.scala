@@ -241,6 +241,60 @@ class JobManagerSpec extends SparkSpec {
     } finally sched.close()
   }
 
+  test("config CRUD verbs: add/edit/copy/open/close/delete/history/startConfig") {
+    import spark.implicits._
+    val regUrl = "jdbc:derby:memory:jmcrud;create=true"
+    val reg = new JdbcJobRegistry(regUrl)
+    val m = new JobManager(spark,
+      Files.createTempDirectory("crud_ckpt").toString,
+      Files.createTempDirectory("crud_sp").toString,
+      registry = Some(reg))
+    val dir = srcDir()
+    spark.range(0, 3).toDF("id").coalesce(1).write.mode("append").parquet(dir)
+
+    // addConfig registers without starting
+    val id = m.addConfig("crud_job", script(dir, "crud_out"))
+    assert(m.status(id) == JobManager.Stopped && m.info(id).enabled)
+
+    // close → start refused; open → start runs the stored config
+    m.close(id)
+    val eClosed = intercept[IllegalArgumentException] { m.startConfig(id) }
+    assert(eClosed.getMessage.contains("closed"))
+    m.open(id)
+    m.startConfig(id)
+    m.info(id).queries.foreach(_.awaitTermination(60000))
+    assert(m.status(id) == JobManager.Running)
+    assert(spark.table("crud_out").as[Long].collect().sorted.toSeq ==
+      (0L until 3L))
+
+    // active config refuses edit/delete/close
+    assert(intercept[IllegalArgumentException] {
+      m.editConfig(id, "INSERT INTO x SELECT 1;")
+    }.getMessage.contains("active"))
+    m.stop(id, withSavepoint = false)
+
+    // edit replaces SQL with a version bump, persisted
+    val v0 = m.info(id).version
+    m.editConfig(id, script(dir, "crud_out2"))
+    assert(m.info(id).version == v0 + 1 &&
+      m.info(id).script.contains("crud_out2"))
+    assert(new JdbcJobRegistry(regUrl).loadAll()
+      .find(_.id == id).get.script.contains("crud_out2"))
+
+    // copy duplicates under a new name with a fresh id
+    val cid = m.copyConfig(id, "crud_job_copy")
+    assert(cid != id && m.info(cid).name == "crud_job_copy" &&
+      m.info(cid).script == m.info(id).script)
+
+    // run log captured the lifecycle; delete removes config, keeps log
+    val events = m.history(id).map(_._1)
+    Seq("ADD_CONFIG", "CLOSE", "OPEN", "START", "STOP", "EDIT_CONFIG")
+      .foreach(e => assert(events.contains(e), s"missing $e in $events"))
+    m.delete(cid)
+    assert(intercept[NoSuchElementException] { m.info(cid) } != null)
+    assert(new JdbcJobRegistry(regUrl).loadAll().forall(_.id != cid))
+  }
+
   test("optimistic lock: stopping a non-RUNNING job fails cleanly") {
     val m = mgr()
     val dir = srcDir()
