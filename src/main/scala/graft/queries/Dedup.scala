@@ -275,7 +275,9 @@ object Dedup extends QueryPack {
         .select($"vec_id", quant($"embedding").as("qe"))
         .withColumn("nrm", dotQ($"qe", $"qe"))
       val probe = q.filter($"vec_id" < EmbedProbeBound)
-      probe.as("a").join(q.as("b"), $"a.vec_id" < $"b.vec_id")
+      // broadcast the BOUNDED probe side — without the hint Spark builds
+      // on the corpus side of the nested loop (unbounded at scale)
+      broadcast(probe.as("a")).join(q.as("b"), $"a.vec_id" < $"b.vec_id")
         .select($"a.vec_id".as("ida"), $"b.vec_id".as("idb"),
           (dotQ($"a.qe", $"b.qe").cast("double") /
             (sqrt($"a.nrm".cast("double")) * sqrt($"b.nrm".cast("double"))))

@@ -48,6 +48,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q_dedup_embed: bounded probe side broadcast, corpus streams") {
+    val p = plan("q_dedup_embed")
+    // BuildLeft = the vec_id<bound probe; BuildRight would broadcast the
+    // (unbounded at scale) corpus
+    assert(p.contains("BroadcastNestedLoopJoin BuildLeft"), p)
+  }
+
   test("q_win_topn: per-group window sorts locally, no global Sort") {
     val p = plan("q_win_topn")
     // rangepartitioning = global sort; window needs only hash partitioning
