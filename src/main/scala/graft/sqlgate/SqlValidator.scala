@@ -43,8 +43,11 @@ object SqlValidator {
             }
           }
         case _ =>
-          // Everything else must be Spark-parseable (syntax only).
-          Try(spark.sessionState.sqlParser.parsePlan(c.text)) match {
+          // Everything else must be Spark-parseable (syntax only) AFTER
+          // the dialect rewrite — the runner executes the rewritten form,
+          // so validating the raw Flink spelling would reject scripts
+          // that actually run (FOR SYSTEM_TIME AS OF a non-constant, …).
+          Try(spark.sessionState.sqlParser.parsePlan(FlinkSqlRewrite(c.text))) match {
             case Failure(e) =>
               errors += s"syntax error: ${e.getMessage.linesIterator.next()}"
             case _ =>

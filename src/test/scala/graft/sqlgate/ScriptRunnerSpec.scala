@@ -30,6 +30,19 @@ class ScriptRunnerSpec extends SparkSpec {
     assert(v.ok, v.errors.mkString("; "))
   }
 
+  test("validator: accepts the Flink windowing/temporal-join dialect") {
+    val v = SqlValidator.validate(spark,
+      """CREATE TABLE s (id BIGINT, ts TIMESTAMP) WITH ('connector'='datagen');
+        |CREATE TABLE d (id BIGINT, v BIGINT) WITH ('connector'='print');
+        |INSERT INTO d
+        |SELECT HOP_START(ts, INTERVAL '30' SECOND, INTERVAL '1' MINUTE), COUNT(*)
+        |FROM (SELECT a.id AS id, a.ts AS ts FROM s AS a
+        |      LEFT JOIN dim FOR SYSTEM_TIME AS OF a.proctime AS b ON b.id = a.id)
+        |GROUP BY HOP(ts, INTERVAL '30' SECOND, INTERVAL '1' MINUTE);
+        |""".stripMargin)
+    assert(v.ok, v.errors.mkString("; "))
+  }
+
   test("validator: MESSAGE_010 — script without INSERT rejected") {
     val v = SqlValidator.validate(spark,
       "CREATE TABLE t (a INT) WITH ('connector'='print');")
