@@ -53,6 +53,11 @@ object Similarity extends QueryPack {
   def recommendedCentroids(corpusSize: Long): Int =
     math.max(4, math.ceil(math.sqrt(corpusSize.toDouble)).toInt)
 
+  // one dim probe per corpus dir per JVM (each probe is a tiny Spark
+  // job; the ANN queries each called it, 3× per bench pass)
+  private val checkedDims =
+    scala.collection.concurrent.TrieMap[String, Int]()
+
   /** (vec_id, qe, nrm) for the whole embeddings table. */
   private def embQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -60,7 +65,8 @@ object Similarity extends QueryPack {
     val df = Tables.load(s, dir, "embeddings")
     // loud check: a non-NDim corpus would silently collapse every vector
     // into LSH bucket 0 (NULL dot > 0 is false for all planes)
-    val dim = df.select(size($"embedding")).head.getInt(0)
+    val dim = checkedDims.getOrElseUpdate(dir,
+      df.select(size($"embedding")).head.getInt(0))
     require(dim == NDim,
       s"embeddings have dim $dim but LSH hyperplanes are built for $NDim")
     df.select($"vec_id", quant($"embedding").as("qe"))
