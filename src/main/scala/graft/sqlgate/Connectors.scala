@@ -210,13 +210,20 @@ object Connectors {
             .format(spec.options.getOrElse("format", "parquet"))
             .save(spec.options("path")); None
         case "kafka" =>
+          require(!overwrite,
+            s"INSERT OVERWRITE is not supported for kafka sink ${spec.name}")
           df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
             .write.format("kafka")
             .option("kafka.bootstrap.servers",
               spec.options.getOrElse("properties.bootstrap.servers", ""))
             .option("topic", spec.options.getOrElse("topic", ""))
             .save(); None
-        case "jdbc" => JdbcUpsert.upsert(df, spec); None
+        case "jdbc" =>
+          // OVERWRITE = replace table contents (Flink batch overwrite
+          // semantics); a silent upsert-append here would corrupt the
+          // caller's replace intent
+          if (overwrite) JdbcUpsert.deleteAll(spec)
+          JdbcUpsert.upsert(df, spec); None
         case other =>
           throw new IllegalArgumentException(s"unknown sink connector: $other")
       }
@@ -360,6 +367,21 @@ object JdbcUpsert {
           }
         }
     }
+  }
+
+  /** Empty the sink table — the INSERT OVERWRITE path (one driver-side
+    * statement; the store does the work).
+    */
+  def deleteAll(spec: TableSpec): Unit = {
+    val conn = java.sql.DriverManager.getConnection(
+      spec.options.getOrElse("url", ""),
+      spec.options.getOrElse("username", ""),
+      spec.options.getOrElse("password", ""))
+    try {
+      conn.createStatement().executeUpdate(
+        s"DELETE FROM ${spec.options.getOrElse("table-name", spec.name)}")
+      ()
+    } finally conn.close()
   }
 
   /** Executor-side keyed DELETE: every column of `df` is a key column of

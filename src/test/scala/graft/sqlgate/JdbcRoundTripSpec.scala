@@ -63,4 +63,32 @@ class JdbcRoundTripSpec extends SparkSpec {
         ("2024-01-03", 1.0)))
     } finally conn2.close()
   }
+
+  test("batch INSERT OVERWRITE replaces JDBC sink contents; INTO upserts") {
+    val conn = DriverManager.getConnection(url)
+    try conn.createStatement().execute(
+      "CREATE TABLE ow_jdbc (k VARCHAR(16) PRIMARY KEY, v INT)")
+    finally conn.close()
+    def script(verb: String, k: String, v: Int) =
+      s"""CREATE TABLE ow_jdbc (k VARCHAR, v INT,
+         |  PRIMARY KEY (k) NOT ENFORCED) WITH (
+         |  'connector' = 'jdbc', 'url' = '$url',
+         |  'table-name' = 'ow_jdbc', 'dialect' = 'two-step');
+         |INSERT $verb ow_jdbc SELECT '$k' AS k, $v AS v;
+         |""".stripMargin
+    def rows(): List[(String, Int)] = {
+      val c = DriverManager.getConnection(url)
+      try {
+        val rs = c.createStatement()
+          .executeQuery("SELECT k, v FROM ow_jdbc ORDER BY k")
+        Iterator.continually(rs).takeWhile(_.next())
+          .map(r => (r.getString(1), r.getInt(2))).toList
+      } finally c.close()
+    }
+    new ScriptRunner(spark, batchMode = true).run(script("INTO", "a", 1))
+    new ScriptRunner(spark, batchMode = true).run(script("INTO", "b", 2))
+    assert(rows() == List(("a", 1), ("b", 2))) // INTO upserts/appends
+    new ScriptRunner(spark, batchMode = true).run(script("OVERWRITE", "z", 9))
+    assert(rows() == List(("z", 9))) // OVERWRITE replaced everything
+  }
 }
