@@ -62,7 +62,8 @@ object Connectors {
           "startingOffsets" -> (spec.options.get("scan.startup.mode") match {
             case Some("latest-offset") => "latest"
             case _                     => "earliest"
-          }))
+          })) ++
+          spec.options.get("properties.group.id").map("kafka.group.id" -> _)
         val loaded =
           if (streaming) spark.readStream.format("kafka").options(opts).load()
           else spark.read.format("kafka").options(opts).load()
