@@ -18,10 +18,11 @@ import org.apache.spark.sql.functions._
   * Scale notes (100 TB): the LSH paths shuffle on band/bucket keys whose
   * cardinality grows with the corpus — no O(n²) stage anywhere except the
   * explicitly-bounded exact-verification baselines. Shingle explode →
-  * groupBy(doc) min-aggregates get map-side combine for free. Hot LSH
-  * buckets (boilerplate-heavy corpora) are the known skew risk: AQE skew
-  * join handles moderate cases; pathological buckets should be salted or
-  * capped upstream.
+  * groupBy(doc) min-aggregates get map-side combine for free. Hot LSH /
+  * chunk buckets (boilerplate-heavy corpora) are the known skew risk and
+  * are capped at [[MaxBandBucket]] members per bucket ([[bucketPairs]]),
+  * with drops surfaced through an observe() metric — bounded work per
+  * task by construction, no silent truncation.
   */
 object Dedup extends QueryPack {
 
@@ -30,15 +31,32 @@ object Dedup extends QueryPack {
 
   /** LSH candidate pairs for documents (doc_id, text): shingle → k
     * affine minhashes of one md5 code (map-side combined min-agg) →
-    * band keys → per-band self-join (the only corpus-sized shuffle,
-    * keyed by band signature). Band/row counts are the scale knobs —
-    * the effective detection threshold is [[lshThreshold]] ≈
-    * (1/bands)^(1/rowsPerBand); pick them with [[bandConfigFor]].
+    * band keys built in ONE projection and posexplode'd (the signature
+    * aggregation runs exactly once — no k-way unionByName re-instantiating
+    * the upstream plan) → groupBy band key collecting bucket members (the
+    * only corpus-sized shuffle) → in-bucket pair expansion. Band/row
+    * counts are the scale knobs — the effective detection threshold is
+    * [[lshThreshold]] ≈ (1/bands)^(1/rowsPerBand); pick them with
+    * [[bandConfigFor]].
+    *
+    * `maxBucket` is the hot-bucket guard: a degenerate band bucket of m
+    * members (boilerplate-heavy corpora — every member shares a band
+    * signature) would expand to m²/2 candidate pairs in one task, the
+    * one way this pipeline dies at 100 TB. Buckets over the cap are
+    * DROPPED, and the drop is accounted through a `observe()` metric
+    * ("lsh_buckets": dropped_buckets / dropped_members) logged at WARN
+    * after the action — never silent. Dropping (vs salting) is the
+    * right policy here: salting a band bucket loses cross-salt pairs
+    * anyway, and members of a degenerate bucket are boilerplate the
+    * exact-Jaccard verify would mostly reject. Tune the cap to the
+    * largest duplicate-group size worth clustering.
     */
   def minhashCandidates(docs0: DataFrame, k: Int = MinhashK,
-      bands: Int = Bands, rowsPerBand: Int = RowsPerBand): DataFrame = {
+      bands: Int = Bands, rowsPerBand: Int = RowsPerBand,
+      maxBucket: Int = MaxBandBucket): DataFrame = {
     require(bands * rowsPerBand <= k,
       s"bands($bands) × rowsPerBand($rowsPerBand) exceeds k($k)")
+    require(maxBucket >= 2, s"maxBucket($maxBucket) must allow pairs")
     val docs = docs0
       .select(col("doc_id"), words(col("text")).as("w"))
       .filter(size(col("w")) >= 3)
@@ -48,18 +66,66 @@ object Dedup extends QueryPack {
     val mhAggs = (0 until k).map(j =>
       min((lit(hashA(j)) * col("x") + lit(hashB(j))) % P).as(s"h$j"))
     val mh = shH.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
-    val bandRows = (0 until bands).map { b =>
-      val key = concat_ws("_",
+    val bandKeys = (0 until bands).map { b =>
+      concat_ws("_",
         (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)
-      mh.select(col("doc_id"), lit(b).as("band"), key.as("bkey"))
-    }.reduce(_ unionByName _)
-    bandRows.as("a")
-      .join(bandRows.as("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+    }
+    val bandRows = mh.select(col("doc_id"),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
+    bucketPairs(bandRows, Seq("band", "bkey"), maxBucket, "lsh_buckets")
+  }
+
+  /** In-bucket pair expansion with a hot-bucket cap: groupBy the bucket
+    * key (ONE shuffle — replaces a bucket-keyed self-join, so nothing
+    * relies on exchange reuse), drop buckets over `maxBucket` members
+    * (accounted via the named `observe()` metric, logged at WARN by a
+    * per-session listener — no silent truncation), expand surviving
+    * buckets to ordered pairs map-side. Bucket membership is collected
+    * before the cap filter, so the per-bucket state is O(m) doc ids —
+    * bounded and tiny next to the O(m²) pair blowup the cap prevents.
+    */
+  private def bucketPairs(rows: DataFrame, keyCols: Seq[String],
+      maxBucket: Int, metricName: String): DataFrame = {
+    ensureDropLogger(rows.sparkSession)
+    val bsz = size(col("members"))
+    rows.groupBy(keyCols.map(col): _*)
+      .agg(collect_list(col("doc_id")).as("members"))
+      .observe(metricName,
+        sum(when(bsz > maxBucket, 1).otherwise(0)).as("dropped_buckets"),
+        sum(when(bsz > maxBucket, bsz).otherwise(0)).as("dropped_members"))
+      .filter(bsz >= 2 && bsz <= maxBucket)
+      .select(explode(col("members")).as("ida"), col("members"))
+      .select(col("ida"), explode(col("members")).as("idb"))
+      .filter(col("ida") < col("idb"))
+      .select(col("ida"), col("idb"))
       .distinct()
   }
+
+  /** Log hot-bucket drops after any action over a [[bucketPairs]] plan —
+    * observe() metrics cost nothing at runtime and surface here, so
+    * capped truncation is always visible in the driver log.
+    */
+  private val dropLoggerSessions =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+  private def ensureDropLogger(s: SparkSession): Unit =
+    if (dropLoggerSessions.add(s)) {
+      s.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit =
+          qe.observedMetrics.foreach { case (name, row) =>
+            if (name.endsWith("_buckets") && row.getLong(0) > 0)
+              log.warn(s"$name hot-bucket cap dropped ${row.getLong(0)} " +
+                s"buckets (${row.getLong(1)} member rows) — raise maxBucket " +
+                "to trade skew safety for recall on these groups")
+          }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      })
+    }
 
   /** Probability-0.5 Jaccard detection threshold of an (bands, rows)
     * LSH config — the S-curve midpoint (1/b)^(1/r). More bands / fewer
@@ -99,6 +165,58 @@ object Dedup extends QueryPack {
       .filter($"jacc" >= 0.8)
   }
 
+  /** Connected components over undirected (ida, idb) pairs via min-label
+    * propagation iterated to convergence — the "keep one doc per
+    * duplicate cluster" operator. Each round is one shuffle join; rounds
+    * ≈ component diameter (tiny for real dup clusters). Labels only
+    * decrease, so the label sum strictly decreases iff any label changed
+    * — one cheap action per round instead of a fixed iteration count,
+    * correct for any component diameter.
+    *
+    * Lineage MUST be truncated each round — without it the plan re-embeds
+    * the whole upstream pipeline per iteration and planning goes
+    * exponential (measured: 570 s → ~3 s at sf0.01). `reliable = false`
+    * (default) uses `localCheckpoint()` (executor-local blocks — right
+    * for local/test runs, no checkpoint dir needed); `reliable = true`
+    * uses `checkpoint()` against `SparkContext.setCheckpointDir` — the
+    * cluster-mode setting, surviving executor loss over a long iterative
+    * job. Output: (doc_id, cluster = min doc_id of the component,
+    * is_keeper).
+    */
+  def connectedComponents(pairs0: DataFrame,
+      reliable: Boolean = false): DataFrame = {
+    val s = pairs0.sparkSession
+    import s.implicits._
+    if (reliable) require(s.sparkContext.getCheckpointDir.isDefined,
+      "reliable=true needs SparkContext.setCheckpointDir (HDFS-quality " +
+        "storage on a real cluster)")
+    def truncate(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val pairs = pairs0.toDF("ida", "idb")
+    val edges = truncate(
+      pairs.union(pairs.select($"idb", $"ida")).toDF("en", "em"))
+    var labels = truncate(edges.select($"en".as("node")).distinct()
+      .withColumn("lab", $"node"))
+    // coalesce: sum over an EMPTY labels frame (corpus with no near-dup
+    // pairs) is NULL, and getLong on NULL throws
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum($"lab"), lit(0L))).head.getLong(0)
+    var prevSum = labelSum(labels)
+    var converged = labels.isEmpty
+    while (!converged) {
+      val nb = edges.join(labels, $"em" === $"node")
+        .groupBy($"en").agg(min($"lab").as("nbl"))
+      labels = truncate(labels.join(nb, $"node" === $"en", "left")
+        .select($"node",
+          least($"lab", coalesce($"nbl", $"lab")).as("lab")))
+      val s2 = labelSum(labels)
+      converged = s2 == prevSum
+      prevSum = s2
+    }
+    labels.select($"node".as("doc_id"), $"lab".as("cluster"),
+      ($"node" === $"lab").as("is_keeper"))
+  }
+
   /** Word n-gram shingles (1-based element_at == DuckDB w[i]). */
   private def shingles(w: Column, n: Int): Column =
     transform(sequence(lit(1), size(w) - (n - 1)),
@@ -115,6 +233,14 @@ object Dedup extends QueryPack {
   private val MinhashK = 16 // 4 bands × 4 rows
   private val Bands = 4
   private val RowsPerBand = 4
+  /** Default hot-bucket cap: far above any real duplicate-group size in
+    * the synthetic corpora (a provable no-op for the oracle gate, whose
+    * DuckDB mirror has no cap) yet it bounds a degenerate bucket's pair
+    * expansion to ~12.5M pairs in one task. Production corpora with
+    * boilerplate should tune this down to the largest dup group worth
+    * keeping.
+    */
+  private[queries] val MaxBandBucket = 5000
   /** Affine minhash family over one md5-derived code: h_j(x) = (a_j*x +
     * b_j) mod P with P = 2^31-1 and x < P, so a_j*x < 2^62 never
     * overflows int64 in either engine. One md5 per shingle instead of K.
@@ -167,40 +293,7 @@ object Dedup extends QueryPack {
     // dup clusters). Oracle: DuckDB recursive CTE closure.
     "q_dedup_cluster" -> ((s, dir) => {
       import s.implicits._
-      // localCheckpoint truncates lineage each round — without it the
-      // plan re-embeds the whole minhash pipeline per iteration and
-      // planning goes exponential (measured: 570s → ~3s at sf0.01). On a
-      // cluster use reliable checkpoint() against the checkpoint dir.
-      val pairs = minhashPairs(s, dir).select($"ida", $"idb")
-      val edges = pairs
-        .union(pairs.select($"idb", $"ida")).toDF("en", "em")
-        .localCheckpoint()
-      var labels = edges.select($"en".as("node")).distinct()
-        .withColumn("lab", $"node")
-        .localCheckpoint()
-      // iterate to convergence: labels only decrease, so the label sum
-      // strictly decreases iff any label changed — one cheap action per
-      // round instead of a fixed iteration count, correct for any
-      // component diameter
-      // coalesce: sum over an EMPTY labels frame (corpus with no
-      // near-dup pairs) is NULL, and getLong on NULL throws
-      def labelSum(df: org.apache.spark.sql.DataFrame): Long =
-        df.agg(coalesce(sum($"lab"), lit(0L))).head.getLong(0)
-      var prevSum = labelSum(labels)
-      var converged = labels.isEmpty
-      while (!converged) {
-        val nb = edges.join(labels, $"em" === $"node")
-          .groupBy($"en").agg(min($"lab").as("nbl"))
-        labels = labels.join(nb, $"node" === $"en", "left")
-          .select($"node",
-            least($"lab", coalesce($"nbl", $"lab")).as("lab"))
-          .localCheckpoint()
-        val s2 = labelSum(labels)
-        converged = s2 == prevSum
-        prevSum = s2
-      }
-      labels.select($"node".as("doc_id"), $"lab".as("cluster"),
-        ($"node" === $"lab").as("is_keeper"))
+      connectedComponents(minhashPairs(s, dir).select($"ida", $"idb"))
     }),
 
     // SimHash near-dup detection: 60-bit signature over word bigrams,
@@ -225,16 +318,15 @@ object Dedup extends QueryPack {
       val sim = tok.groupBy($"doc_id")
         .agg(graft.functions.GraftFunctions.simhash60(collect_list($"h"))
           .as("sim"))
-      val chunks = (0 until 4).map { c =>
-        sim.select($"doc_id", lit(c).as("chunk"),
-          shiftright($"sim", c * 15).bitwiseAND((1L << 15) - 1).as("ckey"))
-      }.reduce(_ unionByName _)
-      val cand = chunks.as("a")
-        .join(chunks.as("b"),
-          $"a.chunk" === $"b.chunk" && $"a.ckey" === $"b.ckey" &&
-            $"a.doc_id" < $"b.doc_id")
-        .select($"a.doc_id".as("ida"), $"b.doc_id".as("idb"))
-        .distinct()
+      // 4×15-bit chunk keys in one projection + posexplode (signature agg
+      // runs once), then the same capped bucket-grouped pair expansion as
+      // the LSH path — one shuffle, hot chunk buckets bounded.
+      val chunkKeys = (0 until 4).map(c =>
+        shiftright($"sim", c * 15).bitwiseAND((1L << 15) - 1))
+      val chunks = sim.select($"doc_id",
+        posexplode(array(chunkKeys: _*)).as(Seq("chunk", "ckey")))
+      val cand = bucketPairs(chunks, Seq("chunk", "ckey"),
+        MaxBandBucket, "simhash_buckets")
       cand
         .join(sim.select($"doc_id".as("ida"), $"sim".as("sima")), "ida")
         .join(sim.select($"doc_id".as("idb"), $"sim".as("simb")), "idb")

@@ -20,6 +20,34 @@ class MinhashSpec extends SparkSpec {
     assert(bTight < 4 && rTight > 4)
   }
 
+  test("hot-bucket cap bounds candidate expansion on a duplicate-heavy corpus") {
+    import spark.implicits._
+    // 200 byte-identical docs: every band bucket degenerates to all 200
+    // members — the boilerplate-heavy-corpus skew case. Plus one small
+    // legitimate duplicate pair that must survive the cap.
+    val boiler = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = ((1 to 200).map(i => (i.toLong, boiler)) ++
+      Seq((901L, "one two three four five"),
+        (902L, "one two three four five")))
+      .toDF("doc_id", "text")
+    // uncapped: the degenerate group alone expands to 200*199/2 pairs
+    val uncapped = Dedup.minhashCandidates(docs, maxBucket = Int.MaxValue).count()
+    assert(uncapped >= 200L * 199 / 2, s"uncapped=$uncapped")
+    // capped: degenerate buckets dropped (and logged via the observe
+    // metric), candidate count bounded far below m²/2; the small pair is
+    // untouched
+    val capped = Dedup.minhashCandidates(docs, maxBucket = 50).collect()
+    assert(capped.length == 1, capped.mkString(","))
+    assert(capped.head.getLong(0) == 901L && capped.head.getLong(1) == 902L)
+  }
+
+  test("default cap is a no-op on the gate corpus (oracle has no cap)") {
+    val docs = Tables.load(spark, sf, "documents")
+    val def_ = Dedup.minhashCandidates(docs).count()
+    val unc = Dedup.minhashCandidates(docs, maxBucket = Int.MaxValue).count()
+    assert(def_ == unc, s"default-cap=$def_ uncapped=$unc")
+  }
+
   test("more bands / fewer rows per band yields at least as many candidates") {
     val docs = Tables.load(spark, sf, "documents")
     val n44 = Dedup.minhashCandidates(docs, k = 16,

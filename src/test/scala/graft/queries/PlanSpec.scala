@@ -72,4 +72,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q_dedup_minhash: single signature pass — no Union, bounded scans") {
+    val p = plan("q_dedup_minhash")
+    // band keys come from ONE posexplode projection over the minhash
+    // aggregation, not a k-way unionByName re-instantiating it
+    assert(!p.contains("Union"), p)
+    // documents is read once for signatures + twice for the exact-verify
+    // shingle sets (sa/sb sides) — never once per band
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans <= 3, s"expected <=3 documents scans, got $scans\n$p")
+  }
+
+  test("q_dedup_simhash: single signature pass — no Union") {
+    val p = plan("q_dedup_simhash")
+    assert(!p.contains("Union"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
