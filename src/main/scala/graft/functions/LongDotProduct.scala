@@ -93,9 +93,37 @@ object GraftFunctions {
       "long_dot", exprs => LongDotProduct(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash60", exprs => SimHash60(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_ngrams", exprs =>
+        WordNgrams(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue),
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "count_in", exprs => {
+        val arr = exprs(1).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val words = (0 until arr.numElements())
+          .map(i => arr.getUTF8String(i).toString)
+        CountInSet(exprs(0), words)
+      }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "text_fingerprint", exprs => TextFingerprint(exprs(0)), "built-in")
   }
 
   def longDot(a: Column, b: Column): Column = call_function("long_dot", a, b)
 
   def simhash60(a: Column): Column = call_function("simhash60", a)
+
+  /** All space-joined word n-grams of a token array (fused codegen loop;
+    * n is baked into the plan as a literal).
+    */
+  def wordNgrams(a: Column, n: Int): Column =
+    call_function("word_ngrams", a, org.apache.spark.sql.functions.lit(n))
+
+  /** Count of tokens contained in a fixed word set (fused hash probe). */
+  def countIn(a: Column, words: Seq[String]): Column =
+    call_function("count_in", a,
+      org.apache.spark.sql.functions.lit(words.toArray))
+
+  /** Order-sensitive rolling md5 fingerprint of a token array. */
+  def textFingerprint(a: Column): Column = call_function("text_fingerprint", a)
 }

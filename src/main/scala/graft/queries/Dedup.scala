@@ -57,6 +57,7 @@ object Dedup extends QueryPack {
     require(bands * rowsPerBand <= k,
       s"bands($bands) × rowsPerBand($rowsPerBand) exceeds k($k)")
     require(maxBucket >= 2, s"maxBucket($maxBucket) must allow pairs")
+    graft.functions.GraftFunctions.register(docs0.sparkSession)
     val docs = docs0
       .select(col("doc_id"), words(col("text")).as("w"))
       .filter(size(col("w")) >= 3)
@@ -149,6 +150,7 @@ object Dedup extends QueryPack {
     */
   private[queries] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.functions.GraftFunctions.register(s)
     val docs0 = Tables.load(s, dir, "documents")
     val cand = minhashCandidates(docs0)
     val sh = docs0
@@ -217,10 +219,13 @@ object Dedup extends QueryPack {
       ($"node" === $"lab").as("is_keeper"))
   }
 
-  /** Word n-gram shingles (1-based element_at == DuckDB w[i]). */
+  /** Word n-gram shingles via the fused native expression — same output
+    * as the DuckDB 1-based comprehension mirror, but one codegen'd loop
+    * per row instead of an interpreted transform(sequence(...)) lambda
+    * on the corpus-scan hot path.
+    */
   private def shingles(w: Column, n: Int): Column =
-    transform(sequence(lit(1), size(w) - (n - 1)),
-      i => concat_ws(" ", (0 until n).map(k => element_at(w, i + k)): _*))
+    graft.functions.GraftFunctions.wordNgrams(w, n)
 
   /** 60-bit token hash: first 15 hex chars of md5, identical to the
     * oracle's strpos/shift decode. 60 bits keeps it inside a signed long.
@@ -341,6 +346,7 @@ object Dedup extends QueryPack {
     // within small blocking groups.
     "q_dedup_ngram" -> ((s, dir) => {
       import s.implicits._
+      Vec.ensureRegistered(s)
       val sets = Tables.load(s, dir, "documents")
         .filter($"doc_id" < 300)
         .select($"doc_id", words($"text").as("w"))

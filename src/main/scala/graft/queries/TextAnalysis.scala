@@ -9,13 +9,18 @@ import org.apache.spark.sql.functions._
   * quality scoring, language-ID heuristic, document fingerprinting, and
   * corpus n-gram statistics. Everything is a per-row expression or a
   * single aggregation — embarrassingly parallel at 100 TB, no shuffle
-  * except the final group-bys, all inside whole-stage codegen.
+  * except the final group-bys, all inside whole-stage codegen: the
+  * per-row loops that would need interpreted higher-order lambdas
+  * (`transform`/`aggregate`/`filter`) run as fused native expressions
+  * instead (graft.functions.{WordNgrams, CountInSet, TextFingerprint}),
+  * and mean token length folds to pure length arithmetic.
   *
   * The language-ID heuristic is marker-word scoring (the standard cheap
   * pre-filter before a real classifier); the synthetic corpus shares one
   * vocabulary so it exercises the operator shape, not real discrimination.
   */
 object TextAnalysis extends QueryPack {
+  import graft.functions.GraftFunctions.{countIn, textFingerprint, wordNgrams}
 
   private val Stopwords = Seq("the", "a", "of", "and", "in", "to", "is")
   private val BpeIsh = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
@@ -38,12 +43,15 @@ object TextAnalysis extends QueryPack {
     // ratios, and a composite score — the usual junk-filter features.
     "q_text_quality" -> ((s, dir) => {
       import s.implicits._
+      graft.functions.GraftFunctions.register(s)
       val w = words($"text")
       val nTok = size(w)
-      val meanLen = aggregate(transform(w, x => length(x)), lit(0),
-        (acc, x) => acc + x).cast("double") / nTok
-      val stopHits = size(filter(w,
-        x => array_contains(typedLit(Stopwords), x)))
+      // split on a single space partitions the string exactly, so the
+      // summed token length is length(text) minus the nTok-1 separators —
+      // pure codegen arithmetic, no interpreted aggregate(transform(...))
+      // fold, and integer-identical to the oracle's list_sum
+      val meanLen = (length($"text") - (nTok - lit(1))).cast("double") / nTok
+      val stopHits = countIn(w, Stopwords)
       val stopRatio = stopHits.cast("double") / nTok
       // nullif: empty documents would divide by zero (ANSI throw)
       val digitRatio = (length($"text") -
@@ -60,9 +68,9 @@ object TextAnalysis extends QueryPack {
     // metadata label.
     "q_text_langid" -> ((s, dir) => {
       import s.implicits._
+      graft.functions.GraftFunctions.register(s)
       val w = words($"text")
-      def hits(markers: Seq[String]): Column =
-        size(filter(w, x => array_contains(typedLit(markers), x)))
+      def hits(markers: Seq[String]): Column = countIn(w, markers)
       val en = hits(Seq("the", "a", "of", "and", "in"))
       val de = hits(Seq("der", "die", "das", "und", "ist"))
       val fr = hits(Seq("le", "la", "les", "et", "est"))
@@ -78,16 +86,13 @@ object TextAnalysis extends QueryPack {
     }),
 
     // Document fingerprint: order-sensitive polynomial rolling hash over
-    // md5-derived word codes, mod 1e9+7 (no overflow in either engine).
+    // md5-derived word codes, mod 1e9+7 (no overflow in either engine),
+    // fused into one codegen'd fold per row.
     "q_text_fingerprint" -> ((s, dir) => {
       import s.implicits._
-      val w = words($"text")
-      val codes = transform(w,
-        x => conv(substring(md5(x), 1, 15), 16, 10).cast("long") % 1000000L)
-      val fp = aggregate(codes, lit(0L),
-        (acc, x) => (acc * 31L + x) % 1000000007L)
+      graft.functions.GraftFunctions.register(s)
       Tables.load(s, dir, "documents")
-        .select($"doc_id", fp.as("fingerprint"))
+        .select($"doc_id", textFingerprint(words($"text")).as("fingerprint"))
     }),
 
     // Corpus term statistics: per-term total frequency (tf) and document
@@ -108,12 +113,11 @@ object TextAnalysis extends QueryPack {
     // Corpus-level bigram frequency top-20 (deterministic tie-break).
     "q_text_ngram_freq" -> ((s, dir) => {
       import s.implicits._
+      graft.functions.GraftFunctions.register(s)
       val w = words($"text")
-      val bigrams = transform(sequence(lit(1), size(w) - 1),
-        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1)))
       Tables.load(s, dir, "documents")
         .filter(size(w) >= 2)
-        .select(explode(bigrams).as("bigram"))
+        .select(explode(wordNgrams(w, 2)).as("bigram"))
         .groupBy($"bigram")
         .agg(count(lit(1)).as("n"))
         .orderBy($"n".desc, $"bigram")

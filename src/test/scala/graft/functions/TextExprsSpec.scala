@@ -1,0 +1,89 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Native text expressions (WordNgrams / CountInSet / TextFingerprint):
+  * element-for-element equivalence with the interpreted higher-order
+  * formulations they replace, null handling, and codegen participation.
+  */
+class TextExprsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "a b",
+    "single",
+    "the the the the",
+    "numbers 123 and symbols £µ€ stay utf8 safe").toDF("text")
+    .withColumn("w", split($"text", " "))
+
+  test("word_ngrams equals transform(sequence(...)) shingles for n=2,3") {
+    GraftFunctions.register(spark)
+    for (n <- Seq(2, 3)) {
+      val hof = transform(sequence(lit(1), size($"w") - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(k => element_at($"w", i + k)): _*))
+      val rows = docs.filter(size($"w") >= n)
+        .select(GraftFunctions.wordNgrams($"w", n).as("fused"), hof.as("hof"))
+        .collect()
+      assert(rows.nonEmpty)
+      rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), r))
+    }
+  }
+
+  test("word_ngrams yields empty array under n tokens; null array → null") {
+    GraftFunctions.register(spark)
+    val out = Seq(Some("one"), None).toDF("text")
+      .select(GraftFunctions.wordNgrams(split($"text", " "), 3).as("g"))
+      .collect()
+    assert(out(0).getSeq[String](0) == Seq.empty)
+    assert(out(1).isNullAt(0))
+  }
+
+  test("count_in equals size(filter(array_contains)) incl. repeats and misses") {
+    GraftFunctions.register(spark)
+    val set = Seq("the", "a", "of")
+    val hof = size(filter($"w", x => array_contains(typedLit(set), x)))
+    val rows = docs
+      .select(GraftFunctions.countIn($"w", set).as("fused"), hof.as("hof"))
+      .collect()
+    assert(rows.map(_.getInt(0)).toSeq == rows.map(_.getInt(1)).toSeq)
+    // repeats counted per occurrence, not per distinct hit
+    assert(rows.map(_.getInt(0)).contains(4)) // "the the the the"
+  }
+
+  test("text_fingerprint equals the aggregate(transform(md5)) rolling fold") {
+    GraftFunctions.register(spark)
+    val codes = transform($"w",
+      x => conv(substring(md5(x), 1, 15), 16, 10).cast("long") % 1000000L)
+    val hof = aggregate(codes, lit(0L),
+      (acc, x) => (acc * 31L + x) % 1000000007L)
+    val rows = docs
+      .select(GraftFunctions.textFingerprint($"w").as("fused"), hof.as("hof"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1), r))
+    // order sensitivity: permuted tokens change the fingerprint
+    val fp = (t: String) => Seq(t).toDF("text")
+      .select(GraftFunctions.textFingerprint(split($"text", " ")))
+      .collect().head.getLong(0)
+    assert(fp("a b c") != fp("c b a"))
+  }
+
+  test("native text exprs run inside whole-stage codegen") {
+    GraftFunctions.register(spark)
+    // range source: a literal local table would be constant-folded into
+    // a LocalTableScan with no codegen stage at all
+    val plan = spark.range(100)
+      .select(split(concat_ws(" ", lit("the"), $"id".cast("string"),
+        lit("quick fox")), " ").as("w"))
+      .select(
+      GraftFunctions.wordNgrams($"w", 2).as("g"),
+      GraftFunctions.countIn($"w", Seq("the")).as("c"),
+      GraftFunctions.textFingerprint($"w").as("f"))
+      .queryExecution.executedPlan.toString
+    // the `*(n)` prefix marks operators fused into a whole-stage-codegen
+    // stage; the projection holding all three expressions must carry it
+    assert("\\*\\(\\d+\\) Project \\[word_ngrams".r.findFirstIn(plan).isDefined,
+      plan)
+  }
+}
