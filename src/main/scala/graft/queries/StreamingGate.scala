@@ -82,6 +82,21 @@ object StreamingGate extends QueryPack {
       runToTable(s, agg, "stream_hop_gate")
     }),
 
+    // streaming session window (2h inactivity gap per user) — the only
+    // window kind whose streaming path wasn't oracle-checked; the state
+    // store must merge sessions across micro-batches to converge on the
+    // batch gaps-and-islands answer
+    "q_stream_session" -> ((s, dir) => {
+      import s.implicits._
+      val agg = eventsStream(s, dir)
+        .groupBy(session_window($"ts", "2 hours").as("w"), $"user_id")
+        .agg(count(lit(1)).as("n_events"),
+          date_format(min($"ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("sess_start"),
+          date_format(max($"ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("sess_last"))
+        .select($"user_id", $"sess_start", $"sess_last", $"n_events")
+      runToTable(s, agg, "stream_session_gate")
+    }),
+
     // streaming continuous (unwindowed) aggregation — the demo_1
     // day_time/SUM shape, complete mode
     "q_stream_continuous" -> ((s, dir) => {
@@ -105,5 +120,6 @@ object StreamingGate extends QueryPack {
          |FROM events GROUP BY event_type""".stripMargin,
 
     // shared with the batch pack so the mirrors cannot drift
-    "q_stream_hop" -> Windows.oHopSql)
+    "q_stream_hop" -> Windows.oHopSql,
+    "q_stream_session" -> Windows.oSessionSql)
 }

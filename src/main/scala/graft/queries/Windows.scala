@@ -72,6 +72,28 @@ object Windows extends QueryPack {
         .select($"user_id", $"sess_start", $"sess_last", $"n_events")
     }))
 
+  /** Shared session-window oracle (gaps-and-islands over a 2h inactivity
+    * gap per user); StreamingGate's q_stream_session reuses it so the
+    * batch and streaming mirrors cannot drift apart.
+    */
+  private[queries] val oSessionSql: String =
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |flag AS (SELECT user_id, ts,
+      |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |         >= INTERVAL 2 HOUR OR
+      |         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |    THEN 1 ELSE 0 END AS new_sess
+      |  FROM e),
+      |sess AS (SELECT user_id, ts,
+      |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flag)
+      |SELECT user_id,
+      |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS sess_start,
+      |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS sess_last,
+      |  COUNT(*) AS n_events
+      |FROM sess GROUP BY user_id, sid""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_window_tumble" ->
       s"""SELECT strftime(tb, '%Y-%m-%d %H:%M:%S') AS wstart,
@@ -83,21 +105,5 @@ object Windows extends QueryPack {
 
     "q_window_hop" -> Windows.oHopSql,
 
-    "q_window_session" ->
-      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
-        |flag AS (SELECT user_id, ts,
-        |    CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-        |         >= INTERVAL 2 HOUR OR
-        |         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-        |    THEN 1 ELSE 0 END AS new_sess
-        |  FROM e),
-        |sess AS (SELECT user_id, ts,
-        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-        |  FROM flag)
-        |SELECT user_id,
-        |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS sess_start,
-        |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS sess_last,
-        |  COUNT(*) AS n_events
-        |FROM sess GROUP BY user_id, sid""".stripMargin)
+    "q_window_session" -> Windows.oSessionSql)
 }
