@@ -1,0 +1,157 @@
+package graft.platform
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.JsonUtil
+import graft.sqlgate.SqlValidator
+import org.apache.spark.sql.SparkSession
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Thin HTTP facade over [[JobManager]] — the reference is a web
+  * platform, and this is its REST verb surface
+  * (`JobConfigApiController.java:89-415`: start/stop/savepoint/open/
+  * close/delete/addConfig/editConfig/copyConfig/listTask/
+  * jobConfigHistory*, plus `SqlValidationController.java:25-44`'s
+  * checkfSql) served by the JDK's built-in HttpServer — zero new
+  * dependencies, delegating every verb to the manager so the guards
+  * (validation, dup-run, optimistic lock) are the same objects the
+  * in-process API enforces.
+  *
+  * Responses are the reference's RestResult JSON shape
+  * (`RestResult.java:14-24`): `{"code","success","message","data"}`.
+  * Guard failures map onto HTTP statuses: bad input / validation /
+  * dup-run → 400, unknown id → 404, optimistic-lock races → 409,
+  * anything unexpected → 500. Params come from the query string or an
+  * `application/x-www-form-urlencoded` body (the reference's Spring
+  * `@RequestMapping` endpoints accept both the same way).
+  */
+class HttpApi(mgr: JobManager, spark: SparkSession, bindPort: Int = 0)
+    extends AutoCloseable {
+
+  private val server =
+    HttpServer.create(new InetSocketAddress("127.0.0.1", bindPort), 0)
+  // small pool: a start() can block while a streaming query spins up and
+  // must not wedge every other verb behind it
+  private val pool = java.util.concurrent.Executors.newFixedThreadPool(4,
+    (r: Runnable) => {
+      val t = new Thread(r, "graft-http-api"); t.setDaemon(true); t
+    })
+  server.setExecutor(pool)
+  server.createContext("/api", (ex: HttpExchange) => handle(ex))
+  server.start()
+
+  /** Bound port (ephemeral when constructed with bindPort = 0). */
+  def port: Int = server.getAddress.getPort
+
+  override def close(): Unit = { server.stop(0); pool.shutdownNow(); () }
+
+  // --- request plumbing ---------------------------------------------------
+
+  private def params(ex: HttpExchange): Map[String, String] = {
+    def parse(s: String): Seq[(String, String)] =
+      Option(s).toSeq.flatMap(_.split('&')).filter(_.nonEmpty).map { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) =>
+            java.net.URLDecoder.decode(k, "UTF-8") ->
+              java.net.URLDecoder.decode(v, "UTF-8")
+          case Array(k) => java.net.URLDecoder.decode(k, "UTF-8") -> ""
+        }
+      }
+    val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+    // body wins over query string on duplicate keys (toMap keeps last)
+    (parse(ex.getRequestURI.getRawQuery) ++ parse(body)).toMap
+  }
+
+  private def reply(ex: HttpExchange, status: Int, success: Boolean,
+      message: String, data: String): Unit = {
+    val body =
+      (s"""{"code":${JsonUtil.str(status.toString)}""" +
+        s""","success":$success""" +
+        s""","message":${JsonUtil.str(message)}""" +
+        s""","data":$data}""").getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(status, body.length)
+    ex.getResponseBody.write(body)
+    ex.close()
+  }
+
+  private def ok(ex: HttpExchange, data: String, message: String = ""): Unit =
+    reply(ex, 200, success = true, message, data)
+
+  private def jobJson(st: JobManager.JobState): String =
+    s"""{"id":${JsonUtil.str(st.id)},"name":${JsonUtil.str(st.name)}""" +
+      s""","status":${JsonUtil.str(st.status.toString.toUpperCase)}""" +
+      s""","version":${st.version},"enabled":${st.enabled}""" +
+      s""","autoRestart":${st.autoRestart}""" +
+      s""","lastSavepoint":${
+        st.lastSavepoint.map(JsonUtil.str).getOrElse("null")}}"""
+
+  private def handle(ex: HttpExchange): Unit =
+    try {
+      val p = params(ex)
+      def req(k: String): String = p.getOrElse(k,
+        throw new IllegalArgumentException(s"missing parameter '$k'"))
+      val verb = ex.getRequestURI.getPath.stripPrefix("/api/")
+      verb match {
+        case "start" =>
+          // config-id start (the reference's form), savepoint restore
+          // when requested, or an ad-hoc name+script start
+          val id = (p.get("id"), p.get("savepoint")) match {
+            case (Some(id), Some(sp)) =>
+              mgr.restartFromSavepoint(id,
+                if (sp.isEmpty) None else Some(sp))
+            case (Some(id), None) =>
+              mgr.startConfig(id, p.get("batchMode").contains("true")); id
+            case (None, _) =>
+              mgr.start(req("name"), req("script"),
+                batchMode = p.get("batchMode").contains("true"),
+                autoRestart = p.get("autoRestart").contains("true"))
+          }
+          ok(ex, JsonUtil.str(id))
+        case "stop" =>
+          val sp = mgr.stop(req("id"),
+            withSavepoint = !p.get("savepoint").contains("false"))
+          ok(ex, JsonUtil.str(sp.getOrElse("")))
+        case "savepoint" => ok(ex, JsonUtil.str(mgr.savepoint(req("id"))))
+        case "restart" =>
+          ok(ex, JsonUtil.str(mgr.restartFromSavepoint(req("id"))))
+        case "open" => mgr.open(req("id")); ok(ex, "null")
+        case "close" => mgr.close(req("id")); ok(ex, "null")
+        case "delete" => mgr.delete(req("id")); ok(ex, "null")
+        case "addConfig" =>
+          ok(ex, JsonUtil.str(mgr.addConfig(req("name"), req("script"),
+            p.get("autoRestart").contains("true"))))
+        case "editConfig" =>
+          mgr.editConfig(req("id"), req("script")); ok(ex, "null")
+        case "copyConfig" =>
+          ok(ex, JsonUtil.str(mgr.copyConfig(req("id"), req("name"))))
+        case "listTask" =>
+          ok(ex, mgr.list().map(jobJson).mkString("[", ",", "]"))
+        case "jobConfigHistoryPage" =>
+          ok(ex, mgr.history(req("id")).map { case (verb, detail) =>
+            s"""{"verb":${JsonUtil.str(verb)},"detail":${JsonUtil.str(detail)}}"""
+          }.mkString("[", ",", "]"))
+        case "checkfSql" =>
+          // a check endpoint reports the verdict in-band (HTTP 200 either
+          // way, like the reference's RestResult-wrapped MESSAGE_010/011)
+          val verdict = SqlValidator.validate(spark, req("flinkSql"))
+          reply(ex, 200, success = verdict.ok,
+            verdict.errors.mkString("; "), "null")
+        case other =>
+          reply(ex, 404, success = false, s"unknown verb '$other'", "null")
+      }
+    } catch {
+      case e: IllegalStateException
+          if Option(e.getMessage).exists(_.startsWith("optimistic lock")) =>
+        reply(ex, 409, success = false, e.getMessage, "null")
+      case e: NoSuchElementException =>
+        reply(ex, 404, success = false,
+          Option(e.getMessage).getOrElse("not found"), "null")
+      case e @ (_: IllegalArgumentException | _: IllegalStateException) =>
+        reply(ex, 400, success = false,
+          Option(e.getMessage).getOrElse("bad request"), "null")
+      case e: Throwable =>
+        reply(ex, 500, success = false,
+          Option(e.getMessage).getOrElse(e.getClass.getName), "null")
+    }
+}

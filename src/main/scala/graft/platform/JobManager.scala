@@ -182,6 +182,31 @@ class JobManager(spark: SparkSession, checkpointRoot: String,
       sp
     }
 
+  /** /api/savepoint: snapshot a RUNNING job's live checkpoint on demand
+    * (the manual counterpart of the scheduler's [[autoSavepoint]] pass —
+    * `JobConfigApiController.java:159-171`). Returns the savepoint path.
+    */
+  def savepoint(id: String): String = {
+    val st = lifecycleLock.synchronized {
+      val st = jobs.getOrElse(id,
+        throw new NoSuchElementException(s"unknown job $id"))
+      require(st.status == Running, s"job $id is ${st.status}, not RUNNING")
+      st
+    }
+    // snapshot outside the lock: copying a live checkpoint can take a
+    // while and must not block unrelated lifecycle verbs
+    val sp = Savepoints.snapshot(st.checkpointDir, savepointRoot, st.name)
+    lifecycleLock.synchronized {
+      jobs.get(id).filter(_.status == Running).foreach { cur =>
+        jobs(id) = cur.copy(lastSavepoint = Some(sp),
+          version = cur.version + 1)
+        registry.foreach(_.save(jobs(id)))
+      }
+    }
+    registry.foreach(_.logRun(id, "SAVEPOINT", sp))
+    sp
+  }
+
   /** /api/start with -s <savepoint> (restore). Each restore materializes
     * into a FRESH uniquely-numbered checkpoint dir — deriving it from the
     * stopped job's frozen version would let a second restore wipe the
