@@ -24,9 +24,16 @@ import java.nio.charset.StandardCharsets.UTF_8
   * anything unexpected → 500. Params come from the query string or an
   * `application/x-www-form-urlencoded` body (the reference's Spring
   * `@RequestMapping` endpoints accept both the same way).
+  *
+  * When a [[UserService]] is supplied, every verb except `login`/`logout`
+  * requires a valid session cookie — the reference's login interceptor
+  * (`InterceptorConfig.java:24-33` intercepts everything and excludes
+  * exactly `/api/login` + `/api/logout`); missing/invalid sessions get
+  * 401. With no UserService the facade is open, like running the
+  * reference without its auth filter.
   */
-class HttpApi(mgr: JobManager, spark: SparkSession, bindPort: Int = 0)
-    extends AutoCloseable {
+class HttpApi(mgr: JobManager, spark: SparkSession, bindPort: Int = 0,
+    users: Option[UserService] = None) extends AutoCloseable {
 
   private val server =
     HttpServer.create(new InetSocketAddress("127.0.0.1", bindPort), 0)
@@ -86,13 +93,60 @@ class HttpApi(mgr: JobManager, spark: SparkSession, bindPort: Int = 0)
       s""","lastSavepoint":${
         st.lastSavepoint.map(JsonUtil.str).getOrElse("null")}}"""
 
+  private def userJson(u: Users.User): String =
+    s"""{"id":${u.id},"username":${JsonUtil.str(u.username)}""" +
+      s""","fullname":${JsonUtil.str(u.fullname)},"enabled":${u.enabled}}"""
+
   private def handle(ex: HttpExchange): Unit =
     try {
       val p = params(ex)
       def req(k: String): String = p.getOrElse(k,
         throw new IllegalArgumentException(s"missing parameter '$k'"))
+      def usersOrFail: UserService = users.getOrElse(
+        throw new NoSuchElementException("user management not configured"))
       val verb = ex.getRequestURI.getPath.stripPrefix("/api/")
+      // session token: the reference's session cookie, or a sessionId
+      // param for cookie-less clients
+      val token: Option[String] =
+        Option(ex.getRequestHeaders.getFirst("Cookie")).toSeq
+          .flatMap(_.split(";\\s*"))
+          .collectFirst {
+            case c if c.startsWith(Users.SessionCookie + "=") =>
+              c.substring(Users.SessionCookie.length + 1)
+          }
+          .orElse(p.get("sessionId"))
+      val authed = users.forall(us =>
+        verb == "login" || verb == "logout" || token.exists(us.checkLogin))
+      if (!authed) {
+        reply(ex, 401, success = false, "please login first", "null")
+        return
+      }
       verb match {
+        case "login" =>
+          val tok = usersOrFail.login(req("name"), req("password"))
+          ex.getResponseHeaders.add("Set-Cookie",
+            s"${Users.SessionCookie}=$tok; Path=/; Max-Age=86400")
+          ok(ex, JsonUtil.str(tok), "login success")
+        case "logout" =>
+          ex.getResponseHeaders.add("Set-Cookie",
+            s"${Users.SessionCookie}=; Path=/; Max-Age=0")
+          ok(ex, "null", "logout success")
+        case "getUserInfo" =>
+          val u = usersOrFail.userOf(token.getOrElse("")).getOrElse(
+            throw new IllegalArgumentException("no current user"))
+          ok(ex, userJson(u))
+        case "userList" =>
+          ok(ex, usersOrFail.queryAll().map(userJson).mkString("[", ",", "]"))
+        case "addUser" =>
+          ok(ex, userJson(usersOrFail.addUser(req("name"),
+            p.getOrElse("fullname", ""), req("password"))))
+        case "updatePassword" =>
+          usersOrFail.updatePassword(req("name"), req("oldPassword"),
+            req("password"))
+          ok(ex, "null")
+        case "stopOrOpenUser" =>
+          usersOrFail.stopOrOpen(req("name"), p.get("open").contains("true"))
+          ok(ex, "null")
         case "start" =>
           // config-id start (the reference's form), savepoint restore
           // when requested, or an ad-hoc name+script start

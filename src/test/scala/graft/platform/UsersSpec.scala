@@ -1,0 +1,112 @@
+package graft.platform
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+/** User management + login-interceptor parity: md5 credential semantics
+  * (incl. the reference's legacy plain-stored fallback), session token
+  * round trip, Derby-backed store, and the HTTP facade guarding every
+  * verb except login/logout behind the session cookie.
+  */
+class UsersSpec extends SparkSpec {
+
+  test("login issues a verifiable session; wrong/stopped users rejected") {
+    val svc = new UserService(new InMemoryUserStore)
+    svc.addUser("admin", "Administrator", "123456")
+    val tok = svc.login("admin", "123456")
+    assert(svc.checkLogin(tok))
+    assert(svc.userOf(tok).exists(_.username == "admin"))
+    // the token's password field is a RE-hash — never the stored hash
+    assert(Users.decodeSession(tok).exists(s =>
+      s.password == Users.md5(Users.md5("123456"))))
+
+    intercept[IllegalArgumentException](svc.login("admin", "wrong"))
+    intercept[IllegalArgumentException](svc.login("ghost", "123456"))
+    svc.stopOrOpen("admin", open = false)
+    intercept[IllegalArgumentException](svc.login("admin", "123456"))
+    svc.stopOrOpen("admin", open = true)
+    assert(svc.login("admin", "123456").nonEmpty)
+  }
+
+  test("legacy plain-stored password logs in and yields a valid session") {
+    val store = new InMemoryUserStore
+    // a pre-md5 row, as the reference tolerates (UserServiceImpl.java:46-50)
+    store.save(Users.User(1, "legacy", "Old Timer", "plainpw", enabled = true))
+    val svc = new UserService(store)
+    val tok = svc.login("legacy", "plainpw")
+    assert(svc.checkLogin(tok))
+    intercept[IllegalArgumentException](svc.login("legacy", "other"))
+  }
+
+  test("password update requires the old one; sessions die with the change") {
+    val svc = new UserService(new InMemoryUserStore)
+    svc.addUser("u1", "User One", "first")
+    val tok = svc.login("u1", "first")
+    intercept[IllegalArgumentException](
+      svc.updatePassword("u1", "not-first", "second"))
+    svc.updatePassword("u1", "first", "second")
+    assert(!svc.checkLogin(tok)) // old session token invalidated
+    assert(svc.checkLogin(svc.login("u1", "second")))
+  }
+
+  test("JDBC store round-trips users through Derby") {
+    val svc = new UserService(
+      new JdbcUserStore("jdbc:derby:memory:usersdb;create=true"))
+    svc.addUser("admin", "Administrator", "pw1")
+    svc.addUser("ops", "Operator", "pw2")
+    svc.updateFullName("ops", "Operations")
+    assert(svc.queryAll().map(u => (u.id, u.username, u.fullname)) ==
+      Seq((1, "admin", "Administrator"), (2, "ops", "Operations")))
+    assert(svc.checkLogin(svc.login("ops", "pw2")))
+    intercept[IllegalStateException](svc.addUser("ops", "dup", "pw3"))
+  }
+
+  test("facade guards every verb except login/logout behind the session") {
+    val svc = new UserService(new InMemoryUserStore)
+    svc.addUser("admin", "Administrator", "s3cret")
+    val mgr = new JobManager(spark,
+      Files.createTempDirectory("auth_ckpt").toString,
+      Files.createTempDirectory("auth_sp").toString)
+    val api = new HttpApi(mgr, spark, users = Some(svc))
+    val base = s"http://127.0.0.1:${api.port}/api"
+    def post(verb: String, cookie: Option[String],
+        params: (String, String)*): (Int, String) = {
+      val conn = new java.net.URL(s"$base/$verb")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      cookie.foreach(t => conn.setRequestProperty("Cookie",
+        s"${Users.SessionCookie}=$t"))
+      conn.getOutputStream.write(params.map { case (k, v) =>
+        k + "=" + java.net.URLEncoder.encode(v, "UTF-8")
+      }.mkString("&").getBytes("UTF-8"))
+      val status = conn.getResponseCode
+      val in = if (status < 400) conn.getInputStream else conn.getErrorStream
+      val body = new String(in.readAllBytes(), "UTF-8")
+      conn.disconnect()
+      (status, body)
+    }
+    try {
+      // unauthenticated: 401 on a guarded verb, login itself open
+      assert(post("listTask", None)._1 == 401)
+      val (ls, lb) = post("login", None,
+        "name" -> "admin", "password" -> "s3cret")
+      assert(ls == 200, lb)
+      val tok = "\"data\":\"([^\"]*)\"".r.findFirstMatchIn(lb).get.group(1)
+      // session cookie unlocks the verbs
+      assert(post("listTask", Some(tok))._1 == 200)
+      val (uis, uib) = post("getUserInfo", Some(tok))
+      assert(uis == 200 && uib.contains("\"username\":\"admin\"") &&
+        !uib.contains("password"), uib)
+      // user CRUD over HTTP
+      assert(post("addUser", Some(tok), "name" -> "ops",
+        "fullname" -> "Operator", "password" -> "pw")._1 == 200)
+      assert(post("userList", Some(tok))._2.contains("\"username\":\"ops\""))
+      // bad login is a client error; bogus cookie stays locked out
+      assert(post("login", None, "name" -> "admin",
+        "password" -> "nope")._1 == 400)
+      assert(post("listTask", Some("not-a-token"))._1 == 401)
+      assert(post("logout", Some(tok))._1 == 200)
+    } finally api.close()
+  }
+}
