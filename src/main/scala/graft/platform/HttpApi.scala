@@ -45,7 +45,25 @@ class HttpApi(mgr: JobManager, spark: SparkSession, bindPort: Int = 0,
     })
   server.setExecutor(pool)
   server.createContext("/api", (ex: HttpExchange) => handle(ex))
+  // the reference's open routes outside the login interceptor
+  // (`InterceptorConfig.java:30-32` excludes /ok and /alarmCallback):
+  // a health probe and the test echo endpoint HTTP alarms can target
+  // (`ApiController.java:14-24`)
+  server.createContext("/ok", (ex: HttpExchange) =>
+    reply(ex, 200, success = true, "", "null"))
+  server.createContext("/alarmCallback", (ex: HttpExchange) =>
+    try {
+      val p = params(ex)
+      log.info(s"alarm callback received appId=${p.getOrElse("appId", "")} " +
+        s"jobName=${p.getOrElse("jobName", "")} " +
+        s"deployMode=${p.getOrElse("deployMode", "")}")
+      reply(ex, 200, success = true, "", "null")
+    } catch { case _: Throwable =>
+      reply(ex, 500, success = false, "callback error", "null")
+    })
   server.start()
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** Bound port (ephemeral when constructed with bindPort = 0). */
   def port: Int = server.getAddress.getPort

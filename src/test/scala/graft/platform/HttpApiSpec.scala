@@ -134,4 +134,38 @@ class HttpApiSpec extends SparkSpec {
     val (s, b) = post("definitelyNotAVerb")
     assert(s == 404 && b.contains("\"success\":false"), b)
   }
+
+  test("open routes: /ok health probe and /alarmCallback echo") {
+    def get(path: String): (Int, String) = {
+      val conn = new java.net.URL(s"http://127.0.0.1:${api.port}$path")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      val st = conn.getResponseCode
+      val body = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+      conn.disconnect(); (st, body)
+    }
+    assert(get("/ok")._1 == 200)
+    assert(get("/alarmCallback?appId=x&jobName=j&deployMode=LOCAL")._1 == 200)
+  }
+
+  test("alarm transport delivers to the facade's own callback over real HTTP") {
+    // close the loop the reference closes: monitor fires an alarm → the
+    // HTTP transport posts the CallbackDTO form → the open /alarmCallback
+    // route accepts it
+    val httpPost = (url: String, contentType: String, body: String) => {
+      val conn = new java.net.URL(url)
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      conn.setRequestProperty("Content-Type", contentType)
+      conn.getOutputStream.write(body.getBytes("UTF-8"))
+      val res = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+      conn.disconnect(); res
+    }
+    val handler = AlarmTransports.httpCallbackHandler(
+      s"http://127.0.0.1:${api.port}/alarmCallback", "SPARK_LOCAL", httpPost)
+    // a JOB_FAILED event flows through without throwing; the endpoint
+    // returns the RestResult body through the post function
+    handler(JobManager.AlarmEvent("ab12cd34", "orders_etl", "JOB_FAILED",
+      "source exhausted"))
+  }
 }
