@@ -110,6 +110,22 @@ object TextAnalysis extends QueryPack {
         .limit(30)
     }),
 
+    // Text normalization — the standard pre-dedup cleanup pass:
+    // lowercase, strip non-alphanumerics, collapse runs of whitespace,
+    // trim; emits the cleaned text + its token count. Pure per-row
+    // codegen'd string ops, embarrassingly parallel.
+    "q_text_normalize" -> ((s, dir) => {
+      import s.implicits._
+      val cleaned = trim(regexp_replace(
+        regexp_replace(lower($"text"), "[^a-z0-9 ]", ""), " +", " "))
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", cleaned.as("norm_text"),
+          // size(split) counts 1 for empty text; when-guard matches the
+          // oracle's len(list_filter(...)) over non-empty tokens
+          when(cleaned === "", 0)
+            .otherwise(size(split(cleaned, " "))).as("n_norm_tokens"))
+    }),
+
     // Corpus-level bigram frequency top-20 (deterministic tie-break).
     "q_text_ngram_freq" -> ((s, dir) => {
       import s.implicits._
@@ -186,6 +202,17 @@ object TextAnalysis extends QueryPack {
           |SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
           |FROM tok GROUP BY term
           |ORDER BY df DESC, term LIMIT 30""".stripMargin,
+
+      "q_text_normalize" ->
+        """WITH c AS (SELECT doc_id,
+          |    trim(regexp_replace(regexp_replace(lower(text),
+          |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm_text
+          |  FROM documents)
+          |SELECT doc_id, norm_text,
+          |  CASE WHEN norm_text = '' THEN 0
+          |       ELSE len(regexp_split_to_array(norm_text, ' ')) END
+          |    AS n_norm_tokens
+          |FROM c""".stripMargin,
 
       "q_text_ngram_freq" ->
         """WITH t AS (SELECT regexp_split_to_array(text, ' ') AS w FROM documents),
