@@ -107,6 +107,9 @@ object GraftFunctions {
       }, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "text_fingerprint", exprs => TextFingerprint(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jaccard_distinct", exprs => JaccardDistinct(exprs(0), exprs(1)),
+      "built-in")
   }
 
   def longDot(a: Column, b: Column): Column = call_function("long_dot", a, b)
@@ -126,4 +129,10 @@ object GraftFunctions {
 
   /** Order-sensitive rolling md5 fingerprint of a token array. */
   def textFingerprint(a: Column): Column = call_function("text_fingerprint", a)
+
+  /** Jaccard similarity of two element-distinct string arrays (count-only
+    * fused pass — no intermediate intersect/union arrays).
+    */
+  def jaccardDistinct(a: Column, b: Column): Column =
+    call_function("jaccard_distinct", a, b)
 }

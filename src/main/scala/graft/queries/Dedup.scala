@@ -162,8 +162,8 @@ object Dedup extends QueryPack {
       .join(sets.select($"doc_id".as("ida"), $"ss".as("sa")), "ida")
       .join(sets.select($"doc_id".as("idb"), $"ss".as("sb")), "idb")
       .select($"ida", $"idb",
-        (size(array_intersect($"sa", $"sb")).cast("double") /
-          size(array_union($"sa", $"sb"))).as("jacc"))
+        graft.functions.GraftFunctions.jaccardDistinct($"sa", $"sb")
+          .as("jacc"))
       .filter($"jacc" >= 0.8)
   }
 
@@ -354,8 +354,8 @@ object Dedup extends QueryPack {
         .select($"doc_id", array_distinct(shingles($"w", 2)).as("ss"))
       sets.as("a").join(sets.as("b"), $"a.doc_id" < $"b.doc_id")
         .select($"a.doc_id".as("ida"), $"b.doc_id".as("idb"),
-          (size(array_intersect($"a.ss", $"b.ss")).cast("double") /
-            size(array_union($"a.ss", $"b.ss"))).as("jacc"))
+          graft.functions.GraftFunctions.jaccardDistinct($"a.ss", $"b.ss")
+            .as("jacc"))
         .filter($"jacc" >= 0.6)
     }),
 

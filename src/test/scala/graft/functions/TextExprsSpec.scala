@@ -69,6 +69,24 @@ class TextExprsSpec extends SparkSpec {
     assert(fp("a b c") != fp("c b a"))
   }
 
+  test("jaccard_distinct equals size(intersect)/size(union) on distinct arrays") {
+    GraftFunctions.register(spark)
+    val pairs = docs.select(array_distinct($"w").as("a"))
+      .crossJoin(docs.select(array_distinct($"w").as("b")))
+    val hof = size(array_intersect($"a", $"b")).cast("double") /
+      size(array_union($"a", $"b"))
+    val rows = pairs
+      .select(GraftFunctions.jaccardDistinct($"a", $"b").as("fused"),
+        hof.as("hof"))
+      .collect()
+    assert(rows.length == 25)
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1), r))
+    // empty ∪ empty → NULL, matching 0/0 under a nullif guard
+    val e = Seq((Seq.empty[String], Seq.empty[String])).toDF("a", "b")
+      .select(GraftFunctions.jaccardDistinct($"a", $"b")).collect().head
+    assert(e.isNullAt(0))
+  }
+
   test("native text exprs run inside whole-stage codegen") {
     GraftFunctions.register(spark)
     // range source: a literal local table would be constant-folded into
