@@ -52,6 +52,22 @@ object Shapes extends QueryPack {
             .otherwise("test").as("split"))
     }),
 
+    // Stratified deterministic sampling: per-language keep rates applied
+    // by content-hash bucket — the corpus-rebalancing operator
+    // (downsample dominant languages) every training pipeline runs.
+    // Hash-based, so the sample is stable across re-runs, appends, and
+    // repartitioning at 100 TB; no shuffle, the filter rides the scan.
+    "q_sample_stratified" -> ((s, dir) => {
+      import s.implicits._
+      val bucket = conv(substring(md5($"text"), 1, 2), 16, 10).cast("int")
+      // keep 50% of en, 25% of de, ~10% of everything else (of 256)
+      val keepBelow = when($"lang" === "en", 128)
+        .when($"lang" === "de", 64).otherwise(26)
+      Tables.load(s, dir, "documents")
+        .filter(bucket < keepBelow)
+        .select($"doc_id", $"lang", bucket.as("bucket"))
+    }),
+
     // Equal-width histogram of order totals (floor bucketing).
     "q_histogram" -> ((s, dir) => {
       import s.implicits._
@@ -92,6 +108,17 @@ object Shapes extends QueryPack {
         |       WHEN bucket < 230 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM b""".stripMargin,
+
+    "q_sample_stratified" ->
+      """WITH b AS (SELECT doc_id, lang,
+        |    CAST((strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1
+        |      AS INT) AS bucket
+        |  FROM documents)
+        |SELECT doc_id, lang, bucket FROM b
+        |WHERE bucket < CASE WHEN lang = 'en' THEN 128
+        |                    WHEN lang = 'de' THEN 64
+        |                    ELSE 26 END""".stripMargin,
 
     "q_histogram" ->
       """SELECT LEAST(CAST(floor(o_totalprice / 50000.0) AS BIGINT), 9)
