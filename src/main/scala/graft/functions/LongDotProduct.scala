@@ -84,11 +84,17 @@ case class LongDotProduct(left: Expression, right: Expression)
 }
 
 object GraftFunctions {
+  // once per session: createOrReplaceTempFunction logs a WARN on every
+  // re-register, and the query packs call register() per query
+  private val registered =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+
   /** Idempotently register graft's native expressions in the session's
     * function registry (the in-session equivalent of
     * SparkSessionExtensions.injectFunction for externally-built sessions).
     */
-  def register(spark: SparkSession): Unit = {
+  def register(spark: SparkSession): Unit = if (registered.add(spark)) {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "long_dot", exprs => LongDotProduct(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

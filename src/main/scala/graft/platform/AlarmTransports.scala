@@ -107,4 +107,81 @@ object AlarmTransports {
   /** Every kind JobManager fires today. */
   val DefaultKinds: Set[String] =
     Set("JOB_FAILED", "AUTO_RESTARTED", "RESTART_FAILED", "RECONCILED")
+
+  /** Default wire transport: a plain JDK HttpURLConnection POST with the
+    * reference's 15 s timeouts (`HttpUtil.TIME_OUT_15_S`). No extra
+    * dependency needed — the pluggable-post seam stays for tests and for
+    * environments that route alarms differently.
+    */
+  val jdkPost: (String, String, String) => String =
+    (url, contentType, body) => {
+      val conn = new java.net.URL(url)
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setConnectTimeout(15000)
+      conn.setReadTimeout(15000)
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      conn.setRequestProperty("Content-Type", contentType)
+      conn.getOutputStream.write(body.getBytes("UTF-8"))
+      val status = conn.getResponseCode
+      val in = if (status < 400) conn.getInputStream else conn.getErrorStream
+      val res = new String(
+        Option(in).map(_.readAllBytes()).getOrElse(Array.emptyByteArray),
+        "UTF-8")
+      conn.disconnect()
+      if (status >= 400)
+        throw new RuntimeException(s"alarm POST failed: HTTP $status $res")
+      res
+    }
+
+  /** One delivered (or failed) alarm — the reference's `alart_log` row
+    * (`AlarmServiceAOImpl.insertLog`).
+    */
+  final case class Delivery(jobId: String, jobName: String, kind: String,
+      transport: String, success: Boolean, detail: String)
+
+  /** Bounded in-memory alarm delivery log (newest first), the queryable
+    * backing of `/api/alartLogList`.
+    */
+  final class AlarmLog(capacity: Int = 1000) {
+    private val buf = scala.collection.mutable.ArrayDeque[Delivery]()
+    def add(d: Delivery): Unit = synchronized {
+      buf.prepend(d)
+      while (buf.size > capacity) { buf.removeLast(); () }
+    }
+    def list(limit: Int = 100): Seq[Delivery] =
+      synchronized(buf.take(limit).toSeq)
+  }
+
+  /** Config-driven composite sender: reads the webhook URLs from
+    * [[SystemConfig]] AT FIRE TIME (edits apply to the next alarm, no
+    * restart — the reference looks config up per send,
+    * `TaskServiceAOImpl.java:304-310`), sends over both configured
+    * transports, and records every attempt in the [[AlarmLog]].
+    */
+  def configuredHandler(cfg: SystemConfig, alarmLog: AlarmLog,
+      post: (String, String, String) => String = jdkPost,
+      deployMode: String = "SPARK_LOCAL",
+      kinds: Set[String] = DefaultKinds,
+      clock: () => java.time.Instant = () => java.time.Instant.now())
+      : AlarmEvent => Unit = e =>
+    if (kinds(e.kind)) {
+      cfg.get(SystemConfig.DingDingAlarmUrl).filter(_.nonEmpty).foreach { url =>
+        val (ok, detail) =
+          try {
+            val res = post(url, "application/json", dingTalkPayload(e, clock()))
+            (dingTalkAccepted(res), res.take(200))
+          } catch { case ex: Throwable => (false, String.valueOf(ex.getMessage)) }
+        alarmLog.add(Delivery(e.jobId, e.jobName, e.kind, "DINGDING", ok, detail))
+        if (!ok) log.warn(s"DingDing alarm delivery failed for ${e.jobId}: $detail")
+      }
+      cfg.get(SystemConfig.CallbackAlarmUrl).filter(_.nonEmpty).foreach { url =>
+        val (ok, detail) =
+          try { (true, post(url, "application/x-www-form-urlencoded",
+            httpCallbackBody(e, deployMode)).take(200)) }
+          catch { case ex: Throwable => (false, String.valueOf(ex.getMessage)) }
+        alarmLog.add(Delivery(e.jobId, e.jobName, e.kind, "CALLBACK_URL", ok, detail))
+        if (!ok) log.warn(s"HTTP callback alarm delivery failed for ${e.jobId}: $detail")
+      }
+    }
 }

@@ -33,7 +33,11 @@ import java.nio.charset.StandardCharsets.UTF_8
   * reference without its auth filter.
   */
 class HttpApi(mgr: JobManager, spark: SparkSession, bindPort: Int = 0,
-    users: Option[UserService] = None) extends AutoCloseable {
+    users: Option[UserService] = None,
+    config: Option[SystemConfig] = None,
+    alarmLog: Option[AlarmTransports.AlarmLog] = None,
+    alarmPost: (String, String, String) => String = AlarmTransports.jdkPost)
+    extends AutoCloseable {
 
   private val server =
     HttpServer.create(new InetSocketAddress("127.0.0.1", bindPort), 0)
@@ -122,6 +126,8 @@ class HttpApi(mgr: JobManager, spark: SparkSession, bindPort: Int = 0,
         throw new IllegalArgumentException(s"missing parameter '$k'"))
       def usersOrFail: UserService = users.getOrElse(
         throw new NoSuchElementException("user management not configured"))
+      def cfgOrFail: SystemConfig = config.getOrElse(
+        throw new NoSuchElementException("system config not configured"))
       val verb = ex.getRequestURI.getPath.stripPrefix("/api/")
       // session token: the reference's session cookie, or a sessionId
       // param for cookie-less clients
@@ -203,6 +209,61 @@ class HttpApi(mgr: JobManager, spark: SparkSession, bindPort: Int = 0,
           ok(ex, mgr.history(req("id")).map { case (verb, detail) =>
             s"""{"verb":${JsonUtil.str(verb)},"detail":${JsonUtil.str(detail)}}"""
           }.mkString("[", ",", "]"))
+        case "addSavepoint" =>
+          mgr.addSavepoint(req("id"), req("savepointPath")); ok(ex, "null")
+        case "querySavePointList10" =>
+          ok(ex, mgr.savepointList(req("id")).map(JsonUtil.str)
+            .mkString("[", ",", "]"))
+        // system-config CRUD (ConfigApiController.java:34-75)
+        case "upsertSynConfig" =>
+          cfgOrFail.upsert(req("key"), req("val")); ok(ex, "null")
+        case "deleteConfig" =>
+          cfgOrFail.delete(req("key")); ok(ex, "null")
+        case "sysConfig" =>
+          ok(ex, cfgOrFail.all().map { case (k, v) =>
+            s"""{"key":${JsonUtil.str(k)},"val":${JsonUtil.str(v)}}"""
+          }.mkString("[", ",", "]"))
+        // alarm delivery log + test-fire endpoints
+        // (AlartApiController.java:58-152)
+        case "alartLogList" =>
+          val l = alarmLog.getOrElse(
+            throw new NoSuchElementException("alarm log not configured"))
+          ok(ex, l.list().map { d =>
+            s"""{"jobId":${JsonUtil.str(d.jobId)}""" +
+              s""","jobName":${JsonUtil.str(d.jobName)}""" +
+              s""","kind":${JsonUtil.str(d.kind)}""" +
+              s""","transport":${JsonUtil.str(d.transport)}""" +
+              s""","success":${d.success}""" +
+              s""","detail":${JsonUtil.str(d.detail)}}"""
+          }.mkString("[", ",", "]"))
+        case "testDingdingAlert" =>
+          val url = cfgOrFail.get(SystemConfig.DingDingAlarmUrl)
+            .filter(_.nonEmpty).getOrElse(throw new IllegalArgumentException(
+              s"${SystemConfig.DingDingAlarmUrl} not configured"))
+          val e = JobManager.AlarmEvent("-", "test", "TEST",
+            "this is a test message")
+          val (sent, detail) =
+            try {
+              val res = alarmPost(url, "application/json",
+                AlarmTransports.dingTalkPayload(e, java.time.Instant.now()))
+              (AlarmTransports.dingTalkAccepted(res), res.take(200))
+            } catch { case t: Throwable => (false, String.valueOf(t.getMessage)) }
+          alarmLog.foreach(_.add(AlarmTransports.Delivery("-", "test", "TEST",
+            "DINGDING", sent, detail)))
+          reply(ex, 200, sent, detail, "null")
+        case "testHttpAlert" =>
+          val url = cfgOrFail.get(SystemConfig.CallbackAlarmUrl)
+            .filter(_.nonEmpty).getOrElse(throw new IllegalArgumentException(
+              s"${SystemConfig.CallbackAlarmUrl} not configured"))
+          val e = JobManager.AlarmEvent("-", "test", "TEST",
+            "this is a test message")
+          val (sent, detail) =
+            try (true, alarmPost(url, "application/x-www-form-urlencoded",
+              AlarmTransports.httpCallbackBody(e, "SPARK_LOCAL")).take(200))
+            catch { case t: Throwable => (false, String.valueOf(t.getMessage)) }
+          alarmLog.foreach(_.add(AlarmTransports.Delivery("-", "test", "TEST",
+            "CALLBACK_URL", sent, detail)))
+          reply(ex, 200, sent, detail, "null")
         case "checkfSql" =>
           // a check endpoint reports the verdict in-band (HTTP 200 either
           // way, like the reference's RestResult-wrapped MESSAGE_010/011)

@@ -207,6 +207,38 @@ class JobManager(spark: SparkSession, checkpointRoot: String,
     sp
   }
 
+  /** /api/addSavepoint: register an externally-created savepoint path as
+    * the job's restore point (`SavepointApiController.java:41-60` lets
+    * operators point a config at any savepoint on shared storage).
+    */
+  def addSavepoint(id: String, path: String): Unit =
+    lifecycleLock.synchronized {
+      val st = jobs.getOrElse(id,
+        throw new NoSuchElementException(s"unknown job $id"))
+      require(path.nonEmpty, "savepoint path required")
+      jobs(id) = st.copy(lastSavepoint = Some(path), version = st.version + 1)
+      registry.foreach { r => r.save(jobs(id)); r.logRun(id, "SAVEPOINT", path) }
+    }
+
+  /** /api/querySavePointList10: the job's most recent savepoints, newest
+    * first (`SavepointApiController.java:79-90`) — read from the
+    * persisted run log (manual, stop-time, and auto-savepoints all log
+    * their path).
+    */
+  def savepointList(id: String, limit: Int = 10): Seq[String] = {
+    val st = jobs.getOrElse(id,
+      throw new NoSuchElementException(s"unknown job $id"))
+    registry match {
+      case Some(r) => r.runLog(id).collect {
+        case (ev, detail)
+          if detail.nonEmpty &&
+            (ev == "SAVEPOINT" || ev == "AUTO_SAVEPOINT" || ev == "STOP") =>
+          detail
+      }.reverse.take(limit)
+      case None => st.lastSavepoint.toSeq
+    }
+  }
+
   /** /api/start with -s <savepoint> (restore). Each restore materializes
     * into a FRESH uniquely-numbered checkpoint dir — deriving it from the
     * stopped job's frozen version would let a second restore wipe the
