@@ -126,6 +126,23 @@ object TextAnalysis extends QueryPack {
             .otherwise(size(split(cleaned, " "))).as("n_norm_tokens"))
     }),
 
+    // Repetition detection — the duplicate-n-gram quality filter used by
+    // large-scale corpus cleaning (a high duplicate-bigram fraction marks
+    // boilerplate/spam): per doc, 1 - distinct_bigrams/total_bigrams.
+    // Per-row fused word_ngrams + integer counts; no shuffle.
+    "q_text_repetition" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val w = words($"text")
+      val grams = wordNgrams(w, 2)
+      Tables.load(s, dir, "documents")
+        .filter(size(w) >= 2)
+        .select($"doc_id", size(grams).as("n_bigrams"),
+          size(array_distinct(grams)).as("n_distinct"),
+          (lit(1.0) - size(array_distinct(grams)).cast("double") /
+            size(grams)).as("dup_ratio"))
+    }),
+
     // Corpus-level bigram frequency top-20 (deterministic tie-break).
     "q_text_ngram_freq" -> ((s, dir) => {
       import s.implicits._
@@ -213,6 +230,17 @@ object TextAnalysis extends QueryPack {
           |       ELSE len(regexp_split_to_array(norm_text, ' ')) END
           |    AS n_norm_tokens
           |FROM c""".stripMargin,
+
+      "q_text_repetition" ->
+        """WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS w
+          |    FROM documents),
+          |bg AS (SELECT doc_id,
+          |    [w[i]||' '||w[i+1] for i in generate_series(1, len(w)-1)] AS g
+          |  FROM t WHERE len(w) >= 2)
+          |SELECT doc_id, len(g) AS n_bigrams,
+          |  len(list_distinct(g)) AS n_distinct,
+          |  1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g) AS dup_ratio
+          |FROM bg""".stripMargin,
 
       "q_text_ngram_freq" ->
         """WITH t AS (SELECT regexp_split_to_array(text, ' ') AS w FROM documents),
