@@ -184,6 +184,10 @@ object Connectors {
           df.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
             JdbcUpsert.upsert(batch, spec); ()
           }
+        case "elasticsearch-7" =>
+          df.writeStream.foreachBatch(EsBulk.writer(
+            spec.options.getOrElse("index", spec.name), spec.primaryKey,
+            EsBulk.httpPost(spec.options.getOrElse("hosts", ""))) _)
         case other =>
           throw new IllegalArgumentException(s"unknown sink connector: $other")
       }
@@ -225,6 +229,16 @@ object Connectors {
           // caller's replace intent
           if (overwrite) JdbcUpsert.deleteAll(spec)
           JdbcUpsert.upsert(df, spec); None
+        case "elasticsearch-7" =>
+          // no bulk delete-by-index here; _id-from-PK upserts are the
+          // idempotent path, so OVERWRITE (truncate-then-write) is
+          // rejected rather than silently degraded to an upsert
+          require(!overwrite,
+            s"INSERT OVERWRITE is not supported for elasticsearch sink ${spec.name}")
+          EsBulk.writer(spec.options.getOrElse("index", spec.name),
+            spec.primaryKey,
+            EsBulk.httpPost(spec.options.getOrElse("hosts", "")))(df, 0L)
+          None
         case other =>
           throw new IllegalArgumentException(s"unknown sink connector: $other")
       }

@@ -62,6 +62,43 @@ object EsBulk {
     */
   val MaxDocsPerRequest = 500
 
+  /** Default wire transport: POST an NDJSON chunk to `<host>/_bulk` over
+    * the JDK's HttpURLConnection (the ES-7 REST bulk endpoint the
+    * reference's sink targets, `demo_6.md:148-152`). An HTTP error OR a
+    * response with `"errors":true` (any per-item failure) throws — a
+    * partially-applied bulk must fail the micro-batch so Spark retries
+    * it, never silently drop documents. Serializable (captures only the
+    * host string); runs on executors. Multiple semicolon-separated hosts:
+    * the first is used (single-endpoint; a production deployment puts a
+    * load balancer in front, as with the reference's client).
+    */
+  def httpPost(hosts: String): String => Unit = {
+    val base = hosts.split(";").head.trim.stripSuffix("/")
+    require(base.nonEmpty, "elasticsearch sink needs a non-empty 'hosts'")
+    body => {
+      val conn = new java.net.URL(base + "/_bulk")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      conn.setConnectTimeout(15000)
+      conn.setReadTimeout(15000)
+      conn.setRequestMethod("POST")
+      conn.setDoOutput(true)
+      conn.setRequestProperty("Content-Type", "application/x-ndjson")
+      conn.getOutputStream.write(body.getBytes("UTF-8"))
+      val status = conn.getResponseCode
+      val in = if (status < 400) conn.getInputStream else conn.getErrorStream
+      val res = new String(
+        Option(in).map(_.readAllBytes()).getOrElse(Array.emptyByteArray),
+        "UTF-8")
+      conn.disconnect()
+      if (status >= 400)
+        throw new RuntimeException(
+          s"es _bulk failed: HTTP $status ${res.take(200)}")
+      if ("\"errors\"\\s*:\\s*true".r.findFirstIn(res).isDefined)
+        throw new RuntimeException(
+          s"es _bulk reported item failures: ${res.take(200)}")
+    }
+  }
+
   /** foreachBatch writer: each executor partition builds and POSTs its own
     * `_bulk` payloads (in production an HTTP POST to `<host>/_bulk`), in
     * chunks of [[MaxDocsPerRequest]]. Nothing is materialized on the

@@ -90,4 +90,68 @@ class EsBulkSpec extends SparkSpec {
     assert(posts.size == 2)
     assert(posts.map(_.count(_ == '\n')).sum == n * 2)
   }
+
+  /** ES-shaped bulk stub over a real socket: records NDJSON bodies,
+    * answers the canned response.
+    */
+  private def esStub(response: String): (com.sun.net.httpserver.HttpServer,
+      scala.collection.mutable.Buffer[String]) = {
+    val received = mutable.Buffer[String]()
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    srv.createContext("/_bulk", (ex: com.sun.net.httpserver.HttpExchange) => {
+      received.synchronized {
+        received += new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      }
+      val res = response.getBytes("UTF-8")
+      ex.getResponseHeaders.set("Content-Type", "application/json")
+      ex.sendResponseHeaders(200, res.length)
+      ex.getResponseBody.write(res)
+      ex.close()
+    })
+    srv.start()
+    (srv, received)
+  }
+
+  test("gate: elasticsearch-7 sink delivers _bulk over a live endpoint") {
+    val (srv, received) = esStub("""{"took":1,"errors":false,"items":[]}""")
+    val src = java.nio.file.Files.createTempDirectory("es_src").toString
+    spark.range(0, 3).toDF("id").coalesce(1).write.mode("append").parquet(src)
+    val ckpt = java.nio.file.Files.createTempDirectory("es_ckpt").toString
+    try {
+      val script =
+        s"""CREATE TABLE src (id BIGINT) WITH (
+           |  'connector' = 'filesystem', 'path' = '$src',
+           |  'format' = 'parquet');
+           |CREATE TABLE es_snk (id BIGINT, PRIMARY KEY (id) NOT ENFORCED)
+           |  WITH ('connector' = 'elasticsearch-7',
+           |    'hosts' = 'http://127.0.0.1:${srv.getAddress.getPort}',
+           |    'index' = 'products');
+           |INSERT INTO es_snk SELECT id FROM src;
+           |""".stripMargin
+      val res = new ScriptRunner(spark, Some(ckpt)).run(script)
+      res.queries.foreach(_.processAllAvailable())
+      res.queries.foreach(_.stop())
+      val all = received.synchronized(received.mkString)
+      assert(all.contains(""""_index":"products""""), all)
+      assert((0 to 2).forall(i => all.contains(s""""_id":"$i"""")), all)
+    } finally srv.stop(0)
+  }
+
+  test("a bulk response with item failures fails the micro-batch") {
+    val (srv, _) = esStub(
+      """{"took":1,"errors":true,"items":[{"index":{"status":429}}]}""")
+    try {
+      import spark.implicits._
+      val df = Seq(EsDoc(1, "a", 1.0)).toDF()
+      val e = intercept[Exception] {
+        EsBulk.writer("idx", Seq("id"),
+          EsBulk.httpPost(s"http://127.0.0.1:${srv.getAddress.getPort}"))(df, 0L)
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(_.contains("item failures")), e.toString)
+    } finally srv.stop(0)
+  }
 }
