@@ -85,16 +85,27 @@ case class LongDotProduct(left: Expression, right: Expression)
 
 object GraftFunctions {
   // once per session: createOrReplaceTempFunction logs a WARN on every
-  // re-register, and the query packs call register() per query
+  // re-register, and the query packs call register() per query. Weak
+  // keys so stopped sessions aren't pinned for the JVM lifetime; the
+  // lock (not a lock-free add) makes a concurrent first use WAIT until
+  // every function is registered rather than racing ahead with a
+  // half-populated registry.
   private val registered =
     java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 
   /** Idempotently register graft's native expressions in the session's
     * function registry (the in-session equivalent of
     * SparkSessionExtensions.injectFunction for externally-built sessions).
     */
-  def register(spark: SparkSession): Unit = if (registered.add(spark)) {
+  def register(spark: SparkSession): Unit = registered.synchronized {
+    if (registered.contains(spark)) return
+    doRegister(spark)
+    registered.add(spark)
+    ()
+  }
+
+  private def doRegister(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "long_dot", exprs => LongDotProduct(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -108,31 +108,13 @@ object AlarmTransports {
   val DefaultKinds: Set[String] =
     Set("JOB_FAILED", "AUTO_RESTARTED", "RESTART_FAILED", "RECONCILED")
 
-  /** Default wire transport: a plain JDK HttpURLConnection POST with the
-    * reference's 15 s timeouts (`HttpUtil.TIME_OUT_15_S`). No extra
-    * dependency needed — the pluggable-post seam stays for tests and for
-    * environments that route alarms differently.
+  /** Default wire transport: the shared JDK POST helper ([[graft.Http]])
+    * with the reference's 15 s timeouts (`HttpUtil.TIME_OUT_15_S`). No
+    * extra dependency needed — the pluggable-post seam stays for tests
+    * and for environments that route alarms differently.
     */
   val jdkPost: (String, String, String) => String =
-    (url, contentType, body) => {
-      val conn = new java.net.URL(url)
-        .openConnection().asInstanceOf[java.net.HttpURLConnection]
-      conn.setConnectTimeout(15000)
-      conn.setReadTimeout(15000)
-      conn.setRequestMethod("POST")
-      conn.setDoOutput(true)
-      conn.setRequestProperty("Content-Type", contentType)
-      conn.getOutputStream.write(body.getBytes("UTF-8"))
-      val status = conn.getResponseCode
-      val in = if (status < 400) conn.getInputStream else conn.getErrorStream
-      val res = new String(
-        Option(in).map(_.readAllBytes()).getOrElse(Array.emptyByteArray),
-        "UTF-8")
-      conn.disconnect()
-      if (status >= 400)
-        throw new RuntimeException(s"alarm POST failed: HTTP $status $res")
-      res
-    }
+    (url, contentType, body) => graft.Http.post(url, contentType, body)
 
   /** One delivered (or failed) alarm — the reference's `alart_log` row
     * (`AlarmServiceAOImpl.insertLog`).

@@ -147,7 +147,16 @@ class HttpApi(mgr: JobManager, spark: SparkSession, bindPort: Int = 0,
       }
       verb match {
         case "login" =>
-          val tok = usersOrFail.login(req("name"), req("password"))
+          // credential failures are 401 (authentication), not 400 — a
+          // client must be able to tell "bad password" from "bad request"
+          val tok =
+            try usersOrFail.login(req("name"), req("password"))
+            catch {
+              case e: IllegalArgumentException =>
+                reply(ex, 401, success = false,
+                  Option(e.getMessage).getOrElse("login failed"), "null")
+                return
+            }
           ex.getResponseHeaders.add("Set-Cookie",
             s"${Users.SessionCookie}=$tok; Path=/; Max-Age=86400")
           ok(ex, JsonUtil.str(tok), "login success")

@@ -191,6 +191,9 @@ class JobManager(spark: SparkSession, checkpointRoot: String,
       val st = jobs.getOrElse(id,
         throw new NoSuchElementException(s"unknown job $id"))
       require(st.status == Running, s"job $id is ${st.status}, not RUNNING")
+      require(java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(st.checkpointDir)),
+        s"job $id has no checkpoint data yet; retry after the first batch")
       st
     }
     // snapshot outside the lock: copying a live checkpoint can take a

@@ -34,12 +34,37 @@ object Users {
         s""","password":${JsonUtil.str(s.password)}""" +
         s""","userid":${s.userid}}""").getBytes("UTF-8"))
 
+  /** Inverse of [[graft.JsonUtil.escape]] — captured string fields must
+    * be UNescaped or a username containing a quote/backslash round-trips
+    * into a session that can never validate.
+    */
+  private def unescape(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => sb += '\n'
+          case 'r' => sb += '\r'
+          case 't' => sb += '\t'
+          case 'u' if i + 5 < s.length =>
+            sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
+            i += 4
+          case o => sb += o // covers \" and \\
+        }
+        i += 2
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+
   def decodeSession(token: String): Option[Session] =
     try {
       val json = new String(java.util.Base64.getDecoder.decode(token), "UTF-8")
       def field(k: String): Option[String] =
         (s""""$k"\\s*:\\s*"((?:[^"\\\\]|\\\\.)*)"""").r
-          .findFirstMatchIn(json).map(_.group(1))
+          .findFirstMatchIn(json).map(m => unescape(m.group(1)))
       for {
         name <- field("name")
         pass <- field("password")
@@ -141,6 +166,15 @@ final class UserService(store: UserStore) {
 
   private val lock = new Object
 
+  /** A 32-hex string is treated as an md5-stored credential; only rows
+    * that are NOT md5-shaped get the legacy plain-password path. Without
+    * this shape check the fallback is a pass-the-hash hole: presenting a
+    * leaked stored hash as the password would authenticate.
+    */
+  private def isMd5Hex(s: String): Boolean =
+    s != null && s.length == 32 &&
+      s.forall(c => c.isDigit || ('a' <= c.toLower && c.toLower <= 'f'))
+
   /** Login → session token. Throws IllegalArgumentException on unknown /
     * stopped user or bad credentials (the facade maps these to 401).
     */
@@ -150,11 +184,13 @@ final class UserService(store: UserStore) {
     if (!u.enabled)
       throw new IllegalArgumentException(s"user '$username' is stopped")
     // stored is normally md5(plain); tolerate a legacy plain-stored row
-    // exactly like the reference (it then hashes once more so the token
-    // still never carries the plaintext)
+    // like the reference — but ONLY for rows that aren't md5-shaped, so
+    // the stored hash itself never works as a password. The token then
+    // hashes once more so it never carries the plaintext.
     val effective =
       if (md5(password).equalsIgnoreCase(u.password)) u.password
-      else if (password == u.password) md5(u.password)
+      else if (!isMd5Hex(u.password) && password == u.password)
+        md5(u.password)
       else throw new IllegalArgumentException("wrong password")
     encodeSession(Session(u.id, u.username, md5(effective)))
   }
@@ -164,7 +200,8 @@ final class UserService(store: UserStore) {
     decodeSession(token).exists { s =>
       store.byName(s.name).exists { u =>
         s.password.equalsIgnoreCase(md5(u.password)) ||
-          s.password.equalsIgnoreCase(md5(md5(u.password)))
+          (!isMd5Hex(u.password) &&
+            s.password.equalsIgnoreCase(md5(md5(u.password))))
       }
     }
 

@@ -18,11 +18,14 @@ import org.apache.spark.sql.functions._
   * Scale notes (100 TB): the LSH paths shuffle on band/bucket keys whose
   * cardinality grows with the corpus — no O(n²) stage anywhere except the
   * explicitly-bounded exact-verification baselines. Shingle explode →
-  * groupBy(doc) min-aggregates get map-side combine for free. Hot LSH /
-  * chunk buckets (boilerplate-heavy corpora) are the known skew risk and
+  * groupBy(doc) min-aggregates get map-side combine for free. Hot LSH
+  * band buckets (boilerplate-heavy corpora) are the known skew risk and
   * are capped at [[MaxBandBucket]] members per bucket ([[bucketPairs]]),
   * with drops surfaced through an observe() metric — bounded work per
-  * task by construction, no silent truncation.
+  * task by construction, no silent truncation. The simhash chunk path is
+  * deliberately NOT capped: its blocking key space is fixed, so a cap
+  * would break the lossless hamming≤3 contract at scale (see the
+  * q_dedup_simhash comment).
   */
 object Dedup extends QueryPack {
 
@@ -106,26 +109,33 @@ object Dedup extends QueryPack {
     * observe() metrics cost nothing at runtime and surface here, so
     * capped truncation is always visible in the driver log.
     */
+  // weak keys: stopped sessions must not stay pinned by this static set
   private val dropLoggerSessions =
     java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
   private def ensureDropLogger(s: SparkSession): Unit =
-    if (dropLoggerSessions.add(s)) {
-      s.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
-        override def onSuccess(funcName: String,
-            qe: org.apache.spark.sql.execution.QueryExecution,
-            durationNs: Long): Unit =
-          qe.observedMetrics.foreach { case (name, row) =>
-            if (name.endsWith("_buckets") && row.getLong(0) > 0)
-              log.warn(s"$name hot-bucket cap dropped ${row.getLong(0)} " +
-                s"buckets (${row.getLong(1)} member rows) — raise maxBucket " +
-                "to trade skew safety for recall on these groups")
-          }
-        override def onFailure(funcName: String,
-            qe: org.apache.spark.sql.execution.QueryExecution,
-            exception: Exception): Unit = ()
-      })
+    dropLoggerSessions.synchronized {
+      if (!dropLoggerSessions.contains(s)) {
+        dropLoggerSessions.add(s)
+        s.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              durationNs: Long): Unit =
+            qe.observedMetrics.foreach { case (name, row) =>
+              // sums over an EMPTY bucket aggregation are NULL — guard
+              // before unboxing (same pitfall labelSum guards against)
+              if (name.endsWith("_buckets") && !row.isNullAt(0) &&
+                  row.getLong(0) > 0)
+                log.warn(s"$name hot-bucket cap dropped ${row.getLong(0)} " +
+                  s"buckets (${row.getLong(1)} member rows) — raise maxBucket " +
+                  "to trade skew safety for recall on these groups")
+            }
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              exception: Exception): Unit = ()
+        })
+      }
     }
 
   /** Probability-0.5 Jaccard detection threshold of an (bands, rows)
@@ -324,14 +334,23 @@ object Dedup extends QueryPack {
         .agg(graft.functions.GraftFunctions.simhash60(collect_list($"h"))
           .as("sim"))
       // 4×15-bit chunk keys in one projection + posexplode (signature agg
-      // runs once), then the same capped bucket-grouped pair expansion as
-      // the LSH path — one shuffle, hot chunk buckets bounded.
+      // runs once), then the same bucket-grouped pair expansion as the
+      // LSH path — one shuffle. UNCAPPED, deliberately: the chunk key
+      // space is FIXED (4×2^15), so bucket population grows linearly
+      // with the corpus and any constant cap would eventually drop every
+      // bucket — silently voiding the lossless-blocking contract the
+      // oracle's brute force verifies. When chunk buckets outgrow the
+      // pair expansion (corpora ≫ 10^8 docs), the correct move is more
+      // chunks over a wider hamming budget (pigeonhole still holds), not
+      // a cap. LSH band keys don't have this failure mode — their key
+      // space scales with the corpus, so capping there drops only
+      // degenerate boilerplate groups.
       val chunkKeys = (0 until 4).map(c =>
         shiftright($"sim", c * 15).bitwiseAND((1L << 15) - 1))
       val chunks = sim.select($"doc_id",
         posexplode(array(chunkKeys: _*)).as(Seq("chunk", "ckey")))
       val cand = bucketPairs(chunks, Seq("chunk", "ckey"),
-        MaxBandBucket, "simhash_buckets")
+        Int.MaxValue, "simhash_buckets")
       cand
         .join(sim.select($"doc_id".as("ida"), $"sim".as("sima")), "ida")
         .join(sim.select($"doc_id".as("idb"), $"sim".as("simb")), "idb")

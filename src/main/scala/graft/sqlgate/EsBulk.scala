@@ -76,23 +76,7 @@ object EsBulk {
     val base = hosts.split(";").head.trim.stripSuffix("/")
     require(base.nonEmpty, "elasticsearch sink needs a non-empty 'hosts'")
     body => {
-      val conn = new java.net.URL(base + "/_bulk")
-        .openConnection().asInstanceOf[java.net.HttpURLConnection]
-      conn.setConnectTimeout(15000)
-      conn.setReadTimeout(15000)
-      conn.setRequestMethod("POST")
-      conn.setDoOutput(true)
-      conn.setRequestProperty("Content-Type", "application/x-ndjson")
-      conn.getOutputStream.write(body.getBytes("UTF-8"))
-      val status = conn.getResponseCode
-      val in = if (status < 400) conn.getInputStream else conn.getErrorStream
-      val res = new String(
-        Option(in).map(_.readAllBytes()).getOrElse(Array.emptyByteArray),
-        "UTF-8")
-      conn.disconnect()
-      if (status >= 400)
-        throw new RuntimeException(
-          s"es _bulk failed: HTTP $status ${res.take(200)}")
+      val res = graft.Http.post(base + "/_bulk", "application/x-ndjson", body)
       if ("\"errors\"\\s*:\\s*true".r.findFirstIn(res).isDefined)
         throw new RuntimeException(
           s"es _bulk reported item failures: ${res.take(200)}")

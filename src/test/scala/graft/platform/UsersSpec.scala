@@ -28,6 +28,21 @@ class UsersSpec extends SparkSpec {
     assert(svc.login("admin", "123456").nonEmpty)
   }
 
+  test("usernames with quotes/backslashes round-trip through the session") {
+    val svc = new UserService(new InMemoryUserStore)
+    svc.addUser("""he"llo\wo rld""", "Escapee", "pw")
+    val tok = svc.login("""he"llo\wo rld""", "pw")
+    assert(svc.checkLogin(tok))
+    assert(svc.userOf(tok).exists(_.fullname == "Escapee"))
+  }
+
+  test("the stored hash itself is not a usable password (no pass-the-hash)") {
+    val svc = new UserService(new InMemoryUserStore)
+    svc.addUser("admin", "Administrator", "s3cret")
+    val leakedHash = Users.md5("s3cret")
+    intercept[IllegalArgumentException](svc.login("admin", leakedHash))
+  }
+
   test("legacy plain-stored password logs in and yields a valid session") {
     val store = new InMemoryUserStore
     // a pre-md5 row, as the reference tolerates (UserServiceImpl.java:46-50)
@@ -102,9 +117,10 @@ class UsersSpec extends SparkSpec {
       assert(post("addUser", Some(tok), "name" -> "ops",
         "fullname" -> "Operator", "password" -> "pw")._1 == 200)
       assert(post("userList", Some(tok))._2.contains("\"username\":\"ops\""))
-      // bad login is a client error; bogus cookie stays locked out
+      // bad credentials are 401 (authentication, not a malformed
+      // request); bogus cookie stays locked out
       assert(post("login", None, "name" -> "admin",
-        "password" -> "nope")._1 == 400)
+        "password" -> "nope")._1 == 401)
       assert(post("listTask", Some("not-a-token"))._1 == 401)
       assert(post("logout", Some(tok))._1 == 200)
     } finally api.close()

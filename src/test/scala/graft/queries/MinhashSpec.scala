@@ -48,6 +48,16 @@ class MinhashSpec extends SparkSpec {
     assert(def_ == unc, s"default-cap=$def_ uncapped=$unc")
   }
 
+  test("empty and all-short corpora yield no candidates (no listener NPE)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.minhashCandidates(empty).count() == 0)
+    // short docs are filtered before shingling → empty bucket aggregation
+    // → the observe() sums are NULL; the drop logger must guard the unbox
+    val short_ = Seq((1L, "one two")).toDF("doc_id", "text")
+    assert(Dedup.minhashCandidates(short_).count() == 0)
+  }
+
   test("more bands / fewer rows per band yields at least as many candidates") {
     val docs = Tables.load(spark, sf, "documents")
     val n44 = Dedup.minhashCandidates(docs, k = 16,
