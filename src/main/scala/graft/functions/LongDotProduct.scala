@@ -127,6 +127,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "jaccard_distinct", exprs => JaccardDistinct(exprs(0), exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "quant_vec", exprs => QuantizeVec(exprs(0)), "built-in")
   }
 
   def longDot(a: Column, b: Column): Column = call_function("long_dot", a, b)
@@ -152,4 +154,7 @@ object GraftFunctions {
     */
   def jaccardDistinct(a: Column, b: Column): Column =
     call_function("jaccard_distinct", a, b)
+
+  /** Integer quantization of a float/double embedding (fused loop). */
+  def quantVec(a: Column): Column = call_function("quant_vec", a)
 }

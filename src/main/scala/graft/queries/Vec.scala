@@ -11,9 +11,15 @@ import org.apache.spark.sql.functions._
   * pure function of identical integers in Spark and the DuckDB oracle.
   */
 private[queries] object Vec {
-  /** Quantize a float array column to exact BIGINTs. */
+  /** Quantize a float array column to exact BIGINTs, via the fused
+    * native expression (graft.functions.QuantizeVec) — identical values
+    * to the `transform(..., floor(x*1e6+0.5))` lambda it replaces, but
+    * inside whole-stage codegen. Callers must have called
+    * [[ensureRegistered]] on the session first (every similarity call
+    * site already does, for [[dotQ]]).
+    */
   def quant(c: Column): Column =
-    transform(c, x => floor(x.cast("double") * lit(1000000.0) + lit(0.5)))
+    graft.functions.GraftFunctions.quantVec(c)
 
   /** Exact integer dot product of two quantized array columns, via the
     * codegen'd native expression (graft.functions.LongDotProduct). Callers

@@ -87,6 +87,27 @@ class TextExprsSpec extends SparkSpec {
     assert(e.isNullAt(0))
   }
 
+  test("quant_vec equals the transform(floor) quantization lambda") {
+    GraftFunctions.register(spark)
+    val df = spark.range(100).select(
+      transform(sequence(lit(1), lit(64)),
+        i => (hash($"id" * i).cast("double") / 1e7).cast("float")).as("v"))
+    val hof = transform($"v",
+      x => floor(x.cast("double") * lit(1000000.0) + lit(0.5)))
+    val rows = df.select(GraftFunctions.quantVec($"v").as("fused"),
+      hof.as("hof")).collect()
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), r))
+    // null elements stay null, null array is null
+    val edge = Seq((Seq(Option(1.5f), Option.empty[Float]),
+      Option.empty[Seq[Float]]))
+      .toDF("a", "b")
+      .select(GraftFunctions.quantVec($"a").as("qa"),
+        GraftFunctions.quantVec($"b").as("qb"))
+      .collect().head
+    assert(edge.getSeq[Any](0) == Seq(1500000L, null))
+    assert(edge.isNullAt(1))
+  }
+
   test("native text exprs run inside whole-stage codegen") {
     GraftFunctions.register(spark)
     // range source: a literal local table would be constant-folded into
