@@ -95,6 +95,31 @@ object TextAnalysis extends QueryPack {
         .select($"doc_id", textFingerprint(words($"text")).as("fingerprint"))
     }),
 
+    // Per-language document-length distribution: min/max/median token
+    // counts + doc counts — the corpus-composition report that drives
+    // sampling-rate choices. Median via exact order statistics (row_number
+    // against count), not interpolating percentiles: bit-stable across
+    // engines. One shuffle on the language key.
+    "q_text_length_stats" -> ((s, dir) => {
+      import s.implicits._
+      val counts = Tables.load(s, dir, "documents")
+        .select($"lang", size(words($"text")).as("n_tok"))
+      // deterministic median: order by token count, take the upper-middle
+      // row per language ((n+1) DIV 2 — integer division, as the oracle;
+      // rank ties are value-identical so tie order can't change the pick)
+      val ranked = counts
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"lang").orderBy($"n_tok")))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy($"lang")))
+      val medians = ranked.filter($"rn" === expr("(n + 1) DIV 2"))
+        .select($"lang", $"n_tok".as("median_tok"))
+      counts.groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), min($"n_tok").as("min_tok"),
+          max($"n_tok").as("max_tok"))
+        .join(medians, "lang")
+        .select($"lang", $"n_docs", $"min_tok", $"median_tok", $"max_tok")
+    }),
+
     // Corpus term statistics: per-term total frequency (tf) and document
     // frequency (df) — the exact-integer precursor of TF-IDF (the log
     // weighting is left to consumers: libm log is not bit-stable across
@@ -212,6 +237,19 @@ object TextAnalysis extends QueryPack {
           |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
           |    (acc, x) -> (acc * 31 + x) % 1000000007) AS BIGINT) AS fingerprint
           |FROM c""".stripMargin,
+
+      "q_text_length_stats" ->
+        """WITH c AS (SELECT lang, len(regexp_split_to_array(text, ' ')) AS n_tok
+          |    FROM documents),
+          |r AS (SELECT lang, n_tok,
+          |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_tok) AS rn,
+          |    COUNT(*) OVER (PARTITION BY lang) AS n
+          |  FROM c),
+          |m AS (SELECT lang, n_tok AS median_tok FROM r WHERE rn = (n + 1) // 2)
+          |SELECT c.lang, COUNT(*) AS n_docs, MIN(n_tok) AS min_tok,
+          |  ANY_VALUE(median_tok) AS median_tok, MAX(n_tok) AS max_tok
+          |FROM c JOIN m ON c.lang = m.lang
+          |GROUP BY c.lang""".stripMargin,
 
       "q_text_tfdf" ->
         """WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array(text, ' ')) AS term
