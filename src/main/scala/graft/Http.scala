@@ -25,8 +25,18 @@ object Http {
         "UTF-8")
       if (status >= 400)
         throw new RuntimeException(
-          s"POST $url failed: HTTP $status ${res.take(200)}")
+          s"POST ${redact(url)} failed: HTTP $status ${res.take(200)}")
       res
     } finally conn.disconnect()
   }
+
+  /** Error messages carry only scheme://host/path — query strings (e.g.
+    * a webhook access_token) and userinfo are secrets, and these
+    * messages flow into alarm-log rows and API responses.
+    */
+  private def redact(url: String): String =
+    try {
+      val u = new java.net.URL(url)
+      s"${u.getProtocol}://${u.getHost}${Option(u.getPath).getOrElse("")}"
+    } catch { case _: Throwable => "<invalid url>" }
 }

@@ -148,9 +148,12 @@ class HttpApi(mgr: JobManager, spark: SparkSession, bindPort: Int = 0,
       verb match {
         case "login" =>
           // credential failures are 401 (authentication), not 400 — a
-          // client must be able to tell "bad password" from "bad request"
+          // client must be able to tell "bad password" from "bad
+          // request", so the missing-parameter check runs OUTSIDE the
+          // 401 mapping (malformed login stays 400)
+          val (loginName, loginPass) = (req("name"), req("password"))
           val tok =
-            try usersOrFail.login(req("name"), req("password"))
+            try usersOrFail.login(loginName, loginPass)
             catch {
               case e: IllegalArgumentException =>
                 reply(ex, 401, success = false,

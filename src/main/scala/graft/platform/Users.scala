@@ -169,11 +169,24 @@ final class UserService(store: UserStore) {
   /** A 32-hex string is treated as an md5-stored credential; only rows
     * that are NOT md5-shaped get the legacy plain-password path. Without
     * this shape check the fallback is a pass-the-hash hole: presenting a
-    * leaked stored hash as the password would authenticate.
+    * leaked stored hash as the password would authenticate. Deliberate
+    * edge: a legacy PLAIN row whose plaintext happens to be 32 hex chars
+    * cannot log in (the stored value is indistinguishable from a hash) —
+    * security wins; an admin password reset migrates such rows.
     */
   private def isMd5Hex(s: String): Boolean =
     s != null && s.length == 32 &&
       s.forall(c => c.isDigit || ('a' <= c.toLower && c.toLower <= 'f'))
+
+  /** Per-process session salt folded into every token's password field.
+    * The reference's cookie is pure base64 JSON derivable from the
+    * stored hash — anyone holding a leaked hash can MINT a session
+    * without calling login. Salting makes tokens unforgeable without
+    * this process's secret; the (documented) trade is that sessions
+    * don't survive a platform restart, which in-process jobs don't
+    * either.
+    */
+  private val sessionSalt: String = java.util.UUID.randomUUID().toString
 
   /** Login → session token. Throws IllegalArgumentException on unknown /
     * stopped user or bad credentials (the facade maps these to 401).
@@ -192,16 +205,16 @@ final class UserService(store: UserStore) {
       else if (!isMd5Hex(u.password) && password == u.password)
         md5(u.password)
       else throw new IllegalArgumentException("wrong password")
-    encodeSession(Session(u.id, u.username, md5(effective)))
+    encodeSession(Session(u.id, u.username, md5(sessionSalt + effective)))
   }
 
   /** Is this session token still valid against the current store? */
   def checkLogin(token: String): Boolean =
     decodeSession(token).exists { s =>
       store.byName(s.name).exists { u =>
-        s.password.equalsIgnoreCase(md5(u.password)) ||
+        s.password.equalsIgnoreCase(md5(sessionSalt + u.password)) ||
           (!isMd5Hex(u.password) &&
-            s.password.equalsIgnoreCase(md5(md5(u.password))))
+            s.password.equalsIgnoreCase(md5(sessionSalt + md5(u.password))))
       }
     }
 

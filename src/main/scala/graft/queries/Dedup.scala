@@ -76,7 +76,9 @@ object Dedup extends QueryPack {
     }
     val bandRows = mh.select(col("doc_id"),
       posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
-    bucketPairs(bandRows, Seq("band", "bkey"), maxBucket, "lsh_buckets")
+    // Int.MaxValue is the public "no cap" knob → explicit uncapped mode
+    val cap = if (maxBucket == Int.MaxValue) None else Some(maxBucket)
+    bucketPairs(bandRows, Seq("band", "bkey"), cap, "lsh_buckets")
   }
 
   /** In-bucket pair expansion with a hot-bucket cap: groupBy the bucket
@@ -89,15 +91,24 @@ object Dedup extends QueryPack {
     * bounded and tiny next to the O(m²) pair blowup the cap prevents.
     */
   private def bucketPairs(rows: DataFrame, keyCols: Seq[String],
-      maxBucket: Int, metricName: String): DataFrame = {
-    ensureDropLogger(rows.sparkSession)
+      maxBucket: Option[Int], metricName: String): DataFrame = {
     val bsz = size(col("members"))
-    rows.groupBy(keyCols.map(col): _*)
+    val buckets = rows.groupBy(keyCols.map(col): _*)
       .agg(collect_list(col("doc_id")).as("members"))
-      .observe(metricName,
-        sum(when(bsz > maxBucket, 1).otherwise(0)).as("dropped_buckets"),
-        sum(when(bsz > maxBucket, bsz).otherwise(0)).as("dropped_members"))
-      .filter(bsz >= 2 && bsz <= maxBucket)
+    // uncapped mode (None) carries no drop accounting at all — dead
+    // never-firing metrics would mislead readers into thinking drops
+    // are possible on that path
+    val kept = maxBucket match {
+      case Some(cap) =>
+        ensureDropLogger(rows.sparkSession)
+        buckets
+          .observe(metricName,
+            sum(when(bsz > cap, 1).otherwise(0)).as("dropped_buckets"),
+            sum(when(bsz > cap, bsz).otherwise(0)).as("dropped_members"))
+          .filter(bsz >= 2 && bsz <= cap)
+      case None => buckets.filter(bsz >= 2)
+    }
+    kept
       .select(explode(col("members")).as("ida"), col("members"))
       .select(col("ida"), explode(col("members")).as("idb"))
       .filter(col("ida") < col("idb"))
@@ -350,7 +361,7 @@ object Dedup extends QueryPack {
       val chunks = sim.select($"doc_id",
         posexplode(array(chunkKeys: _*)).as(Seq("chunk", "ckey")))
       val cand = bucketPairs(chunks, Seq("chunk", "ckey"),
-        Int.MaxValue, "simhash_buckets")
+        None, "simhash_buckets")
       cand
         .join(sim.select($"doc_id".as("ida"), $"sim".as("sima")), "ida")
         .join(sim.select($"doc_id".as("idb"), $"sim".as("simb")), "idb")

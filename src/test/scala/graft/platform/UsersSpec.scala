@@ -16,9 +16,15 @@ class UsersSpec extends SparkSpec {
     val tok = svc.login("admin", "123456")
     assert(svc.checkLogin(tok))
     assert(svc.userOf(tok).exists(_.username == "admin"))
-    // the token's password field is a RE-hash — never the stored hash
+    // the token's password field is salted — never the stored hash, nor
+    // anything derivable from it without this process's secret
     assert(Users.decodeSession(tok).exists(s =>
-      s.password == Users.md5(Users.md5("123456"))))
+      s.password != Users.md5("123456") &&
+        s.password != Users.md5(Users.md5("123456"))))
+    // a token minted from the leaked stored hash alone must NOT validate
+    val forged = Users.encodeSession(
+      Users.Session(1, "admin", Users.md5(Users.md5("123456"))))
+    assert(!svc.checkLogin(forged))
 
     intercept[IllegalArgumentException](svc.login("admin", "wrong"))
     intercept[IllegalArgumentException](svc.login("ghost", "123456"))
