@@ -389,6 +389,28 @@ object Dedup extends QueryPack {
         .filter($"jacc" >= 0.6)
     }),
 
+    // Benchmark decontamination: flag training documents sharing any
+    // word-8-gram with a held-out benchmark subset (doc_id % 10 == 0
+    // plays the benchmark here) and count the overlapping grams — the
+    // contamination check every training pipeline runs before a data
+    // release. One shuffle keyed by the gram; at 100 TB the (small)
+    // benchmark gram set is the natural broadcast side.
+    "q_decontaminate" -> ((s, dir) => {
+      import s.implicits._
+      Vec.ensureRegistered(s)
+      val grams = Tables.load(s, dir, "documents")
+        .select($"doc_id", words($"text").as("w"))
+        .filter(size($"w") >= 8)
+        .select($"doc_id",
+          explode(array_distinct(shingles($"w", 8))).as("g"))
+      val bench = grams.filter($"doc_id" % 10 === 0)
+        .select($"g").distinct()
+      grams.filter($"doc_id" % 10 =!= 0)
+        .join(broadcast(bench), "g")
+        .groupBy($"doc_id")
+        .agg(countDistinct($"g").as("n_overlap"))
+    }),
+
     // Embedding-cosine near-dup pairs via integer-quantized vectors.
     // EXPLICITLY BOUNDED probe side (like q_dedup_ngram's doc_id guard):
     // probe rows × corpus is linear in corpus size, not quadratic — the
@@ -420,6 +442,10 @@ object Dedup extends QueryPack {
 
   private val oShingle3 =
     "list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in generate_series(1, len(w)-2)])"
+  private val oShingle8 = {
+    val terms = (0 until 8).map(k => s"w[i+$k]").mkString("||' '||")
+    s"list_distinct([$terms for i in generate_series(1, len(w)-7)])"
+  }
   private val oShingle2 =
     "list_distinct([w[i]||' '||w[i+1] for i in generate_series(1, len(w)-1)])"
   private def oTokenHash(v: String) =
@@ -509,6 +535,16 @@ object Dedup extends QueryPack {
          |FROM sets a JOIN sets b ON a.doc_id < b.doc_id
          |WHERE CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE) /
          |    len(list_distinct(list_concat(a.ss, b.ss))) >= 0.6""".stripMargin,
+
+    "q_decontaminate" ->
+      s"""WITH w AS (SELECT doc_id, regexp_split_to_array(text,' ') w FROM documents),
+         |g AS (SELECT doc_id, unnest($oShingle8) AS g
+         |  FROM w WHERE len(w) >= 8),
+         |bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 10 = 0),
+         |train AS (SELECT * FROM g WHERE doc_id % 10 <> 0)
+         |SELECT t.doc_id, COUNT(DISTINCT t.g) AS n_overlap
+         |FROM train t JOIN bench b ON t.g = b.g
+         |GROUP BY t.doc_id""".stripMargin,
 
     "q_dedup_embed" ->
       s"""WITH q AS (SELECT vec_id, $oQuant AS qe FROM embeddings),
