@@ -71,9 +71,17 @@ class ScriptRunner(spark: SparkSession,
     case _ => None // unknown knobs accepted+ignored, like Flink's tolerant SET
   }
 
+  /** One INSERT of the statement set: sink, the built (possibly
+    * streaming) DataFrame, overwrite flag, and the rewritten SELECT +
+    * column list kept for the fused execution path, which must re-plan
+    * the query against each micro-batch.
+    */
+  private final case class Insert(sink: TableSpec, df: DataFrame,
+      overwrite: Boolean, query: String, colList: Option[Seq[String]])
+
   def run(script: String): RunResult = {
     val stmts = SqlSplitter.parse(script)
-    val inserts = mutable.Buffer[(TableSpec, DataFrame, Boolean)]()
+    val inserts = mutable.Buffer[Insert]()
     val shown = mutable.Buffer[String]()
     val confs = mutable.LinkedHashMap[String, String]()
 
@@ -122,19 +130,8 @@ class ScriptRunner(spark: SparkSession,
             case Some(sink) =>
               instantiateSources(query)
               val df0 = spark.sql(query)
-              // Flink INSERT maps the query output to the sink schema by
-              // POSITION, not by name (a `COUNT(x)` with no alias lands in
-              // the declared column): an explicit column list renames to
-              // that list, otherwise the sink DDL's declared columns do.
-              val df = colList match {
-                case Some(cs) => df0.toDF(cs: _*)
-                case None =>
-                  val declared = sink.columns.map(_._1)
-                  if (declared.nonEmpty && declared.size == df0.columns.length)
-                    df0.toDF(declared: _*)
-                  else df0
-              }
-              inserts += ((sink, df, overwrite))
+              val df = renameForSink(df0, colList, sink)
+              inserts += Insert(sink, df, overwrite, query, colList)
             case None if spark.catalog.tableExists(sinkName) =>
               // catalog (managed/Hive) table: eager Spark SQL INSERT —
               // the demo_batch.md batch-write path. Referenced registry
@@ -171,13 +168,18 @@ class ScriptRunner(spark: SparkSession,
     val seen = mutable.Map[String, Int]()
     val started = mutable.Buffer[org.apache.spark.sql.streaming.StreamingQuery]()
     try {
-      inserts.foreach { case (sink, df, overwrite) =>
-        val n = seen.getOrElse(sink.name, 0)
-        seen(sink.name) = n + 1
-        val tag = if (n == 0) "" else s"_$n"
-        val ckpt = checkpointRoot.map(r => s"$r/${sink.name}$tag")
-        Connectors.write(spark, sink, df, ckpt, trigger, tag, overwrite)
-          .foreach(started += _)
+      fusedSource(inserts.toSeq, confs) match {
+        case Some(srcName) =>
+          started += startFused(srcName, inserts.toSeq)
+        case None =>
+          inserts.foreach { ins =>
+            val n = seen.getOrElse(ins.sink.name, 0)
+            seen(ins.sink.name) = n + 1
+            val tag = if (n == 0) "" else s"_$n"
+            val ckpt = checkpointRoot.map(r => s"$r/${ins.sink.name}$tag")
+            Connectors.write(spark, ins.sink, ins.df, ckpt, trigger, tag,
+              ins.overwrite).foreach(started += _)
+          }
       }
     } catch {
       case e: Throwable =>
@@ -187,6 +189,89 @@ class ScriptRunner(spark: SparkSession,
         throw e
     }
     RunResult(started.toSeq, shown.toSeq, confs.toMap)
+  }
+
+  /** Flink INSERT maps the query output to the sink schema by POSITION,
+    * not by name (a `COUNT(x)` with no alias lands in the declared
+    * column): an explicit column list renames to that list, otherwise
+    * the sink DDL's declared columns do.
+    */
+  private def renameForSink(df0: DataFrame, colList: Option[Seq[String]],
+      sink: TableSpec): DataFrame = colList match {
+    case Some(cs) => df0.toDF(cs: _*)
+    case None =>
+      val declared = sink.columns.map(_._1)
+      if (declared.nonEmpty && declared.size == df0.columns.length)
+        df0.toDF(declared: _*)
+      else df0
+  }
+
+  /** Decide whether this statement set can run FUSED — one streaming
+    * read fanned out to every sink inside a single `foreachBatch`, the
+    * closer analog of the reference's single-DAG `StatementSet.execute`
+    * (`JobApplication.java:78-88`) than N independent queries each
+    * re-reading the source. Opt-in via
+    * `SET 'graft.exec.statement-set.fuse' = 'true'`, and only for the
+    * router shape where per-micro-batch re-planning is semantics-
+    * preserving: ≥2 streaming appends (no OVERWRITE), all STATELESS (an
+    * aggregate would lose cross-batch state under re-planning), reading
+    * exactly one common source table, into sinks whose batch write is an
+    * append/upsert (memory's batch path replaces per batch — excluded).
+    * Anything else falls back to the independent-queries path.
+    */
+  private def fusedSource(ins: Seq[Insert],
+      confs: collection.Map[String, String]): Option[String] = {
+    if (confs.getOrElse("graft.exec.statement-set.fuse", "false") != "true")
+      return None
+    if (ins.size < 2 || ins.exists(i => !i.df.isStreaming || i.overwrite))
+      return None
+    val fusableSink = (s: TableSpec) => s.connector != "memory"
+    if (!ins.forall(i => fusableSink(i.sink))) return None
+    val stateless = ins.forall(_.df.queryExecution.analyzed.collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      case d: org.apache.spark.sql.catalyst.plans.logical.Deduplicate => d
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.isEmpty)
+    if (!stateless) return None
+    val srcSets = ins.map(i => referencedTables(i.query)
+      .filter(sourcesInstantiated.map(_.toLowerCase(java.util.Locale.ROOT))))
+    srcSets.flatten.distinct match {
+      case Seq(one) if srcSets.forall(_ == Set(one)) => Some(one)
+      case _ => None
+    }
+  }
+
+  /** Start the fused statement set: ONE streaming query over the shared
+    * source; each micro-batch is pinned (persist) and every INSERT's
+    * SELECT re-planned against it as a temp view, writing through the
+    * sinks' batch paths (append/upsert — idempotent under micro-batch
+    * retry for keyed sinks, exactly like the unfused foreachBatch
+    * sinks). One checkpoint governs the whole set, so the sinks advance
+    * in lockstep — the reference's single-job semantics.
+    */
+  private def startFused(srcName: String,
+      ins: Seq[Insert]): StreamingQuery = {
+    val src = spark.table(srcName)
+    val ckpt = checkpointRoot.map(r => s"$r/__stmtset")
+    val writer = src.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          _: Long) =>
+        val s2 = batch.sparkSession
+        batch.persist()
+        try {
+          batch.createOrReplaceTempView(srcName)
+          ins.foreach { i =>
+            val df = renameForSink(s2.sql(i.query), i.colList, i.sink)
+            Connectors.write(s2, i.sink, df, None, trigger)
+            ()
+          }
+        } finally { batch.unpersist(); () }
+    }
+    ckpt.fold(writer)(d => writer.option("checkpointLocation", d))
+      .queryName(s"stmtset_$srcName")
+      .trigger(trigger)
+      .start()
   }
 
   /** Exact table references of a query: parse (not analyze) the SQL and

@@ -1,0 +1,97 @@
+package graft.sqlgate
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+/** Fused statement set: one streaming read fanned to all sinks in a
+  * single foreachBatch (the reference's single-DAG StatementSet
+  * semantics), with exactly-once resumption through the one shared
+  * checkpoint, and a conservative fallback to independent queries for
+  * stateful shapes.
+  */
+class FusedSetSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def script(src: String, outA: String, outB: String,
+      fuse: Boolean) =
+    s"""${if (fuse) "SET 'graft.exec.statement-set.fuse' = 'true';" else ""}
+       |CREATE TABLE src (id BIGINT) WITH (
+       |  'connector' = 'filesystem', 'path' = '$src',
+       |  'format' = 'parquet');
+       |CREATE TABLE snk_a (id BIGINT) WITH (
+       |  'connector' = 'filesystem', 'path' = '$outA',
+       |  'format' = 'parquet');
+       |CREATE TABLE snk_b (id BIGINT) WITH (
+       |  'connector' = 'filesystem', 'path' = '$outB',
+       |  'format' = 'parquet');
+       |INSERT INTO snk_a SELECT id FROM src WHERE id % 2 = 0;
+       |INSERT INTO snk_b SELECT id FROM src WHERE id % 2 = 1;
+       |""".stripMargin
+
+  private def ids(dir: String): Seq[Long] =
+    spark.read.parquet(dir).as[Long].collect().sorted.toSeq
+
+  test("fused: one query, two sinks, exactly-once across a restart") {
+    val src = Files.createTempDirectory("fs_src").toString
+    val outA = Files.createTempDirectory("fs_a").toString
+    val outB = Files.createTempDirectory("fs_b").toString
+    val ckpt = Files.createTempDirectory("fs_ck").toString
+    spark.range(0, 6).toDF("id").coalesce(1).write.mode("append").parquet(src)
+
+    val r1 = new ScriptRunner(spark, Some(ckpt))
+      .run(script(src, outA, outB, fuse = true))
+    // the WHOLE set is one streaming query — one source read per batch
+    assert(r1.queries.size == 1)
+    r1.queries.foreach(_.processAllAvailable())
+    r1.queries.foreach(_.stop())
+    assert(ids(outA) == Seq(0L, 2L, 4L))
+    assert(ids(outB) == Seq(1L, 3L, 5L))
+
+    // resume from the shared checkpoint: only the new file is processed
+    spark.range(6, 10).toDF("id").coalesce(1).write.mode("append").parquet(src)
+    val r2 = new ScriptRunner(spark, Some(ckpt))
+      .run(script(src, outA, outB, fuse = true))
+    r2.queries.foreach(_.processAllAvailable())
+    r2.queries.foreach(_.stop())
+    assert(ids(outA) == Seq(0L, 2L, 4L, 6L, 8L))
+    assert(ids(outB) == Seq(1L, 3L, 5L, 7L, 9L))
+  }
+
+  test("without the flag the same script runs as independent queries") {
+    val src = Files.createTempDirectory("fs_src2").toString
+    spark.range(0, 4).toDF("id").coalesce(1).write.mode("append").parquet(src)
+    val r = new ScriptRunner(spark,
+      Some(Files.createTempDirectory("fs_ck2").toString))
+      .run(script(src, Files.createTempDirectory("fs_a2").toString,
+        Files.createTempDirectory("fs_b2").toString, fuse = false))
+    assert(r.queries.size == 2)
+    r.queries.foreach(_.processAllAvailable())
+    r.queries.foreach(_.stop())
+  }
+
+  test("stateful inserts fall back to independent queries under the flag") {
+    val src = Files.createTempDirectory("fs_src3").toString
+    val out = Files.createTempDirectory("fs_o3").toString
+    spark.range(0, 4).toDF("id").coalesce(1).write.mode("append").parquet(src)
+    // an aggregate would lose cross-batch state under per-batch
+    // re-planning — the fusion gate must refuse and start N queries
+    val s =
+      s"""SET 'graft.exec.statement-set.fuse' = 'true';
+         |CREATE TABLE src (id BIGINT) WITH (
+         |  'connector' = 'filesystem', 'path' = '$src',
+         |  'format' = 'parquet');
+         |CREATE TABLE snk_c (id BIGINT) WITH (
+         |  'connector' = 'filesystem', 'path' = '$out',
+         |  'format' = 'parquet');
+         |CREATE TABLE agg_snk (n BIGINT, PRIMARY KEY (n) NOT ENFORCED)
+         |  WITH ('connector' = 'memory');
+         |INSERT INTO snk_c SELECT id FROM src;
+         |INSERT INTO agg_snk SELECT COUNT(*) FROM src;
+         |""".stripMargin
+    val r = new ScriptRunner(spark,
+      Some(Files.createTempDirectory("fs_ck3").toString)).run(s)
+    assert(r.queries.size == 2)
+    r.queries.foreach(_.processAllAvailable())
+    r.queries.foreach(_.stop())
+  }
+}
