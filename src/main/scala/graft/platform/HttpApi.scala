@@ -161,11 +161,13 @@ class HttpApi(mgr: JobManager, spark: SparkSession, bindPort: Int = 0,
                 return
             }
           ex.getResponseHeaders.add("Set-Cookie",
-            s"${Users.SessionCookie}=$tok; Path=/; Max-Age=86400")
+            s"${Users.SessionCookie}=$tok; Path=/; Max-Age=86400; " +
+              "HttpOnly; SameSite=Lax")
           ok(ex, JsonUtil.str(tok), "login success")
         case "logout" =>
           ex.getResponseHeaders.add("Set-Cookie",
-            s"${Users.SessionCookie}=; Path=/; Max-Age=0")
+            s"${Users.SessionCookie}=; Path=/; Max-Age=0; " +
+              "HttpOnly; SameSite=Lax")
           ok(ex, "null", "logout success")
         case "getUserInfo" =>
           val u = usersOrFail.userOf(token.getOrElse("")).getOrElse(

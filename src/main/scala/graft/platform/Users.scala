@@ -208,13 +208,17 @@ final class UserService(store: UserStore) {
     encodeSession(Session(u.id, u.username, md5(sessionSalt + effective)))
   }
 
-  /** Is this session token still valid against the current store? */
+  /** Is this session token still valid against the current store?
+    * Checks `enabled` too, so stopping a user revokes their existing
+    * sessions on the next request — not just future logins.
+    */
   def checkLogin(token: String): Boolean =
     decodeSession(token).exists { s =>
       store.byName(s.name).exists { u =>
-        s.password.equalsIgnoreCase(md5(sessionSalt + u.password)) ||
+        u.enabled &&
+        (s.password.equalsIgnoreCase(md5(sessionSalt + u.password)) ||
           (!isMd5Hex(u.password) &&
-            s.password.equalsIgnoreCase(md5(sessionSalt + md5(u.password))))
+            s.password.equalsIgnoreCase(md5(sessionSalt + md5(u.password)))))
       }
     }
 
@@ -238,8 +242,12 @@ final class UserService(store: UserStore) {
       newPassword: String): Unit = lock.synchronized {
     val u = store.byName(username).getOrElse(
       throw new NoSuchElementException(s"user '$username' does not exist"))
-    require(u.password.equalsIgnoreCase(md5(oldPassword)),
-      "old password is wrong")
+    // Mirror login's legacy tolerance: a row that isn't md5-shaped is a
+    // plain-stored legacy password, and its owner must still be able to
+    // rotate it (after which the row is md5-shaped like everyone else's).
+    val ok = u.password.equalsIgnoreCase(md5(oldPassword)) ||
+      (!isMd5Hex(u.password) && oldPassword == u.password)
+    require(ok, "old password is wrong")
     store.save(u.copy(password = md5(newPassword)))
   }
 

@@ -227,11 +227,18 @@ class ScriptRunner(spark: SparkSession,
       return None
     val fusableSink = (s: TableSpec) => s.connector != "memory"
     if (!ins.forall(i => fusableSink(i.sink))) return None
+    // Match the analyzed plan's surface forms too: Distinct and
+    // Except/Intersect only lower to Aggregate/Join in the optimizer, so
+    // checking the analyzed tree alone would fuse a streaming
+    // SELECT DISTINCT and silently give it per-micro-batch semantics.
     val stateless = ins.forall(_.df.queryExecution.analyzed.collectFirst {
       case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
       case d: org.apache.spark.sql.catalyst.plans.logical.Deduplicate => d
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
       case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      case d: org.apache.spark.sql.catalyst.plans.logical.Distinct => d
+      case e: org.apache.spark.sql.catalyst.plans.logical.Except => e
+      case i: org.apache.spark.sql.catalyst.plans.logical.Intersect => i
     }.isEmpty)
     if (!stateless) return None
     val srcSets = ins.map(i => referencedTables(i.query)

@@ -30,8 +30,12 @@ class UsersSpec extends SparkSpec {
     intercept[IllegalArgumentException](svc.login("ghost", "123456"))
     svc.stopOrOpen("admin", open = false)
     intercept[IllegalArgumentException](svc.login("admin", "123456"))
+    // stopping also revokes sessions issued BEFORE the stop
+    assert(!svc.checkLogin(tok))
+    assert(svc.userOf(tok).isEmpty)
     svc.stopOrOpen("admin", open = true)
     assert(svc.login("admin", "123456").nonEmpty)
+    assert(svc.checkLogin(tok)) // reopen restores the unexpired session
   }
 
   test("usernames with quotes/backslashes round-trip through the session") {
@@ -57,6 +61,13 @@ class UsersSpec extends SparkSpec {
     val tok = svc.login("legacy", "plainpw")
     assert(svc.checkLogin(tok))
     intercept[IllegalArgumentException](svc.login("legacy", "other"))
+    // a legacy user can rotate their own password (same tolerance as
+    // login); afterwards the row is md5-shaped and plain login stops
+    intercept[IllegalArgumentException](
+      svc.updatePassword("legacy", "wrong", "newpw"))
+    svc.updatePassword("legacy", "plainpw", "newpw")
+    assert(svc.checkLogin(svc.login("legacy", "newpw")))
+    intercept[IllegalArgumentException](svc.login("legacy", "plainpw"))
   }
 
   test("password update requires the old one; sessions die with the change") {
@@ -102,9 +113,14 @@ class UsersSpec extends SparkSpec {
         k + "=" + java.net.URLEncoder.encode(v, "UTF-8")
       }.mkString("&").getBytes("UTF-8"))
       val status = conn.getResponseCode
+      val setCookie = Option(conn.getHeaderField("Set-Cookie"))
       val in = if (status < 400) conn.getInputStream else conn.getErrorStream
       val body = new String(in.readAllBytes(), "UTF-8")
       conn.disconnect()
+      if (verb == "login" || verb == "logout")
+        // session cookie must be script-inaccessible and same-site
+        setCookie.foreach(c => assert(
+          c.contains("HttpOnly") && c.contains("SameSite=Lax"), c))
       (status, body)
     }
     try {

@@ -94,4 +94,42 @@ class FusedSetSpec extends SparkSpec {
     r.queries.foreach(_.processAllAvailable())
     r.queries.foreach(_.stop())
   }
+
+  test("DISTINCT (surface form of stateful agg) also refuses fusion") {
+    val src = Files.createTempDirectory("fs_src4").toString
+    spark.range(0, 4).toDF("id").coalesce(1).write.mode("append").parquet(src)
+    // Distinct only lowers to Aggregate in the optimizer; the gate must
+    // still see it as stateful or fusion would silently swap Spark's
+    // unsupported-operation failure for per-micro-batch distinct.
+    val s =
+      s"""SET 'graft.exec.statement-set.fuse' = 'true';
+         |CREATE TABLE src (id BIGINT) WITH (
+         |  'connector' = 'filesystem', 'path' = '$src',
+         |  'format' = 'parquet');
+         |CREATE TABLE snk_d (id BIGINT) WITH (
+         |  'connector' = 'filesystem',
+         |  'path' = '${Files.createTempDirectory("fs_o4a").toString}',
+         |  'format' = 'parquet');
+         |CREATE TABLE snk_e (id BIGINT) WITH (
+         |  'connector' = 'filesystem',
+         |  'path' = '${Files.createTempDirectory("fs_o4b").toString}',
+         |  'format' = 'parquet');
+         |INSERT INTO snk_d SELECT id FROM src;
+         |INSERT INTO snk_e SELECT DISTINCT id FROM src;
+         |""".stripMargin
+    // The unfused path surfaces Spark's real unsupported-operation error
+    // (streaming aggregation in append mode without watermark) at query
+    // start. A wrong fusion would instead start ONE query and "succeed"
+    // with per-micro-batch distinct — so success here is the failure.
+    val outcome: Either[Throwable, Int] =
+      try {
+        val r = new ScriptRunner(spark,
+          Some(Files.createTempDirectory("fs_ck4").toString)).run(s)
+        try { r.queries.foreach(_.processAllAvailable()) }
+        finally r.queries.foreach(_.stop())
+        Right(r.queries.size)
+      } catch { case e: org.apache.spark.sql.AnalysisException => Left(e) }
+    assert(outcome.isLeft,
+      s"streaming DISTINCT fused into $outcome instead of failing")
+  }
 }
