@@ -433,10 +433,63 @@ object Dedup extends QueryPack {
             (sqrt($"a.nrm".cast("double")) * sqrt($"b.nrm".cast("double"))))
             .as("cosine"))
         .filter($"cosine" >= 0.4)
+    }),
+
+    // Semantic dedup (SemDeDup, Abbas et al. 2023): cluster the embedding
+    // space, then look for near-duplicate pairs only WITHIN each cluster —
+    // the cluster cell replaces LSH bands as the blocking key, so the
+    // all-pairs cosine never leaves a cell. Centroids here are a fixed
+    // deterministic slice (vec_id ∈ [200,216)); production sizes k ≈ √n
+    // (Similarity.recommendedCentroids) so cells stay √n-bounded.
+    //
+    // Scale shape: the 16 centroid vectors are collected once (driver-side
+    // control plane, k rows) and folded into a single codegen'd argmin
+    // projection — cell assignment is a ZERO-shuffle map over the corpus,
+    // unlike a join+window formulation which would shuffle n×k rows by
+    // vec_id. The one corpus-scale shuffle is the groupBy(cell) for
+    // in-cell pair expansion (same grouped-expansion pattern as the LSH
+    // band join).
+    "q_dedup_semantic" -> ((s, dir) => {
+      import s.implicits._
+      Vec.ensureRegistered(s)
+      val base = Tables.load(s, dir, "embeddings")
+        .select($"vec_id", quant($"embedding").as("qe"))
+        .withColumn("nrm", dotQ($"qe", $"qe"))
+      val cents = base
+        .filter($"vec_id" >= SemCentLo && $"vec_id" < SemCentLo + SemCentN)
+        .select(($"vec_id" - SemCentLo).as("cid"), $"qe", $"nrm")
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+        .sortBy(_._1)
+      // argmin over (−cosine, cid) structs = highest cosine, ties to the
+      // lowest cid — the oracle's ROW_NUMBER(ORDER BY ccos DESC, cid)
+      val scored = array(cents.map { case (cid, ce, cnrm) =>
+        struct(
+          (-Vec.cosineQ($"qe", typedLit(ce), $"nrm", lit(cnrm))).as("nc"),
+          lit(cid).as("cid"))
+      }: _*)
+      val assign = base.withColumn("cell", array_min(scored).getField("cid"))
+      val cells = assign.groupBy($"cell")
+        .agg(collect_list(struct($"vec_id", $"qe", $"nrm")).as("ms"))
+        .filter(size($"ms") >= 2)
+      cells
+        .select($"cell", explode($"ms").as("a"), $"ms")
+        .select($"cell", $"a", explode($"ms").as("b"))
+        .filter($"a.vec_id" < $"b.vec_id")
+        .select($"cell", $"a.vec_id".as("ida"), $"b.vec_id".as("idb"),
+          Vec.cosineQ($"a.qe", $"b.qe", $"a.nrm", $"b.nrm").as("cosine"))
+        .filter($"cosine" >= SemTheta)
     }))
 
   /** Probe-side bound for the exact embedding near-dup baseline. */
   private val EmbedProbeBound = 500
+
+  /** Semantic-dedup centroid slice + pair threshold (test-corpus sized;
+    * production uses √n centroids from a clustering fit).
+    */
+  private val SemCentLo = 200L
+  private val SemCentN = 16L
+  private val SemTheta = 0.35
 
   // --- DuckDB mirrors -----------------------------------------------------
 
@@ -556,5 +609,24 @@ object Dedup extends QueryPack {
          |FROM (SELECT * FROM n WHERE vec_id < $EmbedProbeBound) a
          |JOIN n b ON a.vec_id < b.vec_id
          |WHERE CAST(list_sum([a.qe[i]*b.qe[i] for i in generate_series(1, len(a.qe))]) AS DOUBLE) /
-         |    (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) >= 0.4""".stripMargin)
+         |    (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) >= 0.4""".stripMargin,
+
+    "q_dedup_semantic" ->
+      s"""WITH q AS (SELECT vec_id, $oQuant AS qe FROM embeddings),
+         |n AS (SELECT vec_id, qe, list_sum([x*x for x in qe]) AS nrm FROM q),
+         |cent AS (SELECT vec_id - $SemCentLo AS cid, qe AS ce, nrm AS cnrm
+         |  FROM n WHERE vec_id >= $SemCentLo AND vec_id < ${SemCentLo + SemCentN}),
+         |scored AS (
+         |  SELECT n.vec_id, n.qe, n.nrm, c.cid,
+         |    ${Vec.oCosineQ("n.qe", "c.ce", "n.nrm", "c.cnrm")} AS ccos
+         |  FROM n CROSS JOIN cent c),
+         |assign AS (
+         |  SELECT vec_id, qe, nrm, cid AS cell FROM (
+         |    SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+         |    FROM scored) WHERE rn = 1)
+         |SELECT a.cell, a.vec_id AS ida, b.vec_id AS idb,
+         |  ${Vec.oCosineQ("a.qe", "b.qe", "a.nrm", "b.nrm")} AS cosine
+         |FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |WHERE ${Vec.oCosineQ("a.qe", "b.qe", "a.nrm", "b.nrm")} >= $SemTheta""".stripMargin)
 }

@@ -1,0 +1,180 @@
+package graft.queries
+
+import graft.{QueryPack, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data release operators: PII redaction, URL/domain analysis,
+  * and sequence packing — the steps between "deduplicated corpus" and
+  * "tensors on trainer disks".
+  *
+  * The synthetic documents corpus is digit-free word salad, so the PII
+  * and URL queries first ENRICH the text with deterministic doc_id-derived
+  * fragments (emails, IPv4s, phone numbers, URLs) — identically in Spark
+  * and the DuckDB oracle — and then run the real operator over the
+  * enriched text. The operator under test is the regex scrub/extract
+  * pipeline, and it sees real matches; the enrichment is just a
+  * deterministic fixture both engines derive from the same table.
+  *
+  * Scale notes (100 TB): every query here is a narrow per-row map plus at
+  * most one aggregation shuffle. Sequence packing's only non-map step is
+  * a 2-phase distributed prefix sum: per-block token totals (B rows,
+  * driver-side control plane) then per-block windows that run in
+  * parallel — never a single-partition global window, which is the
+  * classic concat-and-chunk scale trap.
+  */
+object Pipeline extends QueryPack {
+
+  // -- regexes (shared verbatim by Spark and DuckDB; both dialects are
+  //    RE2-compatible for this subset) ------------------------------------
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  private val PhoneRe = "\\+[0-9]{8,15}"
+  private val UrlRe = "https?://[^ ]+"
+
+  /** Deterministic PII enrichment: ~1/3 of docs get an email, 1/5 an
+    * IPv4, 1/7 a phone number, all derived from doc_id.
+    */
+  private def piiEnriched(c: org.apache.spark.sql.Column,
+      id: org.apache.spark.sql.Column) = concat(c,
+    when(id % 3 === 0, concat(lit(" contact user"), id.cast("string"),
+      lit("@mail.example.com now"))).otherwise(lit("")),
+    when(id % 5 === 0, concat(lit(" from 10."), (id % 256).cast("string"),
+      lit(".0."), (expr("doc_id DIV 7") % 256).cast("string")))
+      .otherwise(lit("")),
+    when(id % 7 === 0, concat(lit(" call +1555"),
+      lpad((id % 10000).cast("string"), 7, "0"))).otherwise(lit("")))
+
+  // single-line: these interpolate into stripMargin'd oracle SQL, where a
+  // multi-line fragment's leading "||" would lose a pipe to the margin
+  private val oPiiEnriched = Seq(
+    "text",
+    "|| CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com now' ELSE '' END",
+    "|| CASE WHEN doc_id % 5 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST((doc_id // 7) % 256 AS VARCHAR) ELSE '' END",
+    "|| CASE WHEN doc_id % 7 = 0 THEN ' call +1555' || lpad(CAST(doc_id % 10000 AS VARCHAR), 7, '0') ELSE '' END")
+    .mkString(" ")
+
+  /** Deterministic URL enrichment: 1/4 of docs link an https page on one
+    * of 20 domains, 1/6 an http page with a query string on one of 7.
+    */
+  private def urlEnriched(c: org.apache.spark.sql.Column,
+      id: org.apache.spark.sql.Column) = concat(c,
+    when(id % 4 === 0, concat(lit(" see https://site"), (id % 20).cast("string"),
+      lit(".example.com/p/"), id.cast("string"))).otherwise(lit("")),
+    when(id % 6 === 0, concat(lit(" ref http://www.ref"), (id % 7).cast("string"),
+      lit(".org/x?id="), id.cast("string"), lit("&t=1"))).otherwise(lit("")))
+
+  private val oUrlEnriched = Seq(
+    "text",
+    "|| CASE WHEN doc_id % 4 = 0 THEN ' see https://site' || CAST(doc_id % 20 AS VARCHAR) || '.example.com/p/' || CAST(doc_id AS VARCHAR) ELSE '' END",
+    "|| CASE WHEN doc_id % 6 = 0 THEN ' ref http://www.ref' || CAST(doc_id % 7 AS VARCHAR) || '.org/x?id=' || CAST(doc_id AS VARCHAR) || '&t=1' ELSE '' END")
+    .mkString(" ")
+
+  /** Sequence length (tokens) and block count for concat-and-chunk
+    * packing. Block width derives from max(doc_id), so block boundaries
+    * are deterministic (range-partitioner sampling would not be).
+    */
+  private val PackSeqLen = 512
+  private val PackBlocks = 32L
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // PII redaction: count then scrub emails → IPv4s → phones, in that
+    // order (emails carry dots+digits an IP pattern could nibble). Pure
+    // per-row codegen'd regex work, no shuffle at all.
+    "q_text_pii" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", piiEnriched($"text", $"doc_id").as("etext"))
+        .select($"doc_id",
+          regexp_count($"etext", lit(EmailRe)).as("n_emails"),
+          regexp_count($"etext", lit(Ipv4Re)).as("n_ips"),
+          regexp_count($"etext", lit(PhoneRe)).as("n_phones"),
+          regexp_replace(regexp_replace(regexp_replace($"etext",
+            EmailRe, "<EMAIL>"), Ipv4Re, "<IP>"), PhoneRe, "<PHONE>")
+            .as("redacted"))
+    }),
+
+    // URL/domain analysis: extract URLs, reduce to domains, aggregate
+    // link and document frequencies per domain — the core of a
+    // blocklist/allowlist filtering pass. One shuffle, keyed by domain.
+    "q_text_urls" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", urlEnriched($"text", $"doc_id").as("etext"))
+        .select($"doc_id",
+          explode(regexp_extract_all($"etext", lit(UrlRe), lit(0)))
+            .as("url"))
+        .select($"doc_id",
+          regexp_extract($"url", "^https?://([^/]+)", 1).as("domain"))
+        .groupBy($"domain")
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct($"doc_id").as("n_docs"))
+    }),
+
+    // Concat-and-chunk sequence packing: documents concatenated in doc_id
+    // order and sliced into fixed PackSeqLen-token training sequences;
+    // each doc reports its global token offset and the sequence span it
+    // lands in. The global running sum is a 2-phase prefix sum: (1) token
+    // totals per deterministic doc_id block — PackBlocks rows to the
+    // driver, control-plane sized; (2) per-block cumulative windows, all
+    // blocks in parallel, offset by the broadcast block prefix. No
+    // single-partition global window anywhere.
+    "q_pack_sequences" -> ((s, dir) => {
+      import s.implicits._
+      val toks = Tables.load(s, dir, "documents")
+        .select($"doc_id",
+          size(split($"text", " ")).cast("long").as("n_tok"))
+      val maxId = toks.agg(max($"doc_id")).head.getLong(0)
+      val width = maxId / PackBlocks + 1
+      val blocked = toks.withColumn("blk", expr(s"doc_id DIV $width"))
+      val sums = blocked.groupBy($"blk").agg(sum($"n_tok").as("bs"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      var acc = 0L
+      val offs = sums.map { case (b, v) => val o = acc; acc += v; (b, o) }
+      val offDf = s.createDataFrame(offs.toIndexedSeq).toDF("blk", "blk_off")
+      val w = Window.partitionBy($"blk").orderBy($"doc_id")
+      blocked.join(broadcast(offDf), "blk")
+        .withColumn("start_off",
+          $"blk_off" + sum($"n_tok").over(w) - $"n_tok")
+        .select($"doc_id", $"n_tok", $"start_off",
+          expr(s"start_off DIV $PackSeqLen").as("first_seq"),
+          expr(s"(start_off + n_tok - 1) DIV $PackSeqLen").as("last_seq"))
+        .withColumn("n_seqs", $"last_seq" - $"first_seq" + 1)
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "q_text_pii" ->
+      s"""WITH e AS (SELECT doc_id, $oPiiEnriched AS etext FROM documents)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(etext, '$EmailRe')) AS n_emails,
+         |  len(regexp_extract_all(etext, '$Ipv4Re')) AS n_ips,
+         |  len(regexp_extract_all(etext, '$PhoneRe')) AS n_phones,
+         |  regexp_replace(regexp_replace(regexp_replace(etext,
+         |    '$EmailRe', '<EMAIL>', 'g'), '$Ipv4Re', '<IP>', 'g'),
+         |    '$PhoneRe', '<PHONE>', 'g') AS redacted
+         |FROM e""".stripMargin,
+
+    "q_text_urls" ->
+      s"""WITH e AS (SELECT doc_id, $oUrlEnriched AS etext FROM documents),
+         |u AS (SELECT doc_id, unnest(regexp_extract_all(etext, '$UrlRe')) AS url FROM e),
+         |d AS (SELECT doc_id, regexp_extract(url, '^https?://([^/]+)', 1) AS domain FROM u)
+         |SELECT domain, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
+         |FROM d GROUP BY domain""".stripMargin,
+
+    "q_pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    CAST(len(regexp_split_to_array(text, ' ')) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |c AS (SELECT doc_id, n_tok,
+         |    CAST(sum(n_tok) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok
+         |      AS BIGINT) AS start_off
+         |  FROM t)
+         |SELECT doc_id, n_tok, start_off,
+         |  start_off // $PackSeqLen AS first_seq,
+         |  (start_off + n_tok - 1) // $PackSeqLen AS last_seq,
+         |  (start_off + n_tok - 1) // $PackSeqLen
+         |    - start_off // $PackSeqLen + 1 AS n_seqs
+         |FROM c""".stripMargin)
+}

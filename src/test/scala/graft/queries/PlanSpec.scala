@@ -89,4 +89,28 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Union"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("q_dedup_semantic: centroid assignment is a zero-shuffle projection") {
+    val p = plan("q_dedup_semantic")
+    // the collected centroids fold into an argmin projection — no join,
+    // no per-vector window; the ONLY corpus shuffle is the groupBy(cell)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly 1 shuffle, got $exchanges\n$p")
+  }
+
+  test("q_text_pii: pure per-row map — no shuffle anywhere") {
+    val p = plan("q_text_pii")
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("q_pack_sequences: blocked prefix sum — no single-partition stage") {
+    val p = plan("q_pack_sequences")
+    // the classic concat-and-chunk trap is a global (unpartitioned)
+    // running-sum window that drags the corpus through one partition
+    assert(!p.contains("SinglePartition"), p)
+    // block offsets join must broadcast, never shuffle the corpus
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
