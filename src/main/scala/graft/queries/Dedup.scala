@@ -455,20 +455,7 @@ object Dedup extends QueryPack {
       val base = Tables.load(s, dir, "embeddings")
         .select($"vec_id", quant($"embedding").as("qe"))
         .withColumn("nrm", dotQ($"qe", $"qe"))
-      val cents = base
-        .filter($"vec_id" >= SemCentLo && $"vec_id" < SemCentLo + SemCentN)
-        .select(($"vec_id" - SemCentLo).as("cid"), $"qe", $"nrm")
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
-        .sortBy(_._1)
-      // argmin over (−cosine, cid) structs = highest cosine, ties to the
-      // lowest cid — the oracle's ROW_NUMBER(ORDER BY ccos DESC, cid)
-      val scored = array(cents.map { case (cid, ce, cnrm) =>
-        struct(
-          (-Vec.cosineQ($"qe", typedLit(ce), $"nrm", lit(cnrm))).as("nc"),
-          lit(cid).as("cid"))
-      }: _*)
-      val assign = base.withColumn("cell", array_min(scored).getField("cid"))
+      val assign = Vec.argminCellAssign(base, SemCentLo, SemCentN)
       val cells = assign.groupBy($"cell")
         .agg(collect_list(struct($"vec_id", $"qe", $"nrm")).as("ms"))
         .filter(size($"ms") >= 2)
@@ -612,19 +599,7 @@ object Dedup extends QueryPack {
          |    (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) >= 0.4""".stripMargin,
 
     "q_dedup_semantic" ->
-      s"""WITH q AS (SELECT vec_id, $oQuant AS qe FROM embeddings),
-         |n AS (SELECT vec_id, qe, list_sum([x*x for x in qe]) AS nrm FROM q),
-         |cent AS (SELECT vec_id - $SemCentLo AS cid, qe AS ce, nrm AS cnrm
-         |  FROM n WHERE vec_id >= $SemCentLo AND vec_id < ${SemCentLo + SemCentN}),
-         |scored AS (
-         |  SELECT n.vec_id, n.qe, n.nrm, c.cid,
-         |    ${Vec.oCosineQ("n.qe", "c.ce", "n.nrm", "c.cnrm")} AS ccos
-         |  FROM n CROSS JOIN cent c),
-         |assign AS (
-         |  SELECT vec_id, qe, nrm, cid AS cell FROM (
-         |    SELECT *, ROW_NUMBER() OVER (
-         |      PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
-         |    FROM scored) WHERE rn = 1)
+      s"""WITH ${Vec.oArgminAssign(SemCentLo, SemCentN)}
          |SELECT a.cell, a.vec_id AS ida, b.vec_id AS idb,
          |  ${Vec.oCosineQ("a.qe", "b.qe", "a.nrm", "b.nrm")} AS cosine
          |FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id

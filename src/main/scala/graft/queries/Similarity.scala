@@ -177,6 +177,30 @@ object Similarity extends QueryPack {
       val qs = emb.filter($"vec_id" < NQueries)
         .select($"vec_id".as("qid"), $"qe".as("qqe"), $"nrm".as("qnrm"))
       annIvf(emb.filter($"vec_id" >= NQueries), qs, cent)
+    }),
+
+    // One Lloyd refinement step of k-means over the embedding space —
+    // the training pass behind the IVF cells (and SemDeDup clusters):
+    // assign every vector to its nearest centroid, then recompute each
+    // cell's mean componentwise. Assignment is the zero-shuffle argmin
+    // projection (Vec.argminCellAssign); the mean is posexplode →
+    // groupBy(cell, dim) with map-side partial aggregation — ONE shuffle
+    // of k·d tiny keys, never a collect of vectors. Means are
+    // floor(sum/count) in exact-double arithmetic so both engines emit
+    // identical integers (sums stay ≪ 2^53).
+    "q_embed_kmeans" -> ((s, dir) => {
+      import s.implicits._
+      val emb = embQ(s, dir)
+      val assign = Vec.argminCellAssign(emb, CentLo, CentN)
+      assign
+        .select($"cell", posexplode($"qe"))
+        .toDF("cell", "pos", "comp")
+        .select($"cell", ($"pos" + 1).cast("long").as("dim"), $"comp")
+        .groupBy($"cell", $"dim")
+        .agg(
+          floor(sum($"comp").cast("double") / count(lit(1)))
+            .cast("long").as("c_new"),
+          count(lit(1)).as("n_members"))
     }))
 
   // --- DuckDB mirrors -----------------------------------------------------
@@ -250,5 +274,15 @@ object Similarity extends QueryPack {
          |SELECT qid, nid, cosine, rank FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
          |    ORDER BY cosine DESC, nid) AS rank FROM scored) t
-         |WHERE rank <= $K""".stripMargin)
+         |WHERE rank <= $K""".stripMargin,
+
+    "q_embed_kmeans" ->
+      s"""WITH ${Vec.oArgminAssign(CentLo, CentN)},
+         |x AS (SELECT cell, unnest(
+         |    [{dim: i, comp: qe[i]} for i in generate_series(1, len(qe))],
+         |    recursive := true) FROM assign)
+         |SELECT cell, dim,
+         |  CAST(floor(CAST(sum(comp) AS DOUBLE) / count(*)) AS BIGINT) AS c_new,
+         |  count(*) AS n_members
+         |FROM x GROUP BY cell, dim""".stripMargin)
 }

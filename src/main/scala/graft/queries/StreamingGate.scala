@@ -41,9 +41,10 @@ object StreamingGate extends QueryPack {
       .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
   }
 
-  private def runToTable(s: SparkSession, df: DataFrame, name: String): DataFrame = {
+  private def runToTable(s: SparkSession, df: DataFrame, name: String,
+      mode: String = "complete"): DataFrame = {
     val q = df.writeStream.format("memory").queryName(name)
-      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
     // a timed-out drain must fail the gate loudly, not hash-compare a
     // partially-filled memory table
     val finished = q.awaitTermination(300000)
@@ -105,6 +106,23 @@ object StreamingGate extends QueryPack {
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n"), dsum2($"value").as("total"))
       runToTable(s, agg, "stream_cont_gate")
+    }),
+
+    // Streaming deduplication — Flink SQL's "Deduplication" pattern
+    // (ROW_NUMBER() OVER (PARTITION BY key ORDER BY proctime) = 1),
+    // expressed Spark-native as streaming dropDuplicates: the state
+    // store keeps one entry per key and emits only first arrivals
+    // (append mode). Which PHYSICAL row arrives first is racy under a
+    // parallel file source, so the gate projects the key columns only —
+    // the emitted key SET is deterministic and equals batch DISTINCT.
+    // Unbounded corpora bound this state with dropDuplicatesWithinWatermark
+    // (StreamingSpec covers watermarked eviction).
+    "q_stream_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val dd = eventsStream(s, dir)
+        .select($"user_id", $"event_type")
+        .dropDuplicates("user_id", "event_type")
+      runToTable(s, dd, "stream_dedup_gate", mode = "append")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -121,5 +139,8 @@ object StreamingGate extends QueryPack {
 
     // shared with the batch pack so the mirrors cannot drift
     "q_stream_hop" -> Windows.oHopSql,
-    "q_stream_session" -> Windows.oSessionSql)
+    "q_stream_session" -> Windows.oSessionSql,
+
+    "q_stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events")
 }

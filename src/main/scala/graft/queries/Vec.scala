@@ -52,6 +52,48 @@ private[queries] object Vec {
     java.lang.Long.parseLong(hex, 16) % 2001L - 1000L
   }
 
+  /** Nearest-centroid cell assignment with ZERO shuffle: the centroid
+    * slice (vec_id ∈ [centLo, centLo+centN), control-plane sized) is
+    * collected once and folded into a single codegen'd argmin projection
+    * over (−cosine, cid) structs — highest cosine wins, ties to the
+    * lowest cid, matching the oracle's ROW_NUMBER(ORDER BY ccos DESC,
+    * cid). `base` must carry (vec_id, qe, nrm). Shared by the SemDeDup
+    * blocking step and the k-means Lloyd step.
+    */
+  def argminCellAssign(base: org.apache.spark.sql.DataFrame,
+      centLo: Long, centN: Long): org.apache.spark.sql.DataFrame = {
+    val cents = base
+      .filter(col("vec_id") >= centLo && col("vec_id") < centLo + centN)
+      .select((col("vec_id") - centLo).as("cid"), col("qe"), col("nrm"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+      .sortBy(_._1)
+    val scored = array(cents.map { case (cid, ce, cnrm) =>
+      struct(
+        (-cosineQ(col("qe"), typedLit(ce), col("nrm"), lit(cnrm))).as("nc"),
+        lit(cid).as("cid"))
+    }: _*)
+    base.withColumn("cell", array_min(scored).getField("cid"))
+  }
+
+  /** DuckDB CTE chain mirroring [[argminCellAssign]]: defines q, n, cent,
+    * scored, and assign(vec_id, qe, nrm, cell). Use as `WITH $frag ...`.
+    */
+  def oArgminAssign(centLo: Long, centN: Long): String =
+    s"""q AS (SELECT vec_id, $oQuant AS qe FROM embeddings),
+       |n AS (SELECT vec_id, qe, list_sum([x*x for x in qe]) AS nrm FROM q),
+       |cent AS (SELECT vec_id - $centLo AS cid, qe AS ce, nrm AS cnrm
+       |  FROM n WHERE vec_id >= $centLo AND vec_id < ${centLo + centN}),
+       |scored AS (
+       |  SELECT n.vec_id, n.qe, n.nrm, c.cid,
+       |    ${oCosineQ("n.qe", "c.ce", "n.nrm", "c.cnrm")} AS ccos
+       |  FROM n CROSS JOIN cent c),
+       |assign AS (
+       |  SELECT vec_id, qe, nrm, cid AS cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (
+       |      PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
+       |    FROM scored) WHERE rn = 1)""".stripMargin
+
   /** DuckDB fragments mirroring the above. */
   val oQuant: String =
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0+0.5) AS BIGINT))"
