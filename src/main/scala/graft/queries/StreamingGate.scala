@@ -22,17 +22,21 @@ object StreamingGate extends QueryPack {
 
   /** Stage the events table as a file-stream directory (file sources read
     * directories, TESTDATA ships single files), and return a streaming
-    * DataFrame with the micro-precision ts restored.
+    * DataFrame with the micro-precision ts restored. A table that is
+    * ALREADY a parquet directory (Spark-written, e.g. GenScale output)
+    * streams in place — Files.copy on a directory would copy it EMPTY
+    * and silently stream zero rows.
     */
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
-    val staged = stagedDirs.getOrElseUpdate(dir, {
-      val d = java.nio.file.Files.createTempDirectory("gate_stream")
-      d.toFile.deleteOnExit()
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"),
-        d.resolve("part-0.parquet"))
-      d.toString
-    })
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    val staged =
+      if (java.nio.file.Files.isDirectory(src)) src.toString
+      else stagedDirs.getOrElseUpdate(dir, {
+        val d = java.nio.file.Files.createTempDirectory("gate_stream")
+        d.toFile.deleteOnExit()
+        java.nio.file.Files.copy(src, d.resolve("part-0.parquet"))
+        d.toString
+      })
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.readStream
       .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, " +
