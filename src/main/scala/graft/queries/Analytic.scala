@@ -164,6 +164,34 @@ object Analytic extends QueryPack {
         .groupBy($"o_custkey")
         .agg(count(lit(1)).as("n_orders"), dsum2($"o_totalprice").as("total"))
         .filter($"n_orders" >= 25)
+    }),
+
+    // Ordered-sequence (funnel) detection — the MATCH_RECOGNIZE / CEP
+    // shape: per user, the earliest view, the earliest click AFTER that
+    // view, the earliest purchase AFTER that click. Three chained minima
+    // as whole-partition window aggregates over ONE user_id shuffle —
+    // consecutive Window nodes share the partitioning, so no
+    // re-exchange, and state per partition is one row per user, not a
+    // pattern automaton. Timestamps format to strings for the
+    // cross-engine hash; the conversion latency is exact integer micros.
+    "q_funnel" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"user_id")
+      val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+      Tables.load(s, dir, "events")
+        .withColumn("t1",
+          min(when($"event_type" === "view", $"ts")).over(w))
+        .withColumn("t2",
+          min(when($"event_type" === "click" && $"ts" > $"t1", $"ts")).over(w))
+        .withColumn("t3",
+          min(when($"event_type" === "purchase" && $"ts" > $"t2", $"ts")).over(w))
+        .groupBy($"user_id")
+        .agg(
+          date_format(first($"t1"), fmt).as("first_view"),
+          date_format(first($"t2"), fmt).as("first_click"),
+          date_format(first($"t3"), fmt).as("first_purchase"),
+          (unix_micros(first($"t3")) - unix_micros(first($"t1")))
+            .as("convert_micros"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -253,5 +281,21 @@ object Analytic extends QueryPack {
     "q_agg_having" ->
       s"""SELECT o_custkey, COUNT(*) AS n_orders,
          |  ${oSum2("o_totalprice")} AS total
-         |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 25""".stripMargin)
+         |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 25""".stripMargin,
+
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |    FROM events),
+        |a AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t1 FROM e),
+        |b AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1
+        |    THEN ts END) OVER (PARTITION BY user_id) AS t2 FROM a),
+        |c AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2
+        |    THEN ts END) OVER (PARTITION BY user_id) AS t3 FROM b)
+        |SELECT user_id,
+        |  strftime(min(t1), '%Y-%m-%d %H:%M:%S.%f') AS first_view,
+        |  strftime(min(t2), '%Y-%m-%d %H:%M:%S.%f') AS first_click,
+        |  strftime(min(t3), '%Y-%m-%d %H:%M:%S.%f') AS first_purchase,
+        |  epoch_us(min(t3)) - epoch_us(min(t1)) AS convert_micros
+        |FROM c GROUP BY user_id""".stripMargin)
 }

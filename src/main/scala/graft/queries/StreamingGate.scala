@@ -127,6 +127,22 @@ object StreamingGate extends QueryPack {
         .select($"user_id", $"event_type")
         .dropDuplicates("user_id", "event_type")
       runToTable(s, dd, "stream_dedup_gate", mode = "append")
+    }),
+
+    // Streaming Top-N — Flink SQL's Top-N pattern (ROW_NUMBER() ≤ N over
+    // an updating aggregate). Spark-native: complete-mode aggregation +
+    // sort + limit, legal only in complete mode where every micro-batch
+    // re-emits the full (tiny, post-agg) result — the sort never touches
+    // the corpus, only the aggregate. Deterministic tie-break on the
+    // group key.
+    "q_stream_topn" -> ((s, dir) => {
+      import s.implicits._
+      val top = eventsStream(s, dir)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"event_type")
+        .limit(3)
+      runToTable(s, top, "stream_topn_gate")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -146,5 +162,10 @@ object StreamingGate extends QueryPack {
     "q_stream_session" -> Windows.oSessionSql,
 
     "q_stream_dedup" ->
-      "SELECT DISTINCT user_id, event_type FROM events")
+      "SELECT DISTINCT user_id, event_type FROM events",
+
+    "q_stream_topn" ->
+      """SELECT event_type, n FROM (
+        |  SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type)
+        |ORDER BY n DESC, event_type LIMIT 3""".stripMargin)
 }

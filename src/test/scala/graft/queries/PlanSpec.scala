@@ -105,6 +105,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p)
   }
 
+  test("q_funnel: chained sequence minima share one user_id shuffle") {
+    val p = plan("q_funnel")
+    // three Window nodes + the final groupBy all partition on user_id —
+    // one exchange total, no re-shuffle between pattern steps
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly 1 shuffle, got $exchanges\n$p")
+  }
+
   test("q_pack_sequences: blocked prefix sum — no single-partition stage") {
     val p = plan("q_pack_sequences")
     // the classic concat-and-chunk trap is a global (unpartitioned)
