@@ -41,7 +41,10 @@ object Pipeline extends QueryPack {
     when(id % 3 === 0, concat(lit(" contact user"), id.cast("string"),
       lit("@mail.example.com now"))).otherwise(lit("")),
     when(id % 5 === 0, concat(lit(" from 10."), (id % 256).cast("string"),
-      lit(".0."), (expr("doc_id DIV 7") % 256).cast("string")))
+      // floor(id/7) == id DIV 7 for the non-negative ids this fixture
+      // takes (matches the oracle's // operator), and keeps the helper
+      // a pure function of the id column
+      lit(".0."), (floor(id / 7).cast("long") % 256).cast("string")))
       .otherwise(lit("")),
     when(id % 7 === 0, concat(lit(" call +1555"),
       lpad((id % 10000).cast("string"), 7, "0"))).otherwise(lit("")))
@@ -122,9 +125,15 @@ object Pipeline extends QueryPack {
     // single-partition global window anywhere.
     "q_pack_sequences" -> ((s, dir) => {
       import s.implicits._
+      // persist (doc_id, n_tok): the block-sums action AND the returned
+      // plan both need it, and without the cache each would re-read and
+      // re-tokenize the full document text — the corpus-dominant cost at
+      // scale. The cached projection is ~16 bytes/doc, and Spark's cache
+      // manager dedupes by plan, so repeated runs share one entry.
       val toks = Tables.load(s, dir, "documents")
         .select($"doc_id",
           size(split($"text", " ")).cast("long").as("n_tok"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val maxId = toks.agg(max($"doc_id")).head.getLong(0)
       val width = maxId / PackBlocks + 1
       val blocked = toks.withColumn("blk", expr(s"doc_id DIV $width"))

@@ -69,8 +69,13 @@ private[queries] object Vec {
       .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
       .sortBy(_._1)
     val scored = array(cents.map { case (cid, ce, cnrm) =>
+      // NULL cosine (zero-norm side) must rank WORST: Spark's struct
+      // ordering sorts a NULL field FIRST (array_min would prefer it),
+      // while the oracle's ORDER BY ccos DESC is NULLS LAST — coalesce
+      // to +∞ so both engines agree that a null cosine never wins
       struct(
-        (-cosineQ(col("qe"), typedLit(ce), col("nrm"), lit(cnrm))).as("nc"),
+        coalesce(-cosineQ(col("qe"), typedLit(ce), col("nrm"), lit(cnrm)),
+          lit(Double.PositiveInfinity)).as("nc"),
         lit(cid).as("cid"))
     }: _*)
     base.withColumn("cell", array_min(scored).getField("cid"))

@@ -227,19 +227,24 @@ class ScriptRunner(spark: SparkSession,
       return None
     val fusableSink = (s: TableSpec) => s.connector != "memory"
     if (!ins.forall(i => fusableSink(i.sink))) return None
-    // Match the analyzed plan's surface forms too: Distinct and
-    // Except/Intersect only lower to Aggregate/Join in the optimizer, so
-    // checking the analyzed tree alone would fuse a streaming
-    // SELECT DISTINCT and silently give it per-micro-batch semantics.
-    val stateless = ins.forall(_.df.queryExecution.analyzed.collectFirst {
-      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
-      case d: org.apache.spark.sql.catalyst.plans.logical.Deduplicate => d
-      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
-      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
-      case d: org.apache.spark.sql.catalyst.plans.logical.Distinct => d
-      case e: org.apache.spark.sql.catalyst.plans.logical.Except => e
-      case i: org.apache.spark.sql.catalyst.plans.logical.Intersect => i
-    }.isEmpty)
+    // WHITELIST of row-local plan nodes: fusion re-plans the SELECT per
+    // micro-batch, which is only semantics-preserving when every node
+    // processes rows independently of batch boundaries. A blocklist kept
+    // growing holes (Distinct, then LIMIT/ORDER BY/OFFSET — a fused
+    // `LIMIT 5` would emit 5 rows PER BATCH instead of the stateful
+    // StreamingGlobalLimit's 5 total), so anything not provably
+    // row-local falls back to independent queries.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val rowLocal = (n: LogicalPlan) => n match {
+      case _: LeafNode | _: Project | _: Filter | _: Generate | _: Expand |
+           _: SubqueryAlias | _: View | _: Union | _: Repartition |
+           _: RepartitionByExpression | _: EventTimeWatermark => true
+      case _ => false
+    }
+    val stateless = ins.forall(
+      _.df.queryExecution.analyzed.collectFirst {
+        case n if !rowLocal(n) => n
+      }.isEmpty)
     if (!stateless) return None
     val srcSets = ins.map(i => referencedTables(i.query)
       .filter(sourcesInstantiated.map(_.toLowerCase(java.util.Locale.ROOT))))

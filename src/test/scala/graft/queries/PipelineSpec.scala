@@ -68,9 +68,13 @@ class PipelineSpec extends SparkSpec {
       .withColumn("nrm", Vec.dotQ($"qe", $"qe"))
     val cells = Vec.argminCellAssign(base, 200L, 16L)
       .select($"vec_id", $"cell".as("true_cell"))
-    val mismatched = pairs
+    val aSide = pairs
       .join(cells, pairs("ida") === cells("vec_id"))
       .filter($"cell" =!= $"true_cell").count()
-    assert(mismatched == 0)
+    assert(aSide == 0, s"$aSide pairs whose ida is outside the named cell")
+    val bSide = pairs
+      .join(cells, pairs("idb") === cells("vec_id"))
+      .filter($"cell" =!= $"true_cell").count()
+    assert(bSide == 0, s"$bSide pairs whose idb is outside the named cell")
   }
 }

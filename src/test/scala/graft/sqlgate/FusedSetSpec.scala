@@ -132,4 +132,34 @@ class FusedSetSpec extends SparkSpec {
     assert(outcome.isLeft,
       s"streaming DISTINCT fused into $outcome instead of failing")
   }
+
+  test("LIMIT (global-limit surface form) also refuses fusion") {
+    val src = Files.createTempDirectory("fs_src5").toString
+    val outA = Files.createTempDirectory("fs_o5a").toString
+    val outB = Files.createTempDirectory("fs_o5b").toString
+    spark.range(0, 8).toDF("id").coalesce(1).write.mode("append").parquet(src)
+    // unfused, Spark runs a stateful StreamingGlobalLimit (5 rows TOTAL
+    // across batches); a fused re-plan would emit 5 rows PER BATCH
+    val s =
+      s"""SET 'graft.exec.statement-set.fuse' = 'true';
+         |CREATE TABLE src (id BIGINT) WITH (
+         |  'connector' = 'filesystem', 'path' = '$src',
+         |  'format' = 'parquet');
+         |CREATE TABLE snk_f (id BIGINT) WITH (
+         |  'connector' = 'filesystem', 'path' = '$outA',
+         |  'format' = 'parquet');
+         |CREATE TABLE snk_g (id BIGINT) WITH (
+         |  'connector' = 'filesystem', 'path' = '$outB',
+         |  'format' = 'parquet');
+         |INSERT INTO snk_f SELECT id FROM src;
+         |INSERT INTO snk_g SELECT id FROM src LIMIT 5;
+         |""".stripMargin
+    val r = new ScriptRunner(spark,
+      Some(Files.createTempDirectory("fs_ck5").toString)).run(s)
+    try {
+      assert(r.queries.size == 2, "LIMIT must not fuse") // unfused path
+      r.queries.foreach(_.processAllAvailable())
+    } finally r.queries.foreach(_.stop())
+    assert(spark.read.parquet(outB).count() == 5)
+  }
 }
