@@ -41,7 +41,11 @@ object Analytic extends QueryPack {
         .select($"p_brand", $"p_partkey", $"p_retailprice",
           rank().over(w).as("rnk"),
           dense_rank().over(w).as("drnk"),
-          ntile(4).over(w).as("quartile"))
+          ntile(4).over(w).as("quartile"),
+          // (rank-1)/(n-1) and peers/n: double divisions of identical
+          // integers, bit-equal across engines
+          percent_rank().over(w).as("prk"),
+          cume_dist().over(w).as("cdist"))
         .filter($"rnk" <= 8)
     }),
 
@@ -192,6 +196,30 @@ object Analytic extends QueryPack {
           date_format(first($"t3"), fmt).as("first_purchase"),
           (unix_micros(first($"t3")) - unix_micros(first($"t1")))
             .as("convert_micros"))
+    }),
+
+    // Time-series gap filling (regularization): hourly counts per event
+    // type with missing hours zero-filled over the global range — what
+    // every downstream forecaster/monitor wants instead of a sparse
+    // series. The [lo, hi] bounds are a 2-scalar driver collect
+    // (control plane); the dense grid is distinct-keys × explode'd
+    // hour sequence, left-joined to the sparse aggregate. Grid size is
+    // keys × hours regardless of corpus row count.
+    "q_gapfill" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .select($"event_type", date_trunc("hour", $"ts").as("h"))
+      val agg = ev.groupBy($"event_type", $"h").agg(count(lit(1)).as("n"))
+      val b = ev.agg(min($"h").as("lo"), max($"h").as("hi")).head
+      val grid = ev.select($"event_type").distinct()
+        .crossJoin(
+          s.range(1).select(explode(sequence(
+            lit(b.getTimestamp(0)), lit(b.getTimestamp(1)),
+            expr("interval 1 hour"))).as("h")))
+      grid.join(agg, Seq("event_type", "h"), "left")
+        .select($"event_type",
+          date_format($"h", "yyyy-MM-dd HH:mm:ss").as("hour"),
+          coalesce($"n", lit(0L)).as("n"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -203,10 +231,12 @@ object Analytic extends QueryPack {
         |  FROM orders) t WHERE rn <= 2""".stripMargin,
 
     "q_win_rank" ->
-      """SELECT p_brand, p_partkey, p_retailprice, rnk, drnk, quartile FROM (
+      """SELECT p_brand, p_partkey, p_retailprice, rnk, drnk, quartile,
+        |    prk, cdist FROM (
         |  SELECT p_brand, p_partkey, p_retailprice,
         |    RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk,
-        |    NTILE(4) OVER w AS quartile
+        |    NTILE(4) OVER w AS quartile,
+        |    PERCENT_RANK() OVER w AS prk, CUME_DIST() OVER w AS cdist
         |  FROM part
         |  WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey)
         |) t WHERE rnk <= 8""".stripMargin,
@@ -297,5 +327,20 @@ object Analytic extends QueryPack {
         |  strftime(min(t2), '%Y-%m-%d %H:%M:%S.%f') AS first_click,
         |  strftime(min(t3), '%Y-%m-%d %H:%M:%S.%f') AS first_purchase,
         |  epoch_us(min(t3)) - epoch_us(min(t1)) AS convert_micros
-        |FROM c GROUP BY user_id""".stripMargin)
+        |FROM c GROUP BY user_id""".stripMargin,
+
+    "q_gapfill" ->
+      """WITH e AS (SELECT event_type,
+        |    time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS h
+        |  FROM events),
+        |agg AS (SELECT event_type, h, count(*) AS n FROM e GROUP BY 1, 2),
+        |bounds AS (SELECT min(h) AS lo, max(h) AS hi FROM e),
+        |hours AS (SELECT unnest([x for x in
+        |    generate_series(lo, hi, INTERVAL 1 HOUR)]) AS h FROM bounds),
+        |grid AS (SELECT t.event_type, hours.h
+        |  FROM (SELECT DISTINCT event_type FROM e) t CROSS JOIN hours)
+        |SELECT g.event_type, strftime(g.h, '%Y-%m-%d %H:%M:%S') AS hour,
+        |  coalesce(agg.n, 0) AS n
+        |FROM grid g LEFT JOIN agg
+        |  ON g.event_type = agg.event_type AND g.h = agg.h""".stripMargin)
 }
