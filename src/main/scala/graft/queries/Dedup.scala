@@ -435,6 +435,23 @@ object Dedup extends QueryPack {
         .filter($"cosine" >= 0.4)
     }),
 
+    // Apply the dedup decisions — the materialization step every
+    // pipeline ends with: drop each doc that has a LOWER-id near-dup
+    // (keep-local-minimum policy over the LSH pair set), anti-join the
+    // corpus against the drop list, and report what survived per
+    // language. The drop list is tiny relative to the corpus (duplicate
+    // ids only), so at scale the anti-join broadcasts it; the corpus is
+    // scanned once and never shuffled before the final lang rollup.
+    "q_dedup_apply" -> ((s, dir) => {
+      import s.implicits._
+      val drops = minhashPairs(s, dir)
+        .select($"idb".as("doc_id")).distinct()
+      Tables.load(s, dir, "documents")
+        .join(broadcast(drops), Seq("doc_id"), "left_anti")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_kept"), sum($"n_chars").as("chars_kept"))
+    }),
+
     // Semantic dedup (SemDeDup, Abbas et al. 2023): cluster the embedding
     // space, then look for near-duplicate pairs only WITHIN each cluster —
     // the cluster cell replaces LSH bands as the blocking key, so the
@@ -597,6 +614,14 @@ object Dedup extends QueryPack {
          |JOIN n b ON a.vec_id < b.vec_id
          |WHERE CAST(list_sum([a.qe[i]*b.qe[i] for i in generate_series(1, len(a.qe))]) AS DOUBLE) /
          |    (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) >= 0.4""".stripMargin,
+
+    "q_dedup_apply" ->
+      s"""WITH pairs AS ($oMinhashPairsSql),
+         |drops AS (SELECT DISTINCT idb AS doc_id FROM pairs)
+         |SELECT d.lang, count(*) AS n_kept,
+         |  CAST(sum(d.n_chars) AS BIGINT) AS chars_kept
+         |FROM documents d ANTI JOIN drops USING (doc_id)
+         |GROUP BY d.lang""".stripMargin,
 
     "q_dedup_semantic" ->
       s"""WITH ${Vec.oArgminAssign(SemCentLo, SemCentN)}
