@@ -207,11 +207,16 @@ object Analytic extends QueryPack {
     // keys × hours regardless of corpus row count.
     "q_gapfill" -> ((s, dir) => {
       import s.implicits._
-      val ev = Tables.load(s, dir, "events")
+      // ONE corpus scan: the sparse aggregate (keys × active hours,
+      // corpus-independent size) is cached and everything else — global
+      // bounds, the distinct key set, the dense grid's join side —
+      // derives from it, not from re-reading events.
+      val agg = Tables.load(s, dir, "events")
         .select($"event_type", date_trunc("hour", $"ts").as("h"))
-      val agg = ev.groupBy($"event_type", $"h").agg(count(lit(1)).as("n"))
-      val b = ev.agg(min($"h").as("lo"), max($"h").as("hi")).head
-      val grid = ev.select($"event_type").distinct()
+        .groupBy($"event_type", $"h").agg(count(lit(1)).as("n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val b = agg.agg(min($"h").as("lo"), max($"h").as("hi")).head
+      val grid = agg.select($"event_type").distinct()
         .crossJoin(
           s.range(1).select(explode(sequence(
             lit(b.getTimestamp(0)), lit(b.getTimestamp(1)),
