@@ -148,6 +148,50 @@ object Similarity extends QueryPack {
       .filter(col("rank") <= k)
   }
 
+  /** Iterative k-means (Lloyd) fit over quantized embeddings. Each round
+    * is: zero-shuffle argmin assignment against the current centroids →
+    * posexplode + (cell, dim) partial-agg floor-means → collect the k·d
+    * result as the next centroid array. Loop state is the collected
+    * centroid list (control-plane sized, k ≈ √n in production), and each
+    * iteration plans FRESH from `base` — no lineage growth, no
+    * checkpointing needed, unlike frame-carrying iterative loops.
+    * Returns (cid, components, sqNorm) ready for [[Vec.argminAssignWith]]
+    * or as `annIvf` cells. Empty cells keep their previous centroid
+    * (the standard Lloyd convention).
+    */
+  def kmeansFit(base: DataFrame, seeds: Seq[(Long, Seq[Long], Long)],
+      iters: Int): Seq[(Long, Seq[Long], Long)] = {
+    var cents = seeds
+    for (_ <- 1 to iters) {
+      val means = Vec.argminAssignWith(base, cents)
+        .select(col("cell"), posexplode(col("qe")))
+        .toDF("cell", "pos", "comp")
+        .groupBy(col("cell"), col("pos"))
+        .agg(floor(sum(col("comp")).cast("double") / count(lit(1)))
+          .cast("long").as("m"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+        }
+      cents = cents.map { case (cid, old, oldNrm) =>
+        means.get(cid) match {
+          case Some(ce) => (cid, ce, ce.map(x => x * x).sum)
+          case None => (cid, old, oldNrm) // empty cell: centroid unchanged
+        }
+      }
+    }
+    cents
+  }
+
+  /** Mean (1 − cosine) of every vector to its assigned centroid — the
+    * within-cluster cost a Lloyd iteration is meant to reduce.
+    */
+  def kmeansCost(base: DataFrame,
+      cents: Seq[(Long, Seq[Long], Long)]): Double =
+    Vec.argminAssignWith(base, cents)
+      .agg(avg(lit(1.0) - col("ccos"))).head.getDouble(0)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact brute-force cosine top-k: broadcast the (tiny) query set, one
     // corpus scan, per-query heap via row_number.

@@ -68,6 +68,16 @@ private[queries] object Vec {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
       .sortBy(_._1)
+    argminAssignWith(base, cents)
+  }
+
+  /** [[argminCellAssign]] with an explicit centroid array — the building
+    * block the iterative k-means fit rebuilds each round (a FRESH plan
+    * per iteration: loop state lives in the collected centroids, so
+    * lineage never grows). Adds `cell` and the winning `ccos`.
+    */
+  def argminAssignWith(base: org.apache.spark.sql.DataFrame,
+      cents: Seq[(Long, Seq[Long], Long)]): org.apache.spark.sql.DataFrame = {
     val scored = array(cents.map { case (cid, ce, cnrm) =>
       // NULL cosine (zero-norm side) must rank WORST: Spark's struct
       // ordering sorts a NULL field FIRST (array_min would prefer it),
@@ -78,7 +88,11 @@ private[queries] object Vec {
           lit(Double.PositiveInfinity)).as("nc"),
         lit(cid).as("cid"))
     }: _*)
-    base.withColumn("cell", array_min(scored).getField("cid"))
+    base
+      .withColumn("best", array_min(scored))
+      .withColumn("cell", col("best").getField("cid"))
+      .withColumn("ccos", -col("best").getField("nc"))
+      .drop("best")
   }
 
   /** DuckDB CTE chain mirroring [[argminCellAssign]]: defines q, n, cent,
