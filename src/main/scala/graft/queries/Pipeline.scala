@@ -81,6 +81,10 @@ object Pipeline extends QueryPack {
   private val PackSeqLen = 512
   private val PackBlocks = 32L
 
+  /** Character chunking: window size and stride (50-char overlap). */
+  private val ChunkSize = 200
+  private val ChunkStride = 150
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // PII redaction: count then scrub emails → IPv4s → phones, in that
     // order (emails carry dots+digits an IP pattern could nibble). Pure
@@ -113,6 +117,25 @@ object Pipeline extends QueryPack {
         .groupBy($"domain")
         .agg(count(lit(1)).as("n_urls"),
           countDistinct($"doc_id").as("n_docs"))
+    }),
+
+    // Overlapping document chunking — the embedding/retrieval
+    // preprocessing step: fixed-size character windows with overlap,
+    // one row per (doc, chunk). Pure generate-and-substring map (the
+    // posexplode'd index sequence is the only row expansion); chunk
+    // content travels as md5 so the gate hashes bounded rows, not text.
+    "q_chunk_docs" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", $"text",
+          posexplode(sequence(lit(0L),
+            floor((length($"text") - 1) / ChunkStride).cast("long"))))
+        .toDF("doc_id", "text", "pos", "idx")
+        .select($"doc_id", $"idx",
+          md5(expr(s"substring(text, idx * $ChunkStride + 1, $ChunkSize)"))
+            .as("chunk_md5"),
+          expr(s"length(substring(text, idx * $ChunkStride + 1, $ChunkSize))")
+            .cast("long").as("chunk_len"))
     }),
 
     // Concat-and-chunk sequence packing: documents concatenated in doc_id
@@ -170,6 +193,16 @@ object Pipeline extends QueryPack {
          |d AS (SELECT doc_id, regexp_extract(url, '^https?://([^/]+)', 1) AS domain FROM u)
          |SELECT domain, count(*) AS n_urls, count(DISTINCT doc_id) AS n_docs
          |FROM d GROUP BY domain""".stripMargin,
+
+    "q_chunk_docs" ->
+      s"""SELECT doc_id, c.idx, md5(c.ch) AS chunk_md5,
+         |  CAST(length(c.ch) AS BIGINT) AS chunk_len
+         |FROM (SELECT doc_id, unnest(
+         |    [{idx: i, ch: substr(text, i * $ChunkStride + 1, $ChunkSize)}
+         |     for i in generate_series(0,
+         |       CAST(floor((length(text) - 1) / $ChunkStride) AS BIGINT))])
+         |    AS c
+         |  FROM documents) t""".stripMargin,
 
     "q_pack_sequences" ->
       s"""WITH t AS (SELECT doc_id,
