@@ -126,11 +126,16 @@ object Pipeline extends QueryPack {
     // content travels as md5 so the gate hashes bounded rows, not text.
     "q_chunk_docs" -> ((s, dir) => {
       import s.implicits._
+      // upper bound clamped to ≥0: an empty doc makes it -1, and Spark's
+      // sequence(0, -1) yields a DESCENDING [0, -1] (two spurious
+      // chunks) where generate_series(0, -1) yields [] — clamped, both
+      // engines emit exactly one empty chunk at idx 0
       Tables.load(s, dir, "documents")
         .select($"doc_id", $"text",
-          posexplode(sequence(lit(0L),
-            floor((length($"text") - 1) / ChunkStride).cast("long"))))
-        .toDF("doc_id", "text", "pos", "idx")
+          explode(sequence(lit(0L),
+            greatest(lit(0L),
+              floor((length($"text") - 1) / ChunkStride).cast("long"))))
+            .as("idx"))
         .select($"doc_id", $"idx",
           md5(expr(s"substring(text, idx * $ChunkStride + 1, $ChunkSize)"))
             .as("chunk_md5"),
@@ -199,8 +204,8 @@ object Pipeline extends QueryPack {
          |  CAST(length(c.ch) AS BIGINT) AS chunk_len
          |FROM (SELECT doc_id, unnest(
          |    [{idx: i, ch: substr(text, i * $ChunkStride + 1, $ChunkSize)}
-         |     for i in generate_series(0,
-         |       CAST(floor((length(text) - 1) / $ChunkStride) AS BIGINT))])
+         |     for i in generate_series(0, greatest(0,
+         |       CAST(floor((length(text) - 1) / $ChunkStride) AS BIGINT)))])
          |    AS c
          |  FROM documents) t""".stripMargin,
 

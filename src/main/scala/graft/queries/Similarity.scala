@@ -185,12 +185,15 @@ object Similarity extends QueryPack {
   }
 
   /** Mean (1 − cosine) of every vector to its assigned centroid — the
-    * within-cluster cost a Lloyd iteration is meant to reduce.
+    * within-cluster cost a Lloyd iteration is meant to reduce. Zero-norm
+    * rows (NULL cosine) are skipped by avg; an empty corpus yields NaN
+    * rather than an NPE.
     */
   def kmeansCost(base: DataFrame,
       cents: Seq[(Long, Seq[Long], Long)]): Double =
     Vec.argminAssignWith(base, cents)
-      .agg(avg(lit(1.0) - col("ccos"))).head.getDouble(0)
+      .agg(coalesce(avg(lit(1.0) - col("ccos")), lit(Double.NaN)))
+      .head.getDouble(0)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact brute-force cosine top-k: broadcast the (tiny) query set, one

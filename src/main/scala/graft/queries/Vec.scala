@@ -91,7 +91,11 @@ private[queries] object Vec {
     base
       .withColumn("best", array_min(scored))
       .withColumn("cell", col("best").getField("cid"))
-      .withColumn("ccos", -col("best").getField("nc"))
+      // un-coalesce the ranking sentinel: a NULL cosine (zero-norm row)
+      // must come back as NULL, not −∞ — aggregates like kmeansCost's
+      // avg skip NULL but would absorb an infinity
+      .withColumn("ccos",
+        nullif(-col("best").getField("nc"), lit(Double.NegativeInfinity)))
       .drop("best")
   }
 
