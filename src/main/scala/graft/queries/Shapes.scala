@@ -52,6 +52,24 @@ object Shapes extends QueryPack {
             .otherwise("test").as("split"))
     }),
 
+    // Deterministic distributed shuffle: disperse correlated documents
+    // into hash shards with a reproducible within-shard order (salted
+    // md5, doc_id tiebreak) — the "shuffle the corpus before training,
+    // identically on every rerun" operator. Shard assignment is a
+    // per-row map; ordering is a per-shard window (64-way parallel,
+    // never a global sort).
+    "q_shuffle_shards" -> ((s, dir) => {
+      import s.implicits._
+      val h = md5(concat(lit("shuf_"), $"doc_id".cast("string")))
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", h.as("h"),
+          (conv(substring(h, 1, 2), 16, 10).cast("int") % 64).as("shard"))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy($"shard").orderBy($"h", $"doc_id"))
+          .cast("long"))
+        .select($"doc_id", $"shard", $"pos")
+    }),
+
     // Stratified deterministic sampling: per-language keep rates applied
     // by content-hash bucket — the corpus-rebalancing operator
     // (downsample dominant languages) every training pipeline runs.
@@ -108,6 +126,18 @@ object Shapes extends QueryPack {
         |       WHEN bucket < 230 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM b""".stripMargin,
+
+    "q_shuffle_shards" ->
+      """WITH b AS (SELECT doc_id,
+        |    md5('shuf_' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |s AS (SELECT doc_id, h,
+        |    CAST(((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef', substr(h, 2, 1)) - 1) % 64
+        |      AS INT) AS shard
+        |  FROM b)
+        |SELECT doc_id, shard,
+        |  ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos
+        |FROM s""".stripMargin,
 
     "q_sample_stratified" ->
       """WITH b AS (SELECT doc_id, lang,
