@@ -291,6 +291,48 @@ object Dedup extends QueryPack {
         .select($"keep_id", $"n_copies")
     }),
 
+    // Incremental dedup against an already-ingested corpus, bloom-
+    // prefiltered: a Bloom filter built over the reference slice's text
+    // digests is broadcast, and only rows the filter says MIGHT be seen
+    // pay the exact anti-join shuffle — the rest (the overwhelming
+    // majority on a real append-ingest) take the no-shuffle fast path.
+    // The final result is EXACT regardless of false positives, because
+    // every bloom hit is re-verified by the anti-join; the filter only
+    // prunes the join input. The flagged projection (doc_id, digest,
+    // maybe — ~50 B/row) is persisted so the two-branch union costs one
+    // corpus scan, not two (same pattern as q_pack_sequences).
+    //
+    // The mightContain probe is a Scala UDF by necessity: Spark has no
+    // public bloom-probe expression (BloomFilterMightContain is internal
+    // to runtime filtering), and a literal-embedded filter would bloat
+    // the plan — a broadcast sketch behind a boolean UDF over a 32-char
+    // string is the idiomatic compromise, and it sits outside every
+    // aggregation hot path. At 100 TB with ~10^10 reference keys the
+    // driver-held filter reaches tens of GB at 1% fpp: shard the
+    // reference by digest prefix and run one pass per shard-group, or
+    // relax fpp — the verify join keeps the result exact either way.
+    "q_dedup_bloom" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val oldKeys = docs.filter($"doc_id" % 10 < 2)
+        .select(md5($"text").as("h"))
+      // the count and the sketch build are the same one scan of the
+      // reference slice's digest projection, run twice — control-plane
+      // cost next to the corpus scan the query exists to protect
+      val nOld = math.max(oldKeys.count(), 1L)
+      val bloom = oldKeys.stat.bloomFilter("h", nOld, 0.01)
+      val bloomB = s.sparkContext.broadcast(bloom)
+      val might = udf((h: String) => bloomB.value.mightContain(h))
+      val flagged = docs.filter($"doc_id" % 10 >= 2)
+        .select($"doc_id", md5($"text").as("h"))
+        .withColumn("maybe", might($"h"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      flagged.filter(!$"maybe").select($"doc_id", $"h")
+        .unionByName(flagged.filter($"maybe")
+          .join(oldKeys, Seq("h"), "left_anti")
+          .select($"doc_id", $"h"))
+    }),
+
     // Keyed keep-first dedup (dropDuplicates with a deterministic keep
     // policy): first event per (user_id, event_type) by (ts, event_id).
     "q_dedup_keyed" -> ((s, dir) => {
@@ -541,6 +583,16 @@ object Dedup extends QueryPack {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    // the oracle is pure anti-join semantics: the bloom prefilter on the
+    // Spark side must not change the result, only the join input size
+    "q_dedup_bloom" ->
+      """SELECT n.doc_id, md5(n.text) AS h
+        |FROM documents n
+        |WHERE n.doc_id % 10 >= 2
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM documents o
+        |    WHERE o.doc_id % 10 < 2 AND md5(o.text) = md5(n.text))""".stripMargin,
 
     "q_dedup_keyed" ->
       """SELECT user_id, event_type, event_id,

@@ -86,6 +86,25 @@ object Shapes extends QueryPack {
         .select($"doc_id", $"lang", bucket.as("bucket"))
     }),
 
+    // Deterministic uniform k-sample — the reproducible stand-in for
+    // reservoir sampling: rank every row by a salted content-free hash
+    // and keep the k smallest. Equivalent to a uniform sample without
+    // replacement (the hash order is exchangeable), but unlike a true
+    // reservoir it is stable across re-runs, partitioning, and appends
+    // (prefix property: the sample only changes where the data does).
+    // Spark executes orderBy+limit as TakeOrderedAndProject — a
+    // per-partition top-k heap merged on the driver (k·partitions rows),
+    // never a global sort shuffle; at 100 TB the corpus is scanned once
+    // and only 32·k candidate rows ever leave the executors.
+    "q_sample_reservoir" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select($"doc_id",
+          md5(concat(lit("smp_"), $"doc_id".cast("string"))).as("h"))
+        .orderBy($"h", $"doc_id")
+        .limit(100)
+    }),
+
     // Equal-width histogram of order totals (floor bucketing).
     "q_histogram" -> ((s, dir) => {
       import s.implicits._
@@ -149,6 +168,12 @@ object Shapes extends QueryPack {
         |WHERE bucket < CASE WHEN lang = 'en' THEN 128
         |                    WHEN lang = 'de' THEN 64
         |                    ELSE 26 END""".stripMargin,
+
+    "q_sample_reservoir" ->
+      """SELECT doc_id, md5('smp_' || CAST(doc_id AS VARCHAR)) AS h
+        |FROM documents
+        |ORDER BY h, doc_id
+        |LIMIT 100""".stripMargin,
 
     "q_histogram" ->
       """SELECT LEAST(CAST(floor(o_totalprice / 50000.0) AS BIGINT), 9)

@@ -168,6 +168,29 @@ object TextAnalysis extends QueryPack {
             size(grams)).as("dup_ratio"))
     }),
 
+    // Lexical-diversity quality signals — type-token ratio, hapax ratio,
+    // and top-word dominance, the log-free cousins of entropy scoring
+    // (every ratio is an integer/integer division, so the doubles are
+    // bit-identical across engines; libm log is not). Two keyed
+    // aggregations — (doc, term) then (doc) — both with map-side
+    // combine; nothing else touches the corpus.
+    "q_text_diversity" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", explode(words($"text")).as("term"))
+        .groupBy($"doc_id", $"term")
+        .agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id")
+        .agg(sum($"c").as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when($"c" === 1, 1L).otherwise(0L)).as("n_hapax"),
+          max($"c").as("top_count"))
+        .select($"doc_id", $"n_tokens", $"n_types",
+          ($"n_types".cast("double") / $"n_tokens").as("ttr"),
+          ($"n_hapax".cast("double") / $"n_types").as("hapax_ratio"),
+          ($"top_count".cast("double") / $"n_tokens").as("top_share"))
+    }),
+
     // Corpus-level bigram frequency top-20 (deterministic tie-break).
     "q_text_ngram_freq" -> ((s, dir) => {
       import s.implicits._
@@ -279,6 +302,23 @@ object TextAnalysis extends QueryPack {
           |  len(list_distinct(g)) AS n_distinct,
           |  1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g) AS dup_ratio
           |FROM bg""".stripMargin,
+
+      "q_text_diversity" ->
+        """WITH tok AS (SELECT doc_id,
+          |    unnest(regexp_split_to_array(text, ' ')) AS term
+          |  FROM documents),
+          |tc AS (SELECT doc_id, term, COUNT(*) AS c
+          |  FROM tok GROUP BY doc_id, term),
+          |d AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+          |    COUNT(*) AS n_types,
+          |    SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_hapax,
+          |    MAX(c) AS top_count
+          |  FROM tc GROUP BY doc_id)
+          |SELECT doc_id, n_tokens, n_types,
+          |  CAST(n_types AS DOUBLE) / n_tokens AS ttr,
+          |  CAST(n_hapax AS DOUBLE) / n_types AS hapax_ratio,
+          |  CAST(top_count AS DOUBLE) / n_tokens AS top_share
+          |FROM d""".stripMargin,
 
       "q_text_ngram_freq" ->
         """WITH t AS (SELECT regexp_split_to_array(text, ' ') AS w FROM documents),
