@@ -129,6 +129,16 @@ object GraftFunctions {
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "quant_vec", exprs => QuantizeVec(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pq_encode", exprs => {
+        val cb = exprs(1).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toLongArray()
+        PqEncode(exprs(0), cb,
+          exprs(2).eval().asInstanceOf[Number].intValue,
+          exprs(3).eval().asInstanceOf[Number].intValue,
+          exprs(4).eval().asInstanceOf[Number].intValue)
+      }, "built-in")
   }
 
   def longDot(a: Column, b: Column): Column = call_function("long_dot", a, b)
@@ -157,4 +167,14 @@ object GraftFunctions {
 
   /** Integer quantization of a float/double embedding (fused loop). */
   def quantVec(a: Column): Column = call_function("quant_vec", a)
+
+  /** Product-quantization encode against a flattened `long[m*c*d]`
+    * codebook (fused three-deep argmin loop; the codebook literal is
+    * baked into the plan as a reference object).
+    */
+  def pqEncode(vec: Column, codebook: Array[Long],
+      m: Int, c: Int, d: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("pq_encode", vec, lit(codebook), lit(m), lit(c), lit(d))
+  }
 }

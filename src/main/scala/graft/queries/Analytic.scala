@@ -225,6 +225,55 @@ object Analytic extends QueryPack {
         .select($"event_type",
           date_format($"h", "yyyy-MM-dd HH:mm:ss").as("hour"),
           coalesce($"n", lit(0L)).as("n"))
+    }),
+
+    // Behavior-graph analytics: per-user consecutive event transitions →
+    // a Markov transition matrix → 3 PageRank power iterations over the
+    // event-type graph. The 100 TB shape: the ONLY corpus-scale work is
+    // the lead() window (one user_id shuffle) and the (src,dst) count —
+    // after that the edge table is |types|² rows (control-plane sized)
+    // and each iteration is a broadcast join over it. Dangling mass
+    // (types with no out-transitions) is deliberately dropped — the
+    // standard leaked-PageRank variant for fixed-iteration scoring.
+    //
+    // Determinism: p = n/tot and every product are per-row IEEE ops;
+    // the per-node contribution SUM (the one order-dependent float op)
+    // goes through a DECIMAL(38,20) cast — finer than any double ulp in
+    // range, so both engines sum identical decimals.
+    "q_event_markov" -> ((s, dir) => {
+      import s.implicits._
+      val damp = 0.85
+      val edges = Tables.load(s, dir, "events")
+        .select($"user_id", $"event_type".as("src"), $"ts", $"event_id")
+        .withColumn("dst", lead($"src", 1).over(
+          Window.partitionBy($"user_id").orderBy($"ts", $"event_id")))
+        .filter($"dst".isNotNull)
+        .groupBy($"src", $"dst").agg(count(lit(1)).as("n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val probs = edges.join(
+          edges.groupBy($"src").agg(sum($"n").as("tot")), "src")
+        .select($"src", $"dst", ($"n".cast("double") / $"tot").as("p"))
+      val nodes = Tables.load(s, dir, "events")
+        .select($"event_type".as("node")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nNodes = nodes.count()
+      val base = 0.15 / nNodes
+      var ranks = nodes.select($"node", lit(1.0 / nNodes).as("r"))
+      for (_ <- 1 to 3) {
+        val contrib = probs.join(broadcast(ranks),
+            probs("src") === ranks("node"))
+          .select($"dst".as("node"),
+            ($"r" * $"p").cast(org.apache.spark.sql.types.DecimalType(38, 20))
+              .as("term"))
+          .groupBy($"node").agg(sum($"term").cast("double").as("s"))
+        ranks = nodes.join(contrib, Seq("node"), "left")
+          .select($"node",
+            (lit(base) + lit(damp) * coalesce($"s", lit(0.0))).as("r"))
+      }
+      ranks.join(edges.groupBy($"src").agg(sum($"n").as("n_out"))
+          .withColumnRenamed("src", "node"), Seq("node"), "left")
+        .select($"node".as("event_type"),
+          coalesce($"n_out", lit(0L)).as("n_out"), $"r".as("pagerank"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -347,5 +396,36 @@ object Analytic extends QueryPack {
         |SELECT g.event_type, strftime(g.h, '%Y-%m-%d %H:%M:%S') AS hour,
         |  coalesce(agg.n, 0) AS n
         |FROM grid g LEFT JOIN agg
-        |  ON g.event_type = agg.event_type AND g.h = agg.h""".stripMargin)
+        |  ON g.event_type = agg.event_type AND g.h = agg.h""".stripMargin,
+
+    "q_event_markov" -> {
+      // unrolled power iterations; the contribution SUM mirrors the Spark
+      // side's DECIMAL(38,20) exact summation
+      val iters = (1 to 3).map { i =>
+        s"""c$i AS (SELECT p.dst AS node,
+           |    CAST(SUM(CAST(r.r * p.p AS DECIMAL(38,20))) AS DOUBLE) AS s
+           |  FROM p JOIN r${i - 1} r ON p.src = r.node GROUP BY p.dst),
+           |r$i AS (SELECT nodes.node,
+           |    CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+           |      + CAST(0.85 AS DOUBLE) * COALESCE(c$i.s, 0.0) AS r
+           |  FROM nodes LEFT JOIN c$i ON nodes.node = c$i.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH seq AS (SELECT event_type AS src,
+         |    lead(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS dst
+         |  FROM events),
+         |e AS (SELECT src, dst, COUNT(*) AS n FROM seq
+         |  WHERE dst IS NOT NULL GROUP BY src, dst),
+         |tot AS (SELECT src, CAST(SUM(n) AS BIGINT) AS tot FROM e GROUP BY src),
+         |p AS (SELECT e.src, e.dst, CAST(e.n AS DOUBLE) / tot.tot AS p
+         |  FROM e JOIN tot ON e.src = tot.src),
+         |nodes AS (SELECT DISTINCT event_type AS node FROM events),
+         |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+         |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS r
+         |  FROM nodes),
+         |$iters
+         |SELECT r3.node AS event_type, COALESCE(tot.tot, 0) AS n_out,
+         |  r3.r AS pagerank
+         |FROM r3 LEFT JOIN tot ON r3.node = tot.src""".stripMargin
+    })
 }
