@@ -116,6 +116,46 @@ object Gate extends QueryPack {
            |GROUP BY HOP(ts2, INTERVAL '1' HOUR, INTERVAL '2' HOUR), event_type;
            |""".stripMargin)
       s.table("gate_hop_sink_out")
+    }),
+
+    // Flink 1.13+ window-TVF dialect through the gate: CUMULATE — a
+    // window kind Spark has no native operator for — written exactly as
+    // a reference user's script would (TABLE(CUMULATE(TABLE …,
+    // DESCRIPTOR(…), step, size)) … GROUP BY window_start, window_end),
+    // rewritten by FlinkSqlRewrite to the epoch-aligned explode and
+    // oracle-checked against the batch cumulate answer.
+    "q_gate_flink_cumulate" -> ((s, dir) => {
+      val runner = new ScriptRunner(s, batchMode = true)
+      runner.run(
+        s"""CREATE TABLE ev_src_c (
+           |  event_id BIGINT,
+           |  ts BIGINT,
+           |  user_id BIGINT,
+           |  event_type VARCHAR,
+           |  value DOUBLE,
+           |  props VARCHAR,
+           |  ts2 AS timestamp_micros(ts DIV 1000)
+           |) WITH (
+           |  'connector' = 'filesystem',
+           |  'path' = '$dir/events.parquet',
+           |  'format' = 'parquet'
+           |);
+           |CREATE TABLE gate_cum_sink (
+           |  wstart VARCHAR, wend VARCHAR, event_type VARCHAR,
+           |  n BIGINT, sum_value DOUBLE
+           |) WITH ('connector' = 'memory');
+           |INSERT INTO gate_cum_sink
+           |SELECT
+           |  DATE_FORMAT(window_start, 'yyyy-MM-dd HH:mm:ss') as wstart,
+           |  DATE_FORMAT(window_end, 'yyyy-MM-dd HH:mm:ss') as wend,
+           |  event_type,
+           |  COUNT(*) as n,
+           |  ${oSum2("value")} as sum_value
+           |FROM TABLE(CUMULATE(TABLE ev_src_c, DESCRIPTOR(ts2),
+           |  INTERVAL '1' HOUR, INTERVAL '4' HOUR))
+           |GROUP BY window_start, window_end, event_type;
+           |""".stripMargin)
+      s.table("gate_cum_sink_out")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -135,5 +175,7 @@ object Gate extends QueryPack {
          |        event_type, value FROM events) t
          |GROUP BY tb, event_type""".stripMargin,
 
-    "q_gate_flink_hop" -> Windows.oHopSql)
+    "q_gate_flink_hop" -> Windows.oHopSql,
+
+    "q_gate_flink_cumulate" -> Windows.oCumulateSql)
 }

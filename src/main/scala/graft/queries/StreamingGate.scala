@@ -129,6 +129,31 @@ object StreamingGate extends QueryPack {
       runToTable(s, dd, "stream_dedup_gate", mode = "append")
     }),
 
+    // streaming cumulating window (Flink 1.13+ CUMULATE TVF) — the same
+    // epoch-aligned explode as the batch q_window_cumulate, running
+    // incrementally: each micro-batch updates the growing windows of its
+    // bucket, and the complete-mode state converges on the batch answer.
+    "q_stream_cumulate" -> ((s, dir) => {
+      import s.implicits._
+      val step = Windows.CumStepUs
+      val size = Windows.CumSizeUs
+      val agg = eventsStream(s, dir)
+        .selectExpr("event_type", "value",
+          s"unix_micros(ts) div $size * $size AS g_ws",
+          s"explode(sequence(" +
+            s"unix_micros(ts) div $size * $size + " +
+            s"(unix_micros(ts) - unix_micros(ts) div $size * $size) " +
+            s"div $step * $step + $step, " +
+            s"unix_micros(ts) div $size * $size + $size, $step)) AS g_we")
+        .groupBy($"g_ws", $"g_we", $"event_type")
+        .agg(count(lit(1)).as("n"), dsum2($"value").as("sum_value"))
+        .select(
+          date_format(expr("timestamp_micros(g_ws)"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+          date_format(expr("timestamp_micros(g_we)"), "yyyy-MM-dd HH:mm:ss").as("wend"),
+          $"event_type", $"n", $"sum_value")
+      runToTable(s, agg, "stream_cumulate_gate")
+    }),
+
     // Streaming Top-N — Flink SQL's Top-N pattern (ROW_NUMBER() ≤ N over
     // an updating aggregate). Spark-native: complete-mode aggregation +
     // sort + limit, legal only in complete mode where every micro-batch
@@ -160,6 +185,7 @@ object StreamingGate extends QueryPack {
     // shared with the batch pack so the mirrors cannot drift
     "q_stream_hop" -> Windows.oHopSql,
     "q_stream_session" -> Windows.oSessionSql,
+    "q_stream_cumulate" -> Windows.oCumulateSql,
 
     "q_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",

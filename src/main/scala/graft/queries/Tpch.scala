@@ -8,7 +8,17 @@ import org.apache.spark.sql.functions._
   * commitdate/receiptdate/partsupp) — each exercises a distinct
   * optimizer pattern: pure scan-agg (Q6), EXISTS semi-join (Q4),
   * conditional aggregation over a join (Q12), join with CASE-fraction
-  * (Q14), distinct-count rollup (Q16), OR-of-ANDs pushdown (Q19).
+  * (Q14), distinct-count rollup (Q16), OR-of-ANDs pushdown (Q19),
+  * two-nation OR join (Q7), ratio-of-sums market share over an 8-table
+  * join (Q8), top-k revenue per customer (Q10), left-join count
+  * distribution (Q13), correlated scalar subquery vs per-group avg
+  * (Q17), IN-subquery over a grouped HAVING (Q18), the Q21
+  * one-late-supplier-of-many shape (re-expressed as per-order
+  * aggregates instead of double correlated EXISTS — one shuffle, no
+  * repeated lineitem probes), and the Q22 no-order customers
+  * anti-join (Q21/Q22 adapted: lateness = shipped >90 days after the
+  * order date, country = nation key, since the trimmed schema has no
+  * receiptdate/phone).
   */
 object Tpch extends QueryPack {
   import Num._
@@ -101,6 +111,191 @@ object Tpch extends QueryPack {
             $"l_quantity".between(20.0, 30.0)))
         .agg(dsum6($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
           count(lit(1)).as("n_lines"))
+    }),
+
+    // Q7 shape: volume shipping between two nations, either direction —
+    // the OR of nation pairs can't be pushed into either dim alone, so
+    // Catalyst filters after the (broadcast) nation joins; lineitem is
+    // the only corpus-scale table and is scanned once.
+    "q7_volume" -> ((s, dir) => {
+      import s.implicits._
+      val n1 = Tables.load(s, dir, "nation")
+        .select($"n_nationkey".as("n1_key"), $"n_name".as("supp_nation"))
+      val n2 = Tables.load(s, dir, "nation")
+        .select($"n_nationkey".as("n2_key"), $"n_name".as("cust_nation"))
+      Tables.load(s, dir, "lineitem")
+        .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1998-01-01").cast("timestamp"))
+        .join(Tables.load(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(Tables.load(s, dir, "supplier")),
+          $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(Tables.load(s, dir, "customer")),
+          $"o_custkey" === $"c_custkey")
+        .join(broadcast(n1), $"s_nationkey" === $"n1_key")
+        .join(broadcast(n2), $"c_nationkey" === $"n2_key")
+        .filter(($"supp_nation" === "NATION_1" && $"cust_nation" === "NATION_2") ||
+          ($"supp_nation" === "NATION_2" && $"cust_nation" === "NATION_1"))
+        .groupBy($"supp_nation", $"cust_nation",
+          year($"l_shipdate").cast("long").as("l_year"))
+        .agg(dsum6($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+    }),
+
+    // Q8 shape: national market share — ratio of conditional to total
+    // volume across an 8-table join; every dim broadcast, lineitem
+    // scanned once, one final single-group pass per year.
+    "q8_marketshare" -> ((s, dir) => {
+      import s.implicits._
+      val partP = Tables.load(s, dir, "part").filter($"p_type" === "PROMO")
+        .select($"p_partkey")
+      val custNation = Tables.load(s, dir, "customer")
+        .join(broadcast(Tables.load(s, dir, "nation")),
+          $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.load(s, dir, "region")
+          .filter($"r_name" === "ASIA")), $"n_regionkey" === $"r_regionkey")
+        .select($"c_custkey")
+      val suppNation = Tables.load(s, dir, "supplier")
+        .join(broadcast(Tables.load(s, dir, "nation")
+          .select($"n_nationkey".as("sn_key"), $"n_name".as("supp_nation"))),
+          $"s_nationkey" === $"sn_key")
+        .select($"s_suppkey", $"supp_nation")
+      Tables.load(s, dir, "lineitem")
+        .join(broadcast(partP), $"l_partkey" === $"p_partkey")
+        .join(Tables.load(s, dir, "orders")
+          .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+            $"o_orderdate" < lit("1998-01-01").cast("timestamp")),
+          $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(custNation), $"o_custkey" === $"c_custkey", "left_semi")
+        .join(broadcast(suppNation), $"l_suppkey" === $"s_suppkey")
+        .groupBy(year($"o_orderdate").cast("long").as("o_year"))
+        .agg((dsum6(when($"supp_nation" === "NATION_3",
+            $"l_extendedprice" * (lit(1.0) - $"l_discount")).otherwise(0.0)) /
+          dsum6($"l_extendedprice" * (lit(1.0) - $"l_discount")))
+          .as("mkt_share"))
+    }),
+
+    // Q10 shape: returned-item revenue per customer, top 20 — join-agg
+    // then TakeOrdered (deterministic tie-break on the key); the sort
+    // touches only post-agg rows, never the corpus.
+    "q10_returned" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "lineitem").filter($"l_returnflag" === "R")
+        .join(Tables.load(s, dir, "orders")
+          .filter($"o_orderdate" >= lit("1996-10-01").cast("timestamp") &&
+            $"o_orderdate" < lit("1997-01-01").cast("timestamp")),
+          $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(Tables.load(s, dir, "customer")),
+          $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables.load(s, dir, "nation")),
+          $"c_nationkey" === $"n_nationkey")
+        .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
+        .agg(dsum6($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+        .orderBy($"revenue".desc, $"c_custkey")
+        .limit(20)
+    }),
+
+    // Q13 shape: how many customers placed k orders — left outer join
+    // with an ON-clause filter (must not degrade to inner), two
+    // aggregation levels.
+    "q13_custdist" -> ((s, dir) => {
+      import s.implicits._
+      val ord = Tables.load(s, dir, "orders")
+        .filter($"o_orderpriority" =!= "1-URGENT")
+        .select($"o_custkey", $"o_orderkey")
+      Tables.load(s, dir, "customer")
+        .join(ord, $"c_custkey" === $"o_custkey", "left_outer")
+        .groupBy($"c_custkey")
+        .agg(count($"o_orderkey").as("c_count"))
+        .groupBy($"c_count")
+        .agg(count(lit(1)).as("custdist"))
+    }),
+
+    // Q17 shape: lines under 20% of their part's average quantity —
+    // correlated scalar subquery, decorrelated by Catalyst into a
+    // per-part aggregate re-joined to lineitem (l_quantity is integral,
+    // so its double AVG is order-free exact).
+    "q17_smallqty" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables.load(s, dir, "lineitem")
+      val brandParts = Tables.load(s, dir, "part")
+        .filter($"p_brand" === "Brand#23").select($"p_partkey")
+      val perPart = li.groupBy($"l_partkey".as("ap_key"))
+        .agg(avg($"l_quantity").as("avg_qty"))
+      li.join(broadcast(brandParts), $"l_partkey" === $"p_partkey")
+        .join(perPart, $"l_partkey" === $"ap_key")
+        .filter($"l_quantity" < $"avg_qty" * 0.2)
+        .agg((dsum2($"l_extendedprice") / 7.0).as("avg_yearly"))
+    }),
+
+    // Q18 shape: large-volume orders — IN-subquery over a grouped
+    // HAVING, re-joined for the customer detail; integral quantities
+    // keep the double SUM exact on both engines.
+    "q18_bigorders" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables.load(s, dir, "lineitem")
+      val big = li.groupBy($"l_orderkey".as("big_key"))
+        .agg(sum($"l_quantity").as("total_qty"))
+        .filter($"total_qty" > 150.0)
+      Tables.load(s, dir, "orders")
+        .join(big, $"o_orderkey" === $"big_key")
+        .join(broadcast(Tables.load(s, dir, "customer")),
+          $"o_custkey" === $"c_custkey")
+        .select($"c_name", $"c_custkey", $"o_orderkey",
+          date_format($"o_orderdate", "yyyy-MM-dd").as("o_orderdate"),
+          $"o_totalprice", $"total_qty")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .limit(100)
+    }),
+
+    // Q21 shape (adapted: late = shipped >90 days after the order date;
+    // the trimmed schema has no receipt/commit dates): suppliers who
+    // were the ONLY late supplier on a multi-supplier order. The
+    // classic double correlated EXISTS/NOT EXISTS is re-expressed as
+    // per-order aggregates — distinct-supplier and distinct-late-
+    // supplier counts joined back to the late lines — so lineitem is
+    // shuffled once on l_orderkey instead of probed three times.
+    "q21_waiting" -> ((s, dir) => {
+      import s.implicits._
+      val li = Tables.load(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
+      val ordF = Tables.load(s, dir, "orders")
+        .filter($"o_orderstatus" === "F")
+        .select($"o_orderkey", $"o_orderdate")
+      val late = li.join(ordF, $"l_orderkey" === $"o_orderkey")
+        .filter($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 90 DAYS"))
+        .select($"l_orderkey", $"l_suppkey")
+      val nSupp = li.groupBy($"l_orderkey".as("ns_key"))
+        .agg(countDistinct($"l_suppkey").as("n_supp"))
+      val nLate = late.groupBy($"l_orderkey".as("nl_key"))
+        .agg(countDistinct($"l_suppkey").as("n_late"))
+      late
+        .join(nSupp, $"l_orderkey" === $"ns_key")
+        .join(nLate, $"l_orderkey" === $"nl_key")
+        .filter($"n_supp" >= 2 && $"n_late" === 1)
+        .join(broadcast(Tables.load(s, dir, "supplier")),
+          $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(Tables.load(s, dir, "nation")
+          .filter($"n_name" === "NATION_5")),
+          $"s_nationkey" === $"n_nationkey")
+        .groupBy($"s_name")
+        .agg(count(lit(1)).as("numwait"))
+    }),
+
+    // Q22 shape (adapted: country code = nation key; the trimmed schema
+    // has no phone): positive-balance customers above the segment
+    // average with no orders at all — scalar subquery (broadcast 1-row
+    // cross join) + anti-join.
+    "q22_balance" -> ((s, dir) => {
+      import s.implicits._
+      val seg = Tables.load(s, dir, "customer")
+        .filter($"c_nationkey".isin(1L, 3L, 5L, 7L, 9L))
+      val threshold = seg.filter($"c_acctbal" > 0.0)
+        .agg(davg2($"c_acctbal").as("avg_bal"))
+      seg.crossJoin(broadcast(threshold))
+        .filter($"c_acctbal" > $"avg_bal")
+        .join(Tables.load(s, dir, "orders"),
+          $"c_custkey" === $"o_custkey", "left_anti")
+        .groupBy($"c_nationkey".as("cntry"))
+        .agg(count(lit(1)).as("numcust"), dsum2($"c_acctbal").as("totacctbal"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -155,5 +350,107 @@ object Tpch extends QueryPack {
          |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
          |       AND l_quantity BETWEEN 10.0 AND 20.0)
          |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
-         |       AND l_quantity BETWEEN 20.0 AND 30.0)""".stripMargin)
+         |       AND l_quantity BETWEEN 20.0 AND 30.0)""".stripMargin,
+
+    "q7_volume" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |  year(l_shipdate) AS l_year,
+         |  ${oSum6("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1998-01-01'
+         |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+         |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q8_marketshare" ->
+      s"""SELECT year(o_orderdate) AS o_year,
+         |  ${oSum6("CASE WHEN sn.n_name = 'NATION_3' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")} /
+         |  ${oSum6("l_extendedprice * (1.0 - l_discount)")} AS mkt_share
+         |FROM lineitem
+         |  JOIN part ON l_partkey = p_partkey
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+         |  JOIN region ON cn.n_regionkey = r_regionkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+         |WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |GROUP BY 1""".stripMargin,
+
+    "q10_returned" ->
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         |  ${oSum6("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1996-10-01'
+         |  AND o_orderdate < TIMESTAMP '1997-01-01'
+         |GROUP BY c_custkey, c_name, c_acctbal, n_name
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q13_custdist" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count""".stripMargin,
+
+    "q17_smallqty" ->
+      s"""SELECT ${oSum2("l_extendedprice")} / 7.0 AS avg_yearly
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE p_brand = 'Brand#23'
+         |  AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+         |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
+
+    "q18_bigorders" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  o_totalprice, total_qty
+        |FROM orders
+        |  JOIN (SELECT l_orderkey, SUM(l_quantity) AS total_qty
+        |        FROM lineitem GROUP BY l_orderkey
+        |        HAVING SUM(l_quantity) > 150.0) big
+        |    ON o_orderkey = big.l_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q21_waiting" ->
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM supplier
+        |  JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |  JOIN orders ON o_orderkey = l1.l_orderkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F' AND n_name = 'NATION_5'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY s_name""".stripMargin,
+
+    "q22_balance" ->
+      s"""SELECT c_nationkey AS cntry, COUNT(*) AS numcust,
+         |  ${oSum2("c_acctbal")} AS totacctbal
+         |FROM customer
+         |WHERE c_nationkey IN (1, 3, 5, 7, 9)
+         |  AND c_acctbal > (
+         |    SELECT ${oSum2("c_acctbal")} / COUNT(c_acctbal)
+         |    FROM customer
+         |    WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 3, 5, 7, 9))
+         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         |GROUP BY c_nationkey""".stripMargin)
 }

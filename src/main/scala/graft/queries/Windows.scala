@@ -70,7 +70,53 @@ object Windows extends QueryPack {
           date_format(min($"ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("sess_start"),
           date_format(max($"ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("sess_last"))
         .select($"user_id", $"sess_start", $"sess_last", $"n_events")
+    }),
+
+    // Cumulating window (Flink 1.13+ CUMULATE TVF): growing windows
+    // [ws, ws+1h), [ws, ws+2h) … [ws, ws+4h) per 4h-aligned bucket —
+    // early partial results that converge on the tumble answer. Spark
+    // has no native cumulate; the epoch-aligned long-µs explode below
+    // IS the operator (shared shape with FlinkSqlRewrite's CUMULATE TVF
+    // rewrite), and stays whole-stage-codegen'd: sequence + explode +
+    // integer division, then one (ws, we, type)-keyed aggregation with
+    // map-side partials — same single-shuffle profile as tumble/hop.
+    "q_window_cumulate" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "events")
+        .selectExpr("event_type", "value",
+          s"unix_micros(ts) div $CumSizeUs * $CumSizeUs AS g_ws",
+          s"explode(sequence(" +
+            s"unix_micros(ts) div $CumSizeUs * $CumSizeUs + " +
+            s"(unix_micros(ts) - unix_micros(ts) div $CumSizeUs * $CumSizeUs) " +
+            s"div $CumStepUs * $CumStepUs + $CumStepUs, " +
+            s"unix_micros(ts) div $CumSizeUs * $CumSizeUs + $CumSizeUs, " +
+            s"$CumStepUs)) AS g_we")
+        .groupBy($"g_ws", $"g_we", $"event_type")
+        .agg(count(lit(1)).as("n"), dsum2($"value").as("sum_value"))
+        .select(
+          date_format(expr("timestamp_micros(g_ws)"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+          date_format(expr("timestamp_micros(g_we)"), "yyyy-MM-dd HH:mm:ss").as("wend"),
+          $"event_type", $"n", $"sum_value")
     }))
+
+  /** CUMULATE step 1h / size 4h (shared with the streaming mirror). */
+  private[queries] val CumStepUs: Long = 3600L * 1000000L
+  private[queries] val CumSizeUs: Long = 4L * 3600L * 1000000L
+
+  /** Shared cumulate oracle: each event lands in the growing windows
+    * whose end exceeds it within its 4h bucket — the k∈1..4 hop-style
+    * cross join with an end>ts filter. time_bucket's 2000-01-01 origin
+    * is 4h-aligned to the epoch, so buckets match Spark's epoch floor.
+    */
+  private[queries] val oCumulateSql: String =
+    s"""SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS wstart,
+       |  strftime(ws + k.k * INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS wend,
+       |  event_type, COUNT(*) AS n, ${Num.oSum2("value")} AS sum_value
+       |FROM (SELECT time_bucket(INTERVAL 4 HOUR, CAST(ts AS TIMESTAMP)) AS ws,
+       |        CAST(ts AS TIMESTAMP) AS t, event_type, value FROM events)
+       |CROSS JOIN (VALUES (1), (2), (3), (4)) k(k)
+       |WHERE t < ws + k.k * INTERVAL 1 HOUR
+       |GROUP BY ws, k.k, event_type""".stripMargin
 
   /** Shared session-window oracle (gaps-and-islands over a 2h inactivity
     * gap per user); StreamingGate's q_stream_session reuses it so the
@@ -105,5 +151,7 @@ object Windows extends QueryPack {
 
     "q_window_hop" -> Windows.oHopSql,
 
-    "q_window_session" -> Windows.oSessionSql)
+    "q_window_session" -> Windows.oSessionSql,
+
+    "q_window_cumulate" -> Windows.oCumulateSql)
 }

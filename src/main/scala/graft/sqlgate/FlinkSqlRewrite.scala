@@ -22,6 +22,27 @@ package graft.sqlgate
   *                                           TTL'd refresh path is
   *                                           graft.streaming.LookupJoin)
   *
+  * Flink 1.13+ window TVFs (the current documented windowing syntax a
+  * reference user's scripts carry) also rewrite, to derived subqueries
+  * exposing the TVF's `window_start` / `window_end` / `window_time`
+  * columns alongside the source columns:
+  *
+  *   TABLE(TUMBLE(TABLE s, DESCRIPTOR(c), INTERVAL size))
+  *     → (SELECT s.*, epoch-floored start/end scalars FROM s)
+  *   TABLE(HOP(TABLE s, DESCRIPTOR(c), INTERVAL slide, INTERVAL size))
+  *     → (… LATERAL VIEW explode(sequence of the size/slide window ends
+  *        containing c) …) — each row lands in size/slide windows
+  *   TABLE(CUMULATE(TABLE s, DESCRIPTOR(c), INTERVAL step, INTERVAL size))
+  *     → (… LATERAL VIEW explode(sequence of the growing window ends
+  *        ≥ c within c's size-aligned bucket) …) — Spark has no native
+  *        cumulate window; the expansion IS the operator, and it stays
+  *        whole-stage-codegen'd (sequence + explode + long arithmetic)
+  *
+  * `window_time` follows Flink's convention (window_end − 1 ms). All
+  * window arithmetic is epoch-aligned long µs division, matching both
+  * Flink's and Spark's epoch-aligned window start semantics. HOP/CUMULATE
+  * require size to be a multiple of slide/step, as Flink itself does.
+  *
   * The rewrites are plain-text: window calls carry only identifiers and
   * INTERVAL literals (no nested parens), so regexes are exact here.
   * Spark-native queries pass through untouched — every pattern is
@@ -49,11 +70,78 @@ object FlinkSqlRewrite {
   private val SystemTimeRe =
     """(?i)\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+[`\w.]+""".r
 
+  // window TVFs: TABLE(KIND(TABLE src, DESCRIPTOR(col), INTERVAL …[, INTERVAL …]))
+  private val TvfHead = """(?i)\bTABLE\s*\(\s*%s\s*\(\s*TABLE\s+([`\w.]+)\s*,\s*DESCRIPTOR\s*\(\s*([`\w.]+)\s*\)\s*,\s*"""
+  private val TumbleTvfRe =
+    (TvfHead.format("TUMBLE") + Interval + """\s*\)\s*\)""").r
+  private val HopTvfRe =
+    (TvfHead.format("HOP") + Interval + """\s*,\s*""" + Interval + """\s*\)\s*\)""").r
+  private val CumulateTvfRe =
+    (TvfHead.format("CUMULATE") + Interval + """\s*,\s*""" + Interval + """\s*\)\s*\)""").r
+
   private def dur(n: String, unit: String): String =
     s"$n ${unit.toLowerCase(java.util.Locale.ROOT).stripSuffix("s")}s"
 
+  private def micros(n: String, unit: String): Long = {
+    val per = unit.toLowerCase(java.util.Locale.ROOT).stripSuffix("s") match {
+      case "second" => 1000000L
+      case "minute" => 60000000L
+      case "hour"   => 3600000000L
+      case "day"    => 86400000000L
+      case u => throw new IllegalArgumentException(s"unsupported window unit $u")
+    }
+    n.toLong * per
+  }
+
+  /** Start of `col`'s size-aligned bucket, in epoch µs (long division). */
+  private def bucket(col: String, size: Long): String =
+    s"unix_micros($col) div $size * $size"
+
+  private def tumbleTvf(src: String, col: String, size: Long): String = {
+    val ws = bucket(col, size)
+    s"(SELECT $src.*, timestamp_micros($ws) AS window_start, " +
+      s"timestamp_micros($ws + $size) AS window_end, " +
+      s"timestamp_micros($ws + $size - 1000) AS window_time FROM $src)"
+  }
+
+  /** HOP/CUMULATE share the explode-the-window-ends shape; only the
+    * sequence of ends differs (hop: the size/slide ends whose window
+    * contains `col`; cumulate: the growing ends ≥ `col` in its bucket).
+    */
+  private def explodedTvf(src: String, col: String, startCol: String,
+      endsSeq: String): String =
+    s"(SELECT $src.*, $startCol AS window_start, " +
+      s"timestamp_micros(g_we) AS window_end, " +
+      s"timestamp_micros(g_we - 1000) AS window_time FROM $src " +
+      s"LATERAL VIEW explode($endsSeq) g_tvf AS g_we)"
+
+  private def hopTvf(src: String, col: String, slide: Long, size: Long): String = {
+    require(size % slide == 0,
+      s"HOP window size ($size us) must be a multiple of slide ($slide us)")
+    val anchor = bucket(col, slide)
+    explodedTvf(src, col, s"timestamp_micros(g_we - $size)",
+      s"sequence($anchor + $slide, $anchor + $size, $slide)")
+  }
+
+  private def cumulateTvf(src: String, col: String, step: Long, size: Long): String = {
+    require(size % step == 0,
+      s"CUMULATE window size ($size us) must be a multiple of step ($step us)")
+    val ws = bucket(col, size)
+    explodedTvf(src, col, s"timestamp_micros($ws)",
+      s"sequence($ws + (unix_micros($col) - ($ws)) div $step * $step + $step, " +
+        s"$ws + $size, $step)")
+  }
+
   def apply(sql: String): String = {
     var s = sql
+    s = TumbleTvfRe.replaceAllIn(s, m =>
+      tumbleTvf(m.group(1), m.group(2), micros(m.group(3), m.group(4))))
+    s = HopTvfRe.replaceAllIn(s, m =>
+      hopTvf(m.group(1), m.group(2), micros(m.group(3), m.group(4)),
+        micros(m.group(5), m.group(6))))
+    s = CumulateTvfRe.replaceAllIn(s, m =>
+      cumulateTvf(m.group(1), m.group(2), micros(m.group(3), m.group(4)),
+        micros(m.group(5), m.group(6))))
     s = TumbleStartRe.replaceAllIn(s, "window.start")
     s = TumbleEndRe.replaceAllIn(s, "window.end")
     s = HopStartRe.replaceAllIn(s, "window.start")
