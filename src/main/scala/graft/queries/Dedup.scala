@@ -453,6 +453,35 @@ object Dedup extends QueryPack {
         .agg(countDistinct($"g").as("n_overlap"))
     }),
 
+    // Exact-substring duplication (the ExactSubstr measure of Lee et al.
+    // 2021, "Deduplicating Training Data Makes Language Models Better"):
+    // per document, the fraction of 10-word-gram POSITIONS whose gram
+    // also occurs in another document — the span-level signal used to
+    // cut boilerplate runs, complementing the whole-doc (minhash) and
+    // near-dup (simhash) families. Unlike the pair-based paths this is
+    // O(corpus) end-to-end with NO pair expansion anywhere: positions →
+    // 60-bit gram hash (longs on the wire, not strings) → per-gram
+    // distinct-doc counts (map-side combined) → hash-keyed join back
+    // (reuses the agg's partitioning, output is one row per position by
+    // construction — a viral gram fans out linearly, never m²) → per-doc
+    // count. A hot gram cannot blow up any task, so no cap is needed.
+    "q_dedup_substr" -> ((s, dir) => {
+      import s.implicits._
+      Vec.ensureRegistered(s)
+      val grams = Tables.load(s, dir, "documents")
+        .select($"doc_id", words($"text").as("w"))
+        .filter(size($"w") >= 10)
+        .select($"doc_id", explode(shingles($"w", 10)).as("g"))
+        .select($"doc_id", tokenHash($"g").as("h"))
+      val byGram = grams.groupBy($"h")
+        .agg(countDistinct($"doc_id").as("n_docs"))
+      grams.join(byGram, "h")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when($"n_docs" >= 2, 1L).otherwise(0L)).as("n_dup"))
+        .withColumn("dup_ratio", $"n_dup".cast("double") / $"n_grams")
+    }),
+
     // Embedding-cosine near-dup pairs via integer-quantized vectors.
     // EXPLICITLY BOUNDED probe side (like q_dedup_ngram's doc_id guard):
     // probe rows × corpus is linear in corpus size, not quadratic — the
@@ -547,6 +576,12 @@ object Dedup extends QueryPack {
   }
   private val oShingle2 =
     "list_distinct([w[i]||' '||w[i+1] for i in generate_series(1, len(w)-1)])"
+  // NOT distinct: q_dedup_substr counts gram POSITIONS, so in-doc repeats
+  // must survive
+  private val oShingle10 = {
+    val terms = (0 until 10).map(k => s"w[i+$k]").mkString("||' '||")
+    s"[$terms for i in generate_series(1, len(w)-9)]"
+  }
   private def oTokenHash(v: String) =
     s"list_sum([(CAST(strpos('0123456789abcdef', substr(md5($v), i, 1)) AS BIGINT)-1) << (4*(15-i)) for i in generate_series(1,15)])"
 
@@ -654,6 +689,19 @@ object Dedup extends QueryPack {
          |SELECT t.doc_id, COUNT(DISTINCT t.g) AS n_overlap
          |FROM train t JOIN bench b ON t.g = b.g
          |GROUP BY t.doc_id""".stripMargin,
+
+    "q_dedup_substr" ->
+      s"""WITH w AS (SELECT doc_id, regexp_split_to_array(text,' ') w FROM documents),
+         |g AS (SELECT doc_id, unnest($oShingle10) AS g
+         |  FROM w WHERE len(w) >= 10),
+         |h AS (SELECT doc_id, ${oTokenHash("g")} AS h FROM g),
+         |nd AS (SELECT h, COUNT(DISTINCT doc_id) AS n_docs FROM h GROUP BY h)
+         |SELECT doc_id, COUNT(*) AS n_grams,
+         |  CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         |  CAST(SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / COUNT(*) AS dup_ratio
+         |FROM h JOIN nd USING (h)
+         |GROUP BY doc_id""".stripMargin,
 
     "q_dedup_embed" ->
       s"""WITH q AS (SELECT vec_id, $oQuant AS qe FROM embeddings),

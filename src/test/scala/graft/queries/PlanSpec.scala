@@ -121,4 +121,47 @@ class PlanSpec extends SparkSpec {
     // block offsets join must broadcast, never shuffle the corpus
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("q8_marketshare: every dim broadcast; lineitem⋈orders is the one shuffle join") {
+    val p = plan("q8_marketshare")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(broadcasts >= 3, s"expected >=3 broadcast joins, got $broadcasts\n$p")
+    val shuffleJoins = ("SortMergeJoin".r.findAllIn(p).size
+      + "ShuffledHashJoin".r.findAllIn(p).size)
+    assert(shuffleJoins <= 1, s"expected <=1 shuffling join, got $shuffleJoins\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q17_smallqty: brand parts broadcast; per-part averages shuffle on partkey") {
+    val p = plan("q17_smallqty")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("hashpartitioning(l_partkey"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q21_waiting: per-order aggregates instead of correlated probes — no cartesian, dims broadcast") {
+    val p = plan("q21_waiting")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // supplier + nation ride broadcasts; the l_orderkey-keyed joins may
+    // shuffle (they carry the corpus) but nothing quadratic appears
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("hashpartitioning(l_orderkey") ||
+      p.contains("hashpartitioning(ns_key") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q_window_cumulate: codegen'd explode, one aggregation shuffle") {
+    val p = plan("q_window_cumulate")
+    assert(p.contains("Generate explode"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly 1 shuffle, got $exchanges\n$p")
+  }
+
+  test("q_dedup_substr: inverted gram index — hash-keyed joins only, no pair expansion") {
+    val p = plan("q_dedup_substr")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // grams join back to per-gram counts on the 60-bit hash
+    assert(p.contains("hashpartitioning(h"), p)
+  }
 }
