@@ -56,7 +56,26 @@ object Bench {
     val errs = errors.map { case (k, v) => JsonUtil.str(k) + ":" + JsonUtil.str(v) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${errors.size},"sf":"$sfDir"}""")
+    // Full-detail line first (all queries, full precision) for humans and
+    // post-hoc analysis...
+    println(s"""{"metric":"detail","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${errors.size},"sf":"$sfDir"}""")
+    // ...then the FINAL line is a compact summary guaranteed to fit the
+    // harness's 2 KB stdout-tail window (the full 115-query map is ~3 KB
+    // and was truncated mid-line in every prior round, so the driver
+    // recorded parsed:null). Headline subset, 3-decimal values.
+    val headline = Seq(
+      "q1_agg", "q3_join_topk", "q6_forecast", "q_join_multiway",
+      "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
+      "q_dedup_cluster", "q_dedup_embed", "q_ann_brute", "q_ann_lsh",
+      "q_ann_ivf", "q_text_quality", "q_text_ngram_freq", "q_text_langid",
+      "q_agg_rollup", "q_win_topn", "q_cte", "q_sub_corr",
+      "q_window_tumble", "q_stream_tumble", "q_stream_continuous",
+      "q_gate_script", "q_gate_flink_tumble", "q_media_features",
+      "q_train_split")
+    def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val hs = headline.flatMap(k => results.get(k).map(v => JsonUtil.str(k) + ":" + r3(v)))
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$hs,"n_queries":${results.size},"n_failed":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(3)
   }

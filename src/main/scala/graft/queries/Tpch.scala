@@ -19,6 +19,15 @@ import org.apache.spark.sql.functions._
   * anti-join (Q21/Q22 adapted: lateness = shipped >90 days after the
   * order date, country = nation key, since the trimmed schema has no
   * receiptdate/phone).
+  *
+  * With the partsupp-dependent five adapted to lineitem-derived costs
+  * (Q2 min-cost supplier, Q9 profit star join, Q11 scalar-threshold
+  * HAVING, Q15 max-equality revenue view, Q20 nested grouped-HAVING
+  * semi-join — adaptations documented per query) and Q5 living in the
+  * Joins pack as `q_join_multiway`, all 22 classic TPC-H shapes are
+  * oracle-checked. Q20's and Q11's thresholds are scale-invariant
+  * (multiples of a mean, not of a total) so the queries stay
+  * non-degenerate at every SF.
   */
 object Tpch extends QueryPack {
   import Num._
@@ -296,6 +305,141 @@ object Tpch extends QueryPack {
           $"c_custkey" === $"o_custkey", "left_anti")
         .groupBy($"c_nationkey".as("cntry"))
         .agg(count(lit(1)).as("numcust"), dsum2($"c_acctbal").as("totacctbal"))
+    }),
+
+    // Q2 shape (adapted: supply cost = the supplier's best observed
+    // per-unit price from lineitem; the trimmed schema has no
+    // partsupp): for sized parts, the (part, supplier) pairs within one
+    // region whose unit cost equals the part's regional minimum. The
+    // correlated MIN subquery becomes a groupBy on the SAME
+    // region-filtered unit-cost table joined back on (part, cost) —
+    // one lineitem aggregation, reused for both sides; dims broadcast.
+    "q2_mincost" -> ((s, dir) => {
+      import s.implicits._
+      val regionSupp = Tables.load(s, dir, "supplier")
+        .join(broadcast(Tables.load(s, dir, "nation")),
+          $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.load(s, dir, "region")
+          .filter($"r_name" === "EUROPE")),
+          $"n_regionkey" === $"r_regionkey")
+        .select($"s_suppkey", $"s_name", $"s_acctbal", $"n_name")
+      val unit = Tables.load(s, dir, "lineitem")
+        .groupBy($"l_partkey", $"l_suppkey")
+        .agg(min($"l_extendedprice" / $"l_quantity").as("unit_cost"))
+        .join(broadcast(regionSupp), $"l_suppkey" === $"s_suppkey")
+      val minCost = unit.groupBy($"l_partkey".as("mc_key"))
+        .agg(min($"unit_cost").as("min_cost"))
+      unit
+        .join(minCost,
+          $"l_partkey" === $"mc_key" && $"unit_cost" === $"min_cost")
+        .join(broadcast(Tables.load(s, dir, "part")
+          .filter($"p_size" === 13)),
+          $"l_partkey" === $"p_partkey")
+        .select($"s_acctbal", $"s_name", $"n_name", $"p_partkey",
+          $"p_brand", $"unit_cost")
+        .orderBy($"s_acctbal".desc, $"n_name", $"s_name", $"p_partkey")
+        .limit(100)
+    }),
+
+    // Q9 shape (adapted: cost = half the part's retail price per unit;
+    // no ps_supplycost in the trimmed schema): profit by supplier
+    // nation and order year for one part family. Star joins with every
+    // dim broadcast; the only corpus shuffle is the final group-by.
+    "q9_profit" -> ((s, dir) => {
+      import s.implicits._
+      Tables.load(s, dir, "lineitem")
+        .join(Tables.load(s, dir, "orders")
+          .select($"o_orderkey", $"o_orderdate"),
+          $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(Tables.load(s, dir, "supplier")),
+          $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(Tables.load(s, dir, "nation")),
+          $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.load(s, dir, "part")
+          .filter($"p_name".like("%gear%"))),
+          $"l_partkey" === $"p_partkey")
+        .groupBy($"n_name".as("supp_nation"),
+          year($"o_orderdate").as("o_year"))
+        .agg(dsum6($"l_extendedprice" * (lit(1.0) - $"l_discount") -
+          lit(0.5) * $"p_retailprice" * $"l_quantity").as("profit"))
+    }),
+
+    // Q11 shape (adapted: inventory value = discounted revenue per part
+    // from two nations' suppliers; no partsupp availqty): parts whose
+    // value exceeds a scale-invariant threshold (1.5× the average part
+    // value — the classic fixed fraction of the total breaks at any
+    // other SF). Scalar subquery over the SAME aggregated table,
+    // broadcast as a 1-row cross join.
+    "q11_important" -> ((s, dir) => {
+      import s.implicits._
+      val supp2 = Tables.load(s, dir, "supplier")
+        .join(broadcast(Tables.load(s, dir, "nation")
+          .filter($"n_name".isin("NATION_7", "NATION_8"))),
+          $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey")
+      val value = Tables.load(s, dir, "lineitem")
+        .join(broadcast(supp2), $"l_suppkey" === $"s_suppkey")
+        .groupBy($"l_partkey")
+        .agg(dsum6($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+          .as("part_value"))
+      val threshold = value.agg(
+        (lit(1.5) * dsum6($"part_value") / count(lit(1))).as("cut"))
+      value.crossJoin(broadcast(threshold))
+        .filter($"part_value" > $"cut")
+        .select($"l_partkey".as("p_key"), $"part_value")
+    }),
+
+    // Q15 shape: quarterly revenue per supplier; the supplier(s) at the
+    // exact maximum. Exact decimal sums make the MAX-equality
+    // deterministic on both engines; the 1-row max broadcasts.
+    "q15_topsupp" -> ((s, dir) => {
+      import s.implicits._
+      val revenue = Tables.load(s, dir, "lineitem")
+        .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1996-04-01").cast("timestamp"))
+        .groupBy($"l_suppkey".as("supplier_no"))
+        .agg(dsum6($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+          .as("total_revenue"))
+      val maxRev = revenue.agg(max($"total_revenue").as("max_rev"))
+      Tables.load(s, dir, "supplier")
+        .join(revenue, $"s_suppkey" === $"supplier_no")
+        .crossJoin(broadcast(maxRev))
+        .filter($"total_revenue" === $"max_rev")
+        .select($"s_suppkey", $"s_name", $"total_revenue")
+    }),
+
+    // Q20 shape (adapted: "has excess stock" = sold more than half the
+    // mean per-supplier quantity of the part family; no partsupp
+    // availqty): region suppliers selected by a nested grouped-HAVING
+    // subquery against an aggregate threshold. Integral quantities keep
+    // the double sums exact; both the per-supplier totals and the
+    // threshold come from ONE filtered lineitem∙part pass reused across
+    // both branches.
+    "q20_potential" -> ((s, dir) => {
+      import s.implicits._
+      val familyLines = Tables.load(s, dir, "lineitem")
+        .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1997-01-01").cast("timestamp"))
+        .join(broadcast(Tables.load(s, dir, "part")
+          .filter($"p_name".like("small%"))),
+          $"l_partkey" === $"p_partkey")
+        .select($"l_suppkey", $"l_quantity")
+      val perSupp = familyLines.groupBy($"l_suppkey")
+        .agg(sum($"l_quantity").as("qty"))
+      val cut = perSupp.agg(
+        (lit(0.5) * sum($"qty") / count(lit(1))).as("half_mean"))
+      val qualified = perSupp.crossJoin(broadcast(cut))
+        .filter($"qty" > $"half_mean")
+        .select($"l_suppkey")
+      Tables.load(s, dir, "supplier")
+        .join(broadcast(Tables.load(s, dir, "nation")),
+          $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.load(s, dir, "region")
+          .filter($"r_name" === "AMERICA")),
+          $"n_regionkey" === $"r_regionkey")
+        .join(qualified, $"s_suppkey" === $"l_suppkey", "left_semi")
+        .select($"s_name", $"s_acctbal")
+        .orderBy($"s_name")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -452,5 +596,80 @@ object Tpch extends QueryPack {
          |    FROM customer
          |    WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 3, 5, 7, 9))
          |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-         |GROUP BY c_nationkey""".stripMargin)
+         |GROUP BY c_nationkey""".stripMargin,
+
+    "q2_mincost" ->
+      """WITH unit AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    MIN(l_extendedprice / l_quantity) AS unit_cost
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+        |eunit AS (
+        |  SELECT u.*, s_name, s_acctbal, n_name FROM unit u
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE')
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, unit_cost
+        |FROM eunit JOIN part ON p_partkey = l_partkey
+        |WHERE p_size = 13
+        |  AND unit_cost = (SELECT MIN(e2.unit_cost) FROM eunit e2
+        |                   WHERE e2.l_partkey = p_partkey)
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+
+    "q9_profit" ->
+      s"""SELECT n_name AS supp_nation, year(o_orderdate) AS o_year,
+         |  ${oSum6("l_extendedprice*(1.0-l_discount) - 0.5*p_retailprice*l_quantity")} AS profit
+         |FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  JOIN part ON l_partkey = p_partkey
+         |WHERE p_name LIKE '%gear%'
+         |GROUP BY n_name, year(o_orderdate)""".stripMargin,
+
+    "q11_important" ->
+      s"""WITH val AS (
+         |  SELECT l_partkey,
+         |    ${oSum6("l_extendedprice*(1.0-l_discount)")} AS part_value
+         |  FROM lineitem
+         |    JOIN supplier ON l_suppkey = s_suppkey
+         |    JOIN nation ON s_nationkey = n_nationkey
+         |  WHERE n_name IN ('NATION_7', 'NATION_8')
+         |  GROUP BY l_partkey)
+         |SELECT l_partkey AS p_key, part_value FROM val
+         |WHERE part_value > (
+         |  SELECT 1.5 * ${oSum6("part_value")} / COUNT(*) FROM val)""".stripMargin,
+
+    "q15_topsupp" ->
+      s"""WITH revenue AS (
+         |  SELECT l_suppkey AS supplier_no,
+         |    ${oSum6("l_extendedprice*(1.0-l_discount)")} AS total_revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |    AND l_shipdate < TIMESTAMP '1996-04-01'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, total_revenue
+         |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+         |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)""".stripMargin,
+
+    "q20_potential" ->
+      """WITH family AS (
+        |  SELECT l_suppkey, l_quantity
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'small%'
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'),
+        |per_supp AS (
+        |  SELECT l_suppkey, SUM(l_quantity) AS qty
+        |  FROM family GROUP BY l_suppkey)
+        |SELECT s_name, s_acctbal
+        |FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'AMERICA'
+        |  AND s_suppkey IN (
+        |    SELECT l_suppkey FROM per_supp
+        |    WHERE qty > (SELECT 0.5 * SUM(qty) / COUNT(*) FROM per_supp))
+        |ORDER BY s_name""".stripMargin)
 }
