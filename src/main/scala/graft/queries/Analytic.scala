@@ -86,6 +86,27 @@ object Analytic extends QueryPack {
         .distinct()
     }),
 
+    // Time-RANGE window frame (RANGE BETWEEN INTERVAL ... PRECEDING):
+    // 30-day trailing spend per customer. Spark's RANGE frames take a
+    // numeric order key, so the frame runs over unix microseconds with
+    // a 30-day µs bound — value-based peers, identical to the oracle's
+    // timestamp RANGE frame (orderdates are midnights, no sub-µs risk).
+    // One shuffle on the partition key; the frame itself is a
+    // single-pass sliding sum within each sorted partition.
+    "q_win_range_interval" -> ((s, dir) => {
+      import s.implicits._
+      val DayUs = 86400L * 1000000L
+      // o_orderdate loads as TIMESTAMP_NTZ; the session TZ is pinned to
+      // UTC, so the cast to TIMESTAMP is value-identity.
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy(unix_micros($"o_orderdate".cast("timestamp")))
+        .rangeBetween(-30L * DayUs, 0L)
+      Tables.load(s, dir, "orders")
+        .select($"o_custkey", $"o_orderkey",
+          dwin2($"o_totalprice", w).as("trail_sum"),
+          count(lit(1)).over(w).as("trail_n"))
+    }),
+
     // ROLLUP over (mktsegment, nation bucket) with GROUPING markers.
     "q_agg_rollup" -> ((s, dir) => {
       import s.implicits._
@@ -318,6 +339,17 @@ object Analytic extends QueryPack {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+
+    "q_win_range_interval" ->
+      s"""SELECT o_custkey, o_orderkey,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+         |    PARTITION BY o_custkey ORDER BY o_orderdate
+         |    RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+         |    AS DOUBLE) AS trail_sum,
+         |  COUNT(*) OVER (
+         |    PARTITION BY o_custkey ORDER BY o_orderdate
+         |    RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW) AS trail_n
+         |FROM orders""".stripMargin,
 
     "q_agg_rollup" ->
       s"""SELECT c_mktsegment, nbucket, GROUPING(c_mktsegment) AS g_seg,

@@ -5,9 +5,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Generator (UDTF-shape) explode, exact order-statistics, and histogram
-  * bucketing — distribution-analysis operators a data pipeline leans on,
-  * all deterministic and oracle-checked.
+/** Generator (UDTF-shape) explode, exact order-statistics, histogram
+  * bucketing, and Z-order layout keys — distribution-analysis and
+  * file-layout operators a data pipeline leans on, all deterministic
+  * and oracle-checked.
   */
 object Shapes extends QueryPack {
   import Num._
@@ -112,6 +113,26 @@ object Shapes extends QueryPack {
         .select(least(floor($"o_totalprice" / 50000.0), lit(9L)).as("bucket"))
         .groupBy($"bucket")
         .agg(count(lit(1)).as("n"))
+    }),
+
+    // Z-order (Morton) clustering key over two dimensions: the layout
+    // primitive behind multi-column data skipping (ZOrder.clusterBy2
+    // range-partitions files on this key at write time). The query
+    // checks the exact interleave arithmetic — per Z-bucket, both
+    // dimensions stay in a tight min/max envelope, which is precisely
+    // what lets parquet row-group stats prune on EITHER predicate.
+    "q_zorder_layout" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.ZOrder
+      val a = $"p_size".cast("long")
+      val b = floor($"p_retailprice").cast("long") - 900L
+      Tables.load(s, dir, "part")
+        .select(a.as("a"), b.as("b"),
+          ZOrder.zValue2(a, b).as("zval"))
+        .groupBy(shiftright($"zval", 8).as("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min($"a").as("min_size"), max($"a").as("max_size"),
+          min($"b").as("min_pb"), max($"b").as("max_pb"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -178,5 +199,26 @@ object Shapes extends QueryPack {
     "q_histogram" ->
       """SELECT LEAST(CAST(floor(o_totalprice / 50000.0) AS BIGINT), 9)
         |  AS bucket, COUNT(*) AS n
-        |FROM orders GROUP BY 1""".stripMargin)
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    // The same mask-shift Morton cascade as ZOrder.spread16, spelled in
+    // portable bitwise SQL.
+    "q_zorder_layout" ->
+      """WITH base AS (
+        |  SELECT CAST(p_size AS BIGINT) AS a,
+        |    CAST(floor(p_retailprice) AS BIGINT) - 900 AS b
+        |  FROM part),
+        |s1 AS (SELECT *, (a | (a << 8)) & 16711935 AS a1,
+        |               (b | (b << 8)) & 16711935 AS b1 FROM base),
+        |s2 AS (SELECT *, (a1 | (a1 << 4)) & 252645135 AS a2,
+        |               (b1 | (b1 << 4)) & 252645135 AS b2 FROM s1),
+        |s3 AS (SELECT *, (a2 | (a2 << 2)) & 858993459 AS a3,
+        |               (b2 | (b2 << 2)) & 858993459 AS b3 FROM s2),
+        |s4 AS (SELECT *, (a3 | (a3 << 1)) & 1431655765 AS a4,
+        |               (b3 | (b3 << 1)) & 1431655765 AS b4 FROM s3),
+        |z AS (SELECT a, b, (a4 | (b4 << 1)) AS zval FROM s4)
+        |SELECT zval >> 8 AS zbucket, COUNT(*) AS n,
+        |  MIN(a) AS min_size, MAX(a) AS max_size,
+        |  MIN(b) AS min_pb, MAX(b) AS max_pb
+        |FROM z GROUP BY zval >> 8""".stripMargin)
 }

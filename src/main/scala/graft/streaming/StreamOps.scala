@@ -55,7 +55,8 @@ object StreamOps {
     * need unambiguous column names across sides).
     */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
-      lTs: String, rTs: String, delay: String, within: String): DataFrame = {
+      lTs: String, rTs: String, delay: String, within: String,
+      joinType: String = "inner"): DataFrame = {
     require(lTs != rTs,
       s"left/right time columns must have distinct names, both were '$lTs'")
     require(right.columns.contains(s"r_$key"),
@@ -63,10 +64,17 @@ object StreamOps {
         s"(has: ${right.columns.mkString(", ")})")
     require(right.columns.contains(rTs),
       s"right side is missing time column '$rTs'")
+    // Outer variants are legal here because BOTH the watermarks and the
+    // time-range condition bound the state: an unmatched left row emits
+    // with nulls only once the watermark proves no right row within
+    // [lTs, lTs + within] can still arrive (Flink's outer interval-join
+    // semantics). Spark accepts left_outer/right_outer/full_outer for
+    // exactly this shape.
     left.withWatermark(lTs, delay)
       .join(right.withWatermark(rTs, delay),
         expr(s"$key = r_$key AND $rTs >= $lTs AND " +
-          s"$rTs <= $lTs + INTERVAL $within"))
+          s"$rTs <= $lTs + INTERVAL $within"),
+        joinType)
   }
 
   /** Exact-once-per-key event dedup inside the watermark horizon — the

@@ -95,6 +95,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join: unmatched left emits nulls " +
+      "after the watermark closes its window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val buys = MemoryStream[Ev]
+    val joined = StreamOps.intervalJoin(
+      clicks.toDF().select($"user", $"ts"),
+      buys.toDF().select($"user".as("r_user"), $"ts".as("bts"), $"value"),
+      "user", "ts", "bts", "1 minute", "'10' MINUTE",
+      joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("ljoin_t")
+      .outputMode("append").start()
+    try {
+      clicks.addData(Ev(1, "c", t(0), 0), Ev(2, "c", t(0), 0))
+      buys.addData(Ev(1, "b", t(5), 9.5)) // matches user 1's window
+      q.processAllAvailable()
+      // push the watermark far past t(0)+10min+delay on BOTH sides so
+      // user 2's join window provably closes
+      clicks.addData(Ev(9, "c", t(60), 0))
+      buys.addData(Ev(9, "b", t(60), 0))
+      q.processAllAvailable()
+      val rows = spark.table("ljoin_t")
+        .select($"user", $"r_user", $"value")
+        .as[(Long, Option[Long], Option[Double])].collect().toSet
+        .filter(_._1 != 9L)
+      // user 1 matched inside the interval; user 2 emitted exactly once,
+      // null-padded, only after the horizon passed
+      assert(rows == Set((1L, Some(1L), Some(9.5)),
+        (2L, None, None)))
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark: replayed events collapse") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
