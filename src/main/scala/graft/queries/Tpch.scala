@@ -323,7 +323,14 @@ object Tpch extends QueryPack {
           .filter($"r_name" === "EUROPE")),
           $"n_regionkey" === $"r_regionkey")
         .select($"s_suppkey", $"s_name", $"s_acctbal", $"n_name")
+      val sizedParts = Tables.load(s, dir, "part").filter($"p_size" === 13)
+      // The size filter drops whole parts, so pushing it BELOW the
+      // (partkey, suppkey) aggregation via a broadcast semi-join cannot
+      // change any part's regional minimum — and shrinks the corpus
+      // shuffle to the qualifying ~2% of parts.
       val unit = Tables.load(s, dir, "lineitem")
+        .join(broadcast(sizedParts.select($"p_partkey".as("sz_key"))),
+          $"l_partkey" === $"sz_key", "left_semi")
         .groupBy($"l_partkey", $"l_suppkey")
         .agg(min($"l_extendedprice" / $"l_quantity").as("unit_cost"))
         .join(broadcast(regionSupp), $"l_suppkey" === $"s_suppkey")
@@ -332,9 +339,7 @@ object Tpch extends QueryPack {
       unit
         .join(minCost,
           $"l_partkey" === $"mc_key" && $"unit_cost" === $"min_cost")
-        .join(broadcast(Tables.load(s, dir, "part")
-          .filter($"p_size" === 13)),
-          $"l_partkey" === $"p_partkey")
+        .join(broadcast(sizedParts), $"l_partkey" === $"p_partkey")
         .select($"s_acctbal", $"s_name", $"n_name", $"p_partkey",
           $"p_brand", $"unit_cost")
         .orderBy($"s_acctbal".desc, $"n_name", $"s_name", $"p_partkey")
@@ -377,11 +382,14 @@ object Tpch extends QueryPack {
           .filter($"n_name".isin("NATION_7", "NATION_8"))),
           $"s_nationkey" === $"n_nationkey")
         .select($"s_suppkey")
+      // Materialized once for the same reason as q15: the threshold
+      // probe and the filter would otherwise each re-aggregate lineitem.
       val value = Tables.load(s, dir, "lineitem")
         .join(broadcast(supp2), $"l_suppkey" === $"s_suppkey")
         .groupBy($"l_partkey")
         .agg(dsum6($"l_extendedprice" * (lit(1.0) - $"l_discount"))
           .as("part_value"))
+        .localCheckpoint()
       val threshold = value.agg(
         (lit(1.5) * dsum6($"part_value") / count(lit(1))).as("cut"))
       value.crossJoin(broadcast(threshold))
@@ -391,7 +399,12 @@ object Tpch extends QueryPack {
 
     // Q15 shape: quarterly revenue per supplier; the supplier(s) at the
     // exact maximum. Exact decimal sums make the MAX-equality
-    // deterministic on both engines; the 1-row max broadcasts.
+    // deterministic on both engines; the 1-row max broadcasts. The
+    // per-supplier view is materialized once (localCheckpoint,
+    // executor-local blocks — it's tiny relative to the corpus) because
+    // the max probe and the equality join would otherwise each re-scan
+    // lineitem: ReuseExchange does not dedup the two aggregation
+    // subtrees once the alias diverges, measured in PlanSpec.
     "q15_topsupp" -> ((s, dir) => {
       import s.implicits._
       val revenue = Tables.load(s, dir, "lineitem")
@@ -400,6 +413,7 @@ object Tpch extends QueryPack {
         .groupBy($"l_suppkey".as("supplier_no"))
         .agg(dsum6($"l_extendedprice" * (lit(1.0) - $"l_discount"))
           .as("total_revenue"))
+        .localCheckpoint()
       val maxRev = revenue.agg(max($"total_revenue").as("max_rev"))
       Tables.load(s, dir, "supplier")
         .join(revenue, $"s_suppkey" === $"supplier_no")
@@ -426,6 +440,7 @@ object Tpch extends QueryPack {
         .select($"l_suppkey", $"l_quantity")
       val perSupp = familyLines.groupBy($"l_suppkey")
         .agg(sum($"l_quantity").as("qty"))
+        .localCheckpoint() // threshold + filter share one corpus pass
       val cut = perSupp.agg(
         (lit(0.5) * sum($"qty") / count(lit(1))).as("half_mean"))
       val qualified = perSupp.crossJoin(broadcast(cut))
@@ -437,7 +452,7 @@ object Tpch extends QueryPack {
         .join(broadcast(Tables.load(s, dir, "region")
           .filter($"r_name" === "AMERICA")),
           $"n_regionkey" === $"r_regionkey")
-        .join(qualified, $"s_suppkey" === $"l_suppkey", "left_semi")
+        .join(broadcast(qualified), $"s_suppkey" === $"l_suppkey", "left_semi")
         .select($"s_name", $"s_acctbal")
         .orderBy($"s_name")
     }))

@@ -164,4 +164,52 @@ class PlanSpec extends SparkSpec {
     // grams join back to per-gram counts on the 60-bit hash
     assert(p.contains("hashpartitioning(h"), p)
   }
+
+  test("q2_mincost: size filter semi-joins BELOW the unit-cost aggregation") {
+    val p = plan("q2_mincost")
+    // the sized-part semi-join must gate the lineitem scan before the
+    // (partkey, suppkey) groupBy — the corpus shuffle then carries only
+    // qualifying parts; and the global order runs as top-k, not a sort
+    assert(p.contains("LeftSemi"), p)
+    assert(p.indexOf("LeftSemi") > p.indexOf("HashAggregate"),
+      "semi-join should appear below (after, in plan text) the aggregate\n" + p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q9_profit: star dims all broadcast, single aggregation shuffle") {
+    val p = plan("q9_profit")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    assert(!p.contains("CartesianProduct"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"expected <=1 shuffle, got $exchanges\n$p")
+  }
+
+  test("q15_topsupp: revenue view materialized once — no lineitem re-scan") {
+    // ReuseExchange does NOT dedup the max-probe and join subtrees
+    // (measured: two separate hashpartitioning(l_suppkey) stages), so
+    // the query localCheckpoints the small per-supplier view; the final
+    // plan must read the materialized blocks, not parquet.
+    val p = plan("q15_topsupp")
+    assert(!p.contains("lineitem.parquet"),
+      "final plan should consume the checkpointed revenue view\n" + p)
+    assert(p.contains("ExistingRDD") || p.contains("Scan\n"), p)
+  }
+
+  test("q_win_range_interval: one partition shuffle, RANGE frame, no global sort") {
+    val p = plan("q_win_range_interval")
+    assert(p.contains("RangeFrame"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly 1 shuffle, got $exchanges\n$p")
+    assert(!p.contains("rangepartitioning"), p) // per-group sort only
+  }
+
+  test("q_zorder_layout: pure scan→agg — interleave stays in the projection") {
+    val p = plan("q_zorder_layout")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly 1 exchange, got $exchanges\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("Invoke"), p)
+    // scan pruned to the two clustered dimensions
+    assert(p.contains("ReadSchema: struct<p_size:int,p_retailprice:double>"), p)
+  }
 }
