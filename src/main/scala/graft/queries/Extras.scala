@@ -84,6 +84,37 @@ object Extras extends QueryPack {
         .select($"l_returnflag", $"exact_parts",
           (abs($"approx_parts" - $"exact_parts") <=
             $"exact_parts" * 0.15).as("approx_within_tol"))
+    }),
+
+    // Order-independent table checksum — the migration-validation tool a
+    // user switching engines runs on both sides: each row canonicalizes
+    // to an explicit string form (decimals at fixed scale, timestamps at
+    // second precision — never engine-default float/ts formatting), the
+    // first 32 bits of its md5 sum across rows. Commutative, so the
+    // checksum is partitioning- and order-invariant; 100% distributed
+    // (scan → partial sums).
+    "q_table_checksum" -> ((s, dir) => {
+      import s.implicits._
+      def sum32(rowStr: org.apache.spark.sql.Column) =
+        sum(conv(substring(md5(rowStr), 1, 8), 16, 10).cast("long"))
+      val orders = Tables.load(s, dir, "orders").agg(
+        count(lit(1)).as("n_rows"),
+        sum32(concat_ws("|",
+          $"o_orderkey".cast("string"), $"o_custkey".cast("string"),
+          $"o_orderstatus",
+          $"o_totalprice".cast("decimal(18,2)").cast("string"),
+          date_format($"o_orderdate", "yyyy-MM-dd HH:mm:ss"),
+          $"o_orderpriority")).as("checksum"))
+        .select(lit("orders").as("tbl"), $"n_rows", $"checksum")
+      val customer = Tables.load(s, dir, "customer").agg(
+        count(lit(1)).as("n_rows"),
+        sum32(concat_ws("|",
+          $"c_custkey".cast("string"), $"c_name",
+          $"c_nationkey".cast("string"),
+          $"c_acctbal".cast("decimal(18,2)").cast("string"),
+          $"c_mktsegment")).as("checksum"))
+        .select(lit("customer").as("tbl"), $"n_rows", $"checksum")
+      orders.unionByName(customer)
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -124,5 +155,23 @@ object Extras extends QueryPack {
         |    ORDER BY regexp_extract(c_name, '([0-9]+)', 1)) AS nums,
         |  COUNT(*) AS n
         |FROM customer WHERE c_custkey < 200
-        |GROUP BY c_mktsegment""".stripMargin)
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q_table_checksum" ->
+      """SELECT 'orders' AS tbl, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST('0x' || substr(md5(
+        |    CAST(o_orderkey AS VARCHAR) || '|' ||
+        |    CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|' ||
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) || '|' ||
+        |    strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || '|' ||
+        |    o_orderpriority), 1, 8) AS BIGINT)) AS BIGINT) AS checksum
+        |FROM orders
+        |UNION ALL
+        |SELECT 'customer' AS tbl, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST('0x' || substr(md5(
+        |    CAST(c_custkey AS VARCHAR) || '|' || c_name || '|' ||
+        |    CAST(c_nationkey AS VARCHAR) || '|' ||
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR) || '|' ||
+        |    c_mktsegment), 1, 8) AS BIGINT)) AS BIGINT) AS checksum
+        |FROM customer""".stripMargin)
 }

@@ -63,6 +63,28 @@ object TextAnalysis extends QueryPack {
           (stopRatio * 0.5 + meanLen * 0.1).as("quality_score"))
     }),
 
+    // Sequential quality-filter funnel (the Gopher-rules shape): every
+    // document is attributed to its FIRST failing rule, so the per-stage
+    // drop counts reconcile exactly to the corpus total — the report a
+    // pipeline owner reads before/after retuning thresholds. One pass,
+    // all features the same codegen arithmetic as q_text_quality.
+    "q_filter_funnel" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val w = words($"text")
+      val nTok = size(w)
+      val meanLen = (length($"text") - (nTok - lit(1))).cast("double") / nTok
+      val stopRatio = countIn(w, Stopwords).cast("double") / nTok
+      val stage = when(nTok < 20, "r1_too_short")
+        .when(meanLen < 4.2, "r2_short_tokens")
+        .when(stopRatio < 0.02, "r3_no_stopwords")
+        .otherwise("kept")
+      Tables.load(s, dir, "documents")
+        .select(stage.as("stage"))
+        .groupBy($"stage")
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // Language-ID heuristic: marker-word hit counts per language,
     // argmax with deterministic tie-break, confusion counts vs the
     // metadata label.
@@ -230,6 +252,21 @@ object TextAnalysis extends QueryPack {
            |  (CAST(list_sum([length(x) for x in w]) AS DOUBLE) / len(w)) * 0.1
            |    AS quality_score
            |FROM t""".stripMargin,
+
+      "q_filter_funnel" ->
+        s"""WITH t AS (SELECT
+           |    len(regexp_split_to_array(text, ' ')) AS n_tok,
+           |    CAST(length(text) - (len(regexp_split_to_array(text, ' ')) - 1)
+           |      AS DOUBLE) / len(regexp_split_to_array(text, ' ')) AS mean_len,
+           |    CAST(len(list_filter(regexp_split_to_array(text, ' '),
+           |      x -> list_contains($oStop, x))) AS DOUBLE)
+           |      / len(regexp_split_to_array(text, ' ')) AS stop_ratio
+           |  FROM documents)
+           |SELECT CASE WHEN n_tok < 20 THEN 'r1_too_short'
+           |            WHEN mean_len < 4.2 THEN 'r2_short_tokens'
+           |            WHEN stop_ratio < 0.02 THEN 'r3_no_stopwords'
+           |            ELSE 'kept' END AS stage, COUNT(*) AS n
+           |FROM t GROUP BY 1""".stripMargin,
 
       "q_text_langid" ->
         s"""WITH t AS (SELECT lang, regexp_split_to_array(text, ' ') AS w
