@@ -58,7 +58,19 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     // Full-detail line first (all queries, full precision) for humans and
     // post-hoc analysis...
-    println(s"""{"metric":"detail","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${errors.size},"sf":"$sfDir"}""")
+    val detail =
+      s"""{"metric":"detail","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"n_failed":${errors.size},"sf":"$sfDir"}"""
+    println(detail)
+    // ...persisted to a file too: the driver's 2 KB stdout-tail truncates
+    // the detail line, and the judge needed a full re-run last round just
+    // to adjudicate noise vs regression. The file survives the round.
+    try {
+      new java.io.File("dev").mkdirs()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("dev/bench_full.json"), detail + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write dev/bench_full.json: $e")
+    }
     // ...then the FINAL line is a compact summary guaranteed to fit the
     // harness's 2 KB stdout-tail window (the full 115-query map is ~3 KB
     // and was truncated mid-line in every prior round, so the driver
@@ -72,7 +84,11 @@ object Bench {
       "q_window_tumble", "q_stream_tumble", "q_stream_continuous",
       "q_gate_script", "q_gate_flink_tumble", "q_media_features",
       "q_train_split")
-    def r3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // Locale.ROOT: the f interpolator is locale-sensitive, and a comma
+    // decimal separator would make the JSON line unparseable.
+    def r3(v: Double): String =
+      if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val hs = headline.flatMap(k => results.get(k).map(v => JsonUtil.str(k) + ":" + r3(v)))
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$hs,"n_queries":${results.size},"n_failed":${errors.size},"sf":"$sfDir"}""")

@@ -46,9 +46,14 @@ object ZOrder {
     */
   def clusterBy2(df: DataFrame, a: Column, b: Column,
       numFiles: Int): DataFrame = {
-    val keyed = df.withColumn("__z", zValue2(a, b))
-    keyed.repartitionByRange(numFiles, col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .drop("__z")
+    // collision-proof internal key name: a user column named "__z" must
+    // not be silently overwritten and dropped
+    val zkey = "__graft_zkey"
+    require(!df.columns.contains(zkey),
+      s"input already has a $zkey column")
+    val keyed = df.withColumn(zkey, zValue2(a, b))
+    keyed.repartitionByRange(numFiles, col(zkey))
+      .sortWithinPartitions(col(zkey))
+      .drop(zkey)
   }
 }

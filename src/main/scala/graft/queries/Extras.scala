@@ -97,22 +97,27 @@ object Extras extends QueryPack {
       import s.implicits._
       def sum32(rowStr: org.apache.spark.sql.Column) =
         sum(conv(substring(md5(rowStr), 1, 8), 16, 10).cast("long"))
+      // every field rides through coalesce(…, '\N'): concat_ws would
+      // silently SKIP a NULL field (shifting the row string) while the
+      // oracle's || chain nulls the whole row — a NULL anywhere must
+      // hash identically on both engines for a migration checksum
+      def nn(c: org.apache.spark.sql.Column) = coalesce(c, lit("\\N"))
       val orders = Tables.load(s, dir, "orders").agg(
         count(lit(1)).as("n_rows"),
         sum32(concat_ws("|",
-          $"o_orderkey".cast("string"), $"o_custkey".cast("string"),
-          $"o_orderstatus",
-          $"o_totalprice".cast("decimal(18,2)").cast("string"),
-          date_format($"o_orderdate", "yyyy-MM-dd HH:mm:ss"),
-          $"o_orderpriority")).as("checksum"))
+          nn($"o_orderkey".cast("string")), nn($"o_custkey".cast("string")),
+          nn($"o_orderstatus"),
+          nn($"o_totalprice".cast("decimal(18,2)").cast("string")),
+          nn(date_format($"o_orderdate", "yyyy-MM-dd HH:mm:ss")),
+          nn($"o_orderpriority"))).as("checksum"))
         .select(lit("orders").as("tbl"), $"n_rows", $"checksum")
       val customer = Tables.load(s, dir, "customer").agg(
         count(lit(1)).as("n_rows"),
         sum32(concat_ws("|",
-          $"c_custkey".cast("string"), $"c_name",
-          $"c_nationkey".cast("string"),
-          $"c_acctbal".cast("decimal(18,2)").cast("string"),
-          $"c_mktsegment")).as("checksum"))
+          nn($"c_custkey".cast("string")), nn($"c_name"),
+          nn($"c_nationkey".cast("string")),
+          nn($"c_acctbal".cast("decimal(18,2)").cast("string")),
+          nn($"c_mktsegment"))).as("checksum"))
         .select(lit("customer").as("tbl"), $"n_rows", $"checksum")
       orders.unionByName(customer)
     }))
@@ -160,18 +165,20 @@ object Extras extends QueryPack {
     "q_table_checksum" ->
       """SELECT 'orders' AS tbl, COUNT(*) AS n_rows,
         |  CAST(SUM(CAST('0x' || substr(md5(
-        |    CAST(o_orderkey AS VARCHAR) || '|' ||
-        |    CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|' ||
-        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) || '|' ||
-        |    strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') || '|' ||
-        |    o_orderpriority), 1, 8) AS BIGINT)) AS BIGINT) AS checksum
+        |    coalesce(CAST(o_orderkey AS VARCHAR), '\N') || '|' ||
+        |    coalesce(CAST(o_custkey AS VARCHAR), '\N') || '|' ||
+        |    coalesce(o_orderstatus, '\N') || '|' ||
+        |    coalesce(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), '\N') || '|' ||
+        |    coalesce(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), '\N') || '|' ||
+        |    coalesce(o_orderpriority, '\N')), 1, 8) AS BIGINT)) AS BIGINT) AS checksum
         |FROM orders
         |UNION ALL
         |SELECT 'customer' AS tbl, COUNT(*) AS n_rows,
         |  CAST(SUM(CAST('0x' || substr(md5(
-        |    CAST(c_custkey AS VARCHAR) || '|' || c_name || '|' ||
-        |    CAST(c_nationkey AS VARCHAR) || '|' ||
-        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR) || '|' ||
-        |    c_mktsegment), 1, 8) AS BIGINT)) AS BIGINT) AS checksum
+        |    coalesce(CAST(c_custkey AS VARCHAR), '\N') || '|' ||
+        |    coalesce(c_name, '\N') || '|' ||
+        |    coalesce(CAST(c_nationkey AS VARCHAR), '\N') || '|' ||
+        |    coalesce(CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR), '\N') || '|' ||
+        |    coalesce(c_mktsegment, '\N')), 1, 8) AS BIGINT)) AS BIGINT) AS checksum
         |FROM customer""".stripMargin)
 }

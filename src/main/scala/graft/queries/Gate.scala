@@ -156,6 +156,58 @@ object Gate extends QueryPack {
            |GROUP BY window_start, window_end, event_type;
            |""".stripMargin)
       s.table("gate_cum_sink_out")
+    }),
+
+    // SQL:2016 MATCH_RECOGNIZE through the gate (the last Flink-SQL
+    // dialect family a reference job author can write): the view →
+    // click+ → purchase funnel as a row-pattern clause, rewritten by
+    // MatchRecognizeRewrite to the chained window-minima plan (one
+    // user_id shuffle, no automaton state) and oracle-checked against
+    // DuckDB's hand-written equivalent of the same semantics.
+    "q_gate_match_recognize" -> ((s, dir) => {
+      val runner = new ScriptRunner(s, batchMode = true)
+      runner.run(
+        s"""CREATE TABLE ev_mr (
+           |  event_id BIGINT,
+           |  ts BIGINT,
+           |  user_id BIGINT,
+           |  event_type VARCHAR,
+           |  value DOUBLE,
+           |  props VARCHAR,
+           |  ts2 AS timestamp_micros(ts DIV 1000)
+           |) WITH (
+           |  'connector' = 'filesystem',
+           |  'path' = '$dir/events.parquet',
+           |  'format' = 'parquet'
+           |);
+           |CREATE TABLE mr_sink (
+           |  user_id BIGINT, first_view VARCHAR, first_click VARCHAR,
+           |  last_click VARCHAR, purchase_value DOUBLE
+           |) WITH ('connector' = 'memory');
+           |INSERT INTO mr_sink
+           |SELECT user_id,
+           |  DATE_FORMAT(v_ts, 'yyyy-MM-dd HH:mm:ss.SSSSSS') AS first_view,
+           |  DATE_FORMAT(c_first, 'yyyy-MM-dd HH:mm:ss.SSSSSS') AS first_click,
+           |  DATE_FORMAT(c_last, 'yyyy-MM-dd HH:mm:ss.SSSSSS') AS last_click,
+           |  p_value AS purchase_value
+           |FROM ev_mr MATCH_RECOGNIZE (
+           |  PARTITION BY user_id
+           |  ORDER BY ts2
+           |  MEASURES
+           |    A.ts2 AS v_ts,
+           |    FIRST(B.ts2) AS c_first,
+           |    LAST(B.ts2) AS c_last,
+           |    C.value AS p_value
+           |  ONE ROW PER MATCH
+           |  AFTER MATCH SKIP PAST LAST ROW
+           |  PATTERN (A B+ C)
+           |  DEFINE
+           |    A AS A.event_type = 'view',
+           |    B AS B.event_type = 'click',
+           |    C AS C.event_type = 'purchase'
+           |);
+           |""".stripMargin)
+      s.table("mr_sink_out")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -177,5 +229,25 @@ object Gate extends QueryPack {
 
     "q_gate_flink_hop" -> Windows.oHopSql,
 
-    "q_gate_flink_cumulate" -> Windows.oCumulateSql)
+    "q_gate_flink_cumulate" -> Windows.oCumulateSql,
+
+    // the earliest-anchored funnel semantics of MatchRecognizeRewrite,
+    // hand-written: t1 = first view, t2 = first click after t1,
+    // t3 = first purchase after t2; LAST(B.ts) = last click in [t2, t3)
+    "q_gate_match_recognize" ->
+      """WITH e AS (SELECT user_id, event_type, value,
+        |    CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |a AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+        |    OVER (PARTITION BY user_id) AS t1 FROM e),
+        |b AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1
+        |    THEN ts END) OVER (PARTITION BY user_id) AS t2 FROM a),
+        |c AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2
+        |    THEN ts END) OVER (PARTITION BY user_id) AS t3 FROM b)
+        |SELECT user_id,
+        |  strftime(min(t1), '%Y-%m-%d %H:%M:%S.%f') AS first_view,
+        |  strftime(min(t2), '%Y-%m-%d %H:%M:%S.%f') AS first_click,
+        |  strftime(max(CASE WHEN event_type = 'click' AND ts >= t2
+        |    AND ts < t3 THEN ts END), '%Y-%m-%d %H:%M:%S.%f') AS last_click,
+        |  max(CASE WHEN ts = t3 THEN value END) AS purchase_value
+        |FROM c WHERE t3 IS NOT NULL GROUP BY user_id""".stripMargin)
 }

@@ -208,8 +208,11 @@ object Shapes extends QueryPack {
         |  SELECT CAST(p_size AS BIGINT) AS a,
         |    CAST(floor(p_retailprice) AS BIGINT) - 900 AS b
         |  FROM part),
-        |s1 AS (SELECT *, (a | (a << 8)) & 16711935 AS a1,
-        |               (b | (b << 8)) & 16711935 AS b1 FROM base),
+        |-- the initial & 65535 mirrors ZOrder.spread16's low-16-bit mask,
+        |-- so both engines agree for ALL inputs, not just [0, 2^16)
+        |m AS (SELECT *, a & 65535 AS am, b & 65535 AS bm FROM base),
+        |s1 AS (SELECT *, (am | (am << 8)) & 16711935 AS a1,
+        |               (bm | (bm << 8)) & 16711935 AS b1 FROM m),
         |s2 AS (SELECT *, (a1 | (a1 << 4)) & 252645135 AS a2,
         |               (b1 | (b1 << 4)) & 252645135 AS b2 FROM s1),
         |s3 AS (SELECT *, (a2 | (a2 << 2)) & 858993459 AS a3,

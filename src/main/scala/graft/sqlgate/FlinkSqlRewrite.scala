@@ -43,6 +43,10 @@ package graft.sqlgate
   * Flink's and Spark's epoch-aligned window start semantics. HOP/CUMULATE
   * require size to be a multiple of slide/step, as Flink itself does.
   *
+  * `MATCH_RECOGNIZE` (the SQL:2016 row-pattern clause Flink SQL also
+  * accepts) rewrites first, via [[MatchRecognizeRewrite]] — see that
+  * object's scaladoc for the supported subset and semantics.
+  *
   * The rewrites are plain-text: window calls carry only identifiers and
   * INTERVAL literals (no nested parens), so regexes are exact here.
   * Spark-native queries pass through untouched — every pattern is
@@ -133,7 +137,9 @@ object FlinkSqlRewrite {
   }
 
   def apply(sql: String): String = {
-    var s = sql
+    // row-pattern recognition first: its block may contain INTERVAL
+    // literals of its own (WITHIN) that must not be window-rewritten
+    var s = MatchRecognizeRewrite(sql)
     s = TumbleTvfRe.replaceAllIn(s, m =>
       tumbleTvf(m.group(1), m.group(2), micros(m.group(3), m.group(4))))
     s = HopTvfRe.replaceAllIn(s, m =>

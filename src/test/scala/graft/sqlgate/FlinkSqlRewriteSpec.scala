@@ -76,6 +76,69 @@ class FlinkSqlRewriteSpec extends AnyFunSuite {
       "TABLE(CUMULATE(TABLE ev, DESCRIPTOR(ts), INTERVAL '7' MINUTE, INTERVAL '1' HOUR))"))
   }
 
+  private val mr =
+    """SELECT user_id, a_ts, b_last FROM ev MATCH_RECOGNIZE (
+      |  PARTITION BY user_id
+      |  ORDER BY ts
+      |  MEASURES A.ts AS a_ts, LAST(B.ts) AS b_last
+      |  ONE ROW PER MATCH
+      |  AFTER MATCH SKIP PAST LAST ROW
+      |  PATTERN (A B+)
+      |  DEFINE A AS A.kind = 'x', B AS B.kind = 'y'
+      |)""".stripMargin
+
+  test("MATCH_RECOGNIZE rewrites to chained window minima") {
+    val out = FlinkSqlRewrite(mr)
+    assert(!out.toUpperCase.contains("MATCH_RECOGNIZE"))
+    // two stages → two nested MIN layers, chained on the order column
+    assert(out.contains(
+      "MIN(CASE WHEN (kind = 'x') THEN ts END) OVER (PARTITION BY user_id) AS g_t1"))
+    assert(out.contains(
+      "MIN(CASE WHEN (kind = 'y') AND ts > g_t1 THEN ts END) OVER (PARTITION BY user_id) AS g_t2"))
+    // the match gate and the one-row-per-key aggregation
+    assert(out.contains("WHERE g_t2 IS NOT NULL"))
+    assert(out.contains("GROUP BY user_id"))
+    // FIRST/anchor measure reads the anchored row; LAST on a + variable
+    // reads the last qualifying row via MAX_BY
+    assert(out.contains("MAX(CASE WHEN ts = g_t1 THEN ts END) AS a_ts"))
+    assert(out.contains("MAX_BY(CASE WHEN (kind = 'y') AND ts >= g_t2"))
+  }
+
+  test("MATCH_RECOGNIZE: WITHIN bounds the match duration") {
+    val out = FlinkSqlRewrite(mr.replace("PATTERN (A B+)",
+      "PATTERN (A B+) WITHIN INTERVAL '1' HOUR"))
+    assert(out.contains("AND g_t2 <= g_t1 + INTERVAL '1' HOUR"))
+  }
+
+  test("MATCH_RECOGNIZE: undefined pattern variables are gap markers") {
+    val out = FlinkSqlRewrite(mr.replace("PATTERN (A B+)",
+      "PATTERN (A GAP* B+)"))
+    assert(out.contains("AS g_t2")) // still two defined stages
+    assert(!out.contains("g_t3"))
+  }
+
+  test("MATCH_RECOGNIZE: unsupported forms are rejected loudly") {
+    // ALL ROWS PER MATCH
+    intercept[IllegalArgumentException](FlinkSqlRewrite(
+      mr.replace("ONE ROW PER MATCH", "ALL ROWS PER MATCH")))
+    // cross-variable DEFINE (not row-local)
+    intercept[IllegalArgumentException](FlinkSqlRewrite(
+      mr.replace("B AS B.kind = 'y'", "B AS B.v > A.v")))
+    // navigation functions in DEFINE
+    intercept[IllegalArgumentException](FlinkSqlRewrite(
+      mr.replace("B AS B.kind = 'y'", "B AS B.v > LAST(B.v)")))
+    // optional quantifier on a DEFINE'd variable
+    intercept[IllegalArgumentException](FlinkSqlRewrite(
+      mr.replace("PATTERN (A B+)", "PATTERN (A B*)")))
+    // SKIP TO LAST <var>
+    intercept[IllegalArgumentException](FlinkSqlRewrite(
+      mr.replace("AFTER MATCH SKIP PAST LAST ROW",
+        "AFTER MATCH SKIP TO LAST B")))
+    // computed measure outside the V.col / FIRST / LAST grammar
+    intercept[IllegalArgumentException](FlinkSqlRewrite(
+      mr.replace("A.ts AS a_ts", "A.ts + 1 AS a_ts")))
+  }
+
   test("Spark-native SQL passes through untouched") {
     val sql = "SELECT window.start, hopper, system_time FROM t " +
       "GROUP BY window(ts, '1 hour'), hopper, system_time"

@@ -133,6 +133,46 @@ class FusedSetSpec extends SparkSpec {
       s"streaming DISTINCT fused into $outcome instead of failing")
   }
 
+  test("set-op surface forms (EXCEPT / INTERSECT) also refuse fusion") {
+    // Except/Intersect are stateful in streaming for the same reason as
+    // Distinct: they only lower to Aggregate/Join shapes downstream of
+    // the analyzer, so the whitelist gate must reject the logical nodes
+    // themselves. Unfused, Spark raises its real unsupported-operation
+    // error; a wrong fusion would "succeed" with per-batch set semantics.
+    for (op <- Seq("EXCEPT", "INTERSECT")) {
+      val src = Files.createTempDirectory("fs_src6").toString
+      spark.range(0, 4).toDF("id").coalesce(1).write.mode("append")
+        .parquet(src)
+      val s =
+        s"""SET 'graft.exec.statement-set.fuse' = 'true';
+           |CREATE TABLE src (id BIGINT) WITH (
+           |  'connector' = 'filesystem', 'path' = '$src',
+           |  'format' = 'parquet');
+           |CREATE TABLE snk_h (id BIGINT) WITH (
+           |  'connector' = 'filesystem',
+           |  'path' = '${Files.createTempDirectory("fs_o6a").toString}',
+           |  'format' = 'parquet');
+           |CREATE TABLE snk_i (id BIGINT) WITH (
+           |  'connector' = 'filesystem',
+           |  'path' = '${Files.createTempDirectory("fs_o6b").toString}',
+           |  'format' = 'parquet');
+           |INSERT INTO snk_h SELECT id FROM src;
+           |INSERT INTO snk_i SELECT id FROM src $op
+           |  SELECT id FROM src WHERE id > 1;
+           |""".stripMargin
+      val outcome: Either[Throwable, Int] =
+        try {
+          val r = new ScriptRunner(spark,
+            Some(Files.createTempDirectory("fs_ck6").toString)).run(s)
+          try { r.queries.foreach(_.processAllAvailable()) }
+          finally r.queries.foreach(_.stop())
+          Right(r.queries.size)
+        } catch { case e: org.apache.spark.sql.AnalysisException => Left(e) }
+      assert(outcome.isLeft,
+        s"streaming $op fused into $outcome instead of failing")
+    }
+  }
+
   test("LIMIT (global-limit surface form) also refuses fusion") {
     val src = Files.createTempDirectory("fs_src5").toString
     val outA = Files.createTempDirectory("fs_o5a").toString
