@@ -348,8 +348,12 @@ object Tpch extends QueryPack {
 
     // Q9 shape (adapted: cost = half the part's retail price per unit;
     // no ps_supplycost in the trimmed schema): profit by supplier
-    // nation and order year for one part family. Star joins with every
-    // dim broadcast; the only corpus shuffle is the final group-by.
+    // nation and order year for one part family. The three true dims
+    // (supplier, nation, part) are broadcast-hinted; lineitem⋈orders is
+    // a fact-fact join left UNhinted on purpose — at test SF the
+    // optimizer broadcasts tiny orders (one aggregation shuffle total),
+    // at 100 TB it becomes a keyed shuffle join on the order key, which
+    // is the correct plan there. Both shapes are pinned in PlanSpec.
     "q9_profit" -> ((s, dir) => {
       import s.implicits._
       Tables.load(s, dir, "lineitem")

@@ -70,4 +70,38 @@ class ZOrderSpec extends SparkSpec {
     assert(zx < 32, s"z-order x span too wide: $zx")
     assert(zy < 32, s"z-order y span too wide: $zy")
   }
+
+  test("the pruning win, measured: a 2nd-dim filter reads fewer z-files") {
+    import spark.implicits._
+    // Write the SAME 64x64 grid both ways, 16 files each, then count
+    // the files a min/max pruner must read for a filter on the SECOND
+    // dimension — the case a linear sort cannot skip. The per-file
+    // min/max envelope is exactly what parquet row-group stats (or any
+    // file-level index) prune on, so 'files whose envelope overlaps the
+    // predicate' IS the files-read count of a stats-based scan.
+    val pts = spark.range(4096).select(
+      ($"id" % 64).as("x"), ($"id" / 64).as("y")).repartition(8)
+    val zDir = java.nio.file.Files.createTempDirectory("zord_z").toString
+    val xDir = java.nio.file.Files.createTempDirectory("zord_x").toString
+    ZOrder.clusterBy2(pts, col("x"), col("y"), 16)
+      .write.mode("overwrite").parquet(zDir)
+    pts.repartitionByRange(16, col("x")).sortWithinPartitions(col("x"))
+      .write.mode("overwrite").parquet(xDir)
+
+    def filesOverlapping(dir: String, lo: Int, hi: Int): (Long, Long) = {
+      val stats = spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min($"y").as("ymin"), max($"y").as("ymax"))
+      (stats.filter($"ymax" >= lo && $"ymin" <= hi).count(), stats.count())
+    }
+
+    val (zRead, zTotal) = filesOverlapping(zDir, 16, 23)
+    val (xRead, xTotal) = filesOverlapping(xDir, 16, 23)
+    assert(zTotal == 16 && xTotal == 16, s"$zTotal / $xTotal files written")
+    // x-sorted stripes all span the full y domain — nothing prunes
+    assert(xRead == 16, s"1-D layout should read every file, got $xRead")
+    // z-order rectangles: only the tiles whose y-envelope overlaps the
+    // 8-row band survive — at most half the files, typically a quarter
+    assert(zRead <= 8, s"z-order should prune most files, read $zRead of 16")
+  }
 }

@@ -178,11 +178,37 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q9_profit: star dims all broadcast, single aggregation shuffle") {
+    // At this SF the optimizer also auto-broadcasts orders, so the whole
+    // star collapses to one aggregation shuffle. That is NOT the claim
+    // at scale — see the next test for the 100 TB shape.
     val p = plan("q9_profit")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
     assert(!p.contains("CartesianProduct"), p)
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(exchanges <= 1, s"expected <=1 shuffle, got $exchanges\n$p")
+  }
+
+  test("q9_profit at scale: orders is a keyed shuffle join, dims stay broadcast") {
+    // Simulate the 100 TB planner decision: with auto-broadcast off
+    // (orders too big to broadcast on a real cluster), lineitem⋈orders
+    // must become a keyed shuffle join on the order key — never a
+    // cartesian — while the explicitly-hinted dims (supplier, nation,
+    // part) remain broadcast regardless of the threshold.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("q9_profit")
+      assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+        s"hinted dims must broadcast even with the threshold off\n$p")
+      val shuffleJoins = ("SortMergeJoin".r.findAllIn(p).size
+        + "ShuffledHashJoin".r.findAllIn(p).size)
+      assert(shuffleJoins == 1,
+        s"expected exactly the lineitem⋈orders shuffle join, got $shuffleJoins\n$p")
+      assert(("(?s)(SortMergeJoin|ShuffledHashJoin).{0,200}l_orderkey".r
+        .findFirstIn(p).isDefined) || p.contains("o_orderkey"),
+        s"the shuffle join must key on the order key\n$p")
+      assert(!p.contains("CartesianProduct"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("q15_topsupp: revenue view materialized once — no lineitem re-scan") {
