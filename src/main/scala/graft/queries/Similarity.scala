@@ -48,6 +48,7 @@ object Similarity extends QueryPack {
   private val PqD = 8      // dims per subspace (PqM * PqD = NDim)
   private val PqC = 64     // codewords per subspace
   private val PqCand = 100 // ADC candidates per query before re-rank
+  private val PqIters = 2  // Lloyd rounds for the fitted-codebook variant
 
   /** Hyperplane count so that 2^planes ≈ √n buckets — expected bucket
     * occupancy √n, the classic balance point where per-query candidate
@@ -206,6 +207,112 @@ object Similarity extends QueryPack {
       .agg(coalesce(avg(lit(1.0) - col("ccos")), lit(Double.NaN)))
       .head.getDouble(0)
 
+  /** Seed PQ codebooks from PqC deterministic corpus rows, flattened to
+    * the `long[m*c*d]` layout pq_encode takes: entry ((m·PqC)+c)·PqD+i =
+    * dim i of the m-th PqD-wide slice of codeword-source row c.
+    */
+  def pqSliceCodebook(emb: DataFrame): Array[Long] = {
+    val cents = emb
+      .filter(col("vec_id") >= CentLo && col("vec_id") < CentLo + PqC)
+      .select(col("vec_id"), col("qe")).collect()
+      .map(r => (r.getLong(0) - CentLo, r.getSeq[Long](1)))
+      .sortBy(_._1)
+    Array.tabulate(PqM * PqC * PqD) { idx =>
+      val m = idx / (PqC * PqD); val r = idx % (PqC * PqD)
+      cents(r / PqD)._2(m * PqD + (r % PqD))
+    }
+  }
+
+  /** Per-subspace Lloyd refinement of a PQ codebook. Each round: assign
+    * every corpus subvector to its nearest codeword — that IS pq_encode,
+    * the same codegen'd integer argmin the encode pass uses — then
+    * recompute each (subspace, codeword, dim) as the floor-mean of its
+    * members. One partial-agg shuffle of ≤ m·c·d keys per round, one
+    * m·c·d control-plane collect; codewords with no members keep their
+    * previous value (the kmeansFit convention). floor(sum/count) in
+    * exact-double arithmetic keeps both engines integer-identical.
+    */
+  def pqFit(corpus: DataFrame, seed: Array[Long], iters: Int): Array[Long] = {
+    var cb = seed
+    for (_ <- 1 to iters) {
+      val means = corpus
+        .select(graft.functions.GraftFunctions
+          .pqEncode(col("qe"), cb, PqM, PqC, PqD).as("codes"),
+          posexplode(col("qe")))
+        .toDF("codes", "pos", "comp")
+        .filter(col("codes").isNotNull)
+        .select((col("pos") / PqD).cast("int").as("m"),
+          element_at(col("codes"),
+            ((col("pos") / PqD).cast("int") + 1)).cast("int").as("c"),
+          (col("pos") % PqD).cast("int").as("i"),
+          col("comp"))
+        .groupBy(col("m"), col("c"), col("i"))
+        .agg(floor(sum(col("comp")).cast("double") / count(lit(1)))
+          .cast("long").as("v"))
+        .collect()
+      val next = cb.clone()
+      means.foreach { r =>
+        next((r.getInt(0) * PqC + r.getInt(1)) * PqD + r.getInt(2)) =
+          r.getLong(3)
+      }
+      cb = next
+    }
+    cb
+  }
+
+  /** ADC scan + exact re-rank against a flattened codebook: corpus rows
+    * encode to PqM codes (one-off batch pass; after it the candidate
+    * scan touches only the code column), per-query L2² lookup tables
+    * ship as a broadcast literal, and the `cand` best ADC candidates per
+    * query get the exact quantized-cosine re-rank. Queries + codebooks
+    * are control-plane collects (NQueries + m·c·d values).
+    */
+  def pqSearch(s: SparkSession, emb: DataFrame, cb: Array[Long],
+      cand: Int = PqCand, k: Int = K): DataFrame = {
+    def cwAt(m: Int, c: Int, i: Int) = cb((m * PqC + c) * PqD + i)
+    val corpus = emb.filter(col("vec_id") >= NQueries)
+    val enc = corpus.select(col("vec_id").as("nid"),
+      graft.functions.GraftFunctions
+        .pqEncode(col("qe"), cb, PqM, PqC, PqD).as("codes"))
+    val qvecs = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id"), col("qe"), col("nrm")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+      .sortBy(_._1)
+    // dtab(m)(c) = L2²(query subvector m, codeword (m,c)) — the ADC
+    // lookup table, one per query, shipped as a broadcast literal
+    val qRows = qvecs.map { case (qid, qv, _) =>
+      (qid, (0 until PqM).map(m => (0 until PqC).map { c =>
+        (0 until PqD).map { i =>
+          val d = qv(m * PqD + i) - cwAt(m, c, i); d * d
+        }.sum
+      }))
+    }
+    val qdf = s.createDataFrame(qRows.toIndexedSeq).toDF("qid", "dtab")
+    val adc = (0 until PqM).map(m =>
+      element_at(element_at(col("dtab"), m + 1),
+        element_at(col("codes"), m + 1).cast("int") + 1)).reduce(_ + _)
+    val wAdc = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_dist"), col("nid"))
+    val candDf = enc.join(broadcast(qdf))
+      .select(col("qid"), col("nid"), adc.as("adc_dist"))
+      .withColumn("crank", row_number().over(wAdc))
+      .filter(col("crank") <= cand)
+      .select(col("qid"), col("nid"))
+    // exact re-rank of the candidates only: candidates are cand ×
+    // |queries| rows — broadcast them against the corpus vectors
+    val qsDf = s.createDataFrame(qvecs.toIndexedSeq)
+      .toDF("qid", "qqe", "qnrm")
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("nid"))
+    corpus.select(col("vec_id").as("nid"), col("qe"), col("nrm"))
+      .join(broadcast(candDf), "nid")
+      .join(broadcast(qsDf), "qid")
+      .select(col("qid"), col("nid"),
+        cosineQ(col("qqe"), col("qe"), col("qnrm"), col("nrm")).as("cosine"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact brute-force cosine top-k: broadcast the (tiny) query set, one
     // corpus scan, per-query heap via row_number.
@@ -252,62 +359,21 @@ object Similarity extends QueryPack {
     // codebooks are control-plane collects (8 + 64 rows). ADC is
     // all-integer L2², the re-rank is the shared quantized cosine — so
     // the DuckDB oracle reproduces the result exactly.
-    "q_ann_pq" -> ((s, dir) => {
-      import s.implicits._
+    "q_ann_pq" -> ((s, dir) =>
+      pqSearch(s, embQ(s, dir), pqSliceCodebook(embQ(s, dir)))),
+
+    // PQ-ANN with FITTED codebooks: the slice seeds refined by PqIters
+    // per-subspace Lloyd rounds (pqFit) before encode — the production
+    // path, executable end-to-end. The fit is fully distributed: each
+    // round is one pq_encode assignment pass (the already-codegen'd
+    // argmin) + one (m, code, dim) partial-agg shuffle of at most
+    // 8·64·8 = 4096 keys, then a control-plane collect of those 4096
+    // floor-means. Deterministic integer arithmetic end to end, so the
+    // DuckDB oracle replays the identical two rounds.
+    "q_ann_pq_fit" -> ((s, dir) => {
       val emb = embQ(s, dir)
-      val cents = emb.filter($"vec_id" >= CentLo && $"vec_id" < CentLo + PqC)
-        .select($"vec_id", $"qe").collect()
-        .map(r => (r.getLong(0) - CentLo, r.getSeq[Long](1)))
-        .sortBy(_._1)
-      // cw(m)(c): the m-th 8-dim slice of codeword-source row c
-      val cw = Array.tabulate(PqM, PqC)((m, c) =>
-        cents(c)._2.slice(m * PqD, (m + 1) * PqD).toIndexedSeq)
-      // encode via the fused pq_encode expression — the expression-tree
-      // argmin at 8×64×8 exceeds janino's 64 KB method limit and falls
-      // back to interpreted eval (measured); the loop codegen does not
-      val cbFlat = Array.tabulate(PqM * PqC * PqD) { idx =>
-        val m = idx / (PqC * PqD); val r = idx % (PqC * PqD)
-        cw(m)(r / PqD)(r % PqD)
-      }
-      val corpus = emb.filter($"vec_id" >= NQueries)
-      val enc = corpus.select($"vec_id".as("nid"),
-        graft.functions.GraftFunctions
-          .pqEncode($"qe", cbFlat, PqM, PqC, PqD).as("codes"))
-      val qvecs = emb.filter($"vec_id" < NQueries)
-        .select($"vec_id", $"qe", $"nrm").collect()
-        .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
-        .sortBy(_._1)
-      // dtab(m)(c) = L2²(query subvector m, codeword (m,c)) — the ADC
-      // lookup table, one per query, shipped as a broadcast literal
-      val qRows = qvecs.map { case (qid, qv, _) =>
-        (qid, (0 until PqM).map(m => (0 until PqC).map { c =>
-          (0 until PqD).map { i =>
-            val d = qv(m * PqD + i) - cw(m)(c)(i); d * d
-          }.sum
-        }))
-      }
-      val qdf = s.createDataFrame(qRows.toIndexedSeq).toDF("qid", "dtab")
-      val adc = (0 until PqM).map(m =>
-        element_at(element_at($"dtab", m + 1),
-          element_at($"codes", m + 1).cast("int") + 1)).reduce(_ + _)
-      val wAdc = Window.partitionBy($"qid").orderBy($"adc_dist", $"nid")
-      val cand = enc.join(broadcast(qdf))
-        .select($"qid", $"nid", adc.as("adc_dist"))
-        .withColumn("crank", row_number().over(wAdc))
-        .filter($"crank" <= PqCand)
-        .select($"qid", $"nid")
-      // exact re-rank of the candidates only: candidates are PqCand ×
-      // |queries| rows — broadcast them against the corpus vectors
-      val qsDf = s.createDataFrame(qvecs.toIndexedSeq)
-        .toDF("qid", "qqe", "qnrm")
-      val wTop = Window.partitionBy($"qid").orderBy($"cosine".desc, $"nid")
-      corpus.select($"vec_id".as("nid"), $"qe", $"nrm")
-        .join(broadcast(cand), "nid")
-        .join(broadcast(qsDf), "qid")
-        .select($"qid", $"nid",
-          cosineQ($"qqe", $"qe", $"qnrm", $"nrm").as("cosine"))
-        .withColumn("rank", row_number().over(wTop))
-        .filter($"rank" <= K)
+      val corpus = emb.filter(col("vec_id") >= NQueries)
+      pqSearch(s, emb, pqFit(corpus, pqSliceCodebook(emb), PqIters))
     }),
 
     // One Lloyd refinement step of k-means over the embedding space —
@@ -341,6 +407,69 @@ object Similarity extends QueryPack {
        |n AS (SELECT vec_id, qe, list_sum([x*x for x in qe]) AS nrm FROM e)""".stripMargin
 
   private val oCos = oCosineQ("q.qqe", "c.qe", "q.qnrm", "c.nrm")
+
+  // --- PQ oracle fragments (shared by q_ann_pq and q_ann_pq_fit) ---------
+
+  private val oSl = s"qe[(m-1)*$PqD+1 : m*$PqD]" // 1-based inclusive slice
+  private def oL2pq(a: String, b: String) =
+    s"list_sum([($a[i]-$b[i])*($a[i]-$b[i]) for i in generate_series(1,$PqD)])"
+
+  /** Seed codebooks (`cw`) + corpus/query subvector views. */
+  private def oPqSeed: String =
+    s"""cent AS (SELECT vec_id - $CentLo AS cid, qe FROM n
+       |  WHERE vec_id >= $CentLo AND vec_id < ${CentLo + PqC}),
+       |ms AS (SELECT g.m FROM generate_series(1, $PqM) g(m)),
+       |cw AS (SELECT cid, m, $oSl AS sub FROM cent CROSS JOIN ms),
+       |csub AS (SELECT vec_id, m, $oSl AS sub
+       |  FROM n CROSS JOIN ms WHERE vec_id >= $NQueries),
+       |qsub AS (SELECT vec_id AS qid, m, $oSl AS sub
+       |  FROM n CROSS JOIN ms WHERE vec_id < $NQueries)""".stripMargin
+
+  /** One Lloyd round: assign corpus subvectors to `prev` codewords
+    * (argmin with (dist, cid) tie-break — pq_encode's), floor-mean each
+    * member set per dim, keep `prev`'s codeword where a cell is empty.
+    */
+  private def oPqLloydRound(prev: String, out: String): String =
+    s"""a_$out AS (SELECT vec_id, m, sub, cid AS code FROM (
+       |    SELECT c.vec_id, c.m, c.sub, w.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY c.vec_id, c.m
+       |        ORDER BY ${oL2pq("c.sub", "w.sub")}, w.cid) AS rn
+       |    FROM csub c JOIN $prev w ON c.m = w.m) t WHERE rn = 1),
+       |m_$out AS (SELECT m, code, g.i,
+       |    CAST(floor(CAST(SUM(sub[g.i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS v
+       |  FROM a_$out CROSS JOIN generate_series(1, $PqD) g(i)
+       |  GROUP BY m, code, g.i),
+       |f_$out AS (SELECT m, code AS cid, list(v ORDER BY i) AS sub
+       |  FROM m_$out GROUP BY m, code),
+       |$out AS (SELECT w.cid, w.m, coalesce(f.sub, w.sub) AS sub
+       |  FROM $prev w LEFT JOIN f_$out f ON f.m = w.m AND f.cid = w.cid)""".stripMargin
+
+  /** Encode + ADC + exact re-rank against codebook view `cwv`. */
+  private def oPqSearch(cwv: String): String =
+    s"""enc AS (SELECT vec_id, m, cid AS code FROM (
+       |    SELECT c.vec_id, c.m, w.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY c.vec_id, c.m
+       |        ORDER BY ${oL2pq("c.sub", "w.sub")}, w.cid) AS rn
+       |    FROM csub c JOIN $cwv w ON c.m = w.m) t WHERE rn = 1),
+       |dist AS (SELECT q.qid, enc.vec_id AS nid,
+       |    CAST(SUM(${oL2pq("q.sub", "w.sub")}) AS BIGINT) AS adc_dist
+       |  FROM enc JOIN $cwv w ON enc.m = w.m AND enc.code = w.cid
+       |  JOIN qsub q ON q.m = enc.m
+       |  GROUP BY q.qid, enc.vec_id),
+       |cand AS (SELECT qid, nid FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |    ORDER BY adc_dist, nid) AS crank FROM dist) t
+       |  WHERE crank <= $PqCand),
+       |scored AS (
+       |  SELECT cand.qid, cand.nid,
+       |    ${oCosineQ("q.qe", "c.qe", "q.nrm", "c.nrm")} AS cosine
+       |  FROM cand
+       |  JOIN n q ON q.vec_id = cand.qid
+       |  JOIN n c ON c.vec_id = cand.nid)
+       |SELECT qid, nid, cosine, rank FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |    ORDER BY cosine DESC, nid) AS rank FROM scored) t
+       |WHERE rank <= $K""".stripMargin
 
   private val oBuckets =
     s"""planes AS (SELECT g.j, [$oPlaneComp for d in generate_series(1,64)] AS p
@@ -407,44 +536,21 @@ object Similarity extends QueryPack {
          |    ORDER BY cosine DESC, nid) AS rank FROM scored) t
          |WHERE rank <= $K""".stripMargin,
 
-    "q_ann_pq" -> {
-      val sl = s"qe[(m-1)*$PqD+1 : m*$PqD]" // 1-based inclusive slice
-      def oL2(a: String, b: String) =
-        s"list_sum([($a[i]-$b[i])*($a[i]-$b[i]) for i in generate_series(1,$PqD)])"
+    "q_ann_pq" ->
       s"""WITH $oEmbQ,
-         |cent AS (SELECT vec_id - $CentLo AS cid, qe FROM n
-         |  WHERE vec_id >= $CentLo AND vec_id < ${CentLo + PqC}),
-         |ms AS (SELECT g.m FROM generate_series(1, $PqM) g(m)),
-         |cw AS (SELECT cid, m, $sl AS sub FROM cent CROSS JOIN ms),
-         |csub AS (SELECT vec_id, m, $sl AS sub
-         |  FROM n CROSS JOIN ms WHERE vec_id >= $NQueries),
-         |enc AS (SELECT vec_id, m, cid AS code FROM (
-         |    SELECT c.vec_id, c.m, w.cid,
-         |      ROW_NUMBER() OVER (PARTITION BY c.vec_id, c.m
-         |        ORDER BY ${oL2("c.sub", "w.sub")}, w.cid) AS rn
-         |    FROM csub c JOIN cw w ON c.m = w.m) t WHERE rn = 1),
-         |qsub AS (SELECT vec_id AS qid, m, $sl AS sub
-         |  FROM n CROSS JOIN ms WHERE vec_id < $NQueries),
-         |dist AS (SELECT q.qid, enc.vec_id AS nid,
-         |    CAST(SUM(${oL2("q.sub", "w.sub")}) AS BIGINT) AS adc_dist
-         |  FROM enc JOIN cw w ON enc.m = w.m AND enc.code = w.cid
-         |  JOIN qsub q ON q.m = enc.m
-         |  GROUP BY q.qid, enc.vec_id),
-         |cand AS (SELECT qid, nid FROM (
-         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
-         |    ORDER BY adc_dist, nid) AS crank FROM dist) t
-         |  WHERE crank <= $PqCand),
-         |scored AS (
-         |  SELECT cand.qid, cand.nid,
-         |    ${oCosineQ("q.qe", "c.qe", "q.nrm", "c.nrm")} AS cosine
-         |  FROM cand
-         |  JOIN n q ON q.vec_id = cand.qid
-         |  JOIN n c ON c.vec_id = cand.nid)
-         |SELECT qid, nid, cosine, rank FROM (
-         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
-         |    ORDER BY cosine DESC, nid) AS rank FROM scored) t
-         |WHERE rank <= $K""".stripMargin
-    },
+         |$oPqSeed,
+         |${oPqSearch("cw")}""".stripMargin,
+
+    // same pipeline, codebooks refined by PqIters Lloyd rounds first —
+    // the SQL replays pqFit's exact integer arithmetic (argmin with
+    // (dist, cid) tie-break, floor(sum/count) means, empty codewords
+    // keep their previous value via the LEFT JOIN coalesce)
+    "q_ann_pq_fit" ->
+      s"""WITH $oEmbQ,
+         |$oPqSeed,
+         |${oPqLloydRound("cw", "cw1")},
+         |${oPqLloydRound("cw1", "cw2")},
+         |${oPqSearch("cw2")}""".stripMargin,
 
     "q_embed_kmeans" ->
       s"""WITH ${Vec.oArgminAssign(CentLo, CentN)},
