@@ -180,6 +180,30 @@ object Connectors {
             .option("kafka.bootstrap.servers",
               spec.options.getOrElse("properties.bootstrap.servers", ""))
             .option("topic", spec.options.getOrElse("topic", ""))
+        case "upsert-kafka" =>
+          // keyed changelog sink (demo_6.md:206-226): PK columns as the
+          // compaction key, debezium-json envelope as the value. With a
+          // 'rest.endpoint' the records POST over a live socket
+          // (KafkaRest); otherwise the native producer path (construct-
+          // only here — no broker in the container). Same bytes either way.
+          require(spec.primaryKey.nonEmpty,
+            s"upsert-kafka sink ${spec.name} requires a PRIMARY KEY")
+          spec.options.get("rest.endpoint") match {
+            case Some(ep) =>
+              df.writeStream.foreachBatch(KafkaRest.writer(spec.primaryKey,
+                KafkaRest.httpPost(ep,
+                  spec.options.getOrElse("topic", spec.name))) _)
+            case None =>
+              df.select(
+                to_json(struct(spec.primaryKey.map(col): _*)).as("key"),
+                to_json(struct(lit("u").as("op"),
+                  lit(null).cast("string").as("before"),
+                  struct(df.columns.map(col): _*).as("after"))).as("value"))
+                .writeStream.format("kafka")
+                .option("kafka.bootstrap.servers",
+                  spec.options.getOrElse("properties.bootstrap.servers", ""))
+                .option("topic", spec.options.getOrElse("topic", ""))
+          }
         case "jdbc" =>
           df.writeStream.foreachBatch { (batch: Dataset[Row], _: Long) =>
             JdbcUpsert.upsert(batch, spec); ()
@@ -223,6 +247,28 @@ object Connectors {
               spec.options.getOrElse("properties.bootstrap.servers", ""))
             .option("topic", spec.options.getOrElse("topic", ""))
             .save(); None
+        case "upsert-kafka" =>
+          require(!overwrite, "INSERT OVERWRITE is not supported for " +
+            s"upsert-kafka sink ${spec.name}")
+          require(spec.primaryKey.nonEmpty,
+            s"upsert-kafka sink ${spec.name} requires a PRIMARY KEY")
+          spec.options.get("rest.endpoint") match {
+            case Some(ep) =>
+              KafkaRest.writer(spec.primaryKey, KafkaRest.httpPost(ep,
+                spec.options.getOrElse("topic", spec.name)))(df, 0L)
+            case None =>
+              df.select(
+                to_json(struct(spec.primaryKey.map(col): _*)).as("key"),
+                to_json(struct(lit("u").as("op"),
+                  lit(null).cast("string").as("before"),
+                  struct(df.columns.map(col): _*).as("after"))).as("value"))
+                .write.format("kafka")
+                .option("kafka.bootstrap.servers",
+                  spec.options.getOrElse("properties.bootstrap.servers", ""))
+                .option("topic", spec.options.getOrElse("topic", ""))
+                .save()
+          }
+          None
         case "jdbc" =>
           // OVERWRITE = replace table contents (Flink batch overwrite
           // semantics); a silent upsert-append here would corrupt the

@@ -11,7 +11,7 @@ import org.apache.spark.sql.{Dataset, Row}
   */
 object EsBulk {
 
-  private def jsonEscape(s: String): String = s.flatMap {
+  private[sqlgate] def jsonEscape(s: String): String = s.flatMap {
     case '"' => "\\\""
     case '\\' => "\\\\"
     case '\n' => "\\n"
@@ -21,7 +21,7 @@ object EsBulk {
     case c => c.toString
   }
 
-  private def jsonValue(v: Any): String = v match {
+  private[sqlgate] def jsonValue(v: Any): String = v match {
     case null => "null"
     case s: String => "\"" + jsonEscape(s) + "\""
     case b: Boolean => b.toString

@@ -1,0 +1,116 @@
+package graft.sqlgate
+
+import graft.SparkSpec
+import scala.collection.mutable
+
+/** upsert-kafka sink: debezium-json record shape, PK key objects, delete
+  * tombstone routing, and the demo_6 GMV pipeline delivering changelog
+  * bytes over a REAL socket to a Kafka-REST-proxy-shaped endpoint.
+  */
+class KafkaRestSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("recordsBody: PK key object, upsert envelope, op column routing") {
+    val cols = Seq("day_str", "gmv")
+    val body = KafkaRest.recordsBody(cols, Seq("day_str"), Iterator(
+      org.apache.spark.sql.Row("2024-01-01", 12.5)))
+    assert(body ==
+      """{"records":[{"key":{"day_str":"2024-01-01"},""" +
+        """"value":{"op":"u","before":null,""" +
+        """"after":{"day_str":"2024-01-01","gmv":12.5}}}]}""")
+    // an op column routes deletes to a before-image envelope and is
+    // excluded from the row payload
+    val withOp = KafkaRest.recordsBody(Seq("op", "k", "v"), Seq("k"),
+      Iterator(org.apache.spark.sql.Row("d", 7L, "x")))
+    assert(withOp.contains(""""op":"d""""))
+    assert(withOp.contains(""""before":{"k":7,"v":"x"}"""))
+    assert(withOp.contains(""""after":null"""))
+  }
+
+  /** REST-proxy-shaped produce stub over a real socket. */
+  private def kafkaStub(topic: String, response: String)
+      : (com.sun.net.httpserver.HttpServer, mutable.Buffer[String]) = {
+    val received = mutable.Buffer[String]()
+    val srv = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    srv.createContext(s"/topics/$topic",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        received.synchronized {
+          received += new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+        }
+        val res = response.getBytes("UTF-8")
+        ex.getResponseHeaders.set("Content-Type",
+          "application/vnd.kafka.v2+json")
+        ex.sendResponseHeaders(200, res.length)
+        ex.getResponseBody.write(res)
+        ex.close()
+      })
+    srv.start()
+    (srv, received)
+  }
+
+  private val okResponse =
+    """{"offsets":[{"partition":0,"offset":0,"error_code":null,"error":null}]}"""
+
+  test("gate: demo_6 upsert-kafka sink delivers debezium records over a live socket") {
+    val (srv, received) = kafkaStub("flink_test_6", okResponse)
+    val src = java.nio.file.Files.createTempDirectory("uk_src").toString
+    Seq(("2024-01-01", 10.0, true), ("2024-01-01", 2.5, true),
+      ("2024-01-02", 7.0, true), ("2024-01-02", 99.0, false))
+      .toDF("day_str", "price", "order_status")
+      .coalesce(1).write.mode("append").parquet(src)
+    val ckpt = java.nio.file.Files.createTempDirectory("uk_ckpt").toString
+    try {
+      // demo_6.md:206-226 shape: keyed GMV aggregate into a compacted
+      // topic as debezium-json
+      val script =
+        s"""CREATE TABLE orders_src (
+           |  day_str STRING, price DOUBLE, order_status BOOLEAN
+           |) WITH ('connector' = 'filesystem', 'path' = '$src',
+           |  'format' = 'parquet');
+           |CREATE TABLE kafka_gmv (
+           |  day_str STRING, gmv DOUBLE,
+           |  PRIMARY KEY (day_str) NOT ENFORCED
+           |) WITH ('connector' = 'upsert-kafka',
+           |  'topic' = 'flink_test_6',
+           |  'rest.endpoint' = 'http://127.0.0.1:${srv.getAddress.getPort}');
+           |INSERT INTO kafka_gmv
+           |SELECT day_str, SUM(price) AS gmv FROM orders_src
+           |WHERE order_status = true GROUP BY day_str;
+           |""".stripMargin
+      val res = new ScriptRunner(spark, Some(ckpt)).run(script)
+      res.queries.foreach(_.processAllAvailable())
+      res.queries.foreach(_.stop())
+      val all = received.synchronized(received.mkString)
+      assert(all.contains(""""key":{"day_str":"2024-01-01"}"""), all)
+      assert(all.contains(""""after":{"day_str":"2024-01-01","gmv":12.5}"""),
+        all)
+      assert(all.contains(""""after":{"day_str":"2024-01-02","gmv":7.0}"""),
+        all)
+      assert(!all.contains("99.0"), s"status=false row must be filtered: $all")
+    } finally srv.stop(0)
+  }
+
+  test("a produce response with a record error fails the micro-batch") {
+    val (srv, _) = kafkaStub("t_err",
+      """{"offsets":[{"partition":null,"offset":null,"error_code":50003,"error":"timed out"}]}""")
+    try {
+      val df = Seq(("k1", 1.0)).toDF("k", "v")
+      val e = intercept[Exception] {
+        KafkaRest.writer(Seq("k"), KafkaRest.httpPost(
+          s"http://127.0.0.1:${srv.getAddress.getPort}", "t_err"))(df, 0L)
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(_.contains("record failures")), e.toString)
+    } finally srv.stop(0)
+  }
+
+  test("upsert-kafka without a PRIMARY KEY is rejected") {
+    val df = Seq(("a", 1.0)).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      KafkaRest.writer(Seq.empty, _ => ())(df, 0L)
+    }
+  }
+}
