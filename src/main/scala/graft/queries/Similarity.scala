@@ -385,6 +385,27 @@ object Similarity extends QueryPack {
     // of k·d tiny keys, never a collect of vectors. Means are
     // floor(sum/count) in exact-double arithmetic so both engines emit
     // identical integers (sums stay ≪ 2^53).
+    // Per-cluster embedding outlier detection — the curation pass that
+    // drops far-from-centroid vectors (mislabeled, noisy, off-topic)
+    // before training: assign every vector to its cell (the zero-shuffle
+    // argmin projection), then flag the bottom decile by centroid cosine
+    // within each cell. Integer-threshold ranking (crank·10 ≤ n) keeps
+    // it exact across engines. One shuffle on the cell key; per-cell
+    // window state is a local sort of ~n/k members (k ≈ √n cells in
+    // production — at extreme scale swap the full per-cell sort for an
+    // approx-quantile threshold pass, same output contract).
+    "q_embed_outliers" -> ((s, dir) => {
+      import s.implicits._
+      val emb = embQ(s, dir)
+      val wCell = Window.partitionBy($"cell").orderBy($"ccos".asc, $"vec_id")
+      Vec.argminCellAssign(emb, CentLo, CentN)
+        .filter($"ccos".isNotNull)
+        .select($"vec_id", $"cell", $"ccos")
+        .withColumn("crank", row_number().over(wCell))
+        .withColumn("cn", count(lit(1)).over(Window.partitionBy($"cell")))
+        .filter($"crank" * 10 <= $"cn")
+    }),
+
     "q_embed_kmeans" -> ((s, dir) => {
       import s.implicits._
       val emb = embQ(s, dir)
@@ -551,6 +572,16 @@ object Similarity extends QueryPack {
          |${oPqLloydRound("cw", "cw1")},
          |${oPqLloydRound("cw1", "cw2")},
          |${oPqSearch("cw2")}""".stripMargin,
+
+    "q_embed_outliers" ->
+      s"""WITH ${Vec.oArgminAssign(CentLo, CentN, keepCcos = true)}
+         |SELECT vec_id, cell, ccos, crank, cn FROM (
+         |  SELECT vec_id, cell, ccos,
+         |    ROW_NUMBER() OVER (PARTITION BY cell
+         |      ORDER BY ccos ASC, vec_id) AS crank,
+         |    COUNT(*) OVER (PARTITION BY cell) AS cn
+         |  FROM assign WHERE ccos IS NOT NULL) t
+         |WHERE crank * 10 <= cn""".stripMargin,
 
     "q_embed_kmeans" ->
       s"""WITH ${Vec.oArgminAssign(CentLo, CentN)},

@@ -21,6 +21,7 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis extends QueryPack {
   import graft.functions.GraftFunctions.{countIn, textFingerprint, wordNgrams}
+  import graft.Num.{dsum6, oSum6}
 
   private val Stopwords = Seq("the", "a", "of", "and", "in", "to", "is")
   private val BpeIsh = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
@@ -213,6 +214,38 @@ object TextAnalysis extends QueryPack {
           ($"top_count".cast("double") / $"n_tokens").as("top_share"))
     }),
 
+    // Bigram language-model corpus-fit scoring — the CCNet/KenLM-style
+    // quality filter: train conditional bigram probabilities on the
+    // corpus itself (p(w2|w1) = bigram count / prefix count), then score
+    // each document by its mean per-position probability. High scorers
+    // read like the corpus; outliers (spam, wrong-language, word salad)
+    // sink. Log-free on purpose: every probability is an int/int double
+    // division (bit-identical across engines, libm log is not) and the
+    // mean rides the exact-decimal sum. The plan at 100 TB: one
+    // corpus-scale groupBy(gram) with map-side combine builds the model,
+    // the prefix totals aggregate the (already-reduced) distinct-gram
+    // table, and scoring is ONE keyed shuffle join of doc-gram positions
+    // against the model — no broadcast of an unbounded vocabulary, no
+    // driver-side model.
+    "q_text_lm_score" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val w = words($"text")
+      val docGrams = Tables.load(s, dir, "documents")
+        .filter(size(w) >= 2)
+        .select($"doc_id", explode(wordNgrams(w, 2)).as("gram"))
+      val b = docGrams.groupBy($"gram").agg(count(lit(1)).as("bg"))
+        .withColumn("w1", split($"gram", " ").getItem(0))
+      val pfx = b.groupBy($"w1").agg(sum($"bg").as("pn"))
+      val model = b.join(pfx, "w1")
+        .select($"gram", ($"bg".cast("double") / $"pn").as("p"))
+      docGrams.join(model, "gram")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          (dsum6($"p") / count(lit(1))).as("lm_score"),
+          min($"p").as("min_p"))
+    }),
+
     // Corpus-level bigram frequency top-20 (deterministic tie-break).
     "q_text_ngram_freq" -> ((s, dir) => {
       import s.implicits._
@@ -363,6 +396,24 @@ object TextAnalysis extends QueryPack {
           |    for i in generate_series(1, len(w)-1)]) AS bigram
           |  FROM t WHERE len(w) >= 2)
           |SELECT bigram, COUNT(*) AS n FROM bg GROUP BY bigram
-          |ORDER BY n DESC, bigram LIMIT 20""".stripMargin)
+          |ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+
+      "q_text_lm_score" ->
+        s"""WITH t AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS w
+          |    FROM documents),
+          |dg AS (SELECT doc_id, unnest([w[i]||' '||w[i+1]
+          |    for i in generate_series(1, len(w)-1)]) AS gram
+          |  FROM t WHERE len(w) >= 2),
+          |b AS (SELECT gram, COUNT(*) AS bg,
+          |    string_split(gram, ' ')[1] AS w1
+          |  FROM dg GROUP BY gram),
+          |pfx AS (SELECT w1, SUM(bg) AS pn FROM b GROUP BY w1),
+          |model AS (SELECT gram, CAST(bg AS DOUBLE) / pn AS p
+          |  FROM b JOIN pfx USING (w1))
+          |SELECT doc_id, COUNT(*) AS n_bigrams,
+          |  ${oSum6("p")} / COUNT(*) AS lm_score,
+          |  MIN(p) AS min_p
+          |FROM dg JOIN model USING (gram)
+          |GROUP BY doc_id""".stripMargin)
   }
 }

@@ -102,7 +102,8 @@ private[queries] object Vec {
   /** DuckDB CTE chain mirroring [[argminCellAssign]]: defines q, n, cent,
     * scored, and assign(vec_id, qe, nrm, cell). Use as `WITH $frag ...`.
     */
-  def oArgminAssign(centLo: Long, centN: Long): String =
+  def oArgminAssign(centLo: Long, centN: Long,
+      keepCcos: Boolean = false): String =
     s"""q AS (SELECT vec_id, $oQuant AS qe FROM embeddings),
        |n AS (SELECT vec_id, qe, list_sum([x*x for x in qe]) AS nrm FROM q),
        |cent AS (SELECT vec_id - $centLo AS cid, qe AS ce, nrm AS cnrm
@@ -112,7 +113,7 @@ private[queries] object Vec {
        |    ${oCosineQ("n.qe", "c.ce", "n.nrm", "c.cnrm")} AS ccos
        |  FROM n CROSS JOIN cent c),
        |assign AS (
-       |  SELECT vec_id, qe, nrm, cid AS cell FROM (
+       |  SELECT vec_id, qe, nrm, cid AS cell${if (keepCcos) ", ccos" else ""} FROM (
        |    SELECT *, ROW_NUMBER() OVER (
        |      PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
        |    FROM scored) WHERE rn = 1)""".stripMargin
