@@ -130,6 +130,14 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "quant_vec", exprs => QuantizeVec(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "argmin_cos", exprs => {
+        def longs(e: Expression): Array[Long] = e.eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toLongArray()
+        ArgminCosine(exprs(0), exprs(1),
+          longs(exprs(2)), longs(exprs(3)), longs(exprs(4)))
+      }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "pq_encode", exprs => {
         val cb = exprs(1).eval()
           .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
@@ -142,6 +150,16 @@ object GraftFunctions {
   }
 
   def longDot(a: Column, b: Column): Column = call_function("long_dot", a, b)
+
+  /** Fused nearest-centroid-by-cosine assignment → struct(cell, ccos).
+    * Centroid data bakes into the plan as flat reference arrays
+    * (cid-ascending), keeping the plan O(1) in k·d.
+    */
+  def argminCos(qe: Column, nrm: Column, cids: Array[Long],
+      cents: Array[Long], cnorms: Array[Long]): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("argmin_cos", qe, nrm, lit(cids), lit(cents), lit(cnorms))
+  }
 
   def simhash60(a: Column): Column = call_function("simhash60", a)
 

@@ -78,25 +78,26 @@ private[queries] object Vec {
     */
   def argminAssignWith(base: org.apache.spark.sql.DataFrame,
       cents: Seq[(Long, Seq[Long], Long)]): org.apache.spark.sql.DataFrame = {
-    val scored = array(cents.map { case (cid, ce, cnrm) =>
-      // NULL cosine (zero-norm side) must rank WORST: Spark's struct
-      // ordering sorts a NULL field FIRST (array_min would prefer it),
-      // while the oracle's ORDER BY ccos DESC is NULLS LAST — coalesce
-      // to +∞ so both engines agree that a null cosine never wins
-      struct(
-        coalesce(-cosineQ(col("qe"), typedLit(ce), col("nrm"), lit(cnrm)),
-          lit(Double.PositiveInfinity)).as("nc"),
-        lit(cid).as("cid"))
-    }: _*)
+    // ONE fused expression node (graft.functions.ArgminCosine) instead of
+    // the k-struct array_min spelling: same semantics and bit-identical
+    // cosines (NULL never wins, ties to the lowest cid, all-NULL → lowest
+    // cid with NULL ccos), but the plan carries a flat reference array
+    // rather than a ~k·d-node tree — the tree form sent constraint
+    // propagation into minutes of driver time once a Filter sat above an
+    // alias of it (q_embed_outliers: 113 s → <2 s), and re-planned per
+    // AQE stage.
+    ensureRegistered(base.sparkSession)
+    val sorted = cents.sortBy(_._1)
+    val am = graft.functions.GraftFunctions.argminCos(
+      col("qe"), col("nrm"),
+      sorted.map(_._1).toArray,
+      sorted.flatMap(_._2).toArray,
+      sorted.map(_._3).toArray)
     base
-      .withColumn("best", array_min(scored))
-      .withColumn("cell", col("best").getField("cid"))
-      // un-coalesce the ranking sentinel: a NULL cosine (zero-norm row)
-      // must come back as NULL, not −∞ — aggregates like kmeansCost's
-      // avg skip NULL but would absorb an infinity
-      .withColumn("ccos",
-        nullif(-col("best").getField("nc"), lit(Double.NegativeInfinity)))
-      .drop("best")
+      .withColumn("g_am", am)
+      .withColumn("cell", col("g_am").getField("cell"))
+      .withColumn("ccos", col("g_am").getField("ccos"))
+      .drop("g_am")
   }
 
   /** DuckDB CTE chain mirroring [[argminCellAssign]]: defines q, n, cent,

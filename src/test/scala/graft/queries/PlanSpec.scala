@@ -238,4 +238,30 @@ class PlanSpec extends SparkSpec {
     // scan pruned to the two clustered dimensions
     assert(p.contains("ReadSchema: struct<p_size:int,p_retailprice:double>"), p)
   }
+
+  test("q_text_lm_score at scale: model joins stay keyed, never cartesian") {
+    // With auto-broadcast off (an unbounded vocabulary cannot broadcast
+    // on a real cluster), scoring must be keyed shuffle joins — gram for
+    // the model probe, w1 for the prefix totals — and nothing cartesian.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = plan("q_text_lm_score")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), p)
+      val shuffleJoins = ("SortMergeJoin".r.findAllIn(p).size
+        + "ShuffledHashJoin".r.findAllIn(p).size)
+      assert(shuffleJoins == 2,
+        s"expected the gram-model and prefix joins, got $shuffleJoins\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q_embed_outliers: zero-shuffle assignment, one cell-keyed exchange") {
+    // argmin assignment is a projection (no shuffle); the decile ranking
+    // partitions once on the cell key and both window functions reuse it.
+    val p = plan("q_embed_outliers")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly 1 shuffle, got $exchanges\n$p")
+    assert(!p.contains("rangepartitioning"), p) // no global sort
+  }
 }
