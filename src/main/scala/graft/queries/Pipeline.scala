@@ -86,6 +86,43 @@ object Pipeline extends QueryPack {
   private val ChunkStride = 150
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // End-to-end curation pipeline — the composition a corpus owner
+    // actually ships: normalize → quality gate → exact dedup (keep the
+    // lowest doc_id per content hash) → deterministic hash sample, with
+    // per-stage survivor counts and an id-sum checksum so every drop is
+    // accounted for (the funnel report read before/after retuning any
+    // threshold; no stage can silently lose or duplicate a doc). Each
+    // stage is individually oracle-checked elsewhere; this query pins
+    // the COMPOSITION. Plan at 100 TB: normalization and the quality
+    // gate are per-row codegen maps, dedup is one content-hash-keyed
+    // aggregation, the sample is a hash predicate — one corpus shuffle
+    // total, stage counts ride a 4-row union of aggregates.
+    "q_pipeline_curate" -> ((s, dir) => {
+      import s.implicits._
+      val cleaned = trim(regexp_replace(
+        regexp_replace(lower($"text"), "[^a-z0-9 ]", ""), " +", " "))
+      val normalized = Tables.load(s, dir, "documents")
+        .select($"doc_id", cleaned.as("norm_text"))
+        .withColumn("n_tok",
+          when($"norm_text" === "", 0)
+            .otherwise(size(split($"norm_text", " "))))
+      val quality = normalized.filter($"n_tok" >= 20)
+      val deduped = quality
+        .withColumn("h", md5($"norm_text"))
+        .groupBy($"h").agg(min($"doc_id").as("doc_id"))
+      val sampled = deduped
+        // deterministic ~3/4 sample on the content hash's first hex char
+        .filter(substring($"h", 1, 1).isin(
+          "0", "1", "2", "3", "4", "5", "6", "7", "8", "9", "a", "b"))
+      def stage(name: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n"), sum($"doc_id").as("id_sum"))
+          .select(lit(name).as("stage"), $"n", $"id_sum")
+      stage("1_ingested", normalized)
+        .unionByName(stage("2_quality", quality))
+        .unionByName(stage("3_deduped", deduped))
+        .unionByName(stage("4_sampled", sampled))
+    }),
+
     // PII redaction: count then scrub emails → IPv4s → phones, in that
     // order (emails carry dots+digits an IP pattern could nibble). Pure
     // per-row codegen'd regex work, no shuffle at all.
@@ -181,6 +218,30 @@ object Pipeline extends QueryPack {
     }))
 
   def oracleSql: Map[String, String] = Map(
+    "q_pipeline_curate" ->
+      """WITH normalized AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm_text
+        |  FROM documents),
+        |n2 AS (SELECT doc_id, norm_text,
+        |    CASE WHEN norm_text = '' THEN 0
+        |         ELSE len(string_split(norm_text, ' ')) END AS n_tok
+        |  FROM normalized),
+        |quality AS (SELECT * FROM n2 WHERE n_tok >= 20),
+        |deduped AS (SELECT md5(norm_text) AS h, MIN(doc_id) AS doc_id
+        |  FROM quality GROUP BY md5(norm_text)),
+        |sampled AS (SELECT * FROM deduped
+        |  WHERE substr(h, 1, 1) IN ('0','1','2','3','4','5','6','7','8','9','a','b'))
+        |SELECT '1_ingested' AS stage, COUNT(*) AS n,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum FROM n2
+        |UNION ALL
+        |SELECT '2_quality', COUNT(*), CAST(SUM(doc_id) AS BIGINT) FROM quality
+        |UNION ALL
+        |SELECT '3_deduped', COUNT(*), CAST(SUM(doc_id) AS BIGINT) FROM deduped
+        |UNION ALL
+        |SELECT '4_sampled', COUNT(*), CAST(SUM(doc_id) AS BIGINT) FROM sampled""".stripMargin,
+
     "q_text_pii" ->
       s"""WITH e AS (SELECT doc_id, $oPiiEnriched AS etext FROM documents)
          |SELECT doc_id,
