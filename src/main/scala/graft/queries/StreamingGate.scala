@@ -168,6 +168,23 @@ object StreamingGate extends QueryPack {
         .orderBy($"n".desc, $"event_type")
         .limit(3)
       runToTable(s, top, "stream_topn_gate")
+    }),
+
+    // Streaming OVER window — Flink SQL's per-row running aggregate
+    // (`SUM(x) OVER (PARTITION BY user ORDER BY ts ROWS 2 PRECEDING)`),
+    // which Spark's built-in window functions reject on streams. Runs as
+    // keyed ring-buffer state (StreamOps.runningOverFrame) on a REAL
+    // drain; values as integer cents so the frame sums hash-match the
+    // batch window oracle exactly.
+    "q_stream_over" -> ((s, dir) => {
+      import s.implicits._
+      val in = eventsStream(s, dir)
+        .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id",
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .as[graft.streaming.OverIn]
+      runToTable(s,
+        graft.streaming.StreamOps.runningOverFrame(in, preceding = 2).toDF(),
+        "stream_over_gate", mode = "update")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -193,5 +210,15 @@ object StreamingGate extends QueryPack {
     "q_stream_topn" ->
       """SELECT event_type, n FROM (
         |  SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type)
-        |ORDER BY n DESC, event_type LIMIT 3""".stripMargin)
+        |ORDER BY n DESC, event_type LIMIT 3""".stripMargin,
+
+    "q_stream_over" ->
+      """SELECT user_id, event_id,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS run_cents,
+        |  COUNT(*) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS n_frame
+        |FROM events""".stripMargin)
 }

@@ -120,6 +120,40 @@ object StreamOps {
       }
   }
 
+  /** Streaming OVER window — Flink SQL's
+    * `SUM(x) OVER (PARTITION BY k ORDER BY ts ROWS BETWEEN n PRECEDING
+    * AND CURRENT ROW)` on an unbounded stream, which Spark's built-in
+    * window functions refuse on streaming plans. Keyed ring-buffer state
+    * via flatMapGroupsWithState: per key, the last `preceding` rows in
+    * (ts, event_id) order; each arriving row emits its frame sum and
+    * frame size. State is O(preceding) per key — the exact analog of
+    * Flink's OVER-window state, bounded regardless of stream length.
+    *
+    * Values ride as integer cents so the frame sum is order-exact and
+    * hash-comparable to a batch window oracle. Within a micro-batch rows
+    * sort by (ts, event_id); across batches rows must arrive ts-ordered
+    * per key (true for the single-batch AvailableNow drain the gate
+    * runs, and for any source whose batches respect event order — a
+    * production deployment over an out-of-order source would buffer to
+    * the watermark first, the same discipline Flink's OVER requires).
+    */
+  def runningOverFrame(ds: Dataset[OverIn], preceding: Int): Dataset[OverOut] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[OverIn], OverOut](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: Long, rows: Iterator[OverIn], state: GroupState[List[OverIn]]) =>
+          val sorted = rows.toSeq.sortBy(r => (r.ts_us, r.event_id))
+          var buf = state.getOption.getOrElse(Nil)
+          val out = sorted.map { r =>
+            buf = (buf :+ r).takeRight(preceding + 1)
+            OverOut(key, r.event_id, buf.map(_.cents).sum, buf.size.toLong)
+          }
+          state.update(buf.takeRight(preceding))
+          out.iterator
+      }
+  }
+
   /** In-memory keyed upsert store for foreachBatch sinks (the test/local
     * stand-in for the JDBC `ON DUPLICATE KEY UPDATE` sink; same contract:
     * last write per key wins, exactly-once per micro-batch re-run because
@@ -162,3 +196,9 @@ object StreamOps {
 }
 
 final case class KeyTotal(key: String, n: Long, total: Double)
+
+/** Input/output rows of [[StreamOps.runningOverFrame]]. */
+final case class OverIn(user_id: Long, ts_us: Long, event_id: Long,
+    cents: Long)
+final case class OverOut(user_id: Long, event_id: Long, run_cents: Long,
+    n_frame: Long)

@@ -166,6 +166,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("runningOverFrame: ring-buffer state carries frames across batches") {
+    import graft.streaming.{OverIn, OverOut}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[OverIn]
+    val q = StreamOps.runningOverFrame(in.toDS(), preceding = 2)
+      .writeStream.format("memory").queryName("over_t")
+      .outputMode("update").start()
+    try {
+      // batch 1: key 1 gets rows at t=1,2 (out of order in the batch —
+      // the operator must sort); key 2 gets one row
+      in.addData(OverIn(1L, 2L, 11L, 20L), OverIn(1L, 1L, 10L, 10L),
+        OverIn(2L, 1L, 20L, 5L))
+      q.processAllAvailable()
+      // batch 2: key 1 continues at t=3,4 — frames must include the
+      // buffered tail of batch 1 (state, not batch locality)
+      in.addData(OverIn(1L, 3L, 12L, 40L), OverIn(1L, 4L, 13L, 80L))
+      q.processAllAvailable()
+      val got = spark.table("over_t").as[OverOut].collect()
+        .map(o => (o.user_id, o.event_id) -> ((o.run_cents, o.n_frame)))
+        .toMap
+      assert(got((1L, 10L)) == ((10L, 1L)))
+      assert(got((1L, 11L)) == ((30L, 2L)))   // 10+20
+      assert(got((1L, 12L)) == ((70L, 3L)))   // 10+20+40, crosses batches
+      assert(got((1L, 13L)) == ((140L, 3L)))  // 20+40+80 — oldest evicted
+      assert(got((2L, 20L)) == ((5L, 1L)))
+    } finally q.stop()
+  }
+
   test("encodeKey: composite keys are unambiguous, nulls preserved") {
     assert(StreamOps.encodeKey(Seq("x|y", "z")) !=
       StreamOps.encodeKey(Seq("x", "y|z")))
