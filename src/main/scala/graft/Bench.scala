@@ -83,7 +83,9 @@ object Bench {
       "q_agg_rollup", "q_win_topn", "q_cte", "q_sub_corr",
       "q_window_tumble", "q_stream_tumble", "q_stream_continuous",
       "q_gate_script", "q_gate_flink_tumble", "q_media_features",
-      "q_train_split")
+      "q_train_split", "q_ann_pq_fit", "q_gate_match_recognize",
+      "q_text_lm_score", "q_embed_outliers", "q_stream_over",
+      "q_pipeline_curate")
     // Locale.ROOT: the f interpolator is locale-sensitive, and a comma
     // decimal separator would make the JSON line unparseable.
     def r3(v: Double): String =
