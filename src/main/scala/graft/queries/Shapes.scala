@@ -106,6 +106,25 @@ object Shapes extends QueryPack {
         .limit(100)
     }),
 
+    // Token-budget corpus mixing — the "data mixture" step of a training
+    // run: each language contributes documents, in a deterministic
+    // salted-hash shuffle order, until its token budget is exhausted
+    // (running token sum per language ≤ budget). The mechanism behind
+    // per-source sampling ratios: budgets, not row counts, because
+    // training cost is tokens. One shuffle on the language key; window
+    // state is a running sum per group; every value integer-exact.
+    "q_mix_budget" -> ((s, dir) => {
+      import s.implicits._
+      val w = Window.partitionBy($"lang").orderBy($"h", $"doc_id")
+      Tables.load(s, dir, "documents")
+        .select($"doc_id", $"lang",
+          size(split($"text", " ")).as("n_tok"),
+          md5(concat(lit("mix_"), $"doc_id".cast("string"))).as("h"))
+        .withColumn("cum_tok", sum($"n_tok").over(w))
+        .filter($"cum_tok" <= 3000)
+        .select($"doc_id", $"lang", $"n_tok", $"cum_tok")
+    }),
+
     // Equal-width histogram of order totals (floor bucketing).
     "q_histogram" -> ((s, dir) => {
       import s.implicits._
@@ -195,6 +214,18 @@ object Shapes extends QueryPack {
         |FROM documents
         |ORDER BY h, doc_id
         |LIMIT 100""".stripMargin,
+
+    "q_mix_budget" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    len(string_split(text, ' ')) AS n_tok,
+        |    md5('mix_' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |c AS (SELECT doc_id, lang, n_tok,
+        |    CAST(SUM(n_tok) OVER (PARTITION BY lang
+        |      ORDER BY h, doc_id) AS BIGINT) AS cum_tok
+        |  FROM t)
+        |SELECT doc_id, lang, n_tok, cum_tok FROM c
+        |WHERE cum_tok <= 3000""".stripMargin,
 
     "q_histogram" ->
       """SELECT LEAST(CAST(floor(o_totalprice / 50000.0) AS BIGINT), 9)
