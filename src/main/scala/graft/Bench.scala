@@ -66,8 +66,12 @@ object Bench {
     // to adjudicate noise vs regression. The file survives the round.
     try {
       new java.io.File("dev").mkdirs()
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("dev/bench_full.json"), detail + "\n")
+      val p = java.nio.file.Paths.get("dev/bench_full.json")
+      java.nio.file.Files.writeString(p, detail + "\n")
+      // absolute path in the log: a bench launched from outside the
+      // repo root writes <cwd>/dev/, and a silently-misplaced file is
+      // exactly what this feature exists to prevent
+      System.err.println(s"[bench] full detail: ${p.toAbsolutePath}")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write dev/bench_full.json: $e")
     }

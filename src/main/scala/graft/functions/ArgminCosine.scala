@@ -62,6 +62,24 @@ case class ArgminCosine(left: Expression, right: Expression,
   private lazy val sqrtCnorms: Array[Double] =
     cnorms.map(n => Math.sqrt(n.toDouble))
 
+  // content-based equality: case-class equals on Array fields is
+  // reference-based, which would defeat semanticEquals / subexpression
+  // elimination / exchange reuse for two calls built from equal centroid
+  // seqs
+  override def equals(other: Any): Boolean = other match {
+    case a: ArgminCosine =>
+      left == a.left && right == a.right &&
+        java.util.Arrays.equals(cids, a.cids) &&
+        java.util.Arrays.equals(cents, a.cents) &&
+        java.util.Arrays.equals(cnorms, a.cnorms)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(left, right,
+      Int.box(java.util.Arrays.hashCode(cids)),
+      Int.box(java.util.Arrays.hashCode(cents)),
+      Int.box(java.util.Arrays.hashCode(cnorms)))
+
   override def eval(input: InternalRow): Any = {
     val qeRaw = left.eval(input)
     val nrmRaw = right.eval(input)

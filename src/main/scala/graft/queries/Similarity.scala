@@ -376,15 +376,6 @@ object Similarity extends QueryPack {
       pqSearch(s, emb, pqFit(corpus, pqSliceCodebook(emb), PqIters))
     }),
 
-    // One Lloyd refinement step of k-means over the embedding space —
-    // the training pass behind the IVF cells (and SemDeDup clusters):
-    // assign every vector to its nearest centroid, then recompute each
-    // cell's mean componentwise. Assignment is the zero-shuffle argmin
-    // projection (Vec.argminCellAssign); the mean is posexplode →
-    // groupBy(cell, dim) with map-side partial aggregation — ONE shuffle
-    // of k·d tiny keys, never a collect of vectors. Means are
-    // floor(sum/count) in exact-double arithmetic so both engines emit
-    // identical integers (sums stay ≪ 2^53).
     // Per-cluster embedding outlier detection — the curation pass that
     // drops far-from-centroid vectors (mislabeled, noisy, off-topic)
     // before training: assign every vector to its cell (the zero-shuffle
@@ -406,6 +397,15 @@ object Similarity extends QueryPack {
         .filter($"crank" * 10 <= $"cn")
     }),
 
+    // One Lloyd refinement step of k-means over the embedding space —
+    // the training pass behind the IVF cells (and SemDeDup clusters):
+    // assign every vector to its nearest centroid, then recompute each
+    // cell's mean componentwise. Assignment is the zero-shuffle argmin
+    // projection (Vec.argminCellAssign); the mean is posexplode →
+    // groupBy(cell, dim) with map-side partial aggregation — ONE shuffle
+    // of k·d tiny keys, never a collect of vectors. Means are
+    // floor(sum/count) in exact-double arithmetic so both engines emit
+    // identical integers (sums stay ≪ 2^53).
     "q_embed_kmeans" -> ((s, dir) => {
       import s.implicits._
       val emb = embQ(s, dir)

@@ -20,6 +20,30 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger
   */
 object Connectors {
 
+  /** Native-producer record encoding for the upsert-kafka sink — the
+    * same envelope semantics as KafkaRest.recordsBody: PK columns as the
+    * JSON key, a debezium envelope as the value, and an `op` column (if
+    * present) routing `d` rows to a before-image delete with the op
+    * excluded from the row payload. Rows without an op column (or with
+    * a NULL op) are upserts. (`to_json` omits null fields where the
+    * REST body spells them explicitly — equivalent to debezium readers,
+    * for which absent and null envelope sides are the same.)
+    */
+  private[sqlgate] def upsertKafkaRecords(df: DataFrame,
+      pk: Seq[String]): DataFrame = {
+    val dataCols = df.columns.filterNot(_ == "op")
+    val rowStruct = struct(dataCols.map(col): _*)
+    val opCol =
+      if (df.columns.contains("op")) coalesce(col("op"), lit("u"))
+      else lit("u")
+    val del = opCol === "d"
+    df.select(
+      to_json(struct(pk.map(col): _*)).as("key"),
+      to_json(struct(opCol.as("op"),
+        when(del, rowStruct).otherwise(lit(null)).as("before"),
+        when(del, lit(null)).otherwise(rowStruct).as("after"))).as("value"))
+  }
+
   /** Build the source DataFrame for a registered table spec.
     * Streaming when the connector is unbounded or `streaming` is forced.
     */
@@ -194,11 +218,7 @@ object Connectors {
                 KafkaRest.httpPost(ep,
                   spec.options.getOrElse("topic", spec.name))) _)
             case None =>
-              df.select(
-                to_json(struct(spec.primaryKey.map(col): _*)).as("key"),
-                to_json(struct(lit("u").as("op"),
-                  lit(null).cast("string").as("before"),
-                  struct(df.columns.map(col): _*).as("after"))).as("value"))
+              upsertKafkaRecords(df, spec.primaryKey)
                 .writeStream.format("kafka")
                 .option("kafka.bootstrap.servers",
                   spec.options.getOrElse("properties.bootstrap.servers", ""))
@@ -257,11 +277,7 @@ object Connectors {
               KafkaRest.writer(spec.primaryKey, KafkaRest.httpPost(ep,
                 spec.options.getOrElse("topic", spec.name)))(df, 0L)
             case None =>
-              df.select(
-                to_json(struct(spec.primaryKey.map(col): _*)).as("key"),
-                to_json(struct(lit("u").as("op"),
-                  lit(null).cast("string").as("before"),
-                  struct(df.columns.map(col): _*).as("after"))).as("value"))
+              upsertKafkaRecords(df, spec.primaryKey)
                 .write.format("kafka")
                 .option("kafka.bootstrap.servers",
                   spec.options.getOrElse("properties.bootstrap.servers", ""))

@@ -43,12 +43,21 @@ object KafkaRest {
     val opIdx = cols.indexOf("op")
     val dataCols = cols.filterNot(_ == "op")
     val dataIdx = dataCols.map(cols.indexOf(_))
-    val pkIdx = pk.map(cols.indexOf(_))
+    val pkIdx = pk.map { k =>
+      val i = cols.indexOf(k)
+      require(i >= 0,
+        s"upsert-kafka PRIMARY KEY column '$k' is not in the sink row " +
+          s"(columns: ${cols.mkString(", ")})")
+      i
+    }
     val recs = rows.map { r =>
       val key = obj(pk, pkIdx, r)
       val row = obj(dataCols, dataIdx, r)
       val del = opIdx >= 0 && r.get(opIdx) == "d"
-      val op = if (del) "d" else if (opIdx >= 0) r.get(opIdx).toString else "u"
+      // a NULL op is an upsert, mirroring the native-producer encoding
+      val op = if (del) "d"
+        else if (opIdx >= 0) Option(r.get(opIdx)).fold("u")(_.toString)
+        else "u"
       val value = s"""{"op":"${jsonEscape(op)}",""" +
         s""""before":${if (del) row else "null"},""" +
         s""""after":${if (del) "null" else row}}"""

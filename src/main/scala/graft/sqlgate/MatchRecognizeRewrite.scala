@@ -66,11 +66,17 @@ object MatchRecognizeRewrite {
       }
       val open = sql.indexOf('(', m.end)
       require(open >= 0, "MATCH_RECOGNIZE requires a parenthesized block")
+      // paren scan skips single-quoted literals ('' = escaped quote), so
+      // a ')' inside a DEFINE string can't truncate the block
       var depth = 0
       var i = open
       var close = -1
+      var inStr = false
       while (i < sql.length && close < 0) {
-        sql.charAt(i) match {
+        val ch = sql.charAt(i)
+        if (inStr) { if (ch == '\'') inStr = false }
+        else ch match {
+          case '\'' => inStr = true
           case '(' => depth += 1
           case ')' => depth -= 1; if (depth == 0) close = i
           case _ =>
@@ -83,17 +89,23 @@ object MatchRecognizeRewrite {
       apply(prefix + derived + sql.substring(close + 1))
   }
 
-  /** Split on commas at paren depth 0. */
+  /** Split on commas at paren depth 0, outside single-quoted literals. */
   private def splitTop(s: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     var depth = 0
     var start = 0
-    for (i <- 0 until s.length) s.charAt(i) match {
-      case '(' => depth += 1
-      case ')' => depth -= 1
-      case ',' if depth == 0 =>
-        out += s.substring(start, i).trim; start = i + 1
-      case _ =>
+    var inStr = false
+    for (i <- 0 until s.length) {
+      val ch = s.charAt(i)
+      if (inStr) { if (ch == '\'') inStr = false }
+      else ch match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 =>
+          out += s.substring(start, i).trim; start = i + 1
+        case _ =>
+      }
     }
     out += s.substring(start).trim
     out.result().filter(_.nonEmpty)
@@ -145,7 +157,15 @@ object MatchRecognizeRewrite {
     def parseVar(v: String, q: String): Stage = {
       val name = v.toUpperCase(java.util.Locale.ROOT)
       defs.get(name) match {
-        case None => Stage(name, plus = false, cond = null) // gap marker
+        case None =>
+          // gap marker: undefined variables may pad between stages with
+          // * or ? — but a '+' gap would REQUIRE at least one in-between
+          // row, which the chained-minima form cannot enforce; degrading
+          // it silently to zero-or-more would emit extra matches
+          if (q == "+") throw new IllegalArgumentException(
+            s"MATCH_RECOGNIZE: '+' on undefined variable $name (at least " +
+              "one gap row) is not supported — use '*' for optional gaps")
+          Stage(name, plus = false, cond = null)
         case Some(pred) =>
           if (q == "*" || q == "?") throw new IllegalArgumentException(
             s"MATCH_RECOGNIZE: optional quantifier '$q' on defined " +
@@ -201,7 +221,15 @@ object MatchRecognizeRewrite {
       val st = stages(i - 1)
       if (!st.plus) anchor(i, col)
       else {
-        val ub = if (i < stages.size) s" AND $ord < g_t${i + 1}" else ""
+        // middle + stages are bounded by the next anchor (which is in
+        // turn ≤ the WITHIN-checked final anchor); the FINAL + stage has
+        // no next anchor, so the WITHIN bound must cap it directly or
+        // LAST() could read rows outside the declared match duration
+        val ub =
+          if (i < stages.size) s" AND $ord < g_t${i + 1}"
+          else within.fold("") { case (amt, unit) =>
+            s" AND $ord <= g_t1 + INTERVAL '$amt' $unit"
+          }
         val in = s"(${st.cond}) AND $ord >= g_t$i$ub"
         s"MAX_BY(CASE WHEN $in THEN $col END, CASE WHEN $in THEN $ord END)"
       }

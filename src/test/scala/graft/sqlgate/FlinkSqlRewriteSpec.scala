@@ -117,6 +117,22 @@ class FlinkSqlRewriteSpec extends AnyFunSuite {
     assert(!out.contains("g_t3"))
   }
 
+  test("MATCH_RECOGNIZE: quoted parens in DEFINE don't truncate the block") {
+    val out = FlinkSqlRewrite(mr.replace("A AS A.kind = 'x'",
+      "A AS A.kind = ':)'"))
+    assert(!out.toUpperCase.contains("MATCH_RECOGNIZE"))
+    assert(out.contains("MIN(CASE WHEN (kind = ':)') THEN ts END)"))
+  }
+
+  test("MATCH_RECOGNIZE: WITHIN caps a trailing + variable's LAST()") {
+    val out = FlinkSqlRewrite(mr.replace("PATTERN (A B+)",
+      "PATTERN (A B+) WITHIN INTERVAL '1' HOUR"))
+    // the final + stage has no next anchor; LAST(B.ts) must not read
+    // rows beyond the declared match duration
+    assert(out.contains(
+      "AND ts >= g_t2 AND ts <= g_t1 + INTERVAL '1' HOUR"))
+  }
+
   test("MATCH_RECOGNIZE: unsupported forms are rejected loudly") {
     // ALL ROWS PER MATCH
     intercept[IllegalArgumentException](FlinkSqlRewrite(
@@ -134,6 +150,10 @@ class FlinkSqlRewriteSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](FlinkSqlRewrite(
       mr.replace("AFTER MATCH SKIP PAST LAST ROW",
         "AFTER MATCH SKIP TO LAST B")))
+    // '+' on an undefined gap variable (at least one gap row) cannot be
+    // enforced — must fail, not degrade to zero-or-more
+    intercept[IllegalArgumentException](FlinkSqlRewrite(
+      mr.replace("PATTERN (A B+)", "PATTERN (A GAP+ B+)")))
     // computed measure outside the V.col / FIRST / LAST grammar
     intercept[IllegalArgumentException](FlinkSqlRewrite(
       mr.replace("A.ts AS a_ts", "A.ts + 1 AS a_ts")))

@@ -107,6 +107,32 @@ class KafkaRestSpec extends SparkSpec {
     } finally srv.stop(0)
   }
 
+  test("recordsBody: NULL op is an upsert; missing PK column fails loudly") {
+    val nullOp = KafkaRest.recordsBody(Seq("op", "k"), Seq("k"),
+      Iterator(org.apache.spark.sql.Row(null, 1L)))
+    assert(nullOp.contains(""""op":"u"""") && nullOp.contains(""""after":{"k":1}"""))
+    val e = intercept[IllegalArgumentException] {
+      KafkaRest.recordsBody(Seq("a", "b"), Seq("missing"),
+        Iterator(org.apache.spark.sql.Row("x", "y")))
+    }
+    assert(e.getMessage.contains("missing"))
+  }
+
+  test("native-producer encoding matches the REST envelope, op routing included") {
+    // the broker path must produce the SAME bytes as KafkaRest: deletes
+    // as before-images, op excluded from the row payload, NULL op = upsert
+    val df = Seq(("d", 1L, "x"), ("u", 2L, "y"), (null, 3L, "z"))
+      .toDF("op", "k", "v")
+    val recs = Connectors.upsertKafkaRecords(df, Seq("k"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(recs.contains(
+      ("""{"k":1}""", """{"op":"d","before":{"k":1,"v":"x"}}""")))
+    assert(recs.contains(
+      ("""{"k":2}""", """{"op":"u","after":{"k":2,"v":"y"}}""")))
+    assert(recs.contains(
+      ("""{"k":3}""", """{"op":"u","after":{"k":3,"v":"z"}}""")))
+  }
+
   test("upsert-kafka without a PRIMARY KEY is rejected") {
     val df = Seq(("a", 1.0)).toDF("k", "v")
     intercept[IllegalArgumentException] {
