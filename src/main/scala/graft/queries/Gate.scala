@@ -160,9 +160,9 @@ object Gate extends QueryPack {
 
     // SQL:2016 MATCH_RECOGNIZE through the gate (the last Flink-SQL
     // dialect family a reference job author can write): the view →
-    // click+ → purchase funnel as a row-pattern clause, rewritten by
-    // MatchRecognizeRewrite to the chained window-minima plan (one
-    // user_id shuffle, no automaton state) and oracle-checked against
+    // click+ → purchase funnel as a row-pattern clause, routed through
+    // graft.operators.RowPattern (Flink-exact: STRICT contiguity, every
+    // match emitted, SKIP PAST LAST ROW) and oracle-checked against
     // DuckDB's hand-written equivalent of the same semantics.
     "q_gate_match_recognize" -> ((s, dir) => {
       val runner = new ScriptRunner(s, batchMode = true)
@@ -231,23 +231,34 @@ object Gate extends QueryPack {
 
     "q_gate_flink_cumulate" -> Windows.oCumulateSql,
 
-    // the earliest-anchored funnel semantics of MatchRecognizeRewrite,
-    // hand-written: t1 = first view, t2 = first click after t1,
-    // t3 = first purchase after t2; LAST(B.ts) = last click in [t2, t3)
+    // RowPattern's Flink-exact strict-contiguity multi-match semantics,
+    // hand-written: a match is a 'view' row immediately followed by a
+    // maximal run of ≥1 'click' rows immediately followed by a
+    // 'purchase' row (the predicates are mutually exclusive, so greedy
+    // backtracking and SKIP PAST LAST ROW cannot produce overlapping
+    // alternatives — every qualifying purchase row IS one match).
+    // lastnc = rn of the last non-click row before the purchase; the
+    // click run spans (lastnc, rn) exclusive and the anchor must be a
+    // view at rn = lastnc.
     "q_gate_match_recognize" ->
       """WITH e AS (SELECT user_id, event_type, value,
-        |    CAST(ts AS TIMESTAMP) AS ts FROM events),
-        |a AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
-        |    OVER (PARTITION BY user_id) AS t1 FROM e),
-        |b AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > t1
-        |    THEN ts END) OVER (PARTITION BY user_id) AS t2 FROM a),
-        |c AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t2
-        |    THEN ts END) OVER (PARTITION BY user_id) AS t3 FROM b)
-        |SELECT user_id,
-        |  strftime(min(t1), '%Y-%m-%d %H:%M:%S.%f') AS first_view,
-        |  strftime(min(t2), '%Y-%m-%d %H:%M:%S.%f') AS first_click,
-        |  strftime(max(CASE WHEN event_type = 'click' AND ts >= t2
-        |    AND ts < t3 THEN ts END), '%Y-%m-%d %H:%M:%S.%f') AS last_click,
-        |  max(CASE WHEN ts = t3 THEN value END) AS purchase_value
-        |FROM c WHERE t3 IS NOT NULL GROUP BY user_id""".stripMargin)
+        |    CAST(ts AS TIMESTAMP) AS ts,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+        |  FROM events),
+        |m AS (SELECT *,
+        |    max(CASE WHEN event_type <> 'click' THEN rn END) OVER
+        |      (PARTITION BY user_id ORDER BY rn
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lastnc
+        |  FROM e)
+        |SELECT p.user_id,
+        |  strftime(a.ts, '%Y-%m-%d %H:%M:%S.%f') AS first_view,
+        |  strftime(b1.ts, '%Y-%m-%d %H:%M:%S.%f') AS first_click,
+        |  strftime(bl.ts, '%Y-%m-%d %H:%M:%S.%f') AS last_click,
+        |  p.value AS purchase_value
+        |FROM m p
+        |JOIN m a  ON a.user_id = p.user_id AND a.rn = p.lastnc
+        |         AND a.event_type = 'view'
+        |JOIN m b1 ON b1.user_id = p.user_id AND b1.rn = p.lastnc + 1
+        |JOIN m bl ON bl.user_id = p.user_id AND bl.rn = p.rn - 1
+        |WHERE p.event_type = 'purchase' AND p.rn - 1 >= p.lastnc + 1""".stripMargin)
 }

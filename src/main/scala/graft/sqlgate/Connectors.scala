@@ -36,7 +36,9 @@ object Connectors {
     val opCol =
       if (df.columns.contains("op")) coalesce(col("op"), lit("u"))
       else lit("u")
-    val del = opCol === "d"
+    // same delete spellings as KafkaRest.isDeleteOp: d / -D / delete,
+    // case-insensitive, trimmed
+    val del = lower(trim(opCol)).isin("d", "-d", "delete")
     df.select(
       to_json(struct(pk.map(col): _*)).as("key"),
       to_json(struct(opCol.as("op"),

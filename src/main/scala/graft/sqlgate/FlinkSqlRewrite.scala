@@ -136,10 +136,32 @@ object FlinkSqlRewrite {
         s"$ws + $size, $step)")
   }
 
+  /** Textual rewrite. MATCH_RECOGNIZE needs a session (its clause routes
+    * through [[graft.operators.RowPattern]]) — use the `(spark, sql)`
+    * overload; this one rejects it loudly rather than mis-rewriting.
+    */
   def apply(sql: String): String = {
-    // row-pattern recognition first: its block may contain INTERVAL
-    // literals of its own (WITHIN) that must not be window-rewritten
-    var s = MatchRecognizeRewrite(sql)
+    require(!MatchRecognizeRewrite.present(sql),
+      "MATCH_RECOGNIZE requires the session-aware rewrite: " +
+        "FlinkSqlRewrite(spark, sql)")
+    rewriteWindows(sql)
+  }
+
+  /** Full rewrite: row-pattern recognition first — its block may contain
+    * INTERVAL literals of its own (WITHIN) that must not be
+    * window-rewritten — then the window/dialect text rewrites.
+    */
+  def apply(spark: org.apache.spark.sql.SparkSession, sql: String): String =
+    rewriteWindows(MatchRecognizeRewrite(spark, sql))
+
+  /** Syntax-validation rewrite: MATCH_RECOGNIZE clauses are parsed (loud
+    * subset rejection, same errors as run time) but not executed.
+    */
+  def validate(sql: String): String =
+    rewriteWindows(MatchRecognizeRewrite.validateOnly(sql))
+
+  private def rewriteWindows(sql: String): String = {
+    var s = sql
     s = TumbleTvfRe.replaceAllIn(s, m =>
       tumbleTvf(m.group(1), m.group(2), micros(m.group(3), m.group(4))))
     s = HopTvfRe.replaceAllIn(s, m =>

@@ -37,27 +37,40 @@ object KafkaRest {
       "\"" + jsonEscape(c) + "\":" + jsonValue(r.get(i))
     }.mkString("{", ",", "}")
 
+  /** Delete spellings accepted from an `op` column: debezium's `d`, a
+    * Flink RowKind-style `-D`, and the spelled-out form — matched
+    * case-insensitively after trimming, so "D"/" -d " cannot silently
+    * encode as upserts.
+    */
+  private[sqlgate] def isDeleteOp(op: String): Boolean = {
+    val n = op.trim.toLowerCase(java.util.Locale.ROOT)
+    n == "d" || n == "-d" || n == "delete"
+  }
+
   /** REST-proxy v2 produce body for one chunk of rows. */
   def recordsBody(cols: Seq[String], pk: Seq[String],
       rows: Iterator[Row]): String = {
-    val opIdx = cols.indexOf("op")
-    val dataCols = cols.filterNot(_ == "op")
-    val dataIdx = dataCols.map(cols.indexOf(_))
+    require(cols.distinct.size == cols.size,
+      s"upsert-kafka sink columns must be distinct, got: " +
+        cols.mkString(", "))
+    // positional resolution (safe given distinctness, and immune to the
+    // first-occurrence aliasing indexOf would silently do otherwise)
+    val indexed = cols.zipWithIndex
+    val opIdx = indexed.collectFirst { case ("op", i) => i }.getOrElse(-1)
+    val (dataCols, dataIdx) = indexed.filter(_._1 != "op").unzip
     val pkIdx = pk.map { k =>
-      val i = cols.indexOf(k)
-      require(i >= 0,
-        s"upsert-kafka PRIMARY KEY column '$k' is not in the sink row " +
-          s"(columns: ${cols.mkString(", ")})")
-      i
+      indexed.collectFirst { case (`k`, i) => i }.getOrElse(
+        throw new IllegalArgumentException(
+          s"upsert-kafka PRIMARY KEY column '$k' is not in the sink row " +
+            s"(columns: ${cols.mkString(", ")})"))
     }
     val recs = rows.map { r =>
       val key = obj(pk, pkIdx, r)
       val row = obj(dataCols, dataIdx, r)
-      val del = opIdx >= 0 && r.get(opIdx) == "d"
+      val rawOp = if (opIdx >= 0) Option(r.get(opIdx)).map(_.toString) else None
+      val del = rawOp.exists(isDeleteOp)
       // a NULL op is an upsert, mirroring the native-producer encoding
-      val op = if (del) "d"
-        else if (opIdx >= 0) Option(r.get(opIdx)).fold("u")(_.toString)
-        else "u"
+      val op = if (del) "d" else rawOp.getOrElse("u")
       val value = s"""{"op":"${jsonEscape(op)}",""" +
         s""""before":${if (del) row else "null"},""" +
         s""""after":${if (del) "null" else row}}"""

@@ -125,9 +125,14 @@ class ScriptRunner(spark: SparkSession,
           val sinkName = m.group(2).replace("`", "")
           val colList = Option(m.group(3)).map(_.stripPrefix("(")
             .stripSuffix(")").split(",").map(_.trim.replace("`", "")).toSeq)
-          val query = FlinkSqlRewrite(m.group(4))
           registry.get(sinkName) match {
             case Some(sink) =>
+              // MATCH_RECOGNIZE resolves its source DURING the rewrite
+              // (RowPattern runs over spark.table), so registry sources
+              // it references must be instantiated first
+              if (MatchRecognizeRewrite.present(m.group(4)))
+                instantiateRefs(MatchRecognizeRewrite.sourceTables(m.group(4)))
+              val query = FlinkSqlRewrite(spark, m.group(4))
               instantiateSources(query)
               val df0 = spark.sql(query)
               val df = renameForSink(df0, colList, sink)
@@ -137,8 +142,12 @@ class ScriptRunner(spark: SparkSession,
               // the demo_batch.md batch-write path. Referenced registry
               // sources must be batch DataFrames here regardless of the
               // runner mode: an eager INSERT cannot read streaming views.
-              instantiateSources(query, forceBatch = true)
-              spark.sql(FlinkSqlRewrite(c.text))
+              if (MatchRecognizeRewrite.present(c.text))
+                instantiateRefs(MatchRecognizeRewrite.sourceTables(c.text),
+                  forceBatch = true)
+              val rewritten = FlinkSqlRewrite(spark, c.text)
+              instantiateSources(rewritten, forceBatch = true)
+              spark.sql(rewritten)
             case None =>
               throw new IllegalArgumentException(
                 s"unknown sink table: $sinkName")
@@ -154,7 +163,9 @@ class ScriptRunner(spark: SparkSession,
           shown += s"ok: ${c.command.name}"
         case SqlCommand.CreateView =>
           // view bodies are queries in the reference dialect too
-          spark.sql(FlinkSqlRewrite(c.text))
+          if (MatchRecognizeRewrite.present(c.text))
+            instantiateRefs(MatchRecognizeRewrite.sourceTables(c.text))
+          spark.sql(FlinkSqlRewrite(spark, c.text))
         case _ =>
           // remaining DDL (CREATE DATABASE, USE, DROP, ALTER, plain
           // CREATE TABLE) goes straight to Spark, like tEnv.executeSql.
@@ -304,8 +315,11 @@ class ScriptRunner(spark: SparkSession,
     * INSERT's SELECT resolves source tables through the registry.
     */
   private def instantiateSources(query: String,
+      forceBatch: Boolean = false): Unit =
+    instantiateRefs(referencedTables(query), forceBatch)
+
+  private def instantiateRefs(refs: Set[String],
       forceBatch: Boolean = false): Unit = {
-    val refs = referencedTables(query)
     registry.foreach { case (name, spec) =>
       if (refs.contains(name.toLowerCase(java.util.Locale.ROOT)) &&
         !sourcesInstantiated.contains(name) && !isSinkOnly(spec)) {

@@ -47,7 +47,7 @@ object SqlValidator {
           // the dialect rewrite — the runner executes the rewritten form,
           // so validating the raw Flink spelling would reject scripts
           // that actually run (FOR SYSTEM_TIME AS OF a non-constant, …).
-          Try(spark.sessionState.sqlParser.parsePlan(FlinkSqlRewrite(c.text))) match {
+          Try(spark.sessionState.sqlParser.parsePlan(FlinkSqlRewrite.validate(c.text))) match {
             case Failure(e) =>
               errors += s"syntax error: ${e.getMessage.linesIterator.next()}"
             case _ =>

@@ -87,75 +87,65 @@ class FlinkSqlRewriteSpec extends AnyFunSuite {
       |  DEFINE A AS A.kind = 'x', B AS B.kind = 'y'
       |)""".stripMargin
 
-  test("MATCH_RECOGNIZE rewrites to chained window minima") {
-    val out = FlinkSqlRewrite(mr)
+  test("MATCH_RECOGNIZE validates without a session, placeholder splices in") {
+    val out = FlinkSqlRewrite.validate(mr)
     assert(!out.toUpperCase.contains("MATCH_RECOGNIZE"))
-    // two stages → two nested MIN layers, chained on the order column
-    assert(out.contains(
-      "MIN(CASE WHEN (kind = 'x') THEN ts END) OVER (PARTITION BY user_id) AS g_t1"))
-    assert(out.contains(
-      "MIN(CASE WHEN (kind = 'y') AND ts > g_t1 THEN ts END) OVER (PARTITION BY user_id) AS g_t2"))
-    // the match gate and the one-row-per-key aggregation
-    assert(out.contains("WHERE g_t2 IS NOT NULL"))
-    assert(out.contains("GROUP BY user_id"))
-    // FIRST/anchor measure reads the anchored row; LAST on a + variable
-    // reads the last qualifying row via MAX_BY
-    assert(out.contains("MAX(CASE WHEN ts = g_t1 THEN ts END) AS a_ts"))
-    assert(out.contains("MAX_BY(CASE WHEN (kind = 'y') AND ts >= g_t2"))
+    assert(out.contains("FROM __graft_mr_validated"))
+    // the textual-only overload refuses MR loudly instead of mis-rewriting
+    intercept[IllegalArgumentException](FlinkSqlRewrite(mr))
   }
 
-  test("MATCH_RECOGNIZE: WITHIN bounds the match duration") {
-    val out = FlinkSqlRewrite(mr.replace("PATTERN (A B+)",
-      "PATTERN (A B+) WITHIN INTERVAL '1' HOUR"))
-    assert(out.contains("AND g_t2 <= g_t1 + INTERVAL '1' HOUR"))
-  }
+  test("MATCH_RECOGNIZE parses quantifiers, gaps, WITHIN, skip modes") {
+    def spec(sql: String) = {
+      val Block = """(?is).*MATCH_RECOGNIZE\s*\((.*)\)\s*$""".r
+      sql match { case Block(b) => MatchRecognizeRewrite.parse(b) }
+    }
+    val s1 = spec(mr)
+    assert(s1.partitionBy == Seq("user_id") && s1.orderBy == "ts")
+    assert(s1.vars.map(v => (v.name, v.minRep, v.maxRep, v.greedy)) ==
+      Seq(("A", 1, 1, true), ("B", 1, Int.MaxValue, true)))
+    assert(s1.skipPastLastRow && s1.withinMs.isEmpty)
+    assert(s1.measures.map(m => (m.variable, m.col, m.first, m.alias)) ==
+      Seq(("A", "ts", false, "a_ts"), ("B", "ts", false, "b_last")))
 
-  test("MATCH_RECOGNIZE: undefined pattern variables are gap markers") {
-    val out = FlinkSqlRewrite(mr.replace("PATTERN (A B+)",
-      "PATTERN (A GAP* B+)"))
-    assert(out.contains("AS g_t2")) // still two defined stages
-    assert(!out.contains("g_t3"))
+    val s2 = spec(mr
+      .replace("PATTERN (A B+)", "PATTERN (A GAP*? B+? C?) WITHIN INTERVAL '2' MINUTE")
+      .replace("AFTER MATCH SKIP PAST LAST ROW", "AFTER MATCH SKIP TO NEXT ROW")
+      .replace("MEASURES A.ts AS a_ts, LAST(B.ts) AS b_last",
+        "MEASURES FIRST(A.ts) AS a_ts, LAST(B.ts) AS b_last"))
+    assert(s2.vars.map(v => (v.name, v.minRep, v.maxRep, v.greedy,
+      v.cond.isDefined)) == Seq(
+      ("A", 1, 1, true, true), ("GAP", 0, Int.MaxValue, false, false),
+      ("B", 1, Int.MaxValue, false, true), ("C", 0, 1, true, false)))
+    assert(!s2.skipPastLastRow && s2.withinMs.contains(120000L))
+    assert(s2.measures.head.first)
   }
 
   test("MATCH_RECOGNIZE: quoted parens in DEFINE don't truncate the block") {
-    val out = FlinkSqlRewrite(mr.replace("A AS A.kind = 'x'",
+    val out = FlinkSqlRewrite.validate(mr.replace("A AS A.kind = 'x'",
       "A AS A.kind = ':)'"))
     assert(!out.toUpperCase.contains("MATCH_RECOGNIZE"))
-    assert(out.contains("MIN(CASE WHEN (kind = ':)') THEN ts END)"))
-  }
-
-  test("MATCH_RECOGNIZE: WITHIN caps a trailing + variable's LAST()") {
-    val out = FlinkSqlRewrite(mr.replace("PATTERN (A B+)",
-      "PATTERN (A B+) WITHIN INTERVAL '1' HOUR"))
-    // the final + stage has no next anchor; LAST(B.ts) must not read
-    // rows beyond the declared match duration
-    assert(out.contains(
-      "AND ts >= g_t2 AND ts <= g_t1 + INTERVAL '1' HOUR"))
   }
 
   test("MATCH_RECOGNIZE: unsupported forms are rejected loudly") {
     // ALL ROWS PER MATCH
-    intercept[IllegalArgumentException](FlinkSqlRewrite(
+    intercept[IllegalArgumentException](FlinkSqlRewrite.validate(
       mr.replace("ONE ROW PER MATCH", "ALL ROWS PER MATCH")))
     // cross-variable DEFINE (not row-local)
-    intercept[IllegalArgumentException](FlinkSqlRewrite(
+    intercept[IllegalArgumentException](FlinkSqlRewrite.validate(
       mr.replace("B AS B.kind = 'y'", "B AS B.v > A.v")))
     // navigation functions in DEFINE
-    intercept[IllegalArgumentException](FlinkSqlRewrite(
+    intercept[IllegalArgumentException](FlinkSqlRewrite.validate(
       mr.replace("B AS B.kind = 'y'", "B AS B.v > LAST(B.v)")))
-    // optional quantifier on a DEFINE'd variable
-    intercept[IllegalArgumentException](FlinkSqlRewrite(
-      mr.replace("PATTERN (A B+)", "PATTERN (A B*)")))
     // SKIP TO LAST <var>
-    intercept[IllegalArgumentException](FlinkSqlRewrite(
+    intercept[IllegalArgumentException](FlinkSqlRewrite.validate(
       mr.replace("AFTER MATCH SKIP PAST LAST ROW",
         "AFTER MATCH SKIP TO LAST B")))
-    // '+' on an undefined gap variable (at least one gap row) cannot be
-    // enforced — must fail, not degrade to zero-or-more
-    intercept[IllegalArgumentException](FlinkSqlRewrite(
-      mr.replace("PATTERN (A B+)", "PATTERN (A GAP+ B+)")))
+    // a pattern where every variable is optional permits empty matches
+    intercept[IllegalArgumentException](FlinkSqlRewrite.validate(
+      mr.replace("PATTERN (A B+)", "PATTERN (A? B*)")))
     // computed measure outside the V.col / FIRST / LAST grammar
-    intercept[IllegalArgumentException](FlinkSqlRewrite(
+    intercept[IllegalArgumentException](FlinkSqlRewrite.validate(
       mr.replace("A.ts AS a_ts", "A.ts + 1 AS a_ts")))
   }
 

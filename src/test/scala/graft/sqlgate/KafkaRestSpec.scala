@@ -27,6 +27,26 @@ class KafkaRestSpec extends SparkSpec {
     assert(withOp.contains(""""after":null"""))
   }
 
+  test("recordsBody: delete-op spellings normalize; duplicate columns fail") {
+    // RowKind-style "-D" and padded/uppercased forms must route as
+    // deletes, not silently encode as upserts
+    for (spelling <- Seq("D", "-D", " d ", "DELETE")) {
+      val b = KafkaRest.recordsBody(Seq("op", "k"), Seq("k"),
+        Iterator(org.apache.spark.sql.Row(spelling, 1L)))
+      assert(b.contains(""""op":"d""""), s"spelling '$spelling'")
+      assert(b.contains(""""after":null"""), s"spelling '$spelling'")
+    }
+    // non-delete ops pass through as upsert-side envelopes
+    val ins = KafkaRest.recordsBody(Seq("op", "k"), Seq("k"),
+      Iterator(org.apache.spark.sql.Row("c", 1L)))
+    assert(ins.contains(""""op":"c"""") && ins.contains(""""before":null"""))
+    // duplicate column names can no longer alias to the first occurrence
+    intercept[IllegalArgumentException] {
+      KafkaRest.recordsBody(Seq("k", "k"), Seq("k"),
+        Iterator(org.apache.spark.sql.Row(1L, 2L)))
+    }
+  }
+
   /** REST-proxy-shaped produce stub over a real socket. */
   private def kafkaStub(topic: String, response: String)
       : (com.sun.net.httpserver.HttpServer, mutable.Buffer[String]) = {

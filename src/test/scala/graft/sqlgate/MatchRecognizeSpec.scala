@@ -3,9 +3,11 @@ package graft.sqlgate
 import graft.SparkSpec
 import java.sql.Timestamp
 
-/** Executable semantics of the MATCH_RECOGNIZE rewrite: the rewritten
-  * SQL runs on Spark and produces the earliest-anchored first match per
-  * partition key, with FIRST/LAST measures reading the right rows.
+/** Executable semantics of the MATCH_RECOGNIZE gate dialect, now routed
+  * through graft.operators.RowPattern: Flink-exact on the subset —
+  * STRICT contiguity (relaxed spelled as an undefined gap variable),
+  * every match emitted, SKIP PAST LAST ROW vs SKIP TO NEXT ROW
+  * distinguished, greedy vs reluctant quantifiers, WITHIN bound.
   */
 class MatchRecognizeSpec extends SparkSpec {
   import spark.implicits._
@@ -13,17 +15,22 @@ class MatchRecognizeSpec extends SparkSpec {
   private def ts(s: Long) = new Timestamp(s * 1000L)
 
   private lazy val ev = Seq(
-    // user 1: x@1, y@2, y@3, z@4 — full match, B+ spans rows 2-3
+    // user 1: x@1, y@2, y@3, z@4 — strictly contiguous full match
     (1L, ts(1), "x", 10.0), (1L, ts(2), "y", 20.0),
     (1L, ts(3), "y", 30.0), (1L, ts(4), "z", 40.0),
-    // user 2: y@1 precedes the first x@2 — its y must NOT anchor B;
-    // match is x@2, y@5 (gap row at 3 ignored), z@6
+    // user 2: x@2, w@3 (gap), y@5, z@6 — NOT strictly contiguous:
+    // matches only when the pattern spells the gap (A G* B+ C)
     (2L, ts(1), "y", 1.0), (2L, ts(2), "x", 2.0),
     (2L, ts(3), "w", 3.0), (2L, ts(5), "y", 5.0), (2L, ts(6), "z", 6.0),
     // user 3: x then z but no y — no match
     (3L, ts(1), "x", 1.0), (3L, ts(2), "z", 2.0),
     // user 4: pattern out of order (z y x) — no match
-    (4L, ts(1), "z", 1.0), (4L, ts(2), "y", 2.0), (4L, ts(3), "x", 3.0)
+    (4L, ts(1), "z", 1.0), (4L, ts(2), "y", 2.0), (4L, ts(3), "x", 3.0),
+    // user 5: TWO consecutive funnels — multi-match under SKIP PAST
+    // LAST ROW must emit both (the old chained-window rewrite's
+    // first-match-only deviation, now gone)
+    (5L, ts(1), "x", 1.0), (5L, ts(2), "y", 2.0), (5L, ts(3), "z", 3.0),
+    (5L, ts(4), "x", 4.0), (5L, ts(5), "y", 5.0), (5L, ts(6), "z", 6.0)
   ).toDF("user_id", "t", "kind", "v")
 
   private val clause =
@@ -38,32 +45,99 @@ class MatchRecognizeSpec extends SparkSpec {
       |  DEFINE A AS A.kind = 'x', B AS B.kind = 'y', C AS C.kind = 'z'
       |)""".stripMargin
 
-  test("first match per key; FIRST/LAST on a + variable; no-match keys drop") {
+  private def run(sql: String): Seq[(Long, Long, Long, Long, Double)] = {
     ev.createOrReplaceTempView("ev")
-    val rows = spark.sql(FlinkSqlRewrite(clause))
-      .orderBy("user_id")
+    spark.sql(FlinkSqlRewrite(spark, sql))
+      .orderBy("user_id", "a_t")
       .collect()
       .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000,
         r.getTimestamp(2).getTime / 1000, r.getTimestamp(3).getTime / 1000,
         r.getDouble(4)))
       .toSeq
-    assert(rows == Seq(
+  }
+
+  test("strict contiguity; FIRST/LAST on +; multi-match SKIP PAST LAST ROW") {
+    assert(run(clause) == Seq(
       (1L, 1L, 2L, 3L, 40.0), // B+ spans y@2..y@3: FIRST=2, LAST=3
-      (2L, 2L, 5L, 5L, 6.0))) // y@1 before the x anchor is ignored
+      // user 2 absent: w@3 breaks strict contiguity (Flink would also
+      // not match A B+ C here)
+      (5L, 1L, 2L, 2L, 3.0),  // first funnel
+      (5L, 4L, 5L, 5L, 6.0))) // second funnel — multi-match
+  }
+
+  test("relaxed matching is spelled as a reluctant gap variable (A G*? B+ C)") {
+    // reluctant G*? gives Flink-CEP followedBy / earliest-occurrence
+    // semantics; a greedy G* would (correctly, per SQL:2016 preference)
+    // consume into the B-run and produce the latest feasible B anchor
+    val rows = run(clause.replace("PATTERN (A B+ C)", "PATTERN (A G*? B+ C)"))
+    assert(rows == Seq(
+      (1L, 1L, 2L, 3L, 40.0),
+      (2L, 2L, 5L, 5L, 6.0), // w@3 consumed by G, y@5 anchors B
+      (5L, 1L, 2L, 2L, 3.0),
+      (5L, 4L, 5L, 5L, 6.0)))
+  }
+
+  test("SKIP TO NEXT ROW emits overlapping matches") {
+    // user 5 with gaps allowed: anchors x@1 and x@4 both match under
+    // either mode here; build a denser overlap via two x anchors before
+    // one z: x@1, x@2, y@3, z@4
+    val ov = Seq(
+      (9L, ts(1), "x", 1.0), (9L, ts(2), "x", 2.0),
+      (9L, ts(3), "y", 3.0), (9L, ts(4), "z", 4.0)
+    ).toDF("user_id", "t", "kind", "v")
+    ov.createOrReplaceTempView("ev_ov")
+    val sql = clause
+      .replace("FROM ev ", "FROM ev_ov ")
+      .replace("PATTERN (A B+ C)", "PATTERN (A G* B+ C)")
+    val past = spark.sql(FlinkSqlRewrite(spark, sql)).collect()
+    assert(past.length == 1) // x@1 match consumes through z@4
+    val next = spark.sql(FlinkSqlRewrite(spark,
+      sql.replace("SKIP PAST LAST ROW", "SKIP TO NEXT ROW"))).collect()
+    assert(next.length == 2) // x@1 and x@2 both anchor a match
+  }
+
+  test("greedy vs reluctant gap quantifier") {
+    // x@1, y@2, y@3: with PATTERN (A G* B) where B is 'y': greedy G*
+    // consumes y@2 so B lands on y@3; reluctant G*? leaves B on y@2
+    val g = Seq(
+      (7L, ts(1), "x", 1.0), (7L, ts(2), "y", 2.0), (7L, ts(3), "y", 3.0)
+    ).toDF("user_id", "t", "kind", "v")
+    g.createOrReplaceTempView("ev_g")
+    val base =
+      """SELECT user_id, b_t FROM ev_g MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY t
+        |  MEASURES B.t AS b_t
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (A G* B)
+        |  DEFINE A AS A.kind = 'x', B AS B.kind = 'y'
+        |)""".stripMargin
+    def bts(sql: String) = spark.sql(FlinkSqlRewrite(spark, sql))
+      .collect().map(_.getTimestamp(1).getTime / 1000).toSeq
+    assert(bts(base) == Seq(3L)) // greedy
+    assert(bts(base.replace("PATTERN (A G* B)",
+      "PATTERN (A G*? B)")) == Seq(2L)) // reluctant
   }
 
   test("WITHIN prunes matches that exceed the duration bound") {
-    ev.createOrReplaceTempView("ev")
-    val bounded = clause.replace("PATTERN (A B+ C)",
-      "PATTERN (A B+ C) WITHIN INTERVAL '3' SECOND")
-    val keys = spark.sql(FlinkSqlRewrite(bounded))
-      .select("user_id").as[Long].collect().sorted.toSeq
-    // user 1 spans 1→4 s (= 3 s, kept); user 2 spans 2→6 s (4 s, dropped)
-    assert(keys == Seq(1L))
-    val loose = clause.replace("PATTERN (A B+ C)",
-      "PATTERN (A B+ C) WITHIN INTERVAL '10' SECOND")
-    val keys2 = spark.sql(FlinkSqlRewrite(loose))
-      .select("user_id").as[Long].collect().sorted.toSeq
-    assert(keys2 == Seq(1L, 2L))
+    val bounded = run(clause.replace("PATTERN (A B+ C)",
+      "PATTERN (A B+ C) WITHIN INTERVAL '3' SECOND"))
+    // user 1 spans 1→4 s (= 3 s, kept, inclusive bound); user 5's
+    // funnels span 2 s each
+    assert(bounded.map(_._1) == Seq(1L, 5L, 5L))
+    val tight = run(clause.replace("PATTERN (A B+ C)",
+      "PATTERN (A B+ C) WITHIN INTERVAL '2' SECOND"))
+    assert(tight.map(_._1) == Seq(5L, 5L)) // user 1's 3 s span dropped
+  }
+
+  test("reserved-prefix collision and streaming input are rejected loudly") {
+    val bad = Seq((1L, ts(1), "x", 1.0))
+      .toDF("user_id", "t", "kind", "__graft_mr_c0")
+    bad.createOrReplaceTempView("ev_bad")
+    val e = intercept[IllegalArgumentException] {
+      FlinkSqlRewrite(spark, clause.replace("FROM ev ", "FROM ev_bad ")
+        .replace("C.v AS z_v", "C.kind AS z_v"))
+    }
+    assert(e.getMessage.contains("__graft_mr_"))
   }
 }
