@@ -182,8 +182,12 @@ object StreamingGate extends QueryPack {
         .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id",
           expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
         .as[graft.streaming.OverIn]
+      // delay 0: the drain's batches are the only disorder source; the
+      // final no-data batch advances the watermark to max event time and
+      // flushes every buffered row
       runToTable(s,
-        graft.streaming.StreamOps.runningOverFrame(in, preceding = 2).toDF(),
+        graft.streaming.StreamOps.runningOverFrame(in, preceding = 2,
+          delay = "0 seconds").toDF(),
         "stream_over_gate", mode = "update")
     }))
 

@@ -123,33 +123,62 @@ object StreamOps {
   /** Streaming OVER window — Flink SQL's
     * `SUM(x) OVER (PARTITION BY k ORDER BY ts ROWS BETWEEN n PRECEDING
     * AND CURRENT ROW)` on an unbounded stream, which Spark's built-in
-    * window functions refuse on streaming plans. Keyed ring-buffer state
-    * via flatMapGroupsWithState: per key, the last `preceding` rows in
-    * (ts, event_id) order; each arriving row emits its frame sum and
-    * frame size. State is O(preceding) per key — the exact analog of
-    * Flink's OVER-window state, bounded regardless of stream length.
+    * window functions refuse on streaming plans.
     *
-    * Values ride as integer cents so the frame sum is order-exact and
-    * hash-comparable to a batch window oracle. Within a micro-batch rows
-    * sort by (ts, event_id); across batches rows must arrive ts-ordered
-    * per key (true for the single-batch AvailableNow drain the gate
-    * runs, and for any source whose batches respect event order — a
-    * production deployment over an out-of-order source would buffer to
-    * the watermark first, the same discipline Flink's OVER requires).
+    * WATERMARK-CORRECT (this replaced an ordered-arrival variant whose
+    * cross-batch disorder caveat was the engine's last place a
+    * semantically-off answer could emit): exactly like Flink's OVER
+    * operator, arriving rows are buffered in keyed state and emitted in
+    * (ts, event_id) order only once the event-time watermark passes
+    * their timestamp — out-of-order arrival WITHIN the `delay` bound
+    * across any number of micro-batches produces the batch-oracle
+    * answer, and rows later than the watermark are dropped (by Spark's
+    * late-row filter on the watermarked input — the same fate Flink
+    * gives them). An event-time timeout re-fires the key when the
+    * watermark passes its oldest buffered row, so buffered rows flush
+    * even if the key receives no further data.
+    *
+    * State per key = the ring of the last `preceding` emitted rows plus
+    * the rows inside the watermark horizon — O(preceding + delay·rate),
+    * the exact analog of Flink's OVER state, bounded regardless of
+    * stream length. Values ride as integer cents so the frame sum is
+    * order-exact and hash-comparable to a batch window oracle.
     */
-  def runningOverFrame(ds: Dataset[OverIn], preceding: Int): Dataset[OverOut] = {
+  def runningOverFrame(ds: Dataset[OverIn], preceding: Int,
+      delay: String): Dataset[OverOut] = {
     import ds.sparkSession.implicits._
-    ds.groupByKey(_.user_id)
-      .flatMapGroupsWithState[List[OverIn], OverOut](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
-        (key: Long, rows: Iterator[OverIn], state: GroupState[List[OverIn]]) =>
-          val sorted = rows.toSeq.sortBy(r => (r.ts_us, r.event_id))
-          var buf = state.getOption.getOrElse(Nil)
-          val out = sorted.map { r =>
-            buf = (buf :+ r).takeRight(preceding + 1)
-            OverOut(key, r.event_id, buf.map(_.cents).sum, buf.size.toLong)
+    val wm = ds.toDF()
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", delay)
+      .as[OverInTs]
+    wm.groupByKey(_.user_id)
+      .flatMapGroupsWithState[OverState, OverOut](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (key: Long, rows: Iterator[OverInTs], state: GroupState[OverState]) =>
+          val st = state.getOption.getOrElse(OverState(Nil, Nil))
+          val incoming = rows
+            .map(r => OverIn(r.user_id, r.ts_us, r.event_id, r.cents)).toList
+          val wmMs = state.getCurrentWatermarkMs()
+          // a row is final once the watermark passed it: nothing earlier
+          // can still arrive (later arrivals below the watermark are
+          // dropped before reaching this operator). The comparison is at
+          // the watermark's own 1 ms resolution — sub-millisecond
+          // disorder at the exact boundary is beyond the watermark's
+          // guarantee, in Flink exactly as here.
+          val (ripe, hold) =
+            (st.pending ++ incoming).partition(_.ts_us / 1000L <= wmMs)
+          var frame = st.frame
+          val out = ripe.sortBy(r => (r.ts_us, r.event_id)).map { r =>
+            frame = (frame :+ r).takeRight(preceding + 1)
+            OverOut(key, r.event_id, frame.map(_.cents).sum, frame.size.toLong)
           }
-          state.update(buf.takeRight(preceding))
+          state.update(OverState(frame.takeRight(preceding), hold))
+          if (hold.nonEmpty) {
+            // wake when the watermark reaches the oldest held row's
+            // millisecond (must be strictly beyond the current watermark)
+            val oldestMs = hold.map(_.ts_us).min / 1000L
+            state.setTimeoutTimestamp(math.max(oldestMs, wmMs + 1L))
+          }
           out.iterator
       }
   }
@@ -202,3 +231,12 @@ final case class OverIn(user_id: Long, ts_us: Long, event_id: Long,
     cents: Long)
 final case class OverOut(user_id: Long, event_id: Long, run_cents: Long,
     n_frame: Long)
+
+/** [[StreamOps.runningOverFrame]] internals: the watermarked input row
+  * (ts = timestamp_micros(ts_us), the watermark column) and the keyed
+  * state — the emitted-frame ring plus rows still inside the watermark
+  * horizon.
+  */
+final case class OverInTs(user_id: Long, ts_us: Long, event_id: Long,
+    cents: Long, ts: java.sql.Timestamp)
+final case class OverState(frame: List[OverIn], pending: List[OverIn])

@@ -166,32 +166,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("runningOverFrame: ring-buffer state carries frames across batches") {
+  test("runningOverFrame: out-of-order multi-batch arrival matches the " +
+      "batch window oracle (watermark buffering)") {
     import graft.streaming.{OverIn, OverOut}
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
+    def us(sec: Long): Long = sec * 1000000L
     val in = MemoryStream[OverIn]
-    val q = StreamOps.runningOverFrame(in.toDS(), preceding = 2)
+    val q = StreamOps.runningOverFrame(in.toDS(), preceding = 2,
+      delay = "10 seconds")
       .writeStream.format("memory").queryName("over_t")
       .outputMode("update").start()
     try {
-      // batch 1: key 1 gets rows at t=1,2 (out of order in the batch —
-      // the operator must sort); key 2 gets one row
-      in.addData(OverIn(1L, 2L, 11L, 20L), OverIn(1L, 1L, 10L, 10L),
-        OverIn(2L, 1L, 20L, 5L))
+      // batch 1: key 1 rows at t=100,102 (out of order in the batch) and
+      // a row far ahead at t=130; key 2 one row. Watermark after the
+      // batch = 130-10 = 120 s → t=100,102 flush; t=130 stays buffered.
+      in.addData(OverIn(1L, us(102), 11L, 20L), OverIn(1L, us(100), 10L, 10L),
+        OverIn(1L, us(130), 13L, 80L), OverIn(2L, us(100), 20L, 5L))
       q.processAllAvailable()
-      // batch 2: key 1 continues at t=3,4 — frames must include the
-      // buffered tail of batch 1 (state, not batch locality)
-      in.addData(OverIn(1L, 3L, 12L, 40L), OverIn(1L, 4L, 13L, 80L))
+      assert(spark.table("over_t").count() == 3) // e10, e11, e20 only
+      // batch 2: t=125 arrives AFTER t=130 was seen — cross-batch
+      // disorder within the 10 s delay. Both stay buffered (wm 120).
+      in.addData(OverIn(1L, us(125), 12L, 40L))
+      q.processAllAvailable()
+      assert(spark.table("over_t").count() == 3) // still buffered
+      // batch 3: watermark pushers — the flush must emit t=125 BEFORE
+      // t=130 even though t=130 arrived a batch earlier
+      in.addData(OverIn(1L, us(300), 99L, 0L), OverIn(2L, us(300), 98L, 0L))
       q.processAllAvailable()
       val got = spark.table("over_t").as[OverOut].collect()
+        .filter(_.event_id < 90) // drop the watermark pushers
         .map(o => (o.user_id, o.event_id) -> ((o.run_cents, o.n_frame)))
         .toMap
-      assert(got((1L, 10L)) == ((10L, 1L)))
-      assert(got((1L, 11L)) == ((30L, 2L)))   // 10+20
-      assert(got((1L, 12L)) == ((70L, 3L)))   // 10+20+40, crosses batches
-      assert(got((1L, 13L)) == ((140L, 3L)))  // 20+40+80 — oldest evicted
-      assert(got((2L, 20L)) == ((5L, 1L)))
+      assert(got == Map(
+        (1L, 10L) -> ((10L, 1L)),
+        (1L, 11L) -> ((30L, 2L)),   // 10+20
+        (1L, 12L) -> ((70L, 3L)),   // 10+20+40 — ts order, not arrival
+        (1L, 13L) -> ((140L, 3L)),  // 20+40+80 — oldest evicted
+        (2L, 20L) -> ((5L, 1L))))
     } finally q.stop()
   }
 
