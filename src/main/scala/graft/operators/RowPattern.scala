@@ -95,9 +95,13 @@ object RowPattern {
           s"got $ordType")
     }
 
-    // row-local predicates → codegen'd boolean columns, one scan, no UDF
+    // row-local predicates → codegen'd boolean columns, one scan, no UDF.
+    // COALESCE(..., false): SQL:2016 (and Flink's CEP) treat a NULL
+    // predicate as non-matching; without it the matcher's getBoolean
+    // would NPE on e.g. `A.value > 10` over a NULL value.
     val condExprs = spec.vars.zipWithIndex.map { case (v, i) =>
-      s"CAST((${v.cond.getOrElse("true")}) AS BOOLEAN) AS ${P}c$i"
+      s"COALESCE(CAST((${v.cond.getOrElse("true")}) AS BOOLEAN), false) " +
+        s"AS ${P}c$i"
     }
     val ordUsExpr = spec.withinMs.map(_ =>
       s"unix_micros(`${spec.orderBy}`) AS ${P}ord").toSeq
@@ -154,7 +158,15 @@ object RowPattern {
         val results = scala.collection.mutable.ArrayBuffer[Row]()
 
         def ordUs(i: Int): Long = ordUsOrd match {
-          case Some(o) => rows(i).getLong(o)
+          case Some(o) =>
+            // WITHIN arithmetic on a NULL event time has no defined
+            // answer — reject loudly (Flink likewise refuses a null
+            // rowtime) instead of NPE-ing or silently matching.
+            if (rows(i).isNullAt(o))
+              throw new IllegalArgumentException(
+                "MATCH_RECOGNIZE WITHIN: NULL ORDER BY value encountered; " +
+                  "filter null event times before the matcher")
+            rows(i).getLong(o)
           case None => 0L
         }
 

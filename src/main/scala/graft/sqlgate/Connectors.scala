@@ -41,7 +41,9 @@ object Connectors {
     val del = lower(trim(opCol)).isin("d", "-d", "delete")
     df.select(
       to_json(struct(pk.map(col): _*)).as("key"),
-      to_json(struct(opCol.as("op"),
+      // normalize delete spellings to op:"d", matching
+      // KafkaRest.recordsBody, so both sink paths emit one envelope shape
+      to_json(struct(when(del, lit("d")).otherwise(opCol).as("op"),
         when(del, rowStruct).otherwise(lit(null)).as("before"),
         when(del, lit(null)).otherwise(rowStruct).as("after"))).as("value"))
   }

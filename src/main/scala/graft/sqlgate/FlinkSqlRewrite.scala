@@ -154,6 +154,16 @@ object FlinkSqlRewrite {
   def apply(spark: org.apache.spark.sql.SparkSession, sql: String): String =
     rewriteWindows(MatchRecognizeRewrite(spark, sql))
 
+  /** [[apply]] variant that also reports the MATCH_RECOGNIZE temp views
+    * registered during the rewrite — drop them after the consuming
+    * statement is analyzed (see MatchRecognizeRewrite.rewriteTracking).
+    */
+  def applyTracking(spark: org.apache.spark.sql.SparkSession,
+      sql: String): (String, Seq[String]) = {
+    val (s, views) = MatchRecognizeRewrite.rewriteTracking(spark, sql)
+    (rewriteWindows(s), views)
+  }
+
   /** Syntax-validation rewrite: MATCH_RECOGNIZE clauses are parsed (loud
     * subset rejection, same errors as run time) but not executed.
     */

@@ -68,12 +68,25 @@ object MatchRecognizeRewrite {
     * temp view, and splice the view name into the statement text.
     */
   def apply(spark: SparkSession, sql: String): String =
-    rewriteWith(sql) { (src, spec) =>
+    rewriteTracking(spark, sql)._1
+
+  /** Like [[apply]], but also returns the names of the temp views the
+    * rewrite registered, so the caller can drop them once the consuming
+    * statement has been ANALYZED (Dataset construction resolves the view
+    * into the plan eagerly; after that the catalog entry is dead weight —
+    * leaving it would pin the source plan for the session's lifetime).
+    */
+  def rewriteTracking(spark: SparkSession, sql: String): (String, Seq[String]) = {
+    val created = Seq.newBuilder[String]
+    val out = rewriteWith(sql) { (src, spec) =>
       val result = RowPattern(spark.table(src), spec)
       val view = s"__graft_mr_out_${viewCounter.incrementAndGet()}"
       result.createOrReplaceTempView(view)
+      created += view
       view
     }
+    (out, created.result())
+  }
 
   /** Syntax-validation form (no session, nothing executed): the clause
     * is parsed — so out-of-subset scripts are rejected with the same

@@ -132,9 +132,12 @@ class ScriptRunner(spark: SparkSession,
               // it references must be instantiated first
               if (MatchRecognizeRewrite.present(m.group(4)))
                 instantiateRefs(MatchRecognizeRewrite.sourceTables(m.group(4)))
-              val query = FlinkSqlRewrite(spark, m.group(4))
+              val (query, mrViews) = FlinkSqlRewrite.applyTracking(spark, m.group(4))
               instantiateSources(query)
-              val df0 = spark.sql(query)
+              val df0 = spark.sql(query) // Dataset ctor analyzes eagerly:
+              // the MR views are resolved into df0's plan — drop them so
+              // long-lived sessions don't accumulate catalog entries
+              mrViews.foreach(spark.catalog.dropTempView)
               val df = renameForSink(df0, colList, sink)
               inserts += Insert(sink, df, overwrite, query, colList)
             case None if spark.catalog.tableExists(sinkName) =>
@@ -145,9 +148,10 @@ class ScriptRunner(spark: SparkSession,
               if (MatchRecognizeRewrite.present(c.text))
                 instantiateRefs(MatchRecognizeRewrite.sourceTables(c.text),
                   forceBatch = true)
-              val rewritten = FlinkSqlRewrite(spark, c.text)
+              val (rewritten, mrViews) = FlinkSqlRewrite.applyTracking(spark, c.text)
               instantiateSources(rewritten, forceBatch = true)
               spark.sql(rewritten)
+              mrViews.foreach(spark.catalog.dropTempView)
             case None =>
               throw new IllegalArgumentException(
                 s"unknown sink table: $sinkName")

@@ -159,12 +159,16 @@ object StreamOps {
           val incoming = rows
             .map(r => OverIn(r.user_id, r.ts_us, r.event_id, r.cents)).toList
           val wmMs = state.getCurrentWatermarkMs()
-          // a row is final once the watermark passed it: nothing earlier
-          // can still arrive (later arrivals below the watermark are
-          // dropped before reaching this operator). The comparison is at
-          // the watermark's own 1 ms resolution — sub-millisecond
-          // disorder at the exact boundary is beyond the watermark's
-          // guarantee, in Flink exactly as here.
+          // a row is final once the watermark reached it (ts <= wm, the
+          // same bound Flink's event-time timers fire at). Spark's
+          // late-record filter drops only rows STRICTLY older than the
+          // watermark, so a row arriving in a later batch at exactly the
+          // already-flushed watermark millisecond is still delivered and
+          // emits after same-millisecond rows — a whole-millisecond
+          // reordering window at the exact boundary. Holding ts == wm
+          // instead (strict <) would close it but strand rows whose ts
+          // equals the FINAL watermark at stream end (nothing left to
+          // advance it); Flink makes the same trade at its timer bound.
           val (ripe, hold) =
             (st.pending ++ incoming).partition(_.ts_us / 1000L <= wmMs)
           var frame = st.frame

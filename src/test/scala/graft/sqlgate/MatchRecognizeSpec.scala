@@ -130,6 +130,68 @@ class MatchRecognizeSpec extends SparkSpec {
     assert(tight.map(_._1) == Seq(5L, 5L)) // user 1's 3 s span dropped
   }
 
+  test("NULL DEFINE predicate means non-matching, not a crash") {
+    // SQL:2016 / Flink CEP: a predicate evaluating to NULL is a
+    // non-match. v is null at y@2 for user 8 — `B.v > 0` is NULL there,
+    // so the B-run is y@3 only and the funnel still completes via
+    // the gap variable; without the COALESCE the matcher NPE'd.
+    val n = Seq(
+      (8L, ts(1), "x", Some(1.0)), (8L, ts(2), "y", None),
+      (8L, ts(3), "y", Some(3.0)), (8L, ts(4), "z", Some(4.0))
+    ).toDF("user_id", "t", "kind", "v")
+    n.createOrReplaceTempView("ev_null")
+    val sql =
+      """SELECT user_id, b_first, b_last FROM ev_null MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY t
+        |  MEASURES FIRST(B.t) AS b_first, LAST(B.t) AS b_last
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (A G*? B+ C)
+        |  DEFINE A AS A.kind = 'x', B AS B.kind = 'y' AND B.v > 0,
+        |    C AS C.kind = 'z'
+        |)""".stripMargin
+    val rows = spark.sql(FlinkSqlRewrite(spark, sql)).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getTimestamp(1).getTime / 1000 == 3L) // y@2 skipped
+    assert(rows(0).getTimestamp(2).getTime / 1000 == 3L)
+  }
+
+  test("NULL ORDER BY under WITHIN is rejected loudly, not NPE") {
+    val n = Seq((8L, Option(ts(1)), "x", 1.0), (8L, Option.empty[Timestamp], "y", 2.0),
+      (8L, Option(ts(3)), "z", 3.0)).toDF("user_id", "t", "kind", "v")
+    n.createOrReplaceTempView("ev_nullts")
+    val sql =
+      """SELECT user_id, z_t FROM ev_nullts MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY t
+        |  MEASURES C.t AS z_t
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (A G* C) WITHIN INTERVAL '10' SECOND
+        |  DEFINE A AS A.kind = 'x', C AS C.kind = 'z'
+        |)""".stripMargin
+    val e = intercept[Exception] {
+      spark.sql(FlinkSqlRewrite(spark, sql)).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("NULL ORDER BY")))
+  }
+
+  test("temp views from the rewrite are dropped after the statement") {
+    val before = spark.catalog.listTables().collect()
+      .count(_.name.startsWith("__graft_mr_out_"))
+    val script =
+      s"""CREATE TABLE mr_sink (user_id BIGINT, a_t TIMESTAMP, b_first
+         |TIMESTAMP, b_last TIMESTAMP, z_v DOUBLE) WITH ('connector' = 'memory');
+         |INSERT INTO mr_sink $clause;""".stripMargin
+    ev.createOrReplaceTempView("ev")
+    new ScriptRunner(spark, batchMode = true).run(script)
+    val after = spark.catalog.listTables().collect()
+      .count(_.name.startsWith("__graft_mr_out_"))
+    assert(after == before)
+  }
+
   test("reserved-prefix collision and streaming input are rejected loudly") {
     val bad = Seq((1L, ts(1), "x", 1.0))
       .toDF("user_id", "t", "kind", "__graft_mr_c0")
