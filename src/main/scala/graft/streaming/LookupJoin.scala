@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions.broadcast
+import org.apache.spark.sql.types._
 
 /** Processing-time temporal lookup join — the reference's
   * `FOR SYSTEM_TIME AS OF a.proctime` against a JDBC dim table with
@@ -48,6 +49,183 @@ final class DimSnapshot(spark: SparkSession, loader: SparkSession => DataFrame,
   def invalidate(): Unit = synchronized { cache = None }
 }
 
+/** Observable counters of a [[JdbcKeyedLookup]] — the spec's proof that
+  * only missing keys ever reach the database and the cache bound holds.
+  */
+final case class LookupStats(probedKeys: Long, fetchedKeys: Long,
+    cacheHits: Long, evictions: Long, retries: Long)
+
+/** Keyed point-query lookup against a JDBC dim table through a bounded
+  * LRU + TTL cache — the reference's lookup-join contract
+  * (`/root/reference/docs/sql_demo/demo_3.md:66-78`:
+  * `lookup.cache.max-rows`, `lookup.cache.ttl`, `lookup.max-retries`),
+  * replacing [[DimSnapshot]]'s whole-table materialization for dims too
+  * large to snapshot (a 10⁹-row dim dies in `DimSnapshot`; here per
+  * micro-batch cost is O(distinct probe keys), independent of dim size).
+  *
+  * Per batch of probe keys: cache hits (within TTL) are served locally;
+  * only the missing keys are fetched, chunked into
+  * `WHERE k IN (?,…,?)` prepared statements — never `SELECT *` of the
+  * table. Missing keys cache an empty row list (negative caching,
+  * Flink's `lookup.cache.caching-missing-key=true` default), so a key
+  * absent from the dim is probed once per TTL, not once per batch. The
+  * LRU evicts by total cached ROWS (a negative entry counts 1), the
+  * `max-rows` unit. Fetches retry `maxRetries` times with a fresh
+  * connection, the `lookup.max-retries` behavior.
+  *
+  * Scale: the cache lives on the calling JVM. Driven from `foreachBatch`
+  * (see [[LookupJoin.enrichKeyed]]) that is the driver, bounded by
+  * `maxKeysPerBatch` (fail fast, not OOM). On a 1000-executor cluster
+  * the same class runs inside `mapPartitions` for per-executor caches —
+  * the construction is identical; only the call site moves.
+  */
+final class JdbcKeyedLookup(
+    url: String,
+    connProps: Map[String, String],
+    table: String,
+    keyCol: String,
+    schema: StructType,
+    cacheMaxRows: Long,
+    cacheTtlMs: Long,
+    maxRetries: Int = 3,
+    inListChunk: Int = 500) {
+
+  require(schema.fieldNames.contains(keyCol),
+    s"lookup key $keyCol not in dim schema ${schema.fieldNames.mkString(",")}")
+  private val keyOrd = schema.fieldIndex(keyCol)
+
+  private final case class Entry(rows: Seq[Row], at: Long) {
+    def weight: Int = math.max(1, rows.size)
+  }
+
+  // accessOrder=true → iteration order is least-recently-used first;
+  // eviction below keeps the total cached ROW count under cacheMaxRows
+  private val lru = new java.util.LinkedHashMap[Any, Entry](64, 0.75f, true)
+  private var cachedRows = 0L
+  private var nProbed, nFetched, nHits, nEvicted, nRetries = 0L
+
+  def stats: LookupStats = synchronized {
+    LookupStats(nProbed, nFetched, nHits, nEvicted, nRetries)
+  }
+
+  /** Total rows currently cached (negative entries count 1) — always
+    * ≤ cacheMaxRows after every call, modulo one oversized single entry.
+    */
+  def cachedRowCount: Long = synchronized { cachedRows }
+
+  /** Resolve `keys` → dim rows (empty Seq = key absent from the dim).
+    * Thread-safe; only keys missing from the cache touch the database.
+    */
+  def lookup(keys: Seq[Any]): Map[Any, Seq[Row]] = synchronized {
+    val now = System.currentTimeMillis()
+    nProbed += keys.size
+    val (cached, missing) = keys.distinct.partition { k =>
+      val e = lru.get(k)
+      e != null && now - e.at < cacheTtlMs
+    }
+    nHits += cached.size
+    // snapshot hit rows BEFORE the puts below — inserting fetched keys
+    // can evict a key that was a hit in this very call
+    val hitRows = cached.map(k => k -> lru.get(k).rows)
+    val fetched: Map[Any, Seq[Row]] =
+      if (missing.isEmpty) Map.empty
+      else fetchKeys(missing).groupBy(_.get(keyOrd))
+    missing.foreach { k =>
+      nFetched += 1
+      put(k, Entry(fetched.getOrElse(k, Nil), now))
+    }
+    (hitRows ++ missing.map(k => k -> fetched.getOrElse(k, Nil))).toMap
+  }
+
+  private def put(k: Any, e: Entry): Unit = {
+    val old = lru.put(k, e)
+    cachedRows += e.weight - (if (old == null) 0 else old.weight)
+    val it = lru.entrySet().iterator()
+    while (cachedRows > cacheMaxRows && it.hasNext) {
+      val eldest = it.next()
+      if (eldest.getKey != k) { // never evict the entry just written
+        cachedRows -= eldest.getValue.weight
+        it.remove()
+        nEvicted += 1
+      }
+    }
+  }
+
+  private def fetchKeys(keys: Seq[Any]): Seq[Row] = {
+    var attempt = 0
+    var last: Throwable = null
+    while (attempt <= maxRetries) {
+      try return doFetch(keys)
+      catch {
+        case t: java.sql.SQLException =>
+          last = t; attempt += 1
+          if (attempt <= maxRetries) synchronized { nRetries += 1 }
+      }
+    }
+    throw new RuntimeException(
+      s"lookup fetch failed after $maxRetries retries", last)
+  }
+
+  private def connect(): java.sql.Connection = {
+    connProps.get("driver").foreach(Class.forName)
+    val p = new java.util.Properties()
+    connProps.get("username").foreach(p.setProperty("user", _))
+    connProps.get("password").foreach(p.setProperty("password", _))
+    java.sql.DriverManager.getConnection(url, p)
+  }
+
+  private def doFetch(keys: Seq[Any]): Seq[Row] = {
+    val c = connect()
+    try {
+      keys.grouped(inListChunk).flatMap { chunk =>
+        val sql = s"SELECT ${schema.fieldNames.map(quote).mkString(", ")} " +
+          s"FROM ${quote(table)} WHERE ${quote(keyCol)} IN " +
+          chunk.map(_ => "?").mkString("(", ", ", ")")
+        val ps = c.prepareStatement(sql)
+        try {
+          chunk.zipWithIndex.foreach { case (k, i) => ps.setObject(i + 1, k) }
+          val rs = ps.executeQuery()
+          val buf = scala.collection.mutable.ArrayBuffer[Row]()
+          while (rs.next()) buf += readRow(rs)
+          buf.toSeq
+        } finally ps.close()
+      }.toSeq
+    } finally c.close()
+  }
+
+  private def quote(id: String): String = {
+    require(id.forall(ch => ch.isLetterOrDigit || ch == '_'),
+      s"illegal identifier for lookup SQL: $id")
+    "\"" + id + "\""
+  }
+
+  private def readRow(rs: java.sql.ResultSet): Row = {
+    val vals = new Array[Any](schema.length)
+    var i = 0
+    while (i < schema.length) {
+      val v: Any = schema(i).dataType match {
+        case LongType      => rs.getLong(i + 1)
+        case IntegerType   => rs.getInt(i + 1)
+        case ShortType     => rs.getShort(i + 1)
+        case ByteType      => rs.getByte(i + 1)
+        case DoubleType    => rs.getDouble(i + 1)
+        case FloatType     => rs.getFloat(i + 1)
+        case BooleanType   => rs.getBoolean(i + 1)
+        case StringType    => rs.getString(i + 1)
+        case _: DecimalType => rs.getBigDecimal(i + 1)
+        case TimestampType => rs.getTimestamp(i + 1)
+        case DateType      => rs.getDate(i + 1)
+        case BinaryType    => rs.getBytes(i + 1)
+        case dt => throw new IllegalArgumentException(
+          s"unsupported lookup dim type $dt for ${schema(i).name}")
+      }
+      vals(i) = if (rs.wasNull()) null else v
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericRow(vals)
+  }
+}
+
 object LookupJoin {
 
   /** foreachBatch wrapper: join each micro-batch against the snapshot's
@@ -61,5 +239,36 @@ object LookupJoin {
     (batch: Dataset[Row], _: Long) => {
       val dim = snapshot.current()
       sink(batch.join(broadcast(dim), usingCols, how))
+    }
+
+  /** Keyed-lookup variant of [[enrich]] for dims too large to snapshot:
+    * per micro-batch, the batch's DISTINCT join keys are collected
+    * (bounded by `maxKeysPerBatch` — fail fast, never OOM the driver),
+    * resolved through the [[JdbcKeyedLookup]] cache (only missing keys
+    * hit the database), and the resulting key-covering dim slice is
+    * broadcast-joined back onto the batch. The stream side never
+    * shuffles; the dim side's per-batch cost is O(cache misses), not
+    * O(|dim|) — the property that lets demo_3's shape survive a 10⁹-row
+    * dimension.
+    */
+  def enrichKeyed(lk: JdbcKeyedLookup, streamKey: String, dimKey: String,
+      dimSchema: StructType, how: String,
+      maxKeysPerBatch: Long = 5000000L)(
+      sink: DataFrame => Unit): (Dataset[Row], Long) => Unit =
+    (batch: Dataset[Row], _: Long) => {
+      val spark = batch.sparkSession
+      val probe = math.min(maxKeysPerBatch + 1, Int.MaxValue.toLong).toInt
+      val keys = batch.select(streamKey).where(s"$streamKey IS NOT NULL")
+        .distinct().limit(probe).collect().map(_.get(0)).toSeq
+      if (keys.length > maxKeysPerBatch)
+        throw new IllegalArgumentException(
+          s"micro-batch exceeds $maxKeysPerBatch distinct lookup keys; " +
+            "raise maxKeysPerBatch or run the lookup per-partition")
+      val dimRows = lk.lookup(keys).values.flatten.toSeq
+      val dim = spark.createDataFrame(
+        java.util.Arrays.asList(dimRows: _*), dimSchema)
+      val joined = batch.join(broadcast(dim),
+        batch(streamKey) === dim(dimKey), how)
+      sink(if (streamKey == dimKey) joined.drop(dim(dimKey)) else joined)
     }
 }

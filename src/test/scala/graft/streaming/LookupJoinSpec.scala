@@ -69,4 +69,107 @@ class LookupJoinSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] { snap.current() }
     assert(e.getMessage.contains("lookup cache bound"))
   }
+
+  // --- keyed point-query lookup (the large-dim path) ---
+
+  import org.apache.spark.sql.types._
+  import java.sql.DriverManager
+
+  private val dimSchema = StructType(Seq(
+    StructField("id", LongType), StructField("name", StringType)))
+
+  private def derbyDim(db: String, rows: Seq[(Long, String)]): String = {
+    val url = s"jdbc:derby:memory:$db;create=true"
+    val c = DriverManager.getConnection(url)
+    try {
+      val st = c.createStatement()
+      // quoted: the lookup emits quoted identifiers, and Derby folds
+      // unquoted DDL names to upper case
+      st.execute("CREATE TABLE \"dim\" (\"id\" BIGINT PRIMARY KEY, " +
+        "\"name\" VARCHAR(64))")
+      rows.foreach { case (i, n) =>
+        st.execute(s"""INSERT INTO "dim" VALUES ($i, '$n')""")
+      }
+    } finally c.close()
+    url
+  }
+
+  test("keyed lookup fetches ONLY missing keys; hits and negatives cached") {
+    val url = derbyDim("lkp1", Seq(1L -> "a", 2L -> "b", 3L -> "c"))
+    val lk = new JdbcKeyedLookup(url, Map.empty, "dim", "id", dimSchema,
+      cacheMaxRows = 100L, cacheTtlMs = 3600000L)
+    val r1 = lk.lookup(Seq(1L, 2L))
+    assert(r1(1L).head.getString(1) == "a" && r1(2L).head.getString(1) == "b")
+    assert(lk.stats.fetchedKeys == 2 && lk.stats.cacheHits == 0)
+
+    // second batch: 1 is a hit; only 3 and the absent 99 are fetched
+    val r2 = lk.lookup(Seq(1L, 3L, 99L))
+    assert(r2(3L).head.getString(1) == "c" && r2(99L).isEmpty)
+    assert(lk.stats.fetchedKeys == 4, "only the 2 missing keys re-probed")
+    assert(lk.stats.cacheHits == 1)
+
+    // negative caching: 99 does not re-probe within TTL
+    val r3 = lk.lookup(Seq(99L))
+    assert(r3(99L).isEmpty && lk.stats.fetchedKeys == 4)
+    assert(lk.stats.cacheHits == 2)
+  }
+
+  test("keyed lookup LRU bound holds and evicts least-recently-used") {
+    val url = derbyDim("lkp2", (1L to 10L).map(i => i -> s"v$i"))
+    val lk = new JdbcKeyedLookup(url, Map.empty, "dim", "id", dimSchema,
+      cacheMaxRows = 3L, cacheTtlMs = 3600000L)
+    lk.lookup(Seq(1L, 2L, 3L))
+    assert(lk.cachedRowCount == 3)
+    lk.lookup(Seq(1L)) // refresh 1 → 2 becomes eldest
+    lk.lookup(Seq(4L)) // evicts 2
+    assert(lk.cachedRowCount <= 3 && lk.stats.evictions >= 1)
+    val before = lk.stats.fetchedKeys
+    lk.lookup(Seq(1L)) // still cached
+    assert(lk.stats.fetchedKeys == before)
+    lk.lookup(Seq(2L)) // was evicted → re-fetch
+    assert(lk.stats.fetchedKeys == before + 1)
+  }
+
+  test("keyed lookup TTL expiry re-probes; retries surface after exhaustion") {
+    val url = derbyDim("lkp3", Seq(1L -> "old"))
+    val lk = new JdbcKeyedLookup(url, Map.empty, "dim", "id", dimSchema,
+      cacheMaxRows = 10L, cacheTtlMs = 0L) // ttl 0 → nothing stays fresh
+    lk.lookup(Seq(1L)); lk.lookup(Seq(1L))
+    assert(lk.stats.fetchedKeys == 2 && lk.stats.cacheHits == 0)
+
+    val bad = new JdbcKeyedLookup("jdbc:derby:memory:does_not_exist",
+      Map.empty, "dim", "id", dimSchema, 10L, 0L, maxRetries = 2)
+    val e = intercept[RuntimeException] { bad.lookup(Seq(1L)) }
+    assert(e.getMessage.contains("retries") && bad.stats.retries == 2)
+  }
+
+  test("enrichKeyed: stream enrichment probes only batch keys end-to-end") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val url = derbyDim("lkp4", Seq(1L -> "alpha", 2L -> "beta"))
+    val lk = new JdbcKeyedLookup(url, Map.empty, "dim", "id", dimSchema,
+      cacheMaxRows = 100L, cacheTtlMs = 3600000L)
+    val out = mutable.Buffer[(Long, String, String)]()
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("id", "page").writeStream
+      .foreachBatch(LookupJoin.enrichKeyed(lk, "id", "id", dimSchema, "left") {
+        b =>
+          out.synchronized {
+            out ++= b.select("id", "page", "name")
+              .as[(Long, String, String)].collect()
+          }
+      })
+      .start()
+    try {
+      in.addData((1L, "/home"), (3L, "/miss"))
+      q.processAllAvailable()
+      assert(out.toSet == Set((1L, "/home", "alpha"), (3L, "/miss", null)))
+      assert(lk.stats.fetchedKeys == 2) // exactly the batch's distinct keys
+      in.addData((1L, "/again"), (2L, "/new"))
+      q.processAllAvailable()
+      assert(lk.stats.fetchedKeys == 3) // 1 was cached; only 2 fetched
+      assert(out.toSet == Set((1L, "/home", "alpha"), (3L, "/miss", null),
+        (1L, "/again", "alpha"), (2L, "/new", "beta")))
+    } finally q.stop()
+  }
 }
