@@ -30,6 +30,28 @@ object Http {
     } finally conn.disconnect()
   }
 
+  /** GET with the same timeout/cleanup discipline as [[post]] — used by
+    * the REST-shaped Kafka consume source (offset + record fetches).
+    */
+  def get(url: String, timeoutMs: Int = 15000): String = {
+    val conn = new java.net.URL(url).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    try {
+      conn.setConnectTimeout(timeoutMs)
+      conn.setReadTimeout(timeoutMs)
+      conn.setRequestMethod("GET")
+      val status = conn.getResponseCode
+      val in = if (status < 400) conn.getInputStream else conn.getErrorStream
+      val res = new String(
+        Option(in).map(_.readAllBytes()).getOrElse(Array.emptyByteArray),
+        "UTF-8")
+      if (status >= 400)
+        throw new RuntimeException(
+          s"GET ${redact(url)} failed: HTTP $status ${res.take(200)}")
+      res
+    } finally conn.disconnect()
+  }
+
   /** Error messages carry only scheme://host/path — query strings (e.g.
     * a webhook access_token) and userinfo are secrets, and these
     * messages flow into alarm-log rows and API responses.

@@ -83,18 +83,32 @@ object Connectors {
           (if (fmt == "parquet") r else r.schema(spec.schema)).load(path)
         }
       case "kafka" =>
-        val opts = Map(
-          "kafka.bootstrap.servers" ->
-            spec.options.getOrElse("properties.bootstrap.servers", ""),
-          "subscribe" -> spec.options.getOrElse("topic", ""),
-          "startingOffsets" -> (spec.options.get("scan.startup.mode") match {
-            case Some("latest-offset") => "latest"
-            case _                     => "earliest"
-          })) ++
-          spec.options.get("properties.group.id").map("kafka.group.id" -> _)
-        val loaded =
-          if (streaming) spark.readStream.format("kafka").options(opts).load()
-          else spark.read.format("kafka").options(opts).load()
+        val loaded = spec.options.get("rest.endpoint") match {
+          case Some(_) =>
+            // live consume over the REST-proxy-shaped wire (see
+            // graft.sources.KafkaRestSource) — the sandbox path with no
+            // broker; same consume columns as the native format
+            val fmt = classOf[graft.sources.KafkaRestSource].getName
+            val ropts = Map(
+              "rest.endpoint" -> spec.options("rest.endpoint"),
+              "topic" -> spec.options.getOrElse("topic", "")) ++
+              spec.options.get("scan.startup.mode").map("scan.startup.mode" -> _) ++
+              spec.options.get("fetch.count").map("fetch.count" -> _)
+            if (streaming) spark.readStream.format(fmt).options(ropts).load()
+            else spark.read.format(fmt).options(ropts).load()
+          case None =>
+            val opts = Map(
+              "kafka.bootstrap.servers" ->
+                spec.options.getOrElse("properties.bootstrap.servers", ""),
+              "subscribe" -> spec.options.getOrElse("topic", ""),
+              "startingOffsets" -> (spec.options.get("scan.startup.mode") match {
+                case Some("latest-offset") => "latest"
+                case _                     => "earliest"
+              })) ++
+              spec.options.get("properties.group.id").map("kafka.group.id" -> _)
+            if (streaming) spark.readStream.format("kafka").options(opts).load()
+            else spark.read.format("kafka").options(opts).load()
+        }
         // value bytes → JSON decode into the declared schema
         loaded.select(
           from_json(col("value").cast("string"), spec.schema).as("v"))

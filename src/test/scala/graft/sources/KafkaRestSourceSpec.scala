@@ -1,0 +1,120 @@
+package graft.sources
+
+import graft.SparkSpec
+import scala.collection.mutable
+
+/** Live-socket consume tests for the REST-shaped Kafka source: a stub
+  * broker over HTTP serves the wire contract; the source must read
+  * incrementally, parallelize per partition, and resume from the
+  * checkpoint after a restart without re-delivering.
+  */
+class KafkaRestSourceSpec extends SparkSpec {
+
+  test("MiniJson slices records with nested JSON, escapes, null keys") {
+    val body =
+      """[ {"key":{"id":7},"value":{"id":7,"tags":["a","b"],"s":"x\"y"},"offset":0},
+        |  {"key":null,"value":"plain A string","offset":1,"partition":3},
+        |  {"key":"k2","value":{"nested":{"deep":[1,2,{"z":"}"}]}},"offset":2} ]""".stripMargin
+    val rs = MiniJson.records(body)
+    assert(rs.map(_.offset) == Seq(0L, 1L, 2L))
+    assert(rs(0).key.contains("""{"id":7}"""))
+    assert(rs(0).value == """{"id":7,"tags":["a","b"],"s":"x\"y"}""")
+    assert(rs(1).key.isEmpty && rs(1).value == "plain A string")
+    assert(rs(1).partition.contains(3))
+    assert(rs(2).value == """{"nested":{"deep":[1,2,{"z":"}"}]}}""")
+  }
+
+  private val fmt = classOf[KafkaRestSource].getName
+
+  test("batch read covers all partitions with exact offsets") {
+    val b = new StubBroker("t_batch", 2)
+    try {
+      b.append(0, """{"id":1}""", """{"id":1,"v":"a"}""")
+      b.append(0, """{"id":2}""", """{"id":2,"v":"b"}""")
+      b.append(1, "null", """{"id":3,"v":"c"}""")
+      val df = spark.read.format(fmt)
+        .option("rest.endpoint", b.endpoint).option("topic", "t_batch").load()
+      val rows = df.collect().map(r =>
+        (r.getAs[String]("key"), r.getAs[String]("value"),
+          r.getAs[Int]("partition"), r.getAs[Long]("offset"))).toSet
+      assert(rows == Set(
+        ("""{"id":1}""", """{"id":1,"v":"a"}""", 0, 0L),
+        ("""{"id":2}""", """{"id":2,"v":"b"}""", 0, 1L),
+        (null, """{"id":3,"v":"c"}""", 1, 0L)))
+    } finally b.stop()
+  }
+
+  test("streaming consume is incremental and resumes from the checkpoint") {
+    val b = new StubBroker("t_stream", 1)
+    val ckpt = java.nio.file.Files.createTempDirectory("krest_ckpt").toString
+    // foreachBatch sink: supports checkpoint recovery (the memory sink
+    // does not), so the restart below genuinely resumes offsets
+    val got = mutable.Buffer[Long]()
+    def startQuery() = spark.readStream.format(fmt)
+      .option("rest.endpoint", b.endpoint).option("topic", "t_stream").load()
+      .writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+          val offs = batch.collect().map(_.getAs[Long]("offset"))
+          got.synchronized { got ++= offs; () }
+      }
+      .option("checkpointLocation", ckpt).start()
+    try {
+      b.append(0, "null", """{"n":1}""")
+      b.append(0, "null", """{"n":2}""")
+      val q1 = startQuery()
+      try {
+        q1.processAllAvailable()
+        assert(got.synchronized(got.sorted.toSeq) == Seq(0L, 1L))
+        b.append(0, "null", """{"n":3}""")
+        q1.processAllAvailable()
+        // incremental: only the new record arrived in the second batch
+        assert(got.synchronized(got.sorted.toSeq) == Seq(0L, 1L, 2L))
+      } finally q1.stop()
+
+      // records appended while the query is DOWN must be picked up on
+      // restart from the checkpointed offset — exactly once, no replay
+      b.append(0, "null", """{"n":4}""")
+      val q2 = startQuery()
+      try {
+        q2.processAllAvailable()
+        assert(got.synchronized(got.sorted.toSeq) == Seq(0L, 1L, 2L, 3L),
+          "no dup, no loss across restart")
+      } finally q2.stop()
+    } finally b.stop()
+  }
+
+  test("latest-offset startup skips the backlog") {
+    val b = new StubBroker("t_latest", 1)
+    try {
+      b.append(0, "null", """{"old":true}""")
+      val ckpt = java.nio.file.Files.createTempDirectory("krest_l").toString
+      val q = spark.readStream.format(fmt)
+        .option("rest.endpoint", b.endpoint).option("topic", "t_latest")
+        .option("scan.startup.mode", "latest-offset").load()
+        .writeStream.format("memory").queryName("krest_latest")
+        .option("checkpointLocation", ckpt).outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table("krest_latest").count() == 0)
+        b.append(0, "null", """{"new":true}""")
+        q.processAllAvailable()
+        val vals = spark.table("krest_latest").collect()
+          .map(_.getAs[String]("value")).toSeq
+        assert(vals == Seq("""{"new":true}"""))
+      } finally q.stop()
+    } finally b.stop()
+  }
+
+  test("fetch paging bounds request size") {
+    val b = new StubBroker("t_page", 1)
+    try {
+      (1 to 10).foreach(i => b.append(0, "null", s"""{"i":$i}"""))
+      val df = spark.read.format(fmt)
+        .option("rest.endpoint", b.endpoint).option("topic", "t_page")
+        .option("fetch.count", "3").load()
+      assert(df.count() == 10)
+      assert(b.fetches >= 4, "10 records at fetch.count=3 needs >= 4 GETs")
+    } finally b.stop()
+  }
+}

@@ -1,0 +1,56 @@
+package graft.sources
+
+import scala.collection.mutable
+
+/** In-memory stub broker speaking the REST consume wire contract of
+  * [[KafkaRestSource]] over a real socket — shared by the source spec
+  * and the demo_1 gate test.
+  */
+final class StubBroker(topic: String, nParts: Int) {
+  private val logs = Array.fill(nParts)(mutable.Buffer[(String, String)]())
+  private val srv = com.sun.net.httpserver.HttpServer.create(
+    new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+  @volatile var fetches = 0
+
+  def append(p: Int, key: String, value: String): Unit =
+    logs(p).synchronized { logs(p) += ((key, value)); () }
+
+  private val PartsRe = s"/topics/$topic/partitions".r
+  private val OffsRe = s"/topics/$topic/partitions/(\\d+)/offsets".r
+  private val MsgsRe = s"/topics/$topic/partitions/(\\d+)/messages".r
+
+  srv.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+    val path = ex.getRequestURI.getPath
+    val query = Option(ex.getRequestURI.getQuery).getOrElse("")
+    val body = path match {
+      case MsgsRe(p) =>
+        fetches += 1
+        val qs = query.split("&").filter(_.contains("="))
+          .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap
+        val off = qs("offset").toInt
+        val count = qs("count").toInt
+        val log = logs(p.toInt)
+        log.synchronized {
+          log.zipWithIndex.slice(off, off + count).map {
+            case ((k, v), i) => s"""{"key":$k,"value":$v,"offset":$i}"""
+          }.mkString("[", ",", "]")
+        }
+      case OffsRe(p) =>
+        val n = logs(p.toInt).synchronized(logs(p.toInt).size)
+        s"""{"beginning_offset":0,"end_offset":$n}"""
+      case _ if PartsRe.findFirstIn(path).isDefined =>
+        (0 until nParts).map(p => s"""{"partition":$p}""")
+          .mkString("[", ",", "]")
+      case other =>
+        ex.sendResponseHeaders(404, -1); ex.close()
+        throw new IllegalStateException(s"unexpected path $other")
+    }
+    val bytes = body.getBytes("UTF-8")
+    ex.sendResponseHeaders(200, bytes.length.toLong)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  })
+  srv.start()
+  val endpoint = s"http://127.0.0.1:${srv.getAddress.getPort}"
+  def stop(): Unit = srv.stop(0)
+}

@@ -42,6 +42,76 @@ class DemoGateSpec extends SparkSpec {
     } finally conn.close()
   }
 
+  test("demo_1: LIVE kafka source (REST wire) -> agg -> keyed JDBC sink") {
+    // the reference's hello-world (demo_1.md:25-60): kafka json source,
+    // SUM(amnount) GROUP BY day_time, JDBC upsert sink. Here the source
+    // is genuinely consumed over a real socket (graft.sources
+    // .KafkaRestSource) — records produced to the stub broker while the
+    // job runs arrive incrementally and update the keyed sink.
+    val broker = new graft.sources.StubBroker("flink_test", 1)
+    val url = derby("demo1")
+    val c = DriverManager.getConnection(url)
+    try c.createStatement().execute("CREATE TABLE sync_test_1 (" +
+      "day_time VARCHAR(64) PRIMARY KEY, total_gmv BIGINT)")
+    finally c.close()
+    try {
+      broker.append(0, "null",
+        """{"day_time":"20201011","id":8,"amnount":211}""")
+      broker.append(0, "null",
+        """{"day_time":"20201011","id":9,"amnount":100}""")
+      val res = new ScriptRunner(spark,
+        checkpointRoot =
+          Some(Files.createTempDirectory("demo1_ckpt").toString))
+        .run(
+          // continuous trigger: the default AvailableNow drains and
+          // stops, but this test produces records WHILE the job runs
+          s"""SET table.exec.mini-batch.allow-latency = 100 ms;
+             |create table flink_test_1 (
+             |  id BIGINT,
+             |  day_time VARCHAR,
+             |  amnount BIGINT,
+             |  proctime AS PROCTIME ()
+             |) with (
+             |  'connector' = 'kafka',
+             |  'topic' = 'flink_test',
+             |  'rest.endpoint' = '${broker.endpoint}',
+             |  'properties.group.id' = 'flink_gp_test1',
+             |  'scan.startup.mode' = 'earliest-offset',
+             |  'format' = 'json'
+             |);
+             |CREATE TABLE sync_test_1 (
+             |  day_time string,
+             |  total_gmv bigint,
+             |  PRIMARY KEY (day_time) NOT ENFORCED
+             |) WITH (
+             |  'connector' = 'jdbc', 'url' = '$url',
+             |  'table-name' = 'sync_test_1', 'dialect' = 'two-step'
+             |);
+             |INSERT INTO sync_test_1
+             |SELECT day_time, SUM(amnount) AS total_gmv
+             |FROM flink_test_1
+             |GROUP BY day_time;
+             |""".stripMargin)
+      assert(res.queries.size == 1)
+      val q = res.queries.head
+      try {
+        q.processAllAvailable()
+        assert(query(url, "SELECT day_time, total_gmv FROM sync_test_1")
+          == Seq(Seq("20201011", 311L)))
+        // live incremental consume: a record produced AFTER the job
+        // started revises the running aggregate
+        broker.append(0, "null",
+          """{"day_time":"20201011","id":10,"amnount":89}""")
+        broker.append(0, "null",
+          """{"day_time":"20201012","id":11,"amnount":5}""")
+        q.processAllAvailable()
+        assert(query(url,
+          "SELECT day_time, total_gmv FROM sync_test_1 ORDER BY day_time")
+          == Seq(Seq("20201011", 400L), Seq("20201012", 5L)))
+      } finally q.stop()
+    } finally broker.stop()
+  }
+
   test("demo_2: dual-stream join -> keyed JDBC sink (batch replay)") {
     // topic payloads from demo_2.md:6-7
     val t1 = jsonDir(Seq(
