@@ -165,28 +165,47 @@ object Dedup extends QueryPack {
     (1 to k).filter(k % _ == 0).map(b => (b, k / b))
       .minBy { case (b, r) => math.abs(lshThreshold(b, r) - targetJaccard) }
 
-  /** The MinHash+LSH near-dup pipeline: [[minhashCandidates]] at the
-    * oracle-default config → exact Jaccard verification of candidates
-    * only. Returns verified pairs (ida, idb, jacc >= 0.8).
+  /** Exact-dup groups of ANY (id, text) relation: one hash aggregation
+    * on the md5 digest (the canonical first dedup pass; scales as a
+    * single shuffle on the digest key). Output (keep_id = min id per
+    * identical text, n_copies). Public operator form so both the oracle
+    * entry and the SQL gate's `DEDUP_EXACT` TVF share one plan.
     */
-  private[queries] def minhashPairs(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+
+  /** The MinHash+LSH near-dup pipeline over ANY (id, text) relation:
+    * [[minhashCandidates]] at the oracle-default config → exact Jaccard
+    * verification of candidates only. Returns verified pairs
+    * (ida, idb, jacc >= threshold). Operator form shared by the oracle
+    * entry and the gate's `DEDUP_MINHASH_PAIRS` TVF.
+    */
+  def minhashVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.8): DataFrame = {
+    val s = df.sparkSession
     graft.functions.GraftFunctions.register(s)
-    val docs0 = Tables.load(s, dir, "documents")
+    val docs0 = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
     val cand = minhashCandidates(docs0)
     val sh = docs0
-      .select($"doc_id", words($"text").as("w"))
-      .filter(size($"w") >= 3)
-      .select($"doc_id", explode(array_distinct(shingles($"w", 3))).as("sng"))
-    val sets = sh.groupBy($"doc_id").agg(collect_set($"sng").as("ss"))
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(col("w"), 3))).as("sng"))
+    val sets = sh.groupBy(col("doc_id")).agg(collect_set(col("sng")).as("ss"))
     cand
-      .join(sets.select($"doc_id".as("ida"), $"ss".as("sa")), "ida")
-      .join(sets.select($"doc_id".as("idb"), $"ss".as("sb")), "idb")
-      .select($"ida", $"idb",
-        graft.functions.GraftFunctions.jaccardDistinct($"sa", $"sb")
+      .join(sets.select(col("doc_id").as("ida"), col("ss").as("sa")), "ida")
+      .join(sets.select(col("doc_id").as("idb"), col("ss").as("sb")), "idb")
+      .select(col("ida"), col("idb"),
+        graft.functions.GraftFunctions.jaccardDistinct(col("sa"), col("sb"))
           .as("jacc"))
-      .filter($"jacc" >= 0.8)
+      .filter(col("jacc") >= threshold)
   }
+
+  private[queries] def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    minhashVerifiedPairs(Tables.load(s, dir, "documents"), "doc_id", "text")
 
   /** Connected components over undirected (ida, idb) pairs via min-label
     * propagation iterated to convergence — the "keep one doc per
@@ -283,13 +302,8 @@ object Dedup extends QueryPack {
     // Exact dedup: one survivor (min doc_id) per identical text, by md5.
     // At scale this is a single hash aggregation on the digest — the
     // canonical first pass of every dedup pipeline.
-    "q_dedup_exact" -> ((s, dir) => {
-      import s.implicits._
-      Tables.load(s, dir, "documents")
-        .groupBy(md5($"text").as("text_md5"))
-        .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
-        .select($"keep_id", $"n_copies")
-    }),
+    "q_dedup_exact" -> ((s, dir) =>
+      exactGroups(Tables.load(s, dir, "documents"), "doc_id", "text")),
 
     // Incremental dedup against an already-ingested corpus, bloom-
     // prefiltered: a Bloom filter built over the reference slice's text

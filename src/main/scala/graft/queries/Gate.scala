@@ -208,6 +208,34 @@ object Gate extends QueryPack {
            |);
            |""".stripMargin)
       s.table("mr_sink_out")
+    }),
+
+    // The LLM-pipeline surface through the statement layer: exact dedup
+    // invoked as a polymorphic table-valued function in the same
+    // TABLE(F(TABLE t, DESCRIPTOR(...))) idiom as the window TVFs —
+    // a reference-style SQL-script author reaches the dedup operators
+    // without touching the Scala API. Routed through GraftTvfRewrite to
+    // the SAME plan as q_dedup_exact (one hash agg on the md5 digest),
+    // and oracle-checked independently of that query.
+    "q_gate_dedup_tvf" -> ((s, dir) => {
+      val runner = new ScriptRunner(s, batchMode = true)
+      runner.run(
+        s"""CREATE TABLE docs_tvf (
+           |  doc_id BIGINT, text VARCHAR, lang VARCHAR, source VARCHAR,
+           |  n_chars BIGINT
+           |) WITH (
+           |  'connector' = 'filesystem',
+           |  'path' = '$dir/documents.parquet',
+           |  'format' = 'parquet'
+           |);
+           |CREATE TABLE dedup_tvf_sink (keep_id BIGINT, n_copies BIGINT)
+           |WITH ('connector' = 'memory');
+           |INSERT INTO dedup_tvf_sink
+           |SELECT keep_id, n_copies
+           |FROM TABLE(DEDUP_EXACT(TABLE docs_tvf, DESCRIPTOR(doc_id),
+           |  DESCRIPTOR(text)));
+           |""".stripMargin)
+      s.table("dedup_tvf_sink_out")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -260,5 +288,11 @@ object Gate extends QueryPack {
         |         AND a.event_type = 'view'
         |JOIN m b1 ON b1.user_id = p.user_id AND b1.rn = p.lastnc + 1
         |JOIN m bl ON bl.user_id = p.user_id AND bl.rn = p.rn - 1
-        |WHERE p.event_type = 'purchase' AND p.rn - 1 >= p.lastnc + 1""".stripMargin)
+        |WHERE p.event_type = 'purchase' AND p.rn - 1 >= p.lastnc + 1""".stripMargin,
+
+    // grouping by the text itself gives the same groups as the md5
+    // digest (modulo md5 collisions, absent here by construction)
+    "q_gate_dedup_tvf" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY text""".stripMargin)
 }

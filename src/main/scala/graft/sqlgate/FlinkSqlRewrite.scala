@@ -141,8 +141,8 @@ object FlinkSqlRewrite {
     * overload; this one rejects it loudly rather than mis-rewriting.
     */
   def apply(sql: String): String = {
-    require(!MatchRecognizeRewrite.present(sql),
-      "MATCH_RECOGNIZE requires the session-aware rewrite: " +
+    require(!MatchRecognizeRewrite.present(sql) && !GraftTvfRewrite.present(sql),
+      "MATCH_RECOGNIZE / dedup TVFs require the session-aware rewrite: " +
         "FlinkSqlRewrite(spark, sql)")
     rewriteWindows(sql)
   }
@@ -152,23 +152,38 @@ object FlinkSqlRewrite {
     * window-rewritten — then the window/dialect text rewrites.
     */
   def apply(spark: org.apache.spark.sql.SparkSession, sql: String): String =
-    rewriteWindows(MatchRecognizeRewrite(spark, sql))
+    applyTracking(spark, sql)._1
 
-  /** [[apply]] variant that also reports the MATCH_RECOGNIZE temp views
-    * registered during the rewrite — drop them after the consuming
-    * statement is analyzed (see MatchRecognizeRewrite.rewriteTracking).
+  /** [[apply]] variant that also reports the MATCH_RECOGNIZE / dedup-TVF
+    * temp views registered during the rewrite — drop them after the
+    * consuming statement is analyzed (see
+    * MatchRecognizeRewrite.rewriteTracking).
     */
   def applyTracking(spark: org.apache.spark.sql.SparkSession,
       sql: String): (String, Seq[String]) = {
-    val (s, views) = MatchRecognizeRewrite.rewriteTracking(spark, sql)
-    (rewriteWindows(s), views)
+    val (s1, v1) = MatchRecognizeRewrite.rewriteTracking(spark, sql)
+    val (s2, v2) = GraftTvfRewrite.rewriteTracking(spark, s1)
+    (rewriteWindows(s2), v1 ++ v2)
   }
 
-  /** Syntax-validation rewrite: MATCH_RECOGNIZE clauses are parsed (loud
-    * subset rejection, same errors as run time) but not executed.
+  /** True iff the statement needs registry sources instantiated BEFORE
+    * the session-aware rewrite (MATCH_RECOGNIZE / dedup TVFs execute
+    * their operator over `spark.table` during the rewrite itself).
+    */
+  def needsPreInstantiation(sql: String): Boolean =
+    MatchRecognizeRewrite.present(sql) || GraftTvfRewrite.present(sql)
+
+  /** Union of the source tables those clauses reference. */
+  def preInstantiationTables(sql: String): Set[String] =
+    MatchRecognizeRewrite.sourceTables(sql) ++ GraftTvfRewrite.sourceTables(sql)
+
+  /** Syntax-validation rewrite: MATCH_RECOGNIZE / dedup-TVF clauses are
+    * parsed (loud subset rejection, same errors as run time) but not
+    * executed.
     */
   def validate(sql: String): String =
-    rewriteWindows(MatchRecognizeRewrite.validateOnly(sql))
+    rewriteWindows(GraftTvfRewrite.validateOnly(
+      MatchRecognizeRewrite.validateOnly(sql)))
 
   private def rewriteWindows(sql: String): String = {
     var s = sql

@@ -127,11 +127,11 @@ class ScriptRunner(spark: SparkSession,
             .stripSuffix(")").split(",").map(_.trim.replace("`", "")).toSeq)
           registry.get(sinkName) match {
             case Some(sink) =>
-              // MATCH_RECOGNIZE resolves its source DURING the rewrite
-              // (RowPattern runs over spark.table), so registry sources
-              // it references must be instantiated first
-              if (MatchRecognizeRewrite.present(m.group(4)))
-                instantiateRefs(MatchRecognizeRewrite.sourceTables(m.group(4)))
+              // MATCH_RECOGNIZE / dedup TVFs resolve their source DURING
+              // the rewrite (the operator runs over spark.table), so
+              // registry sources they reference must be instantiated first
+              if (FlinkSqlRewrite.needsPreInstantiation(m.group(4)))
+                instantiateRefs(FlinkSqlRewrite.preInstantiationTables(m.group(4)))
               val (query, mrViews) = FlinkSqlRewrite.applyTracking(spark, m.group(4))
               instantiateSources(query)
               val df0 = spark.sql(query) // Dataset ctor analyzes eagerly:
@@ -145,8 +145,8 @@ class ScriptRunner(spark: SparkSession,
               // the demo_batch.md batch-write path. Referenced registry
               // sources must be batch DataFrames here regardless of the
               // runner mode: an eager INSERT cannot read streaming views.
-              if (MatchRecognizeRewrite.present(c.text))
-                instantiateRefs(MatchRecognizeRewrite.sourceTables(c.text),
+              if (FlinkSqlRewrite.needsPreInstantiation(c.text))
+                instantiateRefs(FlinkSqlRewrite.preInstantiationTables(c.text),
                   forceBatch = true)
               val (rewritten, mrViews) = FlinkSqlRewrite.applyTracking(spark, c.text)
               instantiateSources(rewritten, forceBatch = true)
@@ -167,8 +167,8 @@ class ScriptRunner(spark: SparkSession,
           shown += s"ok: ${c.command.name}"
         case SqlCommand.CreateView =>
           // view bodies are queries in the reference dialect too
-          if (MatchRecognizeRewrite.present(c.text))
-            instantiateRefs(MatchRecognizeRewrite.sourceTables(c.text))
+          if (FlinkSqlRewrite.needsPreInstantiation(c.text))
+            instantiateRefs(FlinkSqlRewrite.preInstantiationTables(c.text))
           spark.sql(FlinkSqlRewrite(spark, c.text))
         case _ =>
           // remaining DDL (CREATE DATABASE, USE, DROP, ALTER, plain

@@ -1,0 +1,112 @@
+package graft.sqlgate
+
+import graft.SparkSpec
+
+/** Gate-reachable dedup operators: a reference-style SQL-script author
+  * reaches the LLM-pipeline surface through `ScriptRunner` with the same
+  * TVF idiom as the window functions. The gate output must match the
+  * library operators' (the oracle-checked `q_dedup_exact` /
+  * `q_dedup_minhash` plans) exactly.
+  */
+class GraftTvfSpec extends SparkSpec {
+
+  private val docsDir = "/root/testdata/sf0.001/documents.parquet"
+
+  private def docsDdl(name: String) =
+    s"""create table $name (
+       |  doc_id BIGINT, text STRING, lang STRING, source STRING,
+       |  n_chars BIGINT
+       |) with (
+       |  'connector' = 'filesystem', 'path' = '$docsDir',
+       |  'format' = 'parquet'
+       |);""".stripMargin
+
+  test("DEDUP_EXACT through the gate reproduces q_dedup_exact") {
+    val runner = new ScriptRunner(spark, batchMode = true)
+    runner.run(
+      s"""${docsDdl("docs")}
+         |CREATE TABLE dedup_sink (keep_id BIGINT, n_copies BIGINT)
+         |WITH ('connector' = 'memory');
+         |INSERT INTO dedup_sink
+         |SELECT keep_id, n_copies
+         |FROM TABLE(DEDUP_EXACT(TABLE docs, DESCRIPTOR(doc_id),
+         |  DESCRIPTOR(text)));""".stripMargin)
+    val viaGate = spark.table("dedup_sink_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = graft.queries.Dedup.exactGroups(
+      spark.read.parquet(docsDir), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaGate == direct && viaGate.nonEmpty)
+  }
+
+  test("DEDUP_MINHASH_PAIRS through the gate matches the library operator") {
+    val runner = new ScriptRunner(spark, batchMode = true)
+    runner.run(
+      s"""${docsDdl("docs_mh")}
+         |CREATE TABLE pair_sink (ida BIGINT, idb BIGINT, jacc DOUBLE)
+         |WITH ('connector' = 'memory');
+         |INSERT INTO pair_sink
+         |SELECT ida, idb, jacc
+         |FROM TABLE(DEDUP_MINHASH_PAIRS(TABLE docs_mh, DESCRIPTOR(doc_id),
+         |  DESCRIPTOR(text), 0.8));""".stripMargin)
+    val viaGate = spark.table("pair_sink_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = graft.queries.Dedup.minhashVerifiedPairs(
+      spark.read.parquet(docsDir), "doc_id", "text", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaGate == direct && viaGate.nonEmpty)
+  }
+
+  test("TVF composes with downstream SQL (filter + join back)") {
+    val runner = new ScriptRunner(spark, batchMode = true)
+    runner.run(
+      s"""${docsDdl("docs_c")}
+         |CREATE TABLE multi_sink (keep_id BIGINT, n_copies BIGINT,
+         |  text STRING) WITH ('connector' = 'memory');
+         |INSERT INTO multi_sink
+         |SELECT d.keep_id, d.n_copies, docs_c.text
+         |FROM TABLE(DEDUP_EXACT(TABLE docs_c, DESCRIPTOR(doc_id),
+         |  DESCRIPTOR(text))) d
+         |JOIN docs_c ON docs_c.doc_id = d.keep_id
+         |WHERE d.keep_id % 7 = 0;""".stripMargin)
+    val rows = spark.table("multi_sink_out").collect()
+    assert(rows.nonEmpty && rows.forall(r =>
+      r.getLong(0) % 7 == 0 && r.getString(2) != null))
+  }
+
+  test("malformed TVF and streaming sources are rejected loudly") {
+    val e = intercept[IllegalArgumentException] {
+      GraftTvfRewrite.validateOnly(
+        "SELECT * FROM TABLE(DEDUP_EXACT(docs, DESCRIPTOR(doc_id)))")
+    }
+    assert(e.getMessage.contains("malformed dedup TVF"))
+
+    // a streaming source behind the TVF must not silently re-window
+    val runner = new ScriptRunner(spark, batchMode = false)
+    val err = intercept[IllegalArgumentException] {
+      runner.run(
+        s"""create table stream_docs (
+           |  doc_id BIGINT, text STRING
+           |) with (
+           |  'connector' = 'datagen', 'rows-per-second' = '10'
+           |);
+           |CREATE TABLE s_sink (keep_id BIGINT, n_copies BIGINT)
+           |WITH ('connector' = 'memory');
+           |INSERT INTO s_sink SELECT keep_id, n_copies
+           |FROM TABLE(DEDUP_EXACT(TABLE stream_docs, DESCRIPTOR(doc_id),
+           |  DESCRIPTOR(text)));""".stripMargin)
+    }
+    assert(err.getMessage.contains("batch gate mode"))
+  }
+
+  test("validator accepts well-formed TVF scripts pre-flight") {
+    val v = SqlValidator.validate(spark,
+      s"""${docsDdl("docs_v")}
+         |CREATE TABLE v_sink (keep_id BIGINT, n_copies BIGINT)
+         |WITH ('connector' = 'memory');
+         |INSERT INTO v_sink SELECT keep_id, n_copies
+         |FROM TABLE(DEDUP_EXACT(TABLE docs_v, DESCRIPTOR(doc_id),
+         |  DESCRIPTOR(text)));""".stripMargin)
+    assert(v.ok, v.errors.mkString("; "))
+  }
+}
