@@ -1,0 +1,137 @@
+package graft.platform
+
+import java.sql.{Connection, DriverManager}
+
+/** Multi-instance HA heartbeat + leader election over a shared registry
+  * database — the reference's `ip_status` table
+  * (`docs/sql/flink_web.sql:32-44`) with the election rule of
+  * `IpStatusServiceImpl.java:66-90` + `IpStatusMapper.xml` `selectLastIp`:
+  *
+  *  - every web instance upserts its own row (`status=1`,
+  *    `last_time=now`) once a minute (`SchedulerTask.checkHeartbeat`,
+  *    `SchedulerTask.java:47-56`);
+  *  - the LEADER is the live row — `status=1`, not deleted, heartbeat
+  *    within the TTL (the reference's
+  *    `last_time >= DATE_ADD(NOW(), INTERVAL -61 SECOND)`) — with the
+  *    HIGHEST id, i.e. the most recently *registered* live instance;
+  *  - leader-only scheduler passes (reconciliation, auto-savepoint) check
+  *    `isLeader` before doing any work (`SchedulerTask.java:67-128`), so
+  *    N web instances share one database but exactly one drives the
+  *    cluster-mutating schedules;
+  *  - clean shutdown writes `status=-1` (`cancelIp`), dropping the
+  *    instance out of the election immediately instead of after the TTL.
+  *
+  * `last_time` is stored as epoch millis and the TTL compare is done with
+  * a bind parameter rather than the database's `NOW()` — portable across
+  * Derby (tests) and MySQL, and injectable (`clock`) so specs can age a
+  * heartbeat without sleeping. Election reads are a single indexed
+  * point-query; nothing here scales with job count or data volume.
+  */
+final class IpStatusService(url: String, val instanceIp: String,
+    ttlMs: Long = 61000L,
+    clock: () => Long = () => System.currentTimeMillis()) {
+
+  require(instanceIp.nonEmpty, "instanceIp required")
+
+  private def withConn[A](f: Connection => A): A = {
+    val c = DriverManager.getConnection(url)
+    try f(c) finally c.close()
+  }
+
+  withConn { c =>
+    try {
+      c.createStatement().execute(
+        """CREATE TABLE ip_status (
+          |  id BIGINT GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
+          |  ip VARCHAR(64) NOT NULL UNIQUE,
+          |  status INT NOT NULL,
+          |  last_time BIGINT,
+          |  is_deleted INT NOT NULL)""".stripMargin)
+      ()
+    } catch {
+      // Derby X0Y32 / MySQL 1050: table already exists
+      case e: java.sql.SQLException
+        if e.getSQLState == "X0Y32" || e.getErrorCode == 1050 => ()
+    }
+  }
+
+  /** Upsert this instance's row live (`registerIp`,
+    * `IpStatusServiceImpl.java:32-50`). Re-registering after a `cancel`
+    * flips the existing row back to live — the id (and so election
+    * precedence) is assigned once, at first registration.
+    */
+  def register(): Unit = withConn { c =>
+    val up = c.prepareStatement(
+      "UPDATE ip_status SET status = 1, last_time = ?, is_deleted = 0 " +
+        "WHERE ip = ?")
+    up.setLong(1, clock()); up.setString(2, instanceIp)
+    if (up.executeUpdate() == 0) {
+      try {
+        val ins = c.prepareStatement(
+          "INSERT INTO ip_status (ip, status, last_time, is_deleted) " +
+            "VALUES (?, 1, ?, 0)")
+        ins.setString(1, instanceIp); ins.setLong(2, clock())
+        ins.executeUpdate()
+        ()
+      } catch {
+        // two instances racing the first insert of the same ip: the
+        // unique key wins the race for one; the loser just updates
+        case _: java.sql.SQLIntegrityConstraintViolationException =>
+          val up2 = c.prepareStatement(
+            "UPDATE ip_status SET status = 1, last_time = ?, is_deleted = 0 " +
+              "WHERE ip = ?")
+          up2.setLong(1, clock()); up2.setString(2, instanceIp)
+          up2.executeUpdate()
+          ()
+      }
+    }
+  }
+
+  /** Refresh `last_time` (`updateHeartbeatBylocalIp` — the reference
+    * delegates straight to `registerIp`, and so does this).
+    */
+  def heartbeat(): Unit = register()
+
+  /** Mark this instance stopped (`cancelIp`): `status=-1`, out of the
+    * election immediately.
+    */
+  def cancel(): Unit = withConn { c =>
+    val ps = c.prepareStatement(
+      "UPDATE ip_status SET status = -1 WHERE ip = ?")
+    ps.setString(1, instanceIp)
+    ps.executeUpdate()
+    ()
+  }
+
+  /** The reference's `selectLastIp`: the live row with the highest id,
+    * or None when every instance is stopped or stale.
+    */
+  def currentLeader(): Option[String] = withConn { c =>
+    val ps = c.prepareStatement(
+      "SELECT ip FROM ip_status WHERE is_deleted = 0 AND status = 1 " +
+        "AND last_time >= ? ORDER BY id DESC FETCH FIRST 1 ROWS ONLY")
+    ps.setLong(1, clock() - ttlMs)
+    val rs = ps.executeQuery()
+    if (rs.next()) Some(rs.getString(1)) else None
+  }
+
+  /** Am I the instance that should run leader-only schedules right now?
+    * False when no live leader exists (matches the reference returning
+    * false on a null `selectLastIp` — better to skip a reconcile tick
+    * than to run it twice).
+    */
+  def isLeader(): Boolean = currentLeader().contains(instanceIp)
+
+  /** All live instances (freshest heartbeat within TTL), for ops
+    * introspection — the reference's web UI lists `ip_status` rows.
+    */
+  def liveInstances(): Seq[String] = withConn { c =>
+    val ps = c.prepareStatement(
+      "SELECT ip FROM ip_status WHERE is_deleted = 0 AND status = 1 " +
+        "AND last_time >= ? ORDER BY id")
+    ps.setLong(1, clock() - ttlMs)
+    val rs = ps.executeQuery()
+    Iterator.continually(rs).takeWhile(_.next())
+      .map(_.getString(1)).toList
+  }
+}

@@ -388,22 +388,44 @@ class JobManager(spark: SparkSession, checkpointRoot: String,
     * `SchedulerTask.java:47-128` (liveness poll every few minutes, hourly
     * checkpoint snapshot) as a daemon scheduler over this manager.
     * Returns a handle; close() stops the scheduler.
+    *
+    * With `ha` set, the scheduler runs the reference's multi-instance
+    * protocol: register at start, heartbeat every `heartbeatIntervalMs`
+    * on EVERY instance (`SchedulerTask.checkHeartbeat`), but gate the
+    * cluster-mutating passes (reconcile, auto-savepoint) on
+    * `IpStatusService.isLeader` (`SchedulerTask.java:67-128`) so N
+    * managers sharing one registry database never reconcile or
+    * savepoint the same cluster twice. close() cancels the heartbeat
+    * row, handing leadership over immediately.
     */
   def startScheduler(reconcileIntervalMs: Long,
-      savepointIntervalMs: Long): AutoCloseable = {
+      savepointIntervalMs: Long,
+      ha: Option[IpStatusService] = None,
+      heartbeatIntervalMs: Long = 60000L): AutoCloseable = {
     val exec = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
       (r: Runnable) => {
         val t = new Thread(r, "graft-job-scheduler"); t.setDaemon(true); t
       })
     def safely(f: () => Unit): Runnable = () =>
       try f() catch { case _: Throwable => () } // one bad tick ≠ dead schedule
-    exec.scheduleWithFixedDelay(safely(() => reconcile()),
+    def asLeader(f: () => Unit): () => Unit =
+      () => if (ha.forall(_.isLeader())) f()
+    ha.foreach(s => safely(() => s.register()).run())
+    ha.foreach { s =>
+      exec.scheduleWithFixedDelay(safely(() => s.heartbeat()),
+        heartbeatIntervalMs, heartbeatIntervalMs,
+        java.util.concurrent.TimeUnit.MILLISECONDS)
+    }
+    exec.scheduleWithFixedDelay(safely(asLeader(() => reconcile())),
       reconcileIntervalMs, reconcileIntervalMs,
       java.util.concurrent.TimeUnit.MILLISECONDS)
-    exec.scheduleWithFixedDelay(safely(() => autoSavepoint()),
+    exec.scheduleWithFixedDelay(safely(asLeader(() => autoSavepoint())),
       savepointIntervalMs, savepointIntervalMs,
       java.util.concurrent.TimeUnit.MILLISECONDS)
-    () => { exec.shutdownNow(); () }
+    () => {
+      exec.shutdownNow()
+      ha.foreach(s => try s.cancel() catch { case _: Throwable => () })
+    }
   }
 
   /** One reconciliation pass: a job the registry says is RUNNING whose

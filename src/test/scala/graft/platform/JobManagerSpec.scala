@@ -304,4 +304,78 @@ class JobManagerSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] { m.stop(id) }
     assert(e.getMessage.contains("not RUNNING"))
   }
+
+  test("ip_status election: newest live registration leads; cancel and " +
+    "staleness hand leadership over") {
+    val url = "jdbc:derby:memory:ipstat1;create=true"
+    // manual clock so staleness is aged, not slept
+    var now = 1000000L
+    val clk = () => now
+    val a = new IpStatusService(url, "10.0.0.1", ttlMs = 5000, clock = clk)
+    val b = new IpStatusService(url, "10.0.0.2", ttlMs = 5000, clock = clk)
+    a.register()
+    assert(a.isLeader() && a.currentLeader().contains("10.0.0.1"))
+    b.register() // higher id → leader (selectLastIp ORDER BY id DESC)
+    assert(b.isLeader() && !a.isLeader())
+    assert(a.liveInstances() == Seq("10.0.0.1", "10.0.0.2"))
+    // clean shutdown: status=-1 drops b out immediately
+    b.cancel()
+    assert(a.isLeader() && !b.isLeader())
+    assert(a.liveInstances() == Seq("10.0.0.1"))
+    // b re-registers: keeps its original (higher) id → leads again
+    b.register()
+    assert(b.isLeader() && !a.isLeader())
+    // b crashes (no heartbeat): after the 61s-analog TTL only a, still
+    // heartbeating, is live — leadership falls back to a
+    now += 6000
+    a.heartbeat()
+    assert(a.isLeader() && !b.isLeader())
+    assert(b.currentLeader().contains("10.0.0.1"))
+    // everyone stale → nobody leads (reference: null selectLastIp → false)
+    now += 6000
+    assert(!a.isLeader() && !b.isLeader() && a.currentLeader().isEmpty)
+  }
+
+  test("HA scheduler: with two managers on one ip_status table, only the " +
+    "leader reconciles; closing it fails leadership over") {
+    val url = "jdbc:derby:memory:ipstat2;create=true"
+    def wedgedJob(m: JobManager, name: String, src: String, snk: String) = {
+      val id = m.start(name,
+        s"""SET table.exec.mini-batch.allow-latency = 100 ms;
+           |CREATE TABLE $src (id BIGINT) WITH (
+           |  'connector' = 'datagen', 'rows-per-batch' = '5',
+           |  'fields.id.kind' = 'sequence', 'fields.id.start' = '0');
+           |CREATE TABLE $snk (id BIGINT, PRIMARY KEY (id) NOT ENFORCED)
+           |  WITH ('connector' = 'memory');
+           |INSERT INTO $snk SELECT id FROM $src;
+           |""".stripMargin)
+      assert(m.status(id) == JobManager.Running)
+      // stop queries behind the manager's back: the listener sees a clean
+      // termination, so only a reconcile pass can flip the status
+      m.info(id).queries.foreach(_.stop())
+      id
+    }
+    val mA = mgr(); val mB = mgr()
+    val idA = wedgedJob(mA, "ha_job_a", "ha_src_a", "ha_snk_a")
+    val idB = wedgedJob(mB, "ha_job_b", "ha_src_b", "ha_snk_b")
+    // A's scheduler registers first, B's second → B leads
+    val schedA = mA.startScheduler(reconcileIntervalMs = 100,
+      savepointIntervalMs = 3600000,
+      ha = Some(new IpStatusService(url, "10.0.0.1")))
+    val schedB = mB.startScheduler(reconcileIntervalMs = 100,
+      savepointIntervalMs = 3600000,
+      ha = Some(new IpStatusService(url, "10.0.0.2")))
+    try {
+      assert(awaitCond(60000) { mB.status(idB) == JobManager.Stopped },
+        "leader's reconcile should flip its wedged job")
+      // several reconcile periods later the non-leader still hasn't acted
+      Thread.sleep(500)
+      assert(mA.status(idA) == JobManager.Running,
+        "non-leader must not run the reconcile pass")
+      // leader shuts down cleanly → cancelIp → A takes over and reconciles
+      schedB.close()
+      assert(awaitCond(60000) { mA.status(idA) == JobManager.Stopped },
+        "surviving instance should take leadership and reconcile")
+    } finally { schedA.close(); schedB.close() }
+  }
 }
