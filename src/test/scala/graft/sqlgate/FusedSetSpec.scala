@@ -202,4 +202,107 @@ class FusedSetSpec extends SparkSpec {
     } finally r.queries.foreach(_.stop())
     assert(spark.read.parquet(outB).count() == 5)
   }
+
+  test("algebraic aggregate fuses statefully: one query, merged keyed " +
+    "state, exactly-once across a restart") {
+    val src = Files.createTempDirectory("fs_src7").toString
+    val out = Files.createTempDirectory("fs_o7").toString
+    val ckpt = Files.createTempDirectory("fs_ck7").toString
+    val url = "jdbc:derby:memory:fusedagg;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try conn.createStatement().execute(
+      "CREATE TABLE agg_fused (k VARCHAR(16) PRIMARY KEY, s BIGINT, " +
+        "c BIGINT, mn INT, mx INT)")
+    finally conn.close()
+
+    val s =
+      s"""SET 'graft.exec.statement-set.fuse' = 'true';
+         |CREATE TABLE src (k VARCHAR, v INT) WITH (
+         |  'connector' = 'filesystem', 'path' = '$src',
+         |  'format' = 'parquet');
+         |CREATE TABLE raw_snk (k VARCHAR, v INT) WITH (
+         |  'connector' = 'filesystem', 'path' = '$out',
+         |  'format' = 'parquet');
+         |CREATE TABLE agg_fused (k VARCHAR, s BIGINT, c BIGINT,
+         |  mn INT, mx INT, PRIMARY KEY (k) NOT ENFORCED) WITH (
+         |  'connector' = 'jdbc', 'url' = '$url',
+         |  'table-name' = 'agg_fused', 'dialect' = 'two-step');
+         |INSERT INTO raw_snk SELECT k, v FROM src;
+         |INSERT INTO agg_fused SELECT k, SUM(v) AS s, COUNT(*) AS c,
+         |  MIN(v) AS mn, MAX(v) AS mx FROM src GROUP BY k;
+         |""".stripMargin
+
+    def aggRows(): Map[String, (Long, Long, Int, Int)] = {
+      val c = java.sql.DriverManager.getConnection(url)
+      try {
+        val rs = c.createStatement()
+          .executeQuery("SELECT k, s, c, mn, mx FROM agg_fused")
+        Iterator.continually(rs).takeWhile(_.next()).map(r =>
+          r.getString(1) -> ((r.getLong(2), r.getLong(3),
+            r.getInt(4), r.getInt(5)))).toMap
+      } finally c.close()
+    }
+
+    import spark.implicits._
+    Seq(("a", 1), ("a", 2), ("b", 3)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(src)
+    val r1 = new ScriptRunner(spark, Some(ckpt)).run(s)
+    // stateless + mergeable aggregate fan-out = still ONE fused query
+    assert(r1.queries.size == 1, "mergeable aggregate should fuse")
+    r1.queries.foreach(_.processAllAvailable())
+    r1.queries.foreach(_.stop())
+    assert(aggRows() == Map("a" -> ((3L, 2L, 1, 2)), "b" -> ((3L, 1L, 3, 3))))
+    assert(spark.read.parquet(out).count() == 3)
+
+    // restart from the shared checkpoint: new batch merges into the
+    // durable state — cross-restart sums/counts/min/max stay exact
+    Seq(("a", 10), ("c", 5)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(src)
+    val r2 = new ScriptRunner(spark, Some(ckpt)).run(s)
+    assert(r2.queries.size == 1)
+    r2.queries.foreach(_.processAllAvailable())
+    r2.queries.foreach(_.stop())
+    assert(aggRows() == Map(
+      "a" -> ((13L, 3L, 1, 10)),
+      "b" -> ((3L, 1L, 3, 3)),
+      "c" -> ((5L, 1L, 5, 5))))
+    assert(spark.read.parquet(out).count() == 5)
+  }
+
+  test("non-mergeable aggregate (AVG) still refuses fusion") {
+    val src = Files.createTempDirectory("fs_src8").toString
+    import spark.implicits._
+    Seq(("a", 1)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(src)
+    val url = "jdbc:derby:memory:avgagg;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try conn.createStatement().execute(
+      "CREATE TABLE avg_snk (k VARCHAR(16) PRIMARY KEY, a DOUBLE)")
+    finally conn.close()
+    // AVG's output is not mergeable from itself — fusing it would
+    // silently average per batch; it must run unfused (stateful
+    // streaming agg path)
+    val s =
+      s"""SET 'graft.exec.statement-set.fuse' = 'true';
+         |CREATE TABLE src (k VARCHAR, v INT) WITH (
+         |  'connector' = 'filesystem', 'path' = '$src',
+         |  'format' = 'parquet');
+         |CREATE TABLE raw_snk2 (k VARCHAR, v INT) WITH (
+         |  'connector' = 'filesystem',
+         |  'path' = '${Files.createTempDirectory("fs_o8").toString}',
+         |  'format' = 'parquet');
+         |CREATE TABLE avg_snk (k VARCHAR, a DOUBLE,
+         |  PRIMARY KEY (k) NOT ENFORCED) WITH (
+         |  'connector' = 'jdbc', 'url' = '$url',
+         |  'table-name' = 'avg_snk', 'dialect' = 'two-step');
+         |INSERT INTO raw_snk2 SELECT k, v FROM src;
+         |INSERT INTO avg_snk SELECT k, AVG(v) AS a FROM src GROUP BY k;
+         |""".stripMargin
+    val r = new ScriptRunner(spark,
+      Some(Files.createTempDirectory("fs_ck8").toString)).run(s)
+    try {
+      assert(r.queries.size == 2, "AVG must not fuse")
+      r.queries.foreach(_.processAllAvailable())
+    } finally r.queries.foreach(_.stop())
+  }
 }
