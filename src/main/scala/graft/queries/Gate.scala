@@ -53,16 +53,17 @@ object Gate extends QueryPack {
     // FlinkSqlRewrite layer, oracle-checked — proves a reference user's
     // window SQL runs unmodified, not just the Spark-native spelling.
     "q_gate_flink_tumble" -> ((s, dir) => {
+      val (tsDdl, tsExpr) = graft.Tables.eventsTsDdl(s, dir)
       val runner = new ScriptRunner(s, batchMode = true)
       runner.run(
         s"""CREATE TABLE ev_src (
            |  event_id BIGINT,
-           |  ts BIGINT,
+           |  ts $tsDdl,
            |  user_id BIGINT,
            |  event_type VARCHAR,
            |  value DOUBLE,
            |  props VARCHAR,
-           |  ts2 AS timestamp_micros(ts DIV 1000)
+           |  ts2 AS $tsExpr
            |) WITH (
            |  'connector' = 'filesystem',
            |  'path' = '$dir/events.parquet',
@@ -89,16 +90,17 @@ object Gate extends QueryPack {
     // (time, slide, size) argument order must land as Spark's
     // (time, size, slide).
     "q_gate_flink_hop" -> ((s, dir) => {
+      val (tsDdl, tsExpr) = graft.Tables.eventsTsDdl(s, dir)
       val runner = new ScriptRunner(s, batchMode = true)
       runner.run(
         s"""CREATE TABLE ev_src_h (
            |  event_id BIGINT,
-           |  ts BIGINT,
+           |  ts $tsDdl,
            |  user_id BIGINT,
            |  event_type VARCHAR,
            |  value DOUBLE,
            |  props VARCHAR,
-           |  ts2 AS timestamp_micros(ts DIV 1000)
+           |  ts2 AS $tsExpr
            |) WITH (
            |  'connector' = 'filesystem',
            |  'path' = '$dir/events.parquet',
@@ -125,16 +127,17 @@ object Gate extends QueryPack {
     // rewritten by FlinkSqlRewrite to the epoch-aligned explode and
     // oracle-checked against the batch cumulate answer.
     "q_gate_flink_cumulate" -> ((s, dir) => {
+      val (tsDdl, tsExpr) = graft.Tables.eventsTsDdl(s, dir)
       val runner = new ScriptRunner(s, batchMode = true)
       runner.run(
         s"""CREATE TABLE ev_src_c (
            |  event_id BIGINT,
-           |  ts BIGINT,
+           |  ts $tsDdl,
            |  user_id BIGINT,
            |  event_type VARCHAR,
            |  value DOUBLE,
            |  props VARCHAR,
-           |  ts2 AS timestamp_micros(ts DIV 1000)
+           |  ts2 AS $tsExpr
            |) WITH (
            |  'connector' = 'filesystem',
            |  'path' = '$dir/events.parquet',
@@ -165,16 +168,17 @@ object Gate extends QueryPack {
     // match emitted, SKIP PAST LAST ROW) and oracle-checked against
     // DuckDB's hand-written equivalent of the same semantics.
     "q_gate_match_recognize" -> ((s, dir) => {
+      val (tsDdl, tsExpr) = graft.Tables.eventsTsDdl(s, dir)
       val runner = new ScriptRunner(s, batchMode = true)
       runner.run(
         s"""CREATE TABLE ev_mr (
            |  event_id BIGINT,
-           |  ts BIGINT,
+           |  ts $tsDdl,
            |  user_id BIGINT,
            |  event_type VARCHAR,
            |  value DOUBLE,
            |  props VARCHAR,
-           |  ts2 AS timestamp_micros(ts DIV 1000)
+           |  ts2 AS $tsExpr
            |) WITH (
            |  'connector' = 'filesystem',
            |  'path' = '$dir/events.parquet',

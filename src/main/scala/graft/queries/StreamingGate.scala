@@ -38,11 +38,13 @@ object StreamingGate extends QueryPack {
         d.toString
       })
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.readStream
-      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, " +
-        "value DOUBLE, props STRING")
-      .parquet(staged)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    // Derive the stream schema from the actual file rather than pinning it:
+    // a pinned `ts LONG` silently reads a timestamp[us] file as raw micros
+    // (schema overrides beat inference for file streams) and every window
+    // downstream collapses. normalizeTs then handles whichever raw type
+    // the file really has, same as the batch path.
+    val fileSchema = s.read.parquet(staged).schema
+    graft.Tables.normalizeTs(s.readStream.schema(fileSchema).parquet(staged))
   }
 
   private def runToTable(s: SparkSession, df: DataFrame, name: String,
