@@ -118,7 +118,13 @@ object Bench {
     // to adjudicate noise vs regression. The file survives the round.
     try {
       new java.io.File("dev").mkdirs()
-      val p = java.nio.file.Paths.get("dev/bench_full.json")
+      // a run with failures must NOT replace the clean baseline: its
+      // headline total omits the failed queries, so it reads as a bogus
+      // speedup next to a clean run (and the self-healing priors would
+      // lose their reference times). Park it in a sibling file instead.
+      val p = java.nio.file.Paths.get(
+        if (errors.isEmpty) "dev/bench_full.json"
+        else "dev/bench_full_failed.json")
       java.nio.file.Files.writeString(p, detail + "\n")
       // absolute path in the log: a bench launched from outside the
       // repo root writes <cwd>/dev/, and a silently-misplaced file is

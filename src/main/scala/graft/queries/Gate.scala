@@ -240,6 +240,63 @@ object Gate extends QueryPack {
            |  DESCRIPTOR(text)));
            |""".stripMargin)
       s.table("dedup_tvf_sink_out")
+    }),
+
+    // ANN through the gate: CREATE VIEW carves corpus/query sides out of
+    // one embeddings source, then ANN_TOPK runs the exact-cosine top-k
+    // ([[graft.queries.Similarity.annTopkOn]]) — a script author reaches
+    // similarity search with the same TVF idiom as windows and dedup.
+    // k=3 (vs q_ann_brute's 5) so this oracle is an independent check.
+    "q_gate_ann_tvf" -> ((s, dir) => {
+      val runner = new ScriptRunner(s, batchMode = true)
+      runner.run(
+        s"""CREATE TABLE emb_tvf (vec_id BIGINT, embedding ARRAY<FLOAT>,
+           |  label INT
+           |) WITH (
+           |  'connector' = 'filesystem',
+           |  'path' = '$dir/embeddings.parquet',
+           |  'format' = 'parquet'
+           |);
+           |CREATE OR REPLACE TEMPORARY VIEW ann_corpus AS
+           |  SELECT * FROM emb_tvf WHERE vec_id >= 8;
+           |CREATE OR REPLACE TEMPORARY VIEW ann_queries AS
+           |  SELECT * FROM emb_tvf WHERE vec_id < 8;
+           |CREATE TABLE ann_tvf_sink (qid BIGINT, nid BIGINT,
+           |  cosine DOUBLE, rank INT) WITH ('connector' = 'memory');
+           |INSERT INTO ann_tvf_sink
+           |SELECT qid, nid, cosine, rank
+           |FROM TABLE(ANN_TOPK(TABLE ann_corpus, TABLE ann_queries,
+           |  DESCRIPTOR(vec_id), DESCRIPTOR(embedding), 3));
+           |""".stripMargin)
+      s.table("ann_tvf_sink_out")
+    }),
+
+    // Text analysis through the gate: TEXT_QUALITY and LANG_ID compose
+    // in one statement (joined on the id descriptor) — per-doc quality
+    // features tagged with the predicted language, the curation-pipeline
+    // report shape, reached purely from SQL.
+    "q_gate_text_tvf" -> ((s, dir) => {
+      val runner = new ScriptRunner(s, batchMode = true)
+      runner.run(
+        s"""CREATE TABLE docs_txt (
+           |  doc_id BIGINT, text VARCHAR, lang VARCHAR, source VARCHAR,
+           |  n_chars BIGINT
+           |) WITH (
+           |  'connector' = 'filesystem',
+           |  'path' = '$dir/documents.parquet',
+           |  'format' = 'parquet'
+           |);
+           |CREATE TABLE text_tvf_sink (doc_id BIGINT, predicted VARCHAR,
+           |  quality_score DOUBLE) WITH ('connector' = 'memory');
+           |INSERT INTO text_tvf_sink
+           |SELECT q.doc_id, l.predicted, q.quality_score
+           |FROM TABLE(TEXT_QUALITY(TABLE docs_txt, DESCRIPTOR(doc_id),
+           |    DESCRIPTOR(text))) q
+           |JOIN TABLE(LANG_ID(TABLE docs_txt, DESCRIPTOR(doc_id),
+           |    DESCRIPTOR(text))) l
+           |  ON q.doc_id = l.doc_id;
+           |""".stripMargin)
+      s.table("text_tvf_sink_out")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -298,5 +355,26 @@ object Gate extends QueryPack {
     // digest (modulo md5 collisions, absent here by construction)
     "q_gate_dedup_tvf" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
-        |FROM documents GROUP BY text""".stripMargin)
+        |FROM documents GROUP BY text""".stripMargin,
+
+    // same oracle shape as q_ann_brute but k=3 — the TVF layer must not
+    // change the answer the Scala-API kernel gives
+    "q_gate_ann_tvf" ->
+      s"""WITH ${Similarity.oEmbQ},
+         |scored AS (
+         |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+         |    ${Similarity.oCos} AS cosine
+         |  FROM (SELECT vec_id, qe AS qqe, nrm AS qnrm FROM n
+         |        WHERE vec_id < 8) q
+         |  CROSS JOIN (SELECT * FROM n WHERE vec_id >= 8) c)
+         |SELECT qid, nid, cosine, rank FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY cosine DESC, nid) AS rank FROM scored) t
+         |WHERE rank <= 3""".stripMargin,
+
+    "q_gate_text_tvf" ->
+      s"""SELECT q.doc_id, l.predicted, q.quality_score
+         |FROM (${TextAnalysis.oQualityPerDocSql}) q
+         |JOIN (${TextAnalysis.oLangidPerDocSql}) l
+         |  ON q.doc_id = l.doc_id""".stripMargin)
 }

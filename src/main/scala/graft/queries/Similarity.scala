@@ -97,6 +97,24 @@ object Similarity extends QueryPack {
     }.reduce(_ + _)
   }
 
+  /** Exact cosine top-k over arbitrary raw (id, vector) frames — the
+    * entry point behind the gate's `ANN_TOPK` TVF
+    * ([[graft.sqlgate.GraftTvfRewrite]]). Both sides arrive untyped
+    * (float-array vector column); vectors go through the same Vec.quant
+    * integer quantization as the q_ann_* pack, so results hash-match a
+    * DuckDB oracle bit-for-bit. Output: (qid, nid, cosine, rank), the
+    * `annBrute` shape.
+    */
+  def annTopkOn(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    Vec.ensureRegistered(corpus.sparkSession)
+    def prep(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("vec_id"), quant(col(vecCol)).as("qe"))
+      .withColumn("nrm", dotQ(col("qe"), col("qe")))
+    annBrute(prep(corpus), prep(queries).select(col("vec_id").as("qid"),
+      col("qe").as("qqe"), col("nrm").as("qnrm")), k)
+  }
+
   /** Exact brute-force cosine top-k. `corpus` carries (vec_id, qe, nrm),
     * `qs` carries (qid, qqe, qnrm); the query side is broadcast, the
     * corpus is scanned once and never shuffled.
@@ -423,11 +441,11 @@ object Similarity extends QueryPack {
 
   // --- DuckDB mirrors -----------------------------------------------------
 
-  private def oEmbQ: String =
+  private[queries] def oEmbQ: String =
     s"""e AS (SELECT vec_id, $oQuant AS qe FROM embeddings),
        |n AS (SELECT vec_id, qe, list_sum([x*x for x in qe]) AS nrm FROM e)""".stripMargin
 
-  private val oCos = oCosineQ("q.qqe", "c.qe", "q.qnrm", "c.nrm")
+  private[queries] val oCos = oCosineQ("q.qqe", "c.qe", "q.qnrm", "c.nrm")
 
   // --- PQ oracle fragments (shared by q_ann_pq and q_ann_pq_fit) ---------
 

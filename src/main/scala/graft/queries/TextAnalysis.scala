@@ -28,6 +28,60 @@ object TextAnalysis extends QueryPack {
 
   private def words(c: Column): Column = split(c, " ")
 
+  // language-ID marker words, one bag per language (shared by
+  // q_text_langid's confusion matrix and the LANG_ID gate TVF)
+  private val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "in"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "los", "las", "y", "es"))
+
+  /** Per-row quality features over an arbitrary (id, text) frame — the
+    * kernel behind q_text_quality and the gate's `TEXT_QUALITY` TVF.
+    * Output: (idCol, mean_tok_len, stop_ratio, digit_ratio,
+    * quality_score). Pure codegen'd per-row arithmetic, zero shuffles.
+    */
+  def qualityOn(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val t = col(textCol)
+    val w = words(t)
+    val nTok = size(w)
+    // split on a single space partitions the string exactly, so the
+    // summed token length is length(text) minus the nTok-1 separators —
+    // pure codegen arithmetic, no interpreted aggregate(transform(...))
+    // fold, and integer-identical to the oracle's list_sum
+    val meanLen = (length(t) - (nTok - lit(1))).cast("double") / nTok
+    val stopRatio = countIn(w, Stopwords).cast("double") / nTok
+    // nullif: empty documents would divide by zero (ANSI throw)
+    val digitRatio = (length(t) -
+      length(regexp_replace(t, "[0-9]", ""))).cast("double") /
+      nullif(length(t), lit(0))
+    df.select(col(idCol), meanLen.as("mean_tok_len"),
+      stopRatio.as("stop_ratio"), digitRatio.as("digit_ratio"),
+      (stopRatio * 0.5 + meanLen * 0.1).as("quality_score"))
+  }
+
+  /** Marker-word argmax language prediction with deterministic
+    * tie-break, as a column over a whitespace-token array — the kernel
+    * behind q_text_langid and the gate's `LANG_ID` TVF.
+    */
+  private def predictedLang(w: Column): Column = {
+    val hit = LangMarkers.map { case (l, ms) => l -> countIn(w, ms) }.toMap
+    val (en, de, fr, es) = (hit("en"), hit("de"), hit("fr"), hit("es"))
+    when(de > en, "de")
+      .when(fr > en && fr > de, "fr")
+      .when(es > en && es > de && es > fr, "es")
+      .otherwise("en")
+  }
+
+  /** Per-row language prediction over an arbitrary (id, text) frame.
+    * Output: (idCol, predicted).
+    */
+  def langidOn(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol), predictedLang(words(col(textCol))).as("predicted"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting: whitespace tokens, BPE-ish regex tokens, chars.
     "q_text_tokens" -> ((s, dir) => {
@@ -42,27 +96,8 @@ object TextAnalysis extends QueryPack {
 
     // Quality scoring: mean token length, stopword ratio, digit/punct
     // ratios, and a composite score — the usual junk-filter features.
-    "q_text_quality" -> ((s, dir) => {
-      import s.implicits._
-      graft.functions.GraftFunctions.register(s)
-      val w = words($"text")
-      val nTok = size(w)
-      // split on a single space partitions the string exactly, so the
-      // summed token length is length(text) minus the nTok-1 separators —
-      // pure codegen arithmetic, no interpreted aggregate(transform(...))
-      // fold, and integer-identical to the oracle's list_sum
-      val meanLen = (length($"text") - (nTok - lit(1))).cast("double") / nTok
-      val stopHits = countIn(w, Stopwords)
-      val stopRatio = stopHits.cast("double") / nTok
-      // nullif: empty documents would divide by zero (ANSI throw)
-      val digitRatio = (length($"text") -
-        length(regexp_replace($"text", "[0-9]", ""))).cast("double") /
-        nullif(length($"text"), lit(0))
-      Tables.load(s, dir, "documents")
-        .select($"doc_id", meanLen.as("mean_tok_len"),
-          stopRatio.as("stop_ratio"), digitRatio.as("digit_ratio"),
-          (stopRatio * 0.5 + meanLen * 0.1).as("quality_score"))
-    }),
+    "q_text_quality" -> ((s, dir) =>
+      qualityOn(Tables.load(s, dir, "documents"), "doc_id", "text")),
 
     // Sequential quality-filter funnel (the Gopher-rules shape): every
     // document is attributed to its FIRST failing rule, so the per-stage
@@ -88,22 +123,10 @@ object TextAnalysis extends QueryPack {
 
     // Language-ID heuristic: marker-word hit counts per language,
     // argmax with deterministic tie-break, confusion counts vs the
-    // metadata label.
+    // metadata label. The per-row prediction is langidOn's kernel.
     "q_text_langid" -> ((s, dir) => {
       import s.implicits._
-      graft.functions.GraftFunctions.register(s)
-      val w = words($"text")
-      def hits(markers: Seq[String]): Column = countIn(w, markers)
-      val en = hits(Seq("the", "a", "of", "and", "in"))
-      val de = hits(Seq("der", "die", "das", "und", "ist"))
-      val fr = hits(Seq("le", "la", "les", "et", "est"))
-      val es = hits(Seq("el", "los", "las", "y", "es"))
-      val predicted = when(de > en, "de")
-        .when(fr > en && fr > de, "fr")
-        .when(es > en && es > de && es > fr, "es")
-        .otherwise("en")
-      Tables.load(s, dir, "documents")
-        .select($"lang", predicted.as("predicted"))
+      langidOn(Tables.load(s, dir, "documents"), "lang", "text")
         .groupBy($"lang", $"predicted")
         .agg(count(lit(1)).as("n_docs"))
     }),
@@ -260,10 +283,46 @@ object TextAnalysis extends QueryPack {
         .limit(20)
     }))
 
+  // --- DuckDB mirrors shared with the gate TVF oracles --------------------
+
+  private def oStop: String = Stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+  private def oHits(markers: Seq[String]): String =
+    s"len(list_filter(w, x -> list_contains(${markers.map(m => s"'$m'").mkString("[", ", ", "]")}, x)))"
+
+  /** Per-doc quality SELECT over `documents` — mirrors [[qualityOn]]. */
+  private[queries] def oQualityPerDocSql: String =
+    s"""WITH tq AS (SELECT doc_id, text,
+       |    regexp_split_to_array(text, ' ') AS w FROM documents)
+       |SELECT doc_id,
+       |  CAST(list_sum([length(x) for x in w]) AS DOUBLE) / len(w) AS mean_tok_len,
+       |  CAST(len(list_filter(w, x -> list_contains($oStop, x))) AS DOUBLE)
+       |    / len(w) AS stop_ratio,
+       |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+       |    AS DOUBLE) / nullif(length(text), 0) AS digit_ratio,
+       |  (CAST(len(list_filter(w, x -> list_contains($oStop, x))) AS DOUBLE)
+       |    / len(w)) * 0.5 +
+       |  (CAST(list_sum([length(x) for x in w]) AS DOUBLE) / len(w)) * 0.1
+       |    AS quality_score
+       |FROM tq""".stripMargin
+
+  /** Per-doc predicted-language SELECT over `documents` — mirrors
+    * [[langidOn]].
+    */
+  private[queries] def oLangidPerDocSql: String =
+    s"""SELECT doc_id,
+       |  CASE WHEN de > en THEN 'de'
+       |       WHEN fr > en AND fr > de THEN 'fr'
+       |       WHEN es > en AND es > de AND es > fr THEN 'es'
+       |       ELSE 'en' END AS predicted
+       |FROM (SELECT doc_id,
+       |    ${oHits(LangMarkers.toMap.apply("en"))} AS en,
+       |    ${oHits(LangMarkers.toMap.apply("de"))} AS de,
+       |    ${oHits(LangMarkers.toMap.apply("fr"))} AS fr,
+       |    ${oHits(LangMarkers.toMap.apply("es"))} AS es
+       |  FROM (SELECT doc_id, regexp_split_to_array(text, ' ') AS w
+       |    FROM documents) tl) sc""".stripMargin
+
   def oracleSql: Map[String, String] = {
-    val oStop = Stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
-    def oHits(markers: Seq[String]) =
-      s"len(list_filter(w, x -> list_contains(${markers.map(m => s"'$m'").mkString("[", ", ", "]")}, x)))"
     Map(
       "q_text_tokens" ->
         s"""SELECT doc_id, len(regexp_split_to_array(text, ' ')) AS n_ws_tokens,
@@ -271,20 +330,7 @@ object TextAnalysis extends QueryPack {
            |  length(text) AS n_chars_real, n_chars
            |FROM documents""".stripMargin,
 
-      "q_text_quality" ->
-        s"""WITH t AS (SELECT doc_id, text,
-           |    regexp_split_to_array(text, ' ') AS w FROM documents)
-           |SELECT doc_id,
-           |  CAST(list_sum([length(x) for x in w]) AS DOUBLE) / len(w) AS mean_tok_len,
-           |  CAST(len(list_filter(w, x -> list_contains($oStop, x))) AS DOUBLE)
-           |    / len(w) AS stop_ratio,
-           |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
-           |    AS DOUBLE) / nullif(length(text), 0) AS digit_ratio,
-           |  (CAST(len(list_filter(w, x -> list_contains($oStop, x))) AS DOUBLE)
-           |    / len(w)) * 0.5 +
-           |  (CAST(list_sum([length(x) for x in w]) AS DOUBLE) / len(w)) * 0.1
-           |    AS quality_score
-           |FROM t""".stripMargin,
+      "q_text_quality" -> oQualityPerDocSql,
 
       "q_filter_funnel" ->
         s"""WITH t AS (SELECT

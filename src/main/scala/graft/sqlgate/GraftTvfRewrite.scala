@@ -2,11 +2,11 @@ package graft.sqlgate
 
 import org.apache.spark.sql.SparkSession
 
-/** Gate-reachable dedup operators as polymorphic table-valued functions
-  * — the statement-layer door into the LLM-pipeline surface, spelled in
-  * the same `TABLE(F(TABLE src, DESCRIPTOR(col), …))` dialect as the
-  * Flink window TVFs the gate already accepts (so a reference-style
-  * script author uses one idiom for both):
+/** Gate-reachable LLM-pipeline operators as polymorphic table-valued
+  * functions — the statement-layer door into the dedup / ANN / text
+  * surface, spelled in the same `TABLE(F(TABLE src, DESCRIPTOR(col), …))`
+  * dialect as the Flink window TVFs the gate already accepts (so a
+  * reference-style script author uses one idiom for both):
   *
   *   - `TABLE(DEDUP_EXACT(TABLE t, DESCRIPTOR(id), DESCRIPTOR(text)))`
   *     → `(keep_id, n_copies)`: one survivor (min id) per identical
@@ -16,18 +16,30 @@ import org.apache.spark.sql.SparkSession
   *     near-dup pairs via MinHash+LSH —
   *     [[graft.queries.Dedup.minhashVerifiedPairs]] (default
   *     threshold 0.8).
+  *   - `TABLE(ANN_TOPK(TABLE corpus, TABLE queries, DESCRIPTOR(id),
+  *     DESCRIPTOR(vec)[, <k>]))` → `(qid, nid, cosine, rank)`: exact
+  *     cosine top-k of every query row against the corpus —
+  *     [[graft.queries.Similarity.annTopkOn]] (default k 5). Both
+  *     tables share the id/vector column names; CREATE VIEW carves
+  *     corpus/query sides out of one physical table.
+  *   - `TABLE(TEXT_QUALITY(TABLE t, DESCRIPTOR(id), DESCRIPTOR(text)))`
+  *     → `(id, mean_tok_len, stop_ratio, digit_ratio, quality_score)` —
+  *     [[graft.queries.TextAnalysis.qualityOn]].
+  *   - `TABLE(LANG_ID(TABLE t, DESCRIPTOR(id), DESCRIPTOR(text)))`
+  *     → `(id, predicted)` — [[graft.queries.TextAnalysis.langidOn]].
   *
   * Same execution shape as [[MatchRecognizeRewrite]]: the operator runs
   * over `spark.table(src)`, the result registers as a tracked temp view
   * (dropped by ScriptRunner once the consuming statement is analyzed),
   * and the view name splices into the statement text. Batch gate mode —
-  * both operators aggregate over the whole relation, so a streaming
-  * source is rejected loudly by the groupBy analysis rather than
-  * silently re-windowed.
+  * every operator here aggregates or joins over the whole relation, so a
+  * streaming source is rejected loudly by the `table()` guard rather
+  * than silently re-windowed.
   */
 object GraftTvfRewrite {
 
-  private val Keyword = """(?i)\bDEDUP_(?:EXACT|MINHASH_PAIRS)\s*\(""".r
+  private val Keyword =
+    """(?i)\b(?:DEDUP_(?:EXACT|MINHASH_PAIRS)|ANN_TOPK|TEXT_QUALITY|LANG_ID)\s*\(""".r
   private val viewCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private val Head =
@@ -35,19 +47,31 @@ object GraftTvfRewrite {
   private val ExactRe = (Head.format("DEDUP_EXACT") + """\)\s*\)""").r
   private val MinhashRe =
     (Head.format("DEDUP_MINHASH_PAIRS") + """(?:,\s*([0-9.]+)\s*)?\)\s*\)""").r
+  private val QualityRe = (Head.format("TEXT_QUALITY") + """\)\s*\)""").r
+  private val LangIdRe = (Head.format("LANG_ID") + """\)\s*\)""").r
+  // ANN takes TWO table args (corpus, queries) before the descriptors
+  private val AnnRe =
+    ("""(?i)\bTABLE\s*\(\s*ANN_TOPK\s*\(\s*TABLE\s+([`\w.]+)\s*,\s*""" +
+      """TABLE\s+([`\w.]+)\s*,\s*DESCRIPTOR\s*\(\s*([`\w]+)\s*\)\s*,\s*""" +
+      """DESCRIPTOR\s*\(\s*([`\w]+)\s*\)\s*(?:,\s*(\d+)\s*)?\)\s*\)""").r
 
-  /** True iff the statement uses a graft dedup TVF. */
+  private def allRes = Seq(ExactRe, MinhashRe, QualityRe, LangIdRe)
+
+  /** True iff the statement uses a graft TVF. */
   def present(sql: String): Boolean = Keyword.findFirstIn(sql).isDefined
 
-  /** Source table names (lower-cased) of every dedup TVF in the
+  /** Source table names (lower-cased) of every graft TVF in the
     * statement — the gate instantiates registry sources before the
     * session-aware rewrite resolves them (same contract as
     * [[MatchRecognizeRewrite.sourceTables]]).
     */
-  def sourceTables(sql: String): Set[String] =
-    (ExactRe.findAllMatchIn(sql) ++ MinhashRe.findAllMatchIn(sql))
-      .map(_.group(1).replace("`", "").split('.').last
-        .toLowerCase(java.util.Locale.ROOT)).toSet
+  def sourceTables(sql: String): Set[String] = {
+    def clean(s: String) = s.replace("`", "").split('.').last
+      .toLowerCase(java.util.Locale.ROOT)
+    (allRes.flatMap(_.findAllMatchIn(sql).map(m => clean(m.group(1)))) ++
+      AnnRe.findAllMatchIn(sql).flatMap(m =>
+        Seq(clean(m.group(1)), clean(m.group(2))))).toSet
+  }
 
   /** Session-aware rewrite; returns the new text plus the temp views it
     * registered (track-and-drop like MatchRecognizeRewrite).
@@ -55,11 +79,11 @@ object GraftTvfRewrite {
   def rewriteTracking(spark: SparkSession, sql: String): (String, Seq[String]) = {
     val created = Seq.newBuilder[String]
     def table(src: String): org.apache.spark.sql.DataFrame = {
-      val df = spark.table(src)
+      val df = spark.table(src.replace("`", ""))
       require(!df.isStreaming,
-        s"dedup TVFs aggregate the whole relation and run in batch gate " +
-          s"mode; '$src' is a streaming source (a silent re-windowing " +
-          "would change semantics — rejected loudly)")
+        s"graft TVFs aggregate or join over the whole relation and run " +
+          s"in batch gate mode; '$src' is a streaming source (a silent " +
+          "re-windowing would change semantics — rejected loudly)")
       df
     }
     def view(df: org.apache.spark.sql.DataFrame): String = {
@@ -68,16 +92,29 @@ object GraftTvfRewrite {
       created += v
       v
     }
+    def c2(m: scala.util.matching.Regex.Match, i: Int): String =
+      m.group(i).replace("`", "")
     var out = ExactRe.replaceAllIn(sql, m => {
       view(graft.queries.Dedup.exactGroups(
-        table(m.group(1).replace("`", "")),
-        m.group(2).replace("`", ""), m.group(3).replace("`", "")))
+        table(m.group(1)), c2(m, 2), c2(m, 3)))
     })
     out = MinhashRe.replaceAllIn(out, m => {
       val threshold = Option(m.group(4)).map(_.toDouble).getOrElse(0.8)
       view(graft.queries.Dedup.minhashVerifiedPairs(
-        table(m.group(1).replace("`", "")),
-        m.group(2).replace("`", ""), m.group(3).replace("`", ""), threshold))
+        table(m.group(1)), c2(m, 2), c2(m, 3), threshold))
+    })
+    out = AnnRe.replaceAllIn(out, m => {
+      val k = Option(m.group(5)).map(_.toInt).getOrElse(5)
+      view(graft.queries.Similarity.annTopkOn(
+        table(m.group(1)), table(m.group(2)), c2(m, 3), c2(m, 4), k))
+    })
+    out = QualityRe.replaceAllIn(out, m => {
+      view(graft.queries.TextAnalysis.qualityOn(
+        table(m.group(1)), c2(m, 2), c2(m, 3)))
+    })
+    out = LangIdRe.replaceAllIn(out, m => {
+      view(graft.queries.TextAnalysis.langidOn(
+        table(m.group(1)), c2(m, 2), c2(m, 3)))
     })
     requireFullyRewritten(out)
     (out, created.result())
@@ -87,22 +124,25 @@ object GraftTvfRewrite {
     * placeholder relation, nothing executes.
     */
   def validateOnly(sql: String): String = {
-    val out = MinhashRe.replaceAllIn(
-      ExactRe.replaceAllIn(sql, _ => "__graft_tvf_validated"),
-      _ => "__graft_tvf_validated")
+    val out = (allRes :+ AnnRe).foldLeft(sql)((s, re) =>
+      re.replaceAllIn(s, _ => "__graft_tvf_validated"))
     requireFullyRewritten(out)
     out
   }
 
-  /** A DEDUP_* token the regexes did NOT consume is a malformed call —
+  /** A TVF keyword the regexes did NOT consume is a malformed call —
     * reject loudly instead of letting Spark fail on an unknown TVF.
     */
   private def requireFullyRewritten(sql: String): Unit =
-    Keyword.findFirstIn(sql).foreach { _ =>
+    Keyword.findFirstIn(sql).foreach { kw =>
       throw new IllegalArgumentException(
-        "malformed dedup TVF — expected TABLE(DEDUP_EXACT(TABLE t, " +
-          "DESCRIPTOR(id), DESCRIPTOR(text))) or " +
+        s"malformed graft TVF near '$kw' — expected " +
+          "TABLE(DEDUP_EXACT(TABLE t, DESCRIPTOR(id), DESCRIPTOR(text))), " +
           "TABLE(DEDUP_MINHASH_PAIRS(TABLE t, DESCRIPTOR(id), " +
-          "DESCRIPTOR(text)[, threshold]))")
+          "DESCRIPTOR(text)[, threshold])), " +
+          "TABLE(ANN_TOPK(TABLE corpus, TABLE queries, DESCRIPTOR(id), " +
+          "DESCRIPTOR(vec)[, k])), " +
+          "TABLE(TEXT_QUALITY(TABLE t, DESCRIPTOR(id), DESCRIPTOR(text))) " +
+          "or TABLE(LANG_ID(TABLE t, DESCRIPTOR(id), DESCRIPTOR(text)))")
     }
 }

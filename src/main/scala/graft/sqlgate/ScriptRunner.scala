@@ -166,9 +166,13 @@ class ScriptRunner(spark: SparkSession,
           // session-level no-op (SURVEY §2.2).
           shown += s"ok: ${c.command.name}"
         case SqlCommand.CreateView =>
-          // view bodies are queries in the reference dialect too
+          // view bodies are queries in the reference dialect too; CREATE
+          // VIEW analyzes eagerly, so registry sources it reads must be
+          // temp views first (e.g. views carving corpus/query sides for
+          // the ANN_TOPK TVF)
           if (FlinkSqlRewrite.needsPreInstantiation(c.text))
             instantiateRefs(FlinkSqlRewrite.preInstantiationTables(c.text))
+          instantiateSources(c.text)
           spark.sql(FlinkSqlRewrite(spark, c.text))
         case _ =>
           // remaining DDL (CREATE DATABASE, USE, DROP, ALTER, plain

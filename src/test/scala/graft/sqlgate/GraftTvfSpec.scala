@@ -79,7 +79,7 @@ class GraftTvfSpec extends SparkSpec {
       GraftTvfRewrite.validateOnly(
         "SELECT * FROM TABLE(DEDUP_EXACT(docs, DESCRIPTOR(doc_id)))")
     }
-    assert(e.getMessage.contains("malformed dedup TVF"))
+    assert(e.getMessage.contains("malformed graft TVF"))
 
     // a streaming source behind the TVF must not silently re-window
     val runner = new ScriptRunner(spark, batchMode = false)
@@ -97,6 +97,65 @@ class GraftTvfSpec extends SparkSpec {
            |  DESCRIPTOR(text)));""".stripMargin)
     }
     assert(err.getMessage.contains("batch gate mode"))
+  }
+
+  test("ANN_TOPK through the gate matches the library kernel") {
+    val embDir = "/root/testdata/sf0.001/embeddings.parquet"
+    val runner = new ScriptRunner(spark, batchMode = true)
+    runner.run(
+      s"""create table emb_g (vec_id BIGINT, embedding ARRAY<FLOAT>,
+         |  label INT
+         |) with (
+         |  'connector' = 'filesystem', 'path' = '$embDir',
+         |  'format' = 'parquet'
+         |);
+         |CREATE OR REPLACE TEMPORARY VIEW corpus_g AS
+         |  SELECT * FROM emb_g WHERE vec_id >= 8;
+         |CREATE OR REPLACE TEMPORARY VIEW queries_g AS
+         |  SELECT * FROM emb_g WHERE vec_id < 8;
+         |CREATE TABLE ann_g_sink (qid BIGINT, nid BIGINT, cosine DOUBLE,
+         |  rank INT) WITH ('connector' = 'memory');
+         |INSERT INTO ann_g_sink SELECT qid, nid, cosine, rank
+         |FROM TABLE(ANN_TOPK(TABLE corpus_g, TABLE queries_g,
+         |  DESCRIPTOR(vec_id), DESCRIPTOR(embedding), 4));""".stripMargin)
+    val viaGate = spark.table("ann_g_sink_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val raw = spark.read.parquet(embDir)
+    val direct = graft.queries.Similarity.annTopkOn(
+      raw.filter("vec_id >= 8"), raw.filter("vec_id < 8"),
+      "vec_id", "embedding", 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(viaGate == direct && viaGate.nonEmpty)
+    // every query row must surface exactly k neighbors
+    assert(viaGate.groupBy(_._1).forall(_._2.size == 4))
+  }
+
+  test("TEXT_QUALITY and LANG_ID TVFs are per-row and composable") {
+    val runner = new ScriptRunner(spark, batchMode = true)
+    runner.run(
+      s"""${docsDdl("docs_t")}
+         |CREATE TABLE tq_sink (doc_id BIGINT, predicted STRING,
+         |  quality_score DOUBLE) WITH ('connector' = 'memory');
+         |INSERT INTO tq_sink
+         |SELECT q.doc_id, l.predicted, q.quality_score
+         |FROM TABLE(TEXT_QUALITY(TABLE docs_t, DESCRIPTOR(doc_id),
+         |    DESCRIPTOR(text))) q
+         |JOIN TABLE(LANG_ID(TABLE docs_t, DESCRIPTOR(doc_id),
+         |    DESCRIPTOR(text))) l ON q.doc_id = l.doc_id;""".stripMargin)
+    val out = spark.table("tq_sink_out").collect()
+    val nDocs = spark.read.parquet(docsDir).count()
+    assert(out.length == nDocs) // per-row, join keeps every doc once
+    assert(out.map(_.getString(1)).toSet.subsetOf(
+      Set("en", "de", "fr", "es")))
+  }
+
+  test("malformed ANN_TOPK (single TABLE arg) is rejected loudly") {
+    val e = intercept[IllegalArgumentException] {
+      GraftTvfRewrite.validateOnly(
+        "SELECT * FROM TABLE(ANN_TOPK(TABLE emb, DESCRIPTOR(vec_id), " +
+          "DESCRIPTOR(embedding), 5))")
+    }
+    assert(e.getMessage.contains("malformed graft TVF"))
   }
 
   test("validator accepts well-formed TVF scripts pre-flight") {
