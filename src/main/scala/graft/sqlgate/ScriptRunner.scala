@@ -510,12 +510,58 @@ class ScriptRunner(spark: SparkSession,
     registry.foreach { case (name, spec) =>
       if (refs.contains(name.toLowerCase(java.util.Locale.ROOT)) &&
         !sourcesInstantiated.contains(name) && !isSinkOnly(spec)) {
-        val df = Connectors.source(spark, spec,
-          streaming = !batchMode && !forceBatch)
+        val df =
+          if (isLookupDim(spec)) lookupDimView(name, spec)
+          else Connectors.source(spark, spec,
+            streaming = !batchMode && !forceBatch)
         df.createOrReplaceTempView(name)
         sourcesInstantiated += name
       }
     }
+  }
+
+  /** A JDBC table with any `lookup.*` option is a lookup dimension
+    * (demo_3.md:66-78) — always the BATCH side of a temporal join,
+    * served through a TTL-refreshed Spark cache so its `lookup.cache.*`
+    * knobs actually bind instead of re-scanning the database per
+    * micro-batch (or freezing one snapshot into a long-lived plan).
+    */
+  private def isLookupDim(spec: TableSpec): Boolean =
+    spec.connector == "jdbc" && spec.primaryKey.isEmpty &&
+      spec.options.keys.exists(_.startsWith("lookup."))
+
+  private val lookupDims =
+    mutable.Map[String, graft.streaming.TtlCachedDim]()
+  private lazy val lookupRefresher =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "graft-lookup-ttl"); t.setDaemon(true); t
+    })
+
+  private def lookupDimView(name: String, spec: TableSpec)
+      : org.apache.spark.sql.DataFrame = {
+    val ttlMs = spec.options.get("lookup.cache.ttl")
+      .flatMap(parseFlinkDuration).getOrElse(10000L)
+    val maxRows = spec.options.get("lookup.cache.max-rows")
+      .map(_.trim.toLong).getOrElse(1000000L)
+    val df = Connectors.source(spark, spec, streaming = false)
+    val dim = new graft.streaming.TtlCachedDim(df, ttlMs, maxRows)
+    lookupDims(name) = dim
+    // cheap timestamp check; the actual re-read happens lazily on the
+    // next scan after a refresh
+    val period = math.max(ttlMs / 4, 50L)
+    lookupRefresher.scheduleWithFixedDelay(
+      () => try dim.maybeRefresh() catch { case _: Throwable => () },
+      period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
+    df
+  }
+
+  /** Release runner-held resources (lookup-dim cache + TTL scheduler).
+    * Streaming queries started by [[run]] are unaffected.
+    */
+  def close(): Unit = if (lookupDims.nonEmpty) {
+    lookupRefresher.shutdownNow()
+    lookupDims.values.foreach(_.release())
+    lookupDims.clear()
   }
 
   /** print/blackhole/memory/jdbc-upsert tables can't be sources. */

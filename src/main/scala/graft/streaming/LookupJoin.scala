@@ -49,6 +49,54 @@ final class DimSnapshot(spark: SparkSession, loader: SparkSession => DataFrame,
   def invalidate(): Unit = synchronized { cache = None }
 }
 
+/** TTL-cached lookup dim for the SQL-gate path: the reference's
+  * `'lookup.cache.ttl'` / `'lookup.cache.max-rows'` options on a JDBC
+  * dim table (`/root/reference/docs/sql_demo/demo_3.md:66-78`), applied
+  * at the Spark-cache layer so they work in EVERY execution shape the
+  * gate has — batch statements, unfused streaming queries (whose plan is
+  * fixed at start), and the fused per-batch re-planning path.
+  *
+  * Mechanism: the dim DataFrame is `persist()`ed, so micro-batches and
+  * repeated statements read the cached snapshot instead of re-scanning
+  * the database per batch (the JDBC V1 relation re-runs its query on
+  * every physical scan otherwise). When the TTL lapses,
+  * [[maybeRefresh]] (driven by the runner's daemon scheduler) drops and
+  * re-arms the cache; the next scan transparently re-reads the source —
+  * Flink's cache-TTL semantics in micro-batch form, without freezing a
+  * collected snapshot into the plan. `maxRows` fail-fasts at
+  * registration rather than letting an unexpectedly large dim fill
+  * executor memory (the cache == the whole dim under snapshot
+  * semantics, so the cache bound IS a dim bound here; the keyed
+  * point-query path for huge dims is [[JdbcKeyedLookup]]).
+  */
+final class TtlCachedDim(df: DataFrame, ttlMs: Long, maxRows: Long) {
+  @volatile private var loadedAt = System.currentTimeMillis()
+  @volatile private var nRefreshes = 0L
+
+  df.persist()
+  private val probe = math.min(maxRows + 1, Int.MaxValue.toLong).toInt
+  require(df.limit(probe).count() <= maxRows,
+    s"lookup dim exceeds 'lookup.cache.max-rows' = $maxRows")
+
+  /** Drop + re-arm the cache when the TTL lapsed (cheap no-op before
+    * that); the NEXT scan of the dim re-reads the database.
+    */
+  def maybeRefresh(): Unit =
+    if (System.currentTimeMillis() - loadedAt >= ttlMs) synchronized {
+      if (System.currentTimeMillis() - loadedAt >= ttlMs) {
+        df.unpersist(blocking = false)
+        df.persist()
+        loadedAt = System.currentTimeMillis()
+        nRefreshes += 1
+      }
+    }
+
+  def refreshCount: Long = nRefreshes
+
+  /** Release the cached blocks (runner shutdown). */
+  def release(): Unit = { df.unpersist(blocking = false); () }
+}
+
 /** Observable counters of a [[JdbcKeyedLookup]] — the spec's proof that
   * only missing keys ever reach the database and the cache bound holds.
   */

@@ -236,6 +236,68 @@ class DemoGateSpec extends SparkSpec {
     assert(rows == Seq(Seq("20201011", 309L)))
   }
 
+  test("lookup.cache.ttl serves a cached dim and refreshes after expiry") {
+    val url = derby("ttlcache")
+    val c = DriverManager.getConnection(url)
+    try {
+      val st = c.createStatement()
+      st.execute("CREATE TABLE ttl_dim (id BIGINT PRIMARY KEY, " +
+        "v VARCHAR(16))")
+      st.execute("INSERT INTO ttl_dim VALUES (1, 'A')")
+    } finally c.close()
+    val src = jsonDir(Seq("""{"id": 1}"""))
+    def setDim(v: String): Unit = {
+      val c2 = DriverManager.getConnection(url)
+      try c2.createStatement()
+        .execute(s"UPDATE ttl_dim SET v = '$v' WHERE id = 1")
+      finally c2.close()
+    }
+    def ddl(ttl: String, sink: String) =
+      s"""create table lk_src_$sink (id BIGINT) with (
+         |  'connector' = 'filesystem', 'path' = '$src', 'format' = 'json'
+         |);
+         |create table lk_dim_$sink (id BIGINT, v VARCHAR) with (
+         |  'connector' = 'jdbc', 'url' = '$url',
+         |  'table-name' = 'ttl_dim',
+         |  'lookup.cache.ttl' = '$ttl',
+         |  'lookup.cache.max-rows' = '100'
+         |);
+         |CREATE TABLE $sink (id BIGINT, v STRING)
+         |WITH ('connector' = 'memory');
+         |""".stripMargin
+    val ins = (sink: String) =>
+      s"""INSERT INTO $sink
+         |SELECT s.id, d.v FROM lk_src_$sink s
+         |LEFT JOIN lk_dim_$sink FOR SYSTEM_TIME AS OF s.id AS d
+         |ON s.id = d.id;""".stripMargin
+    def got(sink: String): String =
+      spark.table(s"${sink}_out").collect().head.getString(1)
+
+    // long TTL: an update between two statements must NOT be visible —
+    // the second statement reads the cached snapshot, not the database
+    val longTtl = new ScriptRunner(spark, batchMode = true)
+    try {
+      longTtl.run(ddl("60 s", "lk_long") + ins("lk_long"))
+      assert(got("lk_long") == "A")
+      setDim("B")
+      longTtl.run(ins("lk_long"))
+      assert(got("lk_long") == "A", "dim update leaked through inside TTL")
+    } finally longTtl.close()
+
+    // short TTL: after expiry (+ refresher period) the next statement
+    // re-reads the database and sees the update
+    setDim("A")
+    val shortTtl = new ScriptRunner(spark, batchMode = true)
+    try {
+      shortTtl.run(ddl("100 ms", "lk_short") + ins("lk_short"))
+      assert(got("lk_short") == "A")
+      setDim("C")
+      Thread.sleep(600) // ttl 100ms + refresher period 50ms, with slack
+      shortTtl.run(ins("lk_short"))
+      assert(got("lk_short") == "C", "dim cache not refreshed after TTL")
+    } finally shortTtl.close()
+  }
+
   test("demo_5: HOP window over watermarked stream -> keyed JDBC sink (streaming)") {
     val url = derby("demo5")
     val c = DriverManager.getConnection(url)
