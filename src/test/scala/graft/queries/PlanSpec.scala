@@ -177,6 +177,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("annTopkOn: query side broadcast, corpus never shuffles") {
+    // the gate's ANN_TOPK TVF routes here — the 100 TB property is one
+    // corpus scan joined against a broadcast query set, with the only
+    // exchange being the per-query top-k window on qid
+    val raw = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = Similarity.annTopkOn(raw.filter("vec_id >= 8"),
+      raw.filter("vec_id < 8"), "vec_id", "embedding", 5)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"expected <=1 shuffle (qid window), got $exchanges\n$p")
+  }
+
+  test("qualityOn / langidOn: pure per-row maps — no shuffle anywhere") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    for (df <- Seq(TextAnalysis.qualityOn(docs, "doc_id", "text"),
+        TextAnalysis.langidOn(docs, "doc_id", "text"))) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), p)
+    }
+  }
+
   test("q9_profit: star dims all broadcast, single aggregation shuffle") {
     // At this SF the optimizer also auto-broadcasts orders, so the whole
     // star collapses to one aggregation shuffle. That is NOT the claim
