@@ -109,10 +109,33 @@ object Connectors {
             if (streaming) spark.readStream.format("kafka").options(opts).load()
             else spark.read.format("kafka").options(opts).load()
         }
-        // value bytes → JSON decode into the declared schema
-        loaded.select(
-          from_json(col("value").cast("string"), spec.schema).as("v"))
-          .select(col("v.*"))
+        // value bytes → decode into the declared schema
+        spec.options.get("format") match {
+          case Some("debezium-json") =>
+            // demo_6.md:205-236: a kafka source with a PK reading back a
+            // debezium-json changelog is a continuously-materializing
+            // keyed table. Batch gate mode materializes the replayed
+            // changelog exactly like the mysql-cdc connector (last event
+            // per key in (ts_ms, kafka-offset) order, deletes dropped);
+            // continuous materialization is CdcOps.applyChangelogJdbc.
+            require(spec.primaryKey.nonEmpty,
+              s"kafka table ${spec.name}: 'format'='debezium-json' " +
+                "requires PRIMARY KEY (changelog materialization is keyed)")
+            require(!streaming,
+              s"kafka table ${spec.name}: debezium-json changelog " +
+                "materialization is batch-only in the gate; use " +
+                "CdcOps.applyChangelogJdbc for continuous MERGE")
+            val decoded = graft.streaming.CdcOps.decodeDebezium(
+              loaded, spec.schema, carryCols = Seq("offset"))
+            graft.streaming.CdcOps
+              .lastPerKey(decoded, spec.primaryKey, seqCol = Some("offset"))
+              .filter(col("op") =!= "d")
+              .select(col("after.*"))
+          case _ =>
+            loaded.select(
+              from_json(col("value").cast("string"), spec.schema).as("v"))
+              .select(col("v.*"))
+        }
       case "mysql-cdc" =>
         // No binlog client exists in this environment; the gate emulates
         // the connector by replaying a debezium-json changelog (one

@@ -28,17 +28,22 @@ import scala.collection.concurrent.TrieMap
 object CdcOps {
 
   /** Debezium envelope decode: JSON string column → flattened changelog
-    * columns (op, key from after-or-before image).
+    * columns (op, key from after-or-before image). `carryCols` names
+    * transport columns to keep alongside the envelope (e.g. the Kafka
+    * `offset` for true binlog ordering in [[lastPerKey]]).
     */
-  def decodeDebezium(df: DataFrame, rowSchema: StructType): DataFrame = {
+  def decodeDebezium(df: DataFrame, rowSchema: StructType,
+      carryCols: Seq[String] = Nil): DataFrame = {
     val envelope = StructType(Seq(
       org.apache.spark.sql.types.StructField("op", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("ts_ms", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("before", rowSchema),
       org.apache.spark.sql.types.StructField("after", rowSchema)))
-    df.select(from_json(col("value").cast("string"), envelope).as("e"))
-      .select(col("e.op").as("op"), col("e.ts_ms").as("ts_ms"),
-        col("e.before").as("before"), col("e.after").as("after"))
+    df.select(from_json(col("value").cast("string"), envelope).as("e") +:
+        carryCols.map(col): _*)
+      .select(Seq(col("e.op").as("op"), col("e.ts_ms").as("ts_ms"),
+        col("e.before").as("before"), col("e.after").as("after")) ++
+        carryCols.map(col): _*)
   }
 
   /** Keyed in-memory materialization target (the local stand-in for a

@@ -236,6 +236,66 @@ class DemoGateSpec extends SparkSpec {
     assert(rows == Seq(Seq("20201011", 309L)))
   }
 
+  test("demo_6 §2.2: kafka debezium-json changelog source materializes keyed snapshot") {
+    // demo_6.md:205-236 second script: read the GMV changelog back from
+    // kafka ('format'='debezium-json', PRIMARY KEY) and materialize it —
+    // updates collapse to the last image per key, deletes drop the key.
+    val broker = new graft.sources.StubBroker("flink_test_6", 1)
+    try {
+      def env(op: String, before: String, after: String, ts: Long) =
+        s"""{"op":"$op","ts_ms":$ts,"before":$before,"after":$after}"""
+      def row(day: String, gmv: Double) =
+        s"""{"day_str":"$day","gmv":$gmv}"""
+      broker.append(0, "null", env("c", "null", row("20201011", 10.5), 1))
+      broker.append(0, "null", env("c", "null", row("20201012", 3.0), 2))
+      // same-key update: the later image must win
+      broker.append(0, "null",
+        env("u", row("20201011", 10.5), row("20201011", 99.25), 3))
+      // delete: key vanishes from the snapshot
+      broker.append(0, "null", env("d", row("20201012", 3.0), "null", 4))
+      broker.append(0, "null", env("c", "null", row("20201013", 7.0), 5))
+      new ScriptRunner(spark, batchMode = true).run(
+        s"""CREATE TABLE kafka_gmv (
+           |  day_str STRING,
+           |  gmv DOUBLE,
+           |  PRIMARY KEY (day_str) NOT ENFORCED
+           |) WITH (
+           |  'connector' = 'kafka',
+           |  'topic' = 'flink_test_6',
+           |  'rest.endpoint' = '${broker.endpoint}',
+           |  'scan.startup.mode' = 'earliest-offset',
+           |  'properties.group.id' = 'flink_gp_test6',
+           |  'format' = 'debezium-json',
+           |  'debezium-json.ignore-parse-errors' = 'true'
+           |);
+           |CREATE TABLE gmv_print (day_str STRING, gmv DOUBLE)
+           |WITH ('connector' = 'memory');
+           |INSERT INTO gmv_print SELECT * FROM kafka_gmv;
+           |""".stripMargin)
+      val out = spark.table("gmv_print_out").collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(out == Map("20201011" -> 99.25, "20201013" -> 7.0))
+    } finally broker.stop()
+  }
+
+  test("debezium-json kafka source without PRIMARY KEY is rejected loudly") {
+    val broker = new graft.sources.StubBroker("nokey_t", 1)
+    try {
+      val e = intercept[IllegalArgumentException] {
+        new ScriptRunner(spark, batchMode = true).run(
+          s"""CREATE TABLE nokey_src (day_str STRING, gmv DOUBLE)
+             |WITH ('connector' = 'kafka', 'topic' = 'nokey_t',
+             |  'rest.endpoint' = '${broker.endpoint}',
+             |  'format' = 'debezium-json');
+             |CREATE TABLE nokey_sink (day_str STRING, gmv DOUBLE)
+             |WITH ('connector' = 'memory');
+             |INSERT INTO nokey_sink SELECT * FROM nokey_src;
+             |""".stripMargin)
+      }
+      assert(e.getMessage.contains("PRIMARY KEY"))
+    } finally broker.stop()
+  }
+
   test("lookup.cache.ttl serves a cached dim and refreshes after expiry") {
     val url = derby("ttlcache")
     val c = DriverManager.getConnection(url)
