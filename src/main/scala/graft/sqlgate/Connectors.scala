@@ -48,6 +48,73 @@ object Connectors {
         when(del, lit(null)).otherwise(rowStruct).as("after"))).as("value"))
   }
 
+  /** Raw kafka consume frame (key/value/partition/offset columns): the
+    * live REST-proxy wire when 'rest.endpoint' is set (the sandbox path
+    * — see [[graft.sources.KafkaRestSource]]), else the native broker
+    * format with Flink option names mapped to Spark's.
+    */
+  private def kafkaLoad(spark: SparkSession, spec: TableSpec,
+      streaming: Boolean): DataFrame =
+    spec.options.get("rest.endpoint") match {
+      case Some(_) =>
+        val fmt = classOf[graft.sources.KafkaRestSource].getName
+        val ropts = Map(
+          "rest.endpoint" -> spec.options("rest.endpoint"),
+          "topic" -> spec.options.getOrElse("topic", "")) ++
+          spec.options.get("scan.startup.mode").map("scan.startup.mode" -> _) ++
+          spec.options.get("fetch.count").map("fetch.count" -> _)
+        if (streaming) spark.readStream.format(fmt).options(ropts).load()
+        else spark.read.format(fmt).options(ropts).load()
+      case None =>
+        val opts = Map(
+          "kafka.bootstrap.servers" ->
+            spec.options.getOrElse("properties.bootstrap.servers", ""),
+          "subscribe" -> spec.options.getOrElse("topic", ""),
+          "startingOffsets" -> (spec.options.get("scan.startup.mode") match {
+            case Some("latest-offset") => "latest"
+            case _                     => "earliest"
+          })) ++
+          spec.options.get("properties.group.id").map("kafka.group.id" -> _)
+        if (streaming) spark.readStream.format("kafka").options(opts).load()
+        else spark.read.format("kafka").options(opts).load()
+    }
+
+  /** Materialize a keyed changelog topic to its current snapshot: decode
+    * debezium envelopes against the declared row schema, keep the last
+    * event per PK in (ts_ms, kafka-offset) order, drop deletes. With
+    * `tombstones`, a NULL (or literal `null`) value deletes the key it
+    * was produced under (upsert-kafka compaction semantics); the PK
+    * image is recovered from the record key. Batch gate mode only —
+    * continuous MERGE is `CdcOps.applyChangelogJdbc`.
+    */
+  private def materializeChangelog(spec: TableSpec, loaded: DataFrame,
+      streaming: Boolean, tombstones: Boolean): DataFrame = {
+    require(spec.primaryKey.nonEmpty,
+      s"${spec.connector} table ${spec.name}: changelog materialization " +
+        "is keyed — PRIMARY KEY required")
+    require(!streaming,
+      s"${spec.connector} table ${spec.name}: changelog materialization " +
+        "is batch-only in the gate; use CdcOps.applyChangelogJdbc for " +
+        "continuous MERGE")
+    val env = graft.streaming.CdcOps.decodeDebezium(
+      loaded, spec.schema, carryCols = Seq("key", "value", "offset"))
+    val decoded =
+      if (!tombstones) env
+      else {
+        val isTomb = col("value").isNull ||
+          trim(col("value").cast("string")) === "null"
+        env
+          .withColumn("before", when(isTomb,
+            from_json(col("key").cast("string"), spec.schema))
+            .otherwise(col("before")))
+          .withColumn("op", when(isTomb, lit("d")).otherwise(col("op")))
+      }
+    graft.streaming.CdcOps
+      .lastPerKey(decoded, spec.primaryKey, seqCol = Some("offset"))
+      .filter(col("op") =!= "d")
+      .select(col("after.*"))
+  }
+
   /** Build the source DataFrame for a registered table spec.
     * Streaming when the connector is unbounded or `streaming` is forced.
     */
@@ -76,39 +143,40 @@ object Connectors {
       case "filesystem" =>
         val path = spec.options("path")
         val fmt = spec.options.getOrElse("format", "parquet")
-        if (streaming)
+        if (streaming) {
+          // File streams REQUIRE a user schema, and for parquet the
+          // declared types override the file's: declaring BIGINT over a
+          // column the file stores as timestamp[us] would silently read
+          // raw micros as longs and corrupt every derived value (the
+          // round-9 failure class). Probe the file's own schema and fail
+          // loudly on a numeric/timestamp mismatch instead.
+          if (fmt == "parquet") {
+            val fileSchema = spark.read.parquet(path).schema
+            spec.schema.foreach { f =>
+              fileSchema.find(_.name.equalsIgnoreCase(f.name)).foreach { g =>
+                val integral = Set[org.apache.spark.sql.types.DataType](
+                  org.apache.spark.sql.types.LongType,
+                  org.apache.spark.sql.types.IntegerType)
+                def isTs(t: org.apache.spark.sql.types.DataType) =
+                  t == org.apache.spark.sql.types.TimestampType ||
+                    t == org.apache.spark.sql.types.TimestampNTZType
+                require(!(integral(f.dataType) && isTs(g.dataType)) &&
+                  !(isTs(f.dataType) && integral(g.dataType)),
+                  s"table ${spec.name}: column ${f.name} declared " +
+                    s"${f.dataType.simpleString} but the parquet file " +
+                    s"stores ${g.dataType.simpleString} — a schema " +
+                    "override would silently reinterpret raw values; " +
+                    "declare the file's type and derive the conversion " +
+                    "in a computed column")
+              }
+            }
+          }
           spark.readStream.format(fmt).schema(spec.schema).load(path)
-        else {
+        } else {
           val r = spark.read.format(fmt)
           (if (fmt == "parquet") r else r.schema(spec.schema)).load(path)
         }
       case "kafka" =>
-        val loaded = spec.options.get("rest.endpoint") match {
-          case Some(_) =>
-            // live consume over the REST-proxy-shaped wire (see
-            // graft.sources.KafkaRestSource) — the sandbox path with no
-            // broker; same consume columns as the native format
-            val fmt = classOf[graft.sources.KafkaRestSource].getName
-            val ropts = Map(
-              "rest.endpoint" -> spec.options("rest.endpoint"),
-              "topic" -> spec.options.getOrElse("topic", "")) ++
-              spec.options.get("scan.startup.mode").map("scan.startup.mode" -> _) ++
-              spec.options.get("fetch.count").map("fetch.count" -> _)
-            if (streaming) spark.readStream.format(fmt).options(ropts).load()
-            else spark.read.format(fmt).options(ropts).load()
-          case None =>
-            val opts = Map(
-              "kafka.bootstrap.servers" ->
-                spec.options.getOrElse("properties.bootstrap.servers", ""),
-              "subscribe" -> spec.options.getOrElse("topic", ""),
-              "startingOffsets" -> (spec.options.get("scan.startup.mode") match {
-                case Some("latest-offset") => "latest"
-                case _                     => "earliest"
-              })) ++
-              spec.options.get("properties.group.id").map("kafka.group.id" -> _)
-            if (streaming) spark.readStream.format("kafka").options(opts).load()
-            else spark.read.format("kafka").options(opts).load()
-        }
         // value bytes → decode into the declared schema
         spec.options.get("format") match {
           case Some("debezium-json") =>
@@ -118,24 +186,22 @@ object Connectors {
             // changelog exactly like the mysql-cdc connector (last event
             // per key in (ts_ms, kafka-offset) order, deletes dropped);
             // continuous materialization is CdcOps.applyChangelogJdbc.
-            require(spec.primaryKey.nonEmpty,
-              s"kafka table ${spec.name}: 'format'='debezium-json' " +
-                "requires PRIMARY KEY (changelog materialization is keyed)")
-            require(!streaming,
-              s"kafka table ${spec.name}: debezium-json changelog " +
-                "materialization is batch-only in the gate; use " +
-                "CdcOps.applyChangelogJdbc for continuous MERGE")
-            val decoded = graft.streaming.CdcOps.decodeDebezium(
-              loaded, spec.schema, carryCols = Seq("offset"))
-            graft.streaming.CdcOps
-              .lastPerKey(decoded, spec.primaryKey, seqCol = Some("offset"))
-              .filter(col("op") =!= "d")
-              .select(col("after.*"))
+            materializeChangelog(spec,
+              kafkaLoad(spark, spec, streaming), streaming,
+              tombstones = false)
           case _ =>
-            loaded.select(
+            kafkaLoad(spark, spec, streaming).select(
               from_json(col("value").cast("string"), spec.schema).as("v"))
               .select(col("v.*"))
         }
+      case "upsert-kafka" =>
+        // Read side of the keyed-changelog connector: a compacted topic
+        // where the key is the PK and the value is the last image (our
+        // sink's debezium envelope — upsertKafkaRecords/KafkaRest emit
+        // one envelope shape) or a NULL tombstone deleting the key.
+        // Same batch materialization as debezium-json, plus tombstones.
+        materializeChangelog(spec, kafkaLoad(spark, spec, streaming),
+          streaming, tombstones = true)
       case "mysql-cdc" =>
         // No binlog client exists in this environment; the gate emulates
         // the connector by replaying a debezium-json changelog (one

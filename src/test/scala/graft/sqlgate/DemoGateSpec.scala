@@ -278,6 +278,44 @@ class DemoGateSpec extends SparkSpec {
     } finally broker.stop()
   }
 
+  test("upsert-kafka source materializes a compacted topic incl. tombstones") {
+    // the read side of the keyed-changelog connector: envelopes upsert
+    // by PK, a NULL-value tombstone deletes the key it was produced
+    // under (key recovered from the record key)
+    val broker = new graft.sources.StubBroker("uk_topic", 1)
+    try {
+      def env(op: String, before: String, after: String) =
+        s"""{"op":"$op","before":$before,"after":$after}"""
+      def row(day: String, gmv: Double) =
+        s"""{"day_str":"$day","gmv":$gmv}"""
+      broker.append(0, """{"day_str":"20201011"}""",
+        env("u", "null", row("20201011", 10.5)))
+      broker.append(0, """{"day_str":"20201012"}""",
+        env("u", "null", row("20201012", 3.0)))
+      broker.append(0, """{"day_str":"20201011"}""",
+        env("u", "null", row("20201011", 42.0)))
+      // tombstone: key 20201012 must vanish from the snapshot
+      broker.append(0, """{"day_str":"20201012"}""", "null")
+      new ScriptRunner(spark, batchMode = true).run(
+        s"""CREATE TABLE uk_src (
+           |  day_str STRING,
+           |  gmv DOUBLE,
+           |  PRIMARY KEY (day_str) NOT ENFORCED
+           |) WITH (
+           |  'connector' = 'upsert-kafka',
+           |  'topic' = 'uk_topic',
+           |  'rest.endpoint' = '${broker.endpoint}'
+           |);
+           |CREATE TABLE uk_sink (day_str STRING, gmv DOUBLE)
+           |WITH ('connector' = 'memory');
+           |INSERT INTO uk_sink SELECT * FROM uk_src;
+           |""".stripMargin)
+      val out = spark.table("uk_sink_out").collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(out == Map("20201011" -> 42.0))
+    } finally broker.stop()
+  }
+
   test("debezium-json kafka source without PRIMARY KEY is rejected loudly") {
     val broker = new graft.sources.StubBroker("nokey_t", 1)
     try {
