@@ -271,6 +271,59 @@ object Gate extends QueryPack {
       s.table("ann_tvf_sink_out")
     }),
 
+    // The LIVE kafka consume path under the oracle: orders rows are
+    // produced as JSON onto an in-process REST-wire broker
+    // (graft.sources.StubBroker — the sandbox's broker stand-in), a
+    // STREAMING gate script consumes them through
+    // graft.sources.KafkaRestSource (real DataSourceV2 micro-batch
+    // source: offsets, checkpoint, resume), aggregates, and the drained
+    // memory sink is hash-compared to DuckDB aggregating the same rows
+    // from parquet — the demo_1 hello-world wire, end-to-end.
+    "q_gate_kafka_live" -> ((s, dir) => {
+      val broker = new graft.sources.StubBroker("gate_live", 1)
+      try {
+        graft.Tables.load(s, dir, "orders")
+          .filter(org.apache.spark.sql.functions.expr(
+            "o_orderpriority = '1-URGENT' AND o_orderkey % 20 = 0"))
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+          .collect()
+          .foreach { r =>
+            broker.append(0, "null",
+              s"""{"o_orderkey":${r.getLong(0)},"o_orderstatus":"${
+                r.getString(1)}","o_totalprice":${r.getDouble(2)}}""")
+          }
+        val runner = new ScriptRunner(s, batchMode = false)
+        val res = runner.run(
+          s"""CREATE TABLE kafka_live_src (
+             |  o_orderkey BIGINT,
+             |  o_orderstatus VARCHAR,
+             |  o_totalprice DOUBLE
+             |) WITH (
+             |  'connector' = 'kafka',
+             |  'topic' = 'gate_live',
+             |  'rest.endpoint' = '${broker.endpoint}',
+             |  'scan.startup.mode' = 'earliest-offset',
+             |  'fetch.count' = '5000',
+             |  'format' = 'json'
+             |);
+             |CREATE TABLE kafka_live_sink (
+             |  o_orderstatus VARCHAR, n BIGINT, sum_price DOUBLE
+             |) WITH ('connector' = 'memory');
+             |INSERT INTO kafka_live_sink
+             |SELECT o_orderstatus, COUNT(*) AS n,
+             |  ${oSum2("o_totalprice")} AS sum_price
+             |FROM kafka_live_src
+             |GROUP BY o_orderstatus;
+             |""".stripMargin)
+        // AvailableNow trigger: drain everything produced above, then stop
+        res.queries.foreach { q =>
+          require(q.awaitTermination(300000),
+            "kafka live gate query timed out")
+        }
+        s.table("kafka_live_sink")
+      } finally broker.stop()
+    }),
+
     // Text analysis through the gate: TEXT_QUALITY and LANG_ID compose
     // in one statement (joined on the id descriptor) — per-doc quality
     // features tagged with the predicted language, the curation-pipeline
@@ -376,5 +429,14 @@ object Gate extends QueryPack {
       s"""SELECT q.doc_id, l.predicted, q.quality_score
          |FROM (${TextAnalysis.oQualityPerDocSql}) q
          |JOIN (${TextAnalysis.oLangidPerDocSql}) l
-         |  ON q.doc_id = l.doc_id""".stripMargin)
+         |  ON q.doc_id = l.doc_id""".stripMargin,
+
+    // the kafka wire must not change the answer: same aggregation as
+    // q_gate_script's oracle, over the same urgent-orders subset
+    "q_gate_kafka_live" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n,
+         |  ${oSum2("o_totalprice")} AS sum_price
+         |FROM orders
+         |WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 20 = 0
+         |GROUP BY o_orderstatus""".stripMargin)
 }

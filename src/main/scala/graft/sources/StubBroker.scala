@@ -3,8 +3,11 @@ package graft.sources
 import scala.collection.mutable
 
 /** In-memory stub broker speaking the REST consume wire contract of
-  * [[KafkaRestSource]] over a real socket — shared by the source spec
-  * and the demo_1 gate test.
+  * [[KafkaRestSource]] over a real socket — the sandbox's broker
+  * stand-in. Lives in main (not test) so the oracle-checked
+  * `q_gate_kafka_live` query can self-host the wire inside the driver's
+  * Verify/Bench runs; also shared by the source spec and the demo_1
+  * gate test.
   */
 final class StubBroker(topic: String, nParts: Int) {
   private val logs = Array.fill(nParts)(mutable.Buffer[(String, String)]())
