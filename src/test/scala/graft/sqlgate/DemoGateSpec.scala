@@ -396,6 +396,67 @@ class DemoGateSpec extends SparkSpec {
     } finally shortTtl.close()
   }
 
+  test("lookup TTL refresh is visible MID-STREAM across micro-batches") {
+    // the full demo_3 semantics: one long-running streaming join, dim
+    // updated while it runs — micro-batches inside the TTL see the
+    // cached snapshot, micro-batches after expiry see the update (the
+    // cache layer serves the refresh without re-planning the query)
+    val url = derby("ttlstream")
+    val c = DriverManager.getConnection(url)
+    try {
+      val st = c.createStatement()
+      st.execute("CREATE TABLE sdim (id BIGINT PRIMARY KEY, v VARCHAR(16))")
+      st.execute("INSERT INTO sdim VALUES (1, 'OLD')")
+    } finally c.close()
+    val broker = new graft.sources.StubBroker("ttl_stream_t", 1)
+    val runner = new ScriptRunner(spark,
+      checkpointRoot = Some(Files.createTempDirectory("ttls_ckpt").toString))
+    try {
+      broker.append(0, "null", """{"id":1,"tag":"r1"}""")
+      val res = runner.run(
+        s"""SET table.exec.mini-batch.allow-latency = 100 ms;
+           |create table s_src (id BIGINT, tag VARCHAR) with (
+           |  'connector' = 'kafka', 'topic' = 'ttl_stream_t',
+           |  'rest.endpoint' = '${broker.endpoint}',
+           |  'scan.startup.mode' = 'earliest-offset',
+           |  'format' = 'json'
+           |);
+           |create table s_dim (id BIGINT, v VARCHAR) with (
+           |  'connector' = 'jdbc', 'url' = '$url',
+           |  'table-name' = 'sdim',
+           |  'lookup.cache.ttl' = '8 s'
+           |);
+           |CREATE TABLE s_sink (tag STRING, v STRING)
+           |WITH ('connector' = 'memory');
+           |INSERT INTO s_sink
+           |SELECT s.tag, d.v FROM s_src s
+           |JOIN s_dim FOR SYSTEM_TIME AS OF s.id AS d ON s.id = d.id;
+           |""".stripMargin)
+      val q = res.queries.head
+      try {
+        q.processAllAvailable()
+        def seen: Map[String, String] = spark.table("s_sink").collect()
+          .map(r => r.getString(0) -> r.getString(1)).toMap
+        assert(seen == Map("r1" -> "OLD"))
+        // update the dim while the query runs; a record inside the TTL
+        // still joins the cached image
+        val c2 = DriverManager.getConnection(url)
+        try c2.createStatement()
+          .execute("UPDATE sdim SET v = 'NEW' WHERE id = 1")
+        finally c2.close()
+        broker.append(0, "null", """{"id":1,"tag":"r2"}""")
+        q.processAllAvailable()
+        assert(seen("r2") == "OLD", s"dim update leaked inside TTL: $seen")
+        // after TTL + refresher period, a later micro-batch sees NEW
+        Thread.sleep(9500)
+        broker.append(0, "null", """{"id":1,"tag":"r3"}""")
+        q.processAllAvailable()
+        assert(seen("r3") == "NEW", s"cache not refreshed mid-stream: $seen")
+        assert(seen("r1") == "OLD" && seen("r2") == "OLD")
+      } finally q.stop()
+    } finally { runner.close(); broker.stop() }
+  }
+
   test("demo_5: HOP window over watermarked stream -> keyed JDBC sink (streaming)") {
     val url = derby("demo5")
     val c = DriverManager.getConnection(url)
