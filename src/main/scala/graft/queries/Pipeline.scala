@@ -106,21 +106,28 @@ object Pipeline extends QueryPack {
         .withColumn("n_tok",
           when($"norm_text" === "", 0)
             .otherwise(size(split($"norm_text", " "))))
-      val quality = normalized.filter($"n_tok" >= 20)
-      val deduped = quality
+      // Two corpus scans total, not one per stage: stages 1+2 are
+      // row-level predicates — one pass with conditional aggregates;
+      // stages 3+4 share the dedup result — one pass over the
+      // content-hash aggregation with the sample as a conditional.
+      val isQ = $"n_tok" >= 20
+      val s12 = normalized.agg(
+        count(lit(1)).as("n1"), sum($"doc_id").as("i1"),
+        count(when(isQ, 1)).as("n2"), sum(when(isQ, $"doc_id")).as("i2"))
+        .selectExpr("stack(2, '1_ingested', n1, i1, '2_quality', n2, i2) " +
+          "AS (stage, n, id_sum)")
+      // deterministic ~3/4 sample on the content hash's first hex char
+      val isSampled = substring($"h", 1, 1).isin(
+        "0", "1", "2", "3", "4", "5", "6", "7", "8", "9", "a", "b")
+      val s34 = normalized.filter(isQ)
         .withColumn("h", md5($"norm_text"))
         .groupBy($"h").agg(min($"doc_id").as("doc_id"))
-      val sampled = deduped
-        // deterministic ~3/4 sample on the content hash's first hex char
-        .filter(substring($"h", 1, 1).isin(
-          "0", "1", "2", "3", "4", "5", "6", "7", "8", "9", "a", "b"))
-      def stage(name: String, df: DataFrame) =
-        df.agg(count(lit(1)).as("n"), sum($"doc_id").as("id_sum"))
-          .select(lit(name).as("stage"), $"n", $"id_sum")
-      stage("1_ingested", normalized)
-        .unionByName(stage("2_quality", quality))
-        .unionByName(stage("3_deduped", deduped))
-        .unionByName(stage("4_sampled", sampled))
+        .agg(count(lit(1)).as("n3"), sum($"doc_id").as("i3"),
+          count(when(isSampled, 1)).as("n4"),
+          sum(when(isSampled, $"doc_id")).as("i4"))
+        .selectExpr("stack(2, '3_deduped', n3, i3, '4_sampled', n4, i4) " +
+          "AS (stage, n, id_sum)")
+      s12.unionByName(s34)
     }),
 
     // PII redaction: count then scrub emails → IPv4s → phones, in that
