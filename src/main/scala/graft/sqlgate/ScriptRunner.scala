@@ -82,6 +82,9 @@ class ScriptRunner(spark: SparkSession,
   def run(script: String): RunResult = {
     val stmts = SqlSplitter.parse(script)
     val inserts = mutable.Buffer[Insert]()
+    // streaming INSERTs into catalog (managed) tables — started with the
+    // statement set via writeStream.toTable (the catalog.md flow)
+    val catalogInserts = mutable.Buffer[(String, DataFrame)]()
     val shown = mutable.Buffer[String]()
     val confs = mutable.LinkedHashMap[String, String]()
 
@@ -141,17 +144,46 @@ class ScriptRunner(spark: SparkSession,
               val df = renameForSink(df0, colList, sink)
               inserts += Insert(sink, df, overwrite, query, colList)
             case None if spark.catalog.tableExists(sinkName) =>
-              // catalog (managed/Hive) table: eager Spark SQL INSERT —
-              // the demo_batch.md batch-write path. Referenced registry
-              // sources must be batch DataFrames here regardless of the
-              // runner mode: an eager INSERT cannot read streaming views.
-              if (FlinkSqlRewrite.needsPreInstantiation(c.text))
-                instantiateRefs(FlinkSqlRewrite.preInstantiationTables(c.text),
-                  forceBatch = true)
-              val (rewritten, mrViews) = FlinkSqlRewrite.applyTracking(spark, c.text)
-              instantiateSources(rewritten, forceBatch = true)
-              spark.sql(rewritten)
-              mrViews.foreach(spark.catalog.dropTempView)
+              // catalog (managed/Hive) table sink. In batch runner mode
+              // (or with batch-only sources) this is the demo_batch.md
+              // eager Spark SQL INSERT; in streaming mode with streaming
+              // sources it becomes a continuous `writeStream.toTable` —
+              // the catalog.md flow (kafka source streaming into a
+              // hive-dialect table), which the eager path cannot run.
+              if (batchMode) {
+                if (FlinkSqlRewrite.needsPreInstantiation(c.text))
+                  instantiateRefs(
+                    FlinkSqlRewrite.preInstantiationTables(c.text),
+                    forceBatch = true)
+                val (rewritten, mrViews) =
+                  FlinkSqlRewrite.applyTracking(spark, c.text)
+                instantiateSources(rewritten, forceBatch = true)
+                spark.sql(rewritten)
+                mrViews.foreach(spark.catalog.dropTempView)
+              } else {
+                if (FlinkSqlRewrite.needsPreInstantiation(m.group(4)))
+                  instantiateRefs(
+                    FlinkSqlRewrite.preInstantiationTables(m.group(4)))
+                val (q2, mrViews) =
+                  FlinkSqlRewrite.applyTracking(spark, m.group(4))
+                instantiateSources(q2)
+                val df0 = spark.sql(q2)
+                mrViews.foreach(spark.catalog.dropTempView)
+                if (df0.isStreaming) {
+                  require(!overwrite,
+                    s"INSERT OVERWRITE into catalog table $sinkName is " +
+                      "not supported on the streaming path")
+                  val declared = spark.table(sinkName).columns.toSeq
+                  val renamed = colList.map(cs => df0.toDF(cs: _*))
+                    .getOrElse(
+                      if (declared.size == df0.columns.length)
+                        df0.toDF(declared: _*)
+                      else df0)
+                  catalogInserts += ((sinkName, renamed))
+                } else
+                  // sources turned out batch (e.g. filesystem): eager
+                  spark.sql(FlinkSqlRewrite(spark, c.text))
+              }
             case None =>
               throw new IllegalArgumentException(
                 s"unknown sink table: $sinkName")
@@ -199,6 +231,13 @@ class ScriptRunner(spark: SparkSession,
             Connectors.write(spark, ins.sink, ins.df, ckpt, trigger, tag,
               ins.overwrite).foreach(started += _)
           }
+      }
+      catalogInserts.zipWithIndex.foreach { case ((tbl, df), i) =>
+        val w0 = df.writeStream.queryName(s"catalog_${tbl}_$i")
+          .outputMode("append").trigger(trigger)
+        val w1 = checkpointRoot.map(r => s"$r/__catalog_${tbl}_$i")
+          .fold(w0)(d => w0.option("checkpointLocation", d))
+        started += w1.toTable(tbl)
       }
     } catch {
       case e: Throwable =>

@@ -62,6 +62,53 @@ class CatalogFlowSpec extends SparkSpec {
     assert(runner.trigger == Trigger.ProcessingTime(5000))
   }
 
+  test("catalog.md flow: STREAMING insert into a hive-dialect managed table") {
+    import spark.implicits._
+    // the catalog.md script shape: kafka json source streaming into a
+    // TBLPROPERTIES managed table — a continuous writeStream.toTable,
+    // not the eager batch INSERT (which cannot read a streaming view)
+    val broker = new graft.sources.StubBroker("cat_t", 1)
+    try {
+      broker.append(0, "null", """{"itemId":1,"price":100}""")
+      broker.append(0, "null", """{"itemId":2,"price":250}""")
+      val runner = new ScriptRunner(spark,
+        checkpointRoot = Some(java.nio.file.Files
+          .createTempDirectory("cat_ckpt").toString))
+      val res = runner.run(
+        s"""SET table.exec.mini-batch.allow-latency = 100 ms;
+           |SET table.sql-dialect=hive;
+           |CREATE TABLE hive_flink_table (
+           |  itemId BIGINT, price BIGINT, ups STRING
+           |) USING parquet TBLPROPERTIES (
+           |  'sink.partition-commit.trigger'='process-time'
+           |);
+           |SET table.sql-dialect=default;
+           |create table item_test (itemId BIGINT, price BIGINT) with (
+           |  'connector' = 'kafka', 'topic' = 'cat_t',
+           |  'rest.endpoint' = '${broker.endpoint}',
+           |  'scan.startup.mode' = 'earliest-offset', 'format' = 'json'
+           |);
+           |insert into hive_flink_table
+           |select itemId, price, 'XXXXaaa' as ups from item_test;
+           |""".stripMargin)
+      assert(res.queries.size == 1)
+      val q = res.queries.head
+      try {
+        q.processAllAvailable()
+        def rows = spark.table("hive_flink_table")
+          .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+        assert(rows == Seq((1L, 100L, "XXXXaaa"), (2L, 250L, "XXXXaaa")))
+        // live: a record produced while the job runs lands in the table
+        broker.append(0, "null", """{"itemId":3,"price":7}""")
+        q.processAllAvailable()
+        assert(rows.size == 3 && rows.last == ((3L, 7L, "XXXXaaa")))
+      } finally q.stop()
+    } finally {
+      broker.stop()
+      spark.sql("DROP TABLE IF EXISTS hive_flink_table")
+    }
+  }
+
   test("managed-table INSERT routed to Spark SQL (not the registry)") {
     import spark.implicits._
     val runner = new ScriptRunner(spark, batchMode = true)
