@@ -167,5 +167,19 @@ class GraftTvfSpec extends SparkSpec {
          |FROM TABLE(DEDUP_EXACT(TABLE docs_v, DESCRIPTOR(doc_id),
          |  DESCRIPTOR(text)));""".stripMargin)
     assert(v.ok, v.errors.mkString("; "))
+
+    // ANN + text TVFs validate without executing anything
+    val v2 = SqlValidator.validate(spark,
+      s"""CREATE TABLE emb_v (vec_id BIGINT, embedding ARRAY<FLOAT>)
+         |WITH ('connector' = 'filesystem', 'path' = '/nope',
+         |  'format' = 'parquet');
+         |CREATE TABLE av_sink (qid BIGINT, nid BIGINT)
+         |WITH ('connector' = 'memory');
+         |INSERT INTO av_sink SELECT qid, nid
+         |FROM TABLE(ANN_TOPK(TABLE emb_v, TABLE emb_v,
+         |  DESCRIPTOR(vec_id), DESCRIPTOR(embedding), 5)) a
+         |JOIN TABLE(LANG_ID(TABLE emb_v, DESCRIPTOR(vec_id),
+         |  DESCRIPTOR(embedding))) l ON a.qid = l.vec_id;""".stripMargin)
+    assert(v2.ok, v2.errors.mkString("; "))
   }
 }
