@@ -172,6 +172,41 @@ object StreamingGate extends QueryPack {
       runToTable(s, top, "stream_topn_gate")
     }),
 
+    // Dual-stream interval join — demo_2's shape on a REAL streaming
+    // drain: purchases and clicks of the same user joined within a
+    // 30-minute event-time window, both sides watermarked so join state
+    // is bounded (Spark evicts rows outside the interval once the
+    // watermark passes). Inner join: every batch-visible pair is
+    // emitted exactly once, so the drained sink hash-matches the batch
+    // oracle running the identical θ-join over the same parquet.
+    "q_stream_join" -> ((s, dir) => {
+      import s.implicits._
+      // join state-store overhead is per (partition x side x batch), not
+      // per row, at this scale: run the drain on fewer partitions
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+      // deterministic 1/4 user slice: the e2e path is the point, and
+      // stream-stream join state cost scales with rows on BOTH sides
+      val ev = eventsStream(s, dir).filter($"user_id" % 4 === 0)
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id".as("p_user"), $"ts".as("p_ts"),
+          $"event_id".as("p_id"))
+        .withWatermark("p_ts", "1 hour")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id".as("c_user"), $"ts".as("c_ts"),
+          $"event_id".as("c_id"))
+        .withWatermark("c_ts", "1 hour")
+      val joined = purchases.join(clicks,
+        expr("p_user = c_user AND c_ts >= p_ts - INTERVAL 30 MINUTES " +
+          "AND c_ts <= p_ts"))
+        .select($"p_user".as("user_id"), $"p_id", $"c_id",
+          date_format($"p_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").as("p_time"),
+          date_format($"c_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").as("c_time"))
+      runToTable(s, joined, "stream_join_gate", mode = "append")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }),
+
     // Streaming OVER window — Flink SQL's per-row running aggregate
     // (`SUM(x) OVER (PARTITION BY user ORDER BY ts ROWS 2 PRECEDING)`),
     // which Spark's built-in window functions reject on streams. Runs as
@@ -212,6 +247,20 @@ object StreamingGate extends QueryPack {
 
     "q_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    "q_stream_join" ->
+      """SELECT p.user_id AS user_id,
+        |  p.event_id AS p_id, c.event_id AS c_id,
+        |  strftime(CAST(p.ts AS TIMESTAMP),
+        |    '%Y-%m-%d %H:%M:%S.%f') AS p_time,
+        |  strftime(CAST(c.ts AS TIMESTAMP),
+        |    '%Y-%m-%d %H:%M:%S.%f') AS c_time
+        |FROM (SELECT * FROM events
+        |      WHERE event_type = 'purchase' AND user_id % 4 = 0) p
+        |JOIN (SELECT * FROM events
+        |      WHERE event_type = 'click' AND user_id % 4 = 0) c
+        |  ON p.user_id = c.user_id
+        | AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts""".stripMargin,
 
     "q_stream_topn" ->
       """SELECT event_type, n FROM (
