@@ -324,6 +324,67 @@ object Gate extends QueryPack {
       } finally broker.stop()
     }),
 
+    // The temporal lookup join under the oracle: the nation table is
+    // seeded into an embedded Derby database (the sandbox's MySQL
+    // stand-in), a gate script declares it as a JDBC dim with
+    // demo_3.md:66-78's lookup options (served through the TTL-cached
+    // snapshot path), lookup-joins customers FOR SYSTEM_TIME AS OF, and
+    // the aggregated sink hash-matches DuckDB joining the same parquet
+    // tables directly — demo_3's shape checked by the correctness gate.
+    "q_gate_lookup" -> ((s, dir) => {
+      val url = s"jdbc:derby:memory:gate_lkp;create=true"
+      val c = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = c.createStatement()
+        try st.execute("DROP TABLE nation_dim")
+        catch { case _: java.sql.SQLException => () } // first run: absent
+        st.execute(
+          "CREATE TABLE nation_dim (n_nationkey BIGINT, n_name VARCHAR(32))")
+        val ps = c.prepareStatement("INSERT INTO nation_dim VALUES (?, ?)")
+        graft.Tables.load(s, dir, "nation")
+          .select("n_nationkey", "n_name").collect().foreach { r =>
+            // n_nationkey is int32 in some generator drops, int64 in
+            // others — widen through Number
+            ps.setLong(1, r.getAs[Number](0).longValue())
+            ps.setString(2, r.getString(1))
+            ps.addBatch()
+          }
+        ps.executeBatch()
+      } finally c.close()
+      val runner = new ScriptRunner(s, batchMode = true)
+      try {
+        runner.run(
+          s"""CREATE TABLE cust_lkp (
+             |  c_custkey BIGINT, c_nationkey BIGINT, c_acctbal DOUBLE
+             |) WITH (
+             |  'connector' = 'filesystem',
+             |  'path' = '$dir/customer.parquet',
+             |  'format' = 'parquet'
+             |);
+             |CREATE TABLE nation_dim (
+             |  n_nationkey BIGINT, n_name VARCHAR
+             |) WITH (
+             |  'connector' = 'jdbc', 'url' = '$url',
+             |  'table-name' = 'nation_dim',
+             |  'lookup.cache.ttl' = '60 s',
+             |  'lookup.cache.max-rows' = '100',
+             |  'lookup.max-retries' = '3'
+             |);
+             |CREATE TABLE lookup_sink (
+             |  n_name VARCHAR, n BIGINT, sum_bal DOUBLE
+             |) WITH ('connector' = 'memory');
+             |INSERT INTO lookup_sink
+             |SELECT d.n_name, COUNT(*) AS n,
+             |  ${oSum2("c.c_acctbal")} AS sum_bal
+             |FROM cust_lkp c
+             |JOIN nation_dim FOR SYSTEM_TIME AS OF c.c_custkey AS d
+             |  ON c.c_nationkey = d.n_nationkey
+             |GROUP BY d.n_name;
+             |""".stripMargin)
+        s.table("lookup_sink_out")
+      } finally runner.close()
+    }),
+
     // Text analysis through the gate: TEXT_QUALITY and LANG_ID compose
     // in one statement (joined on the id descriptor) — per-doc quality
     // features tagged with the predicted language, the curation-pipeline
@@ -430,6 +491,13 @@ object Gate extends QueryPack {
          |FROM (${TextAnalysis.oQualityPerDocSql}) q
          |JOIN (${TextAnalysis.oLangidPerDocSql}) l
          |  ON q.doc_id = l.doc_id""".stripMargin,
+
+    // the lookup wire (Derby dim + TTL cache) must not change the
+    // answer: same aggregation as a plain parquet join
+    "q_gate_lookup" ->
+      s"""SELECT n.n_name, COUNT(*) AS n, ${oSum2("c.c_acctbal")} AS sum_bal
+         |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |GROUP BY n.n_name""".stripMargin,
 
     // the kafka wire must not change the answer: same aggregation as
     // q_gate_script's oracle, over the same urgent-orders subset
