@@ -13,6 +13,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Gate extends QueryPack {
   import Num._
 
+  // one synthesized changelog per sf dir per JVM (repeated Verify/Bench
+  // passes must not rewrite the 100k-line file per invocation)
+  private val cdcLogs =
+    scala.collection.concurrent.TrieMap[String, String]()
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_gate_script" -> ((s, dir) => {
       val runner = new ScriptRunner(s, batchMode = true)
@@ -324,6 +329,70 @@ object Gate extends QueryPack {
       } finally broker.stop()
     }),
 
+    // The CDC path under the oracle: a debezium-json changelog is
+    // synthesized deterministically from the orders table (create for
+    // every order, update +10 for keys %3==0, delete for keys %5==0 —
+    // in ts_ms order), replayed through the mysql-cdc connector's keyed
+    // materialization (decode → last image per key → drop deletes), and
+    // the aggregated sink hash-matches DuckDB computing the same final
+    // state directly from parquet — demo_6's changelog semantics
+    // checked by the correctness gate, not specs alone.
+    "q_gate_cdc" -> ((s, dir) => {
+      val log = cdcLogs.getOrElseUpdate(dir, {
+        val rows = graft.Tables.load(s, dir, "orders")
+          .select("o_orderkey", "o_totalprice").collect()
+        val d = java.nio.file.Files.createTempDirectory("gate_cdc")
+        d.toFile.deleteOnExit()
+        val w = java.nio.file.Files.newBufferedWriter(
+          d.resolve("changelog.jsonl"))
+        def row(k: Long, p: Double) =
+          s"""{"o_orderkey":$k,"o_totalprice":$p}"""
+        try {
+          rows.foreach { r =>
+            val (k, p) = (r.getLong(0), r.getDouble(1))
+            w.write(s"""{"op":"c","ts_ms":1,"before":null,"after":${
+              row(k, p)}}""")
+            w.newLine()
+          }
+          rows.foreach { r =>
+            val (k, p) = (r.getLong(0), r.getDouble(1))
+            if (k % 3 == 0) {
+              w.write(s"""{"op":"u","ts_ms":2,"before":${row(k, p)
+                },"after":${row(k, p + 10)}}""")
+              w.newLine()
+            }
+          }
+          rows.foreach { r =>
+            val k = r.getLong(0)
+            if (k % 5 == 0) {
+              w.write(s"""{"op":"d","ts_ms":3,"before":${
+                row(k, r.getDouble(1))},"after":null}""")
+              w.newLine()
+            }
+          }
+        } finally w.close()
+        d.toString
+      })
+      val runner = new ScriptRunner(s, batchMode = true)
+      runner.run(
+        s"""CREATE TABLE orders_cdc (
+           |  o_orderkey BIGINT,
+           |  o_totalprice DOUBLE,
+           |  PRIMARY KEY (o_orderkey) NOT ENFORCED
+           |) WITH (
+           |  'connector' = 'mysql-cdc',
+           |  'changelog-path' = '$log'
+           |);
+           |CREATE TABLE cdc_sink (n BIGINT, key_sum BIGINT,
+           |  sum_price DOUBLE) WITH ('connector' = 'memory');
+           |INSERT INTO cdc_sink
+           |SELECT COUNT(*) AS n, SUM(o_orderkey) AS key_sum,
+           |  ${oSum2("o_totalprice")} AS sum_price
+           |FROM orders_cdc;
+           |""".stripMargin)
+      s.table("cdc_sink_out")
+    }),
+
     // The temporal lookup join under the oracle: the nation table is
     // seeded into an embedded Derby database (the sandbox's MySQL
     // stand-in), a gate script declares it as a JDBC dim with
@@ -491,6 +560,15 @@ object Gate extends QueryPack {
          |FROM (${TextAnalysis.oQualityPerDocSql}) q
          |JOIN (${TextAnalysis.oLangidPerDocSql}) l
          |  ON q.doc_id = l.doc_id""".stripMargin,
+
+    // mirrors the synthesized changelog: deletes remove keys %5==0,
+    // updates add 10 to keys %3==0, everything else keeps its create
+    "q_gate_cdc" ->
+      s"""SELECT COUNT(*) AS n,
+         |  CAST(SUM(o_orderkey) AS BIGINT) AS key_sum,
+         |  ${oSum2("CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 10 " +
+           "ELSE o_totalprice END")} AS sum_price
+         |FROM orders WHERE o_orderkey % 5 <> 0""".stripMargin,
 
     // the lookup wire (Derby dim + TTL cache) must not change the
     // answer: same aggregation as a plain parquet join
