@@ -67,6 +67,10 @@ object Bench {
     // NOT recorded — only the timed pass decides pass/fail)
     ordered.foreach { case (_, fn) =>
       try materialize(fn) catch { case _: Throwable => () }
+      // a gate query that registered a jdbc lookup dim and crashed (or
+      // forgot close()) must not carry cached blocks + a TTL refresher
+      // task into the timed pass
+      graft.sqlgate.ScriptRunner.closeAllRunners()
     }
     val firstPass = ordered.map { case (name, fn) =>
       // min of two timed passes: both must succeed (a crash in either is
@@ -79,6 +83,7 @@ object Bench {
             Option(e.getMessage).getOrElse(e.getClass.getName).take(200)); false }
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
+      graft.sqlgate.ScriptRunner.closeAllRunners() // leaked-dim sweep
       name -> (if (times.forall(_ >= 0)) times.min else -1.0)
     }
     // self-healing: re-measure queries >1.5× their prior; keep the MIN

@@ -47,7 +47,10 @@ object Verify {
           staleDir.listFiles().foreach(_.delete())
           staleDir.delete()
         }
-      }
+      } finally
+        // gate queries that registered a jdbc lookup dim hold a persisted
+        // snapshot + TTL refresher task per runner; sweep between queries
+        graft.sqlgate.ScriptRunner.closeAllRunners()
     }
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")

@@ -320,10 +320,15 @@ object Gate extends QueryPack {
              |FROM kafka_live_src
              |GROUP BY o_orderstatus;
              |""".stripMargin)
-        // AvailableNow trigger: drain everything produced above, then stop
-        res.queries.foreach { q =>
+        // AvailableNow trigger: drain everything produced above, then
+        // stop. Stop ALL queries in a finally — a timed-out drain must
+        // not leave a live streaming query polling the stopped broker
+        // and appending to the memory sink of a later run in this JVM.
+        try res.queries.foreach { q =>
           require(q.awaitTermination(300000),
             "kafka live gate query timed out")
+        } finally res.queries.foreach { q =>
+          try q.stop() catch { case _: Throwable => () }
         }
         s.table("kafka_live_sink")
       } finally broker.stop()
@@ -339,38 +344,32 @@ object Gate extends QueryPack {
     // checked by the correctness gate, not specs alone.
     "q_gate_cdc" -> ((s, dir) => {
       val log = cdcLogs.getOrElseUpdate(dir, {
-        val rows = graft.Tables.load(s, dir, "orders")
-          .select("o_orderkey", "o_totalprice").collect()
+        // Synthesize the changelog DISTRIBUTED — envelope strings are
+        // built per-partition and written by Spark's text writer, never
+        // collected to the driver (orders is ~15M rows at sf10). File
+        // order across part files is irrelevant: lastPerKey orders by
+        // ts_ms, and the three phases carry distinct ts_ms per key.
+        import org.apache.spark.sql.functions._
         val d = java.nio.file.Files.createTempDirectory("gate_cdc")
         d.toFile.deleteOnExit()
-        val w = java.nio.file.Files.newBufferedWriter(
-          d.resolve("changelog.jsonl"))
-        def row(k: Long, p: Double) =
-          s"""{"o_orderkey":$k,"o_totalprice":$p}"""
-        try {
-          rows.foreach { r =>
-            val (k, p) = (r.getLong(0), r.getDouble(1))
-            w.write(s"""{"op":"c","ts_ms":1,"before":null,"after":${
-              row(k, p)}}""")
-            w.newLine()
-          }
-          rows.foreach { r =>
-            val (k, p) = (r.getLong(0), r.getDouble(1))
-            if (k % 3 == 0) {
-              w.write(s"""{"op":"u","ts_ms":2,"before":${row(k, p)
-                },"after":${row(k, p + 10)}}""")
-              w.newLine()
-            }
-          }
-          rows.foreach { r =>
-            val k = r.getLong(0)
-            if (k % 5 == 0) {
-              w.write(s"""{"op":"d","ts_ms":3,"before":${
-                row(k, r.getDouble(1))},"after":null}""")
-              w.newLine()
-            }
-          }
-        } finally w.close()
+        val orders = graft.Tables.load(s, dir, "orders")
+          .select("o_orderkey", "o_totalprice")
+        val k = col("o_orderkey")
+        def row(p: org.apache.spark.sql.Column) =
+          concat(lit("""{"o_orderkey":"""), k.cast("string"),
+            lit(""","o_totalprice":"""), p.cast("string"), lit("}"))
+        val creates = orders.select(concat(
+          lit("""{"op":"c","ts_ms":1,"before":null,"after":"""),
+          row(col("o_totalprice")), lit("}")).as("value"))
+        val updates = orders.filter(k % 3 === 0).select(concat(
+          lit("""{"op":"u","ts_ms":2,"before":"""),
+          row(col("o_totalprice")), lit(""","after":"""),
+          row(col("o_totalprice") + 10), lit("}")).as("value"))
+        val deletes = orders.filter(k % 5 === 0).select(concat(
+          lit("""{"op":"d","ts_ms":3,"before":"""),
+          row(col("o_totalprice")), lit(""","after":null}""")).as("value"))
+        creates.union(updates).union(deletes)
+          .write.mode("overwrite").text(d.toString)
         d.toString
       })
       val runner = new ScriptRunner(s, batchMode = true)

@@ -108,6 +108,13 @@ object Connectors {
             from_json(col("key").cast("string"), spec.schema))
             .otherwise(col("before")))
           .withColumn("op", when(isTomb, lit("d")).otherwise(col("op")))
+          // Compacted-topic truth is the kafka offset, full stop: a
+          // tombstone carries no ts_ms, so ordering by ts_ms first
+          // (nulls-last) would rank it BELOW any earlier upsert whose
+          // producer stamped ts_ms and resurrect the deleted key. Null
+          // the column out so lastPerKey's (ts_ms, offset) order
+          // degenerates to pure offset order for upsert-kafka reads.
+          .withColumn("ts_ms", lit(null).cast("long"))
       }
     graft.streaming.CdcOps
       .lastPerKey(decoded, spec.primaryKey, seqCol = Some("offset"))

@@ -174,11 +174,24 @@ class ScriptRunner(spark: SparkSession,
                     s"INSERT OVERWRITE into catalog table $sinkName is " +
                       "not supported on the streaming path")
                   val declared = spark.table(sinkName).columns.toSeq
-                  val renamed = colList.map(cs => df0.toDF(cs: _*))
-                    .getOrElse(
-                      if (declared.size == df0.columns.length)
-                        df0.toDF(declared: _*)
-                      else df0)
+                  def arityErr(what: String, names: Seq[String]) =
+                    throw new IllegalArgumentException(
+                      s"INSERT INTO $sinkName: query produces " +
+                        s"${df0.columns.length} columns " +
+                        s"(${df0.columns.mkString(", ")}) but $what has " +
+                        s"${names.size} (${names.mkString(", ")}) — " +
+                        "streaming catalog INSERT maps columns " +
+                        "positionally; the counts must match")
+                  val renamed = colList match {
+                    case Some(cs) =>
+                      if (cs.size != df0.columns.length)
+                        arityErr("the INSERT column list", cs)
+                      df0.toDF(cs: _*)
+                    case None =>
+                      if (declared.size != df0.columns.length)
+                        arityErr(s"sink table $sinkName", declared)
+                      df0.toDF(declared: _*)
+                  }
                   catalogInserts += ((sinkName, renamed))
                 } else
                   // sources turned out batch (e.g. filesystem): eager
@@ -571,10 +584,22 @@ class ScriptRunner(spark: SparkSession,
 
   private val lookupDims =
     mutable.Map[String, graft.streaming.TtlCachedDim]()
-  private lazy val lookupRefresher =
-    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
-      val t = new Thread(r, "graft-lookup-ttl"); t.setDaemon(true); t
-    })
+  // re-armable: close() shuts the scheduler down, but a reused runner
+  // whose next script registers another dim must get a fresh one
+  private var lookupRefresherOpt
+      : Option[java.util.concurrent.ScheduledExecutorService] = None
+  private def lookupRefresher
+      : java.util.concurrent.ScheduledExecutorService = {
+    val live = lookupRefresherOpt.filterNot(_.isShutdown)
+    live.getOrElse {
+      val ex = java.util.concurrent.Executors
+        .newSingleThreadScheduledExecutor(r => {
+          val t = new Thread(r, "graft-lookup-ttl"); t.setDaemon(true); t
+        })
+      lookupRefresherOpt = Some(ex)
+      ex
+    }
+  }
 
   private def lookupDimView(name: String, spec: TableSpec)
       : org.apache.spark.sql.DataFrame = {
@@ -585,6 +610,7 @@ class ScriptRunner(spark: SparkSession,
     val df = Connectors.source(spark, spec, streaming = false)
     val dim = new graft.streaming.TtlCachedDim(df, ttlMs, maxRows)
     lookupDims(name) = dim
+    ScriptRunner.trackDimHolder(this)
     // cheap timestamp check; the actual re-read happens lazily on the
     // next scan after a refresh
     val period = math.max(ttlMs / 4, 50L)
@@ -597,14 +623,48 @@ class ScriptRunner(spark: SparkSession,
   /** Release runner-held resources (lookup-dim cache + TTL scheduler).
     * Streaming queries started by [[run]] are unaffected.
     */
-  def close(): Unit = if (lookupDims.nonEmpty) {
-    lookupRefresher.shutdownNow()
-    lookupDims.values.foreach(_.release())
-    lookupDims.clear()
+  def close(): Unit = {
+    if (lookupDims.nonEmpty) {
+      lookupRefresherOpt.foreach(_.shutdownNow())
+      lookupRefresherOpt = None
+      lookupDims.values.foreach(_.release())
+      lookupDims.clear()
+    }
+    ScriptRunner.dimHolders.remove(this)
   }
 
   /** print/blackhole/memory/jdbc-upsert tables can't be sources. */
   private def isSinkOnly(spec: TableSpec): Boolean =
     Set("print", "blackhole", "memory").contains(spec.connector) ||
       (spec.connector == "jdbc" && spec.primaryKey.nonEmpty)
+}
+
+object ScriptRunner {
+  // Runners currently holding a lookup-dim cache + TTL scheduler. The
+  // cache deliberately outlives a single run() (Flink's session lookup
+  // cache spans statements — the long-TTL DemoGateSpec contract), so a
+  // runner can't self-release; callers that forget close() would leak
+  // persisted blocks plus a recurring scheduled task per runner.
+  // Registering here makes the leak bounded and collectable: Verify /
+  // Bench call [[closeAllRunners]] between queries, and a JVM shutdown
+  // hook sweeps whatever remains.
+  private val dimHolders =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[ScriptRunner]()
+
+  private[sqlgate] def trackDimHolder(r: ScriptRunner): Unit = {
+    dimHolders.add(r); () }
+
+  /** Close every runner that still holds a lookup-dim cache. Safe to
+    * call concurrently / repeatedly; a closed runner stays usable (its
+    * next dim registration re-arms the refresher and re-registers).
+    */
+  def closeAllRunners(): Unit = {
+    val it = dimHolders.iterator()
+    while (it.hasNext) it.next().close()
+  }
+
+  locally {
+    Runtime.getRuntime.addShutdownHook(
+      new Thread(() => closeAllRunners(), "graft-runner-sweep"))
+  }
 }

@@ -316,6 +316,48 @@ class DemoGateSpec extends SparkSpec {
     } finally broker.stop()
   }
 
+  test("upsert-kafka: tombstone after a ts_ms-stamped upsert still deletes") {
+    // Regression: normal Debezium producers stamp ts_ms on upsert
+    // envelopes while tombstones are bare NULL values (no ts_ms at
+    // all). Ordering per key by ts_ms DESC nulls-last would rank the
+    // tombstone below the earlier upsert and resurrect the key; the
+    // read side must order by kafka offset alone.
+    val broker = new graft.sources.StubBroker("uk_ts_topic", 1)
+    try {
+      def env(op: String, after: String, tsMs: Long) =
+        s"""{"op":"$op","ts_ms":$tsMs,"before":null,"after":$after}"""
+      def row(day: String, gmv: Double) =
+        s"""{"day_str":"$day","gmv":$gmv}"""
+      broker.append(0, """{"day_str":"20201011"}""",
+        env("u", row("20201011", 10.5), 1700000001000L))
+      broker.append(0, """{"day_str":"20201012"}""",
+        env("u", row("20201012", 3.0), 1700000002000L))
+      // tombstone AFTER the stamped upsert: 20201012 must vanish
+      broker.append(0, """{"day_str":"20201012"}""", "null")
+      // and a stamped re-upsert after a tombstone must resurrect
+      broker.append(0, """{"day_str":"20201011"}""", "null")
+      broker.append(0, """{"day_str":"20201011"}""",
+        env("u", row("20201011", 77.0), 1700000009000L))
+      new ScriptRunner(spark, batchMode = true).run(
+        s"""CREATE TABLE uk_ts_src (
+           |  day_str STRING,
+           |  gmv DOUBLE,
+           |  PRIMARY KEY (day_str) NOT ENFORCED
+           |) WITH (
+           |  'connector' = 'upsert-kafka',
+           |  'topic' = 'uk_ts_topic',
+           |  'rest.endpoint' = '${broker.endpoint}'
+           |);
+           |CREATE TABLE uk_ts_sink (day_str STRING, gmv DOUBLE)
+           |WITH ('connector' = 'memory');
+           |INSERT INTO uk_ts_sink SELECT * FROM uk_ts_src;
+           |""".stripMargin)
+      val out = spark.table("uk_ts_sink_out").collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(out == Map("20201011" -> 77.0))
+    } finally broker.stop()
+  }
+
   test("debezium-json kafka source without PRIMARY KEY is rejected loudly") {
     val broker = new graft.sources.StubBroker("nokey_t", 1)
     try {
