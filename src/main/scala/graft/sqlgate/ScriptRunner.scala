@@ -137,6 +137,7 @@ class ScriptRunner(spark: SparkSession,
                 instantiateRefs(FlinkSqlRewrite.preInstantiationTables(m.group(4)))
               val (query, mrViews) = FlinkSqlRewrite.applyTracking(spark, m.group(4))
               instantiateSources(query)
+              prepareKeyedDims(c.text) // keyed dims: slice view per stmt
               val df0 = spark.sql(query) // Dataset ctor analyzes eagerly:
               // the MR views are resolved into df0's plan — drop them so
               // long-lived sessions don't accumulate catalog entries
@@ -158,6 +159,7 @@ class ScriptRunner(spark: SparkSession,
                 val (rewritten, mrViews) =
                   FlinkSqlRewrite.applyTracking(spark, c.text)
                 instantiateSources(rewritten, forceBatch = true)
+                prepareKeyedDims(c.text)
                 spark.sql(rewritten)
                 mrViews.foreach(spark.catalog.dropTempView)
               } else {
@@ -167,6 +169,7 @@ class ScriptRunner(spark: SparkSession,
                 val (q2, mrViews) =
                   FlinkSqlRewrite.applyTracking(spark, m.group(4))
                 instantiateSources(q2)
+                prepareKeyedDims(c.text)
                 val df0 = spark.sql(q2)
                 mrViews.foreach(spark.catalog.dropTempView)
                 if (df0.isStreaming) {
@@ -564,9 +567,11 @@ class ScriptRunner(spark: SparkSession,
         !sourcesInstantiated.contains(name) && !isSinkOnly(spec)) {
         val df =
           if (isLookupDim(spec)) lookupDimView(name, spec)
-          else Connectors.source(spark, spec,
-            streaming = !batchMode && !forceBatch)
-        df.createOrReplaceTempView(name)
+          else Some(Connectors.source(spark, spec,
+            streaming = !batchMode && !forceBatch))
+        // keyed lookup dims register no view here — their key-covering
+        // slice is built per statement by [[prepareKeyedDims]]
+        df.foreach(_.createOrReplaceTempView(name))
         sourcesInstantiated += name
       }
     }
@@ -601,23 +606,177 @@ class ScriptRunner(spark: SparkSession,
     }
   }
 
+  /** Instantiate a lookup dim. Returns the snapshot-strategy DataFrame
+    * to register as the dim's temp view, or None for the keyed strategy
+    * (whose view is a per-statement key-covering slice built by
+    * [[prepareKeyedDims]]). Strategy resolution follows the reference's
+    * lookup contract (`demo_3.md:66-78` — `lookup.cache.max-rows`
+    * bounds the CACHE, not the dim): an explicit
+    * `lookup.cache.strategy` = 'snapshot' | 'keyed' wins; otherwise a
+    * dim that fits the cache bound is snapshot-cached whole, and one
+    * that exceeds it routes to the [[graft.streaming.JdbcKeyedLookup]]
+    * point-query path instead of fail-fasting.
+    */
   private def lookupDimView(name: String, spec: TableSpec)
-      : org.apache.spark.sql.DataFrame = {
+      : Option[org.apache.spark.sql.DataFrame] = {
     val ttlMs = spec.options.get("lookup.cache.ttl")
       .flatMap(parseFlinkDuration).getOrElse(10000L)
     val maxRows = spec.options.get("lookup.cache.max-rows")
       .map(_.trim.toLong).getOrElse(1000000L)
     val df = Connectors.source(spark, spec, streaming = false)
-    val dim = new graft.streaming.TtlCachedDim(df, ttlMs, maxRows)
-    lookupDims(name) = dim
-    ScriptRunner.trackDimHolder(this)
-    // cheap timestamp check; the actual re-read happens lazily on the
-    // next scan after a refresh
-    val period = math.max(ttlMs / 4, 50L)
-    lookupRefresher.scheduleWithFixedDelay(
-      () => try dim.maybeRefresh() catch { case _: Throwable => () },
-      period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
-    df
+    val keyed = spec.options.get("lookup.cache.strategy")
+      .map(_.trim.toLowerCase(java.util.Locale.ROOT)) match {
+      case Some("keyed")    => true
+      case Some("snapshot") => false // oversized → TtlCachedDim fail-fast
+      case Some(other) => throw new IllegalArgumentException(
+        s"lookup dim $name: unknown 'lookup.cache.strategy' = '$other' " +
+          "(expected 'snapshot' or 'keyed')")
+      case None =>
+        val probe = math.min(maxRows + 1, Int.MaxValue.toLong).toInt
+        df.limit(probe).count() > maxRows
+    }
+    if (keyed) { keyedDims(name) = spec; None }
+    else {
+      val dim = new graft.streaming.TtlCachedDim(df, ttlMs, maxRows)
+      lookupDims(name) = dim
+      ScriptRunner.trackDimHolder(this)
+      // cheap timestamp check; the actual re-read happens lazily on the
+      // next scan after a refresh
+      val period = math.max(ttlMs / 4, 50L)
+      lookupRefresher.scheduleWithFixedDelay(
+        () => try dim.maybeRefresh() catch { case _: Throwable => () },
+        period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
+      Some(df)
+    }
+  }
+
+  // keyed-strategy dims awaiting per-statement slicing, and the LRU+TTL
+  // point-query caches serving them — keyed by (dim name, key column)
+  // so the cache (and its TTL semantics) survives across statements
+  private val keyedDims = mutable.Map[String, TableSpec]()
+  private val keyedLookups =
+    mutable.Map[(String, String), graft.streaming.JdbcKeyedLookup]()
+
+  /** Per-dim lookup stats (probed/fetched/hits/evictions) — the spec's
+    * proof that only probed keys ever reach the database.
+    */
+  def keyedLookupStats(name: String)
+      : Option[graft.streaming.LookupStats] =
+    keyedLookups.collectFirst { case ((n, _), lk) if n == name => lk.stats }
+
+  // the demo_3 temporal-join shape a keyed dim is reachable through:
+  //   JOIN <dim> FOR SYSTEM_TIME AS OF <x> [AS] <alias> ON <a> = <b>
+  private val TemporalJoinRe =
+    ("""(?i)\bJOIN\s+`?(\w+)`?\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+""" +
+      """[`\w.]+(?:\s+AS)?\s+(\w+)\s+ON\s+([`\w.]+)\s*=\s*([`\w.]+)""").r
+  // FROM/JOIN clause alias pairs, for resolving the probe-side table
+  private val FromAliasRe =
+    ("""(?i)\b(?:FROM|JOIN)\s+`?(\w+)`?""" +
+      """(?:\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+[`\w.]+)?""" +
+      """(?:\s+AS)?(?:\s+(\w+))?""").r
+  private val SqlKeywords = Set("on", "where", "group", "join", "left",
+    "right", "inner", "outer", "full", "cross", "order", "limit",
+    "union", "select", "for", "having", "as")
+
+  /** Build the key-covering slice view for every keyed-strategy dim the
+    * statement references: parse the temporal join to find the dim key
+    * column and the probe-side stream column, collect the stream side's
+    * DISTINCT keys (bounded — fail fast, never OOM the driver), resolve
+    * them through the dim's [[graft.streaming.JdbcKeyedLookup]] (only
+    * keys missing from the LRU+TTL cache touch the database — the
+    * demo_3 point-query contract for dims too large to snapshot), and
+    * register the resulting slice as the dim's temp view. The statement
+    * then joins the slice exactly like a snapshot dim — but the
+    * database only ever saw the probed keys.
+    */
+  private def prepareKeyedDims(stmtText: String): Unit = {
+    if (keyedDims.isEmpty) return
+    val joins = TemporalJoinRe.findAllMatchIn(stmtText).toSeq
+    val aliasOf: Map[String, String] = FromAliasRe.findAllMatchIn(stmtText)
+      .flatMap { m =>
+        val table = m.group(1)
+        val alias = Option(m.group(2))
+          .filterNot(a => SqlKeywords(a.toLowerCase(java.util.Locale.ROOT)))
+        Seq(table.toLowerCase(java.util.Locale.ROOT) -> table) ++
+          alias.map(_.toLowerCase(java.util.Locale.ROOT) -> table)
+      }.toMap
+    keyedDims.foreach { case (name, spec) =>
+      val lname = name.toLowerCase(java.util.Locale.ROOT)
+      val referenced = ("""(?i)\b""" + java.util.regex.Pattern.quote(name) +
+        """\b""").r.findFirstIn(stmtText).isDefined
+      val ms = joins.filter(_.group(1).equalsIgnoreCase(name))
+      if (ms.isEmpty && referenced)
+        throw new IllegalArgumentException(
+          s"keyed lookup dim $name is only reachable through the " +
+            "temporal-join shape `JOIN " + name + " FOR SYSTEM_TIME AS " +
+            "OF <col> AS d ON s.k = d.k` (demo_3.md:94-109); plain " +
+            "references cannot be served by point queries")
+      ms.foreach { m =>
+        val alias = m.group(2)
+        val dimQuals =
+          Set(alias.toLowerCase(java.util.Locale.ROOT), lname)
+        def split(c: String): (String, String) = {
+          val parts = c.replace("`", "").split('.')
+          require(parts.length == 2,
+            s"keyed lookup dim $name: ON columns must be qualified " +
+              s"(got '$c')")
+          (parts(0).toLowerCase(java.util.Locale.ROOT), parts(1))
+        }
+        val (lq, lc) = split(m.group(3))
+        val (rq, rc) = split(m.group(4))
+        val (dimCol, streamQual, streamCol) =
+          if (dimQuals(lq) && !dimQuals(rq)) (lc, rq, rc)
+          else if (dimQuals(rq) && !dimQuals(lq)) (rc, lq, lc)
+          else throw new IllegalArgumentException(
+            s"keyed lookup dim $name: exactly one side of the ON " +
+              s"equality must be the dim ('${m.group(3)}' = " +
+              s"'${m.group(4)}', dim alias $alias)")
+        val streamTable = aliasOf.getOrElse(streamQual,
+          throw new IllegalArgumentException(
+            s"keyed lookup dim $name: cannot resolve probe-side " +
+              s"qualifier '$streamQual' to a FROM/JOIN table"))
+        val sdf = spark.table(streamTable)
+        require(!sdf.isStreaming,
+          s"keyed lookup dim $name: the gate's point-query path probes " +
+            s"the stream side eagerly and is batch-only, but " +
+            s"$streamTable is a streaming source. Use " +
+            "'lookup.cache.strategy' = 'snapshot' (TTL-cached dim) for " +
+            "streaming scripts, or drive " +
+            "graft.streaming.LookupJoin.enrichKeyed from the API")
+        val maxKeys = spec.options.get("lookup.keys-per-batch")
+          .map(_.trim.toLong).getOrElse(5000000L)
+        val probe = math.min(maxKeys + 1, Int.MaxValue.toLong).toInt
+        import org.apache.spark.sql.functions.col
+        val keys = sdf.select(col(streamCol))
+          .where(col(streamCol).isNotNull)
+          .distinct().limit(probe).collect().map(_.get(0)).toSeq
+        require(keys.length <= maxKeys,
+          s"keyed lookup dim $name: statement probes more than " +
+            s"$maxKeys distinct keys; raise 'lookup.keys-per-batch' " +
+            "or pre-aggregate the probe side")
+        val lk = keyedLookups.getOrElseUpdate((name, dimCol), {
+          val ttlMs = spec.options.get("lookup.cache.ttl")
+            .flatMap(parseFlinkDuration).getOrElse(10000L)
+          val maxRows = spec.options.get("lookup.cache.max-rows")
+            .map(_.trim.toLong).getOrElse(1000000L)
+          val retries = spec.options.get("lookup.max-retries")
+            .map(_.trim.toInt).getOrElse(3)
+          new graft.streaming.JdbcKeyedLookup(
+            url = spec.options("url"),
+            connProps = spec.options,
+            table = spec.options("table-name"),
+            keyCol = dimCol,
+            schema = spec.schema,
+            cacheMaxRows = maxRows,
+            cacheTtlMs = ttlMs,
+            maxRetries = retries)
+        })
+        val rows = lk.lookup(keys).values.flatten.toSeq
+        spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), spec.schema)
+          .createOrReplaceTempView(name)
+      }
+    }
   }
 
   /** Release runner-held resources (lookup-dim cache + TTL scheduler).
@@ -630,6 +789,10 @@ class ScriptRunner(spark: SparkSession,
       lookupDims.values.foreach(_.release())
       lookupDims.clear()
     }
+    // keyed caches hold no external resources (connections are
+    // per-fetch); dropping them just frees the LRU memory. keyedDims
+    // registrations stay — a reused runner re-creates the cache lazily.
+    keyedLookups.clear()
     ScriptRunner.dimHolders.remove(this)
   }
 

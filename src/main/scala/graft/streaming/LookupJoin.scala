@@ -241,10 +241,14 @@ final class JdbcKeyedLookup(
     } finally c.close()
   }
 
+  // UNQUOTED on purpose: the charset check blocks injection, and an
+  // unquoted identifier gets the database's own case folding (Derby →
+  // upper, MySQL → as-is) — resolving exactly like the identifier does
+  // in the user's own DDL, which is what 'table-name' carries.
   private def quote(id: String): String = {
     require(id.forall(ch => ch.isLetterOrDigit || ch == '_'),
       s"illegal identifier for lookup SQL: $id")
-    "\"" + id + "\""
+    id
   }
 
   private def readRow(rs: java.sql.ResultSet): Row = {
@@ -272,6 +276,31 @@ final class JdbcKeyedLookup(
     }
     new org.apache.spark.sql.catalyst.expressions.GenericRow(vals)
   }
+}
+
+/** Executor-local [[JdbcKeyedLookup]] registry for the `mapPartitions`
+  * call site: one cache per (url, table, key) per JVM, shared by every
+  * partition that executor processes — on a 1000-executor cluster each
+  * executor holds its own bounded LRU and probes only the keys its
+  * partitions see, with no driver round-trip. The registry lives in a
+  * JVM singleton because task closures are deserialized fresh per task;
+  * a cache captured in the closure would never be shared.
+  */
+object ExecutorLookupCaches {
+  private val caches = scala.collection.concurrent.TrieMap[
+    (String, String, String), JdbcKeyedLookup]()
+
+  def get(url: String, table: String, keyCol: String)(
+      mk: => JdbcKeyedLookup): JdbcKeyedLookup =
+    caches.getOrElseUpdate((url, table, keyCol), mk)
+
+  /** Aggregate stats across this JVM's caches (in local mode: all
+    * partitions) — the spec's proof that partitions share the cache.
+    */
+  def stats: Map[(String, String, String), LookupStats] =
+    caches.map { case (k, lk) => k -> lk.stats }.toMap
+
+  def clear(): Unit = caches.clear()
 }
 
 object LookupJoin {
@@ -319,4 +348,58 @@ object LookupJoin {
         batch(streamKey) === dim(dimKey), how)
       sink(if (streamKey == dimKey) joined.drop(dim(dimKey)) else joined)
     }
+
+  /** The PER-EXECUTOR keyed-lookup call site — the cluster shape
+    * [[JdbcKeyedLookup]]'s scale note promises: the lookup runs inside
+    * `mapPartitions`, each executor JVM holding its own bounded
+    * LRU+TTL cache ([[ExecutorLookupCaches]]), so probe keys never
+    * funnel through the driver and per-executor database load is
+    * O(that executor's cache misses). Rows are processed in
+    * `chunkKeys`-sized slices, one batched `IN (…)` resolve per slice.
+    *
+    * Join semantics match [[enrichKeyed]]: 'inner' drops unmatched
+    * stream rows, 'left' null-extends them; a dim key colliding with
+    * the stream key name is emitted once (stream side wins). Usable on
+    * a batch DataFrame directly or per micro-batch in `foreachBatch`.
+    */
+  def enrichKeyedPartitions(
+      url: String, connProps: Map[String, String], table: String,
+      streamKey: String, dimKey: String, dimSchema: StructType,
+      how: String, cacheMaxRows: Long, cacheTtlMs: Long,
+      maxRetries: Int = 3, chunkKeys: Int = 1000)(
+      batch: DataFrame): DataFrame = {
+    val leftJoin = how == "left" || how == "left_outer"
+    require(leftJoin || how == "inner",
+      s"enrichKeyedPartitions supports inner/left joins, got '$how'")
+    val inSchema = batch.schema
+    val sameName = streamKey == dimKey
+    val dimOutFields = dimSchema.fields.toSeq
+      .filterNot(f => sameName && f.name == dimKey)
+    val outSchema = StructType(inSchema.fields.toSeq ++ dimOutFields)
+    val keyIdx = inSchema.fieldIndex(streamKey)
+    val dimKeyIdx = dimSchema.fieldIndex(dimKey)
+    val dimOutIdx: Seq[Int] = dimSchema.indices
+      .filterNot(i => sameName && i == dimKeyIdx)
+    batch.mapPartitions { it =>
+      val lk = ExecutorLookupCaches.get(url, table, dimKey)(
+        new JdbcKeyedLookup(url, connProps, table, dimKey, dimSchema,
+          cacheMaxRows, cacheTtlMs, maxRetries))
+      it.grouped(chunkKeys).flatMap { chunk =>
+        val keys = chunk.iterator.map(_.get(keyIdx))
+          .filter(_ != null).toSeq.distinct
+        val resolved = lk.lookup(keys)
+        chunk.iterator.flatMap { row =>
+          val k = row.get(keyIdx)
+          val matches =
+            if (k == null) Nil else resolved.getOrElse(k, Nil)
+          if (matches.isEmpty) {
+            if (leftJoin) Iterator.single(Row.fromSeq(
+              row.toSeq ++ dimOutIdx.map(_ => null)))
+            else Iterator.empty
+          } else matches.iterator.map(d =>
+            Row.fromSeq(row.toSeq ++ dimOutIdx.map(d.get)))
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
 }

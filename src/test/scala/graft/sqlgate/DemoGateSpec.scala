@@ -438,6 +438,117 @@ class DemoGateSpec extends SparkSpec {
     } finally shortTtl.close()
   }
 
+  test("oversized dim routes to the keyed point-query path (demo_3 dialect)") {
+    // demo_3.md:66-78: 'lookup.cache.max-rows' bounds the CACHE, not the
+    // dim. A dim larger than the bound must not fail-fast in the
+    // snapshot path — it routes to JdbcKeyedLookup point queries, and
+    // only the keys the statement actually probes ever reach the
+    // database.
+    val url = derby("bigdim")
+    val c = DriverManager.getConnection(url)
+    try {
+      val st = c.createStatement()
+      st.execute("CREATE TABLE big_dim (id BIGINT PRIMARY KEY, " +
+        "label VARCHAR(24))")
+      val ps = c.prepareStatement("INSERT INTO big_dim VALUES (?, ?)")
+      (0L until 1000L).foreach { i =>
+        ps.setLong(1, i); ps.setString(2, s"label_$i"); ps.addBatch()
+      }
+      ps.executeBatch()
+    } finally c.close()
+    // the fact stream probes only 4 distinct keys of the 1000-row dim
+    val src = jsonDir(Seq(
+      """{"k": 7, "v": 1.5}""", """{"k": 7, "v": 2.5}""",
+      """{"k": 42, "v": 3.0}""", """{"k": 999, "v": 4.0}""",
+      """{"k": 555, "v": 5.0}""", """{"k": null, "v": 9.0}"""))
+    def script(sink: String) =
+      s"""create table facts_$sink (k BIGINT, v DOUBLE) with (
+         |  'connector' = 'filesystem', 'path' = '$src', 'format' = 'json'
+         |);
+         |create table big_dim (id BIGINT, label VARCHAR) with (
+         |  'connector' = 'jdbc', 'url' = '$url',
+         |  'table-name' = 'big_dim',
+         |  'lookup.cache.ttl' = '60 s',
+         |  'lookup.cache.max-rows' = '50',
+         |  'lookup.max-retries' = '3'
+         |);
+         |CREATE TABLE $sink (k BIGINT, label STRING, v DOUBLE)
+         |WITH ('connector' = 'memory');
+         |INSERT INTO $sink
+         |SELECT f.k, d.label, f.v FROM facts_$sink f
+         |JOIN big_dim FOR SYSTEM_TIME AS OF f.k AS d ON f.k = d.id;
+         |""".stripMargin
+    val runner = new ScriptRunner(spark, batchMode = true)
+    try {
+      runner.run(script("kd_sink"))
+      val out = spark.table("kd_sink_out").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      assert(out == Set(
+        (7L, "label_7", 1.5), (7L, "label_7", 2.5),
+        (42L, "label_42", 3.0), (999L, "label_999", 4.0),
+        (555L, "label_555", 5.0)))
+      val s1 = runner.keyedLookupStats("big_dim").get
+      // the 1000-row dim was never scanned: exactly the 4 distinct
+      // non-null probe keys were fetched, one point query each
+      assert(s1.fetchedKeys == 4, s"stats after first statement: $s1")
+      assert(s1.probedKeys == 4)
+      // a second statement inside the TTL is served from the LRU cache —
+      // zero new fetches, four hits
+      runner.run(
+        s"""CREATE TABLE kd_sink2 (k BIGINT, label STRING, v DOUBLE)
+           |WITH ('connector' = 'memory');
+           |INSERT INTO kd_sink2
+           |SELECT f.k, d.label, f.v FROM facts_kd_sink f
+           |JOIN big_dim FOR SYSTEM_TIME AS OF f.k AS d ON f.k = d.id;
+           |""".stripMargin)
+      assert(spark.table("kd_sink2_out").count() == 5)
+      val s2 = runner.keyedLookupStats("big_dim").get
+      assert(s2.fetchedKeys == 4, s"stats after second statement: $s2")
+      assert(s2.cacheHits == 4, s"stats after second statement: $s2")
+    } finally runner.close()
+  }
+
+  test("explicit keyed strategy + missing-key semantics through the gate") {
+    // 'lookup.cache.strategy' = 'keyed' forces point queries even for a
+    // small dim; an inner temporal join drops facts whose key is absent
+    // (negative-cached), matching the snapshot path's semantics
+    val url = derby("keyedopt")
+    val c = DriverManager.getConnection(url)
+    try {
+      val st = c.createStatement()
+      st.execute("CREATE TABLE kd_dim (id BIGINT PRIMARY KEY, " +
+        "label VARCHAR(24))")
+      st.execute("INSERT INTO kd_dim VALUES (1, 'one'), (2, 'two')")
+    } finally c.close()
+    val src = jsonDir(Seq(
+      """{"k": 1}""", """{"k": 2}""", """{"k": 3}"""))
+    val runner = new ScriptRunner(spark, batchMode = true)
+    try {
+      runner.run(
+        s"""create table facts_ko (k BIGINT) with (
+           |  'connector' = 'filesystem', 'path' = '$src',
+           |  'format' = 'json'
+           |);
+           |create table kd_dim (id BIGINT, label VARCHAR) with (
+           |  'connector' = 'jdbc', 'url' = '$url',
+           |  'table-name' = 'kd_dim',
+           |  'lookup.cache.strategy' = 'keyed'
+           |);
+           |CREATE TABLE ko_sink (k BIGINT, label STRING)
+           |WITH ('connector' = 'memory');
+           |INSERT INTO ko_sink
+           |SELECT f.k, d.label FROM facts_ko f
+           |JOIN kd_dim FOR SYSTEM_TIME AS OF f.k AS d ON f.k = d.id;
+           |""".stripMargin)
+      val out = spark.table("ko_sink_out").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toSet
+      assert(out == Set(1L -> "one", 2L -> "two")) // k=3 absent → dropped
+      val s = runner.keyedLookupStats("kd_dim").get
+      assert(s.probedKeys == 3 && s.fetchedKeys == 3,
+        s"negative caching must count the miss as fetched once: $s")
+    } finally runner.close()
+  }
+
   test("lookup TTL refresh is visible MID-STREAM across micro-batches") {
     // the full demo_3 semantics: one long-running streaming join, dim
     // updated while it runs — micro-batches inside the TTL see the

@@ -2,6 +2,7 @@ package graft.streaming
 
 import graft.SparkSpec
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{concat, lit}
 import scala.collection.mutable
 
 final case class Click(k: Int, page: String)
@@ -83,12 +84,13 @@ class LookupJoinSpec extends SparkSpec {
     val c = DriverManager.getConnection(url)
     try {
       val st = c.createStatement()
-      // quoted: the lookup emits quoted identifiers, and Derby folds
-      // unquoted DDL names to upper case
-      st.execute("CREATE TABLE \"dim\" (\"id\" BIGINT PRIMARY KEY, " +
-        "\"name\" VARCHAR(64))")
+      // unquoted, like a reference user's MySQL DDL: the lookup also
+      // emits unquoted identifiers, so both fold identically (Derby →
+      // upper case) and 'table-name' resolves like the user's own SQL
+      st.execute("CREATE TABLE dim (id BIGINT PRIMARY KEY, " +
+        "name VARCHAR(64))")
       rows.foreach { case (i, n) =>
-        st.execute(s"""INSERT INTO "dim" VALUES ($i, '$n')""")
+        st.execute(s"INSERT INTO dim VALUES ($i, '$n')")
       }
     } finally c.close()
     url
@@ -171,5 +173,39 @@ class LookupJoinSpec extends SparkSpec {
       assert(out.toSet == Set((1L, "/home", "alpha"), (3L, "/miss", null),
         (1L, "/again", "alpha"), (2L, "/new", "beta")))
     } finally q.stop()
+  }
+
+  test("enrichKeyedPartitions: per-executor lookup, cache shared across partitions") {
+    import spark.implicits._
+    val url = derbyDim("lkp5",
+      (0L until 10L).map(i => i -> s"name_$i"))
+    // 200 rows over 11 distinct keys (one absent from the dim) spread
+    // across 8 partitions — the per-executor call site must produce the
+    // same rows the driver-side broadcast join would, while this JVM's
+    // shared cache fetches each distinct key exactly once even though
+    // every partition probes overlapping keys
+    val batch = spark.range(200)
+      .select(($"id" % 11).as("id"), concat(lit("/p"), $"id").as("page"))
+      .repartition(8)
+    ExecutorLookupCaches.clear()
+    val enriched = LookupJoin.enrichKeyedPartitions(
+      url, Map.empty, "dim", "id", "id", dimSchema, "left",
+      cacheMaxRows = 100L, cacheTtlMs = 3600000L)(batch)
+    val got = enriched.select("id", "page", "name")
+      .as[(Long, String, String)].collect().toSet
+    // reference: the plain broadcast-join path over the full dim
+    val dimDf = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "dim").load()
+    val want = batch.join(dimDf, Seq("id"), "left")
+      .select("id", "page", "name")
+      .as[(Long, String, String)].collect().toSet
+    assert(got == want)
+    assert(got.exists(_._3 == null), "key 10 is absent → null-extended")
+    val st = ExecutorLookupCaches.stats((url, "dim", "id"))
+    // 8 partitions × overlapping keys, but one JVM-shared cache: each of
+    // the 11 distinct keys (incl. the negative-cached miss) fetched once
+    assert(st.fetchedKeys == 11, s"stats: $st")
+    assert(st.probedKeys > 11, s"partitions must have re-probed: $st")
+    assert(st.cacheHits == st.probedKeys - 11, s"stats: $st")
   }
 }
