@@ -23,9 +23,10 @@ import org.apache.spark.sql.functions._
   * are capped at [[MaxBandBucket]] members per bucket ([[bucketPairs]]),
   * with drops surfaced through an observe() metric — bounded work per
   * task by construction, no silent truncation. The simhash chunk path is
-  * deliberately NOT capped: its blocking key space is fixed, so a cap
-  * would break the lossless hamming≤3 contract at scale (see the
-  * q_dedup_simhash comment).
+  * deliberately NOT capped: a cap would break the lossless hamming≤3
+  * contract, so instead its chunk-key space is SIZED from the corpus
+  * ([[simhashChunkWidth]]: w = ceil(log2 n) + 4 bits per chunk) to keep
+  * expected bucket population O(1) at any scale.
   */
 object Dedup extends QueryPack {
 
@@ -207,6 +208,98 @@ object Dedup extends QueryPack {
   private[queries] def minhashPairs(s: SparkSession, dir: String): DataFrame =
     minhashVerifiedPairs(Tables.load(s, dir, "documents"), "doc_id", "text")
 
+  /** Chunk width w for the widened SimHash blocking: w = ceil(log2 n) + 4,
+    * so each of the 4 chunk-key spaces holds ~16n slots and the expected
+    * bucket population stays O(1) as the corpus grows — the same
+    * size-from-corpus rule as [[Similarity.recommendedCentroids]].
+    * Floored at 15 (the original 4x15-bit / 60-bit shape, so tiny corpora
+    * behave exactly as before) and capped at 30 (two 60-bit md5 limbs
+    * supply 120 >= 4w signature bits; corpora past 2^26 docs need a third
+    * limb — md5 has 2 more hex chars and a second digest call after that).
+    * Integer-exact (no floating log2) so the DuckDB oracle computes the
+    * identical w from the same count.
+    */
+  def simhashChunkWidth(n: Long): Int = {
+    val ceilLog2 =
+      if (n <= 2) 1 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+    math.min(30, math.max(15, ceilLog2 + 4))
+  }
+
+  /** SimHash near-dup pairs over ANY (id, text) relation, with corpus-
+    * sized chunk blocking. The signature is the per-bit majority vote
+    * over word-bigram token hashes; its width is exactly 4*chunkWidth
+    * bits, drawn low-bits-first from two 60-bit md5 limbs. Blocking: 4
+    * chunks of chunkWidth bits — hamming<=3 over the covered bits implies
+    * at most 3 chunks differ, so at least one chunk key collides
+    * (pigeonhole, for ANY width) and the blocking is LOSSLESS: candidates
+    * are verified by exact hamming over the same 4w bits, so output
+    * equals the brute-force all-pairs scan the oracle runs. The chunk
+    * path stays uncapped by design: its key space now GROWS with the
+    * corpus (2^w ≈ 16n per chunk), so expected bucket population is O(1)
+    * and the pair expansion stays linear — the fixed-4x2^15 key space
+    * that bent the sf10 curve (7x at 10x data) is gone.
+    */
+  def simhashVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
+      chunkWidth: Int): DataFrame = {
+    require(chunkWidth >= 1 && chunkWidth <= 30,
+      s"chunkWidth($chunkWidth) must be in [1, 30] — 4 chunks draw from " +
+        "120 bits of md5 signature material")
+    val s = df.sparkSession
+    graft.functions.GraftFunctions.register(s)
+    val w = chunkWidth
+    def mask(bits: Int): Long = if (bits <= 0) 0L else (1L << bits) - 1
+    val docs = df.select(col(idCol).as("doc_id"), words(col(textCol)).as("w"))
+      .filter(size(col("w")) >= 2)
+    // hash tokens in a codegen'd projection (explode keeps md5/conv in
+    // whole-stage codegen — an interpreted transform() lambda here is
+    // 2x slower end-to-end), then one fused native expression per limb
+    // for the 60-bit majority vote over the collected hashes (order-
+    // blind, so collect_list nondeterminism is harmless). Same majority
+    // rule (ties clear) as the oracle's per-bit ±1 sums.
+    val tok = docs.select(col("doc_id"),
+      explode(array_distinct(shingles(col("w"), 2))).as("t"))
+      .select(col("doc_id"),
+        tokenHash(col("t")).as("h1"), tokenHash2(col("t")).as("h2"))
+    val sim = tok.groupBy(col("doc_id")).agg(
+      graft.functions.GraftFunctions.simhash60(collect_list(col("h1")))
+        .as("s1"),
+      graft.functions.GraftFunctions.simhash60(collect_list(col("h2")))
+        .as("s2"))
+    // chunk c covers bits [c*w, (c+1)*w) of the 120-bit (s2 ++ s1)
+    // concatenation; a chunk straddling the limb boundary stitches the
+    // high bits of s1 to the low bits of s2. All shifts are plan-time
+    // constants — the keys stay one codegen'd projection + posexplode
+    // (signature agg runs once).
+    def slice(lo: Int): Column =
+      if (lo + w <= 60) shiftright(col("s1"), lo).bitwiseAND(lit(mask(w)))
+      else if (lo >= 60)
+        shiftright(col("s2"), lo - 60).bitwiseAND(lit(mask(w)))
+      else {
+        val n1 = 60 - lo
+        shiftright(col("s1"), lo).bitwiseAND(lit(mask(n1)))
+          .bitwiseOR(shiftleft(col("s2").bitwiseAND(lit(mask(w - n1))), n1))
+      }
+    val chunks = sim.select(col("doc_id"),
+      posexplode(array((0 until 4).map(c => slice(c * w)): _*))
+        .as(Seq("chunk", "ckey")))
+    val cand = bucketPairs(chunks, Seq("chunk", "ckey"), None,
+      "simhash_buckets")
+    // exact hamming over EXACTLY the 4w chunk-covered bits — counting
+    // uncovered bits would break the pigeonhole losslessness
+    val b1 = math.min(60, 4 * w)
+    val b2 = 4 * w - b1
+    cand
+      .join(sim.select(col("doc_id").as("ida"),
+        col("s1").as("sa1"), col("s2").as("sa2")), "ida")
+      .join(sim.select(col("doc_id").as("idb"),
+        col("s1").as("sb1"), col("s2").as("sb2")), "idb")
+      .select(col("ida"), col("idb"),
+        (bit_count(col("sa1").bitwiseXOR(col("sb1")).bitwiseAND(lit(mask(b1))))
+          + bit_count(col("sa2").bitwiseXOR(col("sb2"))
+            .bitwiseAND(lit(mask(b2))))).cast("long").as("hamming"))
+      .filter(col("hamming") <= 3)
+  }
+
   /** Connected components over undirected (ida, idb) pairs via min-label
     * propagation iterated to convergence — the "keep one doc per
     * duplicate cluster" operator. Each round is one shuffle join; rounds
@@ -272,6 +365,15 @@ object Dedup extends QueryPack {
     */
   private def tokenHash(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Second independent 60-bit token hash: md5 hex chars 16-30. Together
+    * with [[tokenHash]] this yields 120 bits of signature material for
+    * the widened SimHash blocking (md5's 32 hex chars supply both limbs
+    * from ONE digest — Catalyst subexpression elimination computes md5
+    * once per token).
+    */
+  private def tokenHash2(c: Column): Column =
+    conv(substring(md5(c), 16, 15), 16, 10).cast("long")
 
   import Vec.{quant, dotQ}
 
@@ -378,52 +480,17 @@ object Dedup extends QueryPack {
       connectedComponents(minhashPairs(s, dir).select($"ida", $"idb"))
     }),
 
-    // SimHash near-dup detection: 60-bit signature over word bigrams,
-    // 4×15-bit chunk blocking (pigeonhole: hamming≤3 ⇒ ≥1 chunk equal,
-    // so the blocking is LOSSLESS — the oracle brute-forces hamming
-    // directly and must agree exactly). Verify candidates by hamming≤3.
+    // SimHash near-dup detection with corpus-sized chunk blocking: the
+    // signature is 4w bits wide with w = ceil(log2 n) + 4 (see
+    // simhashChunkWidth), so the 4 chunk-key spaces GROW with the corpus
+    // and bucket population stays O(1) — pigeonhole (hamming≤3 ⇒ ≥1
+    // chunk equal, for ANY w) keeps the blocking LOSSLESS, and the
+    // oracle brute-forces hamming over the same 4w bits and must agree
+    // exactly. The count() that sizes w is parquet-metadata-cheap.
     "q_dedup_simhash" -> ((s, dir) => {
-      import s.implicits._
-      Vec.ensureRegistered(s)
       val docs = Tables.load(s, dir, "documents")
-        .select($"doc_id", words($"text").as("w"))
-        .filter(size($"w") >= 2)
-      // hash tokens in a codegen'd projection (explode keeps md5/conv in
-      // whole-stage codegen — an interpreted transform() lambda here is
-      // 2x slower end-to-end), then one fused native expression for the
-      // 60-bit majority vote over the collected hashes (order-blind, so
-      // collect_list nondeterminism is harmless). Same function as the
-      // oracle's per-bit ±1 sums.
-      val tok = docs.select($"doc_id",
-        explode(array_distinct(shingles($"w", 2))).as("t"))
-        .select($"doc_id", tokenHash($"t").as("h"))
-      val sim = tok.groupBy($"doc_id")
-        .agg(graft.functions.GraftFunctions.simhash60(collect_list($"h"))
-          .as("sim"))
-      // 4×15-bit chunk keys in one projection + posexplode (signature agg
-      // runs once), then the same bucket-grouped pair expansion as the
-      // LSH path — one shuffle. UNCAPPED, deliberately: the chunk key
-      // space is FIXED (4×2^15), so bucket population grows linearly
-      // with the corpus and any constant cap would eventually drop every
-      // bucket — silently voiding the lossless-blocking contract the
-      // oracle's brute force verifies. When chunk buckets outgrow the
-      // pair expansion (corpora ≫ 10^8 docs), the correct move is more
-      // chunks over a wider hamming budget (pigeonhole still holds), not
-      // a cap. LSH band keys don't have this failure mode — their key
-      // space scales with the corpus, so capping there drops only
-      // degenerate boilerplate groups.
-      val chunkKeys = (0 until 4).map(c =>
-        shiftright($"sim", c * 15).bitwiseAND((1L << 15) - 1))
-      val chunks = sim.select($"doc_id",
-        posexplode(array(chunkKeys: _*)).as(Seq("chunk", "ckey")))
-      val cand = bucketPairs(chunks, Seq("chunk", "ckey"),
-        None, "simhash_buckets")
-      cand
-        .join(sim.select($"doc_id".as("ida"), $"sim".as("sima")), "ida")
-        .join(sim.select($"doc_id".as("idb"), $"sim".as("simb")), "idb")
-        .select($"ida", $"idb",
-          bit_count($"sima".bitwiseXOR($"simb")).as("hamming"))
-        .filter($"hamming" <= 3)
+      simhashVerifiedPairs(docs, "doc_id", "text",
+        simhashChunkWidth(docs.count()))
     }),
 
     // Exact word-bigram Jaccard over a bounded block — the brute-force
@@ -599,6 +666,10 @@ object Dedup extends QueryPack {
   private def oTokenHash(v: String) =
     s"list_sum([(CAST(strpos('0123456789abcdef', substr(md5($v), i, 1)) AS BIGINT)-1) << (4*(15-i)) for i in generate_series(1,15)])"
 
+  /** Mirror of the second 60-bit limb (md5 hex chars 16-30). */
+  private def oTokenHash2(v: String) =
+    s"list_sum([(CAST(strpos('0123456789abcdef', substr(md5($v), 15+i, 1)) AS BIGINT)-1) << (4*(15-i)) for i in generate_series(1,15)])"
+
   /** DuckDB mirror of [[minhashPairs]] (full SELECT, usable as a CTE body). */
   private[queries] lazy val oMinhashPairsSql: String = {
     val mins = (0 until MinhashK)
@@ -665,23 +736,38 @@ object Dedup extends QueryPack {
          |  n = MIN(m) AS is_keeper
          |FROM cc GROUP BY n""".stripMargin,
 
-    // Oracle brute-forces hamming over all pairs — the chunk blocking on
-    // the Spark side is lossless for hamming<=3, so results must match.
+    // Oracle brute-forces hamming over all pairs, on the SAME 4w-bit
+    // signature the Spark side blocks on (w integer-derived from the
+    // same count(*), so both engines agree exactly) — the chunk blocking
+    // is lossless for hamming<=3, so results must match.
     "q_dedup_simhash" ->
-      s"""WITH w AS (SELECT doc_id, regexp_split_to_array(text,' ') w FROM documents),
+      s"""WITH cw AS (SELECT LEAST(GREATEST(
+         |    (SELECT MIN(k) FROM generate_series(1, 62) t(k)
+         |     WHERE (CAST(1 AS BIGINT) << k) >= (SELECT count(*) FROM documents))
+         |    + 4, 15), 30) AS w),
+         |mk AS (SELECT (CAST(1 AS BIGINT) << LEAST(4*w, 60)) - 1 AS m1,
+         |    (CAST(1 AS BIGINT) << GREATEST(4*w - 60, 0)) - 1 AS m2 FROM cw),
+         |w AS (SELECT doc_id, regexp_split_to_array(text,' ') w FROM documents),
          |tok AS (SELECT doc_id, unnest($oShingle2) AS t FROM w WHERE len(w) >= 2),
-         |th AS (SELECT doc_id, ${oTokenHash("t")} AS h FROM tok),
+         |th AS (SELECT doc_id, ${oTokenHash("t")} AS h1, ${oTokenHash2("t")} AS h2 FROM tok),
          |bits AS (SELECT doc_id, g.b,
-         |    SUM(CASE WHEN (h >> g.b) & 1 = 1 THEN 1 ELSE -1 END) AS sb
-         |  FROM th CROSS JOIN generate_series(0, 59) g(b)
+         |    SUM(CASE WHEN ((CASE WHEN g.b < 60 THEN h1 >> g.b
+         |                    ELSE h2 >> (g.b - 60) END) & 1) = 1
+         |        THEN 1 ELSE -1 END) AS sb
+         |  FROM th CROSS JOIN generate_series(0, 119) g(b)
          |  GROUP BY doc_id, g.b),
          |sim AS (SELECT doc_id,
-         |    SUM(CASE WHEN sb > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS sim
+         |    SUM(CASE WHEN sb > 0 AND b < 60
+         |        THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END) AS s1,
+         |    SUM(CASE WHEN sb > 0 AND b >= 60
+         |        THEN CAST(1 AS BIGINT) << (b - 60) ELSE CAST(0 AS BIGINT) END) AS s2
          |  FROM bits GROUP BY doc_id)
          |SELECT a.doc_id AS ida, b.doc_id AS idb,
-         |  bit_count(xor(a.sim, b.sim)) AS hamming
-         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.sim, b.sim)) <= 3""".stripMargin,
+         |  CAST(bit_count(xor(a.s1, b.s1) & mk.m1)
+         |    + bit_count(xor(a.s2, b.s2) & mk.m2) AS BIGINT) AS hamming
+         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id CROSS JOIN mk
+         |WHERE bit_count(xor(a.s1, b.s1) & mk.m1)
+         |    + bit_count(xor(a.s2, b.s2) & mk.m2) <= 3""".stripMargin,
 
     "q_dedup_ngram" ->
       s"""WITH w AS (SELECT doc_id, regexp_split_to_array(text,' ') w
