@@ -247,6 +247,53 @@ object Gate extends QueryPack {
       s.table("dedup_tvf_sink_out")
     }),
 
+    // The SAME TVF on a STREAMING source through the STREAMING gate:
+    // DEDUP_EXACT over a watermarked file stream routes to keyed
+    // first-arrival deduplication (streaming dropDuplicates, append
+    // mode — Flink SQL's Deduplication pattern) instead of being
+    // rejected, and the drained key set hash-matches batch DISTINCT.
+    // Which physical row arrives first per key is racy under a parallel
+    // source, so the script projects the key columns only — same
+    // determinism contract as q_stream_dedup, but arriving through
+    // split → classify → TVF rewrite → writeStream on a REAL drain.
+    "q_gate_dedup_stream" -> ((s, dir) => {
+      val (tsDdl, tsExpr) = graft.Tables.eventsTsDdl(s, dir)
+      val staged = StreamingGate.stagedEventsDir(dir)
+      val runner = new ScriptRunner(s, batchMode = false)
+      val res = runner.run(
+        s"""CREATE TABLE ev_dd_src (
+           |  event_id BIGINT,
+           |  ts $tsDdl,
+           |  user_id BIGINT,
+           |  event_type VARCHAR,
+           |  value DOUBLE,
+           |  props VARCHAR,
+           |  ts2 AS $tsExpr,
+           |  WATERMARK FOR ts2 AS ts2 - INTERVAL '1' HOUR
+           |) WITH (
+           |  'connector' = 'filesystem',
+           |  'path' = '$staged',
+           |  'format' = 'parquet'
+           |);
+           |CREATE TABLE dedup_stream_sink (
+           |  user_id BIGINT, event_type VARCHAR
+           |) WITH ('connector' = 'memory');
+           |INSERT INTO dedup_stream_sink
+           |SELECT user_id, event_type
+           |FROM TABLE(DEDUP_EXACT(TABLE ev_dd_src, DESCRIPTOR(user_id),
+           |  DESCRIPTOR(event_type)));
+           |""".stripMargin)
+      // AvailableNow drain; stop ALL queries in a finally so a timed-out
+      // drain cannot keep appending into a later run's sink in this JVM
+      try res.queries.foreach { q =>
+        require(q.awaitTermination(300000),
+          "streaming dedup gate query timed out")
+      } finally res.queries.foreach { q =>
+        try q.stop() catch { case _: Throwable => () }
+      }
+      s.table("dedup_stream_sink")
+    }),
+
     // ANN through the gate: CREATE VIEW carves corpus/query sides out of
     // one embeddings source, then ANN_TOPK runs the exact-cosine top-k
     // ([[graft.queries.Similarity.annTopkOn]]) — a script author reaches
@@ -538,6 +585,12 @@ object Gate extends QueryPack {
     "q_gate_dedup_tvf" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
+
+    // streaming first-arrival dedup: the emitted key SET equals batch
+    // DISTINCT (same oracle shape as q_stream_dedup — this one checks
+    // the gate's TVF rewrite + writeStream path, independently)
+    "q_gate_dedup_stream" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
 
     // same oracle shape as q_ann_brute but k=3 — the TVF layer must not
     // change the answer the Scala-API kernel gives

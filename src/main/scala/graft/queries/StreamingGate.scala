@@ -27,16 +27,23 @@ object StreamingGate extends QueryPack {
     * streams in place — Files.copy on a directory would copy it EMPTY
     * and silently stream zero rows.
     */
-  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+  /** Directory form of the events table for file-stream sources (shared
+    * with the gate-script streaming queries in [[Gate]] and the gate
+    * specs).
+    */
+  def stagedEventsDir(dir: String): String = {
     val src = java.nio.file.Paths.get(s"$dir/events.parquet")
-    val staged =
-      if (java.nio.file.Files.isDirectory(src)) src.toString
-      else stagedDirs.getOrElseUpdate(dir, {
-        val d = java.nio.file.Files.createTempDirectory("gate_stream")
-        d.toFile.deleteOnExit()
-        java.nio.file.Files.copy(src, d.resolve("part-0.parquet"))
-        d.toString
-      })
+    if (java.nio.file.Files.isDirectory(src)) src.toString
+    else stagedDirs.getOrElseUpdate(dir, {
+      val d = java.nio.file.Files.createTempDirectory("gate_stream")
+      d.toFile.deleteOnExit()
+      java.nio.file.Files.copy(src, d.resolve("part-0.parquet"))
+      d.toString
+    })
+  }
+
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    val staged = stagedEventsDir(dir)
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Derive the stream schema from the actual file rather than pinning it:
     // a pinned `ts LONG` silently reads a timestamp[us] file as raw micros

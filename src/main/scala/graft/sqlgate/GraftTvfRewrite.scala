@@ -31,8 +31,22 @@ import org.apache.spark.sql.SparkSession
   * Same execution shape as [[MatchRecognizeRewrite]]: the operator runs
   * over `spark.table(src)`, the result registers as a tracked temp view
   * (dropped by ScriptRunner once the consuming statement is analyzed),
-  * and the view name splices into the statement text. Batch gate mode —
-  * every operator here aggregates or joins over the whole relation, so a
+  * and the view name splices into the statement text.
+  *
+  * Streaming sources: `DEDUP_EXACT` is the one operator here with
+  * well-defined incremental semantics, so on a STREAMING relation it
+  * routes to keyed first-arrival deduplication — Flink SQL's
+  * "Deduplication" pattern (`ROW_NUMBER() OVER (PARTITION BY key ORDER
+  * BY proctime) = 1`), Spark-native as streaming `dropDuplicates` over
+  * the descriptor columns, append mode. The emitted relation is the
+  * descriptor columns themselves (which PHYSICAL row arrives first is
+  * racy under a parallel source, but the emitted KEY SET is
+  * deterministic and converges to batch `DISTINCT`); state holds one
+  * entry per key — bound it on unbounded corpora by watermarking the
+  * source and including the event-time column in the descriptors, or
+  * via `dropDuplicatesWithinWatermark` in the Scala API (StreamingSpec
+  * covers watermarked eviction). Every OTHER operator aggregates or
+  * joins over the whole relation with no incremental contract, so a
   * streaming source is rejected loudly by the `table()` guard rather
   * than silently re-windowed.
   */
@@ -78,12 +92,16 @@ object GraftTvfRewrite {
     */
   def rewriteTracking(spark: SparkSession, sql: String): (String, Seq[String]) = {
     val created = Seq.newBuilder[String]
+    def rawTable(src: String): org.apache.spark.sql.DataFrame =
+      spark.table(src.replace("`", ""))
     def table(src: String): org.apache.spark.sql.DataFrame = {
-      val df = spark.table(src.replace("`", ""))
+      val df = rawTable(src)
       require(!df.isStreaming,
-        s"graft TVFs aggregate or join over the whole relation and run " +
-          s"in batch gate mode; '$src' is a streaming source (a silent " +
-          "re-windowing would change semantics — rejected loudly)")
+        s"this graft TVF aggregates or joins over the whole relation " +
+          s"and runs in batch gate mode; '$src' is a streaming source " +
+          "(a silent re-windowing would change semantics — rejected " +
+          "loudly). Only DEDUP_EXACT routes streaming sources (keyed " +
+          "first-arrival deduplication)")
       df
     }
     def view(df: org.apache.spark.sql.DataFrame): String = {
@@ -95,8 +113,16 @@ object GraftTvfRewrite {
     def c2(m: scala.util.matching.Regex.Match, i: Int): String =
       m.group(i).replace("`", "")
     var out = ExactRe.replaceAllIn(sql, m => {
-      view(graft.queries.Dedup.exactGroups(
-        table(m.group(1)), c2(m, 2), c2(m, 3)))
+      val df = rawTable(m.group(1))
+      if (df.isStreaming)
+        // streaming route: keyed first-arrival dedup over the descriptor
+        // columns (append mode — the one incremental contract here; see
+        // the object Scaladoc). One state entry per key, no shuffle
+        // beyond the key-hash exchange the state store requires.
+        view(df.select(c2(m, 2), c2(m, 3))
+          .dropDuplicates(Seq(c2(m, 2), c2(m, 3))))
+      else
+        view(graft.queries.Dedup.exactGroups(df, c2(m, 2), c2(m, 3)))
     })
     out = MinhashRe.replaceAllIn(out, m => {
       val threshold = Option(m.group(4)).map(_.toDouble).getOrElse(0.8)

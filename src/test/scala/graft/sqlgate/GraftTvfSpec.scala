@@ -81,7 +81,8 @@ class GraftTvfSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("malformed graft TVF"))
 
-    // a streaming source behind the TVF must not silently re-window
+    // a streaming source behind a whole-relation TVF (everything except
+    // DEDUP_EXACT) must not silently re-window
     val runner = new ScriptRunner(spark, batchMode = false)
     val err = intercept[IllegalArgumentException] {
       runner.run(
@@ -90,13 +91,52 @@ class GraftTvfSpec extends SparkSpec {
            |) with (
            |  'connector' = 'datagen', 'rows-per-second' = '10'
            |);
-           |CREATE TABLE s_sink (keep_id BIGINT, n_copies BIGINT)
+           |CREATE TABLE s_sink (ida BIGINT, idb BIGINT, jacc DOUBLE)
            |WITH ('connector' = 'memory');
-           |INSERT INTO s_sink SELECT keep_id, n_copies
-           |FROM TABLE(DEDUP_EXACT(TABLE stream_docs, DESCRIPTOR(doc_id),
-           |  DESCRIPTOR(text)));""".stripMargin)
+           |INSERT INTO s_sink SELECT ida, idb, jacc
+           |FROM TABLE(DEDUP_MINHASH_PAIRS(TABLE stream_docs,
+           |  DESCRIPTOR(doc_id), DESCRIPTOR(text)));""".stripMargin)
     }
     assert(err.getMessage.contains("batch gate mode"))
+  }
+
+  test("streaming DEDUP_EXACT routes to keyed first-arrival dedup") {
+    // a streaming relation behind DEDUP_EXACT must become a streaming
+    // Deduplicate over the descriptor columns (append-able), not a
+    // rejection and not the batch hash-agg
+    val evDir = graft.queries.StreamingGate.stagedEventsDir(
+      "/root/testdata/sf0.001")
+    val schema = spark.read.parquet(evDir).schema
+    spark.readStream.schema(schema).parquet(evDir)
+      .createOrReplaceTempView("ev_stream_tvf")
+    val (rewritten, views) = GraftTvfRewrite.rewriteTracking(spark,
+      "SELECT user_id, event_type FROM TABLE(DEDUP_EXACT(" +
+        "TABLE ev_stream_tvf, DESCRIPTOR(user_id), " +
+        "DESCRIPTOR(event_type)))")
+    try {
+      val df = spark.sql(rewritten)
+      assert(df.isStreaming)
+      assert(df.columns.toSeq == Seq("user_id", "event_type"))
+      val hasDedup = df.queryExecution.analyzed.collectFirst {
+        case d: org.apache.spark.sql.catalyst.plans.logical.Deduplicate => d
+      }.isDefined
+      assert(hasDedup, df.queryExecution.analyzed.toString)
+      // and it drains: the emitted key set equals batch DISTINCT
+      val q = df.writeStream.format("memory").queryName("tvf_dd_drain")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try assert(q.awaitTermination(120000)) finally q.stop()
+      val got = spark.table("tvf_dd_drain")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val want = spark.read.parquet(evDir)
+        .select("user_id", "event_type").distinct()
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == want && got.nonEmpty)
+    } finally {
+      views.foreach(spark.catalog.dropTempView)
+      spark.catalog.dropTempView("ev_stream_tvf")
+    }
   }
 
   test("ANN_TOPK through the gate matches the library kernel") {
