@@ -36,7 +36,8 @@ class HttpApi(mgr: JobManager, spark: SparkSession, bindPort: Int = 0,
     users: Option[UserService] = None,
     config: Option[SystemConfig] = None,
     alarmLog: Option[AlarmTransports.AlarmLog] = None,
-    alarmPost: (String, String, String) => String = AlarmTransports.jdkPost)
+    alarmPost: (String, String, String) => String = AlarmTransports.jdkPost,
+    ipStatus: Option[IpStatusService] = None)
     extends AutoCloseable {
 
   private val server =
@@ -278,6 +279,23 @@ class HttpApi(mgr: JobManager, spark: SparkSession, bindPort: Int = 0,
           alarmLog.foreach(_.add(AlarmTransports.Delivery("-", "test", "TEST",
             "CALLBACK_URL", sent, detail)))
           reply(ex, 200, sent, detail, "null")
+        // HA introspection — the reference's ip_status page
+        // (flink_web.sql:32-44 backs a web list of instances): live
+        // instances within the heartbeat TTL plus the elected leader
+        // (selectLastIp rule), so an operator can see which web
+        // instance drives the leader-only schedules right now
+        case "ipStatus" =>
+          val svc = ipStatus.getOrElse(
+            throw new NoSuchElementException("ip status / HA not configured"))
+          val leader = svc.currentLeader()
+          val instances = svc.liveInstances().map { ip =>
+            s"""{"ip":${JsonUtil.str(ip)}""" +
+              s""","isLeader":${leader.contains(ip)}}"""
+          }.mkString("[", ",", "]")
+          ok(ex,
+            s"""{"leader":${leader.map(JsonUtil.str).getOrElse("null")}""" +
+              s""","thisInstance":${JsonUtil.str(svc.instanceIp)}""" +
+              s""","instances":$instances}""")
         case "checkfSql" =>
           // a check endpoint reports the verdict in-band (HTTP 200 either
           // way, like the reference's RestResult-wrapped MESSAGE_010/011)

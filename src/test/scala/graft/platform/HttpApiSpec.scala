@@ -52,6 +52,44 @@ class HttpApiSpec extends SparkSpec {
        |INSERT INTO snk SELECT id FROM src;
        |""".stripMargin
 
+  test("ipStatus lists live instances and the elected leader") {
+    // two instances heartbeating on a shared registry; the later
+    // registration (higher id) leads — selectLastIp semantics surfaced
+    // over live HTTP
+    val url = "jdbc:derby:memory:ipstat_http;create=true"
+    val a = new IpStatusService(url, "10.1.0.1")
+    val b = new IpStatusService(url, "10.1.0.2")
+    a.register(); b.register()
+    val api2 = new HttpApi(mgr, spark, ipStatus = Some(b))
+    try {
+      def post2(verb: String): (Int, String) = {
+        val conn = new java.net.URL(
+          s"http://127.0.0.1:${api2.port}/api/$verb")
+          .openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setRequestMethod("POST"); conn.setDoOutput(true)
+        conn.getOutputStream.write(Array.emptyByteArray)
+        val st = conn.getResponseCode
+        val in = if (st < 400) conn.getInputStream else conn.getErrorStream
+        val out = new String(in.readAllBytes(), "UTF-8")
+        conn.disconnect(); (st, out)
+      }
+      val (s1, b1) = post2("ipStatus")
+      assert(s1 == 200, b1)
+      assert(b1.contains(""""leader":"10.1.0.2""""), b1)
+      assert(b1.contains(""""thisInstance":"10.1.0.2""""), b1)
+      assert(b1.contains(""""ip":"10.1.0.1","isLeader":false"""), b1)
+      assert(b1.contains(""""ip":"10.1.0.2","isLeader":true"""), b1)
+      // clean shutdown of the leader drops it out immediately
+      b.cancel()
+      val (_, b2) = post2("ipStatus")
+      assert(b2.contains(""""leader":"10.1.0.1""""), b2)
+      assert(!b2.contains(""""ip":"10.1.0.2""""), b2)
+    } finally api2.close()
+    // the default api (no IpStatusService wired) 404s the verb
+    val (s3, b3) = post("ipStatus")
+    assert(s3 == 404 && b3.contains("not configured"), b3)
+  }
+
   test("checkfSql reports the validation verdict in-band") {
     val src = Files.createTempDirectory("api_chk").toString
     val (s1, b1) = post("checkfSql", "flinkSql" ->
