@@ -170,12 +170,27 @@ object ScaleStress {
       "pack_sequences" -> (() => materialize("q_pack_sequences")),
       "tpch_q1" -> (() => materialize("q1_agg")),
       "tpch_q18" -> (() => materialize("q18_bigorders")),
-      "tpch_q21" -> (() => materialize("q21_waiting"))
+      "tpch_q21" -> (() => materialize("q21_waiting")),
+      // r10 surfaces: the TVF gate's broadcast ANN (SQL-dialect parse +
+      // rewrite + the same bucketed join), the watermark-closed
+      // dual-stream interval join on a REAL streaming drain, and the
+      // debezium changelog materialization through the gate — all run
+      // exactly as the correctness gate defines them, so the stress
+      // numbers cover the parse/plan/stream machinery too
+      "gate_ann_tvf" -> (() => countOf("q_gate_ann_tvf")),
+      "stream_join" -> (() => countOf("q_stream_join")),
+      "cdc_materialize" -> (() => countOf("q_gate_cdc"))
     )
+
+    // optional comma-separated op filter for selective re-measurement
+    // (never set by the driver)
+    val onlyOps = sys.env.get("SPARK_GRAFT_STRESS_OPS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = ops.filter { case (name, _) => onlyOps.forall(_.contains(name)) }
 
     val times = scala.collection.mutable.LinkedHashMap[String, Double]()
     val metrics = scala.collection.mutable.LinkedHashMap[String, Metrics]()
-    for (p <- 1 to passes; (name, fn) <- ops) {
+    for (p <- 1 to passes; (name, fn) <- selected) {
       val t0 = System.nanoTime()
       val m = fn()
       val dt = (System.nanoTime() - t0) / 1e9
