@@ -58,9 +58,21 @@ object Dedup extends QueryPack {
   def minhashCandidates(docs0: DataFrame, k: Int = MinhashK,
       bands: Int = Bands, rowsPerBand: Int = RowsPerBand,
       maxBucket: Int = MaxBandBucket): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket($maxBucket) must allow pairs")
+    val bandRows = minhashBandRows(docs0, k, bands, rowsPerBand)
+    // Int.MaxValue is the public "no cap" knob → explicit uncapped mode
+    val cap = if (maxBucket == Int.MaxValue) None else Some(maxBucket)
+    bucketPairs(bandRows, Seq("band", "bkey"), cap, "lsh_buckets")
+  }
+
+  /** (doc_id, band, bkey) LSH band rows of a (doc_id, text) relation —
+    * the signature pipeline shared by self-dedup ([[minhashCandidates]])
+    * and cross-corpus dedup ([[minhashCrossPairs]]).
+    */
+  private def minhashBandRows(docs0: DataFrame, k: Int,
+      bands: Int, rowsPerBand: Int): DataFrame = {
     require(bands * rowsPerBand <= k,
       s"bands($bands) × rowsPerBand($rowsPerBand) exceeds k($k)")
-    require(maxBucket >= 2, s"maxBucket($maxBucket) must allow pairs")
     graft.functions.GraftFunctions.register(docs0.sparkSession)
     val docs = docs0
       .select(col("doc_id"), words(col("text")).as("w"))
@@ -75,11 +87,8 @@ object Dedup extends QueryPack {
       concat_ws("_",
         (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)
     }
-    val bandRows = mh.select(col("doc_id"),
+    mh.select(col("doc_id"),
       posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
-    // Int.MaxValue is the public "no cap" knob → explicit uncapped mode
-    val cap = if (maxBucket == Int.MaxValue) None else Some(maxBucket)
-    bucketPairs(bandRows, Seq("band", "bkey"), cap, "lsh_buckets")
   }
 
   /** In-bucket pair expansion with a hot-bucket cap: groupBy the bucket
@@ -207,6 +216,67 @@ object Dedup extends QueryPack {
 
   private[queries] def minhashPairs(s: SparkSession, dir: String): DataFrame =
     minhashVerifiedPairs(Tables.load(s, dir, "documents"), "doc_id", "text")
+
+  /** Incremental cross-corpus near-dup detection: every production
+    * pipeline runs this shape on each new crawl drop — dedup an INCOMING
+    * shard against a FROZEN corpus without re-pairing the corpus with
+    * itself. Both sides go through the same signature pipeline; the
+    * candidate stage is a band-key join BETWEEN the sides (bucketed per
+    * side first, so the shuffle carries one row per distinct band key
+    * per side, and the in-bucket expansion is incoming×corpus only —
+    * never corpus²). Degenerate boilerplate keys are capped on the
+    * PRODUCT (incoming·corpus members) with the drop accounted through
+    * an observe() metric, same policy as [[minhashCandidates]].
+    * Candidates are verified by exact 3-gram Jaccard. Output
+    * (ida = incoming id, idb = corpus id, jacc >= threshold).
+    *
+    * At 100 TB the corpus side's signatures are computed once and kept
+    * (they are a pure function of the text); this operator takes the
+    * raw relations so the oracle can brute-force it, but the band-row
+    * stage is the natural persistence cut.
+    */
+  def minhashCrossPairs(incoming: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, threshold: Double = 0.8,
+      k: Int = MinhashK, bands: Int = Bands, rowsPerBand: Int = RowsPerBand,
+      maxProduct: Int = MaxBandBucket * MaxBandBucket): DataFrame = {
+    require(maxProduct >= 1, s"maxProduct($maxProduct) must allow pairs")
+    val s = incoming.sparkSession
+    def norm(df: DataFrame) =
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val inc = norm(incoming)
+    val cor = norm(corpus)
+    val bn = minhashBandRows(inc, k, bands, rowsPerBand)
+      .groupBy(col("band"), col("bkey"))
+      .agg(collect_list(col("doc_id")).as("nm"))
+    val bc = minhashBandRows(cor, k, bands, rowsPerBand)
+      .groupBy(col("band"), col("bkey"))
+      .agg(collect_list(col("doc_id")).as("cm"))
+    ensureDropLogger(s)
+    val product = size(col("nm")).cast("long") * size(col("cm"))
+    val joined = bn.join(bc, Seq("band", "bkey"))
+      .observe("cross_lsh_buckets",
+        sum(when(product > maxProduct, 1L).otherwise(0L))
+          .as("dropped_buckets"),
+        sum(when(product > maxProduct, product).otherwise(0L))
+          .as("dropped_members"))
+      .filter(product <= maxProduct)
+    val cand = joined
+      .select(explode(col("nm")).as("ida"), col("cm"))
+      .select(col("ida"), explode(col("cm")).as("idb"))
+      .distinct()
+    def sets(df: DataFrame, idAs: String, setAs: String) = df
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id").as(idAs),
+        array_distinct(shingles(col("w"), 3)).as(setAs))
+    cand
+      .join(sets(inc, "ida", "sa"), "ida")
+      .join(sets(cor, "idb", "sb"), "idb")
+      .select(col("ida"), col("idb"),
+        graft.functions.GraftFunctions.jaccardDistinct(col("sa"), col("sb"))
+          .as("jacc"))
+      .filter(col("jacc") >= threshold)
+  }
 
   /** Chunk width w for the widened SimHash blocking: w = ceil(log2 n) + 4,
     * so each of the 4 chunk-key spaces holds ~16n slots and the expected
@@ -480,6 +550,18 @@ object Dedup extends QueryPack {
       connectedComponents(minhashPairs(s, dir).select($"ida", $"idb"))
     }),
 
+    // Incremental cross-corpus dedup: the incoming shard (doc_id%10>=8)
+    // near-dup-checked against the frozen corpus (doc_id%10<8) — band
+    // keys joined BETWEEN sides, never corpus×corpus. Oracle
+    // brute-forces the same split.
+    "q_dedup_cross" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      minhashCrossPairs(
+        docs.filter(col("doc_id") % 10 >= 8),
+        docs.filter(col("doc_id") % 10 < 8),
+        "doc_id", "text")
+    }),
+
     // SimHash near-dup detection with corpus-sized chunk blocking: the
     // signature is 4w bits wide with w = ceil(log2 n) + 4 (see
     // simhashChunkWidth), so the 4 chunk-key spaces GROW with the corpus
@@ -671,7 +753,11 @@ object Dedup extends QueryPack {
     s"list_sum([(CAST(strpos('0123456789abcdef', substr(md5($v), 15+i, 1)) AS BIGINT)-1) << (4*(15-i)) for i in generate_series(1,15)])"
 
   /** DuckDB mirror of [[minhashPairs]] (full SELECT, usable as a CTE body). */
-  private[queries] lazy val oMinhashPairsSql: String = {
+  /** Shared WITH-prologue of the minhash oracles: signatures, band keys,
+    * and shingle sets for every document (per-doc work is identical
+    * whichever side of a dedup a doc lands on).
+    */
+  private lazy val oMinhashProlog: String = {
     val mins = (0 until MinhashK)
       .map(j => s"min((${HashA(j)} * x + ${HashB(j)}) % $P) AS h$j")
       .mkString(", ")
@@ -680,23 +766,43 @@ object Dedup extends QueryPack {
         .mkString("||'_'||")
       s"SELECT doc_id, $b AS band, $key AS bkey FROM mh"
     }.mkString(" UNION ALL ")
-    s"""WITH w AS (SELECT doc_id, regexp_split_to_array(text,' ') w FROM documents),
+    s"""w AS (SELECT doc_id, regexp_split_to_array(text,' ') w FROM documents),
        |sh AS (SELECT doc_id, unnest($oShingle3) AS s FROM w WHERE len(w) >= 3),
        |shh AS (SELECT doc_id, ${oTokenHash("s")} % $P AS x FROM sh),
        |mh AS (SELECT doc_id, $mins FROM shh GROUP BY doc_id),
        |bands AS ($bandSelects),
-       |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
-       |  FROM bands a JOIN bands b
-       |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-       |sets AS (SELECT doc_id, $oShingle3 AS ss FROM w WHERE len(w) >= 3)
+       |sets AS (SELECT doc_id, $oShingle3 AS ss FROM w WHERE len(w) >= 3)""".stripMargin
+  }
+
+  private def oMinhashVerify(candSql: String, threshold: Double): String =
+    s"""cand AS ($candSql)
        |SELECT ida, idb,
        |  CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE) /
        |    len(list_distinct(list_concat(sa.ss, sb.ss))) AS jacc
        |FROM cand JOIN sets sa ON sa.doc_id = ida
        |          JOIN sets sb ON sb.doc_id = idb
        |WHERE CAST(len(list_intersect(sa.ss, sb.ss)) AS DOUBLE) /
-       |    len(list_distinct(list_concat(sa.ss, sb.ss))) >= 0.8""".stripMargin
-  }
+       |    len(list_distinct(list_concat(sa.ss, sb.ss))) >= $threshold""".stripMargin
+
+  private[queries] lazy val oMinhashPairsSql: String =
+    s"""WITH $oMinhashProlog,
+       |${oMinhashVerify(
+      """SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+        |  FROM bands a JOIN bands b
+        |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin,
+      0.8)}""".stripMargin
+
+  /** Mirror of [[minhashCrossPairs]] over the documents table split by
+    * doc_id % 10 (>= 8 incoming, < 8 corpus).
+    */
+  private[queries] lazy val oMinhashCrossSql: String =
+    s"""WITH $oMinhashProlog,
+       |${oMinhashVerify(
+      """SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+        |  FROM bands a JOIN bands b
+        |  ON a.band = b.band AND a.bkey = b.bkey
+        |  WHERE a.doc_id % 10 >= 8 AND b.doc_id % 10 < 8""".stripMargin,
+      0.8)}""".stripMargin
   private val oQuant = Vec.oQuant
 
   def oracleSql: Map[String, String] = Map(
@@ -723,6 +829,8 @@ object Dedup extends QueryPack {
 
     "q_dedup_minhash" -> oMinhashPairsSql,
 
+    "q_dedup_cross" -> oMinhashCrossSql,
+
     "q_dedup_cluster" ->
       s"""WITH RECURSIVE pairs AS ($oMinhashPairsSql),
          |edges AS (SELECT ida AS n, idb AS m FROM pairs
@@ -740,34 +848,7 @@ object Dedup extends QueryPack {
     // signature the Spark side blocks on (w integer-derived from the
     // same count(*), so both engines agree exactly) — the chunk blocking
     // is lossless for hamming<=3, so results must match.
-    "q_dedup_simhash" ->
-      s"""WITH cw AS (SELECT LEAST(GREATEST(
-         |    (SELECT MIN(k) FROM generate_series(1, 62) t(k)
-         |     WHERE (CAST(1 AS BIGINT) << k) >= (SELECT count(*) FROM documents))
-         |    + 4, 15), 30) AS w),
-         |mk AS (SELECT (CAST(1 AS BIGINT) << LEAST(4*w, 60)) - 1 AS m1,
-         |    (CAST(1 AS BIGINT) << GREATEST(4*w - 60, 0)) - 1 AS m2 FROM cw),
-         |w AS (SELECT doc_id, regexp_split_to_array(text,' ') w FROM documents),
-         |tok AS (SELECT doc_id, unnest($oShingle2) AS t FROM w WHERE len(w) >= 2),
-         |th AS (SELECT doc_id, ${oTokenHash("t")} AS h1, ${oTokenHash2("t")} AS h2 FROM tok),
-         |bits AS (SELECT doc_id, g.b,
-         |    SUM(CASE WHEN ((CASE WHEN g.b < 60 THEN h1 >> g.b
-         |                    ELSE h2 >> (g.b - 60) END) & 1) = 1
-         |        THEN 1 ELSE -1 END) AS sb
-         |  FROM th CROSS JOIN generate_series(0, 119) g(b)
-         |  GROUP BY doc_id, g.b),
-         |sim AS (SELECT doc_id,
-         |    SUM(CASE WHEN sb > 0 AND b < 60
-         |        THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END) AS s1,
-         |    SUM(CASE WHEN sb > 0 AND b >= 60
-         |        THEN CAST(1 AS BIGINT) << (b - 60) ELSE CAST(0 AS BIGINT) END) AS s2
-         |  FROM bits GROUP BY doc_id)
-         |SELECT a.doc_id AS ida, b.doc_id AS idb,
-         |  CAST(bit_count(xor(a.s1, b.s1) & mk.m1)
-         |    + bit_count(xor(a.s2, b.s2) & mk.m2) AS BIGINT) AS hamming
-         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id CROSS JOIN mk
-         |WHERE bit_count(xor(a.s1, b.s1) & mk.m1)
-         |    + bit_count(xor(a.s2, b.s2) & mk.m2) <= 3""".stripMargin,
+    "q_dedup_simhash" -> oSimhashPairsSql,
 
     "q_dedup_ngram" ->
       s"""WITH w AS (SELECT doc_id, regexp_split_to_array(text,' ') w
@@ -829,4 +910,39 @@ object Dedup extends QueryPack {
          |  ${Vec.oCosineQ("a.qe", "b.qe", "a.nrm", "b.nrm")} AS cosine
          |FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
          |WHERE ${Vec.oCosineQ("a.qe", "b.qe", "a.nrm", "b.nrm")} >= $SemTheta""".stripMargin)
+
+  /** DuckDB mirror of the corpus-sized [[simhashVerifiedPairs]] over the
+    * documents table: brute-force hamming over the SAME 4w-bit signature
+    * (w integer-derived from the same count(*), so both engines agree
+    * exactly). Shared with the gate TVF oracle so the two checks cannot
+    * drift.
+    */
+  private[queries] lazy val oSimhashPairsSql: String =
+    s"""WITH cw AS (SELECT LEAST(GREATEST(
+       |    (SELECT MIN(k) FROM generate_series(1, 62) t(k)
+       |     WHERE (CAST(1 AS BIGINT) << k) >= (SELECT count(*) FROM documents))
+       |    + 4, 15), 30) AS w),
+       |mk AS (SELECT (CAST(1 AS BIGINT) << LEAST(4*w, 60)) - 1 AS m1,
+       |    (CAST(1 AS BIGINT) << GREATEST(4*w - 60, 0)) - 1 AS m2 FROM cw),
+       |w AS (SELECT doc_id, regexp_split_to_array(text,' ') w FROM documents),
+       |tok AS (SELECT doc_id, unnest($oShingle2) AS t FROM w WHERE len(w) >= 2),
+       |th AS (SELECT doc_id, ${oTokenHash("t")} AS h1, ${oTokenHash2("t")} AS h2 FROM tok),
+       |bits AS (SELECT doc_id, g.b,
+       |    SUM(CASE WHEN ((CASE WHEN g.b < 60 THEN h1 >> g.b
+       |                    ELSE h2 >> (g.b - 60) END) & 1) = 1
+       |        THEN 1 ELSE -1 END) AS sb
+       |  FROM th CROSS JOIN generate_series(0, 119) g(b)
+       |  GROUP BY doc_id, g.b),
+       |sim AS (SELECT doc_id,
+       |    SUM(CASE WHEN sb > 0 AND b < 60
+       |        THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END) AS s1,
+       |    SUM(CASE WHEN sb > 0 AND b >= 60
+       |        THEN CAST(1 AS BIGINT) << (b - 60) ELSE CAST(0 AS BIGINT) END) AS s2
+       |  FROM bits GROUP BY doc_id)
+       |SELECT a.doc_id AS ida, b.doc_id AS idb,
+       |  CAST(bit_count(xor(a.s1, b.s1) & mk.m1)
+       |    + bit_count(xor(a.s2, b.s2) & mk.m2) AS BIGINT) AS hamming
+       |FROM sim a JOIN sim b ON a.doc_id < b.doc_id CROSS JOIN mk
+       |WHERE bit_count(xor(a.s1, b.s1) & mk.m1)
+       |    + bit_count(xor(a.s2, b.s2) & mk.m2) <= 3""".stripMargin
 }

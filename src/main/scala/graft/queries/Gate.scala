@@ -247,6 +247,31 @@ object Gate extends QueryPack {
       s.table("dedup_tvf_sink_out")
     }),
 
+    // The corpus-sized SimHash pair operator through the TVF gate
+    // (chunkWidth defaulted from the relation's count, exactly like
+    // q_dedup_simhash) — completes the gate-reachable dedup family:
+    // exact, MinHash, SimHash.
+    "q_gate_simhash_tvf" -> ((s, dir) => {
+      val runner = new ScriptRunner(s, batchMode = true)
+      runner.run(
+        s"""CREATE TABLE docs_sh (
+           |  doc_id BIGINT, text VARCHAR, lang VARCHAR, source VARCHAR,
+           |  n_chars BIGINT
+           |) WITH (
+           |  'connector' = 'filesystem',
+           |  'path' = '$dir/documents.parquet',
+           |  'format' = 'parquet'
+           |);
+           |CREATE TABLE simhash_tvf_sink (ida BIGINT, idb BIGINT,
+           |  hamming BIGINT) WITH ('connector' = 'memory');
+           |INSERT INTO simhash_tvf_sink
+           |SELECT ida, idb, hamming
+           |FROM TABLE(DEDUP_SIMHASH_PAIRS(TABLE docs_sh,
+           |  DESCRIPTOR(doc_id), DESCRIPTOR(text)));
+           |""".stripMargin)
+      s.table("simhash_tvf_sink_out")
+    }),
+
     // The SAME TVF on a STREAMING source through the STREAMING gate:
     // DEDUP_EXACT over a watermarked file stream routes to keyed
     // first-arrival deduplication (streaming dropDuplicates, append
@@ -585,6 +610,10 @@ object Gate extends QueryPack {
     "q_gate_dedup_tvf" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
+
+    // the TVF layer must not change the answer the Scala-API kernel
+    // gives — same brute-force mirror as q_dedup_simhash
+    "q_gate_simhash_tvf" -> Dedup.oSimhashPairsSql,
 
     // streaming first-arrival dedup: the emitted key SET equals batch
     // DISTINCT (same oracle shape as q_stream_dedup — this one checks

@@ -16,6 +16,12 @@ import org.apache.spark.sql.SparkSession
   *     near-dup pairs via MinHash+LSH —
   *     [[graft.queries.Dedup.minhashVerifiedPairs]] (default
   *     threshold 0.8).
+  *   - `TABLE(DEDUP_SIMHASH_PAIRS(TABLE t, DESCRIPTOR(id),
+  *     DESCRIPTOR(text)[, <chunkWidth>]))` → `(ida, idb, hamming)`:
+  *     hamming≤3 near-dup pairs via corpus-sized SimHash chunk
+  *     blocking — [[graft.queries.Dedup.simhashVerifiedPairs]]
+  *     (chunkWidth defaults to [[graft.queries.Dedup.simhashChunkWidth]]
+  *     of the relation's row count).
   *   - `TABLE(ANN_TOPK(TABLE corpus, TABLE queries, DESCRIPTOR(id),
   *     DESCRIPTOR(vec)[, <k>]))` → `(qid, nid, cosine, rank)`: exact
   *     cosine top-k of every query row against the corpus —
@@ -53,7 +59,7 @@ import org.apache.spark.sql.SparkSession
 object GraftTvfRewrite {
 
   private val Keyword =
-    """(?i)\b(?:DEDUP_(?:EXACT|MINHASH_PAIRS)|ANN_TOPK|TEXT_QUALITY|LANG_ID)\s*\(""".r
+    """(?i)\b(?:DEDUP_(?:EXACT|MINHASH_PAIRS|SIMHASH_PAIRS)|ANN_TOPK|TEXT_QUALITY|LANG_ID)\s*\(""".r
   private val viewCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private val Head =
@@ -61,6 +67,8 @@ object GraftTvfRewrite {
   private val ExactRe = (Head.format("DEDUP_EXACT") + """\)\s*\)""").r
   private val MinhashRe =
     (Head.format("DEDUP_MINHASH_PAIRS") + """(?:,\s*([0-9.]+)\s*)?\)\s*\)""").r
+  private val SimhashRe =
+    (Head.format("DEDUP_SIMHASH_PAIRS") + """(?:,\s*(\d+)\s*)?\)\s*\)""").r
   private val QualityRe = (Head.format("TEXT_QUALITY") + """\)\s*\)""").r
   private val LangIdRe = (Head.format("LANG_ID") + """\)\s*\)""").r
   // ANN takes TWO table args (corpus, queries) before the descriptors
@@ -69,7 +77,7 @@ object GraftTvfRewrite {
       """TABLE\s+([`\w.]+)\s*,\s*DESCRIPTOR\s*\(\s*([`\w]+)\s*\)\s*,\s*""" +
       """DESCRIPTOR\s*\(\s*([`\w]+)\s*\)\s*(?:,\s*(\d+)\s*)?\)\s*\)""").r
 
-  private def allRes = Seq(ExactRe, MinhashRe, QualityRe, LangIdRe)
+  private def allRes = Seq(ExactRe, MinhashRe, SimhashRe, QualityRe, LangIdRe)
 
   /** True iff the statement uses a graft TVF. */
   def present(sql: String): Boolean = Keyword.findFirstIn(sql).isDefined
@@ -129,6 +137,13 @@ object GraftTvfRewrite {
       view(graft.queries.Dedup.minhashVerifiedPairs(
         table(m.group(1)), c2(m, 2), c2(m, 3), threshold))
     })
+    out = SimhashRe.replaceAllIn(out, m => {
+      val df = table(m.group(1))
+      val w = Option(m.group(4)).map(_.toInt)
+        .getOrElse(graft.queries.Dedup.simhashChunkWidth(df.count()))
+      view(graft.queries.Dedup.simhashVerifiedPairs(
+        df, c2(m, 2), c2(m, 3), w))
+    })
     out = AnnRe.replaceAllIn(out, m => {
       val k = Option(m.group(5)).map(_.toInt).getOrElse(5)
       view(graft.queries.Similarity.annTopkOn(
@@ -166,6 +181,8 @@ object GraftTvfRewrite {
           "TABLE(DEDUP_EXACT(TABLE t, DESCRIPTOR(id), DESCRIPTOR(text))), " +
           "TABLE(DEDUP_MINHASH_PAIRS(TABLE t, DESCRIPTOR(id), " +
           "DESCRIPTOR(text)[, threshold])), " +
+          "TABLE(DEDUP_SIMHASH_PAIRS(TABLE t, DESCRIPTOR(id), " +
+          "DESCRIPTOR(text)[, chunkWidth])), " +
           "TABLE(ANN_TOPK(TABLE corpus, TABLE queries, DESCRIPTOR(id), " +
           "DESCRIPTOR(vec)[, k])), " +
           "TABLE(TEXT_QUALITY(TABLE t, DESCRIPTOR(id), DESCRIPTOR(text))) " +

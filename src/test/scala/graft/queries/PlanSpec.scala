@@ -90,6 +90,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q_dedup_cross: band-keyed join between sides, no pair blowup") {
+    val p = plan("q_dedup_cross")
+    // the candidate stage must be an equality join on (band, bkey) —
+    // an unkeyed plan here would be incoming × corpus
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Union"), p)
+  }
+
   test("q_dedup_semantic: centroid assignment is a zero-shuffle projection") {
     val p = plan("q_dedup_semantic")
     // the collected centroids fold into an argmin projection — no join,

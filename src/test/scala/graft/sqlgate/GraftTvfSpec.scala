@@ -57,6 +57,28 @@ class GraftTvfSpec extends SparkSpec {
     assert(viaGate == direct && viaGate.nonEmpty)
   }
 
+  test("DEDUP_SIMHASH_PAIRS through the gate matches the library operator") {
+    val runner = new ScriptRunner(spark, batchMode = true)
+    runner.run(
+      s"""${docsDdl("docs_sh")}
+         |CREATE TABLE sh_pair_sink (ida BIGINT, idb BIGINT,
+         |  hamming BIGINT) WITH ('connector' = 'memory');
+         |INSERT INTO sh_pair_sink
+         |SELECT ida, idb, hamming
+         |FROM TABLE(DEDUP_SIMHASH_PAIRS(TABLE docs_sh,
+         |  DESCRIPTOR(doc_id), DESCRIPTOR(text), 15));""".stripMargin)
+    val viaGate = spark.table("sh_pair_sink_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = graft.queries.Dedup.simhashVerifiedPairs(
+      spark.read.parquet(docsDir), "doc_id", "text", 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaGate == direct && viaGate.nonEmpty)
+    // the explicit chunkWidth must also agree with the corpus-sized
+    // default at this corpus (500 docs → ceil(log2)+4 = 13 → floor 15)
+    assert(graft.queries.Dedup.simhashChunkWidth(
+      spark.read.parquet(docsDir).count()) == 15)
+  }
+
   test("TVF composes with downstream SQL (filter + join back)") {
     val runner = new ScriptRunner(spark, batchMode = true)
     runner.run(
