@@ -179,7 +179,12 @@ object ScaleStress {
       // numbers cover the parse/plan/stream machinery too
       "gate_ann_tvf" -> (() => countOf("q_gate_ann_tvf")),
       "stream_join" -> (() => countOf("q_stream_join")),
-      "cdc_materialize" -> (() => countOf("q_gate_cdc"))
+      "cdc_materialize" -> (() => countOf("q_gate_cdc")),
+      // r11: incoming-shard-vs-frozen-corpus dedup — candidate volume
+      // is the metric (band-key join between sides, product cap held
+      // ⇔ pairs grow ~linearly with the incoming shard)
+      "cross_dedup" -> (() => countOf("q_dedup_cross")
+        .map { case (_, v) => ("pairs", v) })
     )
 
     // optional comma-separated op filter for selective re-measurement
