@@ -152,7 +152,7 @@ object Bench {
       "q_gate_script", "q_gate_flink_tumble", "q_media_features",
       "q_train_split", "q_ann_pq_fit", "q_gate_match_recognize",
       "q_text_lm_score", "q_embed_outliers", "q_stream_over",
-      "q_pipeline_curate", "q_gate_kafka_live")
+      "q_pipeline_curate", "q_gate_kafka_live", "q_gate_udf")
     // Locale.ROOT: the f interpolator is locale-sensitive, and a comma
     // decimal separator would make the JSON line unparseable.
     def r3(v: Double): String =

@@ -84,6 +84,14 @@ case class LongDotProduct(left: Expression, right: Expression)
 }
 
 object GraftFunctions {
+  /** Every name [[register]] binds — [[Udx]] refuses a `CREATE FUNCTION`
+    * over any of them regardless of registration order (an overwrite
+    * would silently poison every later query in the session).
+    */
+  val nativeNames: Set[String] = Set("long_dot", "simhash60",
+    "word_ngrams", "count_in", "text_fingerprint", "jaccard_distinct",
+    "quant_vec", "argmin_cos", "pq_encode")
+
   // once per session: createOrReplaceTempFunction logs a WARN on every
   // re-register, and the query packs call register() per query. Weak
   // keys so stopped sessions aren't pinned for the JVM lifetime; the

@@ -44,13 +44,63 @@ object Udx {
     }
   }
 
+  // Per-session name→class bindings from CREATE FUNCTION. The SAME
+  // class may re-register idempotently (the gate re-runs scripts on
+  // resubmission), but rebinding a live name — another CREATE FUNCTION's
+  // class, a graft native expression, or a Spark builtin — is rejected
+  // loudly: createOrReplaceTempFunction would silently change every
+  // later use of the name in the session (exactly the failure a
+  // colliding `CREATE FUNCTION word_ngrams` produced before this guard).
+  private val bindings =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        scala.collection.concurrent.TrieMap[String, String]]())
+
+  private def sessionBindings(spark: SparkSession)
+      : scala.collection.concurrent.TrieMap[String, String] =
+    bindings.synchronized {
+      var t = bindings.get(spark)
+      if (t == null) {
+        t = scala.collection.concurrent.TrieMap.empty[String, String]
+        bindings.put(spark, t)
+      }
+      t
+    }
+
+  private def guardBinding(spark: SparkSession, name: String,
+      className: String): Unit = {
+    val key = name.toLowerCase(java.util.Locale.ROOT)
+    sessionBindings(spark).get(key) match {
+      case Some(prev) =>
+        require(prev == className,
+          s"CREATE FUNCTION $name: already bound to '$prev' in this " +
+            s"session; rebinding to '$className' would silently change " +
+            "every later use of the name. Pick a different name")
+      case None =>
+        require(!GraftFunctions.nativeNames(key) &&
+            !spark.catalog.functionExists(name),
+          s"CREATE FUNCTION $name: collides with a built-in or graft " +
+            "native function of the same name; the overwrite would " +
+            "poison every later query in the session. Pick a different " +
+            "name")
+    }
+  }
+
+  // record only AFTER the registration succeeded — a CREATE FUNCTION
+  // that failed (missing jar, absent class) must not burn the name
+  private def commitBinding(spark: SparkSession, name: String,
+      className: String): Unit =
+    sessionBindings(spark)
+      .put(name.toLowerCase(java.util.Locale.ROOT), className)
+
   /** Gate-level `CREATE FUNCTION name AS 'class'` support: resolve a
     * class name to a registration. Built-in names cover the shipped
     * examples; any other class is loaded reflectively and must be a
     * `java.util.function.Function[String, String]` (the doc's scalar-UDF
     * contract).
     */
-  def registerByClass(spark: SparkSession, name: String, className: String): Unit =
+  def registerByClass(spark: SparkSession, name: String, className: String): Unit = {
+    guardBinding(spark, name, className)
     className match {
       case "graft.functions.Normalize" =>
         spark.udf.register(name, normalize)
@@ -64,6 +114,8 @@ object Udx {
           .asInstanceOf[java.util.function.Function[String, String]]
         spark.udf.register(name, (s: String) => f.apply(s))
     }
+    commitBinding(spark, name, className)
+  }
 
   /** Serializable wrapper resolving the UDF class lazily PER JVM through
     * the context classloader — on a cluster the driver ships the jar via
@@ -94,6 +146,7 @@ object Udx {
     */
   def registerFromJar(spark: SparkSession, name: String, className: String,
       jarUrl: String): Unit = {
+    guardBinding(spark, name, className)
     spark.sparkContext.addJar(jarUrl)
     // driver-side eager load for fail-fast when the jar is local (addJar
     // does not add to the DRIVER classloader in all deploy modes; fall
@@ -112,5 +165,6 @@ object Udx {
       Class.forName(className, false, cl) // fail fast if absent from jar
     }
     spark.udf.register(name, new JarFunction(className))
+    commitBinding(spark, name, className)
   }
 }

@@ -272,6 +272,36 @@ object Gate extends QueryPack {
       s.table("simhash_tvf_sink_out")
     }),
 
+    // Cross-corpus incremental dedup through the TVF gate: CREATE VIEW
+    // splits the documents source into incoming (doc_id%10>=8) and
+    // frozen corpus (doc_id%10<8), and DEDUP_CROSS_PAIRS band-joins
+    // BETWEEN the sides (incoming×corpus, never corpus²) — the same
+    // operator as q_dedup_cross reached purely from SQL, against the
+    // same brute-force oracle.
+    "q_gate_cross_tvf" -> ((s, dir) => {
+      val runner = new ScriptRunner(s, batchMode = true)
+      runner.run(
+        s"""CREATE TABLE docs_cx (
+           |  doc_id BIGINT, text VARCHAR
+           |) WITH (
+           |  'connector' = 'filesystem',
+           |  'path' = '$dir/documents.parquet',
+           |  'format' = 'parquet'
+           |);
+           |CREATE OR REPLACE TEMPORARY VIEW cx_incoming AS
+           |  SELECT doc_id, text FROM docs_cx WHERE doc_id % 10 >= 8;
+           |CREATE OR REPLACE TEMPORARY VIEW cx_corpus AS
+           |  SELECT doc_id, text FROM docs_cx WHERE doc_id % 10 < 8;
+           |CREATE TABLE cross_tvf_sink (ida BIGINT, idb BIGINT,
+           |  jacc DOUBLE) WITH ('connector' = 'memory');
+           |INSERT INTO cross_tvf_sink
+           |SELECT ida, idb, jacc
+           |FROM TABLE(DEDUP_CROSS_PAIRS(TABLE cx_incoming,
+           |  TABLE cx_corpus, DESCRIPTOR(doc_id), DESCRIPTOR(text)));
+           |""".stripMargin)
+      s.table("cross_tvf_sink_out")
+    }),
+
     // The SAME TVF on a STREAMING source through the STREAMING gate:
     // DEDUP_EXACT over a watermarked file stream routes to keyed
     // first-arrival deduplication (streaming dropDuplicates, append
@@ -551,7 +581,119 @@ object Gate extends QueryPack {
            |  ON q.doc_id = l.doc_id;
            |""".stripMargin)
       s.table("text_tvf_sink_out")
+    }),
+
+    // Scalar-UDF jar shipping end-to-end (SqlCommand.java:32-34,
+    // CommandUtil.java:42-47): the gate's `CREATE FUNCTION … USING JAR`
+    // must download/ship the jar and make the class resolvable — the
+    // class below is compiled into a jar at fixture time and is
+    // deliberately NOT on the build classpath, so only the gate's
+    // addJar wiring can make this query produce rows.
+    "q_gate_udf" -> ((s, dir) => {
+      val jar = udfJar
+      val runner = new ScriptRunner(s, batchMode = true)
+      runner.run(
+        s"""CREATE FUNCTION gate_rev AS 'GraftGateReverse'
+           |  LANGUAGE JAVA USING JAR 'file://$jar';
+           |CREATE TABLE docs_udf (
+           |  doc_id BIGINT, lang VARCHAR, source VARCHAR
+           |) WITH (
+           |  'connector' = 'filesystem',
+           |  'path' = '$dir/documents.parquet',
+           |  'format' = 'parquet'
+           |);
+           |CREATE TABLE udf_sink (doc_id BIGINT, rev_lang VARCHAR,
+           |  rev_source VARCHAR) WITH ('connector' = 'memory');
+           |INSERT INTO udf_sink
+           |SELECT doc_id, gate_rev(lang) AS rev_lang,
+           |  gate_rev(source) AS rev_source
+           |FROM docs_udf;
+           |""".stripMargin)
+      s.table("udf_sink_out")
+    }),
+
+    // UDAF through the gate (`CREATE FUNCTION name AS 'class'` resolving
+    // to an Aggregator): DecimalSum's HALF_UP-at-2dp exact sum is the
+    // same determinism contract as graft.Num, so the DuckDB decimal-sum
+    // oracle pins the aggregation semantics, not just row counts.
+    "q_gate_udaf" -> ((s, dir) => {
+      val runner = new ScriptRunner(s, batchMode = true)
+      runner.run(
+        s"""CREATE FUNCTION dec_sum AS 'graft.functions.DecimalSum';
+           |CREATE TABLE orders_udaf (
+           |  o_orderkey BIGINT, o_orderstatus VARCHAR, o_totalprice DOUBLE
+           |) WITH (
+           |  'connector' = 'filesystem',
+           |  'path' = '$dir/orders.parquet',
+           |  'format' = 'parquet'
+           |);
+           |CREATE TABLE udaf_sink (o_orderstatus VARCHAR, n BIGINT,
+           |  total DOUBLE) WITH ('connector' = 'memory');
+           |INSERT INTO udaf_sink
+           |SELECT o_orderstatus, COUNT(*) AS n,
+           |  dec_sum(o_totalprice) AS total
+           |FROM orders_udaf GROUP BY o_orderstatus;
+           |""".stripMargin)
+      s.table("udaf_sink_out")
+    }),
+
+    // UDTF through the gate, in FLINK's invocation spelling —
+    // `FROM t, LATERAL TABLE(fn(..)) AS a(col)` — which the dialect
+    // layer rewrites to Spark's generator idiom (LATERAL VIEW explode),
+    // so a reference user's table-function SQL runs unmodified. trim()
+    // runs in SQL on BOTH sides (Spark and DuckDB trim strip 0x20
+    // only), so the UDF's single-space split semantics match the
+    // oracle's regexp_split_to_array exactly.
+    "q_gate_udtf" -> ((s, dir) => {
+      val runner = new ScriptRunner(s, batchMode = true)
+      runner.run(
+        s"""CREATE FUNCTION split_bigrams AS 'graft.functions.NGrams';
+           |CREATE TABLE docs_udtf (
+           |  doc_id BIGINT, text VARCHAR
+           |) WITH (
+           |  'connector' = 'filesystem',
+           |  'path' = '$dir/documents.parquet',
+           |  'format' = 'parquet'
+           |);
+           |CREATE TABLE udtf_sink (doc_id BIGINT, gram VARCHAR)
+           |  WITH ('connector' = 'memory');
+           |INSERT INTO udtf_sink
+           |SELECT doc_id, gram
+           |FROM docs_udtf, LATERAL TABLE(split_bigrams(trim(text), 2))
+           |  AS t(gram)
+           |WHERE doc_id % 20 = 0;
+           |""".stripMargin)
+      s.table("udtf_sink_out")
     }))
+
+  // One compiled UDF jar per JVM: javac a Function<String,String> that
+  // reverses its input (DuckDB-expressible as reverse()), jar the class.
+  // Cached so repeated Verify/Bench passes don't recompile.
+  private lazy val udfJar: String = {
+    val work = java.nio.file.Files.createTempDirectory("graft_gate_udf")
+    val src = work.resolve("GraftGateReverse.java")
+    java.nio.file.Files.write(src,
+      """public class GraftGateReverse
+        |    implements java.util.function.Function<String, String> {
+        |  public String apply(String s) {
+        |    return s == null ? null : new StringBuilder(s).reverse().toString();
+        |  }
+        |}""".stripMargin.getBytes("UTF-8"))
+    val javac = javax.tools.ToolProvider.getSystemJavaCompiler
+    require(javac != null, "JDK compiler unavailable for UDF-jar fixture")
+    require(javac.run(null, null, null, "-d", work.toString, src.toString) == 0,
+      "javac failed for UDF-jar fixture")
+    val jarPath = work.resolve("gate_udf.jar")
+    val jos = new java.util.jar.JarOutputStream(
+      java.nio.file.Files.newOutputStream(jarPath))
+    try {
+      jos.putNextEntry(new java.util.zip.ZipEntry("GraftGateReverse.class"))
+      jos.write(java.nio.file.Files.readAllBytes(
+        work.resolve("GraftGateReverse.class")))
+      jos.closeEntry()
+    } finally jos.close()
+    jarPath.toString
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_gate_script" ->
@@ -665,5 +807,32 @@ object Gate extends QueryPack {
          |  ${oSum2("o_totalprice")} AS sum_price
          |FROM orders
          |WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 20 = 0
-         |GROUP BY o_orderstatus""".stripMargin)
+         |GROUP BY o_orderstatus""".stripMargin,
+
+    // the gate TVF wire must not change the cross-dedup answer: same
+    // brute-force oracle as q_dedup_cross
+    "q_gate_cross_tvf" -> Dedup.oMinhashCrossSql,
+
+    // the jar-shipped UDF reverses code units — ASCII columns, so
+    // DuckDB's reverse() is the exact oracle
+    "q_gate_udf" ->
+      """SELECT doc_id, reverse(lang) AS rev_lang,
+        |  reverse(source) AS rev_source
+        |FROM documents""".stripMargin,
+
+    // DecimalSum ≡ exact decimal(18,2) sum cast back to double
+    "q_gate_udaf" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n,
+         |  ${oSum2("o_totalprice")} AS total
+         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    // bigrams over the single-space split of the trimmed text
+    "q_gate_udtf" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), ' ') AS w
+        |  FROM documents WHERE doc_id % 20 = 0)
+        |SELECT doc_id,
+        |  unnest([w[i]||' '||w[i+1] for i in generate_series(1, len(w)-1)])
+        |    AS gram
+        |FROM t""".stripMargin)
 }

@@ -185,8 +185,71 @@ object FlinkSqlRewrite {
     rewriteWindows(GraftTvfRewrite.validateOnly(
       MatchRecognizeRewrite.validateOnly(sql)))
 
+  // Flink's UDTF invocation heads: cross (`FROM t, LATERAL TABLE(f(x))`)
+  // and left-outer (`LEFT [OUTER] JOIN LATERAL TABLE(f(x)) … ON TRUE`).
+  private val LateralHeadRe =
+    """(?i)(,|\bLEFT\s+(?:OUTER\s+)?JOIN)\s+LATERAL\s+TABLE\s*\(""".r
+  private val LateralTailRe =
+    """(?i)^\s*(?:AS\s+)?(\w+)\s*(?:\(\s*([\w\s,`]*?)\s*\))?(\s*ON\s+TRUE)?""".r
+  private val LateralKeywords = Set("where", "group", "order", "having",
+    "on", "join", "left", "right", "inner", "full", "cross", "union",
+    "limit", "lateral", "as", "select", "from")
+
+  /** Flink's table-function invocation — `FROM t, LATERAL TABLE(fn(args))
+    * AS a(c1[, c2…])` and `LEFT JOIN LATERAL TABLE(fn(args)) AS a(cols)
+    * ON TRUE` — rewritten to Spark's generator idiom: `LATERAL VIEW
+    * [OUTER] explode(fn(args)) a AS c1` for one output column, `inline`
+    * for several (the registered function then returns array<struct>).
+    * The fn args may nest parens (`fn(trim(x), 2)`), so the call is
+    * scanned balanced rather than regex-matched. The alias is required
+    * (Flink's own examples always carry one; an un-aliased generator
+    * column would get Spark's default name and silently diverge from
+    * Flink's f0 — rejected loudly instead).
+    */
+  private def rewriteLateralTable(sql: String): String = {
+    val m = LateralHeadRe.findFirstMatchIn(sql) match {
+      case None => return sql
+      case Some(mm) => mm
+    }
+    val outer = m.group(1) != ","
+    var i = m.end; var depth = 1
+    while (depth > 0 && i < sql.length) {
+      sql.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+      }
+      i += 1
+    }
+    require(depth == 0, "unbalanced parens in LATERAL TABLE: " +
+      sql.substring(m.start).take(80))
+    val call = sql.substring(m.end, i - 1).trim
+    val rest = sql.substring(i)
+    val tm = LateralTailRe.findFirstMatchIn(rest).getOrElse(
+      throw new IllegalArgumentException(
+        s"LATERAL TABLE($call) needs an alias: … AS a(c1[, c2…])"))
+    val alias = tm.group(1)
+    require(alias != null &&
+      !LateralKeywords(alias.toLowerCase(java.util.Locale.ROOT)),
+      s"LATERAL TABLE($call) needs an alias: … AS a(c1[, c2…])")
+    require(!outer || tm.group(3) != null,
+      s"LEFT JOIN LATERAL TABLE($call) requires ON TRUE (Flink's " +
+        "left-outer table-function join contract)")
+    val cols = Option(tm.group(2)).toSeq
+      .flatMap(_.split(",")).map(_.trim.replace("`", ""))
+      .filter(_.nonEmpty)
+    val gen = if (cols.size >= 2) "inline" else "explode"
+    val colSql = if (cols.isEmpty) "" else cols.mkString(" AS ", ", ", "")
+    val viewKw = if (outer) "LATERAL VIEW OUTER" else "LATERAL VIEW"
+    val prefix = sql.substring(0, m.start).replaceAll("\\s+$", "")
+    rewriteLateralTable(
+      prefix + s" $viewKw $gen($call) $alias$colSql" +
+        rest.substring(tm.end))
+  }
+
   private def rewriteWindows(sql: String): String = {
     var s = sql
+    s = rewriteLateralTable(s)
     s = TumbleTvfRe.replaceAllIn(s, m =>
       tumbleTvf(m.group(1), m.group(2), micros(m.group(3), m.group(4))))
     s = HopTvfRe.replaceAllIn(s, m =>

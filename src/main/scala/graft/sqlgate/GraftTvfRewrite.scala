@@ -22,6 +22,11 @@ import org.apache.spark.sql.SparkSession
   *     blocking — [[graft.queries.Dedup.simhashVerifiedPairs]]
   *     (chunkWidth defaults to [[graft.queries.Dedup.simhashChunkWidth]]
   *     of the relation's row count).
+  *   - `TABLE(DEDUP_CROSS_PAIRS(TABLE incoming, TABLE corpus,
+  *     DESCRIPTOR(id), DESCRIPTOR(text)[, <threshold>]))` →
+  *     `(ida, idb, jacc)`: incremental cross-corpus near-dup pairs
+  *     (incoming id × corpus id, never corpus²) —
+  *     [[graft.queries.Dedup.minhashCrossPairs]].
   *   - `TABLE(ANN_TOPK(TABLE corpus, TABLE queries, DESCRIPTOR(id),
   *     DESCRIPTOR(vec)[, <k>]))` → `(qid, nid, cosine, rank)`: exact
   *     cosine top-k of every query row against the corpus —
@@ -59,7 +64,7 @@ import org.apache.spark.sql.SparkSession
 object GraftTvfRewrite {
 
   private val Keyword =
-    """(?i)\b(?:DEDUP_(?:EXACT|MINHASH_PAIRS|SIMHASH_PAIRS)|ANN_TOPK|TEXT_QUALITY|LANG_ID)\s*\(""".r
+    """(?i)\b(?:DEDUP_(?:EXACT|MINHASH_PAIRS|SIMHASH_PAIRS|CROSS_PAIRS)|ANN_TOPK|TEXT_QUALITY|LANG_ID)\s*\(""".r
   private val viewCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private val Head =
@@ -76,6 +81,11 @@ object GraftTvfRewrite {
     ("""(?i)\bTABLE\s*\(\s*ANN_TOPK\s*\(\s*TABLE\s+([`\w.]+)\s*,\s*""" +
       """TABLE\s+([`\w.]+)\s*,\s*DESCRIPTOR\s*\(\s*([`\w]+)\s*\)\s*,\s*""" +
       """DESCRIPTOR\s*\(\s*([`\w]+)\s*\)\s*(?:,\s*(\d+)\s*)?\)\s*\)""").r
+  // cross-corpus dedup takes TWO table args (incoming, corpus)
+  private val CrossRe =
+    ("""(?i)\bTABLE\s*\(\s*DEDUP_CROSS_PAIRS\s*\(\s*TABLE\s+([`\w.]+)\s*,\s*""" +
+      """TABLE\s+([`\w.]+)\s*,\s*DESCRIPTOR\s*\(\s*([`\w]+)\s*\)\s*,\s*""" +
+      """DESCRIPTOR\s*\(\s*([`\w]+)\s*\)\s*(?:,\s*([0-9.]+)\s*)?\)\s*\)""").r
 
   private def allRes = Seq(ExactRe, MinhashRe, SimhashRe, QualityRe, LangIdRe)
 
@@ -91,8 +101,8 @@ object GraftTvfRewrite {
     def clean(s: String) = s.replace("`", "").split('.').last
       .toLowerCase(java.util.Locale.ROOT)
     (allRes.flatMap(_.findAllMatchIn(sql).map(m => clean(m.group(1)))) ++
-      AnnRe.findAllMatchIn(sql).flatMap(m =>
-        Seq(clean(m.group(1)), clean(m.group(2))))).toSet
+      Seq(AnnRe, CrossRe).flatMap(_.findAllMatchIn(sql).flatMap(m =>
+        Seq(clean(m.group(1)), clean(m.group(2)))))).toSet
   }
 
   /** Session-aware rewrite; returns the new text plus the temp views it
@@ -144,6 +154,11 @@ object GraftTvfRewrite {
       view(graft.queries.Dedup.simhashVerifiedPairs(
         df, c2(m, 2), c2(m, 3), w))
     })
+    out = CrossRe.replaceAllIn(out, m => {
+      val threshold = Option(m.group(5)).map(_.toDouble).getOrElse(0.8)
+      view(graft.queries.Dedup.minhashCrossPairs(
+        table(m.group(1)), table(m.group(2)), c2(m, 3), c2(m, 4), threshold))
+    })
     out = AnnRe.replaceAllIn(out, m => {
       val k = Option(m.group(5)).map(_.toInt).getOrElse(5)
       view(graft.queries.Similarity.annTopkOn(
@@ -165,7 +180,7 @@ object GraftTvfRewrite {
     * placeholder relation, nothing executes.
     */
   def validateOnly(sql: String): String = {
-    val out = (allRes :+ AnnRe).foldLeft(sql)((s, re) =>
+    val out = (allRes ++ Seq(CrossRe, AnnRe)).foldLeft(sql)((s, re) =>
       re.replaceAllIn(s, _ => "__graft_tvf_validated"))
     requireFullyRewritten(out)
     out
@@ -183,6 +198,8 @@ object GraftTvfRewrite {
           "DESCRIPTOR(text)[, threshold])), " +
           "TABLE(DEDUP_SIMHASH_PAIRS(TABLE t, DESCRIPTOR(id), " +
           "DESCRIPTOR(text)[, chunkWidth])), " +
+          "TABLE(DEDUP_CROSS_PAIRS(TABLE incoming, TABLE corpus, " +
+          "DESCRIPTOR(id), DESCRIPTOR(text)[, threshold])), " +
           "TABLE(ANN_TOPK(TABLE corpus, TABLE queries, DESCRIPTOR(id), " +
           "DESCRIPTOR(vec)[, k])), " +
           "TABLE(TEXT_QUALITY(TABLE t, DESCRIPTOR(id), DESCRIPTOR(text))) " +

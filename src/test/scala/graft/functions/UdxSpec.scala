@@ -96,4 +96,62 @@ class UdxSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("jar not found"))
   }
+
+  test("CREATE FUNCTION refuses to rebind a live name") {
+    // graft native expression names are reserved regardless of whether
+    // GraftFunctions.register ran yet in this session
+    val e = intercept[IllegalArgumentException] {
+      Udx.registerByClass(spark, "word_ngrams", "graft.functions.NGrams")
+    }
+    assert(e.getMessage.contains("collides"))
+    // Spark builtins are reserved too
+    val e2 = intercept[IllegalArgumentException] {
+      Udx.registerByClass(spark, "reverse", "graft.functions.Normalize")
+    }
+    assert(e2.getMessage.contains("collides"))
+    // same name + same class re-registers idempotently (resubmission)…
+    Udx.registerByClass(spark, "idem_fn", "graft.functions.Normalize")
+    Udx.registerByClass(spark, "idem_fn", "graft.functions.Normalize")
+    // …but the same name bound to a different implementation is rejected
+    val e3 = intercept[IllegalArgumentException] {
+      Udx.registerByClass(spark, "idem_fn", "graft.functions.NGrams")
+    }
+    assert(e3.getMessage.contains("already bound"))
+  }
+
+  // --- the oracle-checked gate UDx queries, pinned against native Spark ---
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("q_gate_udf: jar-shipped reverse matches Spark's reverse()") {
+    import spark.implicits._
+    val out = graft.queries.Gate.queries("q_gate_udf")(spark, sfDir)
+      .select($"doc_id", $"rev_lang").as[(Long, String)].collect().toMap
+    val exp = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", reverse($"lang")).as[(Long, String)].collect().toMap
+    assert(out.nonEmpty && out == exp)
+  }
+
+  test("q_gate_udaf: DecimalSum through the gate equals exact decimal sum") {
+    import spark.implicits._
+    val out = graft.queries.Gate.queries("q_gate_udaf")(spark, sfDir)
+      .select($"o_orderstatus", $"total").as[(String, Double)].collect().toMap
+    val exp = spark.read.parquet(s"$sfDir/orders.parquet")
+      .groupBy($"o_orderstatus")
+      .agg(graft.Num.dsum2($"o_totalprice").as("total"))
+      .as[(String, Double)].collect().toMap
+    assert(out.nonEmpty && out == exp)
+  }
+
+  test("q_gate_udtf: gate LATERAL VIEW bigrams match native explode") {
+    import spark.implicits._
+    val out = graft.queries.Gate.queries("q_gate_udtf")(spark, sfDir)
+      .as[(Long, String)].collect().sorted.toSeq
+    spark.udf.register("ngrams_t", Udx.ngrams)
+    val exp = spark.read.parquet(s"$sfDir/documents.parquet")
+      .where($"doc_id" % 20 === 0)
+      .select($"doc_id", explode(callUDF("ngrams_t", trim($"text"), lit(2))))
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(out.nonEmpty && out == exp)
+  }
 }

@@ -154,4 +154,42 @@ class FlinkSqlRewriteSpec extends AnyFunSuite {
       "GROUP BY window(ts, '1 hour'), hopper, system_time"
     assert(FlinkSqlRewrite(sql) == sql)
   }
+
+  test("LATERAL TABLE cross form maps to LATERAL VIEW explode") {
+    assert(FlinkSqlRewrite(
+      "SELECT doc_id, gram FROM docs, " +
+        "LATERAL TABLE(ng(trim(text), 2)) AS t(gram) WHERE doc_id > 0") ==
+      "SELECT doc_id, gram FROM docs " +
+        "LATERAL VIEW explode(ng(trim(text), 2)) t AS gram WHERE doc_id > 0")
+  }
+
+  test("LEFT JOIN LATERAL TABLE ON TRUE maps to LATERAL VIEW OUTER") {
+    assert(FlinkSqlRewrite(
+      "SELECT a, w FROM t LEFT JOIN LATERAL TABLE(split_fn(a)) " +
+        "AS s(w) ON TRUE") ==
+      "SELECT a, w FROM t LATERAL VIEW OUTER explode(split_fn(a)) s AS w")
+  }
+
+  test("LATERAL TABLE with a multi-column alias uses inline") {
+    assert(FlinkSqlRewrite(
+      "SELECT * FROM t, LATERAL TABLE(parse(line)) AS p(k, v)") ==
+      "SELECT * FROM t LATERAL VIEW inline(parse(line)) p AS k, v")
+  }
+
+  test("chained LATERAL TABLEs both rewrite") {
+    assert(FlinkSqlRewrite(
+      "SELECT * FROM t, LATERAL TABLE(f(a)) AS x(u), " +
+        "LATERAL TABLE(g(b)) AS y(v)") ==
+      "SELECT * FROM t LATERAL VIEW explode(f(a)) x AS u " +
+        "LATERAL VIEW explode(g(b)) y AS v")
+  }
+
+  test("LATERAL TABLE without an alias / without ON TRUE rejects loudly") {
+    val e1 = intercept[IllegalArgumentException](FlinkSqlRewrite(
+      "SELECT * FROM t, LATERAL TABLE(f(a)) WHERE x > 0"))
+    assert(e1.getMessage.contains("needs an alias"))
+    val e2 = intercept[IllegalArgumentException](FlinkSqlRewrite(
+      "SELECT * FROM t LEFT JOIN LATERAL TABLE(f(a)) AS s(w)"))
+    assert(e2.getMessage.contains("ON TRUE"))
+  }
 }

@@ -79,6 +79,32 @@ class GraftTvfSpec extends SparkSpec {
       spark.read.parquet(docsDir).count()) == 15)
   }
 
+  test("DEDUP_CROSS_PAIRS through the gate matches the library operator") {
+    val runner = new ScriptRunner(spark, batchMode = true)
+    runner.run(
+      s"""${docsDdl("docs_cxs")}
+         |CREATE OR REPLACE TEMPORARY VIEW cxs_inc AS
+         |  SELECT doc_id, text FROM docs_cxs WHERE doc_id % 10 >= 8;
+         |CREATE OR REPLACE TEMPORARY VIEW cxs_cor AS
+         |  SELECT doc_id, text FROM docs_cxs WHERE doc_id % 10 < 8;
+         |CREATE TABLE cxs_sink (ida BIGINT, idb BIGINT, jacc DOUBLE)
+         |WITH ('connector' = 'memory');
+         |INSERT INTO cxs_sink
+         |SELECT ida, idb, jacc
+         |FROM TABLE(DEDUP_CROSS_PAIRS(TABLE cxs_inc, TABLE cxs_cor,
+         |  DESCRIPTOR(doc_id), DESCRIPTOR(text), 0.8));""".stripMargin)
+    val viaGate = spark.table("cxs_sink_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val docs = spark.read.parquet(docsDir)
+    val direct = graft.queries.Dedup.minhashCrossPairs(
+      docs.filter("doc_id % 10 >= 8"), docs.filter("doc_id % 10 < 8"),
+      "doc_id", "text", 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaGate == direct)
+    // every pair is incoming × corpus by construction
+    assert(viaGate.forall { case (a, b) => a % 10 >= 8 && b % 10 < 8 })
+  }
+
   test("TVF composes with downstream SQL (filter + join back)") {
     val runner = new ScriptRunner(spark, batchMode = true)
     runner.run(
