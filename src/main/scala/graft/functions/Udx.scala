@@ -93,6 +93,19 @@ object Udx {
     sessionBindings(spark)
       .put(name.toLowerCase(java.util.Locale.ROOT), className)
 
+  /** Multi-column table function: (start index, gram) pairs. Returns
+    * array<struct>, the shape the dialect layer's `inline` rewrite
+    * consumes when a `LATERAL TABLE` alias declares ≥2 columns.
+    */
+  val ngramsPos: (String, Int) => Array[(Int, String)] = (text, n) => {
+    if (text == null) Array.empty
+    else {
+      val w = text.split(" ")
+      (0 to w.length - n)
+        .map(i => (i, w.slice(i, i + n).mkString(" "))).toArray
+    }
+  }
+
   /** Gate-level `CREATE FUNCTION name AS 'class'` support: resolve a
     * class name to a registration. Built-in names cover the shipped
     * examples; any other class is loaded reflectively and must be a
@@ -109,6 +122,8 @@ object Udx {
           org.apache.spark.sql.functions.udaf(new DecimalSum))
       case "graft.functions.NGrams" =>
         spark.udf.register(name, ngrams)
+      case "graft.functions.NGramsPos" =>
+        spark.udf.register(name, ngramsPos)
       case other =>
         val f = Class.forName(other).getDeclaredConstructor().newInstance()
           .asInstanceOf[java.util.function.Function[String, String]]

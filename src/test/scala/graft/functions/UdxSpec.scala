@@ -97,6 +97,36 @@ class UdxSpec extends SparkSpec {
     assert(e.getMessage.contains("jar not found"))
   }
 
+  test("LATERAL TABLE executes: multi-column inline + left-outer explode") {
+    import spark.implicits._
+    val runner = new ScriptRunner(spark, batchMode = true)
+    Seq((1L, "a b c"), (2L, "solo")).toDF("k", "txt")
+      .createOrReplaceTempView("lt_src")
+    // cross form, 2-column alias → LATERAL VIEW inline over array<struct>
+    runner.run(
+      """CREATE FUNCTION ngrams_pos AS 'graft.functions.NGramsPos';
+        |CREATE TABLE lt_snk (k BIGINT, pos INT, gram VARCHAR)
+        |  WITH ('connector' = 'memory');
+        |INSERT INTO lt_snk
+        |SELECT k, pos, gram FROM lt_src,
+        |  LATERAL TABLE(ngrams_pos(txt, 2)) AS t(pos, gram);
+        |""".stripMargin)
+    assert(spark.table("lt_snk_out").as[(Long, Int, String)].collect().toSet
+      == Set((1L, 0, "a b"), (1L, 1, "b c")))
+    // left-outer form: a row whose function output is empty ("solo" has
+    // no bigram) is kept, null-extended — Flink's ON TRUE contract
+    runner.run(
+      """CREATE FUNCTION ng_lj AS 'graft.functions.NGrams';
+        |CREATE TABLE lt_snk2 (k BIGINT, gram VARCHAR)
+        |  WITH ('connector' = 'memory');
+        |INSERT INTO lt_snk2
+        |SELECT k, gram FROM lt_src
+        |LEFT JOIN LATERAL TABLE(ng_lj(txt, 2)) AS s(gram) ON TRUE;
+        |""".stripMargin)
+    assert(spark.table("lt_snk2_out").as[(Long, String)].collect().toSet
+      == Set((1L, "a b"), (1L, "b c"), (2L, null)))
+  }
+
   test("CREATE FUNCTION refuses to rebind a live name") {
     // graft native expression names are reserved regardless of whether
     // GraftFunctions.register ran yet in this session
