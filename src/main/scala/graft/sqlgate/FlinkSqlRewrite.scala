@@ -238,8 +238,15 @@ object FlinkSqlRewrite {
     val cols = Option(tm.group(2)).toSeq
       .flatMap(_.split(",")).map(_.trim.replace("`", ""))
       .filter(_.nonEmpty)
+    // without an explicit column list the generated column would get
+    // Spark's default name (`col`) and silently diverge from Flink's
+    // function-derived field names — reject loudly instead
+    require(cols.nonEmpty,
+      s"LATERAL TABLE($call) needs explicit output columns: " +
+        s"… AS $alias(c1[, c2…]) — Flink derives the names from the " +
+        "function's result type; Spark cannot, so they must be declared")
     val gen = if (cols.size >= 2) "inline" else "explode"
-    val colSql = if (cols.isEmpty) "" else cols.mkString(" AS ", ", ", "")
+    val colSql = cols.mkString(" AS ", ", ", "")
     val viewKw = if (outer) "LATERAL VIEW OUTER" else "LATERAL VIEW"
     val prefix = sql.substring(0, m.start).replaceAll("\\s+$", "")
     rewriteLateralTable(

@@ -632,8 +632,14 @@ class ScriptRunner(spark: SparkSession,
         s"lookup dim $name: unknown 'lookup.cache.strategy' = '$other' " +
           "(expected 'snapshot' or 'keyed')")
       case None =>
-        val probe = math.min(maxRows + 1, Int.MaxValue.toLong).toInt
-        df.limit(probe).count() > maxRows
+        // the size verdict is cached per (url, table, maxRows) for the
+        // dim's TTL — re-running a script re-registers its dims, and
+        // re-scanning up to max-rows+1 database rows per run just to
+        // re-learn "big or small" is a wasted dim scan each time
+        ScriptRunner.sizeVerdict(spec, maxRows, ttlMs) {
+          val probe = math.min(maxRows + 1, Int.MaxValue.toLong).toInt
+          df.limit(probe).count() > maxRows
+        }
     }
     if (keyed) { keyedDims(name) = spec; None }
     else {
@@ -711,7 +717,12 @@ class ScriptRunner(spark: SparkSession,
             "temporal-join shape `JOIN " + name + " FOR SYSTEM_TIME AS " +
             "OF <col> AS d ON s.k = d.k` (demo_3.md:94-109); plain " +
             "references cannot be served by point queries")
-      ms.foreach { m =>
+      // ONE slice view per dim per statement: the statement may join the
+      // same dim more than once (different aliases / key columns), and
+      // each join's rows must all be present — per-join view
+      // registration would let the last join's slice clobber the
+      // earlier ones and silently drop their rows.
+      val sliceRows = ms.flatMap { m =>
         val alias = m.group(2)
         val dimQuals =
           Set(alias.toLowerCase(java.util.Locale.ROOT), lname)
@@ -745,15 +756,26 @@ class ScriptRunner(spark: SparkSession,
             "graft.streaming.LookupJoin.enrichKeyed from the API")
         val maxKeys = spec.options.get("lookup.keys-per-batch")
           .map(_.trim.toLong).getOrElse(5000000L)
-        val probe = math.min(maxKeys + 1, Int.MaxValue.toLong).toInt
         import org.apache.spark.sql.functions.col
-        val keys = sdf.select(col(streamCol))
-          .where(col(streamCol).isNotNull)
-          .distinct().limit(probe).collect().map(_.get(0)).toSeq
-        require(keys.length <= maxKeys,
-          s"keyed lookup dim $name: statement probes more than " +
-            s"$maxKeys distinct keys; raise 'lookup.keys-per-batch' " +
+        val dimKeyType = spec.schema.find(_.name == dimCol).getOrElse(
+          throw new IllegalArgumentException(
+            s"keyed lookup dim $name: ON references dim column " +
+              s"'$dimCol' which is not in the declared schema " +
+              s"(${spec.schema.fieldNames.mkString(", ")})")).dataType
+        // cast the probe side to the DIM key's type BEFORE collecting:
+        // JDBC hands back e.g. java.lang.Long, and an Integer probe key
+        // from an INT stream column would never equal it — every lookup
+        // would miss (and negative-cache) and the join would silently
+        // empty. distinct-count FIRST so the bound rejects an oversized
+        // probe set before anything is materialized on the driver.
+        val keyDf = sdf.select(col(streamCol).cast(dimKeyType).as("k"))
+          .where(col("k").isNotNull).distinct()
+        val nKeys = keyDf.count()
+        require(nKeys <= maxKeys,
+          s"keyed lookup dim $name: statement probes $nKeys distinct " +
+            s"keys (> $maxKeys); raise 'lookup.keys-per-batch' " +
             "or pre-aggregate the probe side")
+        val keys = keyDf.collect().map(_.get(0)).toSeq
         val lk = keyedLookups.getOrElseUpdate((name, dimCol), {
           val ttlMs = spec.options.get("lookup.cache.ttl")
             .flatMap(parseFlinkDuration).getOrElse(10000L)
@@ -771,7 +793,10 @@ class ScriptRunner(spark: SparkSession,
             cacheTtlMs = ttlMs,
             maxRetries = retries)
         })
-        val rows = lk.lookup(keys).values.flatten.toSeq
+        lk.lookup(keys).values.flatten
+      }
+      if (ms.nonEmpty) {
+        val rows = sliceRows.distinct
         spark.createDataFrame(
           java.util.Arrays.asList(rows: _*), spec.schema)
           .createOrReplaceTempView(name)
@@ -813,6 +838,25 @@ object ScriptRunner {
   // hook sweeps whatever remains.
   private val dimHolders =
     java.util.concurrent.ConcurrentHashMap.newKeySet[ScriptRunner]()
+
+  // auto-strategy lookup-dim size verdicts, cached per
+  // (url, table, max-rows) for the dim's TTL (same freshness contract
+  // as the snapshot cache)
+  private val sizeVerdicts = scala.collection.concurrent
+    .TrieMap[(String, String, Long), (Boolean, Long)]()
+
+  private[sqlgate] def sizeVerdict(spec: TableSpec, maxRows: Long,
+      ttlMs: Long)(probe: => Boolean): Boolean = {
+    val key = (spec.options.getOrElse("url", ""),
+      spec.options.getOrElse("table-name", spec.name), maxRows)
+    val now = System.currentTimeMillis()
+    sizeVerdicts.get(key) match {
+      case Some((v, ts)) if now - ts < ttlMs => v
+      case _ =>
+        val v = probe
+        sizeVerdicts.put(key, (v, now)); v
+    }
+  }
 
   private[sqlgate] def trackDimHolder(r: ScriptRunner): Unit = {
     dimHolders.add(r); () }

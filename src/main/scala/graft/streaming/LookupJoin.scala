@@ -288,16 +288,25 @@ final class JdbcKeyedLookup(
   */
 object ExecutorLookupCaches {
   private val caches = scala.collection.concurrent.TrieMap[
-    (String, String, String), JdbcKeyedLookup]()
+    (String, String, String, String), JdbcKeyedLookup]()
 
-  def get(url: String, table: String, keyCol: String)(
+  /** One cache per (url, table, key, fingerprint) per JVM. The
+    * fingerprint folds in the dim schema and cache config: two call
+    * sites that disagree on either get SEPARATE caches — a shared cache
+    * whose Rows carry a different field layout would emit values under
+    * the wrong column names (or throw on width) with nothing naming the
+    * real cause.
+    */
+  def get(url: String, table: String, keyCol: String, fingerprint: String)(
       mk: => JdbcKeyedLookup): JdbcKeyedLookup =
-    caches.getOrElseUpdate((url, table, keyCol), mk)
+    caches.getOrElseUpdate((url, table, keyCol, fingerprint), mk)
 
   /** Aggregate stats across this JVM's caches (in local mode: all
     * partitions) — the spec's proof that partitions share the cache.
+    * Keyed (url, table, keyCol): distinct fingerprints are distinct
+    * caches, so callers filter on the first three parts.
     */
-  def stats: Map[(String, String, String), LookupStats] =
+  def stats: Map[(String, String, String, String), LookupStats] =
     caches.map { case (k, lk) => k -> lk.stats }.toMap
 
   def clear(): Unit = caches.clear()
@@ -372,16 +381,34 @@ object LookupJoin {
     require(leftJoin || how == "inner",
       s"enrichKeyedPartitions supports inner/left joins, got '$how'")
     val inSchema = batch.schema
+    // probe keys are compared against JDBC-read values by runtime
+    // equality (resolved.getOrElse): an Integer stream key never equals
+    // a Long dim key, so a type mismatch would silently empty the join
+    // and negative-cache every key — reject it loudly instead
+    require(inSchema(streamKey).dataType == dimSchema(dimKey).dataType,
+      s"enrichKeyedPartitions: stream key '$streamKey' is " +
+        s"${inSchema(streamKey).dataType.sql} but dim key '$dimKey' is " +
+        s"${dimSchema(dimKey).dataType.sql} — probe values are matched " +
+        "by runtime equality, so cast the stream side to the dim key " +
+        "type first")
     val sameName = streamKey == dimKey
+    // a left join null-extends unmatched rows, so every dim output
+    // field must be nullable in the result schema regardless of how the
+    // dim declared it (a non-nullable field would fail row validation
+    // on exactly the rows the left join exists to keep)
     val dimOutFields = dimSchema.fields.toSeq
       .filterNot(f => sameName && f.name == dimKey)
+      .map(f => if (leftJoin) f.copy(nullable = true) else f)
     val outSchema = StructType(inSchema.fields.toSeq ++ dimOutFields)
     val keyIdx = inSchema.fieldIndex(streamKey)
     val dimKeyIdx = dimSchema.fieldIndex(dimKey)
     val dimOutIdx: Seq[Int] = dimSchema.indices
       .filterNot(i => sameName && i == dimKeyIdx)
+    val fingerprint = dimSchema.fields
+      .map(f => s"${f.name}:${f.dataType.sql}").mkString(",") +
+      s"|$cacheMaxRows|$cacheTtlMs"
     batch.mapPartitions { it =>
-      val lk = ExecutorLookupCaches.get(url, table, dimKey)(
+      val lk = ExecutorLookupCaches.get(url, table, dimKey, fingerprint)(
         new JdbcKeyedLookup(url, connProps, table, dimKey, dimSchema,
           cacheMaxRows, cacheTtlMs, maxRetries))
       it.grouped(chunkKeys).flatMap { chunk =>

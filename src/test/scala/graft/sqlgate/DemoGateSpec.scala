@@ -549,6 +549,50 @@ class DemoGateSpec extends SparkSpec {
     } finally runner.close()
   }
 
+  test("two temporal joins of one keyed dim union slices; INT keys cast") {
+    // a statement may join the same keyed dim more than once (different
+    // aliases, different fact columns) — each join's probed rows must
+    // land in the ONE slice view, or the last join registered would
+    // clobber the earlier ones and silently drop their rows. The fact
+    // column `a` is INT against the BIGINT dim key: the probe side is
+    // cast to the dim key type before collecting, so the point queries
+    // still hit.
+    val url = derby("pairdim")
+    val c = DriverManager.getConnection(url)
+    try {
+      val st = c.createStatement()
+      st.execute("CREATE TABLE pair_dim (id BIGINT PRIMARY KEY, " +
+        "label VARCHAR(24))")
+      st.execute("INSERT INTO pair_dim VALUES (7, 'seven'), (42, 'answer')")
+    } finally c.close()
+    val src = jsonDir(Seq("""{"a": 7, "b": 42, "v": 1.5}"""))
+    val runner = new ScriptRunner(spark, batchMode = true)
+    try {
+      runner.run(
+        s"""create table facts_pj (a INT, b BIGINT, v DOUBLE) with (
+           |  'connector' = 'filesystem', 'path' = '$src',
+           |  'format' = 'json'
+           |);
+           |create table pair_dim (id BIGINT, label VARCHAR) with (
+           |  'connector' = 'jdbc', 'url' = '$url',
+           |  'table-name' = 'pair_dim',
+           |  'lookup.cache.strategy' = 'keyed'
+           |);
+           |CREATE TABLE pj_sink (la STRING, lb STRING, v DOUBLE)
+           |WITH ('connector' = 'memory');
+           |INSERT INTO pj_sink
+           |SELECT d1.label AS la, d2.label AS lb, f.v FROM facts_pj f
+           |JOIN pair_dim FOR SYSTEM_TIME AS OF f.a AS d1 ON f.a = d1.id
+           |JOIN pair_dim FOR SYSTEM_TIME AS OF f.b AS d2 ON f.b = d2.id;
+           |""".stripMargin)
+      val out = spark.table("pj_sink_out").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+      // under per-join view registration the d2 slice (id=42) would
+      // have clobbered d1's (id=7) and the first join would emit nothing
+      assert(out == Set(("seven", "answer", 1.5)))
+    } finally runner.close()
+  }
+
   test("lookup TTL refresh is visible MID-STREAM across micro-batches") {
     // the full demo_3 semantics: one long-running streaming join, dim
     // updated while it runs — micro-batches inside the TTL see the

@@ -191,5 +191,10 @@ class FlinkSqlRewriteSpec extends AnyFunSuite {
     val e2 = intercept[IllegalArgumentException](FlinkSqlRewrite(
       "SELECT * FROM t LEFT JOIN LATERAL TABLE(f(a)) AS s(w)"))
     assert(e2.getMessage.contains("ON TRUE"))
+    // an alias without a column list would leave the generated column
+    // named `col` — silently diverging from Flink's derived field names
+    val e3 = intercept[IllegalArgumentException](FlinkSqlRewrite(
+      "SELECT * FROM t, LATERAL TABLE(f(a)) AS s WHERE x > 0"))
+    assert(e3.getMessage.contains("explicit output columns"))
   }
 }

@@ -201,11 +201,29 @@ class LookupJoinSpec extends SparkSpec {
       .as[(Long, String, String)].collect().toSet
     assert(got == want)
     assert(got.exists(_._3 == null), "key 10 is absent → null-extended")
-    val st = ExecutorLookupCaches.stats((url, "dim", "id"))
+    val st = ExecutorLookupCaches.stats.collectFirst {
+      case ((u, t, k, _), s) if u == url && t == "dim" && k == "id" => s
+    }.get
     // 8 partitions × overlapping keys, but one JVM-shared cache: each of
     // the 11 distinct keys (incl. the negative-cached miss) fetched once
     assert(st.fetchedKeys == 11, s"stats: $st")
     assert(st.probedKeys > 11, s"partitions must have re-probed: $st")
     assert(st.cacheHits == st.probedKeys - 11, s"stats: $st")
+  }
+
+  test("enrichKeyedPartitions rejects a stream/dim key type mismatch") {
+    import spark.implicits._
+    // an INT stream key probed against a BIGINT dim key would never
+    // equal the JDBC-read Long by runtime equality — the join would
+    // silently empty and negative-cache every key; it must fail loudly
+    val url = derbyDim("lkp6", Seq(1L -> "one"))
+    val batch = spark.range(3)
+      .select($"id".cast("int").as("id"), lit("/p").as("page"))
+    val e = intercept[IllegalArgumentException] {
+      LookupJoin.enrichKeyedPartitions(
+        url, Map.empty, "dim", "id", "id", dimSchema, "inner",
+        cacheMaxRows = 10L, cacheTtlMs = 1000L)(batch)
+    }
+    assert(e.getMessage.contains("cast the stream side"))
   }
 }
