@@ -122,7 +122,9 @@ private[sources] class KafkaRestScan(opts: Map[String, String]) extends Scan {
       KafkaRestSource.partitions(endpoint, topic).map { p =>
         val (b, e) = KafkaRestSource.offsetRange(endpoint, topic, p)
         RestRange(endpoint, topic, p, b, e,
-          opts.getOrElse("fetch.count", "500").toInt): InputPartition
+          opts.getOrElse("fetch.count", "500").toInt,
+          opts.getOrElse("fail.on.data.loss", "true").toBoolean)
+          : InputPartition
       }.toArray
     override def createReaderFactory(): PartitionReaderFactory =
       new RestReaderFactory
@@ -149,6 +151,8 @@ private[sources] class KafkaRestMicroBatchStream(opts: Map[String, String])
   private val endpoint = KafkaRestSource.endpointOf(opts)
   private val topic = KafkaRestSource.topicOf(opts)
   private val fetchCount = opts.getOrElse("fetch.count", "500").toInt
+  private val failOnDataLoss =
+    opts.getOrElse("fail.on.data.loss", "true").toBoolean
   private val startLatest =
     opts.get("scan.startup.mode").contains("latest-offset")
 
@@ -174,7 +178,8 @@ private[sources] class KafkaRestMicroBatchStream(opts: Map[String, String])
     e.toSeq.sortBy(_._1).flatMap { case (p, hi) =>
       val lo = s.getOrElse(p,
         KafkaRestSource.offsetRange(endpoint, topic, p)._1)
-      if (hi > lo) Some(RestRange(endpoint, topic, p, lo, hi, fetchCount): InputPartition)
+      if (hi > lo) Some(RestRange(endpoint, topic, p, lo, hi, fetchCount,
+        failOnDataLoss): InputPartition)
       else None
     }.toArray
   }
@@ -191,7 +196,8 @@ private[sources] class KafkaRestMicroBatchStream(opts: Map[String, String])
 }
 
 private[sources] case class RestRange(endpoint: String, topic: String,
-    partition: Int, start: Long, end: Long, fetchCount: Int)
+    partition: Int, start: Long, end: Long, fetchCount: Int,
+    failOnDataLoss: Boolean = true)
     extends InputPartition
 
 private[sources] class RestReaderFactory extends PartitionReaderFactory {
@@ -214,16 +220,31 @@ private[sources] class RestPartitionReader(r: RestRange)
       val count = math.min(r.fetchCount.toLong, r.end - nextOffset)
       val body = graft.Http.get(s"${r.endpoint}/topics/${r.topic}" +
         s"/partitions/${r.partition}/messages?offset=$nextOffset&count=$count")
-      val recs = MiniJson.records(body)
-        .filter(rec => rec.offset >= nextOffset && rec.offset < r.end)
-      if (recs.isEmpty)
+      val raw = MiniJson.records(body)
+      val recs = raw.filter(rec =>
+        rec.offset >= nextOffset && rec.offset < r.end)
+      if (recs.nonEmpty) {
+        nextOffset = recs.map(_.offset).max + 1
+        buf = recs.iterator
+      } else if (raw.exists(_.offset >= r.end)) {
+        // the proxy answered with records PAST the range end but none
+        // inside it: every remaining offset in [nextOffset, r.end) was
+        // removed by log compaction (or is a transaction marker) — a
+        // legitimate gap on real Kafka, not data loss. Finish the range.
+        nextOffset = r.end
+      } else if (!r.failOnDataLoss) {
+        // empty answer inside a planned range: offsets were truncated
+        // (retention) after planning. With 'fail.on.data.loss'='false'
+        // (Spark's native-Kafka-source knob) skip the fetch window and
+        // keep consuming instead of crash-looping on the same range.
+        nextOffset = math.min(r.end, nextOffset + count)
+      } else
         throw new RuntimeException(
           s"kafka-rest fetch returned no records for ${r.topic}/" +
             s"${r.partition} offset $nextOffset (range end ${r.end}) — " +
-            "offsets regressed or the topic was truncated")
-      nextOffset = recs.map(_.offset).max + 1
-      buf = recs.iterator
-    }
+            "offsets regressed or the topic was truncated. Set " +
+            "'fail.on.data.loss' = 'false' to skip missing ranges")
+      }
     if (buf.hasNext) { cur = buf.next(); true } else false
   }
 

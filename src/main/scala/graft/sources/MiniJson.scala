@@ -19,10 +19,14 @@ private[graft] object MiniJson {
   private def valueEnd(s: String, i: Int): Int = s.charAt(i) match {
     case '"' =>
       var j = i + 1
-      while (s.charAt(j) != '"') {
+      while (j < s.length && s.charAt(j) != '"') {
         if (s.charAt(j) == '\\') j += 1
         j += 1
       }
+      // a truncated response can end mid-string; a descriptive error
+      // beats StringIndexOutOfBounds with no context
+      if (j >= s.length) throw new IllegalArgumentException(
+        s"unterminated JSON string at $i: ${s.slice(i, i + 40)}")
       j + 1
     case '{' | '[' =>
       var depth = 0
@@ -100,6 +104,8 @@ private[graft] object MiniJson {
           case 'b' => b += '\b'; i += 2
           case 'f' => b += '\f'; i += 2
           case 'u' =>
+            if (i + 6 > raw.length) throw new IllegalArgumentException(
+              s"truncated \\u escape at $i: ${raw.slice(i, raw.length)}")
             b += Integer.parseInt(raw.substring(i + 2, i + 6), 16).toChar
             i += 6
           case o => b += o; i += 2

@@ -78,20 +78,40 @@ final class TtlCachedDim(df: DataFrame, ttlMs: Long, maxRows: Long) {
   require(df.limit(probe).count() <= maxRows,
     s"lookup dim exceeds 'lookup.cache.max-rows' = $maxRows")
 
+  @volatile private var refreshError: Option[String] = None
+
   /** Drop + re-arm the cache when the TTL lapsed (cheap no-op before
-    * that); the NEXT scan of the dim re-reads the database.
+    * that); the NEXT scan of the dim re-reads the database. The
+    * `max-rows` bound is RE-checked on every refresh — the dim may have
+    * grown past it since registration, and re-caching it unchecked
+    * would fill executor memory exactly as the bound exists to prevent.
+    * On violation the dim stays UNcached (scans fall through to the
+    * source: correct, just slower) and the error is kept in
+    * [[lastRefreshError]] — the refresh scheduler swallows exceptions,
+    * so throwing here would vanish silently.
     */
   def maybeRefresh(): Unit =
     if (System.currentTimeMillis() - loadedAt >= ttlMs) synchronized {
       if (System.currentTimeMillis() - loadedAt >= ttlMs) {
         df.unpersist(blocking = false)
-        df.persist()
+        if (df.limit(probe).count() > maxRows)
+          refreshError = Some(
+            s"lookup dim grew past 'lookup.cache.max-rows' = $maxRows " +
+              "on refresh; serving uncached (route it to the keyed " +
+              "point-query path via 'lookup.cache.strategy' = 'keyed')")
+        else {
+          df.persist()
+          refreshError = None
+        }
         loadedAt = System.currentTimeMillis()
         nRefreshes += 1
       }
     }
 
   def refreshCount: Long = nRefreshes
+
+  /** Set when the last TTL refresh found the dim over the cache bound. */
+  def lastRefreshError: Option[String] = refreshError
 
   /** Release the cached blocks (runner shutdown). */
   def release(): Unit = { df.unpersist(blocking = false); () }
@@ -131,8 +151,8 @@ final class JdbcKeyedLookup(
     url: String,
     connProps: Map[String, String],
     table: String,
-    keyCol: String,
-    schema: StructType,
+    val keyCol: String,
+    val schema: StructType,
     cacheMaxRows: Long,
     cacheTtlMs: Long,
     maxRetries: Int = 3,
@@ -227,7 +247,7 @@ final class JdbcKeyedLookup(
     try {
       keys.grouped(inListChunk).flatMap { chunk =>
         val sql = s"SELECT ${schema.fieldNames.map(quote).mkString(", ")} " +
-          s"FROM ${quote(table)} WHERE ${quote(keyCol)} IN " +
+          s"FROM ${quoteTable(table)} WHERE ${quote(keyCol)} IN " +
           chunk.map(_ => "?").mkString("(", ", ", ")")
         val ps = c.prepareStatement(sql)
         try {
@@ -248,6 +268,18 @@ final class JdbcKeyedLookup(
   private def quote(id: String): String = {
     require(id.forall(ch => ch.isLetterOrDigit || ch == '_'),
       s"illegal identifier for lookup SQL: $id")
+    id
+  }
+
+  // 'table-name' may be schema-qualified ('APP.dim' works on the
+  // snapshot path via dbtable, and the gate auto-routes the same spec
+  // here when the dim outgrows max-rows) — validate each dot-separated
+  // segment rather than rejecting the qualifier
+  private def quoteTable(id: String): String = {
+    val parts = id.split('.')
+    require(parts.nonEmpty && parts.forall(p =>
+      p.nonEmpty && p.forall(ch => ch.isLetterOrDigit || ch == '_')),
+      s"illegal table identifier for lookup SQL: $id")
     id
   }
 
@@ -340,11 +372,33 @@ object LookupJoin {
   def enrichKeyed(lk: JdbcKeyedLookup, streamKey: String, dimKey: String,
       dimSchema: StructType, how: String,
       maxKeysPerBatch: Long = 5000000L)(
-      sink: DataFrame => Unit): (Dataset[Row], Long) => Unit =
+      sink: DataFrame => Unit): (Dataset[Row], Long) => Unit = {
+    // only inner/left have keyed-slice semantics: the dim frame holds
+    // just the probed keys' rows, so right/full joins could never emit
+    // unmatched dim rows and would silently degrade — reject them
+    require(how == "inner" || how == "left" || how == "left_outer",
+      s"enrichKeyed supports inner/left joins, got '$how' (the dim " +
+        "slice only covers probed keys; unmatched dim rows cannot exist)")
+    // the lookup's own schema is the authority — Rows come back in ITS
+    // field order, and a divergent caller schema would relabel values
+    // under the wrong column names with no error
+    require(dimSchema == lk.schema,
+      s"enrichKeyed: dimSchema ${dimSchema.simpleString} must equal the " +
+        s"lookup's schema ${lk.schema.simpleString}")
+    require(dimKey == lk.keyCol,
+      s"enrichKeyed: dimKey '$dimKey' must be the lookup's key column " +
+        s"'${lk.keyCol}'")
+    val dimKeyType = lk.schema(lk.keyCol).dataType
     (batch: Dataset[Row], _: Long) => {
       val spark = batch.sparkSession
       val probe = math.min(maxKeysPerBatch + 1, Int.MaxValue.toLong).toInt
-      val keys = batch.select(streamKey).where(s"$streamKey IS NOT NULL")
+      // cast probe keys to the DIM key's type before collecting: an
+      // Integer probe key never equals the JDBC-read Long by runtime
+      // equality, so an uncast mismatch would miss (and negative-cache)
+      // every key and silently empty the join
+      val keys = batch
+        .select(batch(streamKey).cast(dimKeyType).as("__k"))
+        .where("__k IS NOT NULL")
         .distinct().limit(probe).collect().map(_.get(0)).toSeq
       if (keys.length > maxKeysPerBatch)
         throw new IllegalArgumentException(
@@ -354,9 +408,10 @@ object LookupJoin {
       val dim = spark.createDataFrame(
         java.util.Arrays.asList(dimRows: _*), dimSchema)
       val joined = batch.join(broadcast(dim),
-        batch(streamKey) === dim(dimKey), how)
+        batch(streamKey).cast(dimKeyType) === dim(dimKey), how)
       sink(if (streamKey == dimKey) joined.drop(dim(dimKey)) else joined)
     }
+  }
 
   /** The PER-EXECUTOR keyed-lookup call site — the cluster shape
     * [[JdbcKeyedLookup]]'s scale note promises: the lookup runs inside

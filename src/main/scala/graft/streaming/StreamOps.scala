@@ -199,18 +199,20 @@ object StreamOps {
     def clear(name: String): Unit = tables.remove(name)
   }
 
-  /** Unambiguous string encoding of a composite key: single-part keys
-    * are the plain string; multi-part keys escape the delimiter and use
-    * a null sentinel, so ("x|y","z") ≠ ("x","y|z") and nulls are
-    * preserved rather than silently dropped.
+  /** INJECTIVE string encoding of a composite key (also the ES sink's
+    * document `_id`): parts join on '|'; a null part is the bare NUL
+    * character, and value text escapes backslash, NUL and the
+    * delimiter. Distinct keys can therefore never encode equal --
+    * ("x|y","z") != ("x","y|z"), a single-part SQL NULL != the literal
+    * string "null" (the String.valueOf trap), and a value containing
+    * the null sentinel stays distinct from a null part -- while
+    * ordinary keys keep their plain readable form (stable `_id`s).
     */
-  def encodeKey(parts: Seq[Any]): String = parts match {
-    case Seq(single) => String.valueOf(single)
-    case _ => parts.map {
-      case null => "\u0000"
-      case v => v.toString.replace("\\", "\\\\").replace("|", "\\|")
-    }.mkString("|")
-  }
+  def encodeKey(parts: Seq[Any]): String = parts.map {
+    case null => "\u0000"
+    case v => v.toString.replace("\\", "\\\\")
+      .replace("\u0000", "\\0").replace("|", "\\|")
+  }.mkString("|")
 
   /** foreachBatch writer upserting rows into UpsertStore by key columns. */
   def upsertBatch(table: String, keyCols: Seq[String])(

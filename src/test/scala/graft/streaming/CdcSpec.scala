@@ -39,13 +39,15 @@ class CdcSpec extends SparkSpec {
       q.processAllAvailable()
       val t = CdcOps.StateStore.table("products")
       assert(t.size == 2)
-      assert(t("1").getDouble(2) == 5.0) // last event per key won
+      assert(t(StreamOps.encodeKey(Seq(1))).getDouble(2) == 5.0) // last event per key won
       // batch 2: delete id=2, insert id=3
       in.addData(
         dz("d", 2000, """{"id":2,"name":"hammer","price":11.0}""", "null"),
         dz("c", 2001, "null", """{"id":3,"name":"wrench","price":7.5}"""))
       q.processAllAvailable()
-      assert(t.size == 2 && !t.contains("2") && t.contains("3"))
+      assert(t.size == 2 &&
+        !t.contains(StreamOps.encodeKey(Seq(2))) &&
+        t.contains(StreamOps.encodeKey(Seq(3))))
       // retraction-aware SUM over state: 5.0 + 7.5, not the event history
       val agg = CdcOps.aggregateState(spark, "products", productSchema)
         .agg(sum($"price")).collect().head.getDouble(0)
@@ -68,7 +70,7 @@ class CdcSpec extends SparkSpec {
         CdcRaw("null"))            // kafka tombstone → dropped
       q.processAllAvailable()
       val t = CdcOps.StateStore.table("p3")
-      assert(t.size == 1 && t.contains("1"))
+      assert(t.size == 1 && t.contains(StreamOps.encodeKey(Seq(1))))
       // retraction-aware aggregate survives (no null rows in state)
       val agg = CdcOps.aggregateState(spark, "p3", productSchema)
         .count()
@@ -185,7 +187,7 @@ class CdcSpec extends SparkSpec {
         dz("c", 4, "null", """{"id":9,"name":"again","price":3.0}"""))
       q.processAllAvailable()
       val t = CdcOps.StateStore.table("p2")
-      assert(t.size == 1 && t("9").getString(1) == "again")
+      assert(t.size == 1 && t(StreamOps.encodeKey(Seq(9))).getString(1) == "again")
     } finally q.stop()
   }
 }

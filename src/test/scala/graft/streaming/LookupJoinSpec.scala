@@ -211,6 +211,68 @@ class LookupJoinSpec extends SparkSpec {
     assert(st.cacheHits == st.probedKeys - 11, s"stats: $st")
   }
 
+  test("enrichKeyed casts INT stream keys to the dim key type; joins hit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val url = derbyDim("lkp7", Seq(1L -> "one", 2L -> "two"))
+    val lk = new JdbcKeyedLookup(url, Map.empty, "dim", "id", dimSchema,
+      cacheMaxRows = 10L, cacheTtlMs = 3600000L)
+    val out = mutable.Buffer[(Int, String)]()
+    val in = MemoryStream[Int]
+    val q = in.toDF().select($"value".cast("int").as("k")).writeStream
+      .foreachBatch(LookupJoin.enrichKeyed(lk, "k", "id", dimSchema,
+        "inner") { b =>
+        out.synchronized {
+          out ++= b.select("k", "name").as[(Int, String)].collect()
+        }
+      })
+      .start()
+    try {
+      in.addData(1, 2, 3)
+      q.processAllAvailable()
+      // uncast Integer probes would miss the JDBC Longs, empty the join,
+      // and negative-cache every key — the cast makes them hit
+      assert(out.toSet == Set(1 -> "one", 2 -> "two"))
+      assert(lk.stats.fetchedKeys == 3)
+    } finally q.stop()
+    // right/full joins cannot have keyed-slice semantics — rejected
+    val e = intercept[IllegalArgumentException] {
+      LookupJoin.enrichKeyed(lk, "k", "id", dimSchema, "full_outer")(_ => ())
+    }
+    assert(e.getMessage.contains("inner/left"))
+  }
+
+  test("schema-qualified table-name works on the keyed point-query path") {
+    val url = derbyDim("lkp8", Seq(5L -> "five"))
+    val lk = new JdbcKeyedLookup(url, Map.empty, "APP.dim", "id",
+      dimSchema, cacheMaxRows = 10L, cacheTtlMs = 3600000L)
+    val got = lk.lookup(Seq(5L))
+    assert(got(5L).head.getString(1) == "five")
+  }
+
+  test("TtlCachedDim re-checks max-rows on refresh; oversized stays uncached") {
+    val url = derbyDim("lkp9", Seq(1L -> "a", 2L -> "b"))
+    val df = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "dim").load()
+    val dim = new TtlCachedDim(df, ttlMs = 0L, maxRows = 3L)
+    assert(dim.lastRefreshError.isEmpty)
+    // the dim grows past the bound between refreshes
+    val c = DriverManager.getConnection(url)
+    try {
+      val st = c.createStatement()
+      (3L to 10L).foreach(i => st.execute(s"INSERT INTO dim VALUES ($i, 'x')"))
+      Thread.sleep(5)
+      dim.maybeRefresh()
+      assert(dim.lastRefreshError.exists(_.contains("max-rows")))
+      // back under the bound → the next refresh re-caches and clears it
+      st.execute("DELETE FROM dim WHERE id >= 3")
+      Thread.sleep(5)
+      dim.maybeRefresh()
+      assert(dim.lastRefreshError.isEmpty)
+    } finally c.close()
+    dim.release()
+  }
+
   test("enrichKeyedPartitions rejects a stream/dim key type mismatch") {
     import spark.implicits._
     // an INT stream key probed against a BIGINT dim key would never

@@ -214,7 +214,15 @@ class StreamingSpec extends SparkSpec {
       StreamOps.encodeKey(Seq(null, "a")))
     assert(StreamOps.encodeKey(Seq("a", null)) !=
       StreamOps.encodeKey(Seq("a", "")))
+    // single-part traps: SQL NULL vs the literal string "null", and a
+    // value containing the raw null sentinel vs a null part
+    assert(StreamOps.encodeKey(Seq(null)) !=
+      StreamOps.encodeKey(Seq("null")))
+    assert(StreamOps.encodeKey(Seq("a", " ")) !=
+      StreamOps.encodeKey(Seq("a", null)))
+    // ordinary keys keep their plain readable form (stable ES _ids)
     assert(StreamOps.encodeKey(Seq("solo")) == "solo")
+    assert(StreamOps.encodeKey(Seq(42, "a")) == "42|a")
   }
 
   // NOTE: runningTotals' stateTtlMs path (ProcessingTimeTimeout) is not
@@ -242,7 +250,8 @@ class StreamingSpec extends SparkSpec {
       in.addData(Ev(3, "a", t(1), 2.5))
       q.processAllAvailable()
       val t2 = StreamOps.UpsertStore.table("gmv")
-      assert(t2("a")(1) == 12.5 && t2("b")(1) == 5.0)
+      assert(t2(StreamOps.encodeKey(Seq("a")))(1) == 12.5 &&
+        t2(StreamOps.encodeKey(Seq("b")))(1) == 5.0)
     } finally q.stop()
   }
 }
