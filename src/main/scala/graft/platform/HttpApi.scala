@@ -287,8 +287,13 @@ class HttpApi(mgr: JobManager, spark: SparkSession, bindPort: Int = 0,
         case "ipStatus" =>
           val svc = ipStatus.getOrElse(
             throw new NoSuchElementException("ip status / HA not configured"))
-          val leader = svc.currentLeader()
-          val instances = svc.liveInstances().map { ip =>
+          // ONE snapshot: the leader is by definition the last live
+          // instance (highest id), so deriving it from the same read
+          // keeps the payload self-consistent (two queries could list a
+          // leader the instances array no longer contains)
+          val live = svc.liveInstances()
+          val leader = live.lastOption
+          val instances = live.map { ip =>
             s"""{"ip":${JsonUtil.str(ip)}""" +
               s""","isLeader":${leader.contains(ip)}}"""
           }.mkString("[", ",", "]")

@@ -21,15 +21,18 @@ import java.sql.{Connection, DriverManager}
   *  - clean shutdown writes `status=-1` (`cancelIp`), dropping the
   *    instance out of the election immediately instead of after the TTL.
   *
-  * `last_time` is stored as epoch millis and the TTL compare is done with
-  * a bind parameter rather than the database's `NOW()` — portable across
-  * Derby (tests) and MySQL, and injectable (`clock`) so specs can age a
-  * heartbeat without sleeping. Election reads are a single indexed
-  * point-query; nothing here scales with job count or data volume.
+  * `last_time` is stored as epoch millis stamped from the SHARED
+  * DATABASE clock (like the reference's `NOW()`), so cross-host clock
+  * skew between instances cannot elect two leaders at once — every
+  * writer and every reader measures time on the one clock they all
+  * share. A spec-injected `clock` overrides it for deterministic
+  * heartbeat aging without sleeping. Election reads are a single
+  * indexed point-query; nothing here scales with job count or data
+  * volume.
   */
 final class IpStatusService(url: String, val instanceIp: String,
     ttlMs: Long = 61000L,
-    clock: () => Long = () => System.currentTimeMillis()) {
+    clock: () => Long = null) {
 
   require(instanceIp.nonEmpty, "instanceIp required")
 
@@ -38,18 +41,37 @@ final class IpStatusService(url: String, val instanceIp: String,
     try f(c) finally c.close()
   }
 
+  private val mysql = url.startsWith("jdbc:mysql")
+
+  // the shared registry database's clock (unless a spec injected one):
+  // comparing a writer-local stamp against a reader-local clock would
+  // split-brain on skew > TTL
+  private def nowOn(c: Connection): Long =
+    if (clock != null) clock()
+    else {
+      val rs = c.createStatement().executeQuery(
+        if (mysql) "SELECT CURRENT_TIMESTAMP(3)"
+        else "VALUES CURRENT_TIMESTAMP")
+      rs.next()
+      rs.getTimestamp(1).getTime
+    }
+
   withConn { c =>
     try {
       c.createStatement().execute(
-        """CREATE TABLE ip_status (
-          |  id BIGINT GENERATED ALWAYS AS IDENTITY PRIMARY KEY,
+        s"""CREATE TABLE ip_status (
+          |  id BIGINT ${
+            if (mysql) "AUTO_INCREMENT" else "GENERATED ALWAYS AS IDENTITY"
+          } PRIMARY KEY,
           |  ip VARCHAR(64) NOT NULL UNIQUE,
           |  status INT NOT NULL,
           |  last_time BIGINT,
           |  is_deleted INT NOT NULL)""".stripMargin)
       ()
     } catch {
-      // Derby X0Y32 / MySQL 1050: table already exists
+      // Derby X0Y32 / MySQL 1050: table already exists. MySQL parses
+      // before checking existence, so a syntax error (1064) would mean
+      // the dialect branch above is wrong — let it propagate.
       case e: java.sql.SQLException
         if e.getSQLState == "X0Y32" || e.getErrorCode == 1050 => ()
     }
@@ -61,16 +83,17 @@ final class IpStatusService(url: String, val instanceIp: String,
     * precedence) is assigned once, at first registration.
     */
   def register(): Unit = withConn { c =>
+    val now = nowOn(c)
     val up = c.prepareStatement(
       "UPDATE ip_status SET status = 1, last_time = ?, is_deleted = 0 " +
         "WHERE ip = ?")
-    up.setLong(1, clock()); up.setString(2, instanceIp)
+    up.setLong(1, now); up.setString(2, instanceIp)
     if (up.executeUpdate() == 0) {
       try {
         val ins = c.prepareStatement(
           "INSERT INTO ip_status (ip, status, last_time, is_deleted) " +
             "VALUES (?, 1, ?, 0)")
-        ins.setString(1, instanceIp); ins.setLong(2, clock())
+        ins.setString(1, instanceIp); ins.setLong(2, now)
         ins.executeUpdate()
         ()
       } catch {
@@ -80,7 +103,7 @@ final class IpStatusService(url: String, val instanceIp: String,
           val up2 = c.prepareStatement(
             "UPDATE ip_status SET status = 1, last_time = ?, is_deleted = 0 " +
               "WHERE ip = ?")
-          up2.setLong(1, clock()); up2.setString(2, instanceIp)
+          up2.setLong(1, now); up2.setString(2, instanceIp)
           up2.executeUpdate()
           ()
       }
@@ -104,16 +127,12 @@ final class IpStatusService(url: String, val instanceIp: String,
   }
 
   /** The reference's `selectLastIp`: the live row with the highest id,
-    * or None when every instance is stopped or stale.
+    * or None when every instance is stopped or stale. By construction
+    * the last element of [[liveInstances]] (one portable query — no
+    * `FETCH FIRST`/`LIMIT` dialect split, and callers wanting both get
+    * one consistent snapshot).
     */
-  def currentLeader(): Option[String] = withConn { c =>
-    val ps = c.prepareStatement(
-      "SELECT ip FROM ip_status WHERE is_deleted = 0 AND status = 1 " +
-        "AND last_time >= ? ORDER BY id DESC FETCH FIRST 1 ROWS ONLY")
-    ps.setLong(1, clock() - ttlMs)
-    val rs = ps.executeQuery()
-    if (rs.next()) Some(rs.getString(1)) else None
-  }
+  def currentLeader(): Option[String] = liveInstances().lastOption
 
   /** Am I the instance that should run leader-only schedules right now?
     * False when no live leader exists (matches the reference returning
@@ -122,14 +141,15 @@ final class IpStatusService(url: String, val instanceIp: String,
     */
   def isLeader(): Boolean = currentLeader().contains(instanceIp)
 
-  /** All live instances (freshest heartbeat within TTL), for ops
+  /** All live instances (freshest heartbeat within TTL) in election
+    * order — id ascending, so the LAST element is the leader. For ops
     * introspection — the reference's web UI lists `ip_status` rows.
     */
   def liveInstances(): Seq[String] = withConn { c =>
     val ps = c.prepareStatement(
       "SELECT ip FROM ip_status WHERE is_deleted = 0 AND status = 1 " +
         "AND last_time >= ? ORDER BY id")
-    ps.setLong(1, clock() - ttlMs)
+    ps.setLong(1, nowOn(c) - ttlMs)
     val rs = ps.executeQuery()
     Iterator.continually(rs).takeWhile(_.next())
       .map(_.getString(1)).toList

@@ -411,10 +411,19 @@ class JobManager(spark: SparkSession, checkpointRoot: String,
     def asLeader(f: () => Unit): () => Unit =
       () => if (ha.forall(_.isLeader())) f()
     ha.foreach(s => safely(() => s.register()).run())
-    ha.foreach { s =>
-      exec.scheduleWithFixedDelay(safely(() => s.heartbeat()),
+    // the heartbeat gets its OWN thread: on the shared scheduler a
+    // long leader tick (a large auto-savepoint copy) would delay the
+    // queued heartbeat past the TTL and cause spurious leadership loss
+    // — dual scheduling, the exact failure the election prevents
+    val hbExec = ha.map { s =>
+      val e = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-ha-heartbeat"); t.setDaemon(true); t
+        })
+      e.scheduleWithFixedDelay(safely(() => s.heartbeat()),
         heartbeatIntervalMs, heartbeatIntervalMs,
         java.util.concurrent.TimeUnit.MILLISECONDS)
+      e
     }
     exec.scheduleWithFixedDelay(safely(asLeader(() => reconcile())),
       reconcileIntervalMs, reconcileIntervalMs,
@@ -424,6 +433,12 @@ class JobManager(spark: SparkSession, checkpointRoot: String,
       java.util.concurrent.TimeUnit.MILLISECONDS)
     () => {
       exec.shutdownNow()
+      hbExec.foreach(_.shutdownNow())
+      // an in-flight heartbeat (uninterruptible JDBC) could re-stamp
+      // the row AFTER cancel() writes status=-1, leaving a dead
+      // instance elected for a full TTL — drain it first
+      hbExec.foreach(_.awaitTermination(5,
+        java.util.concurrent.TimeUnit.SECONDS))
       ha.foreach(s => try s.cancel() catch { case _: Throwable => () })
     }
   }
