@@ -49,31 +49,19 @@ final class IpStatusService(url: String, val instanceIp: String,
   private def nowOn(c: Connection): Long =
     if (clock != null) clock()
     else {
-      val rs = c.createStatement().executeQuery(
-        if (mysql) "SELECT CURRENT_TIMESTAMP(3)"
-        else "VALUES CURRENT_TIMESTAMP")
+      val rs = c.createStatement().executeQuery(IpStatusSql.nowQuery(mysql))
       rs.next()
-      rs.getTimestamp(1).getTime
+      if (mysql) rs.getLong(1)
+      else rs.getTimestamp(1).getTime
     }
 
   withConn { c =>
     try {
-      c.createStatement().execute(
-        s"""CREATE TABLE ip_status (
-          |  id BIGINT ${
-            if (mysql) "AUTO_INCREMENT" else "GENERATED ALWAYS AS IDENTITY"
-          } PRIMARY KEY,
-          |  ip VARCHAR(64) NOT NULL UNIQUE,
-          |  status INT NOT NULL,
-          |  last_time BIGINT,
-          |  is_deleted INT NOT NULL)""".stripMargin)
+      c.createStatement().execute(IpStatusSql.createTableDdl(mysql))
       ()
     } catch {
-      // Derby X0Y32 / MySQL 1050: table already exists. MySQL parses
-      // before checking existence, so a syntax error (1064) would mean
-      // the dialect branch above is wrong — let it propagate.
       case e: java.sql.SQLException
-        if e.getSQLState == "X0Y32" || e.getErrorCode == 1050 => ()
+        if IpStatusSql.isTableExists(e, mysql) => ()
     }
   }
 
@@ -154,4 +142,51 @@ final class IpStatusService(url: String, val instanceIp: String,
     Iterator.continually(rs).takeWhile(_.next())
       .map(_.getString(1)).toList
   }
+}
+
+/** The dialect-selected SQL texts of [[IpStatusService]], extracted so a
+  * spec can pin BOTH dialects' exact spellings without a live MySQL —
+  * the untested-MySQL-branch lesson: the round-10 HA bug sat in a
+  * dialect branch the sandbox never executes.
+  */
+object IpStatusSql {
+
+  /** The shared clock read, as a time-zone-free epoch.
+    *
+    * MySQL: `UNIX_TIMESTAMP(NOW(3))` is defined as seconds since the
+    * epoch regardless of the connection/server time zone, so reading it
+    * (×1000, rounded) as a BIGINT gives every instance the same epoch
+    * no matter what JVM or connection zone it connects with. Reading
+    * `CURRENT_TIMESTAMP(3)` via `getTimestamp` instead would map the
+    * zoneless DATETIME through the CLIENT's effective zone — instances
+    * in different zones would derive epochs hours apart from the same
+    * shared clock, reintroducing the split-brain this class eliminates.
+    *
+    * Derby: no epoch function exists; `getTimestamp` converts through
+    * the client JVM's zone. That is self-consistent under the supported
+    * deployment — embedded Derby lives IN the client JVM (single-process
+    * dev/test), so writer and reader share one zone by construction.
+    * Client-server Derby across hosts in different zones is NOT
+    * supported for HA election; use the MySQL path there.
+    */
+  def nowQuery(mysql: Boolean): String =
+    if (mysql) "SELECT ROUND(UNIX_TIMESTAMP(NOW(3)) * 1000)"
+    else "VALUES CURRENT_TIMESTAMP"
+
+  def createTableDdl(mysql: Boolean): String =
+    s"""CREATE TABLE ip_status (
+      |  id BIGINT ${
+        if (mysql) "AUTO_INCREMENT" else "GENERATED ALWAYS AS IDENTITY"
+      } PRIMARY KEY,
+      |  ip VARCHAR(64) NOT NULL UNIQUE,
+      |  status INT NOT NULL,
+      |  last_time BIGINT,
+      |  is_deleted INT NOT NULL)""".stripMargin
+
+  /** Derby X0Y32 / MySQL error 1050: table already exists. MySQL parses
+    * before checking existence, so a syntax error (1064) would mean the
+    * dialect DDL above is wrong — it must propagate, not be swallowed.
+    */
+  def isTableExists(e: java.sql.SQLException, mysql: Boolean): Boolean =
+    if (mysql) e.getErrorCode == 1050 else e.getSQLState == "X0Y32"
 }

@@ -283,72 +283,94 @@ object Dedup extends QueryPack {
     * bucket population stays O(1) as the corpus grows — the same
     * size-from-corpus rule as [[Similarity.recommendedCentroids]].
     * Floored at 15 (the original 4x15-bit / 60-bit shape, so tiny corpora
-    * behave exactly as before) and capped at 30 (two 60-bit md5 limbs
-    * supply 120 >= 4w signature bits; corpora past 2^26 docs need a third
-    * limb — md5 has 2 more hex chars and a second digest call after that).
+    * behave exactly as before) and capped at 45 (three 60-bit limbs
+    * supply 180 >= 4w signature bits: two from one md5 digest, the third
+    * from a salted second digest that only corpora past 2^26 docs ever
+    * compute). The cap now binds at ~2^41 docs — beyond any corpus this
+    * engine will meet, so the fixed-key-space bend the r11 fix removed
+    * cannot silently return at 2^26 where the old two-limb cap sat.
     * Integer-exact (no floating log2) so the DuckDB oracle computes the
     * identical w from the same count.
     */
   def simhashChunkWidth(n: Long): Int = {
     val ceilLog2 =
       if (n <= 2) 1 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
-    math.min(30, math.max(15, ceilLog2 + 4))
+    math.min(45, math.max(15, ceilLog2 + 4))
   }
 
   /** SimHash near-dup pairs over ANY (id, text) relation, with corpus-
     * sized chunk blocking. The signature is the per-bit majority vote
     * over word-bigram token hashes; its width is exactly 4*chunkWidth
-    * bits, drawn low-bits-first from two 60-bit md5 limbs. Blocking: 4
-    * chunks of chunkWidth bits — hamming<=3 over the covered bits implies
-    * at most 3 chunks differ, so at least one chunk key collides
-    * (pigeonhole, for ANY width) and the blocking is LOSSLESS: candidates
-    * are verified by exact hamming over the same 4w bits, so output
-    * equals the brute-force all-pairs scan the oracle runs. The chunk
-    * path stays uncapped by design: its key space now GROWS with the
-    * corpus (2^w ≈ 16n per chunk), so expected bucket population is O(1)
-    * and the pair expansion stays linear — the fixed-4x2^15 key space
-    * that bent the sf10 curve (7x at 10x data) is gone.
+    * bits, drawn low-bits-first from up to three 60-bit md5 limbs (the
+    * third — a salted second digest — only materializes when 4w > 120,
+    * i.e. past ~2^26 docs; smaller corpora pay exactly the two-limb
+    * cost). Blocking: 4 chunks of chunkWidth bits — hamming<=3 over the
+    * covered bits implies at most 3 chunks differ, so at least one chunk
+    * key collides (pigeonhole, for ANY width) and the blocking is
+    * LOSSLESS: candidates are verified by exact hamming over the same 4w
+    * bits, so output equals the brute-force all-pairs scan the oracle
+    * runs. The chunk path stays uncapped by design: its key space GROWS
+    * with the corpus (2^w ≈ 16n per chunk), so expected bucket
+    * population is O(1) and the pair expansion stays linear — the
+    * fixed-4x2^15 key space that bent the sf10 curve (7x at 10x data) is
+    * gone, and the limb supply no longer re-caps it at 2^26 docs.
     */
+  /** Per-doc SimHash limbs over a (doc_id, w: Array[String]) relation:
+    * hash word-bigram tokens in a codegen'd projection (explode keeps
+    * md5/conv in whole-stage codegen — an interpreted transform()
+    * lambda here is 2x slower end-to-end), then one fused native
+    * expression per limb for the 60-bit majority vote over the
+    * collected hashes (order-blind, so collect_list nondeterminism is
+    * harmless; same majority rule — ties clear — as the oracle's
+    * per-bit ±1 sums). Output: (doc_id, s1[, s2[, s3]]). Extracted so
+    * the three-limb spec can brute-force all-pairs hamming over the
+    * very signatures the blocked path keys on.
+    */
+  private[queries] def simhashSignatures(docs: DataFrame,
+      nLimbs: Int): DataFrame = {
+    val limbHashes = Seq(tokenHash _, tokenHash2 _, tokenHash3 _)
+    val tok = docs.select(col("doc_id"),
+      explode(array_distinct(shingles(col("w"), 2))).as("t"))
+      .select(col("doc_id") +:
+        (0 until nLimbs).map(i => limbHashes(i)(col("t")).as(s"h${i + 1}")): _*)
+    tok.groupBy(col("doc_id")).agg(
+      graft.functions.GraftFunctions.simhash60(collect_list(col("h1")))
+        .as("s1"),
+      (2 to nLimbs).map(i =>
+        graft.functions.GraftFunctions.simhash60(collect_list(col(s"h$i")))
+          .as(s"s$i")): _*)
+  }
+
   def simhashVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
       chunkWidth: Int): DataFrame = {
-    require(chunkWidth >= 1 && chunkWidth <= 30,
-      s"chunkWidth($chunkWidth) must be in [1, 30] — 4 chunks draw from " +
-        "120 bits of md5 signature material")
+    require(chunkWidth >= 1 && chunkWidth <= 45,
+      s"chunkWidth($chunkWidth) must be in [1, 45] — 4 chunks draw from " +
+        "180 bits of md5 signature material (three 60-bit limbs)")
     val s = df.sparkSession
     graft.functions.GraftFunctions.register(s)
     val w = chunkWidth
+    val nLimbs = if (4 * w > 120) 3 else 2
     def mask(bits: Int): Long = if (bits <= 0) 0L else (1L << bits) - 1
     val docs = df.select(col(idCol).as("doc_id"), words(col(textCol)).as("w"))
       .filter(size(col("w")) >= 2)
-    // hash tokens in a codegen'd projection (explode keeps md5/conv in
-    // whole-stage codegen — an interpreted transform() lambda here is
-    // 2x slower end-to-end), then one fused native expression per limb
-    // for the 60-bit majority vote over the collected hashes (order-
-    // blind, so collect_list nondeterminism is harmless). Same majority
-    // rule (ties clear) as the oracle's per-bit ±1 sums.
-    val tok = docs.select(col("doc_id"),
-      explode(array_distinct(shingles(col("w"), 2))).as("t"))
-      .select(col("doc_id"),
-        tokenHash(col("t")).as("h1"), tokenHash2(col("t")).as("h2"))
-    val sim = tok.groupBy(col("doc_id")).agg(
-      graft.functions.GraftFunctions.simhash60(collect_list(col("h1")))
-        .as("s1"),
-      graft.functions.GraftFunctions.simhash60(collect_list(col("h2")))
-        .as("s2"))
-    // chunk c covers bits [c*w, (c+1)*w) of the 120-bit (s2 ++ s1)
-    // concatenation; a chunk straddling the limb boundary stitches the
-    // high bits of s1 to the low bits of s2. All shifts are plan-time
-    // constants — the keys stay one codegen'd projection + posexplode
-    // (signature agg runs once).
+    val sim = simhashSignatures(docs, nLimbs)
+    // chunk c covers bits [c*w, (c+1)*w) of the 4w-bit (s3 ++ s2 ++ s1)
+    // concatenation; a chunk straddling a limb boundary stitches the
+    // high bits of one limb to the low bits of the next. All shifts are
+    // plan-time constants — the keys stay one codegen'd projection +
+    // posexplode (signature agg runs once).
     def slice(lo: Int): Column =
-      if (lo + w <= 60) shiftright(col("s1"), lo).bitwiseAND(lit(mask(w)))
-      else if (lo >= 60)
-        shiftright(col("s2"), lo - 60).bitwiseAND(lit(mask(w)))
-      else {
-        val n1 = 60 - lo
-        shiftright(col("s1"), lo).bitwiseAND(lit(mask(n1)))
-          .bitwiseOR(shiftleft(col("s2").bitwiseAND(lit(mask(w - n1))), n1))
-      }
+      (0 until nLimbs).flatMap { li =>
+        val (limbLo, limbHi) = (li * 60, li * 60 + 60)
+        if (lo >= limbHi || lo + w <= limbLo) None
+        else {
+          val s0 = math.max(lo, limbLo)
+          val nbits = math.min(lo + w, limbHi) - s0
+          val piece = shiftright(col(s"s${li + 1}"), s0 - limbLo)
+            .bitwiseAND(lit(mask(nbits)))
+          Some(if (s0 == lo) piece else shiftleft(piece, s0 - lo))
+        }
+      }.reduce(_ bitwiseOR _)
     val chunks = sim.select(col("doc_id"),
       posexplode(array((0 until 4).map(c => slice(c * w)): _*))
         .as(Seq("chunk", "ckey")))
@@ -356,17 +378,18 @@ object Dedup extends QueryPack {
       "simhash_buckets")
     // exact hamming over EXACTLY the 4w chunk-covered bits — counting
     // uncovered bits would break the pigeonhole losslessness
-    val b1 = math.min(60, 4 * w)
-    val b2 = 4 * w - b1
+    val limbBits = (0 until nLimbs)
+      .map(i => math.min(60, math.max(0, 4 * w - 60 * i)))
+    def side(tag: String) = sim.select(col("doc_id").as(s"id$tag") +:
+      (1 to nLimbs).map(i => col(s"s$i").as(s"s$tag$i")): _*)
     cand
-      .join(sim.select(col("doc_id").as("ida"),
-        col("s1").as("sa1"), col("s2").as("sa2")), "ida")
-      .join(sim.select(col("doc_id").as("idb"),
-        col("s1").as("sb1"), col("s2").as("sb2")), "idb")
+      .join(side("a"), "ida")
+      .join(side("b"), "idb")
       .select(col("ida"), col("idb"),
-        (bit_count(col("sa1").bitwiseXOR(col("sb1")).bitwiseAND(lit(mask(b1))))
-          + bit_count(col("sa2").bitwiseXOR(col("sb2"))
-            .bitwiseAND(lit(mask(b2))))).cast("long").as("hamming"))
+        (1 to nLimbs).map(i =>
+          bit_count(col(s"sa$i").bitwiseXOR(col(s"sb$i"))
+            .bitwiseAND(lit(mask(limbBits(i - 1))))))
+          .reduce(_ + _).cast("long").as("hamming"))
       .filter(col("hamming") <= 3)
   }
 
@@ -444,6 +467,14 @@ object Dedup extends QueryPack {
     */
   private def tokenHash2(c: Column): Column =
     conv(substring(md5(c), 16, 15), 16, 10).cast("long")
+
+  /** Third independent 60-bit limb for SimHash widths past 30: one md5
+    * digest only has 32 hex chars, so the limb salts the token ('g3' ||
+    * t) and digests again. Only computed when 4*chunkWidth > 120 —
+    * corpora under ~2^26 docs never pay the second digest.
+    */
+  private def tokenHash3(c: Column): Column =
+    conv(substring(md5(concat(lit("g3"), c)), 1, 15), 16, 10).cast("long")
 
   import Vec.{quant, dotQ}
 
@@ -752,6 +783,10 @@ object Dedup extends QueryPack {
   private def oTokenHash2(v: String) =
     s"list_sum([(CAST(strpos('0123456789abcdef', substr(md5($v), 15+i, 1)) AS BIGINT)-1) << (4*(15-i)) for i in generate_series(1,15)])"
 
+  /** Mirror of the third 60-bit limb (salted second digest, chars 1-15). */
+  private def oTokenHash3(v: String) =
+    s"list_sum([(CAST(strpos('0123456789abcdef', substr(md5('g3' || $v), i, 1)) AS BIGINT)-1) << (4*(15-i)) for i in generate_series(1,15)])"
+
   /** DuckDB mirror of [[minhashPairs]] (full SELECT, usable as a CTE body). */
   /** Shared WITH-prologue of the minhash oracles: signatures, band keys,
     * and shingle sets for every document (per-doc work is identical
@@ -921,28 +956,35 @@ object Dedup extends QueryPack {
     s"""WITH cw AS (SELECT LEAST(GREATEST(
        |    (SELECT MIN(k) FROM generate_series(1, 62) t(k)
        |     WHERE (CAST(1 AS BIGINT) << k) >= (SELECT count(*) FROM documents))
-       |    + 4, 15), 30) AS w),
+       |    + 4, 15), 45) AS w),
        |mk AS (SELECT (CAST(1 AS BIGINT) << LEAST(4*w, 60)) - 1 AS m1,
-       |    (CAST(1 AS BIGINT) << GREATEST(4*w - 60, 0)) - 1 AS m2 FROM cw),
+       |    (CAST(1 AS BIGINT) << LEAST(GREATEST(4*w - 60, 0), 60)) - 1 AS m2,
+       |    (CAST(1 AS BIGINT) << GREATEST(4*w - 120, 0)) - 1 AS m3 FROM cw),
        |w AS (SELECT doc_id, regexp_split_to_array(text,' ') w FROM documents),
        |tok AS (SELECT doc_id, unnest($oShingle2) AS t FROM w WHERE len(w) >= 2),
-       |th AS (SELECT doc_id, ${oTokenHash("t")} AS h1, ${oTokenHash2("t")} AS h2 FROM tok),
+       |th AS (SELECT doc_id, ${oTokenHash("t")} AS h1, ${oTokenHash2("t")} AS h2,
+       |    ${oTokenHash3("t")} AS h3 FROM tok),
        |bits AS (SELECT doc_id, g.b,
        |    SUM(CASE WHEN ((CASE WHEN g.b < 60 THEN h1 >> g.b
-       |                    ELSE h2 >> (g.b - 60) END) & 1) = 1
+       |                    WHEN g.b < 120 THEN h2 >> (g.b - 60)
+       |                    ELSE h3 >> (g.b - 120) END) & 1) = 1
        |        THEN 1 ELSE -1 END) AS sb
-       |  FROM th CROSS JOIN generate_series(0, 119) g(b)
+       |  FROM th CROSS JOIN generate_series(0, 179) g(b)
        |  GROUP BY doc_id, g.b),
        |sim AS (SELECT doc_id,
        |    SUM(CASE WHEN sb > 0 AND b < 60
        |        THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END) AS s1,
-       |    SUM(CASE WHEN sb > 0 AND b >= 60
-       |        THEN CAST(1 AS BIGINT) << (b - 60) ELSE CAST(0 AS BIGINT) END) AS s2
+       |    SUM(CASE WHEN sb > 0 AND b >= 60 AND b < 120
+       |        THEN CAST(1 AS BIGINT) << (b - 60) ELSE CAST(0 AS BIGINT) END) AS s2,
+       |    SUM(CASE WHEN sb > 0 AND b >= 120
+       |        THEN CAST(1 AS BIGINT) << (b - 120) ELSE CAST(0 AS BIGINT) END) AS s3
        |  FROM bits GROUP BY doc_id)
        |SELECT a.doc_id AS ida, b.doc_id AS idb,
        |  CAST(bit_count(xor(a.s1, b.s1) & mk.m1)
-       |    + bit_count(xor(a.s2, b.s2) & mk.m2) AS BIGINT) AS hamming
+       |    + bit_count(xor(a.s2, b.s2) & mk.m2)
+       |    + bit_count(xor(a.s3, b.s3) & mk.m3) AS BIGINT) AS hamming
        |FROM sim a JOIN sim b ON a.doc_id < b.doc_id CROSS JOIN mk
        |WHERE bit_count(xor(a.s1, b.s1) & mk.m1)
-       |    + bit_count(xor(a.s2, b.s2) & mk.m2) <= 3""".stripMargin
+       |    + bit_count(xor(a.s2, b.s2) & mk.m2)
+       |    + bit_count(xor(a.s3, b.s3) & mk.m3) <= 3""".stripMargin
 }

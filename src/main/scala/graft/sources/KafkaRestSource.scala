@@ -228,10 +228,23 @@ private[sources] class RestPartitionReader(r: RestRange)
         buf = recs.iterator
       } else if (raw.exists(_.offset >= r.end)) {
         // the proxy answered with records PAST the range end but none
-        // inside it: every remaining offset in [nextOffset, r.end) was
-        // removed by log compaction (or is a transaction marker) — a
-        // legitimate gap on real Kafka, not data loss. Finish the range.
-        nextOffset = r.end
+        // inside it. Two causes look identical here and only the
+        // broker's log-start metadata tells them apart: COMPACTION (or
+        // transaction markers) removed the individual offsets in
+        // [nextOffset, r.end) — a legitimate gap, the log still starts
+        // at or before nextOffset; or RETENTION truncated the log past
+        // the planned range and the proxy auto-sought beyond it — real
+        // data loss, which the default 'fail.on.data.loss'='true' mode
+        // promises to surface, not silently skip.
+        val logStart =
+          KafkaRestSource.offsetRange(r.endpoint, r.topic, r.partition)._1
+        if (logStart <= nextOffset || !r.failOnDataLoss) nextOffset = r.end
+        else
+          throw new RuntimeException(
+            s"kafka-rest: log start for ${r.topic}/${r.partition} moved " +
+              s"to $logStart, past planned offset $nextOffset (range end " +
+              s"${r.end}) — the range was truncated by retention. Set " +
+              "'fail.on.data.loss' = 'false' to skip missing ranges")
       } else if (!r.failOnDataLoss) {
         // empty answer inside a planned range: offsets were truncated
         // (retention) after planning. With 'fail.on.data.loss'='false'
