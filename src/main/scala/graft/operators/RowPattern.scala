@@ -27,7 +27,16 @@ final case class RowPatternSpec(
     vars: Seq[PatternVar],
     measures: Seq[PatternMeasure],
     withinMs: Option[Long],
-    skipPastLastRow: Boolean)
+    skipPastLastRow: Boolean,
+    /** Per-key cap on matcher steps (predicate probes + backtracking
+      * attempts). Backtracking over adversarial overlapping predicates
+      * is worst-case exponential — Flink's own NFA pathology — and
+      * without a bound it burns CPU silently; exceeding the budget
+      * fails LOUDLY naming the knob instead. The default is far above
+      * any honest pattern's cost (normal matching is O(rows·vars) per
+      * key) yet reached within seconds by a blowup.
+      */
+    stepBudget: Long = RowPattern.DefaultStepBudget)
 
 /** Row-pattern recognition (SQL:2016 `MATCH_RECOGNIZE`, the clause Flink
   * SQL executes with its CEP NFA operator — reference surface:
@@ -67,10 +76,20 @@ final case class RowPatternSpec(
   * and ordinals. Rows are buffered per key (not per partition); memory
   * is bounded by the largest single key's row count, the same bound
   * Flink's CEP state holds per key. Backtracking is worst-case
-  * exponential only for adversarial overlapping predicates; `WITHIN`
-  * caps the scan horizon in production patterns.
+  * exponential only for adversarial overlapping predicates — Flink's
+  * own NFA pathology; `WITHIN` caps the scan horizon in production
+  * patterns, and a per-key step budget ([[RowPatternSpec.stepBudget]],
+  * gate knob `graft.match-recognize.step-budget`) fails LOUDLY when a
+  * pattern backtracks combinatorially instead of burning CPU silently.
   */
 object RowPattern {
+
+  /** ~1e9 steps ≈ a few seconds of CPU per key — far past any honest
+    * pattern (O(rows·vars) per key), reached quickly by an exponential
+    * backtracking blowup. Gate scripts tune it via
+    * `SET 'graft.match-recognize.step-budget' = '<n>'`.
+    */
+  val DefaultStepBudget: Long = 1000000000L
 
   private val P = "__graft_mr_"
 
@@ -136,6 +155,9 @@ object RowPattern {
     val withinUs = spec.withinMs.map(_ * 1000L)
     val skipPast = spec.skipPastLastRow
     val nVars = vars.length
+    val budget = spec.stepBudget
+    require(budget > 0, s"MATCH_RECOGNIZE step budget must be positive, " +
+      s"got $budget")
 
     val out = sorted.mapPartitions { it =>
       val bufIt = it.buffered
@@ -156,6 +178,20 @@ object RowPattern {
         val n = rows.length
         val spans = new Array[Int](nVars * 2) // (start, endExcl) pairs
         val results = scala.collection.mutable.ArrayBuffer[Row]()
+        var steps = 0L
+
+        def step(): Unit = {
+          steps += 1
+          if (steps > budget)
+            throw new IllegalStateException(
+              s"MATCH_RECOGNIZE exceeded the backtracking step budget " +
+                s"($budget steps) on one PARTITION BY key ($n rows) — " +
+                "the pattern's overlapping predicates are backtracking " +
+                "combinatorially (the NFA pathology). Add/tighten a " +
+                "WITHIN bound, make the variable predicates mutually " +
+                "exclusive, or raise " +
+                "'graft.match-recognize.step-budget'")
+        }
 
         def ordUs(i: Int): Long = ordUsOrd match {
           case Some(o) =>
@@ -176,14 +212,17 @@ object RowPattern {
           if (vi == nVars) return pos
           val v = vars(vi)
           var run = 0
-          while (run < v.maxRep && pos + run < n &&
+          while (run < v.maxRep && pos + run < n && {
+              step()
               rows(pos + run).getBoolean(condOrds(vi)) &&
-              withinUs.forall(w => ordUs(pos + run) - anchorUs <= w))
+              withinUs.forall(w => ordUs(pos + run) - anchorUs <= w)
+            })
             run += 1
           if (run < v.minRep) return -1
           val reps =
             if (v.greedy) run to v.minRep by -1 else v.minRep to run
           for (r <- reps) {
+            step()
             spans(vi * 2) = pos
             spans(vi * 2 + 1) = pos + r
             val end = tryVar(vi + 1, pos + r, anchorUs)

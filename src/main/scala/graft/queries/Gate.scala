@@ -349,6 +349,72 @@ object Gate extends QueryPack {
       s.table("dedup_stream_sink")
     }),
 
+    // The stateless text TVFs on a STREAMING source: TEXT_QUALITY and
+    // LANG_ID are pure per-row maps, so the gate routes a streaming
+    // relation through the identical column expressions as batch —
+    // append mode, zero state, no watermark required. The oracles
+    // hash-match the batch per-doc results after a real AvailableNow
+    // drain, proving the streaming write path changes nothing.
+    "q_gate_quality_stream" -> ((s, dir) => {
+      val staged = StreamingGate.stagedTableDir(dir, "documents")
+      val runner = new ScriptRunner(s, batchMode = false)
+      val res = runner.run(
+        s"""CREATE TABLE docs_qs_src (
+           |  doc_id BIGINT, text VARCHAR, lang VARCHAR, source VARCHAR,
+           |  n_chars BIGINT
+           |) WITH (
+           |  'connector' = 'filesystem',
+           |  'path' = '$staged',
+           |  'format' = 'parquet'
+           |);
+           |CREATE TABLE quality_stream_sink (
+           |  doc_id BIGINT, mean_tok_len DOUBLE, stop_ratio DOUBLE,
+           |  digit_ratio DOUBLE, quality_score DOUBLE
+           |) WITH ('connector' = 'memory');
+           |INSERT INTO quality_stream_sink
+           |SELECT doc_id, mean_tok_len, stop_ratio, digit_ratio,
+           |  quality_score
+           |FROM TABLE(TEXT_QUALITY(TABLE docs_qs_src, DESCRIPTOR(doc_id),
+           |  DESCRIPTOR(text)));
+           |""".stripMargin)
+      try res.queries.foreach { q =>
+        require(q.awaitTermination(300000),
+          "streaming TEXT_QUALITY gate query timed out")
+      } finally res.queries.foreach { q =>
+        try q.stop() catch { case _: Throwable => () }
+      }
+      s.table("quality_stream_sink")
+    }),
+
+    "q_gate_langid_stream" -> ((s, dir) => {
+      val staged = StreamingGate.stagedTableDir(dir, "documents")
+      val runner = new ScriptRunner(s, batchMode = false)
+      val res = runner.run(
+        s"""CREATE TABLE docs_ls_src (
+           |  doc_id BIGINT, text VARCHAR, lang VARCHAR, source VARCHAR,
+           |  n_chars BIGINT
+           |) WITH (
+           |  'connector' = 'filesystem',
+           |  'path' = '$staged',
+           |  'format' = 'parquet'
+           |);
+           |CREATE TABLE langid_stream_sink (
+           |  doc_id BIGINT, predicted VARCHAR
+           |) WITH ('connector' = 'memory');
+           |INSERT INTO langid_stream_sink
+           |SELECT doc_id, predicted
+           |FROM TABLE(LANG_ID(TABLE docs_ls_src, DESCRIPTOR(doc_id),
+           |  DESCRIPTOR(text)));
+           |""".stripMargin)
+      try res.queries.foreach { q =>
+        require(q.awaitTermination(300000),
+          "streaming LANG_ID gate query timed out")
+      } finally res.queries.foreach { q =>
+        try q.stop() catch { case _: Throwable => () }
+      }
+      s.table("langid_stream_sink")
+    }),
+
     // ANN through the gate: CREATE VIEW carves corpus/query sides out of
     // one embeddings source, then ANN_TOPK runs the exact-cosine top-k
     // ([[graft.queries.Similarity.annTopkOn]]) — a script author reaches
@@ -762,6 +828,12 @@ object Gate extends QueryPack {
     // the gate's TVF rewrite + writeStream path, independently)
     "q_gate_dedup_stream" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    // stateless streaming TVFs: per-doc results must hash-match the
+    // batch oracles exactly (same SQL as q_text_quality / the langid
+    // per-doc kernel — the streaming drain must change nothing)
+    "q_gate_quality_stream" -> TextAnalysis.oQualityPerDocSql,
+    "q_gate_langid_stream" -> TextAnalysis.oLangidPerDocSql,
 
     // same oracle shape as q_ann_brute but k=3 — the TVF layer must not
     // change the answer the Scala-API kernel gives

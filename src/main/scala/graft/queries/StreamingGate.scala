@@ -31,10 +31,16 @@ object StreamingGate extends QueryPack {
     * with the gate-script streaming queries in [[Gate]] and the gate
     * specs).
     */
-  def stagedEventsDir(dir: String): String = {
-    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+  def stagedEventsDir(dir: String): String = stagedTableDir(dir, "events")
+
+  /** Same staging for any TESTDATA table ([[stagedEventsDir]] is the
+    * events shorthand) — the streaming text-TVF oracles stream the
+    * documents table through it.
+    */
+  def stagedTableDir(dir: String, table: String): String = {
+    val src = java.nio.file.Paths.get(s"$dir/$table.parquet")
     if (java.nio.file.Files.isDirectory(src)) src.toString
-    else stagedDirs.getOrElseUpdate(dir, {
+    else stagedDirs.getOrElseUpdate(s"$dir/$table", {
       val d = java.nio.file.Files.createTempDirectory("gate_stream")
       d.toFile.deleteOnExit()
       java.nio.file.Files.copy(src, d.resolve("part-0.parquet"))

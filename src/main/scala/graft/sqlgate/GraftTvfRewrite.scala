@@ -56,7 +56,10 @@ import org.apache.spark.sql.SparkSession
   * entry per key — bound it on unbounded corpora by watermarking the
   * source and including the event-time column in the descriptors, or
   * via `dropDuplicatesWithinWatermark` in the Scala API (StreamingSpec
-  * covers watermarked eviction). Every OTHER operator aggregates or
+  * covers watermarked eviction). `TEXT_QUALITY` and `LANG_ID` are
+  * stateless per-row maps (a single select, no aggregation/join), so a
+  * streaming relation routes through the identical column expressions
+  * in append mode with zero state. Every OTHER operator aggregates or
   * joins over the whole relation with no incremental contract, so a
   * streaming source is rejected loudly by the `table()` guard rather
   * than silently re-windowed.
@@ -118,8 +121,9 @@ object GraftTvfRewrite {
         s"this graft TVF aggregates or joins over the whole relation " +
           s"and runs in batch gate mode; '$src' is a streaming source " +
           "(a silent re-windowing would change semantics — rejected " +
-          "loudly). Only DEDUP_EXACT routes streaming sources (keyed " +
-          "first-arrival deduplication)")
+          "loudly). Only DEDUP_EXACT (keyed first-arrival dedup) and " +
+          "the stateless per-row TVFs TEXT_QUALITY / LANG_ID route " +
+          "streaming sources")
       df
     }
     def view(df: org.apache.spark.sql.DataFrame): String = {
@@ -164,13 +168,18 @@ object GraftTvfRewrite {
       view(graft.queries.Similarity.annTopkOn(
         table(m.group(1)), table(m.group(2)), c2(m, 3), c2(m, 4), k))
     })
+    // TEXT_QUALITY / LANG_ID are stateless per-row maps (one select, no
+    // aggregation or join) — the streaming relation routes through the
+    // SAME column expressions the batch path uses, append mode, zero
+    // state. rawTable, not table(): the guard is only for operators
+    // whose semantics need the whole relation at once.
     out = QualityRe.replaceAllIn(out, m => {
       view(graft.queries.TextAnalysis.qualityOn(
-        table(m.group(1)), c2(m, 2), c2(m, 3)))
+        rawTable(m.group(1)), c2(m, 2), c2(m, 3)))
     })
     out = LangIdRe.replaceAllIn(out, m => {
       view(graft.queries.TextAnalysis.langidOn(
-        table(m.group(1)), c2(m, 2), c2(m, 3)))
+        rawTable(m.group(1)), c2(m, 2), c2(m, 3)))
     })
     requireFullyRewritten(out)
     (out, created.result())

@@ -78,7 +78,14 @@ object MatchRecognizeRewrite {
     */
   def rewriteTracking(spark: SparkSession, sql: String): (String, Seq[String]) = {
     val created = Seq.newBuilder[String]
-    val out = rewriteWith(sql) { (src, spec) =>
+    val out = rewriteWith(sql) { (src, spec0) =>
+      // gate knob for the backtracking failsafe: SET
+      // 'graft.match-recognize.step-budget' = '<n>' (ScriptRunner
+      // forwards graft.* keys into the session conf)
+      val spec = spec0.copy(stepBudget =
+        spark.conf.getOption("graft.match-recognize.step-budget")
+          .map(_.trim.toLong)
+          .getOrElse(graft.operators.RowPattern.DefaultStepBudget))
       val result = RowPattern(spark.table(src), spec)
       val view = s"__graft_mr_out_${viewCounter.incrementAndGet()}"
       result.createOrReplaceTempView(view)

@@ -68,6 +68,10 @@ class ScriptRunner(spark: SparkSession,
       Some("spark.sql.shuffle.partitions")
     case "table.exec.source.cdc-events-duplicate" => None // dropDuplicates
     case s if s.startsWith("spark.") => Some(s)
+    // graft.* knobs (statement-set fusing is read from the script confs;
+    // operator knobs like the MATCH_RECOGNIZE step budget are read from
+    // the session conf by the rewrites) pass through as-is
+    case s if s.startsWith("graft.") => Some(s)
     case _ => None // unknown knobs accepted+ignored, like Flink's tolerant SET
   }
 

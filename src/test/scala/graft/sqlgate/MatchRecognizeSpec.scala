@@ -202,4 +202,37 @@ class MatchRecognizeSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("__graft_mr_"))
   }
+
+  test("backtracking step budget fails loudly on a combinatorial " +
+    "pattern, and the default budget leaves honest patterns alone") {
+    // single key, A+ B+ C with A/B always true and C never: every split
+    // of every suffix is explored before each anchor fails — ~n^3/6
+    // steps, the NFA pathology in miniature. With a small budget the
+    // matcher must fail LOUDLY naming the knob, not burn CPU.
+    val n = 400
+    (1 to n).map(i => (1L, ts(i.toLong), "x", i.toDouble))
+      .toDF("user_id", "t", "kind", "v").createOrReplaceTempView("ev_adv")
+    val sql =
+      """SELECT user_id, a_t FROM ev_adv MATCH_RECOGNIZE (
+        |  PARTITION BY user_id
+        |  ORDER BY t
+        |  MEASURES A.t AS a_t
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (A+ B+ C)
+        |  DEFINE A AS A.v > 0, B AS B.v > 0, C AS C.kind = 'z'
+        |)""".stripMargin
+    spark.conf.set("graft.match-recognize.step-budget", "20000")
+    try {
+      val e = intercept[Throwable] {
+        spark.sql(FlinkSqlRewrite(spark, sql)).collect()
+      }
+      def chain(t: Throwable): String =
+        if (t == null) "" else Option(t.getMessage).getOrElse("") + chain(t.getCause)
+      assert(chain(e).contains("step budget"), chain(e).take(300))
+    } finally spark.conf.unset("graft.match-recognize.step-budget")
+    // default budget (~1e9/key): the same ~10M-step pattern completes
+    // with zero matches instead of tripping the failsafe
+    assert(spark.sql(FlinkSqlRewrite(spark, sql)).count() == 0)
+  }
 }
