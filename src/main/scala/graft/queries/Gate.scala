@@ -621,6 +621,72 @@ object Gate extends QueryPack {
       } finally runner.close()
     }),
 
+    // The STREAMING keyed lookup path (demo_3's real shape — a stream
+    // enriched from a dim too large to snapshot): the customer table
+    // streams through the gate while the nation dim, forced onto the
+    // point-query strategy, is served by per-executor LRU+TTL lookups
+    // spliced INTO the streaming plan; the aggregate downstream runs as
+    // a native streaming agg. Oracle: identical join+agg over the raw
+    // parquet in DuckDB — the streaming wire and the keyed enrichment
+    // must not change the answer.
+    "q_gate_lookup_stream" -> ((s, dir) => {
+      val url = s"jdbc:derby:memory:gate_lkp_s;create=true"
+      val c = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = c.createStatement()
+        try st.execute("DROP TABLE nation_dim_s")
+        catch { case _: java.sql.SQLException => () } // first run: absent
+        st.execute(
+          "CREATE TABLE nation_dim_s (n_nationkey BIGINT, n_name VARCHAR(32))")
+        val ps = c.prepareStatement("INSERT INTO nation_dim_s VALUES (?, ?)")
+        graft.Tables.load(s, dir, "nation")
+          .select("n_nationkey", "n_name").collect().foreach { r =>
+            ps.setLong(1, r.getAs[Number](0).longValue())
+            ps.setString(2, r.getString(1))
+            ps.addBatch()
+          }
+        ps.executeBatch()
+      } finally c.close()
+      val staged = StreamingGate.stagedTableDir(dir, "customer")
+      val runner = new ScriptRunner(s, batchMode = false)
+      try {
+        val res = runner.run(
+          s"""CREATE TABLE cust_lkps (
+             |  c_custkey BIGINT, c_nationkey BIGINT, c_acctbal DOUBLE
+             |) WITH (
+             |  'connector' = 'filesystem',
+             |  'path' = '$staged',
+             |  'format' = 'parquet'
+             |);
+             |CREATE TABLE nation_dim_s (
+             |  n_nationkey BIGINT, n_name VARCHAR
+             |) WITH (
+             |  'connector' = 'jdbc', 'url' = '$url',
+             |  'table-name' = 'nation_dim_s',
+             |  'lookup.cache.ttl' = '60 s',
+             |  'lookup.cache.strategy' = 'keyed'
+             |);
+             |CREATE TABLE lookup_stream_sink (
+             |  n_name VARCHAR, n BIGINT, sum_bal DOUBLE
+             |) WITH ('connector' = 'memory');
+             |INSERT INTO lookup_stream_sink
+             |SELECT d.n_name, COUNT(*) AS n,
+             |  ${oSum2("c.c_acctbal")} AS sum_bal
+             |FROM cust_lkps c
+             |JOIN nation_dim_s FOR SYSTEM_TIME AS OF c.c_custkey AS d
+             |  ON c.c_nationkey = d.n_nationkey
+             |GROUP BY d.n_name;
+             |""".stripMargin)
+        try res.queries.foreach { q =>
+          require(q.awaitTermination(300000),
+            "streaming keyed lookup gate query timed out")
+        } finally res.queries.foreach { q =>
+          try q.stop() catch { case _: Throwable => () }
+        }
+        s.table("lookup_stream_sink")
+      } finally runner.close()
+    }),
+
     // Text analysis through the gate: TEXT_QUALITY and LANG_ID compose
     // in one statement (joined on the id descriptor) — per-doc quality
     // features tagged with the predicted language, the curation-pipeline
@@ -868,6 +934,13 @@ object Gate extends QueryPack {
     // the lookup wire (Derby dim + TTL cache) must not change the
     // answer: same aggregation as a plain parquet join
     "q_gate_lookup" ->
+      s"""SELECT n.n_name, COUNT(*) AS n, ${oSum2("c.c_acctbal")} AS sum_bal
+         |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |GROUP BY n.n_name""".stripMargin,
+
+    // the STREAMING keyed path must give the identical answer: same
+    // join+agg, probe stream enriched by per-executor point queries
+    "q_gate_lookup_stream" ->
       s"""SELECT n.n_name, COUNT(*) AS n, ${oSum2("c.c_acctbal")} AS sum_bal
          |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
          |GROUP BY n.n_name""".stripMargin,

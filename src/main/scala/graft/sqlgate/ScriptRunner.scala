@@ -139,13 +139,16 @@ class ScriptRunner(spark: SparkSession,
               // registry sources they reference must be instantiated first
               if (FlinkSqlRewrite.needsPreInstantiation(m.group(4)))
                 instantiateRefs(FlinkSqlRewrite.preInstantiationTables(m.group(4)))
-              val (query, mrViews) = FlinkSqlRewrite.applyTracking(spark, m.group(4))
-              instantiateSources(query)
-              prepareKeyedDims(c.text) // keyed dims: slice view per stmt
+              val (query0, mrViews) = FlinkSqlRewrite.applyTracking(spark, m.group(4))
+              instantiateSources(query0)
+              // keyed dims: distributed slice view per stmt (batch) or
+              // in-plan enrichment rewrite (streaming probe)
+              val (query, enrViews) = prepareKeyedDims(c.text, query0)
               val df0 = spark.sql(query) // Dataset ctor analyzes eagerly:
-              // the MR views are resolved into df0's plan — drop them so
-              // long-lived sessions don't accumulate catalog entries
-              mrViews.foreach(spark.catalog.dropTempView)
+              // the MR/enrichment views are resolved into df0's plan —
+              // drop them so long-lived sessions don't accumulate
+              // catalog entries
+              (mrViews ++ enrViews).foreach(spark.catalog.dropTempView)
               val df = renameForSink(df0, colList, sink)
               inserts += Insert(sink, df, overwrite, query, colList)
             case None if spark.catalog.tableExists(sinkName) =>
@@ -160,22 +163,23 @@ class ScriptRunner(spark: SparkSession,
                   instantiateRefs(
                     FlinkSqlRewrite.preInstantiationTables(c.text),
                     forceBatch = true)
-                val (rewritten, mrViews) =
+                val (rewritten0, mrViews) =
                   FlinkSqlRewrite.applyTracking(spark, c.text)
-                instantiateSources(rewritten, forceBatch = true)
-                prepareKeyedDims(c.text)
+                instantiateSources(rewritten0, forceBatch = true)
+                val (rewritten, enrViews) =
+                  prepareKeyedDims(c.text, rewritten0)
                 spark.sql(rewritten)
-                mrViews.foreach(spark.catalog.dropTempView)
+                (mrViews ++ enrViews).foreach(spark.catalog.dropTempView)
               } else {
                 if (FlinkSqlRewrite.needsPreInstantiation(m.group(4)))
                   instantiateRefs(
                     FlinkSqlRewrite.preInstantiationTables(m.group(4)))
-                val (q2, mrViews) =
+                val (q20, mrViews) =
                   FlinkSqlRewrite.applyTracking(spark, m.group(4))
-                instantiateSources(q2)
-                prepareKeyedDims(c.text)
+                instantiateSources(q20)
+                val (q2, enrViews) = prepareKeyedDims(c.text, q20)
                 val df0 = spark.sql(q2)
-                mrViews.foreach(spark.catalog.dropTempView)
+                (mrViews ++ enrViews).foreach(spark.catalog.dropTempView)
                 if (df0.isStreaming) {
                   require(!overwrite,
                     s"INSERT OVERWRITE into catalog table $sinkName is " +
@@ -660,19 +664,32 @@ class ScriptRunner(spark: SparkSession,
     }
   }
 
-  // keyed-strategy dims awaiting per-statement slicing, and the LRU+TTL
-  // point-query caches serving them — keyed by (dim name, key column)
-  // so the cache (and its TTL semantics) survives across statements
+  // keyed-strategy dims awaiting per-statement slicing; the point-query
+  // caches serving them live in [[graft.streaming.ExecutorLookupCaches]]
+  // — per-executor-JVM LRU+TTL caches shared by the batch slice path,
+  // the streaming enrichment path, and the Scala API, surviving across
+  // statements (and runners) by construction
   private val keyedDims = mutable.Map[String, TableSpec]()
-  private val keyedLookups =
-    mutable.Map[(String, String), graft.streaming.JdbcKeyedLookup]()
 
-  /** Per-dim lookup stats (probed/fetched/hits/evictions) — the spec's
-    * proof that only probed keys ever reach the database.
+  /** Per-dim lookup stats (probed/fetched/hits/evictions) aggregated
+    * over this JVM's executor caches for the dim's (url, table) — the
+    * spec's proof that only probed keys ever reach the database and
+    * that NOTHING routes through a driver-side cache (there is none).
     */
   def keyedLookupStats(name: String)
       : Option[graft.streaming.LookupStats] =
-    keyedLookups.collectFirst { case ((n, _), lk) if n == name => lk.stats }
+    keyedDims.get(name).flatMap { spec =>
+      val url = spec.options.getOrElse("url", "")
+      val table = spec.options.getOrElse("table-name", name)
+      graft.streaming.ExecutorLookupCaches.stats.collect {
+        case ((u, t, _, _), st) if u == url && t == table => st
+      }.reduceOption { (a, b) =>
+        graft.streaming.LookupStats(
+          a.probedKeys + b.probedKeys, a.fetchedKeys + b.fetchedKeys,
+          a.cacheHits + b.cacheHits, a.evictions + b.evictions,
+          a.retries + b.retries)
+      }
+    }
 
   // the demo_3 temporal-join shape a keyed dim is reachable through:
   //   JOIN <dim> FOR SYSTEM_TIME AS OF <x> [AS] <alias> ON <a> = <b>
@@ -688,19 +705,102 @@ class ScriptRunner(spark: SparkSession,
     "right", "inner", "outer", "full", "cross", "order", "limit",
     "union", "select", "for", "having", "as")
 
-  /** Build the key-covering slice view for every keyed-strategy dim the
-    * statement references: parse the temporal join to find the dim key
-    * column and the probe-side stream column, collect the stream side's
-    * DISTINCT keys (bounded — fail fast, never OOM the driver), resolve
-    * them through the dim's [[graft.streaming.JdbcKeyedLookup]] (only
-    * keys missing from the LRU+TTL cache touch the database — the
-    * demo_3 point-query contract for dims too large to snapshot), and
-    * register the resulting slice as the dim's temp view. The statement
-    * then joins the slice exactly like a snapshot dim — but the
-    * database only ever saw the probed keys.
+  /** One parsed temporal join of a keyed-strategy dim. */
+  private final case class KeyedJoin(alias: String, dimCol: String,
+      streamQual: String, streamCol: String, streamTable: String,
+      leftJoin: Boolean, lhsText: String, rhsText: String,
+      extraConjunct: Boolean)
+
+  /** (ttlMs, maxRows, retries, inListChunk) for a keyed lookup dim.
+    * 'lookup.in-list-chunk' sizes the per-point-query `IN (…)` list —
+    * databases pay a superlinear plan cost in IN-list arity (measured
+    * on Derby: 100-key lists are ~8x cheaper per key than 500), so
+    * large probe sets tune this down.
     */
-  private def prepareKeyedDims(stmtText: String): Unit = {
-    if (keyedDims.isEmpty) return
+  private def lookupCfg(spec: TableSpec): (Long, Long, Int, Int) = (
+    spec.options.get("lookup.cache.ttl")
+      .flatMap(parseFlinkDuration).getOrElse(10000L),
+    spec.options.get("lookup.cache.max-rows")
+      .map(_.trim.toLong).getOrElse(1000000L),
+    spec.options.get("lookup.max-retries").map(_.trim.toInt).getOrElse(3),
+    spec.options.get("lookup.in-list-chunk").map(_.trim.toInt).getOrElse(500))
+
+  private def dimKeyType(name: String, spec: TableSpec, dimCol: String)
+      : org.apache.spark.sql.types.DataType =
+    spec.schema.find(_.name == dimCol).getOrElse(
+      throw new IllegalArgumentException(
+        s"keyed lookup dim $name: ON references dim column '$dimCol' " +
+          s"which is not in the declared schema " +
+          s"(${spec.schema.fieldNames.mkString(", ")})")).dataType
+
+  private def parseKeyedJoin(name: String, stmtText: String,
+      m: scala.util.matching.Regex.Match,
+      aliasOf: Map[String, String]): KeyedJoin = {
+    val alias = m.group(2)
+    val dimQuals = Set(alias.toLowerCase(java.util.Locale.ROOT),
+      name.toLowerCase(java.util.Locale.ROOT))
+    def split(c: String): (String, String) = {
+      val parts = c.replace("`", "").split('.')
+      require(parts.length == 2,
+        s"keyed lookup dim $name: ON columns must be qualified (got '$c')")
+      (parts(0).toLowerCase(java.util.Locale.ROOT), parts(1))
+    }
+    val (lq, lc) = split(m.group(3))
+    val (rq, rc) = split(m.group(4))
+    val (dimCol, streamQual, streamCol) =
+      if (dimQuals(lq) && !dimQuals(rq)) (lc, rq, rc)
+      else if (dimQuals(rq) && !dimQuals(lq)) (rc, lq, lc)
+      else throw new IllegalArgumentException(
+        s"keyed lookup dim $name: exactly one side of the ON equality " +
+          s"must be the dim ('${m.group(3)}' = '${m.group(4)}', dim " +
+          s"alias $alias)")
+    val streamTable = aliasOf.getOrElse(streamQual,
+      throw new IllegalArgumentException(
+        s"keyed lookup dim $name: cannot resolve probe-side qualifier " +
+          s"'$streamQual' to a FROM/JOIN table"))
+    val before = stmtText.substring(math.max(0, m.start - 16), m.start)
+    val leftJoin =
+      """(?i)\bLEFT\s+(?:OUTER\s+)?$""".r.findFirstIn(before).isDefined
+    val extra = """(?i)^\s*AND\b""".r
+      .findFirstIn(stmtText.substring(m.end)).isDefined
+    KeyedJoin(alias, dimCol, streamQual, streamCol, streamTable, leftJoin,
+      m.group(3).replace("`", ""), m.group(4).replace("`", ""), extra)
+  }
+
+  /** Prepare every keyed-strategy dim the statement references, in two
+    * shapes depending on the probe side:
+    *
+    * BATCH probe: build the dim's key-covering slice as a DISTRIBUTED
+    * DataFrame ([[graft.streaming.LookupJoin.dimSlice]]) — the probe
+    * side's distinct keys flow through per-executor LRU+TTL point-query
+    * caches inside `mapPartitions`, so neither the key set nor the dim
+    * rows are ever materialized on the driver — and register it as the
+    * dim's temp view; the statement then joins the slice exactly like a
+    * snapshot dim, but the database only ever saw the probed keys. A
+    * statement joining one dim on SEVERAL key columns unions per-column
+    * slices, anti-joining away rows an earlier column's key set already
+    * covers — dim-row multiplicity is exact (genuine duplicate dim rows
+    * survive; a full-row value-dedup would collapse them).
+    *
+    * STREAMING probe (demo_3's actual shape — a stream enriched from an
+    * oversized JDBC dim, `demo_3.md:94-109`): the temporal join is
+    * rewritten INTO the streaming plan as a stateless per-partition
+    * enrichment ([[graft.streaming.LookupJoin.enrichKeyedPartitions]]):
+    * the probe stream's view is replaced by an enriched view carrying
+    * the dim's columns under collision-proof names, dim-qualifier
+    * references are rewritten to them, and the join clause is deleted
+    * from the SQL. Each micro-batch's rows are point-query-enriched on
+    * the executors through the same per-executor caches — Flink's
+    * processing-time lookup semantics — while downstream aggregation
+    * still runs as a NATIVE streaming aggregate under the query's
+    * checkpoint (no per-batch re-planning, no state re-derivation).
+    *
+    * Returns the (possibly rewritten) query text plus the enrichment
+    * views to drop once the statement is analyzed.
+    */
+  private def prepareKeyedDims(stmtText: String, query: String)
+      : (String, Seq[String]) = {
+    if (keyedDims.isEmpty) return (query, Nil)
     val joins = TemporalJoinRe.findAllMatchIn(stmtText).toSeq
     val aliasOf: Map[String, String] = FromAliasRe.findAllMatchIn(stmtText)
       .flatMap { m =>
@@ -710,8 +810,13 @@ class ScriptRunner(spark: SparkSession,
         Seq(table.toLowerCase(java.util.Locale.ROOT) -> table) ++
           alias.map(_.toLowerCase(java.util.Locale.ROOT) -> table)
       }.toMap
+    var outQuery = query
+    val createdViews = Seq.newBuilder[String]
+    // streaming probes CHAIN: a second dim of the same statement must
+    // enrich the already-enriched view, and the FROM rewrite must
+    // target whatever name the probe table currently has in the text
+    val curView = mutable.Map[String, String]()
     keyedDims.foreach { case (name, spec) =>
-      val lname = name.toLowerCase(java.util.Locale.ROOT)
       val referenced = ("""(?i)\b""" + java.util.regex.Pattern.quote(name) +
         """\b""").r.findFirstIn(stmtText).isDefined
       val ms = joins.filter(_.group(1).equalsIgnoreCase(name))
@@ -721,91 +826,189 @@ class ScriptRunner(spark: SparkSession,
             "temporal-join shape `JOIN " + name + " FOR SYSTEM_TIME AS " +
             "OF <col> AS d ON s.k = d.k` (demo_3.md:94-109); plain " +
             "references cannot be served by point queries")
-      // ONE slice view per dim per statement: the statement may join the
-      // same dim more than once (different aliases / key columns), and
-      // each join's rows must all be present — per-join view
-      // registration would let the last join's slice clobber the
-      // earlier ones and silently drop their rows.
-      val sliceRows = ms.flatMap { m =>
-        val alias = m.group(2)
-        val dimQuals =
-          Set(alias.toLowerCase(java.util.Locale.ROOT), lname)
-        def split(c: String): (String, String) = {
-          val parts = c.replace("`", "").split('.')
-          require(parts.length == 2,
-            s"keyed lookup dim $name: ON columns must be qualified " +
-              s"(got '$c')")
-          (parts(0).toLowerCase(java.util.Locale.ROOT), parts(1))
-        }
-        val (lq, lc) = split(m.group(3))
-        val (rq, rc) = split(m.group(4))
-        val (dimCol, streamQual, streamCol) =
-          if (dimQuals(lq) && !dimQuals(rq)) (lc, rq, rc)
-          else if (dimQuals(rq) && !dimQuals(lq)) (rc, lq, lc)
-          else throw new IllegalArgumentException(
-            s"keyed lookup dim $name: exactly one side of the ON " +
-              s"equality must be the dim ('${m.group(3)}' = " +
-              s"'${m.group(4)}', dim alias $alias)")
-        val streamTable = aliasOf.getOrElse(streamQual,
-          throw new IllegalArgumentException(
-            s"keyed lookup dim $name: cannot resolve probe-side " +
-              s"qualifier '$streamQual' to a FROM/JOIN table"))
-        val sdf = spark.table(streamTable)
-        require(!sdf.isStreaming,
-          s"keyed lookup dim $name: the gate's point-query path probes " +
-            s"the stream side eagerly and is batch-only, but " +
-            s"$streamTable is a streaming source. Use " +
-            "'lookup.cache.strategy' = 'snapshot' (TTL-cached dim) for " +
-            "streaming scripts, or drive " +
-            "graft.streaming.LookupJoin.enrichKeyed from the API")
-        val maxKeys = spec.options.get("lookup.keys-per-batch")
-          .map(_.trim.toLong).getOrElse(5000000L)
-        import org.apache.spark.sql.functions.col
-        val dimKeyType = spec.schema.find(_.name == dimCol).getOrElse(
-          throw new IllegalArgumentException(
-            s"keyed lookup dim $name: ON references dim column " +
-              s"'$dimCol' which is not in the declared schema " +
-              s"(${spec.schema.fieldNames.mkString(", ")})")).dataType
-        // cast the probe side to the DIM key's type BEFORE collecting:
-        // JDBC hands back e.g. java.lang.Long, and an Integer probe key
-        // from an INT stream column would never equal it — every lookup
-        // would miss (and negative-cache) and the join would silently
-        // empty. distinct-count FIRST so the bound rejects an oversized
-        // probe set before anything is materialized on the driver.
-        val keyDf = sdf.select(col(streamCol).cast(dimKeyType).as("k"))
-          .where(col("k").isNotNull).distinct()
-        val nKeys = keyDf.count()
-        require(nKeys <= maxKeys,
-          s"keyed lookup dim $name: statement probes $nKeys distinct " +
-            s"keys (> $maxKeys); raise 'lookup.keys-per-batch' " +
-            "or pre-aggregate the probe side")
-        val keys = keyDf.collect().map(_.get(0)).toSeq
-        val lk = keyedLookups.getOrElseUpdate((name, dimCol), {
-          val ttlMs = spec.options.get("lookup.cache.ttl")
-            .flatMap(parseFlinkDuration).getOrElse(10000L)
-          val maxRows = spec.options.get("lookup.cache.max-rows")
-            .map(_.trim.toLong).getOrElse(1000000L)
-          val retries = spec.options.get("lookup.max-retries")
-            .map(_.trim.toInt).getOrElse(3)
-          new graft.streaming.JdbcKeyedLookup(
-            url = spec.options("url"),
-            connProps = spec.options,
-            table = spec.options("table-name"),
-            keyCol = dimCol,
-            schema = spec.schema,
-            cacheMaxRows = maxRows,
-            cacheTtlMs = ttlMs,
-            maxRetries = retries)
-        })
-        lk.lookup(keys).values.flatten
-      }
       if (ms.nonEmpty) {
-        val rows = sliceRows.distinct
-        spark.createDataFrame(
-          java.util.Arrays.asList(rows: _*), spec.schema)
-          .createOrReplaceTempView(name)
+        val infos = ms.map(m => parseKeyedJoin(name, stmtText, m, aliasOf))
+        def probeDf(i: KeyedJoin) = spark.table(curView.getOrElse(
+          i.streamTable.toLowerCase(java.util.Locale.ROOT), i.streamTable))
+        val streamingProbes = infos.map(i => probeDf(i).isStreaming)
+        if (streamingProbes.exists(identity)) {
+          require(streamingProbes.forall(identity),
+            s"keyed lookup dim $name: a statement mixing streaming and " +
+              "batch probe sides for one dim is not supported")
+          infos.foreach { i =>
+            val (q2, v) = rewriteStreamingKeyedJoin(outQuery, name, spec, i,
+              curView)
+            outQuery = q2
+            createdViews += v
+          }
+        } else registerKeyedSliceView(name, spec, infos)
       }
     }
+    (outQuery, createdViews.result())
+  }
+
+  /** The BATCH keyed shape: one distributed key-covering slice view per
+    * dim per statement (see [[prepareKeyedDims]]).
+    */
+  private def registerKeyedSliceView(name: String, spec: TableSpec,
+      infos: Seq[KeyedJoin]): Unit = {
+    import org.apache.spark.sql.functions.col
+    val (ttlMs, maxRows, retries, inChunk) = lookupCfg(spec)
+    // distinct probe keys per dim key column, cast to the DIM key's
+    // type first (JDBC hands back e.g. java.lang.Long; an uncast
+    // Integer probe would miss by runtime equality and silently empty
+    // the join)
+    val byCol: Seq[(String, DataFrame)] =
+      infos.groupBy(_.dimCol).toSeq.sortBy(_._1).map { case (dimCol, is) =>
+        val kt = dimKeyType(name, spec, dimCol)
+        dimCol -> is.map { i =>
+          spark.table(i.streamTable)
+            .select(col(i.streamCol).cast(kt).as("k"))
+            .where(col("k").isNotNull)
+        }.reduce(_ union _).distinct()
+      }
+    // 'lookup.keys-per-batch' is OPT-IN: the slice is distributed, so
+    // there is no driver bound left to protect — the option remains as
+    // an explicit cache-thrash guard (a probe set far past the cache
+    // bound refetches every statement), enforced with one bounded count
+    spec.options.get("lookup.keys-per-batch").map(_.trim.toLong)
+      .foreach { maxKeys =>
+        byCol.foreach { case (c, keys) =>
+          val probe = math.min(maxKeys + 1, Int.MaxValue.toLong).toInt
+          val n = keys.limit(probe).count()
+          require(n <= maxKeys,
+            s"keyed lookup dim $name: statement probes $n distinct " +
+              s"keys on '$c' (> $maxKeys 'lookup.keys-per-batch'); " +
+              "raise the bound or pre-aggregate the probe side")
+        }
+      }
+    val slices = byCol.zipWithIndex.map { case ((dimCol, keys), i) =>
+      var s = graft.streaming.LookupJoin.dimSlice(keys,
+        spec.options("url"), spec.options, spec.options("table-name"),
+        dimCol, spec.schema, maxRows, ttlMs, retries,
+        inListChunk = inChunk)
+      // a dim row matching probed keys of SEVERAL columns must appear
+      // ONCE in the view (as in a snapshot view): rows whose
+      // earlier-column value was probed are exactly the rows that
+      // earlier slice already fetched — anti-join them away. Preserves
+      // genuine duplicate dim rows (a full-row value-dedup would not).
+      byCol.take(i).foreach { case (prevCol, prevKeys) =>
+        s = s.join(prevKeys.withColumnRenamed("k", "__graft_gk"),
+          s(prevCol) === col("__graft_gk"), "left_anti")
+      }
+      s
+    }
+    slices.reduce(_ union _).createOrReplaceTempView(name)
+  }
+
+  private val enrCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val EnrPrefix = "__graft_dim_"
+
+  /** The STREAMING keyed shape: splice a per-partition point-query
+    * enrichment into the streaming plan and rewrite the statement text
+    * around it (see [[prepareKeyedDims]]). Returns the rewritten query
+    * and the enriched view's name.
+    */
+  private def rewriteStreamingKeyedJoin(query: String, name: String,
+      spec: TableSpec, i: KeyedJoin,
+      curView: mutable.Map[String, String]): (String, String) = {
+    import org.apache.spark.sql.functions.col
+    import java.util.regex.Pattern.quote
+    import scala.util.matching.Regex.quoteReplacement
+    require(!i.extraConjunct,
+      s"keyed lookup dim $name: the streaming point-query path supports " +
+        "a single-equality ON (the demo_3 shape); move additional " +
+        "predicates to the WHERE clause")
+    val (ttlMs, maxRows, retries, inChunk) = lookupCfg(spec)
+    val kt = dimKeyType(name, spec, i.dimCol)
+    val lkey = i.streamTable.toLowerCase(java.util.Locale.ROOT)
+    val prevName = curView.getOrElse(lkey, i.streamTable)
+    val stream = spark.table(prevName)
+    require(!stream.columns.contains("__graft_probe_k"),
+      s"keyed lookup dim $name: probe source carries the reserved " +
+        "'__graft_probe_k' column")
+    // a chained enrichment legitimately carries the PREVIOUS dim's
+    // prefixed columns; only a raw source with the prefix is a clash
+    if (!curView.contains(lkey))
+      require(!stream.columns.exists(_.startsWith(EnrPrefix)),
+        s"keyed lookup dim $name: probe source carries reserved " +
+          s"'$EnrPrefix*' columns")
+    val how = if (i.leftJoin) "left" else "inner"
+    // hidden probe column: carries the stream key CAST to the dim key
+    // type (runtime-equality contract of the executor-side lookup)
+    // without changing the visible column's type
+    val probed = stream.withColumn("__graft_probe_k",
+      col(i.streamCol).cast(kt))
+    val enriched0 = graft.streaming.LookupJoin.enrichKeyedPartitions(
+      spec.options("url"), spec.options, spec.options("table-name"),
+      "__graft_probe_k", i.dimCol, spec.schema, how, maxRows, ttlMs,
+      retries, inListChunk = inChunk)(probed)
+      .drop("__graft_probe_k")
+    // collision-proof dim column names: d.col references rewrite to
+    // these, so a dim column sharing a stream column's name keeps its
+    // OWN values (incl. NULL-extension under a left join)
+    val renames = spec.schema.fieldNames
+      .map(c => c -> s"$EnrPrefix${i.alias}_$c").toMap
+    val outNames = stream.columns ++ spec.schema.fieldNames.map(renames)
+    val enriched = enriched0.toDF(outNames.toIndexedSeq: _*)
+    val v = s"__graft_keyed_enr_${enrCounter.incrementAndGet()}"
+    enriched.createOrReplaceTempView(v)
+
+    // 1) delete the temporal join clause (FlinkSqlRewrite has already
+    // stripped FOR SYSTEM_TIME from `query`; keep it optional anyway)
+    def colRef(qc: String): String = {
+      val Array(q, c) = qc.split('.')
+      "`?" + quote(q) + "`?\\s*\\.\\s*`?" + quote(c) + "`?"
+    }
+    val joinRe = ("(?i)(?:LEFT\\s+(?:OUTER\\s+)?)?JOIN\\s+`?" +
+      quote(name) + "`?\\s+(?:FOR\\s+SYSTEM_TIME\\s+AS\\s+OF\\s+" +
+      "[`\\w.]+\\s+)?(?:AS\\s+)?" + quote(i.alias) + "\\s+ON\\s+" +
+      colRef(i.lhsText) + "\\s*=\\s*" + colRef(i.rhsText)).r
+    require(joinRe.findFirstIn(query).isDefined,
+      s"keyed lookup dim $name: cannot locate the temporal join of " +
+        s"'$name' (alias ${i.alias}) in the rewritten statement text")
+    var out = joinRe.replaceFirstIn(query, " ")
+
+    // 2) probe table reference → enriched view, keeping (or minting)
+    // the alias so stream-side qualified references keep resolving
+    val probeRe = ("(?i)\\b(FROM|JOIN)\\s+`?" + quote(prevName) +
+      "`?((\\s+AS)?\\s+(\\w+))?").r
+    var replaced = false
+    out = probeRe.replaceSomeIn(out, mm => {
+      if (replaced) None
+      else {
+        replaced = true
+        val cand = Option(mm.group(4))
+        val (alias, trailer) = cand match {
+          case Some(a)
+              if !SqlKeywords(a.toLowerCase(java.util.Locale.ROOT)) =>
+            (a, "")
+          case Some(a) => (i.streamQual, " " + a) // keyword: emit it back
+          case None => (i.streamQual, "")
+        }
+        Some(quoteReplacement(
+          mm.group(1) + " " + v + " AS " + alias + trailer))
+      }
+    })
+    require(replaced,
+      s"keyed lookup dim $name: cannot locate probe table '$prevName' " +
+        "in the statement")
+
+    // 3) dim-qualified references → the renamed enriched columns
+    spec.schema.fieldNames.foreach { c =>
+      val r = ("(?i)\\b(?:" + quote(i.alias) + "|" + quote(name) +
+        ")\\s*\\.\\s*`?" + quote(c) + "`?").r
+      out = r.replaceAllIn(out, quoteReplacement(renames(c)))
+    }
+    ("(?i)\\b" + quote(i.alias) + "\\s*\\.").r.findFirstIn(out).foreach {
+      _ =>
+        throw new IllegalArgumentException(
+          s"keyed lookup dim $name: statement references " +
+            s"${i.alias}.<col> not in the declared dim schema " +
+            s"(${spec.schema.fieldNames.mkString(", ")})")
+    }
+    curView(lkey) = v
+    (out, v)
   }
 
   /** Release runner-held resources (lookup-dim cache + TTL scheduler).
@@ -818,10 +1021,9 @@ class ScriptRunner(spark: SparkSession,
       lookupDims.values.foreach(_.release())
       lookupDims.clear()
     }
-    // keyed caches hold no external resources (connections are
-    // per-fetch); dropping them just frees the LRU memory. keyedDims
-    // registrations stay — a reused runner re-creates the cache lazily.
-    keyedLookups.clear()
+    // keyed point-query caches live in ExecutorLookupCaches (per
+    // executor JVM, LRU-bounded, connections per-fetch) — nothing for a
+    // runner to release; keyedDims registrations stay for reuse.
     ScriptRunner.dimHolders.remove(this)
   }
 

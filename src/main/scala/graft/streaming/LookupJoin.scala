@@ -245,19 +245,30 @@ final class JdbcKeyedLookup(
   private def doFetch(keys: Seq[Any]): Seq[Row] = {
     val c = connect()
     try {
-      keys.grouped(inListChunk).flatMap { chunk =>
-        val sql = s"SELECT ${schema.fieldNames.map(quote).mkString(", ")} " +
-          s"FROM ${quoteTable(table)} WHERE ${quote(keyCol)} IN " +
-          chunk.map(_ => "?").mkString("(", ", ", ")")
-        val ps = c.prepareStatement(sql)
-        try {
+      val buf = scala.collection.mutable.ArrayBuffer[Row]()
+      // ONE prepared statement reused across same-size chunks (all but
+      // the last): the databases that serve lookup dims pay a real
+      // parse/plan cost per distinct IN-list arity, so re-preparing per
+      // chunk multiplies fetch latency for large probe sets
+      var ps: java.sql.PreparedStatement = null
+      var psSize = -1
+      try {
+        keys.grouped(inListChunk).foreach { chunk =>
+          if (chunk.size != psSize) {
+            if (ps != null) ps.close()
+            val sql =
+              s"SELECT ${schema.fieldNames.map(quote).mkString(", ")} " +
+                s"FROM ${quoteTable(table)} WHERE ${quote(keyCol)} IN " +
+                chunk.map(_ => "?").mkString("(", ", ", ")")
+            ps = c.prepareStatement(sql)
+            psSize = chunk.size
+          }
           chunk.zipWithIndex.foreach { case (k, i) => ps.setObject(i + 1, k) }
           val rs = ps.executeQuery()
-          val buf = scala.collection.mutable.ArrayBuffer[Row]()
           while (rs.next()) buf += readRow(rs)
-          buf.toSeq
-        } finally ps.close()
-      }.toSeq
+        }
+      } finally if (ps != null) ps.close()
+      buf.toSeq
     } finally c.close()
   }
 
@@ -346,6 +357,56 @@ object ExecutorLookupCaches {
 
 object LookupJoin {
 
+  /** Cache-identity fingerprint: folds the dim schema and cache config
+    * so call sites that disagree on either get separate executor caches
+    * (see [[ExecutorLookupCaches.get]]). Shared by every executor-side
+    * entry point so the gate's batch slice, the gate's streaming
+    * enrichment, and the Scala API all hit ONE cache per (url, table,
+    * key, config) per JVM.
+    */
+  private[graft] def cacheFingerprint(dimSchema: StructType,
+      cacheMaxRows: Long, cacheTtlMs: Long, inListChunk: Int = 500): String =
+    dimSchema.fields
+      .map(f => s"${f.name}:${f.dataType.sql}").mkString(",") +
+      s"|$cacheMaxRows|$cacheTtlMs|$inListChunk"
+
+  /** Distributed key-covering dim slice — the gate's batch keyed-lookup
+    * shape with NO driver materialization: `keys` (one column, already
+    * cast to the dim key's type) are made distinct, then resolved to dim
+    * rows inside `mapPartitions` through the per-executor LRU+TTL
+    * caches ([[ExecutorLookupCaches]]); each executor's database load is
+    * its own cache misses, chunked into bounded `IN (…)` point queries.
+    *
+    * Multiplicity is EXACT: input keys are distinct and every dim row
+    * holds one value in `dimKey`, so a dim row whose key is probed
+    * appears in the slice exactly as many times as it appears in the
+    * table — a dim with genuine duplicate rows joins with full
+    * multiplicity, unlike a value-dedup of collected rows.
+    */
+  def dimSlice(keys: DataFrame, url: String, connProps: Map[String, String],
+      table: String, dimKey: String, dimSchema: StructType,
+      cacheMaxRows: Long, cacheTtlMs: Long, maxRetries: Int = 3,
+      chunkKeys: Int = 1000, inListChunk: Int = 500): DataFrame = {
+    require(keys.schema.length == 1,
+      s"dimSlice expects a single key column, got ${keys.schema.simpleString}")
+    require(keys.schema.head.dataType == dimSchema(dimKey).dataType,
+      s"dimSlice: probe keys are ${keys.schema.head.dataType.sql} but dim " +
+        s"key '$dimKey' is ${dimSchema(dimKey).dataType.sql} — cast the " +
+        "probe side to the dim key type first (runtime equality)")
+    val fingerprint =
+      cacheFingerprint(dimSchema, cacheMaxRows, cacheTtlMs, inListChunk)
+    keys.where(keys.columns.map(c => s"`$c` IS NOT NULL").mkString(" AND "))
+      .distinct()
+      .mapPartitions { it =>
+        val lk = ExecutorLookupCaches.get(url, table, dimKey, fingerprint)(
+          new JdbcKeyedLookup(url, connProps, table, dimKey, dimSchema,
+            cacheMaxRows, cacheTtlMs, maxRetries, inListChunk))
+        it.grouped(chunkKeys).flatMap { chunk =>
+          lk.lookup(chunk.map(_.get(0))).values.flatten
+        }
+      }(org.apache.spark.sql.Encoders.row(dimSchema))
+  }
+
   /** foreachBatch wrapper: join each micro-batch against the snapshot's
     * current version (broadcast), then hand the enriched batch to the
     * sink function. Usage:
@@ -430,7 +491,7 @@ object LookupJoin {
       url: String, connProps: Map[String, String], table: String,
       streamKey: String, dimKey: String, dimSchema: StructType,
       how: String, cacheMaxRows: Long, cacheTtlMs: Long,
-      maxRetries: Int = 3, chunkKeys: Int = 1000)(
+      maxRetries: Int = 3, chunkKeys: Int = 1000, inListChunk: Int = 500)(
       batch: DataFrame): DataFrame = {
     val leftJoin = how == "left" || how == "left_outer"
     require(leftJoin || how == "inner",
@@ -459,13 +520,12 @@ object LookupJoin {
     val dimKeyIdx = dimSchema.fieldIndex(dimKey)
     val dimOutIdx: Seq[Int] = dimSchema.indices
       .filterNot(i => sameName && i == dimKeyIdx)
-    val fingerprint = dimSchema.fields
-      .map(f => s"${f.name}:${f.dataType.sql}").mkString(",") +
-      s"|$cacheMaxRows|$cacheTtlMs"
+    val fingerprint =
+      cacheFingerprint(dimSchema, cacheMaxRows, cacheTtlMs, inListChunk)
     batch.mapPartitions { it =>
       val lk = ExecutorLookupCaches.get(url, table, dimKey, fingerprint)(
         new JdbcKeyedLookup(url, connProps, table, dimKey, dimSchema,
-          cacheMaxRows, cacheTtlMs, maxRetries))
+          cacheMaxRows, cacheTtlMs, maxRetries, inListChunk))
       it.grouped(chunkKeys).flatMap { chunk =>
         val keys = chunk.iterator.map(_.get(keyIdx))
           .filter(_ != null).toSeq.distinct

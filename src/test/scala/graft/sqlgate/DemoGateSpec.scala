@@ -593,6 +593,141 @@ class DemoGateSpec extends SparkSpec {
     } finally runner.close()
   }
 
+  test("STREAMING keyed lookup: oversized dim served by per-executor " +
+    "point queries mid-stream (demo_3 streaming shape)") {
+    // the r11 gap: a demo_3 author with a dim past max-rows on a
+    // STREAMING source got a loud rejection; now the temporal join is
+    // spliced into the streaming plan as a per-partition point-query
+    // enrichment. LEFT JOIN checks null-extension for missing keys.
+    val url = derby("skdim")
+    val c = DriverManager.getConnection(url)
+    try {
+      val st = c.createStatement()
+      st.execute("CREATE TABLE sk_dim (id BIGINT PRIMARY KEY, " +
+        "label VARCHAR(24))")
+      val ps = c.prepareStatement("INSERT INTO sk_dim VALUES (?, ?)")
+      (0L until 1000L).foreach { i =>
+        ps.setLong(1, i); ps.setString(2, s"label_$i"); ps.addBatch()
+      }
+      ps.executeBatch()
+    } finally c.close()
+    val broker = new graft.sources.StubBroker("sk_topic", 1)
+    val runner = new ScriptRunner(spark,
+      checkpointRoot = Some(Files.createTempDirectory("sk_ckpt").toString))
+    try {
+      broker.append(0, "null", """{"k":7,"v":1.5}""")
+      broker.append(0, "null", """{"k":7,"v":2.5}""")
+      broker.append(0, "null", """{"k":42,"v":3.0}""")
+      broker.append(0, "null", """{"k":5555,"v":4.0}""")
+      val res = runner.run(
+        s"""SET table.exec.mini-batch.allow-latency = 100 ms;
+           |create table sk_src (k BIGINT, v DOUBLE) with (
+           |  'connector' = 'kafka', 'topic' = 'sk_topic',
+           |  'rest.endpoint' = '${broker.endpoint}',
+           |  'scan.startup.mode' = 'earliest-offset',
+           |  'format' = 'json'
+           |);
+           |create table sk_dim (id BIGINT, label VARCHAR) with (
+           |  'connector' = 'jdbc', 'url' = '$url',
+           |  'table-name' = 'sk_dim',
+           |  'lookup.cache.ttl' = '60 s',
+           |  'lookup.cache.max-rows' = '50',
+           |  'lookup.max-retries' = '3'
+           |);
+           |CREATE TABLE sk_sink (k BIGINT, label STRING, v DOUBLE)
+           |WITH ('connector' = 'memory');
+           |INSERT INTO sk_sink
+           |SELECT f.k, d.label, f.v FROM sk_src f
+           |LEFT JOIN sk_dim FOR SYSTEM_TIME AS OF f.k AS d
+           |  ON f.k = d.id;
+           |""".stripMargin)
+      val q = res.queries.head
+      try {
+        q.processAllAvailable()
+        def seen: Set[(Long, String, Double)] = spark.table("sk_sink")
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+        assert(seen == Set(
+          (7L, "label_7", 1.5), (7L, "label_7", 2.5),
+          (42L, "label_42", 3.0), (5555L, null, 4.0)), seen.toString)
+        val s1 = runner.keyedLookupStats("sk_dim").get
+        // the 1000-row dim was never scanned: 3 distinct keys probed,
+        // each fetched once (5555 negative-cached)
+        assert(s1.probedKeys == 3 && s1.fetchedKeys == 3,
+          s"stats after first batch: $s1")
+        // a later micro-batch re-probing a cached key hits the
+        // executor cache; a new key costs one more fetch
+        broker.append(0, "null", """{"k":7,"v":9.0}""")
+        broker.append(0, "null", """{"k":500,"v":8.0}""")
+        q.processAllAvailable()
+        assert(seen.contains((500L, "label_500", 8.0)) &&
+          seen.contains((7L, "label_7", 9.0)), seen.toString)
+        val s2 = runner.keyedLookupStats("sk_dim").get
+        assert(s2.fetchedKeys == 4, s"stats after second batch: $s2")
+        assert(s2.cacheHits >= 1, s"stats after second batch: $s2")
+      } finally q.stop()
+    } finally { runner.close(); broker.stop() }
+  }
+
+  test("keyed slice fetch is DISTRIBUTED: a million-key probe set " +
+    "never materializes on the driver") {
+    // r11 carried a driver-side collect of up to 5M probe keys plus a
+    // serial driver JDBC loop; the slice is now a mapPartitions plan
+    // over per-executor caches. Assert both the behavior (10^6 distinct
+    // keys resolved, correct join) and the structure (the dim's view is
+    // a distributed plan, not a LocalRelation of collected rows).
+    val url = derby("mdim")
+    val c = DriverManager.getConnection(url)
+    try {
+      val st = c.createStatement()
+      st.execute("CREATE TABLE m_dim (id BIGINT PRIMARY KEY, " +
+        "label VARCHAR(24))")
+      val ps = c.prepareStatement("INSERT INTO m_dim VALUES (?, ?)")
+      (0L until 1000L).foreach { i =>
+        ps.setLong(1, i); ps.setString(2, s"label_$i"); ps.addBatch()
+      }
+      ps.executeBatch()
+    } finally c.close()
+    val factsDir = Files.createTempDirectory("m_facts").toString
+    // 10^6 distinct keys; only 1000 hit the dim, the rest negative-cache
+    spark.range(1000000L).selectExpr("id AS k")
+      .write.mode("overwrite").parquet(factsDir)
+    val runner = new ScriptRunner(spark, batchMode = true)
+    try {
+      runner.run(
+        s"""create table m_facts (k BIGINT) with (
+           |  'connector' = 'filesystem', 'path' = '$factsDir',
+           |  'format' = 'parquet'
+           |);
+           |create table m_dim (id BIGINT, label VARCHAR) with (
+           |  'connector' = 'jdbc', 'url' = '$url',
+           |  'table-name' = 'm_dim',
+           |  'lookup.cache.strategy' = 'keyed',
+           |  'lookup.cache.max-rows' = '100000',
+           |  'lookup.in-list-chunk' = '100'
+           |);
+           |CREATE TABLE m_sink (k BIGINT, label STRING)
+           |WITH ('connector' = 'memory');
+           |INSERT INTO m_sink
+           |SELECT f.k, d.label FROM m_facts f
+           |JOIN m_dim FOR SYSTEM_TIME AS OF f.k AS d ON f.k = d.id;
+           |""".stripMargin)
+      assert(spark.table("m_sink_out").count() == 1000L)
+      val s = runner.keyedLookupStats("m_dim").get
+      assert(s.probedKeys == 1000000L && s.fetchedKeys == 1000000L,
+        s"stats: $s")
+      // structural proof of no driver materialization: the dim's view
+      // is the distributed slice plan — no LocalRelation of collected
+      // rows anywhere under it
+      val viewPlan = spark.table("m_dim").queryExecution.analyzed
+      val hasLocal = viewPlan.collectFirst {
+        case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+            if l.data.nonEmpty => l
+      }.isDefined
+      assert(!hasLocal, viewPlan.toString.take(500))
+    } finally runner.close()
+  }
+
   test("lookup TTL refresh is visible MID-STREAM across micro-batches") {
     // the full demo_3 semantics: one long-running streaming join, dim
     // updated while it runs — micro-batches inside the TTL see the
