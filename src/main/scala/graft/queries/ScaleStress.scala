@@ -115,6 +115,21 @@ object ScaleStress {
           Vec.argminAssignWith(emb(), seedCents(16)), 0.35)
         Map("k" -> 16L, "pairs" -> pairs, "max_cell" -> maxCell)
       }),
+      // r12: the pair-LINEAR sizing alternative (k = n/c, fixed target
+      // cell size c = 100) the r11 verdict asked to measure against √n.
+      // Pairs grow linearly (≈ n·c/2) — but the zero-shuffle argmin
+      // assignment scans all k centroids per vector, so assignment is
+      // n·k·d = n²·d/c: a 100x-per-decade term where √n's whole
+      // pipeline is n^1.5. √n is the BALANCED optimum of
+      // assign (n·k·d) + verify (n²·d/2k): d/dk = 0 at k* = √(n/2).
+      // SCALE.md carries the measured comparison and the bend analysis.
+      "semantic_cellc" -> (() => {
+        val kCell = math.max(4, (n / 100L).toInt)
+        val cents = Similarity.kmeansFit(emb(), seedCents(kCell), 1)
+        val (pairs, maxCell) =
+          cellPairs(Vec.argminAssignWith(emb(), cents), 0.35)
+        Map("k" -> kCell.toLong, "pairs" -> pairs, "max_cell" -> maxCell)
+      }),
       // √n-sized IVF ANN: zero-shuffle argmin assignment (the scale
       // path), nProbe-cell probe, exact re-rank inside probed cells
       "ann_ivf_sized" -> (() => {
@@ -184,7 +199,13 @@ object ScaleStress {
       // is the metric (band-key join between sides, product cap held
       // ⇔ pairs grow ~linearly with the incoming shard)
       "cross_dedup" -> (() => countOf("q_dedup_cross")
-        .map { case (_, v) => ("pairs", v) })
+        .map { case (_, v) => ("pairs", v) }),
+      // r12 surfaces: the streaming DEDUP_EXACT TVF on a real drain,
+      // and the streaming keyed lookup enrichment through the gate
+      // (per-executor point queries; DB load is bounded by DISTINCT
+      // probe keys — 25 nations — however large the stream grows)
+      "gate_dedup_stream" -> (() => countOf("q_gate_dedup_stream")),
+      "gate_lookup_stream" -> (() => countOf("q_gate_lookup_stream"))
     )
 
     // optional comma-separated op filter for selective re-measurement
