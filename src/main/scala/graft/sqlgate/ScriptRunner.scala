@@ -970,9 +970,12 @@ class ScriptRunner(spark: SparkSession,
     var out = joinRe.replaceFirstIn(query, " ")
 
     // 2) probe table reference → enriched view, keeping (or minting)
-    // the alias so stream-side qualified references keep resolving
+    // the alias so stream-side qualified references keep resolving.
+    // (?!\w) guards the table-name end: without it a probe table that
+    // is a PREFIX of another identifier (flink_test_3 vs
+    // flink_test_3_dim — the demo_3 names!) would match inside it
     val probeRe = ("(?i)\\b(FROM|JOIN)\\s+`?" + quote(prevName) +
-      "`?((\\s+AS)?\\s+(\\w+))?").r
+      "`?(?!\\w)((\\s+AS)?\\s+(\\w+))?").r
     var replaced = false
     out = probeRe.replaceSomeIn(out, mm => {
       if (replaced) None

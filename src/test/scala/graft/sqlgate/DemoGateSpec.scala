@@ -593,6 +593,72 @@ class DemoGateSpec extends SparkSpec {
     } finally runner.close()
   }
 
+  test("demo_3 VERBATIM on the keyed strategy: subquery + LEFT temporal " +
+    "join + aggregate, streaming, point-query dim") {
+    // the exact demo_3.md script (nested subquery, LEFT JOIN with the
+    // dim on the ON's LHS, outer GROUP BY, jdbc two-step sink) with
+    // only 'lookup.cache.strategy' = 'keyed' added — the enrichment
+    // rewrite must reproduce the snapshot path's answer byte-for-byte,
+    // including the NULL-extended miss (id 99) dropped by SUM
+    val url = derby("demo3k")
+    val c = DriverManager.getConnection(url)
+    try {
+      val st = c.createStatement()
+      st.execute("CREATE TABLE test_dim (id BIGINT PRIMARY KEY, " +
+        "coupon_amnount BIGINT)")
+      st.execute("INSERT INTO test_dim VALUES (1, 1), (3, 1), (8, 1)")
+      st.execute("CREATE TABLE sync_test_3k (day_time VARCHAR(64) " +
+        "PRIMARY KEY, total_gmv BIGINT)")
+    } finally c.close()
+    val t1 = jsonDir(Seq(
+      """{"day_time": "20201011","id": 8,"amnount":211}""",
+      """{"day_time": "20201011","id": 1,"amnount":100}""",
+      """{"day_time": "20201011","id": 99,"amnount":50}"""))
+    val res = new ScriptRunner(spark,
+      checkpointRoot = Some(Files.createTempDirectory("d3k_ckpt").toString))
+      .run(
+        s"""create table flink_test_3 (
+           |  id BIGINT,
+           |  day_time VARCHAR,
+           |  amnount BIGINT,
+           |  proctime AS PROCTIME ()
+           |) with (
+           |  'connector' = 'filesystem', 'path' = '$t1', 'format' = 'json'
+           |);
+           |create table flink_test_3_dim (
+           |  id BIGINT,
+           |  coupon_amnount BIGINT
+           |) with (
+           |  'connector' = 'jdbc', 'url' = '$url',
+           |  'table-name' = 'test_dim',
+           |  'lookup.max-retries' = '3',
+           |  'lookup.cache.strategy' = 'keyed'
+           |);
+           |CREATE TABLE sync_test_3k (
+           |  day_time string,
+           |  total_gmv bigint,
+           |  PRIMARY KEY (day_time) NOT ENFORCED
+           |) WITH (
+           |  'connector' = 'jdbc', 'url' = '$url',
+           |  'table-name' = 'sync_test_3k', 'dialect' = 'two-step'
+           |);
+           |INSERT INTO sync_test_3k
+           |SELECT day_time, SUM(amnount - coupon_amnount) AS total_gmv
+           |FROM (
+           |  SELECT a.day_time as day_time, a.amnount as amnount,
+           |    b.coupon_amnount as coupon_amnount
+           |  FROM flink_test_3 as a
+           |  LEFT JOIN flink_test_3_dim FOR SYSTEM_TIME AS OF a.proctime as b
+           |  ON b.id = a.id
+           |)
+           |GROUP BY day_time;
+           |""".stripMargin)
+    assert(res.queries.size == 1)
+    res.queries.foreach(_.awaitTermination(120000))
+    val rows = query(url, "SELECT day_time, total_gmv FROM sync_test_3k")
+    assert(rows == Seq(Seq("20201011", 309L)))
+  }
+
   test("STREAMING keyed lookup: oversized dim served by per-executor " +
     "point queries mid-stream (demo_3 streaming shape)") {
     // the r11 gap: a demo_3 author with a dim past max-rows on a
