@@ -621,6 +621,62 @@ object Gate extends QueryPack {
       } finally runner.close()
     }),
 
+    // The BATCH keyed slice path: same join+agg as q_gate_lookup but
+    // the dim is FORCED onto the point-query strategy — the statement
+    // joins a distributed key-covering slice (per-executor LRU+TTL
+    // caches, no driver materialization) instead of the TTL-cached
+    // snapshot. The answer must be identical.
+    "q_gate_lookup_keyed" -> ((s, dir) => {
+      val url = s"jdbc:derby:memory:gate_lkp_k;create=true"
+      val c = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = c.createStatement()
+        try st.execute("DROP TABLE nation_dim_k")
+        catch { case _: java.sql.SQLException => () } // first run: absent
+        st.execute(
+          "CREATE TABLE nation_dim_k (n_nationkey BIGINT, n_name VARCHAR(32))")
+        val ps = c.prepareStatement("INSERT INTO nation_dim_k VALUES (?, ?)")
+        graft.Tables.load(s, dir, "nation")
+          .select("n_nationkey", "n_name").collect().foreach { r =>
+            ps.setLong(1, r.getAs[Number](0).longValue())
+            ps.setString(2, r.getString(1))
+            ps.addBatch()
+          }
+        ps.executeBatch()
+      } finally c.close()
+      val runner = new ScriptRunner(s, batchMode = true)
+      try {
+        runner.run(
+          s"""CREATE TABLE cust_lkpk (
+             |  c_custkey BIGINT, c_nationkey BIGINT, c_acctbal DOUBLE
+             |) WITH (
+             |  'connector' = 'filesystem',
+             |  'path' = '$dir/customer.parquet',
+             |  'format' = 'parquet'
+             |);
+             |CREATE TABLE nation_dim_k (
+             |  n_nationkey BIGINT, n_name VARCHAR
+             |) WITH (
+             |  'connector' = 'jdbc', 'url' = '$url',
+             |  'table-name' = 'nation_dim_k',
+             |  'lookup.cache.ttl' = '60 s',
+             |  'lookup.cache.strategy' = 'keyed'
+             |);
+             |CREATE TABLE lookup_keyed_sink (
+             |  n_name VARCHAR, n BIGINT, sum_bal DOUBLE
+             |) WITH ('connector' = 'memory');
+             |INSERT INTO lookup_keyed_sink
+             |SELECT d.n_name, COUNT(*) AS n,
+             |  ${oSum2("c.c_acctbal")} AS sum_bal
+             |FROM cust_lkpk c
+             |JOIN nation_dim_k FOR SYSTEM_TIME AS OF c.c_custkey AS d
+             |  ON c.c_nationkey = d.n_nationkey
+             |GROUP BY d.n_name;
+             |""".stripMargin)
+        s.table("lookup_keyed_sink_out")
+      } finally runner.close()
+    }),
+
     // The STREAMING keyed lookup path (demo_3's real shape — a stream
     // enriched from a dim too large to snapshot): the customer table
     // streams through the gate while the nation dim, forced onto the
@@ -934,6 +990,13 @@ object Gate extends QueryPack {
     // the lookup wire (Derby dim + TTL cache) must not change the
     // answer: same aggregation as a plain parquet join
     "q_gate_lookup" ->
+      s"""SELECT n.n_name, COUNT(*) AS n, ${oSum2("c.c_acctbal")} AS sum_bal
+         |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+         |GROUP BY n.n_name""".stripMargin,
+
+    // the BATCH keyed slice path must give the identical answer: same
+    // join+agg, dim served by the distributed key-covering slice
+    "q_gate_lookup_keyed" ->
       s"""SELECT n.n_name, COUNT(*) AS n, ${oSum2("c.c_acctbal")} AS sum_bal
          |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
          |GROUP BY n.n_name""".stripMargin,
