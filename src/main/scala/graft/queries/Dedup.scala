@@ -298,23 +298,6 @@ object Dedup extends QueryPack {
     math.min(45, math.max(15, ceilLog2 + 4))
   }
 
-  /** SimHash near-dup pairs over ANY (id, text) relation, with corpus-
-    * sized chunk blocking. The signature is the per-bit majority vote
-    * over word-bigram token hashes; its width is exactly 4*chunkWidth
-    * bits, drawn low-bits-first from up to three 60-bit md5 limbs (the
-    * third — a salted second digest — only materializes when 4w > 120,
-    * i.e. past ~2^26 docs; smaller corpora pay exactly the two-limb
-    * cost). Blocking: 4 chunks of chunkWidth bits — hamming<=3 over the
-    * covered bits implies at most 3 chunks differ, so at least one chunk
-    * key collides (pigeonhole, for ANY width) and the blocking is
-    * LOSSLESS: candidates are verified by exact hamming over the same 4w
-    * bits, so output equals the brute-force all-pairs scan the oracle
-    * runs. The chunk path stays uncapped by design: its key space GROWS
-    * with the corpus (2^w ≈ 16n per chunk), so expected bucket
-    * population is O(1) and the pair expansion stays linear — the
-    * fixed-4x2^15 key space that bent the sf10 curve (7x at 10x data) is
-    * gone, and the limb supply no longer re-caps it at 2^26 docs.
-    */
   /** Per-doc SimHash limbs over a (doc_id, w: Array[String]) relation:
     * hash word-bigram tokens in a codegen'd projection (explode keeps
     * md5/conv in whole-stage codegen — an interpreted transform()
@@ -341,6 +324,23 @@ object Dedup extends QueryPack {
           .as(s"s$i")): _*)
   }
 
+  /** SimHash near-dup pairs over ANY (id, text) relation, with corpus-
+    * sized chunk blocking. The signature is the per-bit majority vote
+    * over word-bigram token hashes; its width is exactly 4*chunkWidth
+    * bits, drawn low-bits-first from up to three 60-bit md5 limbs (the
+    * third — a salted second digest — only materializes when 4w > 120,
+    * i.e. past ~2^26 docs; smaller corpora pay exactly the two-limb
+    * cost). Blocking: 4 chunks of chunkWidth bits — hamming<=3 over the
+    * covered bits implies at most 3 chunks differ, so at least one chunk
+    * key collides (pigeonhole, for ANY width) and the blocking is
+    * LOSSLESS: candidates are verified by exact hamming over the same 4w
+    * bits, so output equals the brute-force all-pairs scan the oracle
+    * runs. The chunk path stays uncapped by design: its key space GROWS
+    * with the corpus (2^w ≈ 16n per chunk), so expected bucket
+    * population is O(1) and the pair expansion stays linear — the
+    * fixed-4x2^15 key space that bent the sf10 curve (7x at 10x data) is
+    * gone, and the limb supply no longer re-caps it at 2^26 docs.
+    */
   def simhashVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
       chunkWidth: Int): DataFrame = {
     require(chunkWidth >= 1 && chunkWidth <= 45,

@@ -18,6 +18,32 @@ object Gate extends QueryPack {
   private val cdcLogs =
     scala.collection.concurrent.TrieMap[String, String]()
 
+  /** Seed the nation table into an embedded Derby database (the
+    * sandbox's MySQL stand-in) — shared by the three lookup-join
+    * oracles so their dim fixtures cannot drift apart. n_nationkey is
+    * int32 in some generator drops, int64 in others — widened through
+    * Number.
+    */
+  private def seedNationDerby(s: SparkSession, dir: String, url: String,
+      table: String): Unit = {
+    val c = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = c.createStatement()
+      try st.execute(s"DROP TABLE $table")
+      catch { case _: java.sql.SQLException => () } // first run: absent
+      st.execute(
+        s"CREATE TABLE $table (n_nationkey BIGINT, n_name VARCHAR(32))")
+      val ps = c.prepareStatement(s"INSERT INTO $table VALUES (?, ?)")
+      graft.Tables.load(s, dir, "nation")
+        .select("n_nationkey", "n_name").collect().foreach { r =>
+          ps.setLong(1, r.getAs[Number](0).longValue())
+          ps.setString(2, r.getString(1))
+          ps.addBatch()
+        }
+      ps.executeBatch()
+    } finally c.close()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_gate_script" -> ((s, dir) => {
       val runner = new ScriptRunner(s, batchMode = true)
@@ -569,24 +595,7 @@ object Gate extends QueryPack {
     // tables directly — demo_3's shape checked by the correctness gate.
     "q_gate_lookup" -> ((s, dir) => {
       val url = s"jdbc:derby:memory:gate_lkp;create=true"
-      val c = java.sql.DriverManager.getConnection(url)
-      try {
-        val st = c.createStatement()
-        try st.execute("DROP TABLE nation_dim")
-        catch { case _: java.sql.SQLException => () } // first run: absent
-        st.execute(
-          "CREATE TABLE nation_dim (n_nationkey BIGINT, n_name VARCHAR(32))")
-        val ps = c.prepareStatement("INSERT INTO nation_dim VALUES (?, ?)")
-        graft.Tables.load(s, dir, "nation")
-          .select("n_nationkey", "n_name").collect().foreach { r =>
-            // n_nationkey is int32 in some generator drops, int64 in
-            // others — widen through Number
-            ps.setLong(1, r.getAs[Number](0).longValue())
-            ps.setString(2, r.getString(1))
-            ps.addBatch()
-          }
-        ps.executeBatch()
-      } finally c.close()
+      seedNationDerby(s, dir, url, "nation_dim")
       val runner = new ScriptRunner(s, batchMode = true)
       try {
         runner.run(
@@ -628,22 +637,7 @@ object Gate extends QueryPack {
     // snapshot. The answer must be identical.
     "q_gate_lookup_keyed" -> ((s, dir) => {
       val url = s"jdbc:derby:memory:gate_lkp_k;create=true"
-      val c = java.sql.DriverManager.getConnection(url)
-      try {
-        val st = c.createStatement()
-        try st.execute("DROP TABLE nation_dim_k")
-        catch { case _: java.sql.SQLException => () } // first run: absent
-        st.execute(
-          "CREATE TABLE nation_dim_k (n_nationkey BIGINT, n_name VARCHAR(32))")
-        val ps = c.prepareStatement("INSERT INTO nation_dim_k VALUES (?, ?)")
-        graft.Tables.load(s, dir, "nation")
-          .select("n_nationkey", "n_name").collect().foreach { r =>
-            ps.setLong(1, r.getAs[Number](0).longValue())
-            ps.setString(2, r.getString(1))
-            ps.addBatch()
-          }
-        ps.executeBatch()
-      } finally c.close()
+      seedNationDerby(s, dir, url, "nation_dim_k")
       val runner = new ScriptRunner(s, batchMode = true)
       try {
         runner.run(
@@ -687,22 +681,7 @@ object Gate extends QueryPack {
     // must not change the answer.
     "q_gate_lookup_stream" -> ((s, dir) => {
       val url = s"jdbc:derby:memory:gate_lkp_s;create=true"
-      val c = java.sql.DriverManager.getConnection(url)
-      try {
-        val st = c.createStatement()
-        try st.execute("DROP TABLE nation_dim_s")
-        catch { case _: java.sql.SQLException => () } // first run: absent
-        st.execute(
-          "CREATE TABLE nation_dim_s (n_nationkey BIGINT, n_name VARCHAR(32))")
-        val ps = c.prepareStatement("INSERT INTO nation_dim_s VALUES (?, ?)")
-        graft.Tables.load(s, dir, "nation")
-          .select("n_nationkey", "n_name").collect().foreach { r =>
-            ps.setLong(1, r.getAs[Number](0).longValue())
-            ps.setString(2, r.getString(1))
-            ps.addBatch()
-          }
-        ps.executeBatch()
-      } finally c.close()
+      seedNationDerby(s, dir, url, "nation_dim_s")
       val staged = StreamingGate.stagedTableDir(dir, "customer")
       val runner = new ScriptRunner(s, batchMode = false)
       try {

@@ -758,7 +758,10 @@ class ScriptRunner(spark: SparkSession,
       throw new IllegalArgumentException(
         s"keyed lookup dim $name: cannot resolve probe-side qualifier " +
           s"'$streamQual' to a FROM/JOIN table"))
-    val before = stmtText.substring(math.max(0, m.start - 16), m.start)
+    // the whole prefix, not a fixed window: `LEFT\n  OUTER\n  JOIN`
+    // spread across lines must still read as a left join (a missed LEFT
+    // silently drops unmatched stream rows under how="inner")
+    val before = stmtText.substring(0, m.start)
     val leftJoin =
       """(?i)\bLEFT\s+(?:OUTER\s+)?$""".r.findFirstIn(before).isDefined
     val extra = """(?i)^\s*AND\b""".r
@@ -969,23 +972,50 @@ class ScriptRunner(spark: SparkSession,
         s"'$name' (alias ${i.alias}) in the rewritten statement text")
     var out = joinRe.replaceFirstIn(query, " ")
 
+    // the dim's own join clause is now gone; any SURVIVING FROM/JOIN
+    // that binds the same alias (e.g. an unrelated subquery's
+    // `FROM other_tab d`) is a different scope the textual qualifier
+    // rewrite below cannot distinguish — it would clobber that scope's
+    // `d.col` references (silently wrong values) or reject valid SQL at
+    // the remnant guard. Fail loudly instead and name the conflict.
+    FromAliasRe.findAllMatchIn(out).foreach { fm =>
+      val boundAlias = Option(fm.group(2))
+        .filterNot(a => SqlKeywords(a.toLowerCase(java.util.Locale.ROOT)))
+      if (boundAlias.exists(_.equalsIgnoreCase(i.alias)) ||
+          fm.group(1).equalsIgnoreCase(i.alias))
+        throw new IllegalArgumentException(
+          s"keyed lookup dim $name: alias '${i.alias}' is also bound " +
+            "by another FROM/JOIN in the statement; the streaming " +
+            "point-query rewrite is textual and cannot scope qualified " +
+            "references — rename the dim alias or the conflicting one")
+    }
+
     // 2) probe table reference → enriched view, keeping (or minting)
     // the alias so stream-side qualified references keep resolving.
     // (?!\w) guards the table-name end: without it a probe table that
     // is a PREFIX of another identifier (flink_test_3 vs
-    // flink_test_3_dim — the demo_3 names!) would match inside it
+    // flink_test_3_dim — the demo_3 names!) would match inside it.
+    // Only the occurrence whose EFFECTIVE qualifier (alias, or the bare
+    // table name when un-aliased) is the ON clause's probe qualifier is
+    // rewritten: a statement referencing the stream table twice (a
+    // self-join `FROM s AS x JOIN s AS a2 … ON a2.k = d.k`) must attach
+    // the enrichment to a2's relation, not to the first textual match —
+    // the wrong occurrence would key the point queries off x's rows and
+    // leave a2 un-enriched, silently wrong with no error
     val probeRe = ("(?i)\\b(FROM|JOIN)\\s+`?" + quote(prevName) +
       "`?(?!\\w)((\\s+AS)?\\s+(\\w+))?").r
+    val wantQual = i.streamQual.toLowerCase(java.util.Locale.ROOT)
     var replaced = false
     out = probeRe.replaceSomeIn(out, mm => {
-      if (replaced) None
+      val cand = Option(mm.group(4))
+        .filterNot(a => SqlKeywords(a.toLowerCase(java.util.Locale.ROOT)))
+      val effQual = cand.getOrElse(prevName)
+        .toLowerCase(java.util.Locale.ROOT)
+      if (replaced || effQual != wantQual) None
       else {
         replaced = true
-        val cand = Option(mm.group(4))
-        val (alias, trailer) = cand match {
-          case Some(a)
-              if !SqlKeywords(a.toLowerCase(java.util.Locale.ROOT)) =>
-            (a, "")
+        val (alias, trailer) = Option(mm.group(4)) match {
+          case Some(a) if cand.isDefined => (a, "")
           case Some(a) => (i.streamQual, " " + a) // keyword: emit it back
           case None => (i.streamQual, "")
         }
@@ -995,7 +1025,7 @@ class ScriptRunner(spark: SparkSession,
     })
     require(replaced,
       s"keyed lookup dim $name: cannot locate probe table '$prevName' " +
-        "in the statement")
+        s"under qualifier '${i.streamQual}' in the statement")
 
     // 3) dim-qualified references → the renamed enriched columns
     spec.schema.fieldNames.foreach { c =>
@@ -1025,8 +1055,19 @@ class ScriptRunner(spark: SparkSession,
       lookupDims.clear()
     }
     // keyed point-query caches live in ExecutorLookupCaches (per
-    // executor JVM, LRU-bounded, connections per-fetch) — nothing for a
-    // runner to release; keyedDims registrations stay for reuse.
+    // executor JVM, LRU-bounded, connections per-fetch). Invalidate the
+    // tuples THIS runner registered so a new runner against a rebuilt
+    // dim table reads fresh rows instead of inheriting this runner's
+    // entries until TTL — complete in local mode; on a cluster the
+    // executors' instances age out by the TTL the dim already declares.
+    keyedDims.values.foreach { spec =>
+      (spec.options.get("url"), spec.options.get("table-name")) match {
+        case (Some(u), Some(t)) =>
+          graft.streaming.ExecutorLookupCaches.invalidate(u, t)
+        case _ => ()
+      }
+    }
+    keyedDims.clear()
     ScriptRunner.dimHolders.remove(this)
   }
 

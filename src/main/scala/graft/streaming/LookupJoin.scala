@@ -181,28 +181,75 @@ final class JdbcKeyedLookup(
     */
   def cachedRowCount: Long = synchronized { cachedRows }
 
+  // keys some thread is currently fetching; guarded by the monitor.
+  // Other threads needing one of these keys WAIT for the install
+  // instead of duplicating the point query — the JVM-shared cache's
+  // fetch-once-per-key contract (fetchedKeys == distinct probed keys)
+  // survives concurrency.
+  private val inFlight = scala.collection.mutable.Set[Any]()
+
   /** Resolve `keys` → dim rows (empty Seq = key absent from the dim).
-    * Thread-safe; only keys missing from the cache touch the database.
+    * Thread-safe; only keys missing from the cache touch the database,
+    * and each missing key is fetched by exactly ONE thread.
+    *
+    * The monitor guards only cache + in-flight bookkeeping — the JDBC
+    * round-trips run OUTSIDE it. One cache serves every task thread on
+    * the executor ([[ExecutorLookupCaches]]); holding the lock across
+    * the fetch would serialize all of them through one monitor during
+    * database I/O, reducing the distributed slice path to the serial
+    * driver loop it replaced. Instead each thread claims the unclaimed
+    * misses, fetches them unlocked, installs under the monitor, and
+    * waits (releasing the monitor) for keys claimed by other threads;
+    * if a claimant's fetch fails, its claims are released and a waiter
+    * re-claims on its next pass.
     */
-  def lookup(keys: Seq[Any]): Map[Any, Seq[Row]] = synchronized {
-    val now = System.currentTimeMillis()
-    nProbed += keys.size
-    val (cached, missing) = keys.distinct.partition { k =>
-      val e = lru.get(k)
-      e != null && now - e.at < cacheTtlMs
+  def lookup(keys: Seq[Any]): Map[Any, Seq[Row]] = {
+    val results = scala.collection.mutable.Map[Any, Seq[Row]]()
+    synchronized { nProbed += keys.size }
+    var pending: Seq[Any] = keys.distinct
+    while (pending.nonEmpty) {
+      val now = System.currentTimeMillis()
+      val mine = scala.collection.mutable.Buffer[Any]()
+      val theirs = scala.collection.mutable.Buffer[Any]()
+      synchronized {
+        pending.foreach { k =>
+          val e = lru.get(k)
+          if (e != null && now - e.at < cacheTtlMs) {
+            nHits += 1
+            results(k) = e.rows
+          } else if (inFlight.contains(k)) theirs += k
+          else { inFlight += k; mine += k }
+        }
+      }
+      if (mine.nonEmpty) {
+        val fetched =
+          try fetchKeys(mine.toSeq).groupBy(_.get(keyOrd))
+          catch {
+            case t: Throwable =>
+              synchronized { inFlight --= mine; notifyAll() }
+              throw t
+          }
+        synchronized {
+          mine.foreach { k =>
+            nFetched += 1
+            val rows = fetched.getOrElse(k, Nil)
+            put(k, Entry(rows, now))
+            results(k) = rows
+          }
+          inFlight --= mine
+          notifyAll()
+        }
+      }
+      // block until the other claimants have installed (or failed) our
+      // remaining keys, then re-classify them: normally a fresh cache
+      // hit; re-claimed by US if the claimant failed or its entry was
+      // already evicted/expired
+      if (theirs.nonEmpty) synchronized {
+        while (theirs.exists(inFlight.contains)) wait()
+      }
+      pending = theirs.toSeq
     }
-    nHits += cached.size
-    // snapshot hit rows BEFORE the puts below — inserting fetched keys
-    // can evict a key that was a hit in this very call
-    val hitRows = cached.map(k => k -> lru.get(k).rows)
-    val fetched: Map[Any, Seq[Row]] =
-      if (missing.isEmpty) Map.empty
-      else fetchKeys(missing).groupBy(_.get(keyOrd))
-    missing.foreach { k =>
-      nFetched += 1
-      put(k, Entry(fetched.getOrElse(k, Nil), now))
-    }
-    (hitRows ++ missing.map(k => k -> fetched.getOrElse(k, Nil))).toMap
+    results.toMap
   }
 
   private def put(k: Any, e: Entry): Unit = {
@@ -330,8 +377,23 @@ final class JdbcKeyedLookup(
   * a cache captured in the closure would never be shared.
   */
 object ExecutorLookupCaches {
-  private val caches = scala.collection.concurrent.TrieMap[
-    (String, String, String, String), JdbcKeyedLookup]()
+  /** Registry-level bound: at most this many DISTINCT cache instances
+    * per JVM, evicting the least-recently-USED whole cache. Each
+    * instance is already row-bounded internally (`lookup.cache.max-rows`),
+    * but a long-lived JVM that registers dims against many distinct
+    * (url, table) tuples over its lifetime — a test suite's per-case
+    * in-memory databases, a platform process cycling jobs — would
+    * otherwise accumulate caches forever.
+    */
+  private val MaxCaches = 64
+
+  // accessOrder=true → LRU iteration; all access synchronized on `caches`
+  private val caches = new java.util.LinkedHashMap[
+    (String, String, String, String), JdbcKeyedLookup](16, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[(String, String, String, String),
+          JdbcKeyedLookup]): Boolean = size() > MaxCaches
+  }
 
   /** One cache per (url, table, key, fingerprint) per JVM. The
     * fingerprint folds in the dim schema and cache config: two call
@@ -341,8 +403,12 @@ object ExecutorLookupCaches {
     * real cause.
     */
   def get(url: String, table: String, keyCol: String, fingerprint: String)(
-      mk: => JdbcKeyedLookup): JdbcKeyedLookup =
-    caches.getOrElseUpdate((url, table, keyCol, fingerprint), mk)
+      mk: => JdbcKeyedLookup): JdbcKeyedLookup = caches.synchronized {
+    val key = (url, table, keyCol, fingerprint)
+    val existing = caches.get(key)
+    if (existing != null) existing
+    else { val lk = mk; caches.put(key, lk); lk }
+  }
 
   /** Aggregate stats across this JVM's caches (in local mode: all
     * partitions) — the spec's proof that partitions share the cache.
@@ -350,9 +416,31 @@ object ExecutorLookupCaches {
     * caches, so callers filter on the first three parts.
     */
   def stats: Map[(String, String, String, String), LookupStats] =
-    caches.map { case (k, lk) => k -> lk.stats }.toMap
+    caches.synchronized {
+      val b = Map.newBuilder[(String, String, String, String), LookupStats]
+      caches.forEach((k, lk) => b += k -> lk.stats)
+      b.result()
+    }
 
-  def clear(): Unit = caches.clear()
+  /** Drop every cache of one (url, table) — called by a closing
+    * [[graft.sqlgate.ScriptRunner]] for the dims it registered, so a
+    * NEW runner against a rebuilt dim table reads fresh rows instead of
+    * serving the previous runner's entries until TTL. Complete in local
+    * mode (executors share this JVM); on a cluster this clears the
+    * driver's instance only and executor caches age out by TTL —
+    * exactly the staleness window `lookup.cache.ttl` already grants.
+    */
+  def invalidate(url: String, table: String): Unit = caches.synchronized {
+    val it = caches.keySet().iterator()
+    while (it.hasNext) {
+      val k = it.next()
+      if (k._1 == url && k._2 == table) it.remove()
+    }
+  }
+
+  def clear(): Unit = caches.synchronized { caches.clear() }
+
+  private[graft] def size: Int = caches.synchronized { caches.size() }
 }
 
 object LookupJoin {

@@ -735,6 +735,208 @@ class DemoGateSpec extends SparkSpec {
     } finally { runner.close(); broker.stop() }
   }
 
+  test("streaming keyed rewrite targets the ON clause's qualifier, not " +
+    "the first textual occurrence of the probe table") {
+    // `FROM s AS x JOIN s AS a2 … JOIN dim FOR SYSTEM_TIME … ON
+    // a2.k2 = d.id`: the enrichment must attach to a2's relation —
+    // rewriting the first `FROM s` would key the point queries off x's
+    // rows and leave a2 un-enriched, silently wrong with no error
+    val url = derby("sjdim")
+    val c = DriverManager.getConnection(url)
+    try {
+      val st = c.createStatement()
+      st.execute("CREATE TABLE sj_dim (id BIGINT PRIMARY KEY, " +
+        "label VARCHAR(24))")
+      st.execute("INSERT INTO sj_dim VALUES (100, 'label_100')")
+      st.execute("INSERT INTO sj_dim VALUES (200, 'label_200')")
+    } finally c.close()
+    val broker = new graft.sources.StubBroker("sj_topic", 1)
+    val runner = new ScriptRunner(spark,
+      checkpointRoot = Some(Files.createTempDirectory("sj_ckpt").toString))
+    try {
+      broker.append(0, "null", """{"rid":1,"parent":2,"k2":100}""")
+      broker.append(0, "null", """{"rid":2,"parent":1,"k2":200}""")
+      val res = runner.run(
+        s"""create table sj_src (rid BIGINT, parent BIGINT, k2 BIGINT)
+           |with (
+           |  'connector' = 'kafka', 'topic' = 'sj_topic',
+           |  'rest.endpoint' = '${broker.endpoint}',
+           |  'scan.startup.mode' = 'earliest-offset',
+           |  'format' = 'json'
+           |);
+           |create table sj_dim (id BIGINT, label VARCHAR) with (
+           |  'connector' = 'jdbc', 'url' = '$url',
+           |  'table-name' = 'sj_dim',
+           |  'lookup.cache.ttl' = '60 s',
+           |  'lookup.cache.strategy' = 'keyed'
+           |);
+           |CREATE TABLE sj_sink (rid BIGINT, rid2 BIGINT, label STRING)
+           |WITH ('connector' = 'memory');
+           |INSERT INTO sj_sink
+           |SELECT x.rid AS rid, a2.rid AS rid2, d.label AS label
+           |FROM sj_src AS x JOIN sj_src AS a2 ON x.rid = a2.parent
+           |JOIN sj_dim FOR SYSTEM_TIME AS OF a2.rid AS d
+           |  ON a2.k2 = d.id;
+           |""".stripMargin)
+      val q = res.queries.head
+      try {
+        q.processAllAvailable()
+        val seen = spark.table("sj_sink").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+        // x=rid1 pairs with a2=rid2 (k2=200) and vice versa: each output
+        // row's label must come from a2's k2, not x's
+        assert(seen == Set((1L, 2L, "label_200"), (2L, 1L, "label_100")),
+          seen.toString)
+      } finally q.stop()
+    } finally { runner.close(); broker.stop() }
+  }
+
+  test("LEFT OUTER spread across lines still left-joins the keyed dim") {
+    // the LEFT detection reads the whole statement prefix, not a fixed
+    // window: `LEFT\n OUTER\n JOIN` must null-extend missing keys, not
+    // silently drop their rows under an inner join
+    val url = derby("mldim")
+    val c = DriverManager.getConnection(url)
+    try {
+      val st = c.createStatement()
+      st.execute("CREATE TABLE ml_dim (id BIGINT PRIMARY KEY, " +
+        "label VARCHAR(24))")
+      st.execute("INSERT INTO ml_dim VALUES (7, 'seven')")
+    } finally c.close()
+    val broker = new graft.sources.StubBroker("ml_topic", 1)
+    val runner = new ScriptRunner(spark,
+      checkpointRoot = Some(Files.createTempDirectory("ml_ckpt").toString))
+    try {
+      broker.append(0, "null", """{"k":7,"v":1.0}""")
+      broker.append(0, "null", """{"k":9999,"v":2.0}""")
+      val res = runner.run(
+        s"""create table ml_src (k BIGINT, v DOUBLE) with (
+           |  'connector' = 'kafka', 'topic' = 'ml_topic',
+           |  'rest.endpoint' = '${broker.endpoint}',
+           |  'scan.startup.mode' = 'earliest-offset',
+           |  'format' = 'json'
+           |);
+           |create table ml_dim (id BIGINT, label VARCHAR) with (
+           |  'connector' = 'jdbc', 'url' = '$url',
+           |  'table-name' = 'ml_dim',
+           |  'lookup.cache.ttl' = '60 s',
+           |  'lookup.cache.strategy' = 'keyed'
+           |);
+           |CREATE TABLE ml_sink (k BIGINT, label STRING, v DOUBLE)
+           |WITH ('connector' = 'memory');
+           |INSERT INTO ml_sink
+           |SELECT f.k, d.label, f.v FROM ml_src f
+           |LEFT
+           |    OUTER
+           |    JOIN ml_dim FOR SYSTEM_TIME AS OF f.k AS d
+           |  ON f.k = d.id;
+           |""".stripMargin)
+      val q = res.queries.head
+      try {
+        q.processAllAvailable()
+        val seen = spark.table("ml_sink").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+        assert(seen == Set((7L, "seven", 1.0), (9999L, null, 2.0)),
+          seen.toString)
+      } finally q.stop()
+    } finally { runner.close(); broker.stop() }
+  }
+
+  test("a statement re-binding the dim alias in another scope is " +
+    "rejected loudly, not silently rewritten") {
+    // the textual qualifier rewrite cannot scope `d.col`: an unrelated
+    // subquery aliasing a DIFFERENT table as d would get its references
+    // clobbered — the gate must name the conflict instead
+    val url = derby("shdim")
+    val c = DriverManager.getConnection(url)
+    try {
+      val st = c.createStatement()
+      st.execute("CREATE TABLE sh_dim (id BIGINT PRIMARY KEY, " +
+        "label VARCHAR(24))")
+      st.execute("INSERT INTO sh_dim VALUES (1, 'one')")
+    } finally c.close()
+    val broker = new graft.sources.StubBroker("sh_topic", 1)
+    val runner = new ScriptRunner(spark,
+      checkpointRoot = Some(Files.createTempDirectory("sh_ckpt").toString))
+    try {
+      broker.append(0, "null", """{"k":1,"v":1.0}""")
+      val e = intercept[IllegalArgumentException] {
+        runner.run(
+          s"""create table sh_src (k BIGINT, v DOUBLE) with (
+             |  'connector' = 'kafka', 'topic' = 'sh_topic',
+             |  'rest.endpoint' = '${broker.endpoint}',
+             |  'scan.startup.mode' = 'earliest-offset',
+             |  'format' = 'json'
+             |);
+             |create table sh_dim (id BIGINT, label VARCHAR) with (
+             |  'connector' = 'jdbc', 'url' = '$url',
+             |  'table-name' = 'sh_dim',
+             |  'lookup.cache.ttl' = '60 s',
+             |  'lookup.cache.strategy' = 'keyed'
+             |);
+             |CREATE TABLE sh_sink (k BIGINT, label STRING)
+             |WITH ('connector' = 'memory');
+             |INSERT INTO sh_sink
+             |SELECT f.k, d.label FROM sh_src f
+             |JOIN sh_dim FOR SYSTEM_TIME AS OF f.k AS d ON f.k = d.id
+             |WHERE f.k IN (SELECT d.label FROM sh_other d);
+             |""".stripMargin)
+      }
+      assert(e.getMessage.contains("also bound"), e.getMessage)
+    } finally { runner.close(); broker.stop() }
+  }
+
+  test("runner close invalidates its keyed caches: a NEW runner sees a " +
+    "rebuilt dim within TTL") {
+    // the per-executor caches outlive any one runner; close() drops the
+    // tuples the runner registered so the next runner against a
+    // reseeded dim table reads fresh rows instead of inheriting entries
+    // until the TTL lapses (complete in local mode; on a cluster the
+    // executors' copies age out by the TTL the dim declares)
+    val url = derby("rbdim")
+    def seed(label: String): Unit = {
+      val c = DriverManager.getConnection(url)
+      try {
+        val st = c.createStatement()
+        try st.execute("DROP TABLE rb_dim")
+        catch { case _: java.sql.SQLException => () }
+        st.execute("CREATE TABLE rb_dim (id BIGINT PRIMARY KEY, " +
+          "label VARCHAR(24))")
+        st.execute(s"INSERT INTO rb_dim VALUES (1, '$label')")
+      } finally c.close()
+    }
+    seed("before")
+    val factsDir = Files.createTempDirectory("rb_facts").toString
+    spark.range(1).selectExpr("1L AS k")
+      .write.mode("overwrite").parquet(factsDir)
+    def script = s"""create table rb_src (k BIGINT) with (
+       |  'connector' = 'filesystem', 'path' = '$factsDir',
+       |  'format' = 'parquet'
+       |);
+       |create table rb_dim (id BIGINT, label VARCHAR) with (
+       |  'connector' = 'jdbc', 'url' = '$url',
+       |  'table-name' = 'rb_dim',
+       |  'lookup.cache.ttl' = '3600 s',
+       |  'lookup.cache.strategy' = 'keyed'
+       |);
+       |CREATE TABLE rb_sink (k BIGINT, label STRING)
+       |WITH ('connector' = 'memory');
+       |INSERT INTO rb_sink
+       |SELECT f.k, d.label FROM rb_src f
+       |JOIN rb_dim FOR SYSTEM_TIME AS OF f.k AS d ON f.k = d.id;
+       |""".stripMargin
+    def labels: Set[String] = spark.table("rb_sink_out").collect()
+      .map(_.getString(1)).toSet
+    val r1 = new ScriptRunner(spark, batchMode = true)
+    try { r1.run(script); assert(labels == Set("before")) }
+    finally r1.close()
+    seed("after")
+    val r2 = new ScriptRunner(spark, batchMode = true)
+    // a fresh runner within the 1h TTL must see the rebuilt dim
+    try { r2.run(script); assert(labels == Set("after"), labels.toString) }
+    finally r2.close()
+  }
+
   test("keyed slice fetch is DISTRIBUTED: a million-key probe set " +
     "never materializes on the driver") {
     // r11 carried a driver-side collect of up to 5M probe keys plus a

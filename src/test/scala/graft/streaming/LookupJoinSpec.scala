@@ -288,4 +288,61 @@ class LookupJoinSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("cast the stream side"))
   }
+
+  test("cache registry is bounded (whole-cache LRU) and invalidatable") {
+    // a long-lived JVM registering dims against many distinct (url,
+    // table) tuples — per-test in-memory databases, a platform process
+    // cycling jobs — must not accumulate cache instances forever
+    ExecutorLookupCaches.clear()
+    try {
+      (0 until 80).foreach { i =>
+        ExecutorLookupCaches.get(s"jdbc:derby:memory:reg$i", "dim", "id",
+          "fp")(new JdbcKeyedLookup(s"jdbc:derby:memory:reg$i", Map.empty,
+          "dim", "id", dimSchema, cacheMaxRows = 10L, cacheTtlMs = 1000L))
+      }
+      assert(ExecutorLookupCaches.size <= 64,
+        s"registry grew to ${ExecutorLookupCaches.size}")
+      // the least-recently-used tuples were the ones evicted
+      assert(!ExecutorLookupCaches.stats.keySet
+        .exists(_._1 == "jdbc:derby:memory:reg0"))
+      assert(ExecutorLookupCaches.stats.keySet
+        .exists(_._1 == "jdbc:derby:memory:reg79"))
+      // invalidate drops every fingerprint of one (url, table)
+      ExecutorLookupCaches.invalidate("jdbc:derby:memory:reg79", "dim")
+      assert(!ExecutorLookupCaches.stats.keySet
+        .exists(_._1 == "jdbc:derby:memory:reg79"))
+    } finally ExecutorLookupCaches.clear()
+  }
+
+  test("lookup is correct under concurrent task threads; fetches do not " +
+    "hold the cache monitor") {
+    // one cache serves every task thread on an executor: 16 threads
+    // race overlapping key ranges; results must be exact, the cache
+    // bound must hold, and — though the fetch runs OUTSIDE the monitor
+    // — the in-flight claims keep each distinct key fetched exactly
+    // once across all racers.
+    val url = derbyDim("lkpc", (1L to 50L).map(i => i -> s"v$i"))
+    val lk = new JdbcKeyedLookup(url, Map.empty, "dim", "id", dimSchema,
+      cacheMaxRows = 1000L, cacheTtlMs = 3600000L, inListChunk = 7)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+    try {
+      val tasks = (0 until 16).map { t =>
+        pool.submit(new java.util.concurrent.Callable[Boolean] {
+          def call(): Boolean = {
+            val keys = ((t * 3) until (t * 3 + 20)).map(_.toLong % 60L)
+            val r = lk.lookup(keys)
+            keys.forall { k =>
+              if (k >= 1L && k <= 50L)
+                r(k).nonEmpty && r(k).head.getString(1) == s"v$k"
+              else r(k).isEmpty
+            }
+          }
+        })
+      }
+      assert(tasks.forall(_.get()), "a concurrent lookup returned wrong rows")
+      val s = lk.stats
+      assert(s.fetchedKeys == 60, s"stats: $s") // 60 distinct keys total
+      assert(lk.cachedRowCount <= 1000L)
+    } finally pool.shutdownNow()
+  }
 }
