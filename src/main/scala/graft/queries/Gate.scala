@@ -586,6 +586,93 @@ object Gate extends QueryPack {
       s.table("cdc_sink_out")
     }),
 
+    // The datagen source under the oracle: sequence fields and the
+    // deterministic default string generator ("v" + seq % 1000) are
+    // exactly reproducible in SQL, so the gate's datagen connector is
+    // hash-checked against DuckDB generating the same rows from
+    // range() — not just spec-asserted row counts.
+    "q_gate_datagen" -> ((s, _) => {
+      val runner = new ScriptRunner(s, batchMode = true)
+      try {
+        runner.run(
+          s"""CREATE TABLE gen_src (sid BIGINT, label VARCHAR) WITH (
+             |  'connector' = 'datagen',
+             |  'number-of-rows' = '100000',
+             |  'fields.sid.kind' = 'sequence',
+             |  'fields.sid.start' = '1'
+             |);
+             |CREATE TABLE gen_sink (
+             |  g BIGINT, n BIGINT, sum_sid BIGINT, labels BIGINT
+             |) WITH ('connector' = 'memory');
+             |INSERT INTO gen_sink
+             |SELECT sid % 7 AS g, COUNT(*) AS n, SUM(sid) AS sum_sid,
+             |  COUNT(DISTINCT label) AS labels
+             |FROM gen_src GROUP BY sid % 7;
+             |""".stripMargin)
+        s.table("gen_sink_out")
+      } finally runner.close()
+    }),
+
+    // The keyed JDBC sink (demo_1's MySQL sink shape) under the oracle:
+    // a first INSERT upserts STALE partial aggregates (even order keys
+    // only), a second upserts the full recompute over the same primary
+    // keys — the PK upsert must overwrite every stale row — and a third
+    // statement scans the JDBC table back into a memory sink. The
+    // oracle is the full aggregate over the raw parquet: any
+    // insert-instead-of-update, missed key, or type mangling on the
+    // JDBC round trip breaks the hash.
+    "q_gate_jdbc_roundtrip" -> ((s, dir) => {
+      val url = s"jdbc:derby:memory:gate_rt;create=true"
+      val c = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = c.createStatement()
+        try st.execute("DROP TABLE gate_rt_agg")
+        catch { case _: java.sql.SQLException => () } // first run: absent
+        st.execute("CREATE TABLE gate_rt_agg (o_orderstatus VARCHAR(8) " +
+          "PRIMARY KEY, n BIGINT, sum_price DOUBLE)")
+      } finally c.close()
+      val runner = new ScriptRunner(s, batchMode = true)
+      try {
+        runner.run(
+          s"""CREATE TABLE ord_rt (
+             |  o_orderkey BIGINT, o_orderstatus VARCHAR,
+             |  o_totalprice DOUBLE
+             |) WITH (
+             |  'connector' = 'filesystem',
+             |  'path' = '$dir/orders.parquet',
+             |  'format' = 'parquet'
+             |);
+             |CREATE TABLE jdbc_agg (
+             |  o_orderstatus VARCHAR, n BIGINT, sum_price DOUBLE,
+             |  PRIMARY KEY (o_orderstatus) NOT ENFORCED
+             |) WITH (
+             |  'connector' = 'jdbc', 'url' = '$url',
+             |  'table-name' = 'gate_rt_agg', 'dialect' = 'two-step'
+             |);
+             |CREATE TABLE jdbc_read (
+             |  o_orderstatus VARCHAR, n BIGINT, sum_price DOUBLE
+             |) WITH (
+             |  'connector' = 'jdbc', 'url' = '$url',
+             |  'table-name' = 'gate_rt_agg'
+             |);
+             |CREATE TABLE rt_sink (
+             |  o_orderstatus VARCHAR, n BIGINT, sum_price DOUBLE
+             |) WITH ('connector' = 'memory');
+             |INSERT INTO jdbc_agg
+             |SELECT o_orderstatus, COUNT(*) AS n,
+             |  ${oSum2("o_totalprice")} AS sum_price
+             |FROM ord_rt WHERE o_orderkey % 2 = 0 GROUP BY o_orderstatus;
+             |INSERT INTO jdbc_agg
+             |SELECT o_orderstatus, COUNT(*) AS n,
+             |  ${oSum2("o_totalprice")} AS sum_price
+             |FROM ord_rt GROUP BY o_orderstatus;
+             |INSERT INTO rt_sink
+             |SELECT o_orderstatus, n, sum_price FROM jdbc_read;
+             |""".stripMargin)
+        s.table("rt_sink_out")
+      } finally runner.close()
+    }),
+
     // The temporal lookup join under the oracle: the nation table is
     // seeded into an embedded Derby database (the sandbox's MySQL
     // stand-in), a gate script declares it as a JDBC dim with
@@ -965,6 +1052,23 @@ object Gate extends QueryPack {
          |  ${oSum2("CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 10 " +
            "ELSE o_totalprice END")} AS sum_price
          |FROM orders WHERE o_orderkey % 5 <> 0""".stripMargin,
+
+    // the datagen sequence + default string generator are deterministic:
+    // DuckDB reproduces the exact rows from range() (i is 0-based; the
+    // sequence field starts at 1, the string default is 'v' || seq%1000)
+    "q_gate_datagen" ->
+      """SELECT (i+1) % 7 AS g, COUNT(*) AS n,
+        |  CAST(SUM(i+1) AS BIGINT) AS sum_sid,
+        |  COUNT(DISTINCT 'v' || CAST(i % 1000 AS VARCHAR)) AS labels
+        |FROM range(100000) t(i) GROUP BY 1""".stripMargin,
+
+    // the stale-then-full upsert sequence through the keyed JDBC sink
+    // must land exactly the full aggregate: the PK upsert overwrites
+    // every stale row and the JDBC scan reads it back unchanged
+    "q_gate_jdbc_roundtrip" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n,
+         |  ${oSum2("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     // the lookup wire (Derby dim + TTL cache) must not change the
     // answer: same aggregation as a plain parquet join
