@@ -205,7 +205,11 @@ object ScaleStress {
       // (per-executor point queries; DB load is bounded by DISTINCT
       // probe keys — 25 nations — however large the stream grows)
       "gate_dedup_stream" -> (() => countOf("q_gate_dedup_stream")),
-      "gate_lookup_stream" -> (() => countOf("q_gate_lookup_stream"))
+      "gate_lookup_stream" -> (() => countOf("q_gate_lookup_stream")),
+      // the BATCH keyed slice path: distributed key-covering slice via
+      // per-executor point queries — DB load bounded by DISTINCT probe
+      // keys regardless of probe-side row count
+      "gate_lookup_keyed" -> (() => countOf("q_gate_lookup_keyed"))
     )
 
     // optional comma-separated op filter for selective re-measurement
