@@ -972,12 +972,18 @@ class ScriptRunner(spark: SparkSession,
         s"'$name' (alias ${i.alias}) in the rewritten statement text")
     var out = joinRe.replaceFirstIn(query, " ")
 
-    // the dim's own join clause is now gone; any SURVIVING FROM/JOIN
-    // that binds the same alias (e.g. an unrelated subquery's
-    // `FROM other_tab d`) is a different scope the textual qualifier
-    // rewrite below cannot distinguish — it would clobber that scope's
-    // `d.col` references (silently wrong values) or reject valid SQL at
-    // the remnant guard. Fail loudly instead and name the conflict.
+    // the dim's own join clause is now gone; the textual rewrites below
+    // cannot scope identifiers, so two conflicts must fail loudly with
+    // the fix named rather than silently rewriting the wrong scope:
+    //  - another FROM/JOIN binding the DIM alias (an unrelated
+    //    subquery's `FROM other_tab d`) — its `d.col` references would
+    //    be clobbered by the qualifier rewrite;
+    //  - more than one FROM/JOIN binding the PROBE qualifier (a
+    //    subquery re-selecting from the probe table under the same
+    //    alias) — the enrichment would attach to whichever occurrence
+    //    comes first textually, not necessarily the joined one.
+    val probeQualLower = i.streamQual.toLowerCase(java.util.Locale.ROOT)
+    var probeQualBinds = 0
     FromAliasRe.findAllMatchIn(out).foreach { fm =>
       val boundAlias = Option(fm.group(2))
         .filterNot(a => SqlKeywords(a.toLowerCase(java.util.Locale.ROOT)))
@@ -988,7 +994,17 @@ class ScriptRunner(spark: SparkSession,
             "by another FROM/JOIN in the statement; the streaming " +
             "point-query rewrite is textual and cannot scope qualified " +
             "references — rename the dim alias or the conflicting one")
+      val effQual = boundAlias.getOrElse(fm.group(1))
+        .toLowerCase(java.util.Locale.ROOT)
+      if (effQual == probeQualLower) probeQualBinds += 1
     }
+    if (probeQualBinds > 1)
+      throw new IllegalArgumentException(
+        s"keyed lookup dim $name: probe qualifier '${i.streamQual}' is " +
+          "bound by more than one FROM/JOIN in the statement (e.g. a " +
+          "subquery re-selecting from the probe table under the same " +
+          "alias); the streaming point-query rewrite cannot tell the " +
+          "scopes apart — give the subquery's relation a different alias")
 
     // 2) probe table reference → enriched view, keeping (or minting)
     // the alias so stream-side qualified references keep resolving.

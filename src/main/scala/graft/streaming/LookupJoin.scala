@@ -377,22 +377,46 @@ final class JdbcKeyedLookup(
   * a cache captured in the closure would never be shared.
   */
 object ExecutorLookupCaches {
-  /** Registry-level bound: at most this many DISTINCT cache instances
-    * per JVM, evicting the least-recently-USED whole cache. Each
-    * instance is already row-bounded internally (`lookup.cache.max-rows`),
-    * but a long-lived JVM that registers dims against many distinct
-    * (url, table) tuples over its lifetime — a test suite's per-case
-    * in-memory databases, a platform process cycling jobs — would
-    * otherwise accumulate caches forever.
+  /** Registry-level bound: past SoftCap instances, the least-recently-
+    * USED cache is evicted — but only once it has sat IDLE for
+    * `idleEvictMs`, because evicting a cache some streaming query still
+    * probes would silently break the fetch-once-per-key contract (the
+    * old instance keeps serving in-flight tasks while new tasks build a
+    * fresh empty one: duplicate point queries, stats split across two
+    * instances). A live cache is touched every micro-batch, so only
+    * genuinely abandoned tuples (a test suite's per-case databases, a
+    * platform process cycling jobs) age out. HardCap is the runaway
+    * backstop: past it the eldest goes regardless — at that point the
+    * JVM is registering dims faster than any legitimate workload.
     */
-  private val MaxCaches = 64
+  private val SoftCap = 64
+  private val HardCap = 512
+  @volatile private[graft] var idleEvictMs: Long = 10 * 60 * 1000L
+
+  private final class Slot(val lk: JdbcKeyedLookup) {
+    @volatile var lastUsed: Long = System.currentTimeMillis()
+  }
 
   // accessOrder=true → LRU iteration; all access synchronized on `caches`
   private val caches = new java.util.LinkedHashMap[
-    (String, String, String, String), JdbcKeyedLookup](16, 0.75f, true) {
-    override def removeEldestEntry(
-        e: java.util.Map.Entry[(String, String, String, String),
-          JdbcKeyedLookup]): Boolean = size() > MaxCaches
+    (String, String, String, String), Slot](16, 0.75f, true)
+
+  /** Drain evictable caches, LRU-first; caller holds the monitor.
+    * Iteration order is least-recently-touched first and `lastUsed`
+    * moves with touch order, so the scan can stop at the first
+    * still-active entry (everything after it is fresher) — unless the
+    * registry has blown past HardCap, where the eldest goes regardless.
+    */
+  private def evictIdle(): Unit = {
+    val now = System.currentTimeMillis()
+    val it = caches.entrySet().iterator()
+    var stop = false
+    while (!stop && caches.size() > SoftCap && it.hasNext) {
+      val e = it.next()
+      if (caches.size() > HardCap || now - e.getValue.lastUsed >= idleEvictMs)
+        it.remove()
+      else stop = true
+    }
   }
 
   /** One cache per (url, table, key, fingerprint) per JVM. The
@@ -406,8 +430,15 @@ object ExecutorLookupCaches {
       mk: => JdbcKeyedLookup): JdbcKeyedLookup = caches.synchronized {
     val key = (url, table, keyCol, fingerprint)
     val existing = caches.get(key)
-    if (existing != null) existing
-    else { val lk = mk; caches.put(key, lk); lk }
+    if (existing != null) {
+      existing.lastUsed = System.currentTimeMillis()
+      existing.lk
+    } else {
+      val slot = new Slot(mk)
+      caches.put(key, slot)
+      evictIdle()
+      slot.lk
+    }
   }
 
   /** Aggregate stats across this JVM's caches (in local mode: all
@@ -418,7 +449,7 @@ object ExecutorLookupCaches {
   def stats: Map[(String, String, String, String), LookupStats] =
     caches.synchronized {
       val b = Map.newBuilder[(String, String, String, String), LookupStats]
-      caches.forEach((k, lk) => b += k -> lk.stats)
+      caches.forEach((k, s) => b += k -> s.lk.stats)
       b.result()
     }
 

@@ -886,6 +886,52 @@ class DemoGateSpec extends SparkSpec {
     } finally { runner.close(); broker.stop() }
   }
 
+  test("a statement binding the PROBE qualifier twice is rejected " +
+    "loudly, not enriched at the first textual occurrence") {
+    // a subquery re-selecting from the probe table under the same alias
+    // precedes the main FROM textually; attaching the enrichment there
+    // would leave the joined relation un-enriched after its join clause
+    // was deleted — reject with the fix named instead
+    val url = derby("sh2dim")
+    val c = DriverManager.getConnection(url)
+    try {
+      val st = c.createStatement()
+      st.execute("CREATE TABLE sh2_dim (id BIGINT PRIMARY KEY, " +
+        "label VARCHAR(24))")
+      st.execute("INSERT INTO sh2_dim VALUES (1, 'one')")
+    } finally c.close()
+    val broker = new graft.sources.StubBroker("sh2_topic", 1)
+    val runner = new ScriptRunner(spark,
+      checkpointRoot = Some(Files.createTempDirectory("sh2_ckpt").toString))
+    try {
+      broker.append(0, "null", """{"k":1,"v":1.0}""")
+      val e = intercept[IllegalArgumentException] {
+        runner.run(
+          s"""create table sh2_src (k BIGINT, v DOUBLE) with (
+             |  'connector' = 'kafka', 'topic' = 'sh2_topic',
+             |  'rest.endpoint' = '${broker.endpoint}',
+             |  'scan.startup.mode' = 'earliest-offset',
+             |  'format' = 'json'
+             |);
+             |create table sh2_dim (id BIGINT, label VARCHAR) with (
+             |  'connector' = 'jdbc', 'url' = '$url',
+             |  'table-name' = 'sh2_dim',
+             |  'lookup.cache.ttl' = '60 s',
+             |  'lookup.cache.strategy' = 'keyed'
+             |);
+             |CREATE TABLE sh2_sink (k BIGINT, label STRING)
+             |WITH ('connector' = 'memory');
+             |INSERT INTO sh2_sink
+             |SELECT f.k, d.label FROM sh2_src f
+             |JOIN sh2_dim FOR SYSTEM_TIME AS OF f.k AS d ON f.k = d.id
+             |WHERE f.k IN (SELECT f.k FROM sh2_src f WHERE f.v > 0);
+             |""".stripMargin)
+      }
+      assert(e.getMessage.contains("more than one FROM/JOIN"),
+        e.getMessage)
+    } finally { runner.close(); broker.stop() }
+  }
+
   test("runner close invalidates its keyed caches: a NEW runner sees a " +
     "rebuilt dim within TTL") {
     // the per-executor caches outlive any one runner; close() drops the

@@ -289,29 +289,45 @@ class LookupJoinSpec extends SparkSpec {
     assert(e.getMessage.contains("cast the stream side"))
   }
 
-  test("cache registry is bounded (whole-cache LRU) and invalidatable") {
+  test("cache registry evicts only IDLE caches past the soft cap, and " +
+    "is invalidatable") {
     // a long-lived JVM registering dims against many distinct (url,
     // table) tuples — per-test in-memory databases, a platform process
-    // cycling jobs — must not accumulate cache instances forever
+    // cycling jobs — must not accumulate cache instances forever; but
+    // an ACTIVE cache (touched every micro-batch) must never be evicted,
+    // or in-flight tasks and new tasks would split across two instances
+    // and silently re-fetch every key
     ExecutorLookupCaches.clear()
+    def register(i: Int): Unit =
+      ExecutorLookupCaches.get(s"jdbc:derby:memory:reg$i", "dim", "id",
+        "fp")(new JdbcKeyedLookup(s"jdbc:derby:memory:reg$i", Map.empty,
+        "dim", "id", dimSchema, cacheMaxRows = 10L, cacheTtlMs = 1000L))
+    val savedIdle = ExecutorLookupCaches.idleEvictMs
     try {
-      (0 until 80).foreach { i =>
-        ExecutorLookupCaches.get(s"jdbc:derby:memory:reg$i", "dim", "id",
-          "fp")(new JdbcKeyedLookup(s"jdbc:derby:memory:reg$i", Map.empty,
-          "dim", "id", dimSchema, cacheMaxRows = 10L, cacheTtlMs = 1000L))
-      }
-      assert(ExecutorLookupCaches.size <= 64,
+      // all caches fresh (just touched) → NO eviction even past the
+      // soft cap: activity protects them
+      (0 until 80).foreach(register)
+      assert(ExecutorLookupCaches.size == 80,
+        s"active caches were evicted: ${ExecutorLookupCaches.size}")
+      // with the idle threshold at zero every untouched cache is
+      // evictable: the soft cap re-asserts itself on the next puts
+      ExecutorLookupCaches.idleEvictMs = 0L
+      (80 until 100).foreach(register)
+      assert(ExecutorLookupCaches.size <= 65,
         s"registry grew to ${ExecutorLookupCaches.size}")
       // the least-recently-used tuples were the ones evicted
       assert(!ExecutorLookupCaches.stats.keySet
         .exists(_._1 == "jdbc:derby:memory:reg0"))
       assert(ExecutorLookupCaches.stats.keySet
-        .exists(_._1 == "jdbc:derby:memory:reg79"))
+        .exists(_._1 == "jdbc:derby:memory:reg99"))
       // invalidate drops every fingerprint of one (url, table)
-      ExecutorLookupCaches.invalidate("jdbc:derby:memory:reg79", "dim")
+      ExecutorLookupCaches.invalidate("jdbc:derby:memory:reg99", "dim")
       assert(!ExecutorLookupCaches.stats.keySet
-        .exists(_._1 == "jdbc:derby:memory:reg79"))
-    } finally ExecutorLookupCaches.clear()
+        .exists(_._1 == "jdbc:derby:memory:reg99"))
+    } finally {
+      ExecutorLookupCaches.idleEvictMs = savedIdle
+      ExecutorLookupCaches.clear()
+    }
   }
 
   test("lookup is correct under concurrent task threads; fetches do not " +
