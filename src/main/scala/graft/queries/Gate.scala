@@ -673,6 +673,71 @@ object Gate extends QueryPack {
       } finally runner.close()
     }),
 
+    // The upsert-kafka keyed changelog under the oracle, both sides of
+    // the wire: a stale partial aggregate is produced to a live broker
+    // topic, a full recompute upserts every key over it, a third
+    // statement tombstones a key subset, and an upsert-kafka SOURCE
+    // materializes the compacted topic (last envelope per key, deletes
+    // dropped) into the memory sink. Each statement emits at most one
+    // record per key and statements execute sequentially, so the
+    // per-key winner is deterministic by offset. Oracle: the full
+    // aggregate minus the tombstoned keys, straight off the parquet.
+    "q_gate_upsert_kafka" -> ((s, dir) => {
+      val broker = new graft.sources.StubBroker("gate_upk", 1)
+      try {
+        val runner = new ScriptRunner(s, batchMode = true)
+        try {
+          runner.run(
+            s"""CREATE TABLE ord_upk (
+               |  o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE
+               |) WITH (
+               |  'connector' = 'filesystem',
+               |  'path' = '$dir/orders.parquet',
+               |  'format' = 'parquet'
+               |);
+               |CREATE TABLE upk_sink (
+               |  k BIGINT, n BIGINT, sum_price DOUBLE, op VARCHAR,
+               |  PRIMARY KEY (k) NOT ENFORCED
+               |) WITH (
+               |  'connector' = 'upsert-kafka', 'topic' = 'gate_upk',
+               |  'rest.endpoint' = '${broker.endpoint}'
+               |);
+               |CREATE TABLE upk_src (
+               |  k BIGINT, n BIGINT, sum_price DOUBLE,
+               |  PRIMARY KEY (k) NOT ENFORCED
+               |) WITH (
+               |  'connector' = 'upsert-kafka', 'topic' = 'gate_upk',
+               |  'rest.endpoint' = '${broker.endpoint}'
+               |);
+               |CREATE TABLE upk_out (k BIGINT, n BIGINT, sum_price DOUBLE)
+               |WITH ('connector' = 'memory');
+               |INSERT INTO upk_sink
+               |SELECT o_custkey % 50 AS k, COUNT(*) AS n,
+               |  ${oSum2("o_totalprice")} AS sum_price,
+               |  CAST(NULL AS STRING) AS op
+               |FROM ord_upk WHERE o_orderkey % 2 = 0 GROUP BY o_custkey % 50;
+               |INSERT INTO upk_sink
+               |SELECT o_custkey % 50 AS k, COUNT(*) AS n,
+               |  ${oSum2("o_totalprice")} AS sum_price,
+               |  CAST(NULL AS STRING) AS op
+               |FROM ord_upk GROUP BY o_custkey % 50;
+               |INSERT INTO upk_sink
+               |SELECT o_custkey % 50 AS k, COUNT(*) AS n,
+               |  ${oSum2("o_totalprice")} AS sum_price, 'd' AS op
+               |FROM ord_upk GROUP BY o_custkey % 50
+               |HAVING (o_custkey % 50) % 7 = 0;
+               |INSERT INTO upk_out SELECT k, n, sum_price FROM upk_src;
+               |""".stripMargin)
+          // the memory sink view is LAZY over the broker read — pin the
+          // rows before the broker stops (control-plane bounded: one row
+          // per surviving key, <= 50)
+          val out = s.table("upk_out_out")
+          s.createDataFrame(
+            java.util.Arrays.asList(out.collect(): _*), out.schema)
+        } finally runner.close()
+      } finally broker.stop()
+    }),
+
     // The temporal lookup join under the oracle: the nation table is
     // seeded into an embedded Derby database (the sandbox's MySQL
     // stand-in), a gate script declares it as a JDBC dim with
@@ -1052,6 +1117,15 @@ object Gate extends QueryPack {
          |  ${oSum2("CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 10 " +
            "ELSE o_totalprice END")} AS sum_price
          |FROM orders WHERE o_orderkey % 5 <> 0""".stripMargin,
+
+    // the compacted upsert-kafka round trip must land exactly the full
+    // aggregate minus the tombstoned keys (k % 7 = 0)
+    "q_gate_upsert_kafka" ->
+      s"""SELECT k, n, sum_price FROM (
+         |  SELECT o_custkey % 50 AS k, COUNT(*) AS n,
+         |    ${oSum2("o_totalprice")} AS sum_price
+         |  FROM orders GROUP BY 1
+         |) WHERE k % 7 <> 0""".stripMargin,
 
     // the datagen sequence + default string generator are deterministic:
     // DuckDB reproduces the exact rows from range() (i is 0-based; the

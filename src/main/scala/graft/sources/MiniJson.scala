@@ -153,4 +153,35 @@ private[graft] object MiniJson {
     }
     out.result()
   }
+
+  /** Parse a REST-proxy produce body `{"records":[{"key":K,"value":V},…]}`
+    * → raw (key, value) JSON text pairs. Slices are preserved verbatim —
+    * a produced `null` value stays the literal text "null", which is the
+    * tombstone spelling the consume side's log format uses.
+    */
+  def produceRecords(body: String): Seq[(String, String)] = {
+    val (fs, _) = fields(body, skipWs(body, 0))
+    val arr = fs.getOrElse("records", throw new IllegalArgumentException(
+      s"produce body without records: ${body.take(40)}"))
+    var i = skipWs(arr, 0)
+    require(i < arr.length && arr.charAt(i) == '[',
+      s"expected records array, got: ${arr.take(40)}")
+    i += 1
+    val out = Seq.newBuilder[(String, String)]
+    var done = false
+    while (!done) {
+      i = skipWs(arr, i)
+      arr.charAt(i) match {
+        case ']' => done = true
+        case ',' => i += 1
+        case '{' =>
+          val (rf, end) = fields(arr, i)
+          out += ((rf.getOrElse("key", "null"), rf.getOrElse("value", "null")))
+          i = end
+        case c => throw new IllegalArgumentException(
+          s"unexpected '$c' in produce records array at $i")
+      }
+    }
+    out.result()
+  }
 }

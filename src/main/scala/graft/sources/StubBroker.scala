@@ -44,6 +44,21 @@ final class StubBroker(topic: String, nParts: Int) {
       case _ if PartsRe.findFirstIn(path).isDefined =>
         (0 until nParts).map(p => s"""{"partition":$p}""")
           .mkString("[", ",", "]")
+      // the REST-proxy PRODUCE route (the upsert-kafka sink's wire):
+      // records append to partition 0 in body order — real proxies
+      // route by key hash, but a single-writer single-partition append
+      // is exactly the ordered-log contract the tests need
+      case _ if path == s"/topics/$topic" &&
+          ex.getRequestMethod == "POST" =>
+        val req = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+        val offs = logs(0).synchronized {
+          MiniJson.produceRecords(req).map { case (k, v) =>
+            logs(0) += ((k, v)); logs(0).size - 1
+          }
+        }
+        offs.map(o =>
+          s"""{"partition":0,"offset":$o,"error_code":null,"error":null}""")
+          .mkString("""{"offsets":[""", ",", "]}")
       case other =>
         ex.sendResponseHeaders(404, -1); ex.close()
         throw new IllegalStateException(s"unexpected path $other")

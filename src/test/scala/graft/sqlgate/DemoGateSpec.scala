@@ -316,6 +316,56 @@ class DemoGateSpec extends SparkSpec {
     } finally broker.stop()
   }
 
+  test("upsert-kafka LIVE round trip: sink produces over the REST wire, " +
+    "source materializes the same topic") {
+    // both sides of the keyed-changelog wire in one script: the sink
+    // POSTs envelopes to the broker's produce route, later statements
+    // upsert and tombstone over them, and the source reads the
+    // compacted topic back — last value per key, deletes dropped
+    val broker = new graft.sources.StubBroker("rt_topic", 1)
+    try {
+      val runner = new ScriptRunner(spark, batchMode = true)
+      try {
+        runner.run(
+          s"""CREATE TABLE rtk_src (k BIGINT, v DOUBLE) WITH (
+             |  'connector' = 'datagen', 'number-of-rows' = '10',
+             |  'fields.k.kind' = 'sequence', 'fields.k.start' = '0',
+             |  'fields.v.kind' = 'sequence', 'fields.v.start' = '100'
+             |);
+             |CREATE TABLE rtk_sink (
+             |  k BIGINT, v DOUBLE, op VARCHAR,
+             |  PRIMARY KEY (k) NOT ENFORCED
+             |) WITH (
+             |  'connector' = 'upsert-kafka', 'topic' = 'rt_topic',
+             |  'rest.endpoint' = '${broker.endpoint}'
+             |);
+             |CREATE TABLE rtk_read (
+             |  k BIGINT, v DOUBLE, PRIMARY KEY (k) NOT ENFORCED
+             |) WITH (
+             |  'connector' = 'upsert-kafka', 'topic' = 'rt_topic',
+             |  'rest.endpoint' = '${broker.endpoint}'
+             |);
+             |CREATE TABLE rtk_out (k BIGINT, v DOUBLE)
+             |WITH ('connector' = 'memory');
+             |INSERT INTO rtk_sink
+             |SELECT k, v, CAST(NULL AS STRING) AS op FROM rtk_src;
+             |INSERT INTO rtk_sink
+             |SELECT k, v + 1 AS v, CAST(NULL AS STRING) AS op
+             |FROM rtk_src WHERE k < 5;
+             |INSERT INTO rtk_sink
+             |SELECT k, v, 'd' AS op FROM rtk_src WHERE k >= 8;
+             |INSERT INTO rtk_out SELECT k, v FROM rtk_read;
+             |""".stripMargin)
+        val got = spark.table("rtk_out_out").collect()
+          .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        // keys 0-4 re-upserted (+1), 5-7 original, 8-9 tombstoned
+        val want = (0L until 8L).map(k =>
+          k -> (if (k < 5) 101.0 + k else 100.0 + k)).toMap
+        assert(got == want, s"got $got")
+      } finally runner.close()
+    } finally broker.stop()
+  }
+
   test("upsert-kafka: tombstone after a ts_ms-stamped upsert still deletes") {
     // Regression: normal Debezium producers stamp ts_ms on upsert
     // envelopes while tombstones are bare NULL values (no ts_ms at
