@@ -673,6 +673,57 @@ object Gate extends QueryPack {
       } finally runner.close()
     }),
 
+    // The Hive-style catalog flow under the oracle: a managed
+    // warehouse table is created through the gate (CREATE DATABASE /
+    // USE / USING parquet), loaded from a connector table by a
+    // Spark-SQL-routed INSERT, and read back into the memory sink —
+    // the catalog round trip must not change the aggregate.
+    "q_gate_catalog" -> ((s, dir) => {
+      // the session metastore is per-JVM but the warehouse DIRECTORY
+      // persists across runs: a stale location from a previous JVM
+      // fails CREATE TABLE (LOCATION_ALREADY_EXISTS) even after the
+      // in-catalog DROP IF EXISTS no-ops — clear it first
+      locally {
+        def rmrf(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rmrf)
+          f.delete(); ()
+        }
+        val wh = new java.net.URI(
+          s.conf.get("spark.sql.warehouse.dir")).getPath
+        rmrf(new java.io.File(s"$wh/gate_cat.db/cat_agg"))
+      }
+      val runner = new ScriptRunner(s, batchMode = true)
+      try {
+        runner.run(
+          s"""CREATE DATABASE IF NOT EXISTS gate_cat;
+             |DROP TABLE IF EXISTS gate_cat.cat_agg;
+             |USE gate_cat;
+             |CREATE TABLE cat_agg (
+             |  o_orderpriority STRING, n BIGINT, sum_price DOUBLE
+             |) USING parquet;
+             |CREATE TABLE ord_cat (
+             |  o_orderkey BIGINT, o_orderpriority VARCHAR,
+             |  o_totalprice DOUBLE
+             |) WITH (
+             |  'connector' = 'filesystem',
+             |  'path' = '$dir/orders.parquet',
+             |  'format' = 'parquet'
+             |);
+             |INSERT INTO cat_agg
+             |SELECT o_orderpriority, COUNT(*) AS n,
+             |  ${oSum2("o_totalprice")} AS sum_price
+             |FROM ord_cat GROUP BY o_orderpriority;
+             |CREATE TABLE cat_out (
+             |  o_orderpriority STRING, n BIGINT, sum_price DOUBLE
+             |) WITH ('connector' = 'memory');
+             |INSERT INTO cat_out
+             |SELECT o_orderpriority, n, sum_price FROM cat_agg;
+             |USE default;
+             |""".stripMargin)
+        s.table("cat_out_out")
+      } finally runner.close()
+    }),
+
     // The upsert-kafka keyed changelog under the oracle, both sides of
     // the wire: a stale partial aggregate is produced to a live broker
     // topic, a full recompute upserts every key over it, a third
@@ -1117,6 +1168,12 @@ object Gate extends QueryPack {
          |  ${oSum2("CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 10 " +
            "ELSE o_totalprice END")} AS sum_price
          |FROM orders WHERE o_orderkey % 5 <> 0""".stripMargin,
+
+    // the managed-table catalog round trip must not change the answer
+    "q_gate_catalog" ->
+      s"""SELECT o_orderpriority, COUNT(*) AS n,
+         |  ${oSum2("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY o_orderpriority""".stripMargin,
 
     // the compacted upsert-kafka round trip must land exactly the full
     // aggregate minus the tombstoned keys (k % 7 = 0)
