@@ -209,7 +209,12 @@ object ScaleStress {
       // the BATCH keyed slice path: distributed key-covering slice via
       // per-executor point queries — DB load bounded by DISTINCT probe
       // keys regardless of probe-side row count
-      "gate_lookup_keyed" -> (() => countOf("q_gate_lookup_keyed"))
+      "gate_lookup_keyed" -> (() => countOf("q_gate_lookup_keyed")),
+      // connector round trips whose WIRE volume is aggregate-bounded
+      // (50 keys / 5 statuses however large orders grows): cost should
+      // track the scan+agg, not the transport
+      "gate_upsert_kafka" -> (() => countOf("q_gate_upsert_kafka")),
+      "gate_jdbc_roundtrip" -> (() => countOf("q_gate_jdbc_roundtrip"))
     )
 
     // optional comma-separated op filter for selective re-measurement
