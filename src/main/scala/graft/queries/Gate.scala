@@ -694,7 +694,11 @@ object Gate extends QueryPack {
       }
       val runner = new ScriptRunner(s, batchMode = true)
       try {
-        runner.run(
+        // restore the session database even when a statement fails —
+        // in a shared-session Verify/Bench run a script that died after
+        // `USE gate_cat` would otherwise leave every later unqualified
+        // catalog reference resolving against the wrong database
+        try runner.run(
           s"""CREATE DATABASE IF NOT EXISTS gate_cat;
              |DROP TABLE IF EXISTS gate_cat.cat_agg;
              |USE gate_cat;
@@ -720,6 +724,7 @@ object Gate extends QueryPack {
              |SELECT o_orderpriority, n, sum_price FROM cat_agg;
              |USE default;
              |""".stripMargin)
+        finally s.sql("USE default")
         s.table("cat_out_out")
       } finally runner.close()
     }),

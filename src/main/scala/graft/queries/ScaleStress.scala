@@ -211,7 +211,7 @@ object ScaleStress {
       // keys regardless of probe-side row count
       "gate_lookup_keyed" -> (() => countOf("q_gate_lookup_keyed")),
       // connector round trips whose WIRE volume is aggregate-bounded
-      // (50 keys / 5 statuses however large orders grows): cost should
+      // (50 keys / 3 statuses however large orders grows): cost should
       // track the scan+agg, not the transport
       "gate_upsert_kafka" -> (() => countOf("q_gate_upsert_kafka")),
       "gate_jdbc_roundtrip" -> (() => countOf("q_gate_jdbc_roundtrip"))

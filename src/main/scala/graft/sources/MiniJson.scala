@@ -160,7 +160,10 @@ private[graft] object MiniJson {
     * tombstone spelling the consume side's log format uses.
     */
   def produceRecords(body: String): Seq[(String, String)] = {
-    val (fs, _) = fields(body, skipWs(body, 0))
+    val i0 = skipWs(body, 0)
+    require(i0 < body.length && body.charAt(i0) == '{',
+      s"expected produce object, got: ${body.take(40)}")
+    val (fs, _) = fields(body, i0)
     val arr = fs.getOrElse("records", throw new IllegalArgumentException(
       s"produce body without records: ${body.take(40)}"))
     var i = skipWs(arr, 0)

@@ -51,8 +51,24 @@ final class StubBroker(topic: String, nParts: Int) {
       case _ if path == s"/topics/$topic" &&
           ex.getRequestMethod == "POST" =>
         val req = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+        // a malformed body must answer 422, not leave the exchange
+        // hanging until the client's read timeout with the real cause
+        // buried in a server-side stack trace
+        val recs =
+          try MiniJson.produceRecords(req)
+          catch {
+            case e: Exception =>
+              val msg = """{"error_code":42201,""" +
+                """"message":"malformed produce body"}"""
+              val b = msg.getBytes("UTF-8")
+              ex.sendResponseHeaders(422, b.length.toLong)
+              ex.getResponseBody.write(b)
+              ex.close()
+              throw new IllegalStateException(
+                s"malformed produce body: ${e.getMessage}")
+          }
         val offs = logs(0).synchronized {
-          MiniJson.produceRecords(req).map { case (k, v) =>
+          recs.map { case (k, v) =>
             logs(0) += ((k, v)); logs(0).size - 1
           }
         }

@@ -159,4 +159,23 @@ class KafkaRestSpec extends SparkSpec {
       KafkaRest.writer(Seq.empty, _ => ())(df, 0L)
     }
   }
+
+  test("StubBroker answers a malformed produce body with 422, not a hang") {
+    // a parse failure inside the handler must fail the producer fast
+    // with the status named — not leave the exchange unanswered until
+    // the client's 15 s read timeout — and the broker must survive it
+    val broker = new graft.sources.StubBroker("bad_prod", 1)
+    try {
+      val e = intercept[RuntimeException] {
+        graft.Http.post(s"${broker.endpoint}/topics/bad_prod",
+          "application/vnd.kafka.json.v2+json", "not json")
+      }
+      assert(e.getMessage.contains("422"), e.getMessage)
+      // a well-formed produce afterwards still lands
+      val ok = graft.Http.post(s"${broker.endpoint}/topics/bad_prod",
+        "application/vnd.kafka.json.v2+json",
+        """{"records":[{"key":1,"value":{"a":2}}]}""")
+      assert(ok.contains(""""offset":0"""), ok)
+    } finally broker.stop()
+  }
 }
