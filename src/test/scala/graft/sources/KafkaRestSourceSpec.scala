@@ -117,4 +117,41 @@ class KafkaRestSourceSpec extends SparkSpec {
       assert(b.fetches >= 4, "10 records at fetch.count=3 needs >= 4 GETs")
     } finally b.stop()
   }
+
+  test("produce wire fidelity: recordsBody -> produceRecords -> fetch " +
+    "round-trips adversarial string payloads byte-exactly") {
+    // property-style sweep over nasty characters: the sink's envelope
+    // encoder, the broker's produce parser, the log's fetch format and
+    // the consume parser must agree on escaping end-to-end — a slice
+    // or unescape bug shows up as a changed payload
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val nasty = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar,
+      Gen.oneOf('"', '\\', '\n', '\t', '{', '}', '[', ']', ',', ':',
+        'é', '世'))).map(_.mkString.take(24))
+    (1 to 60).foreach { i =>
+      val s = nasty.apply(Gen.Parameters.default, Seed(i.toLong)).get
+      val body = graft.sqlgate.KafkaRest.recordsBody(
+        Seq("k", "v"), Seq("k"),
+        Iterator(org.apache.spark.sql.Row(i.toLong, s)))
+      // the produce parser must slice exactly the key/value texts the
+      // encoder emitted
+      val Seq((kTxt, vTxt)) = MiniJson.produceRecords(body)
+      assert(kTxt == s"""{"k":$i}""", s"seed $i: key slice $kTxt")
+      // the fetch format wraps the same slices; the consume parser's
+      // record must carry them verbatim (objects stay raw text)
+      val fetch = s"""[{"key":$kTxt,"value":$vTxt,"offset":0}]"""
+      val rec = MiniJson.records(fetch).head
+      assert(rec.key.contains(kTxt) && rec.value == vTxt,
+        s"seed $i: fetch round trip changed the payload for '$s'")
+      // and the envelope's after-image decodes back to the original
+      // string through Spark's own JSON reader — the gate's decode path
+      val decoded = spark.read.schema("after struct<k bigint, v string>")
+        .json(spark.createDataset(Seq(vTxt))(
+          org.apache.spark.sql.Encoders.STRING))
+        .selectExpr("after.v").collect().head.getString(0)
+      assert(decoded == s, s"seed $i: from_json decode changed '$s'")
+    }
+  }
 }
