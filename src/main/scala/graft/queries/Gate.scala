@@ -673,6 +673,53 @@ object Gate extends QueryPack {
       } finally runner.close()
     }),
 
+    // The Elasticsearch-7 keyed sink under the oracle, on the live
+    // wire: a stale partial aggregate is bulk-indexed into a StubEs
+    // document store, a full recompute overwrites every _id (the
+    // idempotent _id-from-PK upsert the sink relies on), and the keyed
+    // store's documents are decoded back through Spark's JSON reader.
+    // Oracle: the full aggregate over the raw parquet — a missed
+    // overwrite, duplicated _id, or broken NDJSON/escaping breaks it.
+    "q_gate_es" -> ((s, dir) => {
+      val es = new graft.sources.StubEs()
+      try {
+        val runner = new ScriptRunner(s, batchMode = true)
+        try {
+          runner.run(
+            s"""CREATE TABLE ord_es (
+               |  o_orderkey BIGINT, o_orderstatus VARCHAR,
+               |  o_totalprice DOUBLE
+               |) WITH (
+               |  'connector' = 'filesystem',
+               |  'path' = '$dir/orders.parquet',
+               |  'format' = 'parquet'
+               |);
+               |CREATE TABLE es_sink (
+               |  o_orderstatus VARCHAR, n BIGINT, sum_price DOUBLE,
+               |  PRIMARY KEY (o_orderstatus) NOT ENFORCED
+               |) WITH (
+               |  'connector' = 'elasticsearch-7',
+               |  'hosts' = '${es.endpoint}',
+               |  'index' = 'gate_es'
+               |);
+               |INSERT INTO es_sink
+               |SELECT o_orderstatus, COUNT(*) AS n,
+               |  ${oSum2("o_totalprice")} AS sum_price
+               |FROM ord_es WHERE o_orderkey % 2 = 0 GROUP BY o_orderstatus;
+               |INSERT INTO es_sink
+               |SELECT o_orderstatus, COUNT(*) AS n,
+               |  ${oSum2("o_totalprice")} AS sum_price
+               |FROM ord_es GROUP BY o_orderstatus;
+               |""".stripMargin)
+          val docs = es.docs("gate_es").values.toSeq
+          s.read.schema("o_orderstatus string, n bigint, sum_price double")
+            .json(s.createDataset(docs)(
+              org.apache.spark.sql.Encoders.STRING))
+            .select("o_orderstatus", "n", "sum_price")
+        } finally runner.close()
+      } finally es.stop()
+    }),
+
     // The Hive-style catalog flow under the oracle: a managed
     // warehouse table is created through the gate (CREATE DATABASE /
     // USE / USING parquet), loaded from a connector table by a
@@ -1173,6 +1220,13 @@ object Gate extends QueryPack {
          |  ${oSum2("CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 10 " +
            "ELSE o_totalprice END")} AS sum_price
          |FROM orders WHERE o_orderkey % 5 <> 0""".stripMargin,
+
+    // the keyed bulk-index round trip must land exactly the full
+    // aggregate: every _id overwritten by the recompute
+    "q_gate_es" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS n,
+         |  ${oSum2("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     // the managed-table catalog round trip must not change the answer
     "q_gate_catalog" ->

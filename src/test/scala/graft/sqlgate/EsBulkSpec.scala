@@ -154,4 +154,40 @@ class EsBulkSpec extends SparkSpec {
       assert(messages(e).exists(_.contains("item failures")), e.toString)
     } finally srv.stop(0)
   }
+
+  test("StubEs keyed store: _id overwrite wins, indices are separate, " +
+    "anonymous actions append") {
+    val es = new graft.sources.StubEs()
+    try {
+      def post(body: String): Unit =
+        graft.Http.post(s"${es.endpoint}/_bulk", "application/x-ndjson",
+          body)
+      post(
+        """{"index":{"_index":"a","_id":"k1"}}
+          |{"v":1}
+          |{"index":{"_index":"a","_id":"k2"}}
+          |{"v":2}
+          |{"index":{"_index":"b","_id":"k1"}}
+          |{"v":9}
+          |""".stripMargin)
+      post(
+        """{"index":{"_index":"a","_id":"k1"}}
+          |{"v":10}
+          |{"index":{"_index":"a"}}
+          |{"v":3}
+          |{"index":{"_index":"a"}}
+          |{"v":4}
+          |""".stripMargin)
+      val a = es.docs("a")
+      assert(a("k1") == """{"v":10}""", a.toString) // overwrite wins
+      assert(a("k2") == """{"v":2}""")
+      assert(a.size == 4, a.toString) // 2 keyed + 2 anonymous appends
+      assert(es.docs("b") == Map("k1" -> """{"v":9}""")) // index-scoped
+      // a non-bulk path 404s loudly
+      val e = intercept[RuntimeException] {
+        graft.Http.post(s"${es.endpoint}/nope", "application/json", "{}")
+      }
+      assert(e.getMessage.contains("404"), e.getMessage)
+    } finally es.stop()
+  }
 }
