@@ -130,7 +130,7 @@ class KafkaRestSourceSpec extends SparkSpec {
       Gen.alphaNumChar,
       Gen.oneOf('"', '\\', '\n', '\t', '{', '}', '[', ']', ',', ':',
         'é', '世'))).map(_.mkString.take(24))
-    (1 to 60).foreach { i =>
+    val cases = (1 to 60).map { i =>
       val s = nasty.apply(Gen.Parameters.default, Seed(i.toLong)).get
       val body = graft.sqlgate.KafkaRest.recordsBody(
         Seq("k", "v"), Seq("k"),
@@ -145,13 +145,19 @@ class KafkaRestSourceSpec extends SparkSpec {
       val rec = MiniJson.records(fetch).head
       assert(rec.key.contains(kTxt) && rec.value == vTxt,
         s"seed $i: fetch round trip changed the payload for '$s'")
-      // and the envelope's after-image decodes back to the original
-      // string through Spark's own JSON reader — the gate's decode path
-      val decoded = spark.read.schema("after struct<k bigint, v string>")
-        .json(spark.createDataset(Seq(vTxt))(
-          org.apache.spark.sql.Encoders.STRING))
-        .selectExpr("after.v").collect().head.getString(0)
-      assert(decoded == s, s"seed $i: from_json decode changed '$s'")
+      (i.toLong, s, vTxt)
+    }
+    // all 60 envelopes decode back through Spark's own JSON reader in
+    // ONE batched job — the gate's decode path, without paying 60
+    // separate job launches
+    val decoded = spark.read
+      .schema("after struct<k bigint, v string>")
+      .json(spark.createDataset(cases.map(_._3))(
+        org.apache.spark.sql.Encoders.STRING))
+      .selectExpr("after.k", "after.v").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    cases.foreach { case (i, s, _) =>
+      assert(decoded(i) == s, s"seed $i: from_json decode changed '$s'")
     }
   }
 }

@@ -181,8 +181,20 @@ class EsBulkSpec extends SparkSpec {
       val a = es.docs("a")
       assert(a("k1") == """{"v":10}""", a.toString) // overwrite wins
       assert(a("k2") == """{"v":2}""")
-      assert(a.size == 4, a.toString) // 2 keyed + 2 anonymous appends
+      assert(a.size == 2, a.toString) // anonymous appends live apart
+      assert(es.allDocs("a").size == 4) // 2 keyed + 2 anonymous
       assert(es.docs("b") == Map("k1" -> """{"v":9}""")) // index-scoped
+      // a doc-less action (delete) must fail loudly, not silently
+      // misalign the following action/document pairs
+      val del = intercept[RuntimeException] {
+        post(
+          """{"delete":{"_index":"a","_id":"k1"}}
+            |{"index":{"_index":"a","_id":"k9"}}
+            |{"v":99}
+            |""".stripMargin)
+      }
+      assert(del.getMessage.contains("400"), del.getMessage)
+      assert(!es.docs("a").contains("k9"), "partial bulk must not apply")
       // a non-bulk path 404s loudly
       val e = intercept[RuntimeException] {
         graft.Http.post(s"${es.endpoint}/nope", "application/json", "{}")
