@@ -324,6 +324,12 @@ class LookupJoinSpec extends SparkSpec {
       ExecutorLookupCaches.invalidate("jdbc:derby:memory:reg99", "dim")
       assert(!ExecutorLookupCaches.stats.keySet
         .exists(_._1 == "jdbc:derby:memory:reg99"))
+      // the 512-instance hard backstop evicts even ACTIVE caches — a
+      // JVM registering dims that fast is a runaway, not a workload
+      ExecutorLookupCaches.idleEvictMs = Long.MaxValue
+      (100 until 700).foreach(register)
+      assert(ExecutorLookupCaches.size <= 512,
+        s"hard cap breached: ${ExecutorLookupCaches.size}")
     } finally {
       ExecutorLookupCaches.idleEvictMs = savedIdle
       ExecutorLookupCaches.clear()
