@@ -384,6 +384,7 @@ object Gate extends QueryPack {
     "q_gate_quality_stream" -> ((s, dir) => {
       val staged = StreamingGate.stagedTableDir(dir, "documents")
       val runner = new ScriptRunner(s, batchMode = false)
+      try {
       val res = runner.run(
         s"""CREATE TABLE docs_qs_src (
            |  doc_id BIGINT, text VARCHAR, lang VARCHAR, source VARCHAR,
@@ -410,11 +411,13 @@ object Gate extends QueryPack {
         try q.stop() catch { case _: Throwable => () }
       }
       s.table("quality_stream_sink")
+      } finally runner.close()
     }),
 
     "q_gate_langid_stream" -> ((s, dir) => {
       val staged = StreamingGate.stagedTableDir(dir, "documents")
       val runner = new ScriptRunner(s, batchMode = false)
+      try {
       val res = runner.run(
         s"""CREATE TABLE docs_ls_src (
            |  doc_id BIGINT, text VARCHAR, lang VARCHAR, source VARCHAR,
@@ -439,6 +442,7 @@ object Gate extends QueryPack {
         try q.stop() catch { case _: Throwable => () }
       }
       s.table("langid_stream_sink")
+      } finally runner.close()
     }),
 
     // ANN through the gate: CREATE VIEW carves corpus/query sides out of

@@ -36,25 +36,35 @@ final class StubEs {
         val req = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
         val lines = req.split("\n").filter(_.nonEmpty)
         try {
+          // parse and validate EVERY action/doc pair into local buffers
+          // BEFORE touching the store: a malformed pair mid-bulk must
+          // reject the whole request with nothing applied (all-or-
+          // nothing), so a sink retrying a failed micro-batch neither
+          // sees a half-applied keyed state nor re-appends the
+          // anonymous documents of the failed attempt
+          val keyedBuf = mutable.Buffer[((String, String), String)]()
+          val anonBuf = mutable.Buffer[(String, String)]()
+          lines.grouped(2).foreach {
+            case Array(action, doc) =>
+              ActionRe.findFirstMatchIn(action).map(_.group(1)) match {
+                case Some("index") => ()
+                case other => throw new IllegalArgumentException(
+                  s"StubEs accepts only index actions, got: " +
+                    s"${other.getOrElse(action.take(40))}")
+              }
+              val idx = IdxRe.findFirstMatchIn(action)
+                .map(_.group(1)).getOrElse("")
+              IdRe.findFirstMatchIn(action).map(_.group(1)) match {
+                case Some(id) => keyedBuf += (((idx, id), doc))
+                case None => anonBuf += ((idx, doc))
+              }
+            case odd => throw new IllegalArgumentException(
+              s"dangling bulk action without a document: " +
+                s"${odd.head.take(40)}")
+          }
           keyed.synchronized {
-            lines.grouped(2).foreach {
-              case Array(action, doc) =>
-                ActionRe.findFirstMatchIn(action).map(_.group(1)) match {
-                  case Some("index") => ()
-                  case other => throw new IllegalArgumentException(
-                    s"StubEs accepts only index actions, got: " +
-                      s"${other.getOrElse(action.take(40))}")
-                }
-                val idx = IdxRe.findFirstMatchIn(action)
-                  .map(_.group(1)).getOrElse("")
-                IdRe.findFirstMatchIn(action).map(_.group(1)) match {
-                  case Some(id) => keyed((idx, id)) = doc
-                  case None => anon += ((idx, doc))
-                }
-              case odd => throw new IllegalArgumentException(
-                s"dangling bulk action without a document: " +
-                  s"${odd.head.take(40)}")
-            }
+            keyedBuf.foreach { case (k, d) => keyed(k) = d }
+            anon ++= anonBuf
           }
           """{"took":1,"errors":false,"items":[]}"""
         } catch {

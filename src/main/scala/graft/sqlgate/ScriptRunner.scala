@@ -994,6 +994,24 @@ class ScriptRunner(spark: SparkSession,
             "by another FROM/JOIN in the statement; the streaming " +
             "point-query rewrite is textual and cannot scope qualified " +
             "references — rename the dim alias or the conflicting one")
+      // step 3 below rewrites `<dimTableName>.col` references too, so
+      // a FROM/JOIN binding the dim's TABLE NAME (an unrelated relation
+      // aliased as the dim name, or a plain scan of it) would have its
+      // qualified references silently clobbered — reject it like the
+      // alias clash. A remaining `JOIN <dim> FOR SYSTEM_TIME …` of the
+      // SAME dim under another alias is legitimate (a later iteration
+      // rewrites it); FromAliasRe consumed its SYSTEM_TIME clause, so
+      // it is recognizable in the matched text and skipped.
+      val pendingTemporal =
+        fm.matched.toUpperCase(java.util.Locale.ROOT).contains("SYSTEM_TIME")
+      if (!pendingTemporal &&
+          (boundAlias.exists(_.equalsIgnoreCase(name)) ||
+            fm.group(1).equalsIgnoreCase(name)))
+        throw new IllegalArgumentException(
+          s"keyed lookup dim $name: the dim's table name is also bound " +
+            "by another FROM/JOIN in the statement; the streaming " +
+            "point-query rewrite is textual and cannot scope qualified " +
+            "references — rename the conflicting relation or its alias")
       val effQual = boundAlias.getOrElse(fm.group(1))
         .toLowerCase(java.util.Locale.ROOT)
       if (effQual == probeQualLower) probeQualBinds += 1

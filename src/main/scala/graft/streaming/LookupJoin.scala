@@ -181,12 +181,25 @@ final class JdbcKeyedLookup(
     */
   def cachedRowCount: Long = synchronized { cachedRows }
 
+  // per-key result holder of an in-progress fetch; all fields guarded
+  // by the cache monitor. Waiters read the claimant's rows from HERE,
+  // never back through the LRU: an entry evicted (or TTL-expired)
+  // between the claimant's install and the waiter's wake-up must not
+  // send the waiter back to the database — the fetch-once-per-key
+  // contract holds even under eviction pressure (cacheMaxRows smaller
+  // than a concurrent probe wave).
+  private final class Claim {
+    var done = false
+    var failed = false // claimant's fetch threw; a waiter re-claims
+    var rows: Seq[Row] = Nil
+  }
+
   // keys some thread is currently fetching; guarded by the monitor.
-  // Other threads needing one of these keys WAIT for the install
-  // instead of duplicating the point query — the JVM-shared cache's
-  // fetch-once-per-key contract (fetchedKeys == distinct probed keys)
-  // survives concurrency.
-  private val inFlight = scala.collection.mutable.Set[Any]()
+  // Other threads needing one of these keys WAIT for the claim to
+  // complete instead of duplicating the point query — the JVM-shared
+  // cache's fetch-once-per-key contract (fetchedKeys == distinct
+  // probed keys) survives concurrency.
+  private val inFlight = scala.collection.mutable.Map[Any, Claim]()
 
   /** Resolve `keys` → dim rows (empty Seq = key absent from the dim).
     * Thread-safe; only keys missing from the cache touch the database,
@@ -209,45 +222,69 @@ final class JdbcKeyedLookup(
     var pending: Seq[Any] = keys.distinct
     while (pending.nonEmpty) {
       val now = System.currentTimeMillis()
-      val mine = scala.collection.mutable.Buffer[Any]()
-      val theirs = scala.collection.mutable.Buffer[Any]()
+      val mine = scala.collection.mutable.Buffer[(Any, Claim)]()
+      val theirs = scala.collection.mutable.Buffer[(Any, Claim)]()
       synchronized {
         pending.foreach { k =>
           val e = lru.get(k)
           if (e != null && now - e.at < cacheTtlMs) {
             nHits += 1
             results(k) = e.rows
-          } else if (inFlight.contains(k)) theirs += k
-          else { inFlight += k; mine += k }
+          } else inFlight.get(k) match {
+            case Some(c) => theirs += ((k, c))
+            case None =>
+              val c = new Claim
+              inFlight(k) = c
+              mine += ((k, c))
+          }
         }
       }
       if (mine.nonEmpty) {
         val fetched =
-          try fetchKeys(mine.toSeq).groupBy(_.get(keyOrd))
+          try fetchKeys(mine.map(_._1).toSeq).groupBy(_.get(keyOrd))
           catch {
             case t: Throwable =>
-              synchronized { inFlight --= mine; notifyAll() }
+              synchronized {
+                mine.foreach { case (k, c) =>
+                  c.done = true; c.failed = true; inFlight -= k
+                }
+                notifyAll()
+              }
               throw t
           }
+        // entries are stamped AFTER the fetch completes: a pre-fetch
+        // stamp ages the entry by the fetch latency, shaving real TTL
+        val installAt = System.currentTimeMillis()
         synchronized {
-          mine.foreach { k =>
+          mine.foreach { case (k, c) =>
             nFetched += 1
             val rows = fetched.getOrElse(k, Nil)
-            put(k, Entry(rows, now))
+            put(k, Entry(rows, installAt))
             results(k) = rows
+            c.done = true
+            c.rows = rows
+            inFlight -= k
           }
-          inFlight --= mine
           notifyAll()
         }
       }
-      // block until the other claimants have installed (or failed) our
-      // remaining keys, then re-classify them: normally a fresh cache
-      // hit; re-claimed by US if the claimant failed or its entry was
-      // already evicted/expired
-      if (theirs.nonEmpty) synchronized {
-        while (theirs.exists(inFlight.contains)) wait()
-      }
-      pending = theirs.toSeq
+      // block until the other claimants have completed (or failed) our
+      // remaining keys, then take their rows straight from the claim —
+      // NOT from the LRU, whose entry may already be evicted. Only a
+      // FAILED claim sends a key back to pending for re-claiming.
+      pending =
+        if (theirs.isEmpty) Nil
+        else synchronized {
+          while (theirs.exists(!_._2.done)) wait()
+          theirs.flatMap { case (k, c) =>
+            if (c.failed) Some(k)
+            else {
+              nHits += 1
+              results(k) = c.rows
+              None
+            }
+          }.toSeq
+        }
     }
     results.toMap
   }

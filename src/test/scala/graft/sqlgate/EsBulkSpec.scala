@@ -195,6 +195,26 @@ class EsBulkSpec extends SparkSpec {
       }
       assert(del.getMessage.contains("400"), del.getMessage)
       assert(!es.docs("a").contains("k9"), "partial bulk must not apply")
+      // atomicity with the failure MID-bulk: pairs BEFORE the malformed
+      // action must not land either — a sink retrying the failed
+      // micro-batch would otherwise double-apply them (and re-append
+      // anonymous documents)
+      val mid = intercept[RuntimeException] {
+        post(
+          """{"index":{"_index":"a","_id":"k8"}}
+            |{"v":88}
+            |{"index":{"_index":"a"}}
+            |{"v":87}
+            |{"delete":{"_index":"a","_id":"k1"}}
+            |{"index":{"_index":"a","_id":"k7"}}
+            |{"v":77}
+            |""".stripMargin)
+      }
+      assert(mid.getMessage.contains("400"), mid.getMessage)
+      assert(!es.docs("a").contains("k8") && !es.docs("a").contains("k7"),
+        "failed bulk partially applied keyed pairs before the bad action")
+      assert(es.allDocs("a").size == 4,
+        "failed bulk appended anonymous documents")
       // a non-bulk path 404s loudly
       val e = intercept[RuntimeException] {
         graft.Http.post(s"${es.endpoint}/nope", "application/json", "{}")

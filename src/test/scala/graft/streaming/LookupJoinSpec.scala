@@ -367,4 +367,43 @@ class LookupJoinSpec extends SparkSpec {
       assert(lk.cachedRowCount <= 1000L)
     } finally pool.shutdownNow()
   }
+
+  test("a waiter is served from the claimant's fetch even when the " +
+    "installed entry is instantly expired (fetch-once under pressure)") {
+    // cacheTtlMs=0 is the harshest expiry/eviction pressure: every
+    // installed entry is already expired when a waiter wakes. The
+    // waiter must take the rows from the claimant's result holder, NOT
+    // re-classify through the LRU — the old path would re-claim and
+    // duplicate the point query (fetchedKeys > distinct probed keys).
+    // A held Derby row lock keeps the claimant's fetch in flight while
+    // the waiter queues, making the overlap deterministic.
+    val url = derbyDim("lkpev", Seq(1L -> "a"))
+    val lk = new JdbcKeyedLookup(url, Map.empty, "dim", "id", dimSchema,
+      cacheMaxRows = 1000L, cacheTtlMs = 0L)
+    val locker = DriverManager.getConnection(url)
+    locker.setAutoCommit(false)
+    locker.createStatement().execute(
+      "UPDATE dim SET name = 'a2' WHERE id = 1")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val a = pool.submit(
+        new java.util.concurrent.Callable[Seq[org.apache.spark.sql.Row]] {
+          def call() = lk.lookup(Seq(1L))(1L)
+        })
+      // claimant in flight (blocked on the row lock) before the waiter
+      while (lk.stats.probedKeys < 1) Thread.sleep(10)
+      Thread.sleep(200)
+      val b = pool.submit(
+        new java.util.concurrent.Callable[Seq[org.apache.spark.sql.Row]] {
+          def call() = lk.lookup(Seq(1L))(1L)
+        })
+      while (lk.stats.probedKeys < 2) Thread.sleep(10)
+      Thread.sleep(300) // waiter reaches the claim wait
+      locker.commit() // release the lock; the claimant's fetch lands
+      val tu = java.util.concurrent.TimeUnit.SECONDS
+      assert(a.get(30, tu).head.getString(1) == "a2")
+      assert(b.get(30, tu).head.getString(1) == "a2")
+      assert(lk.stats.fetchedKeys == 1, s"waiter refetched: ${lk.stats}")
+    } finally { pool.shutdownNow(); locker.close() }
+  }
 }
