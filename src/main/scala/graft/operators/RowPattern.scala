@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 /** One pattern variable of a `MATCH_RECOGNIZE` clause.
@@ -38,16 +39,176 @@ final case class RowPatternSpec(
       */
     stepBudget: Long = RowPattern.DefaultStepBudget)
 
+/** Keyed state of [[RowPattern.streaming]]: the buffered row values
+  * (one inner array per source row of the prepped projection) whose
+  * anchors the watermark has not yet finalized. Kryo-encoded — the
+  * values are external Spark types (Long/Double/String/Timestamp/null).
+  */
+final case class MrStreamState(rows: Array[Array[Any]])
+
+/** The per-key backtracking matcher shared by the batch and streaming
+  * execution shapes — works over one key's rows sorted by
+  * (ORDER BY, content-hash tiebreak), reading only precomputed
+  * boolean predicate columns and ordinals (see [[RowPattern]] for the
+  * semantics it implements).
+  *
+  * @param ordUsOrd ordinal of the epoch-micros ORDER BY column, -1 when
+  *                 the pattern has no WITHIN bound (batch only).
+  */
+private[graft] final class PatternMatcher(
+    vars: Array[PatternVar],
+    condOrds: Array[Int],
+    ordUsOrd: Int,
+    withinUs: Option[Long],
+    skipPast: Boolean,
+    budget: Long,
+    keyOrds: Array[Int],
+    measPlan: Array[(Int, Int, Boolean)]) extends Serializable {
+
+  private val nVars = vars.length
+
+  private def ordUs(rows: IndexedSeq[Row], i: Int): Long =
+    if (ordUsOrd < 0) 0L
+    else {
+      // WITHIN arithmetic on a NULL event time has no defined answer —
+      // reject loudly (Flink likewise refuses a null rowtime) instead
+      // of NPE-ing or silently matching.
+      if (rows(i).isNullAt(ordUsOrd))
+        throw new IllegalArgumentException(
+          "MATCH_RECOGNIZE WITHIN: NULL ORDER BY value encountered; " +
+            "filter null event times before the matcher")
+      rows(i).getLong(ordUsOrd)
+    }
+
+  /** Match one key's ordered rows. Anchors are processed left to right;
+    * with `finalUs = Some(f)` (streaming) the scan stops at the FIRST
+    * anchor whose WITHIN horizon the watermark has not closed yet
+    * (anchorUs + within > f) — every row that could join a match at a
+    * closed anchor has event time ≤ f and has therefore arrived (or
+    * was dropped late). `None` (batch) processes every anchor.
+    *
+    * Returns (match rows, consumed prefix length): rows before the
+    * returned index can never participate in a future match, because
+    * matching only scans forward from the anchor and the anchor pointer
+    * never moves backwards.
+    */
+  def run(rows: IndexedSeq[Row], finalUs: Option[Long]): (Seq[Row], Int) = {
+    val n = rows.length
+    val spans = new Array[Int](nVars * 2) // (start, endExcl) pairs
+    val results = scala.collection.mutable.ArrayBuffer[Row]()
+    var steps = 0L
+
+    def step(): Unit = {
+      steps += 1
+      if (steps > budget)
+        throw new IllegalStateException(
+          s"MATCH_RECOGNIZE exceeded the backtracking step budget " +
+            s"($budget steps) on one PARTITION BY key ($n rows) — " +
+            "the pattern's overlapping predicates are backtracking " +
+            "combinatorially (the NFA pathology). Add/tighten a " +
+            "WITHIN bound, make the variable predicates mutually " +
+            "exclusive, or raise " +
+            "'graft.match-recognize.step-budget'")
+    }
+
+    // backtracking matcher from `anchor`; returns end index
+    // (exclusive) of the match or -1
+    def tryVar(vi: Int, pos: Int, anchorUs: Long): Int = {
+      if (vi == nVars) return pos
+      val v = vars(vi)
+      var run = 0
+      while (run < v.maxRep && pos + run < n && {
+          step()
+          rows(pos + run).getBoolean(condOrds(vi)) &&
+          withinUs.forall(w => ordUs(rows, pos + run) - anchorUs <= w)
+        })
+        run += 1
+      if (run < v.minRep) return -1
+      val reps =
+        if (v.greedy) run to v.minRep by -1 else v.minRep to run
+      for (r <- reps) {
+        step()
+        spans(vi * 2) = pos
+        spans(vi * 2 + 1) = pos + r
+        val end = tryVar(vi + 1, pos + r, anchorUs)
+        if (end >= 0) return end
+      }
+      -1
+    }
+
+    def emit(anchor: Int): Row = {
+      val vals = new Array[Any](keyOrds.length + measPlan.length)
+      var i = 0
+      while (i < keyOrds.length) {
+        vals(i) = rows(anchor).get(keyOrds(i)) // all rows share the key
+        i += 1
+      }
+      var j = 0
+      while (j < measPlan.length) {
+        val (vi, colOrd, first) = measPlan(j)
+        val s = spans(vi * 2); val e = spans(vi * 2 + 1)
+        vals(keyOrds.length + j) =
+          if (e <= s) null
+          else if (first) rows(s).get(colOrd)
+          else rows(e - 1).get(colOrd)
+        j += 1
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericRow(vals)
+    }
+
+    def isFinal(a: Int): Boolean = finalUs.forall { f =>
+      ordUs(rows, a) + withinUs.getOrElse(0L) <= f
+    }
+
+    var anchor = 0
+    while (anchor < n && isFinal(anchor)) {
+      val end = tryVar(0, anchor, ordUs(rows, anchor))
+      if (end > anchor) {
+        results += emit(anchor)
+        anchor = if (skipPast) end else anchor + 1
+      } else anchor += 1
+    }
+    (results.toSeq, anchor)
+  }
+}
+
 /** Row-pattern recognition (SQL:2016 `MATCH_RECOGNIZE`, the clause Flink
   * SQL executes with its CEP NFA operator — reference surface:
   * `/root/reference/README.md` §四 routes any Flink-1.13 SQL, which
   * includes MATCH_RECOGNIZE). Spark has no pattern operator, so this is
-  * a whole-operator implementation (preference (d), `mapPartitions`,
-  * justified: no composition of built-ins can express backtracking
-  * row-pattern matching): ONE hash shuffle on the PARTITION BY key, a
+  * a whole-operator implementation (preference (d), `mapPartitions` /
+  * `flatMapGroupsWithState`, justified: no composition of built-ins can
+  * express backtracking row-pattern matching).
+  *
+  * BATCH ([[apply]]): ONE hash shuffle on the PARTITION BY key, a
   * per-partition sort on (key, order, tiebreak) — the exact cost class
   * of a window aggregate — then a linear scan running a per-key
   * backtracking matcher, exactly Flink's per-key CepOperator shape.
+  *
+  * STREAMING ([[streaming]]): Flink's headline use of CEP SQL is
+  * pattern-over-stream; here the same matcher runs inside
+  * `flatMapGroupsWithState` over watermark-ripened keyed buffers (the
+  * proven shape of `StreamOps.runningOverFrame`): arriving rows buffer
+  * per key in event-time order, and the matcher processes an anchor
+  * only once the watermark passes its WITHIN horizon — every row that
+  * could join the match has then arrived, so the decision (and the
+  * emitted measures) is bit-identical to the batch matcher over the
+  * same rows, across any micro-batch split of the input within the
+  * watermark delay. Matches emit in APPEND mode (a CEP match is final
+  * when emitted, Flink's semantics). `WITHIN` is REQUIRED on a stream:
+  * without it no anchor's horizon ever closes and keyed state is
+  * unbounded — rejected loudly, the documented deviation. State per
+  * key = the rows inside the watermark+WITHIN horizon, O(horizon·rate),
+  * the same bound Flink's CEP state holds; an event-time timeout
+  * re-fires the key when the watermark passes the oldest buffered
+  * anchor's horizon, so buffered matches flush without further input
+  * on the key. Rows later than the watermark are dropped by Spark's
+  * late-row filter on the watermarked input — the same fate Flink's
+  * CEP gives them (a dropped row can merge its neighbours into strict
+  * contiguity, as in Flink). Like `runningOverFrame`, rows at EXACTLY
+  * the watermark are still delivered, leaving a whole-millisecond
+  * reordering window at the exact horizon boundary in exchange for not
+  * stranding anchors whose horizon equals the final watermark.
   *
   * Semantics are Flink-exact on the supported subset (this replaced a
   * chained-window rewrite that emitted only the earliest match per key
@@ -69,18 +230,21 @@ final case class RowPatternSpec(
   *     of the full row (`xxhash64`), so duplicate timestamps can never
   *     silently flip measure values between runs (Flink breaks ties by
   *     arrival order, which a batch replay does not have; a
-  *     deterministic total order is the honest batch equivalent).
+  *     deterministic total order is the honest batch equivalent — and
+  *     the streaming path sorts its ripened buffers the same way, so
+  *     both shapes agree row for row).
   *
   * Scale: predicates are evaluated ONCE per row as codegen'd boolean
   * columns before the shuffle — the matcher itself reads only booleans
   * and ordinals. Rows are buffered per key (not per partition); memory
-  * is bounded by the largest single key's row count, the same bound
-  * Flink's CEP state holds per key. Backtracking is worst-case
-  * exponential only for adversarial overlapping predicates — Flink's
-  * own NFA pathology; `WITHIN` caps the scan horizon in production
-  * patterns, and a per-key step budget ([[RowPatternSpec.stepBudget]],
-  * gate knob `graft.match-recognize.step-budget`) fails LOUDLY when a
-  * pattern backtracks combinatorially instead of burning CPU silently.
+  * is bounded by the largest single key's row count (batch) or its
+  * watermark+WITHIN horizon (streaming), the same bound Flink's CEP
+  * state holds per key. Backtracking is worst-case exponential only for
+  * adversarial overlapping predicates — Flink's own NFA pathology;
+  * `WITHIN` caps the scan horizon in production patterns, and a per-key
+  * step budget ([[RowPatternSpec.stepBudget]], gate knob
+  * `graft.match-recognize.step-budget`) fails LOUDLY when a pattern
+  * backtracks combinatorially instead of burning CPU silently.
   */
 object RowPattern {
 
@@ -93,7 +257,15 @@ object RowPattern {
 
   private val P = "__graft_mr_"
 
-  def apply(df: DataFrame, spec: RowPatternSpec): DataFrame = {
+  /** Shared validation + prepped projection (source columns + codegen'd
+    * predicate booleans + epoch-micros order column when WITHIN needs
+    * it + xxhash64 tiebreak) and the ordinal/measure plan over it.
+    */
+  private final case class Prepped(df: DataFrame, keyOrds: Array[Int],
+      condOrds: Array[Int], ordUsOrd: Int, tbOrd: Int,
+      measPlan: Array[(Int, Int, Boolean)], outSchema: StructType)
+
+  private def prep(df: DataFrame, spec: RowPatternSpec): Prepped = {
     require(spec.vars.nonEmpty, "MATCH_RECOGNIZE: empty PATTERN")
     require(spec.vars.exists(_.minRep >= 1),
       "MATCH_RECOGNIZE: pattern where every variable is optional would " +
@@ -101,10 +273,9 @@ object RowPattern {
     require(!df.columns.exists(_.toLowerCase(java.util.Locale.ROOT)
         .startsWith(P)),
       s"MATCH_RECOGNIZE: source schema contains reserved '$P*' columns")
-    require(!df.isStreaming,
-      "MATCH_RECOGNIZE runs in batch gate mode (a streaming variant " +
-        "would need watermark-buffered keyed state; rejected loudly " +
-        "rather than silently mis-ordering)")
+    require(spec.stepBudget > 0,
+      s"MATCH_RECOGNIZE step budget must be positive, got " +
+        s"${spec.stepBudget}")
 
     val srcCols = df.columns.toSeq
     val ordType = df.schema(spec.orderBy).dataType
@@ -129,15 +300,13 @@ object RowPattern {
     val prepped = df.selectExpr(
       (srcCols.map(c => s"`$c`") ++ condExprs ++ ordUsExpr :+ tbExpr): _*)
 
-    val sorted = prepped
-      .repartition(spec.partitionBy.map(col): _*)
-      .sortWithinPartitions(
-        (spec.partitionBy :+ spec.orderBy :+ s"${P}tb").map(col): _*)
-
-    val in = sorted.schema
+    val in = prepped.schema
     val keyOrds = spec.partitionBy.map(in.fieldIndex).toArray
-    val condOrds = spec.vars.indices.map(i => in.fieldIndex(s"${P}c$i")).toArray
-    val ordUsOrd = spec.withinMs.map(_ => in.fieldIndex(s"${P}ord"))
+    val condOrds =
+      spec.vars.indices.map(i => in.fieldIndex(s"${P}c$i")).toArray
+    val ordUsOrd =
+      if (spec.withinMs.isDefined) in.fieldIndex(s"${P}ord") else -1
+    val tbOrd = in.fieldIndex(s"${P}tb")
     val varIdx = spec.vars.map(_.name).zipWithIndex.toMap
     val measPlan = spec.measures.map { m =>
       (varIdx.getOrElse(m.variable, throw new IllegalArgumentException(
@@ -150,14 +319,27 @@ object RowPattern {
         spec.measures.map(m =>
           StructField(m.alias, in(in.fieldIndex(m.col)).dataType,
             nullable = true)))
+    Prepped(prepped, keyOrds, condOrds, ordUsOrd, tbOrd, measPlan,
+      outSchema)
+  }
 
-    val vars = spec.vars.toArray
-    val withinUs = spec.withinMs.map(_ * 1000L)
-    val skipPast = spec.skipPastLastRow
-    val nVars = vars.length
-    val budget = spec.stepBudget
-    require(budget > 0, s"MATCH_RECOGNIZE step budget must be positive, " +
-      s"got $budget")
+  private def matcherOf(p: Prepped, spec: RowPatternSpec): PatternMatcher =
+    new PatternMatcher(spec.vars.toArray, p.condOrds, p.ordUsOrd,
+      spec.withinMs.map(_ * 1000L), spec.skipPastLastRow, spec.stepBudget,
+      p.keyOrds, p.measPlan)
+
+  /** Batch execution shape (see object scaladoc). */
+  def apply(df: DataFrame, spec: RowPatternSpec): DataFrame = {
+    require(!df.isStreaming,
+      "RowPattern.apply is the batch shape — route streaming inputs " +
+        "through RowPattern.streaming (watermark-buffered keyed state)")
+    val p = prep(df, spec)
+    val sorted = p.df
+      .repartition(spec.partitionBy.map(col): _*)
+      .sortWithinPartitions(
+        (spec.partitionBy :+ spec.orderBy :+ s"${P}tb").map(col): _*)
+    val keyOrds = p.keyOrds
+    val matcher = matcherOf(p, spec)
 
     val out = sorted.mapPartitions { it =>
       val bufIt = it.buffered
@@ -174,105 +356,100 @@ object RowPattern {
         buf.toIndexedSeq
       }
 
-      def matchKey(rows: IndexedSeq[Row]): Iterator[Row] = {
-        val n = rows.length
-        val spans = new Array[Int](nVars * 2) // (start, endExcl) pairs
-        val results = scala.collection.mutable.ArrayBuffer[Row]()
-        var steps = 0L
-
-        def step(): Unit = {
-          steps += 1
-          if (steps > budget)
-            throw new IllegalStateException(
-              s"MATCH_RECOGNIZE exceeded the backtracking step budget " +
-                s"($budget steps) on one PARTITION BY key ($n rows) — " +
-                "the pattern's overlapping predicates are backtracking " +
-                "combinatorially (the NFA pathology). Add/tighten a " +
-                "WITHIN bound, make the variable predicates mutually " +
-                "exclusive, or raise " +
-                "'graft.match-recognize.step-budget'")
-        }
-
-        def ordUs(i: Int): Long = ordUsOrd match {
-          case Some(o) =>
-            // WITHIN arithmetic on a NULL event time has no defined
-            // answer — reject loudly (Flink likewise refuses a null
-            // rowtime) instead of NPE-ing or silently matching.
-            if (rows(i).isNullAt(o))
-              throw new IllegalArgumentException(
-                "MATCH_RECOGNIZE WITHIN: NULL ORDER BY value encountered; " +
-                  "filter null event times before the matcher")
-            rows(i).getLong(o)
-          case None => 0L
-        }
-
-        // backtracking matcher from `anchor`; returns end index
-        // (exclusive) of the match or -1
-        def tryVar(vi: Int, pos: Int, anchorUs: Long): Int = {
-          if (vi == nVars) return pos
-          val v = vars(vi)
-          var run = 0
-          while (run < v.maxRep && pos + run < n && {
-              step()
-              rows(pos + run).getBoolean(condOrds(vi)) &&
-              withinUs.forall(w => ordUs(pos + run) - anchorUs <= w)
-            })
-            run += 1
-          if (run < v.minRep) return -1
-          val reps =
-            if (v.greedy) run to v.minRep by -1 else v.minRep to run
-          for (r <- reps) {
-            step()
-            spans(vi * 2) = pos
-            spans(vi * 2 + 1) = pos + r
-            val end = tryVar(vi + 1, pos + r, anchorUs)
-            if (end >= 0) return end
-          }
-          -1
-        }
-
-        def emit(): Row = {
-          val vals = new Array[Any](keyOrds.length + measPlan.length)
-          var i = 0
-          while (i < keyOrds.length) {
-            vals(i) = rows(0).get(keyOrds(i)) // all rows share the key
-            i += 1
-          }
-          var j = 0
-          while (j < measPlan.length) {
-            val (vi, colOrd, first) = measPlan(j)
-            val s = spans(vi * 2); val e = spans(vi * 2 + 1)
-            vals(keyOrds.length + j) =
-              if (e <= s) null
-              else if (first) rows(s).get(colOrd)
-              else rows(e - 1).get(colOrd)
-            j += 1
-          }
-          new org.apache.spark.sql.catalyst.expressions.GenericRow(vals)
-        }
-
-        var anchor = 0
-        while (anchor < n) {
-          val end = tryVar(0, anchor, ordUs(anchor))
-          if (end > anchor) {
-            results += emit()
-            anchor = if (skipPast) end else anchor + 1
-          } else anchor += 1
-        }
-        results.iterator
-      }
-
       new Iterator[Row] {
         private var cur: Iterator[Row] = Iterator.empty
         def hasNext: Boolean = {
           while (!cur.hasNext && bufIt.hasNext)
-            cur = matchKey(nextKeyRows())
+            cur = matcher.run(nextKeyRows(), None)._1.iterator
           cur.hasNext
         }
-        def next(): Row = { if (!hasNext) throw new NoSuchElementException; cur.next() }
+        def next(): Row = {
+          if (!hasNext) throw new NoSuchElementException; cur.next()
+        }
       }
-    }(Encoders.row(outSchema))
+    }(Encoders.row(p.outSchema))
 
     out
+  }
+
+  /** Streaming execution shape (see object scaladoc): the same matcher
+    * over watermark-ripened keyed buffers, append-mode output. The
+    * input must be a streaming DataFrame carrying an event-time
+    * watermark on the ORDER BY column (the gate declares it with
+    * `WATERMARK FOR <col> AS …` in the source DDL), and the pattern
+    * must carry a WITHIN bound.
+    */
+  def streaming(df: DataFrame, spec: RowPatternSpec): DataFrame = {
+    require(df.isStreaming,
+      "RowPattern.streaming needs a streaming input — use RowPattern" +
+        ".apply for batch")
+    val withinUs = spec.withinMs.map(_ * 1000L).getOrElse(
+      throw new IllegalArgumentException(
+        "streaming MATCH_RECOGNIZE requires a WITHIN bound: without " +
+          "it no match is ever final and the keyed row buffer grows " +
+          "without bound — add `WITHIN INTERVAL '…' <unit>` to the " +
+          "pattern, or run the script in batch mode"))
+    val wmCols = df.queryExecution.analyzed.collect {
+      case e: org.apache.spark.sql.catalyst.plans.logical
+          .EventTimeWatermark => e.eventTime.name
+    }
+    require(wmCols.contains(spec.orderBy),
+      s"streaming MATCH_RECOGNIZE needs an event-time watermark on the " +
+        s"ORDER BY column '${spec.orderBy}' — declare `WATERMARK FOR " +
+        s"${spec.orderBy} AS ${spec.orderBy} - INTERVAL '…' SECOND` in " +
+        "the source DDL" +
+        (if (wmCols.isEmpty) "" else s" (watermark found on: ${
+          wmCols.mkString(", ")})"))
+
+    val p = prep(df, spec)
+    val matcher = matcherOf(p, spec)
+    val ordUsOrd = p.ordUsOrd
+    val tbOrd = p.tbOrd
+
+    implicit val stateEnc: Encoder[MrStreamState] =
+      Encoders.kryo[MrStreamState]
+    implicit val outEnc: Encoder[Row] = Encoders.row(p.outSchema)
+    val keyOrds = p.keyOrds
+
+    // group by an injective string encoding of the PARTITION BY values
+    // (the output rows carry the real key columns, read from the rows)
+    val keyed = p.df.groupByKey(r =>
+      graft.streaming.StreamOps.encodeKey(
+        keyOrds.map(r.get).toSeq))(Encoders.STRING)
+
+    keyed.flatMapGroupsWithState[MrStreamState, Row](
+      OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+      (_: String, it: Iterator[Row], state: GroupState[MrStreamState]) =>
+        val prior: Vector[Row] = state.getOption
+          .map(_.rows.toVector.map(a =>
+            new org.apache.spark.sql.catalyst.expressions
+              .GenericRow(a): Row))
+          .getOrElse(Vector.empty)
+        val all = prior ++ it
+        if (all.isEmpty) { state.remove(); Iterator.empty }
+        else {
+          // same total order as the batch shape's per-partition sort:
+          // (ORDER BY epoch-micros, content-hash tiebreak)
+          val sorted = all.sortBy(r =>
+            (r.getLong(ordUsOrd), r.getLong(tbOrd))).toIndexedSeq
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (matches, consumed) = matcher.run(sorted, Some(wmUs))
+          val rest = sorted.drop(consumed)
+          if (rest.isEmpty) state.remove()
+          else {
+            state.update(MrStreamState(
+              rest.map(r => r.toSeq.toArray).toArray))
+            // wake when the watermark passes the oldest pending
+            // anchor's WITHIN horizon (must be strictly beyond the
+            // current watermark), so buffered matches flush even if
+            // the key receives no further rows
+            val horizonMs =
+              (rest.head.getLong(ordUsOrd) + withinUs + 999L) / 1000L
+            state.setTimeoutTimestamp(
+              math.max(horizonMs, state.getCurrentWatermarkMs() + 1L))
+          }
+          matches.iterator
+        }
+    }.toDF()
   }
 }

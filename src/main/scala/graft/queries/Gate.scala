@@ -245,6 +245,74 @@ object Gate extends QueryPack {
       s.table("mr_sink_out")
     }),
 
+    // The same row-pattern clause over a WATERMARKed STREAM — Flink CEP
+    // SQL's headline execution shape (pattern-over-stream), the last
+    // batch-only dialect surface. Routes through RowPattern.streaming:
+    // the identical backtracking matcher over watermark-ripened keyed
+    // buffers (flatMapGroupsWithState, append mode), WITHIN required so
+    // every anchor's horizon closes and keyed state stays bounded. The
+    // oracle is the batch funnel truncated by BOTH streaming frontiers:
+    // the WITHIN bound (purchase − view ≤ 24 h) and finality (an anchor
+    // emits only once the final watermark — max ts, ms-floored, delay
+    // '0' — passes its horizon; later anchors stay buffered forever on
+    // a finite drain, exactly Flink's unemitted-pending-match behavior).
+    "q_gate_match_recognize_stream" -> ((s, dir) => {
+      val (tsDdl, tsExpr) = graft.Tables.eventsTsDdl(s, dir)
+      val staged = StreamingGate.stagedEventsDir(dir)
+      val runner = new ScriptRunner(s, batchMode = false)
+      try {
+        val res = runner.run(
+          s"""CREATE TABLE ev_mrs (
+             |  event_id BIGINT,
+             |  ts $tsDdl,
+             |  user_id BIGINT,
+             |  event_type VARCHAR,
+             |  value DOUBLE,
+             |  props VARCHAR,
+             |  ts2 AS $tsExpr,
+             |  WATERMARK FOR ts2 AS ts2 - INTERVAL '0' SECOND
+             |) WITH (
+             |  'connector' = 'filesystem',
+             |  'path' = '$staged',
+             |  'format' = 'parquet'
+             |);
+             |CREATE TABLE mrs_sink (
+             |  user_id BIGINT, first_view VARCHAR, first_click VARCHAR,
+             |  last_click VARCHAR, purchase_value DOUBLE
+             |) WITH ('connector' = 'memory');
+             |INSERT INTO mrs_sink
+             |SELECT user_id,
+             |  DATE_FORMAT(v_ts, 'yyyy-MM-dd HH:mm:ss.SSSSSS') AS first_view,
+             |  DATE_FORMAT(c_first, 'yyyy-MM-dd HH:mm:ss.SSSSSS') AS first_click,
+             |  DATE_FORMAT(c_last, 'yyyy-MM-dd HH:mm:ss.SSSSSS') AS last_click,
+             |  p_value AS purchase_value
+             |FROM ev_mrs MATCH_RECOGNIZE (
+             |  PARTITION BY user_id
+             |  ORDER BY ts2
+             |  MEASURES
+             |    A.ts2 AS v_ts,
+             |    FIRST(B.ts2) AS c_first,
+             |    LAST(B.ts2) AS c_last,
+             |    C.value AS p_value
+             |  ONE ROW PER MATCH
+             |  AFTER MATCH SKIP PAST LAST ROW
+             |  PATTERN (A B+ C) WITHIN INTERVAL '24' HOUR
+             |  DEFINE
+             |    A AS A.event_type = 'view',
+             |    B AS B.event_type = 'click',
+             |    C AS C.event_type = 'purchase'
+             |);
+             |""".stripMargin)
+        try res.queries.foreach { q =>
+          require(q.awaitTermination(300000),
+            "streaming MATCH_RECOGNIZE gate query timed out")
+        } finally res.queries.foreach { q =>
+          try q.stop() catch { case _: Throwable => () }
+        }
+        s.table("mrs_sink")
+      } finally runner.close()
+    }),
+
     // The LLM-pipeline surface through the statement layer: exact dedup
     // invoked as a polymorphic table-valued function in the same
     // TABLE(F(TABLE t, DESCRIPTOR(...))) idiom as the window TVFs —
@@ -1172,6 +1240,38 @@ object Gate extends QueryPack {
         |JOIN m b1 ON b1.user_id = p.user_id AND b1.rn = p.lastnc + 1
         |JOIN m bl ON bl.user_id = p.user_id AND bl.rn = p.rn - 1
         |WHERE p.event_type = 'purchase' AND p.rn - 1 >= p.lastnc + 1""".stripMargin,
+
+    // the streaming matcher over the same funnel: the batch oracle plus
+    // the two streaming frontiers — the WITHIN bound (every match row
+    // lies ≤ 24 h past its anchor; with monotone ts that is exactly
+    // purchase − view ≤ 24 h) and anchor finality under the final
+    // watermark (max ts over the drained file, floored to the ms as
+    // Spark's watermark is, delay '0'): anchors whose horizon the final
+    // watermark never passes stay buffered and must not emit
+    "q_gate_match_recognize_stream" ->
+      """WITH e AS (SELECT user_id, event_type, value,
+        |    CAST(ts AS TIMESTAMP) AS ts,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+        |  FROM events),
+        |m AS (SELECT *,
+        |    max(CASE WHEN event_type <> 'click' THEN rn END) OVER
+        |      (PARTITION BY user_id ORDER BY rn
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lastnc
+        |  FROM e),
+        |wm AS (SELECT (epoch_us(max(ts))//1000)*1000 AS wus FROM e)
+        |SELECT p.user_id,
+        |  strftime(a.ts, '%Y-%m-%d %H:%M:%S.%f') AS first_view,
+        |  strftime(b1.ts, '%Y-%m-%d %H:%M:%S.%f') AS first_click,
+        |  strftime(bl.ts, '%Y-%m-%d %H:%M:%S.%f') AS last_click,
+        |  p.value AS purchase_value
+        |FROM m p
+        |JOIN m a  ON a.user_id = p.user_id AND a.rn = p.lastnc
+        |         AND a.event_type = 'view'
+        |JOIN m b1 ON b1.user_id = p.user_id AND b1.rn = p.lastnc + 1
+        |JOIN m bl ON bl.user_id = p.user_id AND bl.rn = p.rn - 1
+        |WHERE p.event_type = 'purchase' AND p.rn - 1 >= p.lastnc + 1
+        |  AND epoch_us(p.ts) - epoch_us(a.ts) <= 86400000000
+        |  AND epoch_us(a.ts) + 86400000000 <= (SELECT wus FROM wm)""".stripMargin,
 
     // grouping by the text itself gives the same groups as the md5
     // digest (modulo md5 collisions, absent here by construction)

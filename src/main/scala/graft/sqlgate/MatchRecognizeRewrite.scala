@@ -36,9 +36,13 @@ import org.apache.spark.sql.SparkSession
   *     only `V.`-prefixed columns of its own variable (no cross-variable
   *     or FIRST/LAST/PREV/NEXT references)
   *
-  * Batch gate mode only — [[RowPattern]] rejects streaming inputs
-  * loudly. Internal columns use the `__graft_mr_` prefix and collide
-  * loudly (RowPattern's reserved-prefix require), never silently.
+  * Batch sources route through [[RowPattern.apply]]; STREAMING sources
+  * route through [[RowPattern.streaming]] — the same matcher over
+  * watermark-ripened keyed buffers (append mode), requiring a WITHIN
+  * bound and a `WATERMARK FOR <order col>` declaration in the source
+  * DDL (both enforced loudly). Internal columns use the `__graft_mr_`
+  * prefix and collide loudly (RowPattern's reserved-prefix require),
+  * never silently.
   */
 object MatchRecognizeRewrite {
 
@@ -86,7 +90,10 @@ object MatchRecognizeRewrite {
         spark.conf.getOption("graft.match-recognize.step-budget")
           .map(_.trim.toLong)
           .getOrElse(graft.operators.RowPattern.DefaultStepBudget))
-      val result = RowPattern(spark.table(src), spec)
+      val srcDf = spark.table(src)
+      val result =
+        if (srcDf.isStreaming) RowPattern.streaming(srcDf, spec)
+        else RowPattern(srcDf, spec)
       val view = s"__graft_mr_out_${viewCounter.incrementAndGet()}"
       result.createOrReplaceTempView(view)
       created += view

@@ -235,4 +235,159 @@ class MatchRecognizeSpec extends SparkSpec {
     // with zero matches instead of tripping the failsafe
     assert(spark.sql(FlinkSqlRewrite(spark, sql)).count() == 0)
   }
+
+  // --- streaming MATCH_RECOGNIZE (RowPattern.streaming) ---
+
+  import graft.operators.{RowPattern, RowPatternSpec, PatternVar, PatternMeasure}
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+  private def streamSpec(withinMs: Option[Long]) = RowPatternSpec(
+    partitionBy = Seq("user_id"), orderBy = "t",
+    vars = Seq(
+      PatternVar("A", 1, 1, greedy = true, cond = Some("kind = 'x'")),
+      PatternVar("B", 1, Int.MaxValue, greedy = true,
+        cond = Some("kind = 'y'")),
+      PatternVar("C", 1, 1, greedy = true, cond = Some("kind = 'z'"))),
+    measures = Seq(
+      PatternMeasure("A", "t", first = false, alias = "a_t"),
+      PatternMeasure("B", "t", first = true, alias = "b_first"),
+      PatternMeasure("B", "t", first = false, alias = "b_last"),
+      PatternMeasure("C", "v", first = false, alias = "z_v")),
+    withinMs = withinMs, skipPastLastRow = true)
+
+  test("streaming: a match spanning micro-batches emits once the " +
+    "watermark closes its WITHIN horizon, equal to the batch matcher") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[MrEv]
+    val src = in.toDF().withWatermark("t", "0 seconds")
+    val out = RowPattern.streaming(src, streamSpec(Some(10000L)))
+    val q = out.writeStream.format("memory").queryName("mr_stream_x")
+      .outputMode("append").start()
+    try {
+      // batch 1: the funnel's head only — nothing can be final
+      in.addData(MrEv(1L, ts(1), "x", 1.0), MrEv(1L, ts(2), "y", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("mr_stream_x").count() == 0)
+      // batch 2: the funnel's tail PLUS a far-future row that advances
+      // the watermark past the anchor's horizon (1s + 10s)
+      in.addData(MrEv(1L, ts(3), "y", 3.0), MrEv(1L, ts(4), "z", 4.0),
+        MrEv(99L, ts(100), "w", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("mr_stream_x").collect().map(r =>
+        (r.getLong(0), r.getTimestamp(1).getTime / 1000,
+          r.getTimestamp(2).getTime / 1000,
+          r.getTimestamp(3).getTime / 1000, r.getDouble(4))).toSet
+      assert(got == Set((1L, 1L, 2L, 3L, 4.0)), got.toString)
+      // the batch matcher over the SAME rows (flush row included)
+      // produces the same match set
+      val all = Seq((1L, ts(1), "x", 1.0), (1L, ts(2), "y", 2.0),
+        (1L, ts(3), "y", 3.0), (1L, ts(4), "z", 4.0),
+        (99L, ts(100), "w", 0.0)).toDF("user_id", "t", "kind", "v")
+      val batch = RowPattern(all, streamSpec(Some(10000L))).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000,
+          r.getTimestamp(2).getTime / 1000,
+          r.getTimestamp(3).getTime / 1000, r.getDouble(4))).toSet
+      assert(batch == got)
+    } finally q.stop()
+  }
+
+  test("streaming: an anchor whose horizon the watermark has not " +
+    "passed stays buffered; the event-time timeout flushes it without " +
+    "further rows on its key") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[MrEv]
+    val src = in.toDF().withWatermark("t", "0 seconds")
+    val out = RowPattern.streaming(src, streamSpec(Some(5000L)))
+    val q = out.writeStream.format("memory").queryName("mr_stream_t")
+      .outputMode("append").start()
+    try {
+      // a COMPLETE funnel for user 2 — but the watermark (= max t) is
+      // still inside its horizon, so it must NOT emit yet
+      in.addData(MrEv(2L, ts(1), "x", 1.0), MrEv(2L, ts(2), "y", 2.0),
+        MrEv(2L, ts(3), "z", 3.0))
+      q.processAllAvailable()
+      assert(spark.table("mr_stream_t").count() == 0)
+      // rows on a DIFFERENT key advance the watermark past 1s+5s; the
+      // buffered match must flush via the event-time timeout
+      in.addData(MrEv(50L, ts(60), "w", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("mr_stream_t").collect()
+        .map(r => (r.getLong(0), r.getDouble(4))).toSet
+      assert(got == Set((2L, 3.0)), got.toString)
+    } finally q.stop()
+  }
+
+  test("streaming MATCH_RECOGNIZE rejects a missing WITHIN and a " +
+    "missing watermark loudly") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[MrEv]
+    val noWithin = intercept[IllegalArgumentException] {
+      RowPattern.streaming(in.toDF().withWatermark("t", "0 seconds"),
+        streamSpec(None))
+    }
+    assert(noWithin.getMessage.contains("WITHIN"))
+    val noWm = intercept[IllegalArgumentException] {
+      RowPattern.streaming(in.toDF(), streamSpec(Some(1000L)))
+    }
+    assert(noWm.getMessage.contains("WATERMARK"))
+  }
+
+  test("streaming: the gate rewrite routes a streaming source through " +
+    "RowPattern.streaming (WITHIN required end-to-end)") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[MrEv]
+    in.toDF().withWatermark("t", "0 seconds")
+      .createOrReplaceTempView("ev_mrstream")
+    val sql =
+      """SELECT user_id, a_t, z_v FROM ev_mrstream MATCH_RECOGNIZE (
+        |  PARTITION BY user_id ORDER BY t
+        |  MEASURES A.t AS a_t, C.v AS z_v
+        |  ONE ROW PER MATCH
+        |  AFTER MATCH SKIP PAST LAST ROW
+        |  PATTERN (A B+ C) WITHIN INTERVAL '10' SECOND
+        |  DEFINE A AS A.kind = 'x', B AS B.kind = 'y', C AS C.kind = 'z'
+        |)""".stripMargin
+    val df = spark.sql(FlinkSqlRewrite(spark, sql))
+    assert(df.isStreaming)
+    val q = df.writeStream.format("memory").queryName("mr_stream_g")
+      .outputMode("append").start()
+    try {
+      in.addData(MrEv(3L, ts(1), "x", 1.0), MrEv(3L, ts(2), "y", 2.0),
+        MrEv(3L, ts(3), "z", 3.0), MrEv(60L, ts(80), "w", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("mr_stream_g").collect()
+        .map(r => (r.getLong(0), r.getDouble(2))).toSet
+      assert(got == Set((3L, 3.0)), got.toString)
+    } finally q.stop()
+    // the same clause WITHOUT a WITHIN bound must be rejected loudly
+    val e = intercept[IllegalArgumentException] {
+      FlinkSqlRewrite(spark, sql.replace(
+        " WITHIN INTERVAL '10' SECOND", ""))
+    }
+    assert(e.getMessage.contains("WITHIN"))
+  }
+
+  test("streaming: rows later than the watermark are dropped, as in " +
+    "Flink CEP") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[MrEv]
+    val src = in.toDF().withWatermark("t", "0 seconds")
+    val out = RowPattern.streaming(src, streamSpec(Some(5000L)))
+    val q = out.writeStream.format("memory").queryName("mr_stream_l")
+      .outputMode("append").start()
+    try {
+      in.addData(MrEv(4L, ts(1), "x", 1.0), MrEv(4L, ts(3), "z", 3.0))
+      q.processAllAvailable() // wm → 3s
+      // the funnel's middle row arrives LATE (2s < wm) — dropped, so
+      // x@1,z@3 stay adjacent and A B+ C can never match
+      in.addData(MrEv(4L, ts(2), "y", 2.0))
+      q.processAllAvailable()
+      in.addData(MrEv(70L, ts(90), "w", 0.0)) // close every horizon
+      q.processAllAvailable()
+      assert(spark.table("mr_stream_l").count() == 0)
+    } finally q.stop()
+  }
 }
+
+/** Input rows of the streaming MATCH_RECOGNIZE spec cases. */
+final case class MrEv(user_id: Long, t: Timestamp, kind: String, v: Double)
