@@ -278,6 +278,125 @@ object Dedup extends QueryPack {
       .filter(col("jacc") >= threshold)
   }
 
+  /** Streaming shape of [[minhashCrossPairs]] — the production
+    * LLM-pipeline cadence: a continuously ARRIVING crawl shard deduped
+    * against a FROZEN corpus. Instead of a per-micro-batch foreachBatch
+    * replay of the batch kernel, this is a fully STATELESS streaming
+    * plan (append mode, zero keyed state, composes with any sink):
+    *
+    *   1. The corpus index is built ONCE and materialized to parquet —
+    *      the "natural persistence cut" the batch operator's scaladoc
+    *      names: `idx(band, bkey, idb)` via the same
+    *      [[minhashBandRows]] pipeline (hot buckets over `maxBucket`
+    *      members dropped with observe() accounting, like
+    *      [[minhashCandidates]]), and `meta(idb, ckeys, sb)` with each
+    *      corpus doc's full band-key array and exact 3-shingle set.
+    *      Micro-batches re-SCAN these columnar files but never
+    *      re-shingle or re-hash the corpus.
+    *   2. Each incoming row computes its own signature ROW-LOCALLY
+    *      (split → distinct 3-shingles → k affine minhashes over the
+    *      shingle array via higher-order functions — identical values
+    *      to the batch explode+groupBy pipeline, pinned by spec), so
+    *      no streaming aggregation is ever needed.
+    *   3. posexplode(band keys) → stream-static equi-join with `idx`
+    *      on (band, bkey) → stream-static join with `meta` on idb.
+    *   4. The batch kernel's `.distinct()` over candidate pairs (a
+    *      stateful op on a stream) is replaced by a ROW-LOCAL rule:
+    *      keep a candidate only at the FIRST band index where the two
+    *      band-key arrays agree — each (ida, idb) pair survives exactly
+    *      once, with no state.
+    *   5. Exact Jaccard over (sa, sb) >= threshold, as in batch.
+    *
+    * Equal output to [[minhashCrossPairs]] whenever no hot-bucket cap
+    * binds (the oracle regime). Under a binding cap the two shapes
+    * diverge by construction and both lose recall: batch caps each
+    * bucket's incoming×corpus PRODUCT, this caps corpus-side bucket
+    * membership (the incoming side arrives row-at-a-time, so a per-row
+    * plan has no incoming bucket to bound) — and a pair whose FIRST
+    * matching band was capped away is dropped even if a later band's
+    * bucket survived. Documented recall trade, accounted at index build.
+    *
+    * At 100 TB: per-row cost is k passes over the shingle array plus
+    * `bands` index probes with join fan-out bounded by `maxBucket`; the
+    * per-micro-batch cost is one columnar scan of the index (bucket it
+    * by bkey in production to co-locate the join). State: none.
+    */
+  def minhashCrossPairsStream(incoming: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, threshold: Double = 0.8,
+      k: Int = MinhashK, bands: Int = Bands, rowsPerBand: Int = RowsPerBand,
+      maxBucket: Int = MaxBandBucket): DataFrame = {
+    require(incoming.isStreaming,
+      "minhashCrossPairsStream needs a streaming incoming side — use " +
+        "minhashCrossPairs for batch-vs-batch")
+    require(!corpus.isStreaming,
+      "DEDUP_CROSS_PAIRS: the corpus side must be a BOUNDED relation " +
+        "(its band index is built once and frozen) — declare it with " +
+        "'source.bounded' = 'true' or a batch connector")
+    val s = corpus.sparkSession
+    graft.functions.GraftFunctions.register(s)
+
+    // --- corpus index, built once, materialized to parquet ---
+    val dir = java.nio.file.Files.createTempDirectory("graft_cross_idx")
+    dir.toFile.deleteOnExit()
+    val cor = corpus.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val bandRows = minhashBandRows(cor, k, bands, rowsPerBand)
+    ensureDropLogger(s)
+    val bsz = size(col("cm"))
+    bandRows.groupBy(col("band"), col("bkey"))
+      .agg(collect_list(col("doc_id")).as("cm"))
+      .observe("cross_stream_buckets",
+        sum(when(bsz > maxBucket, 1).otherwise(0)).as("dropped_buckets"),
+        sum(when(bsz > maxBucket, bsz).otherwise(0)).as("dropped_members"))
+      .filter(bsz <= maxBucket)
+      .select(col("band"), col("bkey"), explode(col("cm")).as("idb"))
+      .write.parquet(s"$dir/idx")
+    // full band-key array (first-match dedup) + exact shingle set per doc
+    bandRows.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("band"), col("bkey"))))
+        .as("kb"))
+      .select(col("doc_id").as("idb"),
+        transform(col("kb"), e => e("bkey")).as("ckeys"))
+      .join(cor
+        .select(col("doc_id"), words(col("text")).as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id").as("idb"),
+          array_distinct(shingles(col("w"), 3)).as("sb")), "idb")
+      .write.parquet(s"$dir/meta")
+    val idx = s.read.parquet(s"$dir/idx")
+    val meta = s.read.parquet(s"$dir/meta")
+
+    // --- row-local incoming signature (no streaming aggregation) ---
+    val inc0 = incoming
+      .select(col(idCol).as("ida"), words(col(textCol)).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("ida"), array_distinct(shingles(col("w"), 3)).as("sa"))
+      .select(col("ida"), col("sa"),
+        transform(col("sa"), t => tokenHash(t) % P).as("xs"))
+    val ikeys = array((0 until bands).map { b =>
+      concat_ws("_", (0 until rowsPerBand).map { r =>
+        val j = b * rowsPerBand + r
+        array_min(transform(col("xs"),
+          x => (lit(HashA(j)) * x + lit(HashB(j))) % P))
+      }: _*)
+    }: _*)
+    val inc = inc0.select(col("ida"), col("sa"), ikeys.as("ikeys"))
+
+    inc.select(col("ida"), col("sa"), col("ikeys"),
+        posexplode(col("ikeys")).as(Seq("band", "bkey")))
+      .join(idx, Seq("band", "bkey"))
+      .join(meta, "idb")
+      // row-local pair dedup: this row survives only if its band is the
+      // FIRST index where the two key arrays agree (array_position is
+      // 1-based; posexplode's band is 0-based)
+      .filter(col("band") ===
+        array_position(zip_with(col("ikeys"), col("ckeys"),
+          (a, b) => a === b), true) - 1)
+      .select(col("ida"), col("idb"),
+        graft.functions.GraftFunctions.jaccardDistinct(col("sa"), col("sb"))
+          .as("jacc"))
+      .filter(col("jacc") >= threshold)
+  }
+
   /** Chunk width w for the widened SimHash blocking: w = ceil(log2 n) + 4,
     * so each of the 4 chunk-key spaces holds ~16n slots and the expected
     * bucket population stays O(1) as the corpus grows — the same

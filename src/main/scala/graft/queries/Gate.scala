@@ -396,6 +396,56 @@ object Gate extends QueryPack {
       s.table("cross_tvf_sink_out")
     }),
 
+    // The SAME cross-corpus TVF with the INCOMING side STREAMING — the
+    // production cadence: a continuously arriving crawl shard deduped
+    // against a frozen corpus. The corpus side is declared bounded
+    // ('source.bounded' = 'true', a batch relation inside the streaming
+    // runner), so Dedup.minhashCrossPairsStream materializes its band
+    // index + shingle sets ONCE to parquet and each micro-batch is a
+    // stateless stream-static band join (row-local signatures, row-local
+    // first-match-band pair dedup, zero keyed state). The drained pair
+    // set hash-matches the batch TVF's brute-force oracle.
+    "q_gate_cross_stream" -> ((s, dir) => {
+      val staged = StreamingGate.stagedTableDir(dir, "documents")
+      val runner = new ScriptRunner(s, batchMode = false)
+      try {
+        val res = runner.run(
+          s"""CREATE TABLE docs_cxs (
+             |  doc_id BIGINT, text VARCHAR
+             |) WITH (
+             |  'connector' = 'filesystem',
+             |  'path' = '$staged',
+             |  'format' = 'parquet'
+             |);
+             |CREATE TABLE docs_cxc (
+             |  doc_id BIGINT, text VARCHAR
+             |) WITH (
+             |  'connector' = 'filesystem',
+             |  'path' = '$dir/documents.parquet',
+             |  'format' = 'parquet',
+             |  'source.bounded' = 'true'
+             |);
+             |CREATE OR REPLACE TEMPORARY VIEW cxs_incoming AS
+             |  SELECT doc_id, text FROM docs_cxs WHERE doc_id % 10 >= 8;
+             |CREATE OR REPLACE TEMPORARY VIEW cxs_corpus AS
+             |  SELECT doc_id, text FROM docs_cxc WHERE doc_id % 10 < 8;
+             |CREATE TABLE cross_stream_sink (ida BIGINT, idb BIGINT,
+             |  jacc DOUBLE) WITH ('connector' = 'memory');
+             |INSERT INTO cross_stream_sink
+             |SELECT ida, idb, jacc
+             |FROM TABLE(DEDUP_CROSS_PAIRS(TABLE cxs_incoming,
+             |  TABLE cxs_corpus, DESCRIPTOR(doc_id), DESCRIPTOR(text)));
+             |""".stripMargin)
+        try res.queries.foreach { q =>
+          require(q.awaitTermination(300000),
+            "streaming DEDUP_CROSS_PAIRS gate query timed out")
+        } finally res.queries.foreach { q =>
+          try q.stop() catch { case _: Throwable => () }
+        }
+        s.table("cross_stream_sink")
+      } finally runner.close()
+    }),
+
     // The SAME TVF on a STREAMING source through the STREAMING gate:
     // DEDUP_EXACT over a watermarked file stream routes to keyed
     // first-arrival deduplication (streaming dropDuplicates, append
@@ -1397,6 +1447,11 @@ object Gate extends QueryPack {
     // the gate TVF wire must not change the cross-dedup answer: same
     // brute-force oracle as q_dedup_cross
     "q_gate_cross_tvf" -> Dedup.oMinhashCrossSql,
+
+    // the streaming incoming-vs-frozen-corpus shape must emit exactly
+    // the batch TVF's pair set (stateless stream-static plan, no cap
+    // binding at oracle scale) — same brute-force mirror
+    "q_gate_cross_stream" -> Dedup.oMinhashCrossSql,
 
     // the jar-shipped UDF reverses code units — ASCII columns, so
     // DuckDB's reverse() is the exact oracle

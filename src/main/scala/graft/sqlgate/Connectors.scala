@@ -150,7 +150,14 @@ object Connectors {
       case "filesystem" =>
         val path = spec.options("path")
         val fmt = spec.options.getOrElse("format", "parquet")
-        if (streaming) {
+        // 'source.bounded' = 'true': a BATCH relation even in streaming
+        // runner mode — the frozen side of stream-static joins (lookup
+        // corpora, DEDUP_CROSS_PAIRS indexes). Mirrors Flink's
+        // filesystem source being bounded unless a monitor interval is
+        // configured; here boundedness is opt-in so existing streaming
+        // scripts keep streaming their file sources.
+        if (streaming &&
+            !spec.options.get("source.bounded").contains("true")) {
           // File streams REQUIRE a user schema, and for parquet the
           // declared types override the file's: declaring BIGINT over a
           // column the file stores as timestamp[us] would silently read

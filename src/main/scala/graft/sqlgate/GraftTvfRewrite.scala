@@ -59,7 +59,13 @@ import org.apache.spark.sql.SparkSession
   * covers watermarked eviction). `TEXT_QUALITY` and `LANG_ID` are
   * stateless per-row maps (a single select, no aggregation/join), so a
   * streaming relation routes through the identical column expressions
-  * in append mode with zero state. Every OTHER operator aggregates or
+  * in append mode with zero state. `DEDUP_CROSS_PAIRS` streams its
+  * INCOMING side (the production crawl-shard cadence) against a frozen
+  * BOUNDED corpus —
+  * [[graft.queries.Dedup.minhashCrossPairsStream]]: a stateless
+  * stream-static band join against a once-materialized corpus index; a
+  * streaming corpus is rejected loudly (declare it with
+  * `'source.bounded' = 'true'`). Every OTHER operator aggregates or
   * joins over the whole relation with no incremental contract, so a
   * streaming source is rejected loudly by the `table()` guard rather
   * than silently re-windowed.
@@ -121,9 +127,9 @@ object GraftTvfRewrite {
         s"this graft TVF aggregates or joins over the whole relation " +
           s"and runs in batch gate mode; '$src' is a streaming source " +
           "(a silent re-windowing would change semantics — rejected " +
-          "loudly). Only DEDUP_EXACT (keyed first-arrival dedup) and " +
-          "the stateless per-row TVFs TEXT_QUALITY / LANG_ID route " +
-          "streaming sources")
+          "loudly). Only DEDUP_EXACT (keyed first-arrival dedup), the " +
+          "stateless per-row TVFs TEXT_QUALITY / LANG_ID, and the " +
+          "incoming side of DEDUP_CROSS_PAIRS route streaming sources")
       df
     }
     def view(df: org.apache.spark.sql.DataFrame): String = {
@@ -160,8 +166,17 @@ object GraftTvfRewrite {
     })
     out = CrossRe.replaceAllIn(out, m => {
       val threshold = Option(m.group(5)).map(_.toDouble).getOrElse(0.8)
-      view(graft.queries.Dedup.minhashCrossPairs(
-        table(m.group(1)), table(m.group(2)), c2(m, 3), c2(m, 4), threshold))
+      val incDf = rawTable(m.group(1))
+      if (incDf.isStreaming)
+        // streaming incoming vs frozen corpus — the production crawl
+        // cadence: stateless stream-static band join against a
+        // once-materialized corpus index (the operator validates that
+        // the corpus side is bounded and rejects loudly otherwise)
+        view(graft.queries.Dedup.minhashCrossPairsStream(
+          incDf, rawTable(m.group(2)), c2(m, 3), c2(m, 4), threshold))
+      else
+        view(graft.queries.Dedup.minhashCrossPairs(
+          incDf, table(m.group(2)), c2(m, 3), c2(m, 4), threshold))
     })
     out = AnnRe.replaceAllIn(out, m => {
       val k = Option(m.group(5)).map(_.toInt).getOrElse(5)

@@ -112,4 +112,98 @@ class MinhashSpec extends SparkSpec {
     assert(blocked.exists { case (x, y, _) =>
       Set(x, y) == Set(101L, 102L) })
   }
+
+  // --- streaming cross-corpus dedup (minhashCrossPairsStream) ---
+
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+  private def crossCorpusDocs: Seq[(Long, String)] = {
+    def sent(i: Int) = (0 until 12).map(j => s"w${i}x$j").mkString(" ")
+    // corpus: 20 distinct docs; a couple of short docs (filtered) too
+    (1 to 20).map(i => (i.toLong, sent(i))) :+ (90L, "too short")
+  }
+
+  private def crossIncomingDocs: Seq[(Long, String)] = Seq(
+    (101L, sentOf(3)),                         // exact dup of corpus 3
+    (102L, sentOf(7) + " extra"),              // near dup of corpus 7
+    (103L, (0 until 12).map(j => s"zz$j").mkString(" ")), // unrelated
+    (104L, sentOf(3)),                         // second dup of corpus 3
+    (105L, "tiny doc"))                        // filtered (<3 words)
+  private def sentOf(i: Int) = (0 until 12).map(j => s"w${i}x$j").mkString(" ")
+
+  test("streaming cross-pairs equals the batch kernel across " +
+    "micro-batch splits of the incoming side") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = crossCorpusDocs.toDF("doc_id", "text")
+    val batchOut = Dedup.minhashCrossPairs(
+      crossIncomingDocs.toDF("doc_id", "text"), corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batchOut.nonEmpty, "vacuous: batch kernel found no pairs")
+    assert(batchOut.exists(p => p._1 == 101L && p._2 == 3L))
+
+    val in = MemoryStream[(Long, String)]
+    val out = Dedup.minhashCrossPairsStream(
+      in.toDS().toDF("doc_id", "text"), corpus, "doc_id", "text")
+    val q = out.writeStream.format("memory").queryName("cross_stream_eq")
+      .outputMode("append").start()
+    try {
+      // split the shard mid-way: the second dup of corpus 3 arrives in a
+      // LATER micro-batch than the first — both must emit (stateless
+      // plan: nothing about batch 1 can suppress batch 2's rows)
+      in.addData(crossIncomingDocs.take(2): _*)
+      q.processAllAvailable()
+      in.addData(crossIncomingDocs.drop(2): _*)
+      q.processAllAvailable()
+      val got = spark.table("cross_stream_eq").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == batchOut, s"stream=$got batch=$batchOut")
+    } finally q.stop()
+  }
+
+  test("streaming cross-pairs plan reads the materialized corpus index " +
+    "only — no per-micro-batch corpus re-shingle") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = crossCorpusDocs.toDF("doc_id", "text")
+    val in = MemoryStream[(Long, String)]
+    val out = Dedup.minhashCrossPairsStream(
+      in.toDS().toDF("doc_id", "text"), corpus, "doc_id", "text")
+    val plan = out.queryExecution.analyzed
+    // the only non-streaming relations are the two parquet index files;
+    // the corpus's LocalRelation (and any md5/shingle work over it) is
+    // gone from the per-batch plan entirely
+    val fileRels = plan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case f: org.apache.spark.sql.execution.datasources
+              .HadoopFsRelation => f.location.rootPaths.mkString(",")
+          case _ => ""
+        }
+    }
+    assert(fileRels.size == 2 &&
+      fileRels.forall(_.contains("graft_cross_idx")), fileRels.toString)
+    val locals = plan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }
+    assert(locals.isEmpty,
+      "corpus LocalRelation leaked into the streaming plan")
+  }
+
+  test("streaming cross-pairs rejects a streaming corpus and a batch " +
+    "incoming loudly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val streamDf = in.toDS().toDF("doc_id", "text")
+    val batchDf = crossCorpusDocs.toDF("doc_id", "text")
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.minhashCrossPairsStream(streamDf, streamDf, "doc_id", "text")
+    }
+    assert(e1.getMessage.contains("BOUNDED"))
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.minhashCrossPairsStream(batchDf, batchDf, "doc_id", "text")
+    }
+    assert(e2.getMessage.contains("streaming incoming"))
+  }
 }
