@@ -905,10 +905,15 @@ object Gate extends QueryPack {
     // materializes the compacted topic (last envelope per key, deletes
     // dropped) into the memory sink. Each statement emits at most one
     // record per key and statements execute sequentially, so the
-    // per-key winner is deterministic by offset. Oracle: the full
-    // aggregate minus the tombstoned keys, straight off the parquet.
+    // per-key winner is deterministic by offset — on a THREE-partition
+    // topic that holds only because the produce route partitions BY KEY
+    // (StubBroker.partitionFor, Kafka's default-partitioner semantics):
+    // a key's records all share one partition, so its offsets are
+    // comparable and statement order survives the wire. Oracle: the
+    // full aggregate minus the tombstoned keys, straight off the
+    // parquet.
     "q_gate_upsert_kafka" -> ((s, dir) => {
-      val broker = new graft.sources.StubBroker("gate_upk", 1)
+      val broker = new graft.sources.StubBroker("gate_upk", 3)
       try {
         val runner = new ScriptRunner(s, batchMode = true)
         try {

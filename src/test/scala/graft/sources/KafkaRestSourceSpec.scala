@@ -84,6 +84,49 @@ class KafkaRestSourceSpec extends SparkSpec {
     } finally b.stop()
   }
 
+  test("streaming drain over 2 partitions survives a MID-STREAM " +
+    "partition add: the new partition reads from its beginning, no " +
+    "loss, no dup") {
+    val b = new StubBroker("t_grow", 2)
+    val ckpt = java.nio.file.Files.createTempDirectory("krest_grow").toString
+    val got = mutable.Buffer[(Int, Long, String)]()
+    try {
+      b.append(0, "null", """{"p":0,"n":1}""")
+      b.append(1, "null", """{"p":1,"n":1}""")
+      val q = spark.readStream.format(fmt)
+        .option("rest.endpoint", b.endpoint).option("topic", "t_grow").load()
+        .writeStream.foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              _: Long) =>
+            val rows = batch.collect().map(r => (r.getAs[Int]("partition"),
+              r.getAs[Long]("offset"), r.getAs[String]("value")))
+            got.synchronized { got ++= rows; () }
+        }
+        .option("checkpointLocation", ckpt).start()
+      try {
+        q.processAllAvailable()
+        assert(got.synchronized(got.size) == 2)
+        // broker grows mid-stream; the partition ALREADY has a backlog
+        // when the consumer first lists it — planInputPartitions must
+        // read the unseen partition from its beginning_offset (the
+        // from-beginning branch), while the old partitions continue
+        // from their checkpointed offsets
+        val p2 = b.addPartition()
+        b.append(p2, "null", """{"p":2,"n":1}""")
+        b.append(p2, "null", """{"p":2,"n":2}""")
+        b.append(0, "null", """{"p":0,"n":2}""")
+        q.processAllAvailable()
+        val rows = got.synchronized(got.toSet)
+        assert(rows == Set(
+          (0, 0L, """{"p":0,"n":1}"""), (1, 0L, """{"p":1,"n":1}"""),
+          (0, 1L, """{"p":0,"n":2}"""),
+          (2, 0L, """{"p":2,"n":1}"""), (2, 1L, """{"p":2,"n":2}""")),
+          rows.toString)
+        assert(got.synchronized(got.size) == 5, "no duplicate delivery")
+      } finally q.stop()
+    } finally b.stop()
+  }
+
   test("latest-offset startup skips the backlog") {
     val b = new StubBroker("t_latest", 1)
     try {

@@ -178,4 +178,44 @@ class KafkaRestSpec extends SparkSpec {
       assert(ok.contains(""""offset":0"""), ok)
     } finally broker.stop()
   }
+
+  test("produce route partitions BY KEY on an N-partition topic: same " +
+    "key always same partition, per-key order survives interleaving") {
+    val broker = new graft.sources.StubBroker("part_route", 3)
+    try {
+      def rec(k: Int, v: Int) =
+        s"""{"key":{"k":$k},"value":{"k":$k,"v":$v}}"""
+      // two produce REQUESTS with the same keys interleaved differently —
+      // the per-key sequence (v: 1 then 2) must survive on whatever
+      // partition each key routes to
+      graft.Http.post(s"${broker.endpoint}/topics/part_route",
+        "application/vnd.kafka.json.v2+json",
+        (0 until 8).map(k => rec(k, 1))
+          .mkString("""{"records":[""", ",", "]}"))
+      graft.Http.post(s"${broker.endpoint}/topics/part_route",
+        "application/vnd.kafka.json.v2+json",
+        (7 to 0 by -1).map(k => rec(k, 2))
+          .mkString("""{"records":[""", ",", "]}"))
+      val byPart = (0 until 3).map(broker.partitionLog)
+      // every key's records live on exactly ONE partition, in produce
+      // order; the routing is the partitionFor function
+      (0 until 8).foreach { k =>
+        val owners = byPart.zipWithIndex.filter(_._1.exists(
+          _._1 == s"""{"k":$k}"""))
+        assert(owners.size == 1, s"key $k on ${owners.size} partitions")
+        assert(owners.head._2 == broker.partitionFor(s"""{"k":$k}"""))
+        val vs = owners.head._1.filter(_._1 == s"""{"k":$k}""")
+          .map(_._2)
+        assert(vs == Seq(s"""{"k":$k,"v":1}""", s"""{"k":$k,"v":2}"""),
+          s"key $k order: $vs")
+      }
+      // the routing actually spreads keys (murmur2 is not degenerate
+      // on these key strings) — more than one partition is populated
+      assert(byPart.count(_.nonEmpty) > 1,
+        byPart.map(_.size).mkString(","))
+      // null-key policy: pinned to partition 0, deterministically
+      assert(broker.partitionFor("null") == 0 &&
+        broker.partitionFor(null) == 0)
+    } finally broker.stop()
+  }
 }
