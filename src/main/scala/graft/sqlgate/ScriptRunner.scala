@@ -696,6 +696,9 @@ class ScriptRunner(spark: SparkSession,
   private val TemporalJoinRe =
     ("""(?i)\bJOIN\s+`?(\w+)`?\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+""" +
       """[`\w.]+(?:\s+AS)?\s+(\w+)\s+ON\s+([`\w.]+)\s*=\s*([`\w.]+)""").r
+  // derived-table / expression aliases: `) [AS] alias` — the binds
+  // FromAliasRe cannot see (it stops at the opening parenthesis)
+  private val ParenAliasRe = """(?i)\)\s*(?:AS\s+)?`?(\w+)`?""".r
   // FROM/JOIN clause alias pairs, for resolving the probe-side table
   private val FromAliasRe =
     ("""(?i)\b(?:FROM|JOIN)\s+`?(\w+)`?""" +
@@ -1016,13 +1019,35 @@ class ScriptRunner(spark: SparkSession,
         .toLowerCase(java.util.Locale.ROOT)
       if (effQual == probeQualLower) probeQualBinds += 1
     }
+    // derived tables bind aliases too — `(SELECT …) d` in ANY scope —
+    // and FromAliasRe cannot see through the parenthesis, so a nested
+    // subquery aliased as the dim would have its qualified references
+    // silently rewritten to the enriched columns (and resolved from the
+    // OUTER scope — wrong values, no error). Scan the `) [AS] alias`
+    // form directly. SELECT-list expression aliases match this shape
+    // too (`SUM(x) d`); a collision there rejects loudly as well — the
+    // safe direction for a textual rewrite, fixed by renaming either.
+    ParenAliasRe.findAllMatchIn(out).foreach { pm =>
+      val a = pm.group(1)
+      if (!SqlKeywords(a.toLowerCase(java.util.Locale.ROOT))) {
+        if (a.equalsIgnoreCase(i.alias) || a.equalsIgnoreCase(name))
+          throw new IllegalArgumentException(
+            s"keyed lookup dim $name: '${a}' is also bound or aliased " +
+              "after a parenthesized expression or derived table " +
+              "elsewhere in the statement; the streaming point-query " +
+              "rewrite is textual and cannot scope qualified " +
+              "references — rename the dim alias or the conflicting one")
+        if (a.equalsIgnoreCase(i.streamQual)) probeQualBinds += 1
+      }
+    }
     if (probeQualBinds > 1)
       throw new IllegalArgumentException(
         s"keyed lookup dim $name: probe qualifier '${i.streamQual}' is " +
-          "bound by more than one FROM/JOIN in the statement (e.g. a " +
-          "subquery re-selecting from the probe table under the same " +
-          "alias); the streaming point-query rewrite cannot tell the " +
-          "scopes apart — give the subquery's relation a different alias")
+          "bound by more than one FROM/JOIN (or derived-table alias) " +
+          "in the statement (e.g. a subquery re-selecting from the " +
+          "probe table under the same alias); the streaming " +
+          "point-query rewrite cannot tell the scopes apart — give " +
+          "the subquery's relation a different alias")
 
     // 2) probe table reference → enriched view, keeping (or minting)
     // the alias so stream-side qualified references keep resolving.
