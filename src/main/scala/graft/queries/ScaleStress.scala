@@ -214,7 +214,47 @@ object ScaleStress {
       // (50 keys / 3 statuses however large orders grows): cost should
       // track the scan+agg, not the transport
       "gate_upsert_kafka" -> (() => countOf("q_gate_upsert_kafka")),
-      "gate_jdbc_roundtrip" -> (() => countOf("q_gate_jdbc_roundtrip"))
+      "gate_jdbc_roundtrip" -> (() => countOf("q_gate_jdbc_roundtrip")),
+      // r13: the row-pattern matcher's two growth axes, isolated by the
+      // corpus shape (users grow 10x per decade, rows/user fixed ~66):
+      // matchrec_keys runs the shipped gate funnel PARTITION BY user_id
+      // — key count grows with the corpus, the per-key walk is constant,
+      // so cost must track the shuffle+scan. matchrec_long re-keys onto
+      // 256 FIXED buckets so the per-key sequence grows linearly with
+      // the corpus — the walk must stay O(rows·vars) per key (the step
+      // budget guards pathological backtracking, not honest growth).
+      "matchrec_keys" -> (() => countOf("q_gate_match_recognize")
+        .map { case (_, v) => ("matches", v) }),
+      "matchrec_long" -> (() => {
+        import graft.operators.{PatternMeasure, PatternVar, RowPattern,
+          RowPatternSpec}
+        val (_, tsExpr) = graft.Tables.eventsTsDdl(spark, sfDir)
+        val ev = graft.Tables.load(spark, sfDir, "events")
+          .withColumn("ts2", expr(tsExpr))
+          .withColumn("ubucket", pmod(col("user_id"), lit(256)))
+        val spec = RowPatternSpec(
+          partitionBy = Seq("ubucket"),
+          orderBy = "ts2",
+          vars = Seq(
+            PatternVar("A", 1, 1, greedy = true,
+              Some("event_type = 'view'")),
+            PatternVar("B", 1, Int.MaxValue, greedy = true,
+              Some("event_type = 'click'")),
+            PatternVar("C", 1, 1, greedy = true,
+              Some("event_type = 'purchase'"))),
+          measures = Seq(
+            PatternMeasure("A", "ts2", first = true, "v_ts"),
+            PatternMeasure("C", "value", first = false, "p_value")),
+          withinMs = Some(24L * 3600 * 1000),
+          skipPastLastRow = true)
+        Map("matches" -> RowPattern(ev, spec).count(), "keys" -> 256L)
+      }),
+      // the r13 STREAMING matcher on a real drain: watermark-ripened
+      // keyed buffers must evict as horizons close, so state tracks the
+      // WITHIN window, not the corpus
+      "matchrec_stream" -> (() =>
+        countOf("q_gate_match_recognize_stream")
+          .map { case (_, v) => ("matches", v) })
     )
 
     // optional comma-separated op filter for selective re-measurement
