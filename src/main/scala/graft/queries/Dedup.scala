@@ -68,27 +68,37 @@ object Dedup extends QueryPack {
   /** (doc_id, band, bkey) LSH band rows of a (doc_id, text) relation —
     * the signature pipeline shared by self-dedup ([[minhashCandidates]])
     * and cross-corpus dedup ([[minhashCrossPairs]]).
+    *
+    * Signatures are computed ROW-LOCALLY: k affine minhashes as
+    * `array_min` over higher-order transforms of the shingle-hash array
+    * — bit-identical to a per-shingle explode + groupBy(doc_id) min
+    * aggregate (both are the min over the same multiset; pinned by
+    * MinhashSpec's batch/stream equality) but with ZERO shuffle, where
+    * the explode pipeline moves one partial-aggregated row group per
+    * doc through a corpus-wide exchange. At 100 TB the signature stage
+    * is a pure map over the text scan; the only shuffle left in LSH
+    * dedup is the band-bucket groupBy itself.
     */
   private def minhashBandRows(docs0: DataFrame, k: Int,
       bands: Int, rowsPerBand: Int): DataFrame = {
     require(bands * rowsPerBand <= k,
       s"bands($bands) × rowsPerBand($rowsPerBand) exceeds k($k)")
     graft.functions.GraftFunctions.register(docs0.sparkSession)
-    val docs = docs0
+    val bandKeys = (0 until bands).map { b =>
+      concat_ws("_", (0 until rowsPerBand).map { r =>
+        val j = b * rowsPerBand + r
+        array_min(transform(col("xs"),
+          x => (lit(hashA(j)) * x + lit(hashB(j))) % P))
+      }: _*)
+    }
+    docs0
       .select(col("doc_id"), words(col("text")).as("w"))
       .filter(size(col("w")) >= 3)
-    val sh = docs.select(col("doc_id"),
-      explode(array_distinct(shingles(col("w"), 3))).as("sng"))
-    val shH = sh.select(col("doc_id"), (tokenHash(col("sng")) % P).as("x"))
-    val mhAggs = (0 until k).map(j =>
-      min((lit(hashA(j)) * col("x") + lit(hashB(j))) % P).as(s"h$j"))
-    val mh = shH.groupBy(col("doc_id")).agg(mhAggs.head, mhAggs.tail: _*)
-    val bandKeys = (0 until bands).map { b =>
-      concat_ws("_",
-        (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}")): _*)
-    }
-    mh.select(col("doc_id"),
-      posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
+      .select(col("doc_id"),
+        transform(array_distinct(shingles(col("w"), 3)),
+          t => tokenHash(t) % P).as("xs"))
+      .select(col("doc_id"),
+        posexplode(array(bandKeys: _*)).as(Seq("band", "bkey")))
   }
 
   /** In-bucket pair expansion with a hot-bucket cap: groupBy the bucket
@@ -286,18 +296,18 @@ object Dedup extends QueryPack {
     *
     *   1. The corpus index is built ONCE and materialized to parquet —
     *      the "natural persistence cut" the batch operator's scaladoc
-    *      names: `idx(band, bkey, idb)` via the same
-    *      [[minhashBandRows]] pipeline (hot buckets over `maxBucket`
-    *      members dropped with observe() accounting, like
-    *      [[minhashCandidates]]), and `meta(idb, ckeys, sb)` with each
-    *      corpus doc's full band-key array and exact 3-shingle set.
+    *      names: ONE corpus text scan computes `meta(idb, sb, ckeys)`
+    *      (exact 3-shingle set + full band-key array) row-locally, and
+    *      `idx(band, bkey, idb)` derives from that compact columnar
+    *      file (hot buckets over `maxBucket` members dropped with
+    *      observe() accounting, like [[minhashCandidates]]).
     *      Micro-batches re-SCAN these columnar files but never
     *      re-shingle or re-hash the corpus.
     *   2. Each incoming row computes its own signature ROW-LOCALLY
     *      (split → distinct 3-shingles → k affine minhashes over the
-    *      shingle array via higher-order functions — identical values
-    *      to the batch explode+groupBy pipeline, pinned by spec), so
-    *      no streaming aggregation is ever needed.
+    *      shingle array via higher-order functions — the same
+    *      formulation [[minhashBandRows]] uses, pinned equal by spec),
+    *      so no streaming aggregation is ever needed.
     *   3. posexplode(band keys) → stream-static equi-join with `idx`
     *      on (band, bkey) → stream-static join with `meta` on idb.
     *   4. The batch kernel's `.distinct()` over candidate pairs (a
@@ -335,51 +345,52 @@ object Dedup extends QueryPack {
     val s = corpus.sparkSession
     graft.functions.GraftFunctions.register(s)
 
+    // the row-local signature pipeline, shared verbatim by both sides:
+    // split → distinct 3-shingles → k affine minhashes via higher-order
+    // functions over the shingle array — identical values to the batch
+    // explode+groupBy pipeline (array_min over the transformed multiset
+    // IS its min-aggregate), pinned by spec. One text scan, no shuffle.
+    def rowLocalSig(df: DataFrame, id: String, keysAs: String,
+        shinglesAs: String): DataFrame = {
+      val keys = array((0 until bands).map { b =>
+        concat_ws("_", (0 until rowsPerBand).map { r =>
+          val j = b * rowsPerBand + r
+          array_min(transform(col("xs"),
+            x => (lit(HashA(j)) * x + lit(HashB(j))) % P))
+        }: _*)
+      }: _*)
+      df.select(col(idCol).as(id), words(col(textCol)).as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col(id), array_distinct(shingles(col("w"), 3)).as(shinglesAs))
+        .select(col(id), col(shinglesAs),
+          transform(col(shinglesAs), t => tokenHash(t) % P).as("xs"))
+        .select(col(id), col(shinglesAs), keys.as(keysAs))
+    }
+
     // --- corpus index, built once, materialized to parquet ---
+    // ONE corpus text scan computes (idb, sb, ckeys) row-locally; the
+    // band→bucket index then derives from that compact columnar file,
+    // so neither the bucket groupBy nor a meta pass ever re-reads text.
     val dir = java.nio.file.Files.createTempDirectory("graft_cross_idx")
     dir.toFile.deleteOnExit()
-    val cor = corpus.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-    val bandRows = minhashBandRows(cor, k, bands, rowsPerBand)
     ensureDropLogger(s)
+    rowLocalSig(corpus, "idb", "ckeys", "sb").write.parquet(s"$dir/meta")
+    val meta = s.read.parquet(s"$dir/meta")
     val bsz = size(col("cm"))
-    bandRows.groupBy(col("band"), col("bkey"))
-      .agg(collect_list(col("doc_id")).as("cm"))
+    meta.select(col("idb"),
+        posexplode(col("ckeys")).as(Seq("band", "bkey")))
+      .groupBy(col("band"), col("bkey"))
+      .agg(collect_list(col("idb")).as("cm"))
       .observe("cross_stream_buckets",
         sum(when(bsz > maxBucket, 1).otherwise(0)).as("dropped_buckets"),
         sum(when(bsz > maxBucket, bsz).otherwise(0)).as("dropped_members"))
       .filter(bsz <= maxBucket)
       .select(col("band"), col("bkey"), explode(col("cm")).as("idb"))
       .write.parquet(s"$dir/idx")
-    // full band-key array (first-match dedup) + exact shingle set per doc
-    bandRows.groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("band"), col("bkey"))))
-        .as("kb"))
-      .select(col("doc_id").as("idb"),
-        transform(col("kb"), e => e("bkey")).as("ckeys"))
-      .join(cor
-        .select(col("doc_id"), words(col("text")).as("w"))
-        .filter(size(col("w")) >= 3)
-        .select(col("doc_id").as("idb"),
-          array_distinct(shingles(col("w"), 3)).as("sb")), "idb")
-      .write.parquet(s"$dir/meta")
     val idx = s.read.parquet(s"$dir/idx")
-    val meta = s.read.parquet(s"$dir/meta")
 
     // --- row-local incoming signature (no streaming aggregation) ---
-    val inc0 = incoming
-      .select(col(idCol).as("ida"), words(col(textCol)).as("w"))
-      .filter(size(col("w")) >= 3)
-      .select(col("ida"), array_distinct(shingles(col("w"), 3)).as("sa"))
-      .select(col("ida"), col("sa"),
-        transform(col("sa"), t => tokenHash(t) % P).as("xs"))
-    val ikeys = array((0 until bands).map { b =>
-      concat_ws("_", (0 until rowsPerBand).map { r =>
-        val j = b * rowsPerBand + r
-        array_min(transform(col("xs"),
-          x => (lit(HashA(j)) * x + lit(HashB(j))) % P))
-      }: _*)
-    }: _*)
-    val inc = inc0.select(col("ida"), col("sa"), ikeys.as("ikeys"))
+    val inc = rowLocalSig(incoming, "ida", "ikeys", "sa")
 
     inc.select(col("ida"), col("sa"), col("ikeys"),
         posexplode(col("ikeys")).as(Seq("band", "bkey")))
