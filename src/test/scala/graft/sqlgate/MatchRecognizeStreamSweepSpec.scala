@@ -27,18 +27,19 @@ class MatchRecognizeStreamSweepSpec extends SparkSpec {
 
   private def ts(s: Long) = new Timestamp(s * 1000L)
 
-  private def specOf(maxB: Int, withinS: Long) = RowPatternSpec(
-    partitionBy = Seq("user_id"), orderBy = "t",
-    vars = Seq(
-      PatternVar("A", 1, 1, greedy = true, cond = Some("kind = 'x'")),
-      PatternVar("B", 1, maxB, greedy = true, cond = Some("kind = 'y'")),
-      PatternVar("C", 1, 1, greedy = true, cond = Some("kind = 'z'"))),
-    measures = Seq(
-      PatternMeasure("A", "t", first = false, alias = "a_t"),
-      PatternMeasure("B", "t", first = true, alias = "b_first"),
-      PatternMeasure("B", "t", first = false, alias = "b_last"),
-      PatternMeasure("C", "v", first = false, alias = "z_v")),
-    withinMs = Some(withinS * 1000L), skipPastLastRow = true)
+  private def specOf(maxB: Int, withinS: Long, skipPast: Boolean) =
+    RowPatternSpec(
+      partitionBy = Seq("user_id"), orderBy = "t",
+      vars = Seq(
+        PatternVar("A", 1, 1, greedy = true, cond = Some("kind = 'x'")),
+        PatternVar("B", 1, maxB, greedy = true, cond = Some("kind = 'y'")),
+        PatternVar("C", 1, 1, greedy = true, cond = Some("kind = 'z'"))),
+      measures = Seq(
+        PatternMeasure("A", "t", first = false, alias = "a_t"),
+        PatternMeasure("B", "t", first = true, alias = "b_first"),
+        PatternMeasure("B", "t", first = false, alias = "b_last"),
+        PatternMeasure("C", "v", first = false, alias = "z_v")),
+      withinMs = Some(withinS * 1000L), skipPastLastRow = skipPast)
 
   private def key(r: org.apache.spark.sql.Row) =
     (r.getLong(0), r.getTimestamp(1).getTime, r.getTimestamp(2).getTime,
@@ -81,9 +82,13 @@ class MatchRecognizeStreamSweepSpec extends SparkSpec {
         else acc :+ c
       }
 
+      // skip mode randomized too: SKIP TO NEXT ROW emits overlapping
+      // matches, so buffer-consumption bookkeeping differs — equality
+      // must hold under both
       val spec = specOf(
         maxB = if (rnd.nextBoolean()) Int.MaxValue else 1 + rnd.nextInt(2),
-        withinS = 2L + rnd.nextInt(8))
+        withinS = 2L + rnd.nextInt(8),
+        skipPast = rnd.nextBoolean())
 
       implicit val sqlCtx = spark.sqlContext
       val in = MemoryStream[MrSwEv]
