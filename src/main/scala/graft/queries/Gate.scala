@@ -592,6 +592,84 @@ object Gate extends QueryPack {
       s.table("ann_tvf_sink_out")
     }),
 
+    // The bucketed ANN tier through the batch gate: same TVF surface,
+    // candidates narrowed to hyperplane-bucket mates (the 2^planes
+    // partition-pruning tier). Shares its oracle SQL with
+    // q_gate_ann_stream — the driver itself then witnesses that the
+    // batch kernel and the streaming bucket-array scan emit identical
+    // rows.
+    "q_gate_ann_lsh_tvf" -> ((s, dir) => {
+      val runner = new ScriptRunner(s, batchMode = true)
+      runner.run(
+        s"""CREATE TABLE emb_lshb (vec_id BIGINT, embedding ARRAY<FLOAT>,
+           |  label INT
+           |) WITH (
+           |  'connector' = 'filesystem',
+           |  'path' = '$dir/embeddings.parquet',
+           |  'format' = 'parquet'
+           |);
+           |CREATE OR REPLACE TEMPORARY VIEW lshb_corpus AS
+           |  SELECT * FROM emb_lshb WHERE vec_id >= 8;
+           |CREATE OR REPLACE TEMPORARY VIEW lshb_queries AS
+           |  SELECT * FROM emb_lshb WHERE vec_id < 8;
+           |CREATE TABLE ann_lsh_tvf_sink (qid BIGINT, nid BIGINT,
+           |  cosine DOUBLE, rank INT) WITH ('connector' = 'memory');
+           |INSERT INTO ann_lsh_tvf_sink
+           |SELECT qid, nid, cosine, rank
+           |FROM TABLE(ANN_TOPK_LSH(TABLE lshb_corpus, TABLE lshb_queries,
+           |  DESCRIPTOR(vec_id), DESCRIPTOR(embedding), 3));
+           |""".stripMargin)
+      s.table("ann_lsh_tvf_sink_out")
+    }),
+
+    // The SAME bucketed TVF with a STREAMING query side on a real
+    // drain: arriving query embeddings statelessly scan their bucket's
+    // frozen candidate array (Similarity.annLshTopkStream — the
+    // enrichment cadence: match incoming vectors against a curated
+    // reference corpus). Hash-compared to the IDENTICAL oracle SQL as
+    // the batch route above: per-row results must be equal, not merely
+    // similar.
+    "q_gate_ann_stream" -> ((s, dir) => {
+      val staged = StreamingGate.stagedTableDir(dir, "embeddings")
+      val runner = new ScriptRunner(s, batchMode = false)
+      try {
+        val res = runner.run(
+          s"""CREATE TABLE emb_lshs (vec_id BIGINT, embedding ARRAY<FLOAT>,
+             |  label INT
+             |) WITH (
+             |  'connector' = 'filesystem',
+             |  'path' = '$staged',
+             |  'format' = 'parquet'
+             |);
+             |CREATE TABLE emb_lshc (vec_id BIGINT, embedding ARRAY<FLOAT>,
+             |  label INT
+             |) WITH (
+             |  'connector' = 'filesystem',
+             |  'path' = '$dir/embeddings.parquet',
+             |  'format' = 'parquet',
+             |  'source.bounded' = 'true'
+             |);
+             |CREATE OR REPLACE TEMPORARY VIEW lshs_queries AS
+             |  SELECT vec_id, embedding FROM emb_lshs WHERE vec_id < 8;
+             |CREATE OR REPLACE TEMPORARY VIEW lshs_corpus AS
+             |  SELECT vec_id, embedding FROM emb_lshc WHERE vec_id >= 8;
+             |CREATE TABLE ann_stream_sink (qid BIGINT, nid BIGINT,
+             |  cosine DOUBLE, rank INT) WITH ('connector' = 'memory');
+             |INSERT INTO ann_stream_sink
+             |SELECT qid, nid, cosine, rank
+             |FROM TABLE(ANN_TOPK_LSH(TABLE lshs_corpus, TABLE lshs_queries,
+             |  DESCRIPTOR(vec_id), DESCRIPTOR(embedding), 3));
+             |""".stripMargin)
+        try res.queries.foreach { q =>
+          require(q.awaitTermination(300000),
+            "streaming ANN_TOPK_LSH gate query timed out")
+        } finally res.queries.foreach { q =>
+          try q.stop() catch { case _: Throwable => () }
+        }
+        s.table("ann_stream_sink")
+      } finally runner.close()
+    }),
+
     // The LIVE kafka consume path under the oracle: orders rows are
     // produced as JSON onto an in-process REST-wire broker
     // (graft.sources.StubBroker — the sandbox's broker stand-in), a
@@ -1244,6 +1322,28 @@ object Gate extends QueryPack {
     jarPath.toString
   }
 
+  /** LSH top-3 over embeddings (8 queries vs the rest), the q_ann_lsh
+    * shape at k=3 — shared verbatim by the batch and streaming
+    * ANN_TOPK_LSH gate oracles.
+    */
+  private val oAnnLsh3: String =
+    s"""WITH ${Similarity.oEmbQ},
+       |${Similarity.oBuckets},
+       |scored AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+       |    ${Similarity.oCos} AS cosine
+       |  FROM (SELECT n.vec_id, n.qe AS qqe, n.nrm AS qnrm, bk.bucket
+       |        FROM n JOIN bk ON n.vec_id = bk.vec_id
+       |        WHERE n.vec_id < 8) q
+       |  JOIN (SELECT n.vec_id, n.qe, n.nrm, bk.bucket
+       |        FROM n JOIN bk ON n.vec_id = bk.vec_id
+       |        WHERE n.vec_id >= 8) c
+       |  ON q.bucket = c.bucket)
+       |SELECT qid, nid, cosine, rank FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |    ORDER BY cosine DESC, nid) AS rank FROM scored) t
+       |WHERE rank <= 3""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_gate_script" ->
       s"""SELECT o_orderstatus, COUNT(*) AS n,
@@ -1364,6 +1464,11 @@ object Gate extends QueryPack {
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
          |    ORDER BY cosine DESC, nid) AS rank FROM scored) t
          |WHERE rank <= 3""".stripMargin,
+
+    // one SQL text, two routes: the batch TVF and the streaming
+    // bucket-array scan must both hash-match it row-for-row
+    "q_gate_ann_lsh_tvf" -> oAnnLsh3,
+    "q_gate_ann_stream" -> oAnnLsh3,
 
     "q_gate_text_tvf" ->
       s"""SELECT q.doc_id, l.predicted, q.quality_score

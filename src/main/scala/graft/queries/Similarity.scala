@@ -115,6 +115,108 @@ object Similarity extends QueryPack {
       col("qe").as("qqe"), col("nrm").as("qnrm")), k)
   }
 
+  /** Bucketed-LSH cosine top-k over raw (id, vector) frames — the batch
+    * entry behind the gate's `ANN_TOPK_LSH` TVF. Same contract as
+    * [[annTopkOn]] but candidates are hyperplane-bucket mates only
+    * ([[annLsh]]), so the per-query scan is |corpus|/2^planes. The
+    * hyperplanes are built at the CORPUS vector dimension (probed once,
+    * a head() on one row); a dimension-skewed query would silently land
+    * in bucket 0, so both sides are guarded.
+    */
+  def annLshTopkOn(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nPlanes: Int = NPlanes): DataFrame = {
+    Vec.ensureRegistered(corpus.sparkSession)
+    val dim = corpusDim(corpus, vecCol)
+    def prep(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("vec_id"),
+        quant(dimChecked(col(vecCol), dim)).as("qe"))
+      .withColumn("nrm", dotQ(col("qe"), col("qe")))
+    annLsh(prep(corpus), prep(queries).select(col("vec_id").as("qid"),
+      col("qe").as("qqe"), col("nrm").as("qnrm")), k, nPlanes, dim)
+  }
+
+  private def corpusDim(corpus: DataFrame, vecCol: String): Int = {
+    val head = corpus.select(size(col(vecCol))).head(1)
+    require(head.nonEmpty, "ANN_TOPK_LSH: empty corpus — nothing to index")
+    head(0).getInt(0)
+  }
+
+  /** Loud per-row guard: a vector whose length differs from the corpus
+    * dimension fails the query instead of silently bucketing wrong
+    * (hyperplane dots over a short vector would collapse to bucket 0).
+    * assert_true keeps the column's own type and yields NULL when the
+    * check passes, so `when(_.isNull, vec)` is the identity.
+    */
+  private def dimChecked(vec: Column, dim: Int): Column =
+    when(assert_true(size(vec) === dim,
+      concat(lit("ANN_TOPK_LSH: vector dim "), size(vec),
+        lit(s" != corpus dim $dim"))).isNull, vec)
+
+  /** Streaming LSH top-k: bounded corpus → once-materialized
+    * bucket-array index (one corpus scan, written to parquet so no
+    * micro-batch ever re-quantizes or re-buckets it); each arriving
+    * query row then statelessly scans ONLY its bucket's candidate array
+    * — a stream-static equi join on the bucket key plus a higher-order-
+    * function top-k over the array. Append mode, zero state, per-row
+    * cost = one bucket occupancy (√n with [[recommendedPlanes]] sizing).
+    * Results are row-identical to batch [[annLsh]] over the same rows:
+    * same quantized cosine, same (cosine DESC NULLS LAST, nid) order,
+    * same k cut — pinned by AnnStreamSpec and the q_gate_ann_stream
+    * oracle. At 100 TB the index is a bucketed table and the join key
+    * prunes the scan to one bucket per row; the one adversarial shape is
+    * a hot bucket from low-entropy vectors — resize planes with the
+    * corpus (the same story as the batch tier).
+    */
+  def annLshTopkStream(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nPlanes: Int = NPlanes): DataFrame = {
+    require(queries.isStreaming,
+      "annLshTopkStream needs a streaming query side — use annLshTopkOn " +
+        "for batch-vs-batch")
+    require(!corpus.isStreaming,
+      "ANN_TOPK_LSH: the corpus side must be a BOUNDED relation (its " +
+        "bucket index is built once and frozen) — declare it with " +
+        "'source.bounded' = 'true' or a batch connector")
+    val s = corpus.sparkSession
+    Vec.ensureRegistered(s)
+    val dim = corpusDim(corpus, vecCol)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ann_idx")
+    dir.toFile.deleteOnExit()
+    corpus
+      .select(col(idCol).as("nid"),
+        quant(dimChecked(col(vecCol), dim)).as("qe"))
+      .withColumn("nrm", dotQ(col("qe"), col("qe")))
+      .withColumn("bucket", bucketOf(col("qe"), nPlanes, dim))
+      .groupBy(col("bucket"))
+      .agg(collect_list(struct(col("nid"), col("qe"), col("nrm")))
+        .as("cands"))
+      .write.parquet(s"$dir/idx")
+    val idx = s.read.parquet(s"$dir/idx")
+    val q = queries
+      .select(col(idCol).as("qid"),
+        quant(dimChecked(col(vecCol), dim)).as("qqe"))
+      .withColumn("qnrm", dotQ(col("qqe"), col("qqe")))
+      .withColumn("bucket", bucketOf(col("qqe"), nPlanes, dim))
+    val scored = transform(col("cands"), e =>
+      struct(e.getField("nid").as("nid"),
+        cosineQ(col("qqe"), e.getField("qe"), col("qnrm"),
+          e.getField("nrm")).as("cosine")))
+    // annLsh's ordering exactly: cosine DESC NULLS LAST, nid ASC
+    def cmp(l: Column, r: Column): Column = {
+      val (lc, rc) = (l.getField("cosine"), r.getField("cosine"))
+      val (ln, rn) = (l.getField("nid"), r.getField("nid"))
+      val byNid = when(ln < rn, -1).when(ln > rn, 1).otherwise(0)
+      when(lc.isNull && rc.isNull, byNid)
+        .when(lc.isNull, 1).when(rc.isNull, -1)
+        .when(lc > rc, -1).when(lc < rc, 1)
+        .otherwise(byNid)
+    }
+    q.join(idx, Seq("bucket"))
+      .select(col("qid"),
+        posexplode(slice(array_sort(scored, cmp), 1, k)))
+      .select(col("qid"), col("col.nid").as("nid"),
+        col("col.cosine").as("cosine"), (col("pos") + 1).as("rank"))
+  }
+
   /** Exact brute-force cosine top-k. `corpus` carries (vec_id, qe, nrm),
     * `qs` carries (qid, qqe, qnrm); the query side is broadcast, the
     * corpus is scanned once and never shuffled.
@@ -331,6 +433,94 @@ object Similarity extends QueryPack {
       .filter(col("rank") <= k)
   }
 
+  /** IVF-routed PQ: the composed index (FAISS's IVF+PQ shape) — the
+    * coarse quantizer routes each query to its `nProbe` nearest IVF
+    * cells, and the ADC scan runs ONLY over the codes of those cells'
+    * members, never the whole code column. Relative to [[pqSearch]] the
+    * per-query scan drops from |corpus| codes to nProbe·|corpus|/cells,
+    * and relative to [[annIvf]] the probed cells are scanned as 8-byte
+    * codes instead of raw vectors; only the PqCand ADC survivors per
+    * query ever read a real embedding again (the exact re-rank's
+    * broadcast semi-join). At 100 TB the cell id is the partition key of
+    * the code file — a probe prunes to nProbe partitions, and the two
+    * control-plane collects (queries, codebook) stay KB-sized.
+    * Everything is the same deterministic integer arithmetic as the
+    * parts it composes, so the DuckDB oracle replays it exactly.
+    */
+  def ivfPqSearch(s: SparkSession, emb: DataFrame, cb: Array[Long],
+      nProbe: Int = NProbe, cand: Int = PqCand, k: Int = K): DataFrame = {
+    def cwAt(m: Int, c: Int, i: Int) = cb((m * PqC + c) * PqD + i)
+    val cent = emb
+      .filter(col("vec_id") >= CentLo && col("vec_id") < CentLo + CentN)
+      .select(col("vec_id").as("cid"), col("qe").as("ce"),
+        col("nrm").as("cnrm"))
+    val corpus = emb.filter(col("vec_id") >= NQueries)
+    // coarse quantizer, corpus side: nearest-cell assignment (annIvf's)
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cid"))
+    val assign = corpus.join(broadcast(cent))
+      .select(col("vec_id"), col("cid"),
+        cosineQ(col("qe"), col("ce"), col("nrm"), col("cnrm")).as("ccos"))
+      .withColumn("crn", row_number().over(wAssign))
+      .filter(col("crn") === 1)
+      .select(col("vec_id").as("nid"), col("cid").as("cell"))
+    // one-off encode pass + cell tag: (nid, codes, cell) IS the index
+    val enc = corpus.select(col("vec_id").as("nid"),
+      graft.functions.GraftFunctions
+        .pqEncode(col("qe"), cb, PqM, PqC, PqD).as("codes"))
+      .join(assign, "nid")
+    // coarse quantizer, query side: nProbe nearest cells per query
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("ccos").desc, col("cid"))
+    val probe = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("qe").as("qqe"),
+        col("nrm").as("qnrm"))
+      .join(broadcast(cent))
+      .select(col("qid"), col("cid"),
+        cosineQ(col("qqe"), col("ce"), col("qnrm"), col("cnrm")).as("ccos"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nProbe)
+      .select(col("qid"), col("cid").as("cell"))
+    // per-query ADC tables as a broadcast literal (pqSearch's), but the
+    // scan is routed: enc ⋈ probe on cell touches only probed members
+    val qvecs = emb.filter(col("vec_id") < NQueries)
+      .select(col("vec_id"), col("qe"), col("nrm")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+      .sortBy(_._1)
+    val qRows = qvecs.map { case (qid, qv, _) =>
+      (qid, (0 until PqM).map(m => (0 until PqC).map { c =>
+        (0 until PqD).map { i =>
+          val d = qv(m * PqD + i) - cwAt(m, c, i); d * d
+        }.sum
+      }))
+    }
+    val qdf = s.createDataFrame(qRows.toIndexedSeq).toDF("qid", "dtab")
+    val adc = (0 until PqM).map(m =>
+      element_at(element_at(col("dtab"), m + 1),
+        element_at(col("codes"), m + 1).cast("int") + 1)).reduce(_ + _)
+    val wAdc = Window.partitionBy(col("qid"))
+      .orderBy(col("adc_dist"), col("nid"))
+    // a corpus row lives in exactly ONE cell (crn = 1), so the routed
+    // join never duplicates a (qid, nid) pair — no DISTINCT needed
+    val candDf = enc.join(broadcast(probe), "cell")
+      .join(broadcast(qdf), "qid")
+      .select(col("qid"), col("nid"), adc.as("adc_dist"))
+      .withColumn("crank", row_number().over(wAdc))
+      .filter(col("crank") <= cand)
+      .select(col("qid"), col("nid"))
+    val qsDf = s.createDataFrame(qvecs.toIndexedSeq)
+      .toDF("qid", "qqe", "qnrm")
+    val wTop = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("nid"))
+    corpus.select(col("vec_id").as("nid"), col("qe"), col("nrm"))
+      .join(broadcast(candDf), "nid")
+      .join(broadcast(qsDf), "qid")
+      .select(col("qid"), col("nid"),
+        cosineQ(col("qqe"), col("qe"), col("qnrm"), col("nrm")).as("cosine"))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact brute-force cosine top-k: broadcast the (tiny) query set, one
     // corpus scan, per-query heap via row_number.
@@ -392,6 +582,18 @@ object Similarity extends QueryPack {
       val emb = embQ(s, dir)
       val corpus = emb.filter(col("vec_id") >= NQueries)
       pqSearch(s, emb, pqFit(corpus, pqSliceCodebook(emb), PqIters))
+    }),
+
+    // IVF+PQ — the composed production index (route THEN scan codes):
+    // q_ann_ivf's coarse quantizer picks the NProbe cells, q_ann_pq's
+    // ADC scan runs only over those cells' 8-byte codes, and the PqCand
+    // survivors get the exact cosine re-rank. The per-query cost drops
+    // multiplicatively: nProbe/cells of the corpus, scanned as codes
+    // instead of vectors. See [[ivfPqSearch]] for the 100 TB layout
+    // (cell id = code-file partition key → probe = partition pruning).
+    "q_ann_ivfpq" -> ((s, dir) => {
+      val emb = embQ(s, dir)
+      ivfPqSearch(s, emb, pqSliceCodebook(emb))
     }),
 
     // Per-cluster embedding outlier detection — the curation pass that
@@ -483,8 +685,12 @@ object Similarity extends QueryPack {
        |$out AS (SELECT w.cid, w.m, coalesce(f.sub, w.sub) AS sub
        |  FROM $prev w LEFT JOIN f_$out f ON f.m = w.m AND f.cid = w.cid)""".stripMargin
 
-  /** Encode + ADC + exact re-rank against codebook view `cwv`. */
-  private def oPqSearch(cwv: String): String =
+  /** Encode + ADC + exact re-rank against codebook view `cwv`. `route`
+    * is extra JOIN clauses spliced into the ADC scan — the IVF+PQ
+    * oracle routes it to probed cells; multiplicity stays 1 because a
+    * corpus row has exactly one cell and a (qid, cell) probe is unique.
+    */
+  private def oPqSearch(cwv: String, route: String = ""): String =
     s"""enc AS (SELECT vec_id, m, cid AS code FROM (
        |    SELECT c.vec_id, c.m, w.cid,
        |      ROW_NUMBER() OVER (PARTITION BY c.vec_id, c.m
@@ -493,7 +699,7 @@ object Similarity extends QueryPack {
        |dist AS (SELECT q.qid, enc.vec_id AS nid,
        |    CAST(SUM(${oL2pq("q.sub", "w.sub")}) AS BIGINT) AS adc_dist
        |  FROM enc JOIN $cwv w ON enc.m = w.m AND enc.code = w.cid
-       |  JOIN qsub q ON q.m = enc.m
+       |  JOIN qsub q ON q.m = enc.m$route
        |  GROUP BY q.qid, enc.vec_id),
        |cand AS (SELECT qid, nid FROM (
        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
@@ -510,7 +716,7 @@ object Similarity extends QueryPack {
        |    ORDER BY cosine DESC, nid) AS rank FROM scored) t
        |WHERE rank <= $K""".stripMargin
 
-  private val oBuckets =
+  private[queries] val oBuckets =
     s"""planes AS (SELECT g.j, [$oPlaneComp for d in generate_series(1,64)] AS p
        |  FROM generate_series(0, ${NPlanes - 1}) g(j)),
        |bk AS (SELECT n.vec_id,
@@ -590,6 +796,35 @@ object Similarity extends QueryPack {
          |${oPqLloydRound("cw", "cw1")},
          |${oPqLloydRound("cw1", "cw2")},
          |${oPqSearch("cw2")}""".stripMargin,
+
+    // IVF coarse quantizer (q_ann_ivf's assign/probe, renamed i*) routes
+    // q_ann_pq's ADC scan: dist only over (qid, nid) where nid's cell is
+    // one of qid's NProbe probed cells
+    "q_ann_ivfpq" ->
+      s"""WITH $oEmbQ,
+         |$oPqSeed,
+         |icent AS (SELECT vec_id AS cid, qe AS ce, nrm AS cnrm FROM n
+         |  WHERE vec_id >= $CentLo AND vec_id < ${CentLo + CentN}),
+         |iassign AS (
+         |  SELECT vec_id AS nid, cid AS cell FROM (
+         |    SELECT c.vec_id, icent.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+         |        ${oCosineQ("c.qe", "icent.ce", "c.nrm", "icent.cnrm")} DESC,
+         |        icent.cid) AS crn
+         |    FROM (SELECT * FROM n WHERE vec_id >= $NQueries) c
+         |    CROSS JOIN icent) t WHERE crn = 1),
+         |iprobe AS (
+         |  SELECT qid, cid AS cell FROM (
+         |    SELECT q.vec_id AS qid, icent.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |        ${oCosineQ("q.qe", "icent.ce", "q.nrm", "icent.cnrm")} DESC,
+         |        icent.cid) AS prn
+         |    FROM (SELECT * FROM n WHERE vec_id < $NQueries) q
+         |    CROSS JOIN icent) t WHERE prn <= $NProbe),
+         |${oPqSearch("cw",
+             "\n  JOIN iassign a ON a.nid = enc.vec_id" +
+             "\n  JOIN iprobe p ON p.qid = q.qid AND p.cell = a.cell")}"""
+        .stripMargin,
 
     "q_embed_outliers" ->
       s"""WITH ${Vec.oArgminAssign(CentLo, CentN, keepCcos = true)}

@@ -33,6 +33,13 @@ import org.apache.spark.sql.SparkSession
   *     [[graft.queries.Similarity.annTopkOn]] (default k 5). Both
   *     tables share the id/vector column names; CREATE VIEW carves
   *     corpus/query sides out of one physical table.
+  *   - `TABLE(ANN_TOPK_LSH(TABLE corpus, TABLE queries, DESCRIPTOR(id),
+  *     DESCRIPTOR(vec)[, <k>[, <planes>]]))` → same columns, candidates
+  *     = hyperplane-bucket mates only (per-query scan |corpus|/2^planes)
+  *     — [[graft.queries.Similarity.annLshTopkOn]]. On a STREAMING
+  *     query side it routes to the stateless bucket-array index scan
+  *     ([[graft.queries.Similarity.annLshTopkStream]]); the corpus must
+  *     be bounded either way.
   *   - `TABLE(TEXT_QUALITY(TABLE t, DESCRIPTOR(id), DESCRIPTOR(text)))`
   *     → `(id, mean_tok_len, stop_ratio, digit_ratio, quality_score)` —
   *     [[graft.queries.TextAnalysis.qualityOn]].
@@ -73,7 +80,7 @@ import org.apache.spark.sql.SparkSession
 object GraftTvfRewrite {
 
   private val Keyword =
-    """(?i)\b(?:DEDUP_(?:EXACT|MINHASH_PAIRS|SIMHASH_PAIRS|CROSS_PAIRS)|ANN_TOPK|TEXT_QUALITY|LANG_ID)\s*\(""".r
+    """(?i)\b(?:DEDUP_(?:EXACT|MINHASH_PAIRS|SIMHASH_PAIRS|CROSS_PAIRS)|ANN_TOPK(?:_LSH)?|TEXT_QUALITY|LANG_ID)\s*\(""".r
   private val viewCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private val Head =
@@ -90,6 +97,12 @@ object GraftTvfRewrite {
     ("""(?i)\bTABLE\s*\(\s*ANN_TOPK\s*\(\s*TABLE\s+([`\w.]+)\s*,\s*""" +
       """TABLE\s+([`\w.]+)\s*,\s*DESCRIPTOR\s*\(\s*([`\w]+)\s*\)\s*,\s*""" +
       """DESCRIPTOR\s*\(\s*([`\w]+)\s*\)\s*(?:,\s*(\d+)\s*)?\)\s*\)""").r
+  // bucketed variant: optional trailing k and hyperplane count
+  private val AnnLshRe =
+    ("""(?i)\bTABLE\s*\(\s*ANN_TOPK_LSH\s*\(\s*TABLE\s+([`\w.]+)\s*,\s*""" +
+      """TABLE\s+([`\w.]+)\s*,\s*DESCRIPTOR\s*\(\s*([`\w]+)\s*\)\s*,\s*""" +
+      """DESCRIPTOR\s*\(\s*([`\w]+)\s*\)\s*""" +
+      """(?:,\s*(\d+)\s*(?:,\s*(\d+)\s*)?)?\)\s*\)""").r
   // cross-corpus dedup takes TWO table args (incoming, corpus)
   private val CrossRe =
     ("""(?i)\bTABLE\s*\(\s*DEDUP_CROSS_PAIRS\s*\(\s*TABLE\s+([`\w.]+)\s*,\s*""" +
@@ -110,7 +123,7 @@ object GraftTvfRewrite {
     def clean(s: String) = s.replace("`", "").split('.').last
       .toLowerCase(java.util.Locale.ROOT)
     (allRes.flatMap(_.findAllMatchIn(sql).map(m => clean(m.group(1)))) ++
-      Seq(AnnRe, CrossRe).flatMap(_.findAllMatchIn(sql).flatMap(m =>
+      Seq(AnnRe, AnnLshRe, CrossRe).flatMap(_.findAllMatchIn(sql).flatMap(m =>
         Seq(clean(m.group(1)), clean(m.group(2)))))).toSet
   }
 
@@ -128,8 +141,9 @@ object GraftTvfRewrite {
           s"and runs in batch gate mode; '$src' is a streaming source " +
           "(a silent re-windowing would change semantics — rejected " +
           "loudly). Only DEDUP_EXACT (keyed first-arrival dedup), the " +
-          "stateless per-row TVFs TEXT_QUALITY / LANG_ID, and the " +
-          "incoming side of DEDUP_CROSS_PAIRS route streaming sources")
+          "stateless per-row TVFs TEXT_QUALITY / LANG_ID, the incoming " +
+          "side of DEDUP_CROSS_PAIRS and the query side of ANN_TOPK_LSH " +
+          "route streaming sources")
       df
     }
     def view(df: org.apache.spark.sql.DataFrame): String = {
@@ -183,6 +197,25 @@ object GraftTvfRewrite {
       view(graft.queries.Similarity.annTopkOn(
         table(m.group(1)), table(m.group(2)), c2(m, 3), c2(m, 4), k))
     })
+    out = AnnLshRe.replaceAllIn(out, m => {
+      val k = Option(m.group(5)).map(_.toInt).getOrElse(5)
+      val planes = Option(m.group(6)).map(_.toInt)
+      val qDf = rawTable(m.group(2))
+      if (qDf.isStreaming) {
+        // streaming query side vs frozen corpus — the enrichment
+        // cadence (match arriving embeddings against a curated
+        // reference corpus); the kernel validates corpus bounded-ness
+        val corpusDf = rawTable(m.group(1))
+        view(planes.fold(graft.queries.Similarity.annLshTopkStream(
+          corpusDf, qDf, c2(m, 3), c2(m, 4), k))(p =>
+          graft.queries.Similarity.annLshTopkStream(
+            corpusDf, qDf, c2(m, 3), c2(m, 4), k, p)))
+      } else
+        view(planes.fold(graft.queries.Similarity.annLshTopkOn(
+          table(m.group(1)), qDf, c2(m, 3), c2(m, 4), k))(p =>
+          graft.queries.Similarity.annLshTopkOn(
+            table(m.group(1)), qDf, c2(m, 3), c2(m, 4), k, p)))
+    })
     // TEXT_QUALITY / LANG_ID are stateless per-row maps (one select, no
     // aggregation or join) — the streaming relation routes through the
     // SAME column expressions the batch path uses, append mode, zero
@@ -204,7 +237,7 @@ object GraftTvfRewrite {
     * placeholder relation, nothing executes.
     */
   def validateOnly(sql: String): String = {
-    val out = (allRes ++ Seq(CrossRe, AnnRe)).foldLeft(sql)((s, re) =>
+    val out = (allRes ++ Seq(CrossRe, AnnRe, AnnLshRe)).foldLeft(sql)((s, re) =>
       re.replaceAllIn(s, _ => "__graft_tvf_validated"))
     requireFullyRewritten(out)
     out
@@ -226,6 +259,8 @@ object GraftTvfRewrite {
           "DESCRIPTOR(id), DESCRIPTOR(text)[, threshold])), " +
           "TABLE(ANN_TOPK(TABLE corpus, TABLE queries, DESCRIPTOR(id), " +
           "DESCRIPTOR(vec)[, k])), " +
+          "TABLE(ANN_TOPK_LSH(TABLE corpus, TABLE queries, " +
+          "DESCRIPTOR(id), DESCRIPTOR(vec)[, k[, planes]])), " +
           "TABLE(TEXT_QUALITY(TABLE t, DESCRIPTOR(id), DESCRIPTOR(text))) " +
           "or TABLE(LANG_ID(TABLE t, DESCRIPTOR(id), DESCRIPTOR(text)))")
     }

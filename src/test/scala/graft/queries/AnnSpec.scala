@@ -92,6 +92,56 @@ class AnnSpec extends SparkSpec {
     })
   }
 
+  test("IVF+PQ routes the ADC scan to probed cells and keeps exact scores") {
+    def pairs(name: String) =
+      Similarity.queries(name)(spark, sf).collect()
+        .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    val ivfpqRows = Similarity.queries("q_ann_ivfpq")(spark, sf).collect()
+    assert(ivfpqRows.nonEmpty)
+    // k results per query, same contract as the other tiers
+    val perQuery = ivfpqRows.groupBy(_.getAs[Long]("qid"))
+    assert(perQuery.values.forall(_.length <= 5))
+    val viaIvf = ivfpqRows.map(r =>
+      (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    // routing is a strict narrowing: every IVF+PQ hit must live in one
+    // of the query's probed cells, i.e. be reachable by plain IVF with
+    // an unbounded k (both paths share the identical cell routing)
+    val emb = quantized()
+    val cellMembers = {
+      val cent = emb.filter(col("vec_id") >= 100 && col("vec_id") < 116)
+        .select(col("vec_id").as("cid"), col("qe").as("ce"),
+          col("nrm").as("cnrm"))
+      val qsv = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("qe").as("qqe"),
+          col("nrm").as("qnrm"))
+      Similarity.annIvf(emb.filter(col("vec_id") >= 8), qsv, cent, k = 100000)
+        .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    }
+    assert((viaIvf -- cellMembers).isEmpty,
+      s"IVF+PQ surfaced neighbors outside the probed cells: " +
+        s"${viaIvf -- cellMembers}")
+    // the PQ candidate cut can drop IVF top-k hits but never add a
+    // neighbor outside the probed cells; scores are the exact quantized
+    // cosine — compression narrows candidates, it must never alter them
+    val ivf = pairs("q_ann_ivf")
+    val qs = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("qe").as("qqe"),
+        col("nrm").as("qnrm"))
+    val bruteCos = Similarity.annBrute(emb.filter(col("vec_id") >= 8), qs,
+        k = 1000)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid")) ->
+        r.getAs[Double]("cosine")).toMap
+    assert(ivfpqRows.forall { r =>
+      bruteCos((r.getAs[Long]("qid"), r.getAs[Long]("nid"))) ==
+        r.getAs[Double]("cosine")
+    })
+    // and the composition still finds most of what plain IVF finds —
+    // the ADC cut is a 100-candidate budget over probed-cell members
+    val recall = (viaIvf & ivf).size.toDouble / ivf.size
+    info(f"IVF+PQ recall vs IVF@5: $recall%.3f")
+    assert(recall >= 0.8, s"IVF+PQ recall vs IVF degraded to $recall")
+  }
+
   test("pq_encode emits in-range codes and matches a reference argmin") {
     import org.apache.spark.sql.functions._
     graft.functions.GraftFunctions.register(spark)

@@ -1,0 +1,99 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming ANN_TOPK_LSH kernel ([[Similarity.annLshTopkStream]]): the
+  * stateless bucket-array scan must emit rows IDENTICAL to the batch
+  * [[Similarity.annLshTopkOn]] over the same data — same candidates,
+  * same quantized cosines, same (cosine DESC, nid) order, same k cut.
+  */
+class AnnStreamSpec extends SparkSpec {
+
+  private def stagedEmb(): String =
+    StreamingGate.stagedTableDir(sf, "embeddings")
+
+  private def drain(df: DataFrame, name: String): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(300000), s"$name drain timed out")
+    q.stop()
+    spark.table(name)
+  }
+
+  private def rows(df: DataFrame): Set[(Long, Long, Double, Int)] =
+    df.collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"),
+      r.getAs[Double]("cosine"), r.getAs[Int]("rank"))).toSet
+
+  test("streaming bucket-array scan equals the batch LSH kernel") {
+    val staged = stagedEmb()
+    val schema = spark.read.parquet(staged).schema
+    val corpus = spark.read.parquet(staged).filter(col("vec_id") >= 8)
+    val batchQ = spark.read.parquet(staged).filter(col("vec_id") < 8)
+    val streamQ = spark.readStream.schema(schema).parquet(staged)
+      .filter(col("vec_id") < 8)
+    val batch = rows(Similarity.annLshTopkOn(
+      corpus, batchQ, "vec_id", "embedding", k = 4))
+    val streamed = rows(drain(Similarity.annLshTopkStream(
+      corpus, streamQ, "vec_id", "embedding", k = 4), "ann_lsh_eq"))
+    assert(batch.nonEmpty)
+    assert(streamed == batch,
+      s"stream-batch divergence: only-stream=${streamed -- batch} " +
+        s"only-batch=${batch -- streamed}")
+  }
+
+  test("non-default plane count routes through both kernels identically") {
+    val staged = stagedEmb()
+    val schema = spark.read.parquet(staged).schema
+    val corpus = spark.read.parquet(staged).filter(col("vec_id") >= 8)
+    val batchQ = spark.read.parquet(staged).filter(col("vec_id") < 8)
+    val streamQ = spark.readStream.schema(schema).parquet(staged)
+      .filter(col("vec_id") < 8)
+    val batch = rows(Similarity.annLshTopkOn(
+      corpus, batchQ, "vec_id", "embedding", k = 3, nPlanes = 5))
+    val streamed = rows(drain(Similarity.annLshTopkStream(
+      corpus, streamQ, "vec_id", "embedding", k = 3, nPlanes = 5),
+      "ann_lsh_eq5"))
+    assert(streamed == batch)
+    // wider buckets (fewer planes) → at least as many hits as 8 planes
+    val batch8 = rows(Similarity.annLshTopkOn(
+      corpus, batchQ, "vec_id", "embedding", k = 3))
+    assert(batch.size >= batch8.size)
+  }
+
+  test("a streaming corpus is rejected loudly") {
+    val staged = stagedEmb()
+    val schema = spark.read.parquet(staged).schema
+    val streaming = spark.readStream.schema(schema).parquet(staged)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.annLshTopkStream(streaming, streaming, "vec_id",
+        "embedding", k = 3)
+    }
+    assert(e.getMessage.contains("BOUNDED"))
+    // and a batch query side must use the batch kernel
+    val batch = spark.read.parquet(staged)
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.annLshTopkStream(batch, batch, "vec_id", "embedding", 3)
+    }
+    assert(e2.getMessage.contains("streaming query side"))
+  }
+
+  test("dimension-skewed vectors fail loudly instead of bucketing wrong") {
+    import spark.implicits._
+    val staged = stagedEmb()
+    val corpus = spark.read.parquet(staged).filter(col("vec_id") >= 8)
+    // a 3-dim query against the 64-dim corpus: the hyperplane dots
+    // would silently collapse it into one bucket — must throw instead
+    val badQ = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+    val err = intercept[Exception] {
+      Similarity.annLshTopkOn(corpus, badQ, "vec_id", "embedding", 3)
+        .collect()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.toString + chain(t.getCause)
+    assert(chain(err).contains("ANN_TOPK_LSH"),
+      s"expected the dim guard, got: ${chain(err)}")
+  }
+}
