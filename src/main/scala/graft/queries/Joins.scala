@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Num, QueryPack, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -142,7 +142,66 @@ object Joins extends QueryPack {
           date_format($"ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purchase_ts"),
           date_format($"click_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"),
           $"pvalue")
+    }),
+
+    // Fuzzy self-join: all pairs within edit distance 1, via the
+    // deletion-neighborhood blocking of [[fuzzySelfJoin]] — never the
+    // O(n²) all-pairs scan the DuckDB oracle runs. On customer names the
+    // matches are ids differing in one digit; the shared 'Customer#'
+    // prefix is exactly the adversarial case that defeats prefix/segment
+    // blocking schemes and leaves deletion keys unscathed.
+    "q_join_fuzzy" -> ((s, dir) => {
+      import s.implicits._
+      fuzzySelfJoin(Tables.load(s, dir, "customer")
+        .select($"c_custkey".as("id"), $"c_name".as("name")), 1)
+        .select($"ida", $"idb", $"dist")
     }))
+
+  /** All pairs (ida < idb) of `df`'s rows whose `name` strings are within
+    * edit distance `k`, without ever forming the O(n²) candidate space:
+    * FastSS/SymSpell deletion-neighborhood blocking. Every string emits
+    * its ≤k-deletion variants (hashed to 64 bits); two strings within
+    * edit distance k are guaranteed to share a variant (pigeonhole over
+    * the edit script: delete each substituted/inserted position), so the
+    * equality join on the variant hash is a LOSSLESS candidate generator
+    * and the `levenshtein ≤ k` verify makes the result exact — a hash
+    * collision only adds a candidate the verify then rejects.
+    *
+    * Scale shape: n·O(L^k) keys (L+1 per row at k=1), one shuffle on the
+    * 8-byte variant hash, candidate volume bounded by true near-pairs +
+    * collisions — immune to shared prefixes/suffixes, which collapse
+    * segment-based blocking (every TPC-H customer shares 'Customer#').
+    * The one adversarial input is massive EXACT duplication (all copies
+    * share all variants): run exact dedup first — q_dedup_exact is the
+    * operator for that.
+    *
+    * `df` must carry (id, name); requires 1 ≤ k ≤ 2 (variant count grows
+    * as L choose k; beyond 2 use MinHash/n-gram blocking instead).
+    */
+  def fuzzySelfJoin(df: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 2, s"fuzzySelfJoin supports k in [1,2], got $k")
+    // all single-character deletions of every string in arr (distinct)
+    def delOnce(arr: Column): Column =
+      array_distinct(flatten(transform(arr, s =>
+        when(length(s) >= 1,
+          transform(sequence(lit(1), length(s)), i =>
+            concat(s.substr(lit(1), i - lit(1)),
+              s.substr(i + lit(1), length(s) - i))))
+          .otherwise(array()))))
+    val levels = Iterator.iterate(array(col("name")))(delOnce)
+      .take(k + 1).toSeq
+    val variants = array_distinct(concat(levels: _*))
+    val kv = df.select(col("id"), col("name"),
+      explode(transform(variants, v => xxhash64(v))).as("vk"))
+    val ka = kv.select(col("vk"), col("id").as("ida"), col("name").as("na"))
+    val kb = kv.select(col("vk"), col("id").as("idb"), col("name").as("nb"))
+    ka.join(kb, "vk")
+      .filter(col("ida") < col("idb"))
+      .select(col("ida"), col("idb"), col("na"), col("nb"))
+      .distinct() // a pair sharing m variants is one candidate, not m
+      .withColumn("dist", levenshtein(col("na"), col("nb")).cast("long"))
+      .filter(col("dist") <= k)
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_join_inner" ->
@@ -206,5 +265,12 @@ object Joins extends QueryPack {
         |  p.value AS pvalue
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
-        |ON p.user_id = c.user_id AND c.ts <= p.ts""".stripMargin)
+        |ON p.user_id = c.user_id AND c.ts <= p.ts""".stripMargin,
+
+    // the naive quadratic spec the blocked join must reproduce exactly
+    "q_join_fuzzy" ->
+      """SELECT a.c_custkey AS ida, b.c_custkey AS idb,
+        |  levenshtein(a.c_name, b.c_name) AS dist
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin)
 }

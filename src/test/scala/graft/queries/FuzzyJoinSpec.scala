@@ -1,0 +1,92 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deletion-neighborhood fuzzy join ([[Joins.fuzzySelfJoin]]): the blocked
+  * join must reproduce the naive all-pairs levenshtein filter exactly —
+  * the blocking is a lossless candidate generator, the verify is the
+  * exact predicate.
+  */
+class FuzzyJoinSpec extends SparkSpec {
+
+  private def naive(df: DataFrame, k: Int): Set[(Long, Long, Long)] = {
+    val a = df.select(col("id").as("ida"), col("name").as("na"))
+    val b = df.select(col("id").as("idb"), col("name").as("nb"))
+    a.crossJoin(b)
+      .filter(col("ida") < col("idb"))
+      .withColumn("dist", levenshtein(col("na"), col("nb")).cast("long"))
+      .filter(col("dist") <= k)
+      .collect()
+      .map(r => (r.getAs[Long]("ida"), r.getAs[Long]("idb"),
+        r.getAs[Long]("dist"))).toSet
+  }
+
+  private def blocked(df: DataFrame, k: Int): Set[(Long, Long, Long)] =
+    Joins.fuzzySelfJoin(df, k).collect()
+      .map(r => (r.getAs[Long]("ida"), r.getAs[Long]("idb"),
+        r.getAs[Long]("dist"))).toSet
+
+  private def frame(names: Seq[String]): DataFrame = {
+    import spark.implicits._
+    names.zipWithIndex.map { case (n, i) => (i.toLong, n) }.toDF("id", "name")
+  }
+
+  // every edit type at every position class: substitution (head, middle,
+  // tail), insertion, deletion, transposition (= distance 2 in plain
+  // levenshtein), short strings, the empty string, repeated-char runs
+  // (several distinct edit scripts produce the same pair), and exact
+  // duplicates (distance 0 — still a pair the naive spec emits)
+  private val corpus = Seq(
+    "kitten", "sitten", "sittin", "sitting", "itten", "kittens",
+    "a", "b", "", "ab", "ba", "abc",
+    "aaaa", "aaab", "aaa",
+    "same", "same",
+    "Customer#000000001", "Customer#000000002", "Customer#000000011",
+    "Customer#00000001")
+
+  test("k=1: blocked join equals the naive all-pairs filter") {
+    val df = frame(corpus)
+    assert(blocked(df, 1) == naive(df, 1))
+  }
+
+  test("k=2: two-deletion neighborhood still lossless") {
+    val df = frame(corpus)
+    val n = naive(df, 2)
+    assert(n.exists(_._3 == 2L), "fixture must exercise distance-2 pairs")
+    assert(blocked(df, 2) == n)
+  }
+
+  test("randomized corpora: lossless under arbitrary near-duplicate soup") {
+    val rnd = new scala.util.Random(1387)
+    val alpha = "abcd" // tiny alphabet → dense near-pairs
+    def word() = (0 until (1 + rnd.nextInt(7)))
+      .map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    for (round <- 1 to 5) {
+      val df = frame(Seq.fill(40)(word()))
+      for (k <- 1 to 2) {
+        val (b, n) = (blocked(df, k), naive(df, k))
+        assert(b == n, s"round $round k=$k: blocked $b != naive $n")
+      }
+    }
+  }
+
+  test("shared-prefix skew: candidate volume stays near the match count") {
+    // all rows share a 9-char prefix — the shape that collapses
+    // prefix/segment blocking into one O(n²) bucket. Deletion variants
+    // key on the WHOLE string, so candidate pairs stay ~matches.
+    import spark.implicits._
+    val df = (1 to 300).map(i => (i.toLong, f"Customer#$i%09d"))
+      .toDF("id", "name")
+    val res = Joins.fuzzySelfJoin(df, 1)
+    val matches = res.count()
+    assert(matches > 0)
+    assert(blocked(df, 1) == naive(df, 1))
+    // and the plan is the hash join on the variant key, never a
+    // cartesian product
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"fuzzy join fell back to a cartesian product:\n$plan")
+  }
+}
