@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Power-iteration PageRank over an edge list — the domain-authority
+  * score behind crawl-curation quality filters (rank a host graph, keep
+  * documents from authoritative domains; the CommonCrawl-style pass a
+  * training-data pipeline runs before quality gates).
+  *
+  * All arithmetic is scaled-integer (BIGINT) so a SQL oracle replays it
+  * bit-exactly: ranks start at `scale`, each iteration computes
+  *
+  *   r'(v) = floor(scale * 15 / 100)
+  *         + floor(85 * sum over in-edges u→v of m(u,v) * floor(r(u) / outdeg(u)) / 100)
+  *
+  * i.e. damping 0.85 with truncating division at exactly two points,
+  * identical in Spark (`div`) and DuckDB (`//`) for the non-negative
+  * values ranks take. Dangling nodes (no out-edges) drop their mass —
+  * documented, standard for filtering use (relative order is what the
+  * curation threshold consumes).
+  *
+  * Scale shape: the corpus-sized work is the ONE edge-aggregation
+  * shuffle (`groupBy(src, dst)`) — a web-scale crawl has ~1e11 links
+  * but only ~1e8 distinct (src, dst) domain pairs. Every iteration after
+  * that is graph-sized, not corpus-sized: one join of the weighted edge
+  * list against the rank vector plus one groupBy(dst), both shuffling
+  * on node keys. The weighted edges and node list are cached across
+  * iterations, and lineage is truncated per round exactly as
+  * [[graft.queries.Dedup.connectedComponents]] does (localCheckpoint
+  * locally, reliable checkpoint on a cluster) so the plan never
+  * re-embeds N rounds of upstream pipeline.
+  */
+object PageRank {
+
+  /** @param edges (src, dst) string/any-keyed directed multigraph;
+    *              duplicate rows are edge multiplicity.
+    * @param iters power-iteration rounds (fixed — the oracle unrolls
+    *              the same count; convergence detection would make the
+    *              round count data-dependent and unreplayable).
+    * @return (node, rank) for every node appearing as src or dst.
+    */
+  def apply(edges: DataFrame, iters: Int,
+      scale: Long = 1000000000L, reliable: Boolean = false): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val s = edges.sparkSession
+    if (reliable) require(s.sparkContext.getCheckpointDir.isDefined,
+      "reliable=true needs SparkContext.setCheckpointDir")
+    def truncate(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val e = edges.toDF("src", "dst")
+    // the one corpus-sized stage: collapse link multiplicity
+    val ew = e.groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("m"))
+    val deg = ew.groupBy(col("src")).agg(sum(col("m")).as("outdeg"))
+    // weighted edges carry their source's outdeg so the per-iteration
+    // join is rank-vector-only; truncate = this is the reused base
+    val ewd = truncate(ew.join(deg, "src"))
+    val nodes = truncate(
+      ew.select(col("src").as("node"))
+        .union(ew.select(col("dst").as("node"))).distinct())
+    val base = scale * 15L / 100L
+    var r = nodes.withColumn("rank", lit(scale))
+    for (_ <- 1 to iters) {
+      val contrib = ewd
+        .join(r.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"),
+          (col("m") * expr("`rank` div outdeg")).as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("s"))
+      r = truncate(nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + expr("(85 * coalesce(s, 0L)) div 100"))
+            .as("rank")))
+    }
+    r
+  }
+}

@@ -222,7 +222,54 @@ object Pipeline extends QueryPack {
           expr(s"start_off DIV $PackSeqLen").as("first_seq"),
           expr(s"(start_off + n_tok - 1) DIV $PackSeqLen").as("last_seq"))
         .withColumn("n_seqs", $"last_seq" - $"first_seq" + 1)
+    }),
+
+    // Domain-authority ranking — PageRank over the host link graph, the
+    // crawl-curation pass that scores domains before quality filtering
+    // (keep documents whose host ranks above a floor). Edges: the doc's
+    // publishing host (`source`) links to each outlink domain, plus
+    // co-citation edges between CONSECUTIVE outlink domains within one
+    // doc. Three power iterations in scaled-integer arithmetic
+    // ([[graft.operators.PageRank]]); the DuckDB oracle unrolls the same
+    // three rounds with `//` where Spark uses `div`, so ranks are
+    // bit-equal. Corpus-sized work is one edge-aggregation shuffle;
+    // every iteration after that is graph-sized.
+    "q_graph_pagerank" -> ((s, dir) => {
+      import s.implicits._
+      val d = Tables.load(s, dir, "documents")
+        .select($"source", urlEnriched($"text", $"doc_id").as("etext"))
+        .select($"source",
+          transform(regexp_extract_all($"etext", lit(UrlRe), lit(0)),
+            u => regexp_extract(u, "^https?://([^/]+)", 1)).as("ds"))
+      val hostEdges = d.select($"source".as("src"), explode($"ds").as("dst"))
+      val cocite = d.filter(size($"ds") >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(ds) - 1), i -> " +
+            "struct(element_at(ds, i) AS src, element_at(ds, i + 1) AS dst))"))
+          .as("p"))
+        .select($"p.src", $"p.dst")
+      graft.operators.PageRank(hostEdges.union(cocite), PrIters)
+        .select($"node".as("domain"), $"rank")
     }))
+
+  /** PageRank rounds for q_graph_pagerank — the oracle unrolls exactly
+    * this many CTE stages, so both constants move together.
+    */
+  private val PrIters = 3
+
+  /** The unrolled-iteration oracle: c_k aggregates in-edge contributions
+    * against r_{k-1}, r_k applies damping with the same two truncating
+    * divisions the Spark kernel uses.
+    */
+  private def oPageRankIters(n: Int): String = {
+    val rounds = (1 to n).map { k =>
+      s"""c$k AS (SELECT ew.dst AS node, sum(ew.m * (r${k - 1}.r // deg.outdeg)) AS s
+         |  FROM ew JOIN deg USING (src) JOIN r${k - 1} ON r${k - 1}.node = ew.src GROUP BY 1),
+         |r$k AS (SELECT n.node, 150000000 + (85 * coalesce(c$k.s, 0)) // 100 AS r
+         |  FROM nodes n LEFT JOIN c$k USING (node))""".stripMargin
+    }.mkString(",\n")
+    s"$rounds\nSELECT node AS domain, CAST(r$n.r AS BIGINT) AS rank FROM r$n"
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q_pipeline_curate" ->
@@ -276,6 +323,24 @@ object Pipeline extends QueryPack {
          |       CAST(floor((length(text) - 1) / $ChunkStride) AS BIGINT)))])
          |    AS c
          |  FROM documents) t""".stripMargin,
+
+    "q_graph_pagerank" ->
+      s"""WITH e AS (SELECT doc_id, source, $oUrlEnriched AS etext FROM documents),
+         |d AS (SELECT source,
+         |  [regexp_extract(u, '^https?://([^/]+)', 1)
+         |   for u in regexp_extract_all(etext, '$UrlRe')] AS ds FROM e),
+         |he AS (SELECT source AS src, unnest(ds) AS dst FROM d),
+         |ce AS (SELECT p.s AS src, p.t AS dst FROM (
+         |  SELECT unnest([{s: ds[i], t: ds[i + 1]}
+         |    for i in generate_series(1, len(ds) - 1)]) AS p
+         |  FROM d WHERE len(ds) >= 2) z),
+         |ed AS (SELECT src, dst FROM he UNION ALL SELECT src, dst FROM ce),
+         |ew AS (SELECT src, dst, count(*) AS m FROM ed GROUP BY 1, 2),
+         |deg AS (SELECT src, sum(m) AS outdeg FROM ew GROUP BY 1),
+         |nodes AS (SELECT DISTINCT node FROM
+         |  (SELECT src AS node FROM ew UNION ALL SELECT dst FROM ew) q),
+         |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+         |${oPageRankIters(PrIters)}""".stripMargin,
 
     "q_pack_sequences" ->
       s"""WITH t AS (SELECT doc_id,
