@@ -327,9 +327,12 @@ object Dedup extends QueryPack {
     * bucket survived. Documented recall trade, accounted at index build.
     *
     * At 100 TB: per-row cost is k passes over the shingle array plus
-    * `bands` index probes with join fan-out bounded by `maxBucket`; the
-    * per-micro-batch cost is one columnar scan of the index (bucket it
-    * by bkey in production to co-locate the join). State: none.
+    * `bands` index probes with join fan-out bounded by `maxBucket`. The
+    * index and meta sides persist PRE-PARTITIONED on their join keys
+    * (InMemoryRelation preserves outputPartitioning), so a micro-batch
+    * exchanges only its own rows — per-batch cost is O(batch), not
+    * O(corpus); on a cluster where the index outgrows cache, write it
+    * as a bucketed table for the same effect. State: none.
     */
   def minhashCrossPairsStream(incoming: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, threshold: Double = 0.8,
@@ -375,7 +378,11 @@ object Dedup extends QueryPack {
     dir.toFile.deleteOnExit()
     ensureDropLogger(s)
     rowLocalSig(corpus, "idb", "ckeys", "sb").write.parquet(s"$dir/meta")
+    // keyed by idb for the per-batch meta join — see the idx comment
     val meta = s.read.parquet(s"$dir/meta")
+      .repartition(col("idb"))
+      .sortWithinPartitions(col("idb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bsz = size(col("cm"))
     meta.select(col("idb"),
         posexplode(col("ckeys")).as(Seq("band", "bkey")))
@@ -387,7 +394,18 @@ object Dedup extends QueryPack {
       .filter(bsz <= maxBucket)
       .select(col("band"), col("bkey"), explode(col("cm")).as("idb"))
       .write.parquet(s"$dir/idx")
+    // Persist both static sides PRE-PARTITIONED on their join keys:
+    // InMemoryRelation preserves outputPartitioning, so every
+    // micro-batch's sort-merge join sees the static side already
+    // distributed and exchanges ONLY the (small) stream side — without
+    // this, each batch re-reads AND re-shuffles the whole corpus index,
+    // turning an O(batch) drain into O(batches × corpus). This is the
+    // in-session analogue of writing the index as a bucketed table,
+    // which is the production shape.
     val idx = s.read.parquet(s"$dir/idx")
+      .repartition(col("band"), col("bkey"))
+      .sortWithinPartitions(col("band"), col("bkey"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // --- row-local incoming signature (no streaming aggregation) ---
     val inc = rowLocalSig(incoming, "ida", "ikeys", "sa")
