@@ -254,7 +254,65 @@ object ScaleStress {
       // WITHIN window, not the corpus
       "matchrec_stream" -> (() =>
         countOf("q_gate_match_recognize_stream")
-          .map { case (_, v) => ("matches", v) })
+          .map { case (_, v) => ("matches", v) }),
+      // r13 late surfaces. ann_ivfpq runs the composed IVF+PQ tier as
+      // shipped: cells are FIXED (CentN) so probed-member count grows
+      // linearly with the corpus — the claim under decade test is that
+      // the routed scan's cost is nProbe/cells of the corpus *as 8-byte
+      // codes*, i.e. the same slope as the corpus itself, never worse
+      // (the SIZED coarse quantizer is already measured by
+      // ann_ivf_sized; composing PQ changes the per-member constant,
+      // not the routing slope).
+      "ann_ivfpq" -> (() => countOf("q_ann_ivfpq")
+        .map { case (_, v) => ("hits", v) }),
+      // deletion-neighborhood fuzzy join. GenScale replicates c_name
+      // VERBATIM across copies — massive exact duplication, the
+      // operator's one documented adversarial input (its contract says
+      // run q_dedup_exact first) — so the honest decade corpus
+      // regenerates the canonical dbgen name from the SHIFTED key:
+      // 10x the distinct entities, densely packed ids, exactly what a
+      // larger TPC-H SF produces. Note the TRUE output grows faster
+      // than n here (denser ids have more distance-1 digit neighbors);
+      // the claim under test is that runtime tracks n + emitted pairs,
+      // never the n² candidate space.
+      "fuzzy_join" -> (() => {
+        val c = graft.Tables.load(spark, sfDir, "customer")
+          .select(col("c_custkey").as("id"),
+            concat(lit("Customer#"),
+              lpad(col("c_custkey").cast("string"), 9, "0")).as("name"))
+        Map("pairs" -> Joins.fuzzySelfJoin(c, 1).count())
+      }),
+      // streaming LSH ANN TVF on a real drain: the corpus buckets ONCE
+      // into a materialized (bucket, candidates) index; per arriving
+      // row the cost is one bucket occupancy, so the drain must track
+      // the stream + index build, with zero state.
+      "gate_ann_stream" -> (() => countOf("q_gate_ann_stream")),
+      // streaming DEDUP_CROSS_PAIRS against a frozen corpus index
+      // (r13): corpus shingles once, each micro-batch band-joins it —
+      // O(shard + corpus), never corpus².
+      "gate_cross_stream" -> (() => countOf("q_gate_cross_stream")
+        .map { case (_, v) => ("pairs", v) }),
+      // domain-authority PageRank as shipped: the host graph's NODE set
+      // is bounded (hosts × outlink domains), so decade growth must
+      // land on the one corpus-sized stage — URL extraction + edge
+      // aggregation — while the three iterations stay graph-sized.
+      "pagerank_hosts" -> (() => countOf("q_graph_pagerank")
+        .map { case (_, v) => ("nodes", v) }),
+      // the complementary axis: a corpus-sized CITATION graph (one node
+      // per document, two deterministic out-edges each — a tree chord
+      // plus a pseudo-random jump), so the per-iteration join+agg
+      // machinery itself is what grows 10x per decade.
+      "pagerank_docgraph" -> (() => {
+        val ids = graft.Tables.load(spark, sfDir, "documents")
+          .select(col("doc_id"))
+        val edges = ids.select(col("doc_id").cast("string").as("src"),
+            (col("doc_id") / 2).cast("long").cast("string").as("dst"))
+          .union(ids.select(col("doc_id").cast("string").as("src"),
+            pmod(col("doc_id") * 7 + 3, lit(nDocs)).cast("string")
+              .as("dst")))
+        val r = graft.operators.PageRank(edges, 3)
+        Map("nodes" -> r.count(), "edges" -> (2 * nDocs))
+      })
     )
 
     // optional comma-separated op filter for selective re-measurement
