@@ -670,6 +670,54 @@ object Gate extends QueryPack {
       } finally runner.close()
     }),
 
+    // The iterative graph score through the gate: PAGERANK over an edge
+    // view carved from orders (custkey-bucket links orderkey-bucket —
+    // a dense deterministic multigraph), three scaled-integer rounds.
+    // The oracle replays the identical unrolled arithmetic over the
+    // same edge SELECT (Pipeline.oPageRank).
+    "q_gate_pagerank_tvf" -> ((s, dir) => {
+      val runner = new ScriptRunner(s, batchMode = true)
+      runner.run(
+        s"""CREATE TABLE orders_pr (o_orderkey BIGINT, o_custkey BIGINT
+           |) WITH (
+           |  'connector' = 'filesystem',
+           |  'path' = '$dir/orders.parquet',
+           |  'format' = 'parquet'
+           |);
+           |CREATE OR REPLACE TEMPORARY VIEW pr_edges AS
+           |  SELECT o_custkey % 1000 AS src, o_orderkey % 1000 AS dst
+           |  FROM orders_pr;
+           |CREATE TABLE pagerank_sink (node BIGINT, rank BIGINT)
+           |WITH ('connector' = 'memory');
+           |INSERT INTO pagerank_sink
+           |SELECT node, rank FROM TABLE(PAGERANK(TABLE pr_edges,
+           |  DESCRIPTOR(src), DESCRIPTOR(dst), ${Pipeline.PrIters}));
+           |""".stripMargin)
+      s.table("pagerank_sink_out")
+    }),
+
+    // The fuzzy edit-distance self-join through the gate: FUZZY_JOIN
+    // over customer names, k = 1 — same kernel and same oracle SQL as
+    // q_join_fuzzy, so the TVF route is pinned equal to the library
+    // route by the driver itself.
+    "q_gate_fuzzy_tvf" -> ((s, dir) => {
+      val runner = new ScriptRunner(s, batchMode = true)
+      runner.run(
+        s"""CREATE TABLE cust_fz (c_custkey BIGINT, c_name VARCHAR
+           |) WITH (
+           |  'connector' = 'filesystem',
+           |  'path' = '$dir/customer.parquet',
+           |  'format' = 'parquet'
+           |);
+           |CREATE TABLE fuzzy_sink (ida BIGINT, idb BIGINT, dist BIGINT)
+           |WITH ('connector' = 'memory');
+           |INSERT INTO fuzzy_sink
+           |SELECT ida, idb, dist FROM TABLE(FUZZY_JOIN(TABLE cust_fz,
+           |  DESCRIPTOR(c_custkey), DESCRIPTOR(c_name), 1));
+           |""".stripMargin)
+      s.table("fuzzy_sink_out")
+    }),
+
     // The LIVE kafka consume path under the oracle: orders rows are
     // produced as JSON onto an in-process REST-wire broker
     // (graft.sources.StubBroker — the sandbox's broker stand-in), a
@@ -1469,6 +1517,15 @@ object Gate extends QueryPack {
     // bucket-array scan must both hash-match it row-for-row
     "q_gate_ann_lsh_tvf" -> oAnnLsh3,
     "q_gate_ann_stream" -> oAnnLsh3,
+
+    // the shared unrolled-iteration machinery behind q_graph_pagerank,
+    // over the gate script's bucket-edge SELECT
+    "q_gate_pagerank_tvf" -> Pipeline.oPageRank("",
+      "SELECT o_custkey % 1000 AS src, o_orderkey % 1000 AS dst FROM orders"),
+
+    // byte-identical to the library route's oracle: the TVF and
+    // q_join_fuzzy are pinned equal by the driver
+    "q_gate_fuzzy_tvf" -> Joins.oracleSql("q_join_fuzzy"),
 
     "q_gate_text_tvf" ->
       s"""SELECT q.doc_id, l.predicted, q.quality_score

@@ -252,23 +252,41 @@ object Pipeline extends QueryPack {
         .select($"node".as("domain"), $"rank")
     }))
 
-  /** PageRank rounds for q_graph_pagerank — the oracle unrolls exactly
-    * this many CTE stages, so both constants move together.
+  /** PageRank rounds for q_graph_pagerank and the PAGERANK gate TVF —
+    * the oracle unrolls exactly this many CTE stages, so the Spark
+    * calls and the SQL move together.
     */
-  private val PrIters = 3
+  private[queries] val PrIters = 3
 
   /** The unrolled-iteration oracle: c_k aggregates in-edge contributions
     * against r_{k-1}, r_k applies damping with the same two truncating
     * divisions the Spark kernel uses.
     */
-  private def oPageRankIters(n: Int): String = {
+  private def oPageRankIters(n: Int, nodeAs: String): String = {
     val rounds = (1 to n).map { k =>
       s"""c$k AS (SELECT ew.dst AS node, sum(ew.m * (r${k - 1}.r // deg.outdeg)) AS s
          |  FROM ew JOIN deg USING (src) JOIN r${k - 1} ON r${k - 1}.node = ew.src GROUP BY 1),
          |r$k AS (SELECT n.node, 150000000 + (85 * coalesce(c$k.s, 0)) // 100 AS r
          |  FROM nodes n LEFT JOIN c$k USING (node))""".stripMargin
     }.mkString(",\n")
-    s"$rounds\nSELECT node AS domain, CAST(r$n.r AS BIGINT) AS rank FROM r$n"
+    s"$rounds\nSELECT node AS $nodeAs, CAST(r$n.r AS BIGINT) AS rank FROM r$n"
+  }
+
+  /** Full PageRank oracle over any (src, dst) edge SELECT: the shared
+    * machinery behind q_graph_pagerank and q_gate_pagerank_tvf.
+    * `prefixCtes` (optional, no trailing comma) may define relations the
+    * edge SELECT references.
+    */
+  private[queries] def oPageRank(prefixCtes: String, edgesSelect: String,
+      nodeAs: String = "node"): String = {
+    val pre = if (prefixCtes.trim.isEmpty) "" else prefixCtes.trim + ",\n"
+    s"""WITH ${pre}ed AS ($edgesSelect),
+       |ew AS (SELECT src, dst, count(*) AS m FROM ed GROUP BY 1, 2),
+       |deg AS (SELECT src, sum(m) AS outdeg FROM ew GROUP BY 1),
+       |nodes AS (SELECT DISTINCT node FROM
+       |  (SELECT src AS node FROM ew UNION ALL SELECT dst FROM ew) q),
+       |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes),
+       |${oPageRankIters(PrIters, nodeAs)}""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -325,22 +343,18 @@ object Pipeline extends QueryPack {
          |  FROM documents) t""".stripMargin,
 
     "q_graph_pagerank" ->
-      s"""WITH e AS (SELECT doc_id, source, $oUrlEnriched AS etext FROM documents),
-         |d AS (SELECT source,
-         |  [regexp_extract(u, '^https?://([^/]+)', 1)
-         |   for u in regexp_extract_all(etext, '$UrlRe')] AS ds FROM e),
-         |he AS (SELECT source AS src, unnest(ds) AS dst FROM d),
-         |ce AS (SELECT p.s AS src, p.t AS dst FROM (
-         |  SELECT unnest([{s: ds[i], t: ds[i + 1]}
-         |    for i in generate_series(1, len(ds) - 1)]) AS p
-         |  FROM d WHERE len(ds) >= 2) z),
-         |ed AS (SELECT src, dst FROM he UNION ALL SELECT src, dst FROM ce),
-         |ew AS (SELECT src, dst, count(*) AS m FROM ed GROUP BY 1, 2),
-         |deg AS (SELECT src, sum(m) AS outdeg FROM ew GROUP BY 1),
-         |nodes AS (SELECT DISTINCT node FROM
-         |  (SELECT src AS node FROM ew UNION ALL SELECT dst FROM ew) q),
-         |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS r FROM nodes),
-         |${oPageRankIters(PrIters)}""".stripMargin,
+      oPageRank(
+        s"""e AS (SELECT doc_id, source, $oUrlEnriched AS etext FROM documents),
+           |d AS (SELECT source,
+           |  [regexp_extract(u, '^https?://([^/]+)', 1)
+           |   for u in regexp_extract_all(etext, '$UrlRe')] AS ds FROM e),
+           |he AS (SELECT source AS src, unnest(ds) AS dst FROM d),
+           |ce AS (SELECT p.s AS src, p.t AS dst FROM (
+           |  SELECT unnest([{s: ds[i], t: ds[i + 1]}
+           |    for i in generate_series(1, len(ds) - 1)]) AS p
+           |  FROM d WHERE len(ds) >= 2) z)""".stripMargin,
+        "SELECT src, dst FROM he UNION ALL SELECT src, dst FROM ce",
+        nodeAs = "domain"),
 
     "q_pack_sequences" ->
       s"""WITH t AS (SELECT doc_id,

@@ -45,6 +45,14 @@ import org.apache.spark.sql.SparkSession
   *     [[graft.queries.TextAnalysis.qualityOn]].
   *   - `TABLE(LANG_ID(TABLE t, DESCRIPTOR(id), DESCRIPTOR(text)))`
   *     → `(id, predicted)` — [[graft.queries.TextAnalysis.langidOn]].
+  *   - `TABLE(PAGERANK(TABLE edges, DESCRIPTOR(src), DESCRIPTOR(dst)
+  *     [, <iters>]))` → `(node, rank)`: scaled-integer PageRank power
+  *     iteration over the edge relation (domain-authority scoring) —
+  *     [[graft.operators.PageRank]] (default 3 rounds).
+  *   - `TABLE(FUZZY_JOIN(TABLE t, DESCRIPTOR(id), DESCRIPTOR(name)
+  *     [, <k>]))` → `(ida, idb, dist)`: all pairs within edit distance
+  *     k (default 1) via deletion-neighborhood blocking —
+  *     [[graft.queries.Joins.fuzzySelfJoin]].
   *
   * Same execution shape as [[MatchRecognizeRewrite]]: the operator runs
   * over `spark.table(src)`, the result registers as a tracked temp view
@@ -80,7 +88,7 @@ import org.apache.spark.sql.SparkSession
 object GraftTvfRewrite {
 
   private val Keyword =
-    """(?i)\b(?:DEDUP_(?:EXACT|MINHASH_PAIRS|SIMHASH_PAIRS|CROSS_PAIRS)|ANN_TOPK(?:_LSH)?|TEXT_QUALITY|LANG_ID)\s*\(""".r
+    """(?i)\b(?:DEDUP_(?:EXACT|MINHASH_PAIRS|SIMHASH_PAIRS|CROSS_PAIRS)|ANN_TOPK(?:_LSH)?|TEXT_QUALITY|LANG_ID|PAGERANK|FUZZY_JOIN)\s*\(""".r
   private val viewCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private val Head =
@@ -92,6 +100,12 @@ object GraftTvfRewrite {
     (Head.format("DEDUP_SIMHASH_PAIRS") + """(?:,\s*(\d+)\s*)?\)\s*\)""").r
   private val QualityRe = (Head.format("TEXT_QUALITY") + """\)\s*\)""").r
   private val LangIdRe = (Head.format("LANG_ID") + """\)\s*\)""").r
+  // whole-relation iterative graph score: optional round count
+  private val PageRankRe =
+    (Head.format("PAGERANK") + """(?:,\s*(\d+)\s*)?\)\s*\)""").r
+  // deletion-neighborhood edit-distance self-join: optional k (1 or 2)
+  private val FuzzyRe =
+    (Head.format("FUZZY_JOIN") + """(?:,\s*(\d+)\s*)?\)\s*\)""").r
   // ANN takes TWO table args (corpus, queries) before the descriptors
   private val AnnRe =
     ("""(?i)\bTABLE\s*\(\s*ANN_TOPK\s*\(\s*TABLE\s+([`\w.]+)\s*,\s*""" +
@@ -109,7 +123,8 @@ object GraftTvfRewrite {
       """TABLE\s+([`\w.]+)\s*,\s*DESCRIPTOR\s*\(\s*([`\w]+)\s*\)\s*,\s*""" +
       """DESCRIPTOR\s*\(\s*([`\w]+)\s*\)\s*(?:,\s*([0-9.]+)\s*)?\)\s*\)""").r
 
-  private def allRes = Seq(ExactRe, MinhashRe, SimhashRe, QualityRe, LangIdRe)
+  private def allRes = Seq(ExactRe, MinhashRe, SimhashRe, QualityRe, LangIdRe,
+    PageRankRe, FuzzyRe)
 
   /** True iff the statement uses a graft TVF. */
   def present(sql: String): Boolean = Keyword.findFirstIn(sql).isDefined
@@ -229,6 +244,23 @@ object GraftTvfRewrite {
       view(graft.queries.TextAnalysis.langidOn(
         rawTable(m.group(1)), c2(m, 2), c2(m, 3)))
     })
+    out = PageRankRe.replaceAllIn(out, m => {
+      // whole-relation power iteration — batch only (table() guard)
+      val iters = Option(m.group(4)).map(_.toInt).getOrElse(3)
+      val edges = table(m.group(1)).select(
+        org.apache.spark.sql.functions.col(c2(m, 2)).as("src"),
+        org.apache.spark.sql.functions.col(c2(m, 3)).as("dst"))
+      view(graft.operators.PageRank(edges, iters))
+    })
+    out = FuzzyRe.replaceAllIn(out, m => {
+      // whole-relation self-join — batch only (table() guard)
+      val k = Option(m.group(4)).map(_.toInt).getOrElse(1)
+      val in = table(m.group(1)).select(
+        org.apache.spark.sql.functions.col(c2(m, 2)).as("id"),
+        org.apache.spark.sql.functions.col(c2(m, 3)).as("name"))
+      view(graft.queries.Joins.fuzzySelfJoin(in, k)
+        .select("ida", "idb", "dist"))
+    })
     requireFullyRewritten(out)
     (out, created.result())
   }
@@ -261,7 +293,11 @@ object GraftTvfRewrite {
           "DESCRIPTOR(vec)[, k])), " +
           "TABLE(ANN_TOPK_LSH(TABLE corpus, TABLE queries, " +
           "DESCRIPTOR(id), DESCRIPTOR(vec)[, k[, planes]])), " +
-          "TABLE(TEXT_QUALITY(TABLE t, DESCRIPTOR(id), DESCRIPTOR(text))) " +
-          "or TABLE(LANG_ID(TABLE t, DESCRIPTOR(id), DESCRIPTOR(text)))")
+          "TABLE(TEXT_QUALITY(TABLE t, DESCRIPTOR(id), DESCRIPTOR(text))), " +
+          "TABLE(LANG_ID(TABLE t, DESCRIPTOR(id), DESCRIPTOR(text))), " +
+          "TABLE(PAGERANK(TABLE edges, DESCRIPTOR(src), DESCRIPTOR(dst)" +
+          "[, iters])) " +
+          "or TABLE(FUZZY_JOIN(TABLE t, DESCRIPTOR(id), DESCRIPTOR(name)" +
+          "[, k]))")
     }
 }

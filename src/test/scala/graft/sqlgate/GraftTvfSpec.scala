@@ -270,4 +270,64 @@ class GraftTvfSpec extends SparkSpec {
          |  DESCRIPTOR(embedding))) l ON a.qid = l.vec_id;""".stripMargin)
     assert(v2.ok, v2.errors.mkString("; "))
   }
+
+  test("PAGERANK through the gate matches the library kernel") {
+    val runner = new ScriptRunner(spark, batchMode = true)
+    runner.run(
+      s"""${docsDdl("docs_pr")}
+         |CREATE OR REPLACE TEMPORARY VIEW pr_e AS
+         |  SELECT doc_id % 7 AS src, doc_id % 5 AS dst FROM docs_pr;
+         |CREATE TABLE pr_sink (node BIGINT, rank BIGINT)
+         |WITH ('connector' = 'memory');
+         |INSERT INTO pr_sink SELECT node, rank
+         |FROM TABLE(PAGERANK(TABLE pr_e, DESCRIPTOR(src),
+         |  DESCRIPTOR(dst), 2));""".stripMargin)
+    import org.apache.spark.sql.functions._
+    val viaGate = spark.table("pr_sink_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = graft.operators.PageRank(
+      spark.read.parquet(docsDir)
+        .select((col("doc_id") % 7).as("src"), (col("doc_id") % 5).as("dst")),
+      2).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaGate == direct && viaGate.nonEmpty)
+  }
+
+  test("FUZZY_JOIN through the gate matches the library kernel; " +
+    "streaming sources are rejected for both new TVFs") {
+    val runner = new ScriptRunner(spark, batchMode = true)
+    runner.run(
+      s"""${docsDdl("docs_fz")}
+         |CREATE OR REPLACE TEMPORARY VIEW fz_names AS
+         |  SELECT doc_id, substring(text, 1, 12) AS nm FROM docs_fz;
+         |CREATE TABLE fz_sink (ida BIGINT, idb BIGINT, dist BIGINT)
+         |WITH ('connector' = 'memory');
+         |INSERT INTO fz_sink SELECT ida, idb, dist
+         |FROM TABLE(FUZZY_JOIN(TABLE fz_names, DESCRIPTOR(doc_id),
+         |  DESCRIPTOR(nm), 1));""".stripMargin)
+    import org.apache.spark.sql.functions._
+    val viaGate = spark.table("fz_sink_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = graft.queries.Joins.fuzzySelfJoin(
+      spark.read.parquet(docsDir)
+        .select(col("doc_id").as("id"),
+          substring(col("text"), 1, 12).as("name")), 1)
+      .select("ida", "idb", "dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaGate == direct && viaGate.nonEmpty)
+
+    // both are whole-relation operators: a streaming source must hit
+    // the table() guard, never a silent per-batch re-run
+    val sRunner = new ScriptRunner(spark, batchMode = false)
+    val err = intercept[IllegalArgumentException] {
+      sRunner.run(
+        s"""create table stream_e (src BIGINT, dst BIGINT
+           |) with ('connector' = 'datagen', 'rows-per-second' = '10');
+           |CREATE TABLE spr_sink (node BIGINT, rank BIGINT)
+           |WITH ('connector' = 'memory');
+           |INSERT INTO spr_sink SELECT node, rank
+           |FROM TABLE(PAGERANK(TABLE stream_e, DESCRIPTOR(src),
+           |  DESCRIPTOR(dst)));""".stripMargin)
+    }
+    assert(err.getMessage.contains("batch gate mode"))
+  }
 }
