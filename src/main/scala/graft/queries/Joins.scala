@@ -191,27 +191,30 @@ object Joins extends QueryPack {
     val levels = Iterator.iterate(array(col("name")))(delOnce)
       .take(k + 1).toSeq
     val variants = array_distinct(concat(levels: _*))
-    // NARROW candidate stage: only (vk, id) travels through the
-    // explode, the self-join, and the pair dedup — 16 bytes/row instead
-    // of carrying both name strings O(L^k) times each through every
-    // exchange. Names join back onto the deduped (ida, idb) pairs (a
-    // per-side equi-join Spark auto-broadcasts when the input is small;
-    // at corpus scale it is one n-sized shuffle per side, still far
-    // cheaper than (L+1)·n name copies in the candidate shuffle).
-    // Measured at sf0.1: 2.8 s vs 5.7 s for the wide-row shape.
-    val kv = df.select(col("id"),
+    // Verify BEFORE the pair dedup, and dedup via a (ida, idb)-keyed
+    // aggregate rather than a whole-row DISTINCT: levenshtein is a
+    // cheap codegen'd map, so running it per candidate OCCURRENCE
+    // (pairs sharing m variants appear m times, a small factor) costs
+    // little, while it shrinks the dedup's input to verified rows and
+    // keys the exchange on two longs instead of hashing full name
+    // strings. The tempting alternative — shuffling only (vk, id)
+    // through the candidate stage and joining names back onto the
+    // deduped pairs — measures 2x faster at oracle scale but 3x SLOWER
+    // at sf10: once the name table outgrows the broadcast threshold,
+    // the join-back sort-merges the full candidate-pair set twice.
+    // (Same-JVM sf10 decade measurements: this shape 44 s, whole-row
+    // DISTINCT 134 s, narrow+join-back 108 s.)
+    val kv = df.select(col("id"), col("name"),
       explode(transform(variants, v => xxhash64(v))).as("vk"))
-    val pairs = kv.select(col("vk"), col("id").as("ida"))
-      .join(kv.select(col("vk"), col("id").as("idb")), "vk")
+    kv.select(col("vk"), col("id").as("ida"), col("name").as("na"))
+      .join(kv.select(col("vk"), col("id").as("idb"), col("name").as("nb")),
+        "vk")
       .filter(col("ida") < col("idb"))
-      .select(col("ida"), col("idb"))
-      .distinct() // a pair sharing m variants is one candidate, not m
-    pairs
-      .join(df.select(col("id").as("ida"), col("name").as("na")), "ida")
-      .join(df.select(col("id").as("idb"), col("name").as("nb")), "idb")
-      .select(col("ida"), col("idb"), col("na"), col("nb"))
       .withColumn("dist", levenshtein(col("na"), col("nb")).cast("long"))
       .filter(col("dist") <= k)
+      .groupBy(col("ida"), col("idb")) // a pair sharing m variants is
+      .agg(first(col("na")).as("na"),  // one result row, not m
+        first(col("nb")).as("nb"), first(col("dist")).as("dist"))
   }
 
   def oracleSql: Map[String, String] = Map(
