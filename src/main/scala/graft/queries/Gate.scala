@@ -697,23 +697,24 @@ object Gate extends QueryPack {
     }),
 
     // The fuzzy edit-distance self-join through the gate: FUZZY_JOIN
-    // over customer names, k = 1 — same kernel and same oracle SQL as
-    // q_join_fuzzy, so the TVF route is pinned equal to the library
-    // route by the driver itself.
+    // over supplier names, k = 1 — the same kernel q_join_fuzzy runs on
+    // customer (GraftTvfSpec pins gate-vs-library equality); supplier
+    // keeps the gate route's bench cost proportional to what it tests
+    // (the TVF plumbing, not a second full-corpus join).
     "q_gate_fuzzy_tvf" -> ((s, dir) => {
       val runner = new ScriptRunner(s, batchMode = true)
       runner.run(
-        s"""CREATE TABLE cust_fz (c_custkey BIGINT, c_name VARCHAR
+        s"""CREATE TABLE supp_fz (s_suppkey BIGINT, s_name VARCHAR
            |) WITH (
            |  'connector' = 'filesystem',
-           |  'path' = '$dir/customer.parquet',
+           |  'path' = '$dir/supplier.parquet',
            |  'format' = 'parquet'
            |);
            |CREATE TABLE fuzzy_sink (ida BIGINT, idb BIGINT, dist BIGINT)
            |WITH ('connector' = 'memory');
            |INSERT INTO fuzzy_sink
-           |SELECT ida, idb, dist FROM TABLE(FUZZY_JOIN(TABLE cust_fz,
-           |  DESCRIPTOR(c_custkey), DESCRIPTOR(c_name), 1));
+           |SELECT ida, idb, dist FROM TABLE(FUZZY_JOIN(TABLE supp_fz,
+           |  DESCRIPTOR(s_suppkey), DESCRIPTOR(s_name), 1));
            |""".stripMargin)
       s.table("fuzzy_sink_out")
     }),
@@ -1523,9 +1524,12 @@ object Gate extends QueryPack {
     "q_gate_pagerank_tvf" -> Pipeline.oPageRank("",
       "SELECT o_custkey % 1000 AS src, o_orderkey % 1000 AS dst FROM orders"),
 
-    // byte-identical to the library route's oracle: the TVF and
-    // q_join_fuzzy are pinned equal by the driver
-    "q_gate_fuzzy_tvf" -> Joins.oracleSql("q_join_fuzzy"),
+    // the same all-pairs mirror as q_join_fuzzy's oracle, over supplier
+    "q_gate_fuzzy_tvf" ->
+      """SELECT a.s_suppkey AS ida, b.s_suppkey AS idb,
+        |  levenshtein(a.s_name, b.s_name) AS dist
+        |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+        |WHERE levenshtein(a.s_name, b.s_name) <= 1""".stripMargin,
 
     "q_gate_text_tvf" ->
       s"""SELECT q.doc_id, l.predicted, q.quality_score
