@@ -719,6 +719,34 @@ object Gate extends QueryPack {
       s.table("fuzzy_sink_out")
     }),
 
+    // Undirected connected components through the gate: the edge view
+    // splits orders keys into two parity-disjoint node spaces, so the
+    // label propagation must find exactly the structural components.
+    // The oracle closes the same edges with a recursive CTE (the
+    // q_dedup_cluster machinery over the script's own edge SELECT).
+    "q_gate_cc_tvf" -> ((s, dir) => {
+      val runner = new ScriptRunner(s, batchMode = true)
+      runner.run(
+        s"""CREATE TABLE orders_cc (o_orderkey BIGINT, o_custkey BIGINT
+           |) WITH (
+           |  'connector' = 'filesystem',
+           |  'path' = '$dir/orders.parquet',
+           |  'format' = 'parquet'
+           |);
+           |CREATE OR REPLACE TEMPORARY VIEW cc_edges AS
+           |  SELECT (o_orderkey % 200) * 2 + (o_orderkey % 2) AS a,
+           |         (o_custkey % 200) * 2 + (o_orderkey % 2) AS b
+           |  FROM orders_cc;
+           |CREATE TABLE cc_sink (node BIGINT, cluster BIGINT,
+           |  is_keeper BOOLEAN) WITH ('connector' = 'memory');
+           |INSERT INTO cc_sink
+           |SELECT node, cluster, is_keeper
+           |FROM TABLE(CONNECTED_COMPONENTS(TABLE cc_edges,
+           |  DESCRIPTOR(a), DESCRIPTOR(b)));
+           |""".stripMargin)
+      s.table("cc_sink_out")
+    }),
+
     // The LIVE kafka consume path under the oracle: orders rows are
     // produced as JSON onto an in-process REST-wire broker
     // (graft.sources.StubBroker — the sandbox's broker stand-in), a
@@ -1523,6 +1551,23 @@ object Gate extends QueryPack {
     // over the gate script's bucket-edge SELECT
     "q_gate_pagerank_tvf" -> Pipeline.oPageRank("",
       "SELECT o_custkey % 1000 AS src, o_orderkey % 1000 AS dst FROM orders"),
+
+    // the q_dedup_cluster recursive-CTE closure over the gate script's
+    // own parity-split edge SELECT
+    "q_gate_cc_tvf" ->
+      """WITH RECURSIVE ed AS (
+        |  SELECT (o_orderkey % 200) * 2 + (o_orderkey % 2) AS a,
+        |         (o_custkey % 200) * 2 + (o_orderkey % 2) AS b
+        |  FROM orders),
+        |edges AS (SELECT a AS n, b AS m FROM ed UNION SELECT b, a FROM ed),
+        |cc(n, m) AS (
+        |  SELECT n, n FROM (SELECT DISTINCT n FROM edges) t
+        |  UNION
+        |  SELECT e.n, cc.m FROM edges e JOIN cc ON e.m = cc.n
+        |)
+        |SELECT n AS node, CAST(MIN(m) AS BIGINT) AS cluster,
+        |  n = MIN(m) AS is_keeper
+        |FROM cc GROUP BY n""".stripMargin,
 
     // the same all-pairs mirror as q_join_fuzzy's oracle, over supplier
     "q_gate_fuzzy_tvf" ->

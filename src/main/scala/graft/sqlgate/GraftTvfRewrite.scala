@@ -53,6 +53,10 @@ import org.apache.spark.sql.SparkSession
   *     [, <k>]))` → `(ida, idb, dist)`: all pairs within edit distance
   *     k (default 1) via deletion-neighborhood blocking —
   *     [[graft.queries.Joins.fuzzySelfJoin]].
+  *   - `TABLE(CONNECTED_COMPONENTS(TABLE edges, DESCRIPTOR(a),
+  *     DESCRIPTOR(b)))` → `(node, cluster, is_keeper)`: undirected
+  *     connected components by min-label propagation —
+  *     [[graft.queries.Dedup.connectedComponents]].
   *
   * Same execution shape as [[MatchRecognizeRewrite]]: the operator runs
   * over `spark.table(src)`, the result registers as a tracked temp view
@@ -88,7 +92,7 @@ import org.apache.spark.sql.SparkSession
 object GraftTvfRewrite {
 
   private val Keyword =
-    """(?i)\b(?:DEDUP_(?:EXACT|MINHASH_PAIRS|SIMHASH_PAIRS|CROSS_PAIRS)|ANN_TOPK(?:_LSH)?|TEXT_QUALITY|LANG_ID|PAGERANK|FUZZY_JOIN)\s*\(""".r
+    """(?i)\b(?:DEDUP_(?:EXACT|MINHASH_PAIRS|SIMHASH_PAIRS|CROSS_PAIRS)|ANN_TOPK(?:_LSH)?|TEXT_QUALITY|LANG_ID|PAGERANK|FUZZY_JOIN|CONNECTED_COMPONENTS)\s*\(""".r
   private val viewCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private val Head =
@@ -106,6 +110,8 @@ object GraftTvfRewrite {
   // deletion-neighborhood edit-distance self-join: optional k (1 or 2)
   private val FuzzyRe =
     (Head.format("FUZZY_JOIN") + """(?:,\s*(\d+)\s*)?\)\s*\)""").r
+  // undirected connected components over an edge relation
+  private val CcRe = (Head.format("CONNECTED_COMPONENTS") + """\)\s*\)""").r
   // ANN takes TWO table args (corpus, queries) before the descriptors
   private val AnnRe =
     ("""(?i)\bTABLE\s*\(\s*ANN_TOPK\s*\(\s*TABLE\s+([`\w.]+)\s*,\s*""" +
@@ -124,7 +130,7 @@ object GraftTvfRewrite {
       """DESCRIPTOR\s*\(\s*([`\w]+)\s*\)\s*(?:,\s*([0-9.]+)\s*)?\)\s*\)""").r
 
   private def allRes = Seq(ExactRe, MinhashRe, SimhashRe, QualityRe, LangIdRe,
-    PageRankRe, FuzzyRe)
+    PageRankRe, FuzzyRe, CcRe)
 
   /** True iff the statement uses a graft TVF. */
   def present(sql: String): Boolean = Keyword.findFirstIn(sql).isDefined
@@ -261,6 +267,14 @@ object GraftTvfRewrite {
       view(graft.queries.Joins.fuzzySelfJoin(in, k)
         .select("ida", "idb", "dist"))
     })
+    out = CcRe.replaceAllIn(out, m => {
+      // whole-relation iterative label propagation — batch only
+      val edges = table(m.group(1)).select(
+        org.apache.spark.sql.functions.col(c2(m, 2)),
+        org.apache.spark.sql.functions.col(c2(m, 3)))
+      view(graft.queries.Dedup.connectedComponents(edges)
+        .withColumnRenamed("doc_id", "node"))
+    })
     requireFullyRewritten(out)
     (out, created.result())
   }
@@ -296,8 +310,10 @@ object GraftTvfRewrite {
           "TABLE(TEXT_QUALITY(TABLE t, DESCRIPTOR(id), DESCRIPTOR(text))), " +
           "TABLE(LANG_ID(TABLE t, DESCRIPTOR(id), DESCRIPTOR(text))), " +
           "TABLE(PAGERANK(TABLE edges, DESCRIPTOR(src), DESCRIPTOR(dst)" +
-          "[, iters])) " +
-          "or TABLE(FUZZY_JOIN(TABLE t, DESCRIPTOR(id), DESCRIPTOR(name)" +
-          "[, k]))")
+          "[, iters])), " +
+          "TABLE(FUZZY_JOIN(TABLE t, DESCRIPTOR(id), DESCRIPTOR(name)" +
+          "[, k])) " +
+          "or TABLE(CONNECTED_COMPONENTS(TABLE edges, DESCRIPTOR(a), " +
+          "DESCRIPTOR(b)))")
     }
 }

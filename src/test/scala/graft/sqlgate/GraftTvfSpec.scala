@@ -315,6 +315,23 @@ class GraftTvfSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(viaGate == direct && viaGate.nonEmpty)
 
+    // gate-vs-library equality for CONNECTED_COMPONENTS too
+    runner.run(
+      s"""CREATE OR REPLACE TEMPORARY VIEW cc_e AS
+         |  SELECT doc_id % 9 AS a, doc_id % 6 AS b FROM docs_fz;
+         |CREATE TABLE cc_t_sink (node BIGINT, cluster BIGINT,
+         |  is_keeper BOOLEAN) WITH ('connector' = 'memory');
+         |INSERT INTO cc_t_sink SELECT node, cluster, is_keeper
+         |FROM TABLE(CONNECTED_COMPONENTS(TABLE cc_e, DESCRIPTOR(a),
+         |  DESCRIPTOR(b)));""".stripMargin)
+    val ccGate = spark.table("cc_t_sink_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val ccDirect = graft.queries.Dedup.connectedComponents(
+      spark.read.parquet(docsDir)
+        .select((col("doc_id") % 9).as("a"), (col("doc_id") % 6).as("b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(ccGate == ccDirect && ccGate.nonEmpty)
+
     // both are whole-relation operators: a streaming source must hit
     // the table() guard, never a silent per-batch re-run
     val sRunner = new ScriptRunner(spark, batchMode = false)
