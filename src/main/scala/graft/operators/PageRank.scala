@@ -56,9 +56,24 @@ object PageRank {
     // weighted edges carry their source's outdeg so the per-iteration
     // join is rank-vector-only; truncate = this is the reused base
     val ewd = truncate(ew.join(deg, "src"))
+    // node set from the CHECKPOINTED weighted edges, not from `ew`: the
+    // inner join with deg preserves every (src, dst) row, and deriving
+    // from ewd keeps this graph-sized — a second derivation from ew
+    // would replay the whole corpus-sized edge aggregation (and its
+    // upstream lineage) in a separate job
     val nodes = truncate(
-      ew.select(col("src").as("node"))
-        .union(ew.select(col("dst").as("node"))).distinct())
+      ewd.select(col("src").as("node"))
+        .union(ewd.select(col("dst").as("node"))).distinct())
+    // total mass never exceeds nNodes·scale (each round emits
+    // 0.15·scale + 0.85·(inflow), and inflow sums to at most the
+    // previous total), so a single node's aggregate contribution is
+    // bounded by nNodes·scale — guard the damping multiply against
+    // silent Long wrap instead of letting a hub's rank go negative
+    val nNodes = nodes.count()
+    require(nNodes == 0 || scale <= Long.MaxValue / 85L / nNodes,
+      s"scale=$scale with $nNodes nodes can overflow the damping " +
+        "multiply (85 * contribution must fit a signed 64-bit long); " +
+        "lower scale")
     val base = scale * 15L / 100L
     var r = nodes.withColumn("rank", lit(scale))
     for (_ <- 1 to iters) {

@@ -975,6 +975,25 @@ object Dedup extends QueryPack {
         |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin,
       0.8)}""".stripMargin
 
+  /** Connected-components closure over any (ida, idb) pair SELECT — the
+    * shared machinery behind the q_dedup_cluster and q_gate_cc_tvf
+    * oracles: symmetrize, transitively close with a recursive CTE, and
+    * label each node with its component minimum.
+    */
+  private[queries] def oCcClosure(pairsSelect: String,
+      nodeAs: String): String =
+    s"""WITH RECURSIVE pairs AS ($pairsSelect),
+       |edges AS (SELECT ida AS n, idb AS m FROM pairs
+       |          UNION SELECT idb, ida FROM pairs),
+       |cc(n, m) AS (
+       |  SELECT n, n FROM (SELECT DISTINCT n FROM edges) t
+       |  UNION
+       |  SELECT e.n, cc.m FROM edges e JOIN cc ON e.m = cc.n
+       |)
+       |SELECT n AS $nodeAs, CAST(MIN(m) AS BIGINT) AS cluster,
+       |  n = MIN(m) AS is_keeper
+       |FROM cc GROUP BY n""".stripMargin
+
   /** Mirror of [[minhashCrossPairs]] over the documents table split by
     * doc_id % 10 (>= 8 incoming, < 8 corpus).
     */
@@ -1014,18 +1033,7 @@ object Dedup extends QueryPack {
 
     "q_dedup_cross" -> oMinhashCrossSql,
 
-    "q_dedup_cluster" ->
-      s"""WITH RECURSIVE pairs AS ($oMinhashPairsSql),
-         |edges AS (SELECT ida AS n, idb AS m FROM pairs
-         |          UNION SELECT idb, ida FROM pairs),
-         |cc(n, m) AS (
-         |  SELECT n, n FROM (SELECT DISTINCT n FROM edges) t
-         |  UNION
-         |  SELECT e.n, cc.m FROM edges e JOIN cc ON e.m = cc.n
-         |)
-         |SELECT n AS doc_id, CAST(MIN(m) AS BIGINT) AS cluster,
-         |  n = MIN(m) AS is_keeper
-         |FROM cc GROUP BY n""".stripMargin,
+    "q_dedup_cluster" -> oCcClosure(oMinhashPairsSql, "doc_id"),
 
     // Oracle brute-forces hamming over all pairs, on the SAME 4w-bit
     // signature the Spark side blocks on (w integer-derived from the

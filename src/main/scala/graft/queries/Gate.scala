@@ -1552,22 +1552,13 @@ object Gate extends QueryPack {
     "q_gate_pagerank_tvf" -> Pipeline.oPageRank("",
       "SELECT o_custkey % 1000 AS src, o_orderkey % 1000 AS dst FROM orders"),
 
-    // the q_dedup_cluster recursive-CTE closure over the gate script's
-    // own parity-split edge SELECT
-    "q_gate_cc_tvf" ->
-      """WITH RECURSIVE ed AS (
-        |  SELECT (o_orderkey % 200) * 2 + (o_orderkey % 2) AS a,
-        |         (o_custkey % 200) * 2 + (o_orderkey % 2) AS b
-        |  FROM orders),
-        |edges AS (SELECT a AS n, b AS m FROM ed UNION SELECT b, a FROM ed),
-        |cc(n, m) AS (
-        |  SELECT n, n FROM (SELECT DISTINCT n FROM edges) t
-        |  UNION
-        |  SELECT e.n, cc.m FROM edges e JOIN cc ON e.m = cc.n
-        |)
-        |SELECT n AS node, CAST(MIN(m) AS BIGINT) AS cluster,
-        |  n = MIN(m) AS is_keeper
-        |FROM cc GROUP BY n""".stripMargin,
+    // the q_dedup_cluster recursive-CTE closure (Dedup.oCcClosure — one
+    // shared machinery, two oracles) over the gate script's own
+    // parity-split edge SELECT
+    "q_gate_cc_tvf" -> Dedup.oCcClosure(
+      """SELECT (o_orderkey % 200) * 2 + (o_orderkey % 2) AS ida,
+        |         (o_custkey % 200) * 2 + (o_orderkey % 2) AS idb
+        |  FROM orders""".stripMargin, "node"),
 
     // the same all-pairs mirror as q_join_fuzzy's oracle, over supplier
     "q_gate_fuzzy_tvf" ->

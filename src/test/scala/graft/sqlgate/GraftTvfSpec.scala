@@ -332,19 +332,33 @@ class GraftTvfSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
     assert(ccGate == ccDirect && ccGate.nonEmpty)
 
-    // both are whole-relation operators: a streaming source must hit
-    // the table() guard, never a silent per-batch re-run
-    val sRunner = new ScriptRunner(spark, batchMode = false)
-    val err = intercept[IllegalArgumentException] {
-      sRunner.run(
-        s"""create table stream_e (src BIGINT, dst BIGINT
-           |) with ('connector' = 'datagen', 'rows-per-second' = '10');
-           |CREATE TABLE spr_sink (node BIGINT, rank BIGINT)
-           |WITH ('connector' = 'memory');
-           |INSERT INTO spr_sink SELECT node, rank
-           |FROM TABLE(PAGERANK(TABLE stream_e, DESCRIPTOR(src),
-           |  DESCRIPTOR(dst)));""".stripMargin)
+    // all three are whole-relation operators: a streaming source must
+    // hit the table() guard for EACH of them, never a silent per-batch
+    // re-run (the guard distinction is per-TVF — DEDUP_EXACT above
+    // legitimately routes streams — so each path needs its own pin)
+    val rejected = Seq(
+      ("spr_sink (node BIGINT, rank BIGINT)",
+        "node, rank",
+        "PAGERANK(TABLE stream_e, DESCRIPTOR(src), DESCRIPTOR(dst))"),
+      ("sfz_sink (ida BIGINT, idb BIGINT, dist BIGINT)",
+        "ida, idb, dist",
+        "FUZZY_JOIN(TABLE stream_e, DESCRIPTOR(src), DESCRIPTOR(dst))"),
+      ("scc_sink (node BIGINT, cluster BIGINT, is_keeper BOOLEAN)",
+        "node, cluster, is_keeper",
+        "CONNECTED_COMPONENTS(TABLE stream_e, DESCRIPTOR(src), " +
+          "DESCRIPTOR(dst))"))
+    for ((sinkDdl, cols, call) <- rejected) {
+      val sRunner = new ScriptRunner(spark, batchMode = false)
+      val err = intercept[IllegalArgumentException] {
+        sRunner.run(
+          s"""create table stream_e (src BIGINT, dst BIGINT
+             |) with ('connector' = 'datagen', 'rows-per-second' = '10');
+             |CREATE TABLE $sinkDdl
+             |WITH ('connector' = 'memory');
+             |INSERT INTO ${sinkDdl.takeWhile(_ != ' ')} SELECT $cols
+             |FROM TABLE($call);""".stripMargin)
+      }
+      assert(err.getMessage.contains("batch gate mode"), call)
     }
-    assert(err.getMessage.contains("batch gate mode"))
   }
 }
