@@ -90,7 +90,7 @@ object GraftFunctions {
     */
   val nativeNames: Set[String] = Set("long_dot", "simhash60",
     "word_ngrams", "count_in", "text_fingerprint", "jaccard_distinct",
-    "quant_vec", "argmin_cos", "pq_encode")
+    "quant_vec", "argmin_cos", "pq_encode", "deletion_variants")
 
   // once per session: createOrReplaceTempFunction logs a WARN on every
   // re-register, and the query packs call register() per query. Weak
@@ -146,6 +146,9 @@ object GraftFunctions {
           longs(exprs(2)), longs(exprs(3)), longs(exprs(4)))
       }, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "deletion_variants", exprs => DeletionVariants(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "pq_encode", exprs => {
         val cb = exprs(1).eval()
           .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
@@ -193,6 +196,13 @@ object GraftFunctions {
 
   /** Integer quantization of a float/double embedding (fused loop). */
   def quantVec(a: Column): Column = call_function("quant_vec", a)
+
+  /** 64-bit hashes of a string's ≤k-deletion neighborhood (fused loop;
+    * k is baked into the plan as a literal).
+    */
+  def deletionVariants(a: Column, k: Int): Column =
+    call_function("deletion_variants", a,
+      org.apache.spark.sql.functions.lit(k))
 
   /** Product-quantization encode against a flattened `long[m*c*d]`
     * codebook (fused three-deep argmin loop; the codebook literal is

@@ -180,17 +180,13 @@ object Joins extends QueryPack {
     */
   def fuzzySelfJoin(df: DataFrame, k: Int): DataFrame = {
     require(k >= 1 && k <= 2, s"fuzzySelfJoin supports k in [1,2], got $k")
-    // all single-character deletions of every string in arr (distinct)
-    def delOnce(arr: Column): Column =
-      array_distinct(flatten(transform(arr, s =>
-        when(length(s) >= 1,
-          transform(sequence(lit(1), length(s)), i =>
-            concat(s.substr(lit(1), i - lit(1)),
-              s.substr(i + lit(1), length(s) - i))))
-          .otherwise(array()))))
-    val levels = Iterator.iterate(array(col("name")))(delOnce)
-      .take(k + 1).toSeq
-    val variants = array_distinct(concat(levels: _*))
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    // the ≤k-deletion neighborhood, hashed, as one fused native loop
+    // (functions/DeletionVariants) — no per-variant string
+    // materialization, no interpreted higher-order lambdas on the
+    // corpus-scan hot path
+    val variants =
+      graft.functions.GraftFunctions.deletionVariants(col("name"), k)
     // Verify BEFORE the pair dedup, and dedup via a (ida, idb)-keyed
     // aggregate rather than a whole-row DISTINCT: levenshtein is a
     // cheap codegen'd map, so running it per candidate OCCURRENCE
@@ -205,7 +201,7 @@ object Joins extends QueryPack {
     // (Same-JVM sf10 decade measurements: this shape 44 s, whole-row
     // DISTINCT 134 s, narrow+join-back 108 s.)
     val kv = df.select(col("id"), col("name"),
-      explode(transform(variants, v => xxhash64(v))).as("vk"))
+      explode(variants).as("vk"))
     kv.select(col("vk"), col("id").as("ida"), col("name").as("na"))
       .join(kv.select(col("vk"), col("id").as("idb"), col("name").as("nb")),
         "vk")
