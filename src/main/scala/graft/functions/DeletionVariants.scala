@@ -12,7 +12,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * — as one fused native loop. Replaces the interpreted
   * transform(sequence(...)) → substr/concat → xxhash64 pipeline in the
   * fuzzy join's hot path: no per-variant string materialization (each
-  * variant hashes incrementally over the retained code points), no
+  * variant hashes by one pass over the retained code points — O(n) per
+  * variant, sized for the short keys/names this blocking targets), no
   * nested higher-order lambdas, and the dedup is an in-place sort of a
   * small long[] instead of `array_distinct` over strings. The hash need
   * not match any SQL builtin: blocking keys only require that equal
@@ -50,10 +51,22 @@ case class DeletionVariants(child: Expression, k: Int)
 
 object DeletionVariants {
 
+  /** k=2 length bound: the two-deletion neighborhood is ~n²/2 variants,
+    * which is already the wrong tool well before this limit (use
+    * MinHash/n-gram blocking for long text); past it the variant-count
+    * arithmetic itself would overflow Int.
+    */
+  private val MaxLenK2 = 10000
+
   /** Called from both interpreted eval and generated code. */
   def compute(s: UTF8String, k: Int): ArrayData = {
     val cps = s.toString.codePoints().toArray
     val n = cps.length
+    if (k >= 2 && n > MaxLenK2)
+      throw new IllegalArgumentException(
+        s"deletion_variants k=2 on a $n-code-point string would emit " +
+          s"~${n.toLong * (n - 1) / 2} variants (limit $MaxLenK2 code " +
+          "points); block long text with MinHash/n-grams instead")
     val cap = 1 + n + (if (k >= 2) n * (n - 1) / 2 else 0)
     val out = new Array[Long](cap)
     var m = 0

@@ -30,6 +30,12 @@ import org.apache.spark.sql.functions._
   * [[graft.queries.Dedup.connectedComponents]] does (localCheckpoint
   * locally, reliable checkpoint on a cluster) so the plan never
   * re-embeds N rounds of upstream pipeline.
+  *
+  * `scale` trades rank resolution for overflow headroom: total mass is
+  * bounded by nNodes·scale, and the kernel refuses combinations where
+  * the damping multiply could wrap (85·nNodes·scale must fit a signed
+  * long — with the 1e9 default that is ~1e8 nodes; shrink scale as the
+  * graph grows past that).
   */
 object PageRank {
 
@@ -48,7 +54,13 @@ object PageRank {
       "reliable=true needs SparkContext.setCheckpointDir")
     def truncate(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
+    // NULL endpoints are dropped up front, on both sides of the oracle
+    // contract (the SQL mirror filters identically): a NULL node is
+    // meaningless for ranking, and leaving such edges in would let the
+    // inner joins below silently drop them from flow while the node
+    // set kept them — the worst of both
     val e = edges.toDF("src", "dst")
+      .filter(col("src").isNotNull && col("dst").isNotNull)
     // the one corpus-sized stage: collapse link multiplicity
     val ew = e.groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("m"))

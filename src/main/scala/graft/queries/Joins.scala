@@ -198,8 +198,10 @@ object Joins extends QueryPack {
     // deduped pairs — measures 2x faster at oracle scale but 3x SLOWER
     // at sf10: once the name table outgrows the broadcast threshold,
     // the join-back sort-merges the full candidate-pair set twice.
-    // (Same-JVM sf10 decade measurements: this shape 44 s, whole-row
-    // DISTINCT 134 s, narrow+join-back 108 s.)
+    // (Same-JVM sf10 decade measurements, taken before the variant
+    // stage was fused into deletion_variants — the dedup-shape ordering
+    // is unaffected: this shape 44 s, whole-row DISTINCT 134 s,
+    // narrow+join-back 108 s.)
     val kv = df.select(col("id"), col("name"),
       explode(variants).as("vk"))
     kv.select(col("vk"), col("id").as("ida"), col("name").as("na"))

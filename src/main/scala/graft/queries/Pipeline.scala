@@ -280,7 +280,9 @@ object Pipeline extends QueryPack {
   private[queries] def oPageRank(prefixCtes: String, edgesSelect: String,
       nodeAs: String = "node"): String = {
     val pre = if (prefixCtes.trim.isEmpty) "" else prefixCtes.trim + ",\n"
-    s"""WITH ${pre}ed AS ($edgesSelect),
+    // NULL-endpoint edges are dropped exactly as the Spark kernel does
+    s"""WITH ${pre}ed AS (SELECT src, dst FROM ($edgesSelect) e0
+       |  WHERE src IS NOT NULL AND dst IS NOT NULL),
        |ew AS (SELECT src, dst, count(*) AS m FROM ed GROUP BY 1, 2),
        |deg AS (SELECT src, sum(m) AS outdeg FROM ew GROUP BY 1),
        |nodes AS (SELECT DISTINCT node FROM

@@ -60,6 +60,18 @@ class PageRankSpec extends SparkSpec {
     assert(r("c") > r("b"))
   }
 
+  test("NULL-endpoint edges are dropped entirely — from flow AND from " +
+    "the node set (the oracle SQL filters identically)") {
+    import spark.implicits._
+    val edges = Seq[(String, String)](("a", "b"), (null, "c"), ("d", null))
+      .toDF("src", "dst")
+    val r = PageRank(edges, 1, scale = Scale)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    // c (null src) and d (null dst) vanish with their edges; a → b stands
+    assert(r.keySet === Set("a", "b"))
+    assert(r("a") === Base && r("b") === Base + 85L * Scale / 100)
+  }
+
   test("node set is src ∪ dst and ranks are deterministic across runs") {
     val edges = Seq("x" -> "y", "y" -> "z", "q" -> "z")
     val r1 = ranks(edges, 3)
