@@ -58,6 +58,14 @@ object DeletionVariants {
     */
   private val MaxLenK2 = 10000
 
+  /** k=1 length bound: the neighborhood is only n+1 variants, but each
+    * hashes by an O(n) pass, so a long string (e.g. a document body
+    * accidentally bound to a FUZZY_JOIN key descriptor) is O(n²) per
+    * row — a silent stall rather than a loud failure. Larger than the
+    * k=2 cap (the fan-out is linear, not quadratic) but still bounded.
+    */
+  private val MaxLenK1 = 20000
+
   /** Called from both interpreted eval and generated code. */
   def compute(s: UTF8String, k: Int): ArrayData = {
     val cps = s.toString.codePoints().toArray
@@ -67,6 +75,11 @@ object DeletionVariants {
         s"deletion_variants k=2 on a $n-code-point string would emit " +
           s"~${n.toLong * (n - 1) / 2} variants (limit $MaxLenK2 code " +
           "points); block long text with MinHash/n-grams instead")
+    if (n > MaxLenK1)
+      throw new IllegalArgumentException(
+        s"deletion_variants k=$k on a $n-code-point string costs O(n²) " +
+          s"per row (limit $MaxLenK1 code points); block long text with " +
+          "MinHash/n-grams instead")
     val cap = 1 + n + (if (k >= 2) n * (n - 1) / 2 else 0)
     val out = new Array[Long](cap)
     var m = 0

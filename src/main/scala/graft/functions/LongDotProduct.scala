@@ -113,6 +113,32 @@ object GraftFunctions {
     ()
   }
 
+  /** Evaluate a function argument that must be an integer literal
+    * (e.g. `k` in deletion_variants, `n` in word_ngrams). Registry
+    * builders run at ANALYSIS time, so a non-foldable argument (a
+    * column) or a non-integral literal would otherwise surface as an
+    * obscure UnresolvedException / ClassCastException deep in eval().
+    */
+  private def analysisError(msg: String): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
+      "_LEGACY_ERROR_TEMP_0035", Map("message" -> msg), None)
+
+  private def intLiteral(e: org.apache.spark.sql.catalyst.expressions
+      .Expression, fname: String, arg: String): Int = {
+    if (!e.foldable)
+      analysisError(s"$fname: $arg must be an integer literal, " +
+        s"got non-constant expression ${e.sql}")
+    e.eval() match {
+      case n: java.lang.Integer => n.intValue
+      case n: java.lang.Long if n.longValue == n.intValue => n.intValue
+      case n: java.lang.Short => n.intValue
+      case n: java.lang.Byte => n.intValue
+      case other =>
+        analysisError(s"$fname: $arg must be an integer literal, got " +
+          (if (other == null) "NULL" else other.toString))
+    }
+  }
+
   private def doRegister(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "long_dot", exprs => LongDotProduct(exprs(0), exprs(1)), "built-in")
@@ -120,7 +146,7 @@ object GraftFunctions {
       "simhash60", exprs => SimHash60(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_ngrams", exprs =>
-        WordNgrams(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue),
+        WordNgrams(exprs(0), intLiteral(exprs(1), "word_ngrams", "n")),
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "count_in", exprs => {
@@ -147,16 +173,16 @@ object GraftFunctions {
       }, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "deletion_variants", exprs => DeletionVariants(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue), "built-in")
+        intLiteral(exprs(1), "deletion_variants", "k")), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "pq_encode", exprs => {
         val cb = exprs(1).eval()
           .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
           .toLongArray()
         PqEncode(exprs(0), cb,
-          exprs(2).eval().asInstanceOf[Number].intValue,
-          exprs(3).eval().asInstanceOf[Number].intValue,
-          exprs(4).eval().asInstanceOf[Number].intValue)
+          intLiteral(exprs(2), "pq_encode", "m"),
+          intLiteral(exprs(3), "pq_encode", "c"),
+          intLiteral(exprs(4), "pq_encode", "d"))
       }, "built-in")
   }
 

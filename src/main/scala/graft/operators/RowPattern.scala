@@ -39,12 +39,16 @@ final case class RowPatternSpec(
       */
     stepBudget: Long = RowPattern.DefaultStepBudget)
 
-/** Keyed state of [[RowPattern.streaming]]: the buffered row values
-  * (one inner array per source row of the prepped projection) whose
-  * anchors the watermark has not yet finalized. Kryo-encoded — the
-  * values are external Spark types (Long/Double/String/Timestamp/null).
-  */
-final case class MrStreamState(rows: Array[Array[Any]])
+// Keyed state of [[RowPattern.streaming]] is a single-field Row
+// `{rows: ARRAY<STRUCT<prepped projection>>}` — the buffered source
+// rows whose anchors the watermark has not yet finalized — encoded
+// with an EXPLICIT schema (Encoders.row over the prepped schema), not
+// Kryo: schema-driven state survives class-shape evolution of this
+// file, so a checkpoint written by one build restores under the next
+// as long as the projected schema (source columns + predicate
+// booleans + order/tiebreak) is unchanged. The reference's headline
+// verb is stop-with-savepoint → restore (CommandUtil.java:34-36);
+// Kryo-encoded state would tie that restore to Scala class shape.
 
 /** The per-key backtracking matcher shared by the batch and streaming
   * execution shapes — works over one key's rows sorted by
@@ -406,9 +410,13 @@ object RowPattern {
     val ordUsOrd = p.ordUsOrd
     val tbOrd = p.tbOrd
 
-    implicit val stateEnc: Encoder[MrStreamState] =
-      Encoders.kryo[MrStreamState]
-    implicit val outEnc: Encoder[Row] = Encoders.row(p.outSchema)
+    // explicit-schema keyed state: {rows: ARRAY<STRUCT<prepped>>} —
+    // see the state-encoding note above [[RowPattern]]
+    val stateSchema = StructType(Seq(
+      StructField("rows", ArrayType(p.df.schema, containsNull = false),
+        nullable = false)))
+    val stateEnc: Encoder[Row] = Encoders.row(stateSchema)
+    val outEnc: Encoder[Row] = Encoders.row(p.outSchema)
     val keyOrds = p.keyOrds
 
     // group by an injective string encoding of the PARTITION BY values
@@ -417,13 +425,11 @@ object RowPattern {
       graft.streaming.StreamOps.encodeKey(
         keyOrds.map(r.get).toSeq))(Encoders.STRING)
 
-    keyed.flatMapGroupsWithState[MrStreamState, Row](
+    keyed.flatMapGroupsWithState[Row, Row](
       OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-      (_: String, it: Iterator[Row], state: GroupState[MrStreamState]) =>
+      (_: String, it: Iterator[Row], state: GroupState[Row]) =>
         val prior: Vector[Row] = state.getOption
-          .map(_.rows.toVector.map(a =>
-            new org.apache.spark.sql.catalyst.expressions
-              .GenericRow(a): Row))
+          .map(_.getSeq[Row](0).toVector)
           .getOrElse(Vector.empty)
         val all = prior ++ it
         if (all.isEmpty) { state.remove(); Iterator.empty }
@@ -437,8 +443,8 @@ object RowPattern {
           val rest = sorted.drop(consumed)
           if (rest.isEmpty) state.remove()
           else {
-            state.update(MrStreamState(
-              rest.map(r => r.toSeq.toArray).toArray))
+            state.update(new org.apache.spark.sql.catalyst.expressions
+              .GenericRow(Array[Any](rest)))
             // wake when the watermark passes the oldest pending
             // anchor's WITHIN horizon (must be strictly beyond the
             // current watermark), so buffered matches flush even if
@@ -450,6 +456,6 @@ object RowPattern {
           }
           matches.iterator
         }
-    }.toDF()
+    }(stateEnc, outEnc).toDF()
   }
 }

@@ -374,38 +374,47 @@ object Dedup extends QueryPack {
     // ONE corpus text scan computes (idb, sb, ckeys) row-locally; the
     // band→bucket index then derives from that compact columnar file,
     // so neither the bucket groupBy nor a meta pass ever re-reads text.
-    val dir = java.nio.file.Files.createTempDirectory("graft_cross_idx")
-    dir.toFile.deleteOnExit()
-    ensureDropLogger(s)
-    rowLocalSig(corpus, "idb", "ckeys", "sb").write.parquet(s"$dir/meta")
-    // keyed by idb for the per-batch meta join — see the idx comment
-    val meta = s.read.parquet(s"$dir/meta")
-      .repartition(col("idb"))
-      .sortWithinPartitions(col("idb"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bsz = size(col("cm"))
-    meta.select(col("idb"),
-        posexplode(col("ckeys")).as(Seq("band", "bkey")))
-      .groupBy(col("band"), col("bkey"))
-      .agg(collect_list(col("idb")).as("cm"))
-      .observe("cross_stream_buckets",
-        sum(when(bsz > maxBucket, 1).otherwise(0)).as("dropped_buckets"),
-        sum(when(bsz > maxBucket, bsz).otherwise(0)).as("dropped_members"))
-      .filter(bsz <= maxBucket)
-      .select(col("band"), col("bkey"), explode(col("cm")).as("idb"))
-      .write.parquet(s"$dir/idx")
-    // Persist both static sides PRE-PARTITIONED on their join keys:
-    // InMemoryRelation preserves outputPartitioning, so every
-    // micro-batch's sort-merge join sees the static side already
-    // distributed and exchanges ONLY the (small) stream side — without
-    // this, each batch re-reads AND re-shuffles the whole corpus index,
-    // turning an O(batch) drain into O(batches × corpus). This is the
-    // in-session analogue of writing the index as a bucketed table,
-    // which is the production shape.
-    val idx = s.read.parquet(s"$dir/idx")
-      .repartition(col("band"), col("bkey"))
-      .sortWithinPartitions(col("band"), col("bkey"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Build-once via StaticIndexCache: repeated gate invocations over
+    // the same corpus reuse ONE (meta, idx) pair instead of pinning a
+    // fresh MEMORY_AND_DISK copy (and a fresh tmp dir) per call —
+    // threshold is a query-time filter, not an index parameter.
+    val (meta, idx) = StaticIndexCache.getOrBuild[(DataFrame, DataFrame)](
+      StaticIndexCache.corpusKey(s, corpus, "cross_idx",
+        idCol, textCol, bands, rowsPerBand, maxBucket)) {
+      val dir = java.nio.file.Files.createTempDirectory("graft_cross_idx")
+      dir.toFile.deleteOnExit()
+      ensureDropLogger(s)
+      rowLocalSig(corpus, "idb", "ckeys", "sb").write.parquet(s"$dir/meta")
+      // keyed by idb for the per-batch meta join — see the idx comment
+      val m = s.read.parquet(s"$dir/meta")
+        .repartition(col("idb"))
+        .sortWithinPartitions(col("idb"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bsz = size(col("cm"))
+      m.select(col("idb"),
+          posexplode(col("ckeys")).as(Seq("band", "bkey")))
+        .groupBy(col("band"), col("bkey"))
+        .agg(collect_list(col("idb")).as("cm"))
+        .observe("cross_stream_buckets",
+          sum(when(bsz > maxBucket, 1).otherwise(0)).as("dropped_buckets"),
+          sum(when(bsz > maxBucket, bsz).otherwise(0)).as("dropped_members"))
+        .filter(bsz <= maxBucket)
+        .select(col("band"), col("bkey"), explode(col("cm")).as("idb"))
+        .write.parquet(s"$dir/idx")
+      // Persist both static sides PRE-PARTITIONED on their join keys:
+      // InMemoryRelation preserves outputPartitioning, so every
+      // micro-batch's sort-merge join sees the static side already
+      // distributed and exchanges ONLY the (small) stream side — without
+      // this, each batch re-reads AND re-shuffles the whole corpus index,
+      // turning an O(batch) drain into O(batches × corpus). This is the
+      // in-session analogue of writing the index as a bucketed table,
+      // which is the production shape.
+      val i = s.read.parquet(s"$dir/idx")
+        .repartition(col("band"), col("bkey"))
+        .sortWithinPartitions(col("band"), col("bkey"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (m, i)
+    }
 
     // --- row-local incoming signature (no streaming aggregation) ---
     val inc = rowLocalSig(incoming, "ida", "ikeys", "sa")

@@ -136,8 +136,13 @@ object Similarity extends QueryPack {
   }
 
   private def corpusDim(corpus: DataFrame, vecCol: String): Int = {
-    val head = corpus.select(size(col(vecCol))).head(1)
-    require(head.nonEmpty, "ANN_TOPK_LSH: empty corpus — nothing to index")
+    // NULL vectors are skipped when probing the dimension (size(NULL)
+    // is NULL and would NPE here with no context); an all-NULL or
+    // empty corpus fails with the operator-prefixed message instead.
+    val head = corpus.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).head(1)
+    require(head.nonEmpty,
+      "ANN_TOPK_LSH: corpus has no non-NULL vectors — nothing to index")
     head(0).getInt(0)
   }
 
@@ -149,7 +154,8 @@ object Similarity extends QueryPack {
     */
   private def dimChecked(vec: Column, dim: Int): Column =
     when(assert_true(size(vec) === dim,
-      concat(lit("ANN_TOPK_LSH: vector dim "), size(vec),
+      concat(lit("ANN_TOPK_LSH: vector dim "),
+        coalesce(size(vec).cast("string"), lit("NULL")),
         lit(s" != corpus dim $dim"))).isNull, vec)
 
   /** Streaming LSH top-k: bounded corpus → once-materialized
@@ -179,18 +185,25 @@ object Similarity extends QueryPack {
     val s = corpus.sparkSession
     Vec.ensureRegistered(s)
     val dim = corpusDim(corpus, vecCol)
-    val dir = java.nio.file.Files.createTempDirectory("graft_ann_idx")
-    dir.toFile.deleteOnExit()
-    corpus
-      .select(col(idCol).as("nid"),
-        quant(dimChecked(col(vecCol), dim)).as("qe"))
-      .withColumn("nrm", dotQ(col("qe"), col("qe")))
-      .withColumn("bucket", bucketOf(col("qe"), nPlanes, dim))
-      .groupBy(col("bucket"))
-      .agg(collect_list(struct(col("nid"), col("qe"), col("nrm")))
-        .as("cands"))
-      .write.parquet(s"$dir/idx")
-    val idx = s.read.parquet(s"$dir/idx")
+    // Build-once: repeated gate invocations over the same corpus reuse
+    // one frozen bucket index instead of leaking a tmp parquet dir per
+    // call (k is a query-time cut, not an index parameter).
+    val idx = StaticIndexCache.getOrBuild[DataFrame](
+      StaticIndexCache.corpusKey(s, corpus, "ann_lsh_idx",
+        idCol, vecCol, nPlanes, dim)) {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ann_idx")
+      dir.toFile.deleteOnExit()
+      corpus
+        .select(col(idCol).as("nid"),
+          quant(dimChecked(col(vecCol), dim)).as("qe"))
+        .withColumn("nrm", dotQ(col("qe"), col("qe")))
+        .withColumn("bucket", bucketOf(col("qe"), nPlanes, dim))
+        .groupBy(col("bucket"))
+        .agg(collect_list(struct(col("nid"), col("qe"), col("nrm")))
+          .as("cands"))
+        .write.parquet(s"$dir/idx")
+      s.read.parquet(s"$dir/idx")
+    }
     val q = queries
       .select(col(idCol).as("qid"),
         quant(dimChecked(col(vecCol), dim)).as("qqe"))
@@ -216,6 +229,24 @@ object Similarity extends QueryPack {
       .select(col("qid"), col("col.nid").as("nid"),
         col("col.cosine").as("cosine"), (col("pos") + 1).as("rank"))
   }
+
+  /** Collect a centroid relation (cid, ce, cnrm) into the cid-sorted
+    * reference array [[Vec.argminAssignWith]] bakes into its fused
+    * argmin projection. Control-plane only: IVF sizes cells at ~√n, so
+    * this is KB-scale by design; a mis-sized centroid set fails loudly
+    * here instead of silently exploding a driver collect.
+    */
+  private def collectCents(cent: DataFrame): Seq[(Long, Seq[Long], Long)] = {
+    val rows = cent.limit(MaxCells + 1).collect()
+    require(rows.length <= MaxCells,
+      s"IVF centroid relation exceeds $MaxCells cells — size cells at " +
+        "~sqrt(corpus), not corpus-scale")
+    rows.map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+      .sortBy(_._1)
+  }
+
+  /** Loud bound on [[collectCents]]'s driver collect. */
+  private val MaxCells = 1 << 20
 
   /** Exact brute-force cosine top-k. `corpus` carries (vec_id, qe, nrm),
     * `qs` carries (qid, qqe, qnrm); the query side is broadcast, the
@@ -254,14 +285,16 @@ object Similarity extends QueryPack {
     */
   def annIvf(corpus: DataFrame, qs: DataFrame, cent: DataFrame, k: Int = K,
       nProbe: Int = NProbe): DataFrame = {
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cid"))
-    val assign = corpus.join(broadcast(cent))
-      .select(col("vec_id"), col("qe"), col("nrm"), col("cid"),
-        cosineQ(col("qe"), col("ce"), col("nrm"), col("cnrm")).as("ccos"))
-      .withColumn("crn", row_number().over(wAssign))
-      .filter(col("crn") === 1)
-      .select(col("vec_id"), col("qe"), col("nrm"), col("cid").as("cell"))
+    // Corpus-side coarse quantizer: ONE fused argmin_cos projection
+    // (zero shuffle) instead of exploding |corpus|×|cells| rows through
+    // a row_number window (a full exchange + sort of the exploded set —
+    // at √n cells that window shape is an n^1.5-row exchange). The
+    // centroid collect is control-plane sized by construction (cells ≈
+    // √n), the same discipline as every other argminAssignWith site;
+    // tie order (highest ccos, then lowest cid, NULL never wins) is
+    // bit-identical to the window spelling, pinned by the oracle.
+    val assign = Vec.argminAssignWith(corpus, collectCents(cent))
+      .select(col("vec_id"), col("qe"), col("nrm"), col("cell"))
     val wProbe = Window.partitionBy(col("qid"))
       .orderBy(col("ccos").desc, col("cid"))
     val probe = qs.join(broadcast(cent))
@@ -448,22 +481,35 @@ object Similarity extends QueryPack {
     * parts it composes, so the DuckDB oracle replays it exactly.
     */
   def ivfPqSearch(s: SparkSession, emb: DataFrame, cb: Array[Long],
-      nProbe: Int = NProbe, cand: Int = PqCand, k: Int = K): DataFrame = {
+      nProbe: Int = NProbe, cand: Int = PqCand, k: Int = K): DataFrame =
+    ivfPqSearchWith(s,
+      emb.filter(col("vec_id") >= NQueries),
+      emb.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("qe").as("qqe"),
+          col("nrm").as("qnrm")),
+      emb.filter(col("vec_id") >= CentLo && col("vec_id") < CentLo + CentN)
+        .select(col("vec_id").as("cid"), col("qe").as("ce"),
+          col("nrm").as("cnrm")),
+      cb, nProbe, cand, k)
+
+  /** General two-relation core of [[ivfPqSearch]]: `corpus` carries
+    * (vec_id, qe, nrm), `qs` (qid, qqe, qnrm), `cent` (cid, ce, cnrm),
+    * `cb` the flat PQ codebook. The query side is a control-plane
+    * collect (the ADC distance tables are per-query broadcast
+    * literals) — bounded-query-set semantics, like every ANN kernel
+    * here.
+    */
+  def ivfPqSearchWith(s: SparkSession, corpus: DataFrame, qs: DataFrame,
+      cent: DataFrame, cb: Array[Long], nProbe: Int = NProbe,
+      cand: Int = PqCand, k: Int = K): DataFrame = {
     def cwAt(m: Int, c: Int, i: Int) = cb((m * PqC + c) * PqD + i)
-    val cent = emb
-      .filter(col("vec_id") >= CentLo && col("vec_id") < CentLo + CentN)
-      .select(col("vec_id").as("cid"), col("qe").as("ce"),
-        col("nrm").as("cnrm"))
-    val corpus = emb.filter(col("vec_id") >= NQueries)
-    // coarse quantizer, corpus side: nearest-cell assignment (annIvf's)
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cid"))
-    val assign = corpus.join(broadcast(cent))
-      .select(col("vec_id"), col("cid"),
-        cosineQ(col("qe"), col("ce"), col("nrm"), col("cnrm")).as("ccos"))
-      .withColumn("crn", row_number().over(wAssign))
-      .filter(col("crn") === 1)
-      .select(col("vec_id").as("nid"), col("cid").as("cell"))
+    // coarse quantizer, corpus side: annIvf's fused zero-shuffle
+    // argmin_cos assignment (see the annIvf note — the row_number
+    // window spelling exchanged |corpus|×|cells| exploded rows)
+    val assign = Vec.argminAssignWith(
+        corpus.select(col("vec_id"), col("qe"), col("nrm")),
+        collectCents(cent))
+      .select(col("vec_id").as("nid"), col("cell"))
     // one-off encode pass + cell tag: (nid, codes, cell) IS the index
     val enc = corpus.select(col("vec_id").as("nid"),
       graft.functions.GraftFunctions
@@ -472,9 +518,7 @@ object Similarity extends QueryPack {
     // coarse quantizer, query side: nProbe nearest cells per query
     val wProbe = Window.partitionBy(col("qid"))
       .orderBy(col("ccos").desc, col("cid"))
-    val probe = emb.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("qid"), col("qe").as("qqe"),
-        col("nrm").as("qnrm"))
+    val probe = qs
       .join(broadcast(cent))
       .select(col("qid"), col("cid"),
         cosineQ(col("qqe"), col("ce"), col("qnrm"), col("cnrm")).as("ccos"))
@@ -483,8 +527,8 @@ object Similarity extends QueryPack {
       .select(col("qid"), col("cid").as("cell"))
     // per-query ADC tables as a broadcast literal (pqSearch's), but the
     // scan is routed: enc ⋈ probe on cell touches only probed members
-    val qvecs = emb.filter(col("vec_id") < NQueries)
-      .select(col("vec_id"), col("qe"), col("nrm")).collect()
+    val qvecs = qs
+      .select(col("qid"), col("qqe"), col("qnrm")).collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
       .sortBy(_._1)
     val qRows = qvecs.map { case (qid, qv, _) =>

@@ -80,6 +80,59 @@ class AnnStreamSpec extends SparkSpec {
     assert(e2.getMessage.contains("streaming query side"))
   }
 
+  test("repeated invocations reuse ONE frozen bucket index") {
+    // the per-call tmp-parquet leak fix: same (corpus, params) → same
+    // cached index; a different plane count is a distinct index
+    val staged = stagedEmb()
+    val schema = spark.read.parquet(staged).schema
+    val corpus = spark.read.parquet(staged).filter(col("vec_id") >= 8)
+    def streamQ = spark.readStream.schema(schema).parquet(staged)
+      .filter(col("vec_id") < 8)
+    StaticIndexCache.clear()
+    val first = rows(drain(Similarity.annLshTopkStream(
+      corpus, streamQ, "vec_id", "embedding", k = 3), "ann_reuse_1"))
+    val afterFirst = StaticIndexCache.size
+    val second = rows(drain(Similarity.annLshTopkStream(
+      corpus, streamQ, "vec_id", "embedding", k = 3), "ann_reuse_2"))
+    assert(StaticIndexCache.size == afterFirst,
+      "second invocation built a second index for the same corpus")
+    assert(second == first)
+    drain(Similarity.annLshTopkStream(
+      corpus, streamQ, "vec_id", "embedding", k = 3, nPlanes = 5),
+      "ann_reuse_3")
+    assert(StaticIndexCache.size == afterFirst + 1,
+      "a different plane count must be a distinct cached index")
+  }
+
+  test("NULL vectors reach the loud ANN guard, not an NPE") {
+    import spark.implicits._
+    val staged = stagedEmb()
+    val q = spark.read.parquet(staged).filter(col("vec_id") < 3)
+      .select(col("vec_id"), col("embedding"))
+    // an all-NULL corpus fails the dimension probe with the
+    // operator-prefixed message (it used to NPE on size(NULL))
+    val allNull = Seq((1L, null.asInstanceOf[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+    val err = intercept[IllegalArgumentException] {
+      Similarity.annLshTopkOn(allNull, q, "vec_id", "embedding", 2)
+    }
+    assert(err.getMessage.contains("non-NULL"))
+    // a corpus whose FIRST row is NULL probes the dim from the first
+    // non-null row, then the per-row guard names the NULL vector
+    val mixed = Seq((999L, null.asInstanceOf[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+      .unionAll(spark.read.parquet(staged).filter(col("vec_id") >= 8)
+        .select(col("vec_id"), col("embedding")))
+      .coalesce(1)
+    val guardErr = intercept[Exception] {
+      Similarity.annLshTopkOn(mixed, q, "vec_id", "embedding", 2).collect()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.toString + chain(t.getCause)
+    assert(chain(guardErr).contains("ANN_TOPK_LSH"),
+      s"expected the per-row guard, got: ${chain(guardErr)}")
+  }
+
   test("dimension-skewed vectors fail loudly instead of bucketing wrong") {
     import spark.implicits._
     val staged = stagedEmb()

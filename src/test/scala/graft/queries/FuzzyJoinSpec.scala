@@ -89,4 +89,36 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"),
       s"fuzzy join fell back to a cartesian product:\n$plan")
   }
+
+  test("k=1 long-string guard fails loudly naming the right tool") {
+    // a document body accidentally bound to the key descriptor must
+    // fail with a diagnostic, not stall in an O(n²) per-row loop
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val doc = "x" * 20001
+    val ex = intercept[Exception] {
+      Seq(doc).toDF("name")
+        .selectExpr("deletion_variants(name, 1)").collect()
+    }
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + chain(t.getCause)
+    assert(chain(ex).contains("MinHash"),
+      s"unexpected diagnostic: ${chain(ex)}")
+  }
+
+  test("non-literal k is an analysis error, not a runtime crash") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq((1L, "ab")).toDF("id", "name")
+    val exCol = intercept[org.apache.spark.sql.AnalysisException] {
+      df.selectExpr("deletion_variants(name, id)").collect()
+    }
+    assert(exCol.getMessage.contains("integer literal"),
+      s"unexpected: ${exCol.getMessage}")
+    val exStr = intercept[org.apache.spark.sql.AnalysisException] {
+      df.selectExpr("deletion_variants(name, 'two')").collect()
+    }
+    assert(exStr.getMessage.contains("integer literal"),
+      s"unexpected: ${exStr.getMessage}")
+  }
 }

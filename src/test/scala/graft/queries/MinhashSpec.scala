@@ -190,6 +190,33 @@ class MinhashSpec extends SparkSpec {
       "corpus LocalRelation leaked into the streaming plan")
   }
 
+  test("repeated cross-pairs invocations reuse ONE persisted corpus index") {
+    // the block-manager pinning fix: same (corpus, params) → one cached
+    // (meta, idx) pair; a second call must not persist a second copy
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = crossCorpusDocs.toDF("doc_id", "text")
+    StaticIndexCache.clear()
+    val in1 = MemoryStream[(Long, String)]
+    Dedup.minhashCrossPairsStream(
+      in1.toDS().toDF("doc_id", "text"), corpus, "doc_id", "text")
+    val afterFirst = StaticIndexCache.size
+    assert(afterFirst >= 1)
+    val in2 = MemoryStream[(Long, String)]
+    Dedup.minhashCrossPairsStream(
+      in2.toDS().toDF("doc_id", "text"),
+      crossCorpusDocs.toDF("doc_id", "text"), // rebuilt, same data/plan
+      "doc_id", "text")
+    assert(StaticIndexCache.size == afterFirst,
+      "second invocation pinned a second corpus index")
+    // a different threshold is query-time only — still the same index
+    val in3 = MemoryStream[(Long, String)]
+    Dedup.minhashCrossPairsStream(
+      in3.toDS().toDF("doc_id", "text"), corpus, "doc_id", "text",
+      threshold = 0.5)
+    assert(StaticIndexCache.size == afterFirst)
+  }
+
   test("streaming cross-pairs rejects a streaming corpus and a batch " +
     "incoming loudly") {
     import spark.implicits._

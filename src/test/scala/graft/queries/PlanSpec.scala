@@ -289,6 +289,22 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q_ann_ivf / q_ann_ivfpq: corpus cell assignment is a fused " +
+    "projection — no corpus-keyed window, no corpus exchange for it") {
+    // the coarse quantizer used to explode |corpus|×|cells| rows through
+    // row_number().over(partitionBy(vec_id)) — a corpus-sized exchange +
+    // sort. It is now the same zero-shuffle argmin_cos projection
+    // semantic dedup uses; only QUERY-side windows (qid — bounded by the
+    // fixture's 8 query rows) may remain.
+    for (q <- Seq("q_ann_ivf", "q_ann_ivfpq")) {
+      val p = plan(q)
+      assert(!p.contains("windowspecdefinition(vec_id"),
+        s"$q still windows over the corpus vec_id:\n$p")
+      assert(p.contains("argmin_cos"),
+        s"$q does not route assignment through argmin_cos:\n$p")
+    }
+  }
+
   test("q_embed_outliers: zero-shuffle assignment, one cell-keyed exchange") {
     // argmin assignment is a projection (no shuffle); the decile ranking
     // partitions once on the cell key and both window functions reuse it.
