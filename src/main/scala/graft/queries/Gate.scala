@@ -670,6 +670,82 @@ object Gate extends QueryPack {
       } finally runner.close()
     }),
 
+    // The composed IVF+PQ tier through the gate (batch): a statement-
+    // layer user reaches the FAISS-shape index — IVF cells route, the
+    // ADC scan reads codes, survivors re-rank exactly. Shares
+    // q_ann_ivfpq's oracle verbatim (GraftTvfSpec pins gate-vs-library
+    // equality).
+    "q_gate_ann_ivfpq_tvf" -> ((s, dir) => {
+      val runner = new ScriptRunner(s, batchMode = true)
+      runner.run(
+        s"""CREATE TABLE emb_ipq (vec_id BIGINT, embedding ARRAY<FLOAT>,
+           |  label INT
+           |) WITH (
+           |  'connector' = 'filesystem',
+           |  'path' = '$dir/embeddings.parquet',
+           |  'format' = 'parquet'
+           |);
+           |CREATE OR REPLACE TEMPORARY VIEW ipq_corpus AS
+           |  SELECT * FROM emb_ipq WHERE vec_id >= 8;
+           |CREATE OR REPLACE TEMPORARY VIEW ipq_queries AS
+           |  SELECT * FROM emb_ipq WHERE vec_id < 8;
+           |CREATE TABLE ann_ivfpq_tvf_sink (qid BIGINT, nid BIGINT,
+           |  cosine DOUBLE, rank INT) WITH ('connector' = 'memory');
+           |INSERT INTO ann_ivfpq_tvf_sink
+           |SELECT qid, nid, cosine, rank
+           |FROM TABLE(ANN_TOPK_IVFPQ(TABLE ipq_corpus, TABLE ipq_queries,
+           |  DESCRIPTOR(vec_id), DESCRIPTOR(embedding), 4));
+           |""".stripMargin)
+      s.table("ann_ivfpq_tvf_sink_out")
+    }),
+
+    // The SAME composed tier with a STREAMING query side on a real
+    // drain: arriving embeddings probe the frozen per-cell index
+    // statelessly (Similarity.ivfPqTopkStream — the embedding-dedup-
+    // at-ingest cadence). Hash-compared to the IDENTICAL oracle SQL as
+    // the batch route: per-row results must be equal, not similar.
+    "q_gate_ann_ivfpq_stream" -> ((s, dir) => {
+      val staged = StreamingGate.stagedTableDir(dir, "embeddings")
+      val runner = new ScriptRunner(s, batchMode = false)
+      try {
+        val res = runner.run(
+          s"""CREATE TABLE emb_ipqs (vec_id BIGINT, embedding ARRAY<FLOAT>,
+             |  label INT
+             |) WITH (
+             |  'connector' = 'filesystem',
+             |  'path' = '$staged',
+             |  'format' = 'parquet'
+             |);
+             |CREATE TABLE emb_ipqc (vec_id BIGINT, embedding ARRAY<FLOAT>,
+             |  label INT
+             |) WITH (
+             |  'connector' = 'filesystem',
+             |  'path' = '$dir/embeddings.parquet',
+             |  'format' = 'parquet',
+             |  'source.bounded' = 'true'
+             |);
+             |CREATE OR REPLACE TEMPORARY VIEW ipqs_queries AS
+             |  SELECT vec_id, embedding FROM emb_ipqs WHERE vec_id < 8;
+             |CREATE OR REPLACE TEMPORARY VIEW ipqs_corpus AS
+             |  SELECT vec_id, embedding FROM emb_ipqc WHERE vec_id >= 8;
+             |CREATE TABLE ann_ivfpq_stream_sink (qid BIGINT, nid BIGINT,
+             |  cosine DOUBLE, rank INT) WITH ('connector' = 'memory');
+             |INSERT INTO ann_ivfpq_stream_sink
+             |SELECT qid, nid, cosine, rank
+             |FROM TABLE(ANN_TOPK_IVFPQ(TABLE ipqs_corpus,
+             |  TABLE ipqs_queries,
+             |  DESCRIPTOR(vec_id), DESCRIPTOR(embedding), 4));
+             |""".stripMargin)
+        try res.queries.foreach { q =>
+          require(q.awaitTermination(300000),
+            "streaming ANN_TOPK_IVFPQ gate query timed out")
+        } finally res.queries.foreach { q =>
+          try q.stop() catch { case _: Throwable => () }
+        }
+        s.table("ann_ivfpq_stream_sink")
+      } finally runner.close()
+    }),
+
     // The iterative graph score through the gate: PAGERANK over an edge
     // view carved from orders (custkey-bucket links orderkey-bucket —
     // a dense deterministic multigraph), three scaled-integer rounds.
@@ -717,6 +793,30 @@ object Gate extends QueryPack {
            |  DESCRIPTOR(s_suppkey), DESCRIPTOR(s_name), 1));
            |""".stripMargin)
       s.table("fuzzy_sink_out")
+    }),
+
+    // FUZZY_JOIN at k = 2 end-to-end: exercises the two-deletion
+    // variant fan-out (n(n−1)/2 keys per row) and its length guard
+    // through the gate's k argument — the path FuzzyJoinSpec pins
+    // blocked==naive on but no DuckDB witness covered before. Supplier
+    // keys (shared 'Supplier#' prefix, digits apart) produce real
+    // distance-2 pairs the k=1 oracle never sees.
+    "q_gate_fuzzy2_tvf" -> ((s, dir) => {
+      val runner = new ScriptRunner(s, batchMode = true)
+      runner.run(
+        s"""CREATE TABLE supp_fz2 (s_suppkey BIGINT, s_name VARCHAR
+           |) WITH (
+           |  'connector' = 'filesystem',
+           |  'path' = '$dir/supplier.parquet',
+           |  'format' = 'parquet'
+           |);
+           |CREATE TABLE fuzzy2_sink (ida BIGINT, idb BIGINT, dist BIGINT)
+           |WITH ('connector' = 'memory');
+           |INSERT INTO fuzzy2_sink
+           |SELECT ida, idb, dist FROM TABLE(FUZZY_JOIN(TABLE supp_fz2,
+           |  DESCRIPTOR(s_suppkey), DESCRIPTOR(s_name), 2));
+           |""".stripMargin)
+      s.table("fuzzy2_sink_out")
     }),
 
     // Undirected connected components through the gate: the edge view
@@ -1547,6 +1647,11 @@ object Gate extends QueryPack {
     "q_gate_ann_lsh_tvf" -> oAnnLsh3,
     "q_gate_ann_stream" -> oAnnLsh3,
 
+    // the composed tier through the gate shares q_ann_ivfpq's oracle
+    // verbatim — batch TVF and streaming drain must hash-match it
+    "q_gate_ann_ivfpq_tvf" -> Similarity.oracleSql("q_ann_ivfpq"),
+    "q_gate_ann_ivfpq_stream" -> Similarity.oracleSql("q_ann_ivfpq"),
+
     // the shared unrolled-iteration machinery behind q_graph_pagerank,
     // over the gate script's bucket-edge SELECT
     "q_gate_pagerank_tvf" -> Pipeline.oPageRank("",
@@ -1566,6 +1671,13 @@ object Gate extends QueryPack {
         |  levenshtein(a.s_name, b.s_name) AS dist
         |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
         |WHERE levenshtein(a.s_name, b.s_name) <= 1""".stripMargin,
+
+    // the k=2 witness: same naive quadratic spec, distance bound 2
+    "q_gate_fuzzy2_tvf" ->
+      """SELECT a.s_suppkey AS ida, b.s_suppkey AS idb,
+        |  levenshtein(a.s_name, b.s_name) AS dist
+        |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+        |WHERE levenshtein(a.s_name, b.s_name) <= 2""".stripMargin,
 
     "q_gate_text_tvf" ->
       s"""SELECT q.doc_id, l.predicted, q.quality_score

@@ -238,6 +238,10 @@ object Similarity extends QueryPack {
     */
   private def collectCents(cent: DataFrame): Seq[(Long, Seq[Long], Long)] = {
     val rows = cent.limit(MaxCells + 1).collect()
+    require(rows.nonEmpty,
+      "IVF centroid relation is empty — the corpus must contain the " +
+        s"deterministic centroid window rows (id in [$CentLo, " +
+        s"${CentLo + CentN})) or pass fitted centroids via the Scala API")
     require(rows.length <= MaxCells,
       s"IVF centroid relation exceeds $MaxCells cells — size cells at " +
         "~sqrt(corpus), not corpus-scale")
@@ -370,6 +374,11 @@ object Similarity extends QueryPack {
       .select(col("vec_id"), col("qe")).collect()
       .map(r => (r.getLong(0) - CentLo, r.getSeq[Long](1)))
       .sortBy(_._1)
+    require(cents.length == PqC,
+      s"PQ codebook seed rows missing: expected $PqC corpus rows with " +
+        s"id in [$CentLo, ${CentLo + PqC}), found ${cents.length} — " +
+        "fit a codebook via pqFit/kmeansFit through the Scala API " +
+        "instead")
     Array.tabulate(PqM * PqC * PqD) { idx =>
       val m = idx / (PqC * PqD); val r = idx % (PqC * PqD)
       cents(r / PqD)._2(m * PqD + (r % PqD))
@@ -563,6 +572,198 @@ object Similarity extends QueryPack {
         cosineQ(col("qqe"), col("qe"), col("qnrm"), col("nrm")).as("cosine"))
       .withColumn("rank", row_number().over(wTop))
       .filter(col("rank") <= k)
+  }
+
+  /** Gate-facing IVF+PQ over raw (id, vec) relations — `ANN_TOPK_IVFPQ`'s
+    * batch kernel. Both sides quantize row-locally; the composed index
+    * (IVF cells + PQ codebook) derives from the corpus rows in the
+    * library's deterministic windows — cells from id ∈ [CentLo,
+    * CentLo+CentN), codeword seeds from id ∈ [CentLo, CentLo+PqC) —
+    * the same fixture contract as [[ivfPqSearch]]/q_ann_ivfpq, so the
+    * DuckDB oracle replays the result bit-exactly. A production fit
+    * swaps in [[kmeansFit]] cells and [[pqFit]] codebooks through the
+    * Scala API; the TVF freezes the deterministic variant.
+    */
+  def ivfPqTopkOn(corpusRaw: DataFrame, queriesRaw: DataFrame,
+      idCol: String, vecCol: String, nProbe: Int = NProbe,
+      cand: Int = PqCand, k: Int = K): DataFrame = {
+    val s = corpusRaw.sparkSession
+    Vec.ensureRegistered(s)
+    val dim = corpusDim(corpusRaw, vecCol)
+    require(dim == NDim,
+      s"ANN_TOPK_IVFPQ: embeddings have dim $dim but the PQ slicing " +
+        s"is built for $NDim")
+    def prep(df: DataFrame) = df
+      .select(col(idCol).as("vec_id"),
+        quant(dimChecked(col(vecCol), dim)).as("qe"))
+      .withColumn("nrm", dotQ(col("qe"), col("qe")))
+    val corpus = prep(corpusRaw)
+    val cent = corpus
+      .filter(col("vec_id") >= CentLo && col("vec_id") < CentLo + CentN)
+      .select(col("vec_id").as("cid"), col("qe").as("ce"),
+        col("nrm").as("cnrm"))
+    ivfPqSearchWith(s, corpus,
+      prep(queriesRaw).select(col("vec_id").as("qid"),
+        col("qe").as("qqe"), col("nrm").as("qnrm")),
+      cent, pqSliceCodebook(corpus), nProbe, cand, k)
+  }
+
+  /** Streaming IVF+PQ probe — the production shape for
+    * embedding-dedup-at-ingest, completing the streaming ANN family:
+    * the BOUNDED corpus freezes its composed index ONCE to parquet as
+    * one row per IVF cell carrying the member array (nid, PQ codes,
+    * quantized vector, norm) — built with the zero-shuffle argmin_cos
+    * assignment and one pq_encode pass, cached per (session, corpus
+    * plan, params) like every frozen index here — and each arriving
+    * query row then works ROW-LOCALLY: score all CentN cells against
+    * the plan-baked centroid literals (codegen'd long_dot branches,
+    * no state), take its nProbe nearest cells, fetch those cells'
+    * member arrays through nProbe stream-static equi joins against
+    * the persisted index (pre-partitioned on the cell key, so each
+    * micro-batch exchanges only its own rows — the cross-stream-dedup
+    * discipline), then ADC-score, candidate-cut, and exact-cosine
+    * re-rank entirely inside array expressions on that one row.
+    * Append mode, zero keyed state, and rows are bit-identical to
+    * [[ivfPqTopkOn]] over the same data: same integer ADC, same
+    * (adc, nid) candidate cut, same (cosine DESC NULLS LAST, nid)
+    * top-k — pinned by AnnStreamSpec and the gate oracle.
+    *
+    * At 100 TB: per-row cost is CentN fused dots + nProbe index
+    * probes reading nProbe/cells of the corpus (the same fraction the
+    * batch tier's routed scan touches), and the frozen index is a
+    * cell-bucketed table. The member arrays carry the raw quantized
+    * vectors so the exact re-rank stays row-local — cell payload is
+    * corpus/cells vectors; at extreme scale grow cells with
+    * [[recommendedCentroids]] (√n keeps payload √n) exactly as the
+    * batch tier sizes itself.
+    */
+  def ivfPqTopkStream(corpusRaw: DataFrame, queriesRaw: DataFrame,
+      idCol: String, vecCol: String, nProbe: Int = NProbe,
+      cand: Int = PqCand, k: Int = K): DataFrame = {
+    require(queriesRaw.isStreaming,
+      "ivfPqTopkStream needs a streaming query side — use ivfPqTopkOn " +
+        "for batch-vs-batch")
+    require(!corpusRaw.isStreaming,
+      "ANN_TOPK_IVFPQ: the corpus side must be a BOUNDED relation (its " +
+        "IVF+PQ index is fit once and frozen) — declare it with " +
+        "'source.bounded' = 'true' or a batch connector")
+    val s = corpusRaw.sparkSession
+    Vec.ensureRegistered(s)
+    val dim = corpusDim(corpusRaw, vecCol)
+    require(dim == NDim,
+      s"ANN_TOPK_IVFPQ: embeddings have dim $dim but the PQ slicing " +
+        s"is built for $NDim")
+    def prep(df: DataFrame) = df
+      .select(col(idCol).as("vec_id"),
+        quant(dimChecked(col(vecCol), dim)).as("qe"))
+      .withColumn("nrm", dotQ(col("qe"), col("qe")))
+    val corpus = prep(corpusRaw)
+    val centArr = collectCents(corpus
+      .filter(col("vec_id") >= CentLo && col("vec_id") < CentLo + CentN)
+      .select(col("vec_id").as("cid"), col("qe").as("ce"),
+        col("nrm").as("cnrm")))
+    val cb = pqSliceCodebook(corpus)
+
+    // frozen index: ONE row per cell with the member array, persisted
+    // pre-partitioned on the cell key (see minhashCrossPairsStream for
+    // why: micro-batches then exchange only stream-side rows)
+    val idx = StaticIndexCache.getOrBuild[DataFrame](
+      StaticIndexCache.corpusKey(s, corpusRaw, "ivfpq_idx",
+        idCol, vecCol)) {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx")
+      dir.toFile.deleteOnExit()
+      Vec.argminAssignWith(corpus, centArr)
+        .select(col("vec_id").as("nid"),
+          graft.functions.GraftFunctions
+            .pqEncode(col("qe"), cb, PqM, PqC, PqD).as("codes"),
+          col("qe"), col("nrm"), col("cell"))
+        .groupBy(col("cell"))
+        .agg(collect_list(struct(col("nid"), col("codes"), col("qe"),
+          col("nrm"))).as("cands"))
+        .write.parquet(s"$dir/idx")
+      s.read.parquet(s"$dir/idx")
+        .repartition(col("cell"))
+        .sortWithinPartitions(col("cell"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+    // ---- row-local query pipeline ----
+    val q0 = prep(queriesRaw).select(col("vec_id").as("qid"),
+      col("qe").as("qqe"), col("nrm").as("qnrm"))
+    // cell scores: one codegen'd long_dot branch per centroid literal —
+    // the streaming analogue of the batch probe's broadcast+window,
+    // same (ccos DESC NULLS LAST, cid) order
+    val scoredCells = array(centArr.map { case (cid, ce, cnrm) =>
+      struct(
+        cosineQ(col("qqe"), lit(ce.toArray), col("qnrm"), lit(cnrm))
+          .as("ccos"),
+        lit(cid).as("cid"))
+    }: _*)
+    def cmpCcos(l: Column, r: Column): Column = {
+      val (lc, rc) = (l.getField("ccos"), r.getField("ccos"))
+      val (ln, rn) = (l.getField("cid"), r.getField("cid"))
+      val byCid = when(ln < rn, -1).when(ln > rn, 1).otherwise(0)
+      when(lc.isNull && rc.isNull, byCid)
+        .when(lc.isNull, 1).when(rc.isNull, -1)
+        .when(lc > rc, -1).when(lc < rc, 1)
+        .otherwise(byCid)
+    }
+    val probes = transform(
+      slice(array_sort(scoredCells, cmpCcos), 1, nProbe),
+      e => e.getField("cid"))
+    // nProbe stream-static equi joins fetch the probed cells' member
+    // arrays (left: an empty cell has no index row)
+    val withProbes = q0.withColumn("probes", probes)
+    val joined = (0 until nProbe).foldLeft(withProbes) { (acc, j) =>
+      acc.join(
+        idx.select(col("cell").as(s"__cell_$j"),
+          col("cands").as(s"__cands_$j")),
+        get(col("probes"), lit(j)) === col(s"__cell_$j"), "left")
+    }
+    val emptyCands = array().cast(idx.schema("cands").dataType)
+    val members = flatten(array((0 until nProbe).map(j =>
+      coalesce(col(s"__cands_$j"), emptyCands)): _*))
+    // integer ADC per member, computed directly from the plan-baked
+    // codebook literal: sum_m sum_i (qv[m·d+i] − cw(m, codes[m], i))²
+    // — the same arithmetic as the batch dtab lookup, exact
+    val cbLit = lit(cb)
+    def adcOf(e: Column): Column = (0 until PqM).map { m =>
+      val code = get(e.getField("codes"), lit(m)).cast("long")
+      (0 until PqD).map { i =>
+        val d = get(col("qqe"), lit(m * PqD + i)) -
+          element_at(cbLit,
+            ((lit((m * PqC).toLong) + code) * PqD + i + 1).cast("int"))
+        d * d
+      }.reduce(_ + _)
+    }.reduce(_ + _)
+    val adcScored = transform(members, e =>
+      struct(adcOf(e).as("adc"), e.getField("nid").as("nid"),
+        e.getField("qe").as("qe"), e.getField("nrm").as("nrm")))
+    def cmpAdc(l: Column, r: Column): Column = {
+      val (la, ra) = (l.getField("adc"), r.getField("adc"))
+      val (ln, rn) = (l.getField("nid"), r.getField("nid"))
+      when(la < ra, -1).when(la > ra, 1)
+        .otherwise(when(ln < rn, -1).when(ln > rn, 1).otherwise(0))
+    }
+    val candArr = slice(array_sort(adcScored, cmpAdc), 1, cand)
+    val reranked = transform(candArr, e =>
+      struct(
+        cosineQ(col("qqe"), e.getField("qe"), col("qnrm"),
+          e.getField("nrm")).as("cosine"),
+        e.getField("nid").as("nid")))
+    def cmpCos(l: Column, r: Column): Column = {
+      val (lc, rc) = (l.getField("cosine"), r.getField("cosine"))
+      val (ln, rn) = (l.getField("nid"), r.getField("nid"))
+      val byNid = when(ln < rn, -1).when(ln > rn, 1).otherwise(0)
+      when(lc.isNull && rc.isNull, byNid)
+        .when(lc.isNull, 1).when(rc.isNull, -1)
+        .when(lc > rc, -1).when(lc < rc, 1)
+        .otherwise(byNid)
+    }
+    joined.select(col("qid"),
+        posexplode(slice(array_sort(reranked, cmpCos), 1, k)))
+      .select(col("qid"), col("col.nid").as("nid"),
+        col("col.cosine").as("cosine"), (col("pos") + 1).as("rank"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -40,6 +40,17 @@ import org.apache.spark.sql.SparkSession
   *     query side it routes to the stateless bucket-array index scan
   *     ([[graft.queries.Similarity.annLshTopkStream]]); the corpus must
   *     be bounded either way.
+  *   - `TABLE(ANN_TOPK_IVFPQ(TABLE corpus, TABLE queries,
+  *     DESCRIPTOR(id), DESCRIPTOR(vec)[, <nProbe>]))` → same columns,
+  *     the composed FAISS-shape tier: IVF cells route each query to its
+  *     nProbe nearest cells, the ADC scan reads only those cells' PQ
+  *     codes, survivors get an exact cosine re-rank —
+  *     [[graft.queries.Similarity.ivfPqTopkOn]] (cells/codebook from
+  *     the corpus's deterministic seed windows; fit production indexes
+  *     via kmeansFit/pqFit in the Scala API). On a STREAMING query
+  *     side it probes a frozen per-cell index statelessly
+  *     ([[graft.queries.Similarity.ivfPqTopkStream]]); the corpus must
+  *     be bounded either way.
   *   - `TABLE(TEXT_QUALITY(TABLE t, DESCRIPTOR(id), DESCRIPTOR(text)))`
   *     → `(id, mean_tok_len, stop_ratio, digit_ratio, quality_score)` —
   *     [[graft.queries.TextAnalysis.qualityOn]].
@@ -92,7 +103,7 @@ import org.apache.spark.sql.SparkSession
 object GraftTvfRewrite {
 
   private val Keyword =
-    """(?i)\b(?:DEDUP_(?:EXACT|MINHASH_PAIRS|SIMHASH_PAIRS|CROSS_PAIRS)|ANN_TOPK(?:_LSH)?|TEXT_QUALITY|LANG_ID|PAGERANK|FUZZY_JOIN|CONNECTED_COMPONENTS)\s*\(""".r
+    """(?i)\b(?:DEDUP_(?:EXACT|MINHASH_PAIRS|SIMHASH_PAIRS|CROSS_PAIRS)|ANN_TOPK(?:_LSH|_IVFPQ)?|TEXT_QUALITY|LANG_ID|PAGERANK|FUZZY_JOIN|CONNECTED_COMPONENTS)\s*\(""".r
   private val viewCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private val Head =
@@ -123,6 +134,12 @@ object GraftTvfRewrite {
       """TABLE\s+([`\w.]+)\s*,\s*DESCRIPTOR\s*\(\s*([`\w]+)\s*\)\s*,\s*""" +
       """DESCRIPTOR\s*\(\s*([`\w]+)\s*\)\s*""" +
       """(?:,\s*(\d+)\s*(?:,\s*(\d+)\s*)?)?\)\s*\)""").r
+  // composed IVF+PQ tier: optional trailing nProbe; query side may
+  // stream (frozen-index probe), corpus must be bounded
+  private val AnnIvfPqRe =
+    ("""(?i)\bTABLE\s*\(\s*ANN_TOPK_IVFPQ\s*\(\s*TABLE\s+([`\w.]+)\s*,\s*""" +
+      """TABLE\s+([`\w.]+)\s*,\s*DESCRIPTOR\s*\(\s*([`\w]+)\s*\)\s*,\s*""" +
+      """DESCRIPTOR\s*\(\s*([`\w]+)\s*\)\s*(?:,\s*(\d+)\s*)?\)\s*\)""").r
   // cross-corpus dedup takes TWO table args (incoming, corpus)
   private val CrossRe =
     ("""(?i)\bTABLE\s*\(\s*DEDUP_CROSS_PAIRS\s*\(\s*TABLE\s+([`\w.]+)\s*,\s*""" +
@@ -144,8 +161,9 @@ object GraftTvfRewrite {
     def clean(s: String) = s.replace("`", "").split('.').last
       .toLowerCase(java.util.Locale.ROOT)
     (allRes.flatMap(_.findAllMatchIn(sql).map(m => clean(m.group(1)))) ++
-      Seq(AnnRe, AnnLshRe, CrossRe).flatMap(_.findAllMatchIn(sql).flatMap(m =>
-        Seq(clean(m.group(1)), clean(m.group(2)))))).toSet
+      Seq(AnnRe, AnnLshRe, AnnIvfPqRe, CrossRe)
+        .flatMap(_.findAllMatchIn(sql).flatMap(m =>
+          Seq(clean(m.group(1)), clean(m.group(2)))))).toSet
   }
 
   /** Session-aware rewrite; returns the new text plus the temp views it
@@ -163,8 +181,8 @@ object GraftTvfRewrite {
           "(a silent re-windowing would change semantics — rejected " +
           "loudly). Only DEDUP_EXACT (keyed first-arrival dedup), the " +
           "stateless per-row TVFs TEXT_QUALITY / LANG_ID, the incoming " +
-          "side of DEDUP_CROSS_PAIRS and the query side of ANN_TOPK_LSH " +
-          "route streaming sources")
+          "side of DEDUP_CROSS_PAIRS and the query side of " +
+          "ANN_TOPK_LSH / ANN_TOPK_IVFPQ route streaming sources")
       df
     }
     def view(df: org.apache.spark.sql.DataFrame): String = {
@@ -217,6 +235,19 @@ object GraftTvfRewrite {
       val k = Option(m.group(5)).map(_.toInt).getOrElse(5)
       view(graft.queries.Similarity.annTopkOn(
         table(m.group(1)), table(m.group(2)), c2(m, 3), c2(m, 4), k))
+    })
+    out = AnnIvfPqRe.replaceAllIn(out, m => {
+      val nProbe = Option(m.group(5)).map(_.toInt).getOrElse(4)
+      val qDf = rawTable(m.group(2))
+      if (qDf.isStreaming)
+        // streaming query side vs frozen composed index — the
+        // embedding-dedup-at-ingest cadence; the kernel validates
+        // corpus bounded-ness and rejects loudly otherwise
+        view(graft.queries.Similarity.ivfPqTopkStream(
+          rawTable(m.group(1)), qDf, c2(m, 3), c2(m, 4), nProbe))
+      else
+        view(graft.queries.Similarity.ivfPqTopkOn(
+          table(m.group(1)), qDf, c2(m, 3), c2(m, 4), nProbe))
     })
     out = AnnLshRe.replaceAllIn(out, m => {
       val k = Option(m.group(5)).map(_.toInt).getOrElse(5)
@@ -283,8 +314,9 @@ object GraftTvfRewrite {
     * placeholder relation, nothing executes.
     */
   def validateOnly(sql: String): String = {
-    val out = (allRes ++ Seq(CrossRe, AnnRe, AnnLshRe)).foldLeft(sql)((s, re) =>
-      re.replaceAllIn(s, _ => "__graft_tvf_validated"))
+    val out = (allRes ++ Seq(CrossRe, AnnRe, AnnLshRe, AnnIvfPqRe))
+      .foldLeft(sql)((s, re) =>
+        re.replaceAllIn(s, _ => "__graft_tvf_validated"))
     requireFullyRewritten(out)
     out
   }
@@ -307,6 +339,8 @@ object GraftTvfRewrite {
           "DESCRIPTOR(vec)[, k])), " +
           "TABLE(ANN_TOPK_LSH(TABLE corpus, TABLE queries, " +
           "DESCRIPTOR(id), DESCRIPTOR(vec)[, k[, planes]])), " +
+          "TABLE(ANN_TOPK_IVFPQ(TABLE corpus, TABLE queries, " +
+          "DESCRIPTOR(id), DESCRIPTOR(vec)[, nProbe])), " +
           "TABLE(TEXT_QUALITY(TABLE t, DESCRIPTOR(id), DESCRIPTOR(text))), " +
           "TABLE(LANG_ID(TABLE t, DESCRIPTOR(id), DESCRIPTOR(text))), " +
           "TABLE(PAGERANK(TABLE edges, DESCRIPTOR(src), DESCRIPTOR(dst)" +

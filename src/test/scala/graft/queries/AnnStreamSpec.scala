@@ -80,6 +80,71 @@ class AnnStreamSpec extends SparkSpec {
     assert(e2.getMessage.contains("streaming query side"))
   }
 
+  test("streaming IVF+PQ probe equals the batch composed tier row-for-row") {
+    val staged = stagedEmb()
+    val schema = spark.read.parquet(staged).schema
+    val corpus = spark.read.parquet(staged).filter(col("vec_id") >= 8)
+      .select(col("vec_id"), col("embedding"))
+    val batchQ = spark.read.parquet(staged).filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding"))
+    val streamQ = spark.readStream.schema(schema).parquet(staged)
+      .filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding"))
+    def rows4(df: DataFrame): Set[(Long, Long, Double, Int)] =
+      df.collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"),
+        r.getAs[Double]("cosine"), r.getAs[Int]("rank"))).toSet
+    val batch = rows4(Similarity.ivfPqTopkOn(
+      corpus, batchQ, "vec_id", "embedding"))
+    assert(batch.nonEmpty)
+    val streamed = rows4(drain(Similarity.ivfPqTopkStream(
+      corpus, streamQ, "vec_id", "embedding"), "ivfpq_stream_eq"))
+    assert(streamed == batch,
+      s"stream-batch divergence: only-stream=${streamed -- batch} " +
+        s"only-batch=${batch -- streamed}")
+  }
+
+  test("streaming IVF+PQ: per-batch plan reads ONLY the frozen index — " +
+    "no corpus re-encode, and batch/streaming guards fire") {
+    val staged = stagedEmb()
+    val schema = spark.read.parquet(staged).schema
+    val corpus = spark.read.parquet(staged).filter(col("vec_id") >= 8)
+      .select(col("vec_id"), col("embedding"))
+    val streamQ = spark.readStream.schema(schema).parquet(staged)
+      .filter(col("vec_id") < 8)
+      .select(col("vec_id"), col("embedding"))
+    val out = Similarity.ivfPqTopkStream(
+      corpus, streamQ, "vec_id", "embedding")
+    // the only batch relations in the per-micro-batch plan are the
+    // frozen index parquet files; pq_encode (the corpus encode pass)
+    // must be absent — it ran once at index build
+    val plan = out.queryExecution.analyzed
+    val fileRels = plan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case f: org.apache.spark.sql.execution.datasources
+              .HadoopFsRelation => f.location.rootPaths.mkString(",")
+          case _ => ""
+        }
+    }
+    assert(fileRels.nonEmpty &&
+      fileRels.forall(_.contains("graft_ivfpq_idx")),
+      s"unexpected batch relations in the streaming plan: $fileRels")
+    assert(!plan.toString.contains("pq_encode"),
+      "corpus re-encode leaked into the per-batch plan")
+    // guards
+    val streaming = spark.readStream.schema(schema).parquet(staged)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopkStream(streaming, streaming, "vec_id",
+        "embedding")
+    }
+    assert(e.getMessage.contains("BOUNDED"))
+    val batch = spark.read.parquet(staged)
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopkStream(batch, batch, "vec_id", "embedding")
+    }
+    assert(e2.getMessage.contains("streaming query side"))
+  }
+
   test("repeated invocations reuse ONE frozen bucket index") {
     // the per-call tmp-parquet leak fix: same (corpus, params) → same
     // cached index; a different plane count is a distinct index

@@ -218,6 +218,41 @@ class GraftTvfSpec extends SparkSpec {
     assert(viaGate.groupBy(_._1).forall(_._2.size == 4))
   }
 
+  test("ANN_TOPK_IVFPQ through the gate matches the library kernel") {
+    val embDir = "/root/testdata/sf0.001/embeddings.parquet"
+    val runner = new ScriptRunner(spark, batchMode = true)
+    runner.run(
+      s"""create table emb_ipqg (vec_id BIGINT, embedding ARRAY<FLOAT>,
+         |  label INT
+         |) with (
+         |  'connector' = 'filesystem', 'path' = '$embDir',
+         |  'format' = 'parquet'
+         |);
+         |CREATE OR REPLACE TEMPORARY VIEW ipqg_corpus AS
+         |  SELECT * FROM emb_ipqg WHERE vec_id >= 8;
+         |CREATE OR REPLACE TEMPORARY VIEW ipqg_queries AS
+         |  SELECT * FROM emb_ipqg WHERE vec_id < 8;
+         |CREATE TABLE ipqg_sink (qid BIGINT, nid BIGINT, cosine DOUBLE,
+         |  rank INT) WITH ('connector' = 'memory');
+         |INSERT INTO ipqg_sink SELECT qid, nid, cosine, rank
+         |FROM TABLE(ANN_TOPK_IVFPQ(TABLE ipqg_corpus, TABLE ipqg_queries,
+         |  DESCRIPTOR(vec_id), DESCRIPTOR(embedding), 4));""".stripMargin)
+    val viaGate = spark.table("ipqg_sink_out")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    val raw = spark.read.parquet(embDir)
+    val direct = graft.queries.Similarity.ivfPqTopkOn(
+      raw.filter("vec_id >= 8"), raw.filter("vec_id < 8"),
+      "vec_id", "embedding", nProbe = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(viaGate == direct && viaGate.nonEmpty)
+    // every query row must surface exactly k neighbors
+    assert(viaGate.groupBy(_._1).forall(_._2.size == 5))
+  }
+
   test("TEXT_QUALITY and LANG_ID TVFs are per-row and composable") {
     val runner = new ScriptRunner(spark, batchMode = true)
     runner.run(
