@@ -282,6 +282,26 @@ object ScaleStress {
               lpad(col("c_custkey").cast("string"), 9, "0")).as("name"))
         Map("pairs" -> Joins.fuzzySelfJoin(c, 1).count())
       }),
+      // r14: the k=2 deletion neighborhood — variant fan-out grows from
+      // L+1 to ~L²/2 keys per row, so the claim under decade test is
+      // that runtime still tracks n·(L choose ≤2) + emitted pairs,
+      // never the n² candidate space. Supplier names (shorter corpus,
+      // same canonical-name regeneration as fuzzy_join — GenScale
+      // replicates names verbatim, the documented adversarial input).
+      "fuzzy_join2" -> (() => {
+        val sup = graft.Tables.load(spark, sfDir, "supplier")
+          .select(col("s_suppkey").as("id"),
+            concat(lit("Supplier#"),
+              lpad(col("s_suppkey").cast("string"), 9, "0")).as("name"))
+        Map("pairs" -> Joins.fuzzySelfJoin(sup, 2).count())
+      }),
+      // r14: streaming IVF+PQ probe on a real drain — the corpus
+      // freezes its composed per-cell index ONCE (encode + cell assign
+      // are the one corpus-sized cost); each arriving row's cost is
+      // CentN fused dots + nProbe cell-array scans, so the drain must
+      // track stream + index build with zero keyed state.
+      "ann_ivfpq_stream" -> (() => countOf("q_gate_ann_ivfpq_stream")
+        .map { case (_, v) => ("hits", v) }),
       // streaming LSH ANN TVF on a real drain: the corpus buckets ONCE
       // into a materialized (bucket, candidates) index; per arriving
       // row the cost is one bucket occupancy, so the drain must track

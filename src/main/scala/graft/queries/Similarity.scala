@@ -236,7 +236,19 @@ object Similarity extends QueryPack {
     * this is KB-scale by design; a mis-sized centroid set fails loudly
     * here instead of silently exploding a driver collect.
     */
-  private def collectCents(cent: DataFrame): Seq[(Long, Seq[Long], Long)] = {
+  private def collectCents(cent: DataFrame): Seq[(Long, Seq[Long], Long)] =
+    // cached per (session, centroid plan): the collect is a separate
+    // driver job, and re-running it per probe invocation measurably
+    // taxed the fixture-scale kernels (bench r14: q_ann_ivf[pq] +0.15s
+    // per call) — an index is fit once and probed many times, the same
+    // lifetime as every frozen artifact here
+    StaticIndexCache.getOrBuild[Seq[(Long, Seq[Long], Long)]](
+      StaticIndexCache.corpusKey(cent.sparkSession, cent, "ivf_cents")) {
+      collectCentsUncached(cent)
+    }
+
+  private def collectCentsUncached(
+      cent: DataFrame): Seq[(Long, Seq[Long], Long)] = {
     val rows = cent.limit(MaxCells + 1).collect()
     require(rows.nonEmpty,
       "IVF centroid relation is empty — the corpus must contain the " +

@@ -127,6 +127,66 @@ class KafkaRestSourceSpec extends SparkSpec {
     } finally b.stop()
   }
 
+  test("savepoint before a partition add, restore after: the new " +
+    "partition reads from its beginning exactly once, old partitions " +
+    "resume their saved offsets") {
+    // the offset-map EVOLUTION case a real restore hits: the restored
+    // offset log knows partitions {0, 1} but the broker now has {0, 1,
+    // 2} — planInputPartitions must continue 0/1 from the SAVED
+    // offsets and read 2 from its beginning, with no replay of
+    // anything processed before the savepoint
+    val b = new StubBroker("t_spgrow", 2)
+    val ckpt = java.nio.file.Files.createTempDirectory("krest_sp1").toString
+    val spRoot = java.nio.file.Files.createTempDirectory("krest_spr").toString
+    val got = mutable.Buffer[(Int, Long, String)]()
+    def startQuery(checkpoint: String) = spark.readStream.format(fmt)
+      .option("rest.endpoint", b.endpoint).option("topic", "t_spgrow").load()
+      .writeStream.foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+          val rows = batch.collect().map(r => (r.getAs[Int]("partition"),
+            r.getAs[Long]("offset"), r.getAs[String]("value")))
+          got.synchronized { got ++= rows; () }
+      }
+      .option("checkpointLocation", checkpoint).start()
+    try {
+      b.append(0, "null", """{"p":0,"n":1}""")
+      b.append(1, "null", """{"p":1,"n":1}""")
+      val q1 = startQuery(ckpt)
+      try {
+        q1.processAllAvailable()
+        assert(got.synchronized(got.size) == 2)
+      } finally q1.stop()
+
+      // stop-with-savepoint while the topic still has 2 partitions
+      val sp = graft.streaming.Savepoints.snapshot(ckpt, spRoot, "krest")
+
+      // the topic grows and accumulates backlog while the job is DOWN
+      val p2 = b.addPartition()
+      b.append(p2, "null", """{"p":2,"n":1}""")
+      b.append(p2, "null", """{"p":2,"n":2}""")
+      b.append(0, "null", """{"p":0,"n":2}""")
+
+      // restore into a FRESH checkpoint dir and restart the same plan
+      val ckpt2 = java.nio.file.Files.createTempDirectory("krest_sp2")
+        .toString
+      graft.streaming.Savepoints.restore(sp, ckpt2)
+      val q2 = startQuery(ckpt2)
+      try {
+        q2.processAllAvailable()
+        val rows = got.synchronized(got.toSet)
+        assert(rows == Set(
+          (0, 0L, """{"p":0,"n":1}"""), (1, 0L, """{"p":1,"n":1}"""),
+          (0, 1L, """{"p":0,"n":2}"""),
+          (2, 0L, """{"p":2,"n":1}"""), (2, 1L, """{"p":2,"n":2}""")),
+          rows.toString)
+        assert(got.synchronized(got.size) == 5,
+          "exactly-once across savepoint + partition add: " +
+            got.synchronized(got.toString))
+      } finally q2.stop()
+    } finally b.stop()
+  }
+
   test("latest-offset startup skips the backlog") {
     val b = new StubBroker("t_latest", 1)
     try {
