@@ -380,7 +380,16 @@ object Similarity extends QueryPack {
     * the `long[m*c*d]` layout pq_encode takes: entry ((m·PqC)+c)·PqD+i =
     * dim i of the m-th PqD-wide slice of codeword-source row c.
     */
-  def pqSliceCodebook(emb: DataFrame): Array[Long] = {
+  def pqSliceCodebook(emb: DataFrame): Array[Long] =
+    // cached per (session, corpus plan) — same index-lifetime rationale
+    // as the collected IVF centroids: the seed collect is a separate
+    // driver job per invocation otherwise
+    StaticIndexCache.getOrBuild[Array[Long]](
+      StaticIndexCache.corpusKey(emb.sparkSession, emb, "pq_seed")) {
+      pqSliceCodebookUncached(emb)
+    }
+
+  private def pqSliceCodebookUncached(emb: DataFrame): Array[Long] = {
     val cents = emb
       .filter(col("vec_id") >= CentLo && col("vec_id") < CentLo + PqC)
       .select(col("vec_id"), col("qe")).collect()
