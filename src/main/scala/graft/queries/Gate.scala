@@ -819,6 +819,70 @@ object Gate extends QueryPack {
       s.table("fuzzy2_sink_out")
     }),
 
+    // Cross-corpus fuzzy match through the gate (batch): a 1-in-5
+    // supplier slice resolved against the full supplier corpus.
+    "q_gate_fuzzy_cross_tvf" -> ((s, dir) => {
+      val runner = new ScriptRunner(s, batchMode = true)
+      runner.run(
+        s"""CREATE TABLE supp_fc (s_suppkey BIGINT, s_name VARCHAR
+           |) WITH (
+           |  'connector' = 'filesystem',
+           |  'path' = '$dir/supplier.parquet',
+           |  'format' = 'parquet'
+           |);
+           |CREATE OR REPLACE TEMPORARY VIEW fc_incoming AS
+           |  SELECT * FROM supp_fc WHERE s_suppkey % 5 = 0;
+           |CREATE TABLE fuzzy_cross_sink (ida BIGINT, idb BIGINT,
+           |  dist BIGINT) WITH ('connector' = 'memory');
+           |INSERT INTO fuzzy_cross_sink
+           |SELECT ida, idb, dist FROM TABLE(FUZZY_JOIN_CROSS(
+           |  TABLE fc_incoming, TABLE supp_fc,
+           |  DESCRIPTOR(s_suppkey), DESCRIPTOR(s_name), 1));
+           |""".stripMargin)
+      s.table("fuzzy_cross_sink_out")
+    }),
+
+    // The SAME cross kernel with a STREAMING incoming side on a real
+    // drain — entity resolution at ingest: arriving names probe the
+    // frozen corpus variant index statelessly. Hash-compared to the
+    // IDENTICAL oracle SQL as the batch route.
+    "q_gate_fuzzy_cross_stream" -> ((s, dir) => {
+      val staged = StreamingGate.stagedTableDir(dir, "supplier")
+      val runner = new ScriptRunner(s, batchMode = false)
+      try {
+        val res = runner.run(
+          s"""CREATE TABLE supp_fcs (s_suppkey BIGINT, s_name VARCHAR
+             |) WITH (
+             |  'connector' = 'filesystem',
+             |  'path' = '$staged',
+             |  'format' = 'parquet'
+             |);
+             |CREATE TABLE supp_fcc (s_suppkey BIGINT, s_name VARCHAR
+             |) WITH (
+             |  'connector' = 'filesystem',
+             |  'path' = '$dir/supplier.parquet',
+             |  'format' = 'parquet',
+             |  'source.bounded' = 'true'
+             |);
+             |CREATE OR REPLACE TEMPORARY VIEW fcs_incoming AS
+             |  SELECT * FROM supp_fcs WHERE s_suppkey % 5 = 0;
+             |CREATE TABLE fuzzy_cs_sink (ida BIGINT, idb BIGINT,
+             |  dist BIGINT) WITH ('connector' = 'memory');
+             |INSERT INTO fuzzy_cs_sink
+             |SELECT ida, idb, dist FROM TABLE(FUZZY_JOIN_CROSS(
+             |  TABLE fcs_incoming, TABLE supp_fcc,
+             |  DESCRIPTOR(s_suppkey), DESCRIPTOR(s_name), 1));
+             |""".stripMargin)
+        try res.queries.foreach { q =>
+          require(q.awaitTermination(300000),
+            "streaming FUZZY_JOIN_CROSS gate query timed out")
+        } finally res.queries.foreach { q =>
+          try q.stop() catch { case _: Throwable => () }
+        }
+        s.table("fuzzy_cs_sink")
+      } finally runner.close()
+    }),
+
     // Undirected connected components through the gate: the edge view
     // splits orders keys into two parity-disjoint node spaces, so the
     // label propagation must find exactly the structural components.
@@ -1503,6 +1567,14 @@ object Gate extends QueryPack {
     * shape at k=3 — shared verbatim by the batch and streaming
     * ANN_TOPK_LSH gate oracles.
     */
+  // slice-vs-corpus all-pairs mirror of the blocked FUZZY_JOIN_CROSS
+  private val oFuzzyCrossSupp: String =
+    """SELECT a.s_suppkey AS ida, b.s_suppkey AS idb,
+      |  levenshtein(a.s_name, b.s_name) AS dist
+      |FROM supplier a JOIN supplier b
+      |  ON levenshtein(a.s_name, b.s_name) <= 1
+      |WHERE a.s_suppkey % 5 = 0""".stripMargin
+
   private val oAnnLsh3: String =
     s"""WITH ${Similarity.oEmbQ},
        |${Similarity.oBuckets},
@@ -1678,6 +1750,12 @@ object Gate extends QueryPack {
         |  levenshtein(a.s_name, b.s_name) AS dist
         |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
         |WHERE levenshtein(a.s_name, b.s_name) <= 2""".stripMargin,
+
+    // naive slice×corpus mirror — shared by the batch TVF route and
+    // the streaming drain (row equality between execution shapes is
+    // witnessed by the driver itself)
+    "q_gate_fuzzy_cross_tvf" -> oFuzzyCrossSupp,
+    "q_gate_fuzzy_cross_stream" -> oFuzzyCrossSupp,
 
     "q_gate_text_tvf" ->
       s"""SELECT q.doc_id, l.predicted, q.quality_score

@@ -155,6 +155,17 @@ object Joins extends QueryPack {
       fuzzySelfJoin(Tables.load(s, dir, "customer")
         .select($"c_custkey".as("id"), $"c_name".as("name")), 1)
         .select($"ida", $"idb", $"dist")
+    }),
+
+    // Cross-corpus fuzzy match: a 1-in-20 incoming slice resolved
+    // against the FULL customer corpus (self-matches at dist 0 are
+    // part of the contract — an exact hit IS a match). The blocked
+    // kernel must reproduce the naive slice×corpus filter exactly.
+    "q_join_fuzzy_cross" -> ((s, dir) => {
+      import s.implicits._
+      val cust = Tables.load(s, dir, "customer")
+        .select($"c_custkey".as("id"), $"c_name".as("name"))
+      fuzzyCrossJoin(cust.filter($"id" % 20 === 0), cust, 1)
     }))
 
   /** All pairs (ida < idb) of `df`'s rows whose `name` strings are within
@@ -213,6 +224,85 @@ object Joins extends QueryPack {
       .groupBy(col("ida"), col("idb")) // a pair sharing m variants is
       .agg(first(col("na")).as("na"),  // one result row, not m
         first(col("nb")).as("nb"), first(col("dist")).as("dist"))
+  }
+
+  /** Cross-corpus fuzzy match: every (incoming, corpus) pair within
+    * edit distance `k`, by the same FastSS deletion-neighborhood
+    * blocking as [[fuzzySelfJoin]] — two strings within edit distance
+    * k share a ≤k-deletion variant, so the variant-hash equality join
+    * is a lossless candidate generator and the levenshtein verify is
+    * exact. The production cadence is a STREAMING incoming side
+    * (entity resolution / fuzzy decontamination at ingest) against a
+    * BOUNDED reference corpus, and the plan is built so the SAME code
+    * serves both shapes:
+    *
+    *   1. The corpus freezes ONCE to two parquet files, cached per
+    *      (session, corpus plan, k) and persisted PRE-PARTITIONED on
+    *      their join keys (the [[Dedup.minhashCrossPairsStream]]
+    *      discipline — micro-batches exchange only their own rows):
+    *      `idx(vk, idb)` — the exploded variant index — and
+    *      `meta(idb, nb, vb)` — the name and its full variant array.
+    *   2. Each incoming row computes its own variant array ROW-LOCALLY
+    *      (the fused native `deletion_variants` loop), explodes it,
+    *      and equi-joins `idx` on the 8-byte variant key, then `meta`
+    *      on idb.
+    *   3. A pair sharing m variants surfaces m times; instead of a
+    *      stateful DISTINCT the row survives only when the matched
+    *      variant is the MINIMUM of the two variant arrays'
+    *      intersection — a row-local rule (both arrays ride the row),
+    *      so each (ida, idb) pair emits exactly once with no state.
+    *   4. Exact `levenshtein ≤ k` verify, as in the self-join.
+    *
+    * Batch incoming runs the identical plan (the stream-static joins
+    * become plain joins) and is what the DuckDB oracle mirrors.
+    * At 100 TB the index is a bucketed table keyed on vk; per-row cost
+    * is the variant fan-out (L+1 keys at k=1) times bucket occupancy,
+    * bounded by true matches + hash collisions the verify rejects.
+    * State: none. `incoming`/`corpus` must carry (id, name).
+    */
+  def fuzzyCrossJoin(incoming: DataFrame, corpus: DataFrame,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 2, s"fuzzyCrossJoin supports k in [1,2], got $k")
+    require(!corpus.isStreaming,
+      "FUZZY_JOIN_CROSS: the corpus side must be a BOUNDED relation " +
+        "(its variant index is built once and frozen) — declare it " +
+        "with 'source.bounded' = 'true' or a batch connector")
+    val s = corpus.sparkSession
+    graft.functions.GraftFunctions.register(s)
+    val variants = graft.functions.GraftFunctions.deletionVariants _
+
+    val (idx, meta) = StaticIndexCache.getOrBuild[(DataFrame, DataFrame)](
+      StaticIndexCache.corpusKey(s, corpus, "fuzzy_cross_idx", k)) {
+      val dir = java.nio.file.Files.createTempDirectory("graft_fuzzy_idx")
+      dir.toFile.deleteOnExit()
+      corpus.select(col("id").as("idb"), col("name").as("nb"),
+          variants(col("name"), k).as("vb"))
+        .write.parquet(s"$dir/meta")
+      val m = s.read.parquet(s"$dir/meta")
+        .repartition(col("idb"))
+        .sortWithinPartitions(col("idb"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      m.select(col("idb"), explode(col("vb")).as("vk"))
+        .write.parquet(s"$dir/idx")
+      val i = s.read.parquet(s"$dir/idx")
+        .repartition(col("vk"))
+        .sortWithinPartitions(col("vk"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (i, m)
+    }
+
+    incoming.select(col("id").as("ida"), col("name").as("na"),
+        variants(col("name"), k).as("va"))
+      .select(col("ida"), col("na"), col("va"),
+        explode(col("va")).as("vk"))
+      .join(idx, "vk")
+      .join(meta, "idb")
+      // row-local pair dedup: survive only at the smallest shared
+      // variant (both arrays are sorted-distinct by construction)
+      .filter(col("vk") === array_min(array_intersect(col("va"), col("vb"))))
+      .withColumn("dist", levenshtein(col("na"), col("nb")).cast("long"))
+      .filter(col("dist") <= k)
+      .select(col("ida"), col("idb"), col("dist"))
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -284,5 +374,13 @@ object Joins extends QueryPack {
       """SELECT a.c_custkey AS ida, b.c_custkey AS idb,
         |  levenshtein(a.c_name, b.c_name) AS dist
         |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
-        |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin)
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
+
+    // naive slice×corpus mirror of the blocked cross kernel
+    "q_join_fuzzy_cross" ->
+      """SELECT a.c_custkey AS ida, b.c_custkey AS idb,
+        |  levenshtein(a.c_name, b.c_name) AS dist
+        |FROM customer a JOIN customer b
+        |  ON levenshtein(a.c_name, b.c_name) <= 1
+        |WHERE a.c_custkey % 20 = 0""".stripMargin)
 }

@@ -302,6 +302,12 @@ object ScaleStress {
       // track stream + index build with zero keyed state.
       "ann_ivfpq_stream" -> (() => countOf("q_gate_ann_ivfpq_stream")
         .map { case (_, v) => ("hits", v) }),
+      // r14: streaming cross-corpus fuzzy match on a real drain — the
+      // corpus variant index freezes once; per arriving row the cost
+      // is L+1 variant probes with fan-out bounded by true matches +
+      // collisions. Pairs are the metric (growth must track matches).
+      "fuzzy_cross_stream" -> (() => countOf("q_gate_fuzzy_cross_stream")
+        .map { case (_, v) => ("pairs", v) }),
       // streaming LSH ANN TVF on a real drain: the corpus buckets ONCE
       // into a materialized (bucket, candidates) index; per arriving
       // row the cost is one bucket occupancy, so the drain must track

@@ -64,6 +64,13 @@ import org.apache.spark.sql.SparkSession
   *     [, <k>]))` → `(ida, idb, dist)`: all pairs within edit distance
   *     k (default 1) via deletion-neighborhood blocking —
   *     [[graft.queries.Joins.fuzzySelfJoin]].
+  *   - `TABLE(FUZZY_JOIN_CROSS(TABLE incoming, TABLE corpus,
+  *     DESCRIPTOR(id), DESCRIPTOR(name)[, <k>]))` → `(ida, idb,
+  *     dist)`: every (incoming, corpus) pair within edit distance k —
+  *     [[graft.queries.Joins.fuzzyCrossJoin]]. The incoming side may
+  *     STREAM (entity resolution at ingest): the corpus variant index
+  *     freezes once, each arriving row probes it statelessly; the
+  *     corpus must be bounded either way.
   *   - `TABLE(CONNECTED_COMPONENTS(TABLE edges, DESCRIPTOR(a),
   *     DESCRIPTOR(b)))` → `(node, cluster, is_keeper)`: undirected
   *     connected components by min-label propagation —
@@ -103,7 +110,7 @@ import org.apache.spark.sql.SparkSession
 object GraftTvfRewrite {
 
   private val Keyword =
-    """(?i)\b(?:DEDUP_(?:EXACT|MINHASH_PAIRS|SIMHASH_PAIRS|CROSS_PAIRS)|ANN_TOPK(?:_LSH|_IVFPQ)?|TEXT_QUALITY|LANG_ID|PAGERANK|FUZZY_JOIN|CONNECTED_COMPONENTS)\s*\(""".r
+    """(?i)\b(?:DEDUP_(?:EXACT|MINHASH_PAIRS|SIMHASH_PAIRS|CROSS_PAIRS)|ANN_TOPK(?:_LSH|_IVFPQ)?|TEXT_QUALITY|LANG_ID|PAGERANK|FUZZY_JOIN(?:_CROSS)?|CONNECTED_COMPONENTS)\s*\(""".r
   private val viewCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private val Head =
@@ -121,6 +128,12 @@ object GraftTvfRewrite {
   // deletion-neighborhood edit-distance self-join: optional k (1 or 2)
   private val FuzzyRe =
     (Head.format("FUZZY_JOIN") + """(?:,\s*(\d+)\s*)?\)\s*\)""").r
+  // cross-corpus fuzzy match: TWO tables (incoming, corpus); the
+  // incoming side may stream (frozen corpus variant index)
+  private val FuzzyCrossRe =
+    ("""(?i)\bTABLE\s*\(\s*FUZZY_JOIN_CROSS\s*\(\s*TABLE\s+([`\w.]+)\s*,\s*""" +
+      """TABLE\s+([`\w.]+)\s*,\s*DESCRIPTOR\s*\(\s*([`\w]+)\s*\)\s*,\s*""" +
+      """DESCRIPTOR\s*\(\s*([`\w]+)\s*\)\s*(?:,\s*(\d+)\s*)?\)\s*\)""").r
   // undirected connected components over an edge relation
   private val CcRe = (Head.format("CONNECTED_COMPONENTS") + """\)\s*\)""").r
   // ANN takes TWO table args (corpus, queries) before the descriptors
@@ -161,7 +174,7 @@ object GraftTvfRewrite {
     def clean(s: String) = s.replace("`", "").split('.').last
       .toLowerCase(java.util.Locale.ROOT)
     (allRes.flatMap(_.findAllMatchIn(sql).map(m => clean(m.group(1)))) ++
-      Seq(AnnRe, AnnLshRe, AnnIvfPqRe, CrossRe)
+      Seq(AnnRe, AnnLshRe, AnnIvfPqRe, CrossRe, FuzzyCrossRe)
         .flatMap(_.findAllMatchIn(sql).flatMap(m =>
           Seq(clean(m.group(1)), clean(m.group(2)))))).toSet
   }
@@ -181,8 +194,9 @@ object GraftTvfRewrite {
           "(a silent re-windowing would change semantics — rejected " +
           "loudly). Only DEDUP_EXACT (keyed first-arrival dedup), the " +
           "stateless per-row TVFs TEXT_QUALITY / LANG_ID, the incoming " +
-          "side of DEDUP_CROSS_PAIRS and the query side of " +
-          "ANN_TOPK_LSH / ANN_TOPK_IVFPQ route streaming sources")
+          "side of DEDUP_CROSS_PAIRS / FUZZY_JOIN_CROSS and the query " +
+          "side of ANN_TOPK_LSH / ANN_TOPK_IVFPQ route streaming " +
+          "sources")
       df
     }
     def view(df: org.apache.spark.sql.DataFrame): String = {
@@ -298,6 +312,16 @@ object GraftTvfRewrite {
       view(graft.queries.Joins.fuzzySelfJoin(in, k)
         .select("ida", "idb", "dist"))
     })
+    out = FuzzyCrossRe.replaceAllIn(out, m => {
+      // incoming may STREAM (entity resolution at ingest); the kernel
+      // validates corpus bounded-ness and rejects loudly otherwise
+      val k = Option(m.group(5)).map(_.toInt).getOrElse(1)
+      def shaped(src: String) = rawTable(src).select(
+        org.apache.spark.sql.functions.col(c2(m, 3)).as("id"),
+        org.apache.spark.sql.functions.col(c2(m, 4)).as("name"))
+      view(graft.queries.Joins.fuzzyCrossJoin(
+        shaped(m.group(1)), shaped(m.group(2)), k))
+    })
     out = CcRe.replaceAllIn(out, m => {
       // whole-relation iterative label propagation — batch only
       val edges = table(m.group(1)).select(
@@ -314,7 +338,8 @@ object GraftTvfRewrite {
     * placeholder relation, nothing executes.
     */
   def validateOnly(sql: String): String = {
-    val out = (allRes ++ Seq(CrossRe, AnnRe, AnnLshRe, AnnIvfPqRe))
+    val out = (allRes ++
+        Seq(CrossRe, AnnRe, AnnLshRe, AnnIvfPqRe, FuzzyCrossRe))
       .foldLeft(sql)((s, re) =>
         re.replaceAllIn(s, _ => "__graft_tvf_validated"))
     requireFullyRewritten(out)
@@ -341,6 +366,8 @@ object GraftTvfRewrite {
           "DESCRIPTOR(id), DESCRIPTOR(vec)[, k[, planes]])), " +
           "TABLE(ANN_TOPK_IVFPQ(TABLE corpus, TABLE queries, " +
           "DESCRIPTOR(id), DESCRIPTOR(vec)[, nProbe])), " +
+          "TABLE(FUZZY_JOIN_CROSS(TABLE incoming, TABLE corpus, " +
+          "DESCRIPTOR(id), DESCRIPTOR(name)[, k])), " +
           "TABLE(TEXT_QUALITY(TABLE t, DESCRIPTOR(id), DESCRIPTOR(text))), " +
           "TABLE(LANG_ID(TABLE t, DESCRIPTOR(id), DESCRIPTOR(text))), " +
           "TABLE(PAGERANK(TABLE edges, DESCRIPTOR(src), DESCRIPTOR(dst)" +

@@ -90,6 +90,53 @@ class FuzzyJoinSpec extends SparkSpec {
       s"fuzzy join fell back to a cartesian product:\n$plan")
   }
 
+  test("cross kernel: blocked slice-vs-corpus equals naive, batch AND " +
+    "streaming micro-batch splits, each pair exactly once") {
+    import spark.implicits._
+    val corpusDf = frame(corpus ++ Seq("extra", "extrb"))
+    val incomingRows = Seq((100L, "kitten"), (101L, "sittin"),
+      (102L, "zzz"), (103L, "same"), (104L, ""), (105L, "aaab"))
+    val incoming = incomingRows.toDF("id", "name")
+    val naiveCross = incoming.select(col("id").as("ida"), col("name").as("na"))
+      .crossJoin(corpusDf.select(col("id").as("idb"), col("name").as("nb")))
+      .withColumn("dist", levenshtein(col("na"), col("nb")).cast("long"))
+      .filter(col("dist") <= 1)
+      .select("ida", "idb", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(naiveCross.nonEmpty)
+    val batch = Joins.fuzzyCrossJoin(incoming, corpusDf, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(batch.length == batch.toSet.size, "pair emitted twice (batch)")
+    assert(batch.toSet == naiveCross)
+
+    // streaming incoming, split across micro-batches — stateless plan:
+    // nothing about batch 1 can suppress batch 2's rows
+    implicit val sqlCtx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = Joins.fuzzyCrossJoin(in.toDS().toDF("id", "name"), corpusDf, 1)
+      .writeStream.format("memory").queryName("fuzzy_cross_eq")
+      .outputMode("append").start()
+    try {
+      in.addData(incomingRows.take(3): _*)
+      q.processAllAvailable()
+      in.addData(incomingRows.drop(3): _*)
+      q.processAllAvailable()
+      val got = spark.table("fuzzy_cross_eq").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(got.length == got.toSet.size, "pair emitted twice (stream)")
+      assert(got.toSet == naiveCross,
+        s"only-stream=${got.toSet -- naiveCross} " +
+          s"only-naive=${naiveCross -- got.toSet}")
+    } finally q.stop()
+    // and a streaming corpus is rejected loudly
+    val e = intercept[IllegalArgumentException] {
+      Joins.fuzzyCrossJoin(incoming,
+        in.toDS().toDF("id", "name"), 1)
+    }
+    assert(e.getMessage.contains("BOUNDED"))
+  }
+
   test("k=1 long-string guard fails loudly naming the right tool") {
     // a document body accidentally bound to the key descriptor must
     // fail with a diagnostic, not stall in an O(n²) per-row loop
