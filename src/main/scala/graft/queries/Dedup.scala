@@ -905,7 +905,125 @@ object Dedup extends QueryPack {
         .select($"cell", $"a.vec_id".as("ida"), $"b.vec_id".as("idb"),
           Vec.cosineQ($"a.qe", $"b.qe", $"a.nrm", $"b.nrm").as("cosine"))
         .filter($"cosine" >= SemTheta)
+    }),
+
+    // Cross-corpus semantic dedup: a 1-in-4 incoming slice against the
+    // full embedding corpus through the frozen cell index (self-pairs
+    // at cosine 1.0 are part of the contract — an exact hit IS a dup).
+    "q_dedup_embed_cross" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      embedCrossPairs(emb.filter($"vec_id" % 4 === 0), emb,
+        "vec_id", "embedding")
     }))
+
+  /** Cross-corpus SEMANTIC dedup (SemDeDup's cell-blocked cosine, the
+    * two-relation shape): every (incoming, corpus) pair that lands in
+    * the SAME centroid cell with cosine ≥ threshold → (ida, idb,
+    * cosine). The production cadence is a STREAMING incoming side —
+    * embedding dedup at ingest against a curated reference corpus —
+    * and the ONE plan serves both shapes:
+    *
+    *   1. The corpus freezes its cell index ONCE (cached per (session,
+    *      corpus plan, threshold-independent key), persisted
+    *      pre-partitioned on the cell key): the fused zero-shuffle
+    *      `argmin_cos` assignment + groupBy(cell) → one row per cell
+    *      carrying the member array (idb, qe, nrm).
+    *   2. Each arriving row quantizes and assigns ROW-LOCALLY (the
+    *      same plan-baked argmin projection — no join, no state),
+    *      equi-joins its ONE cell's member row, and filters members by
+    *      exact quantized cosine inside array expressions. Append
+    *      mode, zero keyed state; per-row cost = k·d argmin + one cell
+    *      occupancy (√n with production √n-cell sizing).
+    *
+    * Centroids are the library's deterministic corpus window
+    * ([SemCentLo, SemCentLo+SemCentN), cid = vec_id − SemCentLo — the
+    * q_dedup_semantic contract the DuckDB oracle replays); production
+    * fits swap in kmeansFit centroids via the Scala API. Pairs where
+    * ida == idb (the slice overlaps the corpus) are part of the
+    * contract: an exact hit IS a duplicate. `incoming`/`corpus` carry
+    * (`idCol`, `vecCol`).
+    */
+  def embedCrossPairs(incoming: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String,
+      threshold: Double = SemTheta): DataFrame = {
+    require(!corpus.isStreaming,
+      "DEDUP_EMBED_PAIRS: the corpus side must be a BOUNDED relation " +
+        "(its cell index is built once and frozen) — declare it with " +
+        "'source.bounded' = 'true' or a batch connector")
+    val s = corpus.sparkSession
+    Vec.ensureRegistered(s)
+    val cents = StaticIndexCache.getOrBuild[Seq[(Long, Seq[Long], Long)]](
+      StaticIndexCache.corpusKey(s, corpus, "sem_cents", idCol, vecCol)) {
+      val rows = corpus
+        .select(col(idCol).as("vec_id"), quant(col(vecCol)).as("qe"))
+        .withColumn("nrm", dotQ(col("qe"), col("qe")))
+        .filter(col("vec_id") >= SemCentLo &&
+          col("vec_id") < SemCentLo + SemCentN)
+        .select((col("vec_id") - SemCentLo).as("cid"), col("qe"),
+          col("nrm"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+      require(rows.nonEmpty,
+        "DEDUP_EMBED_PAIRS: corpus has no centroid window rows (id in " +
+          s"[$SemCentLo, ${SemCentLo + SemCentN})) — fit centroids via " +
+          "kmeansFit and pass them to embedCrossPairsWith instead")
+      rows
+    }
+    embedCrossPairsWith(incoming, corpus, idCol, vecCol, cents, threshold)
+  }
+
+  /** [[embedCrossPairs]] with EXPLICIT centroids — the production form
+    * (√n kmeansFit cells; the TVF's deterministic-window contract is
+    * the oracle-replayable special case). Cell count is the per-row
+    * scan knob: occupancy is corpus/cells, so √n cells keep the
+    * arriving row's cosine scan √n — the same sizing law the
+    * semantic_sized decade rows measure.
+    */
+  def embedCrossPairsWith(incoming: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, cents: Seq[(Long, Seq[Long], Long)],
+      threshold: Double): DataFrame = {
+    require(!corpus.isStreaming,
+      "DEDUP_EMBED_PAIRS: the corpus side must be a BOUNDED relation " +
+        "(its cell index is built once and frozen) — declare it with " +
+        "'source.bounded' = 'true' or a batch connector")
+    val s = corpus.sparkSession
+    Vec.ensureRegistered(s)
+    def prep(df: DataFrame) = df
+      .select(col(idCol).as("vec_id"), quant(col(vecCol)).as("qe"))
+      .withColumn("nrm", dotQ(col("qe"), col("qe")))
+    val corpusP = prep(corpus)
+    val idx = StaticIndexCache.getOrBuild[DataFrame](
+      StaticIndexCache.corpusKey(s, corpus, "sem_cell_idx",
+        idCol, vecCol, cents.length,
+        cents.hashCode)) {
+      val dir = java.nio.file.Files.createTempDirectory("graft_sem_idx")
+      dir.toFile.deleteOnExit()
+      Vec.argminAssignWith(corpusP, cents)
+        .groupBy(col("cell"))
+        .agg(collect_list(struct(col("vec_id").as("idb"), col("qe"),
+          col("nrm"))).as("ms"))
+        .write.parquet(s"$dir/idx")
+      s.read.parquet(s"$dir/idx")
+        .repartition(col("cell"))
+        .sortWithinPartitions(col("cell"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    val inc = Vec.argminAssignWith(prep(incoming), cents)
+      .select(col("vec_id").as("ida"), col("qe").as("qa"),
+        col("nrm").as("na"), col("cell"))
+    val scored = transform(col("ms"), m =>
+      struct(m.getField("idb").as("idb"),
+        Vec.cosineQ(col("qa"), m.getField("qe"), col("na"),
+          m.getField("nrm")).as("cosine")))
+    inc.join(idx, Seq("cell"))
+      .select(col("ida"),
+        explode(filter(scored, m =>
+          m.getField("cosine") >= threshold)).as("m"))
+      .select(col("ida"), col("m.idb").as("idb"),
+        col("m.cosine").as("cosine"))
+  }
 
   /** Probe-side bound for the exact embedding near-dup baseline. */
   private val EmbedProbeBound = 500
@@ -918,6 +1036,19 @@ object Dedup extends QueryPack {
   private val SemTheta = 0.35
 
   // --- DuckDB mirrors -----------------------------------------------------
+
+  /** Mirror of [[embedCrossPairs]] over a 1-in-4 incoming slice of the
+    * embeddings table vs the full corpus — shared by the library query
+    * and both gate TVF routes so the three checks cannot drift.
+    */
+  private[queries] lazy val oEmbedCrossSql: String =
+    s"""WITH ${Vec.oArgminAssign(SemCentLo, SemCentN)}
+       |SELECT a.vec_id AS ida, b.vec_id AS idb,
+       |  ${Vec.oCosineQ("a.qe", "b.qe", "a.nrm", "b.nrm")} AS cosine
+       |FROM assign a JOIN assign b ON a.cell = b.cell
+       |WHERE a.vec_id % 4 = 0
+       |  AND ${Vec.oCosineQ("a.qe", "b.qe", "a.nrm", "b.nrm")} >= $SemTheta"""
+      .stripMargin
 
   private val oShingle3 =
     "list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in generate_series(1, len(w)-2)])"
@@ -1109,7 +1240,10 @@ object Dedup extends QueryPack {
          |SELECT a.cell, a.vec_id AS ida, b.vec_id AS idb,
          |  ${Vec.oCosineQ("a.qe", "b.qe", "a.nrm", "b.nrm")} AS cosine
          |FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
-         |WHERE ${Vec.oCosineQ("a.qe", "b.qe", "a.nrm", "b.nrm")} >= $SemTheta""".stripMargin)
+         |WHERE ${Vec.oCosineQ("a.qe", "b.qe", "a.nrm", "b.nrm")} >= $SemTheta""".stripMargin,
+
+    // slice-vs-corpus mirror of the frozen-cell-index cross kernel
+    "q_dedup_embed_cross" -> oEmbedCrossSql)
 
   /** DuckDB mirror of the corpus-sized [[simhashVerifiedPairs]] over the
     * documents table: brute-force hamming over the SAME 4w-bit signature

@@ -746,6 +746,74 @@ object Gate extends QueryPack {
       } finally runner.close()
     }),
 
+    // Cross-corpus SEMANTIC dedup through the gate (batch): a 1-in-4
+    // embedding slice against the full corpus via the frozen cell
+    // index — shares the library query's oracle verbatim.
+    "q_gate_embed_tvf" -> ((s, dir) => {
+      val runner = new ScriptRunner(s, batchMode = true)
+      runner.run(
+        s"""CREATE TABLE emb_sd (vec_id BIGINT, embedding ARRAY<FLOAT>,
+           |  label INT
+           |) WITH (
+           |  'connector' = 'filesystem',
+           |  'path' = '$dir/embeddings.parquet',
+           |  'format' = 'parquet'
+           |);
+           |CREATE OR REPLACE TEMPORARY VIEW sd_incoming AS
+           |  SELECT * FROM emb_sd WHERE vec_id % 4 = 0;
+           |CREATE TABLE embed_tvf_sink (ida BIGINT, idb BIGINT,
+           |  cosine DOUBLE) WITH ('connector' = 'memory');
+           |INSERT INTO embed_tvf_sink
+           |SELECT ida, idb, cosine FROM TABLE(DEDUP_EMBED_PAIRS(
+           |  TABLE sd_incoming, TABLE emb_sd,
+           |  DESCRIPTOR(vec_id), DESCRIPTOR(embedding), 0.35));
+           |""".stripMargin)
+      s.table("embed_tvf_sink_out")
+    }),
+
+    // The SAME semantic cross kernel with a STREAMING incoming side on
+    // a real drain — embedding dedup at ingest: arriving vectors
+    // assign row-locally and scan their one frozen cell. Hash-compared
+    // to the IDENTICAL oracle SQL as the batch route.
+    "q_gate_embed_stream" -> ((s, dir) => {
+      val staged = StreamingGate.stagedTableDir(dir, "embeddings")
+      val runner = new ScriptRunner(s, batchMode = false)
+      try {
+        val res = runner.run(
+          s"""CREATE TABLE emb_sds (vec_id BIGINT, embedding ARRAY<FLOAT>,
+             |  label INT
+             |) WITH (
+             |  'connector' = 'filesystem',
+             |  'path' = '$staged',
+             |  'format' = 'parquet'
+             |);
+             |CREATE TABLE emb_sdc (vec_id BIGINT, embedding ARRAY<FLOAT>,
+             |  label INT
+             |) WITH (
+             |  'connector' = 'filesystem',
+             |  'path' = '$dir/embeddings.parquet',
+             |  'format' = 'parquet',
+             |  'source.bounded' = 'true'
+             |);
+             |CREATE OR REPLACE TEMPORARY VIEW sds_incoming AS
+             |  SELECT vec_id, embedding FROM emb_sds WHERE vec_id % 4 = 0;
+             |CREATE TABLE embed_stream_sink (ida BIGINT, idb BIGINT,
+             |  cosine DOUBLE) WITH ('connector' = 'memory');
+             |INSERT INTO embed_stream_sink
+             |SELECT ida, idb, cosine FROM TABLE(DEDUP_EMBED_PAIRS(
+             |  TABLE sds_incoming, TABLE emb_sdc,
+             |  DESCRIPTOR(vec_id), DESCRIPTOR(embedding), 0.35));
+             |""".stripMargin)
+        try res.queries.foreach { q =>
+          require(q.awaitTermination(300000),
+            "streaming DEDUP_EMBED_PAIRS gate query timed out")
+        } finally res.queries.foreach { q =>
+          try q.stop() catch { case _: Throwable => () }
+        }
+        s.table("embed_stream_sink")
+      } finally runner.close()
+    }),
+
     // The iterative graph score through the gate: PAGERANK over an edge
     // view carved from orders (custkey-bucket links orderkey-bucket —
     // a dense deterministic multigraph), three scaled-integer rounds.
@@ -1756,6 +1824,11 @@ object Gate extends QueryPack {
     // witnessed by the driver itself)
     "q_gate_fuzzy_cross_tvf" -> oFuzzyCrossSupp,
     "q_gate_fuzzy_cross_stream" -> oFuzzyCrossSupp,
+
+    // the semantic cross kernel: all three routes (library, batch TVF,
+    // streaming drain) share one oracle SQL
+    "q_gate_embed_tvf" -> Dedup.oEmbedCrossSql,
+    "q_gate_embed_stream" -> Dedup.oEmbedCrossSql,
 
     "q_gate_text_tvf" ->
       s"""SELECT q.doc_id, l.predicted, q.quality_score

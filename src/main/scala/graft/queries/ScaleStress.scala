@@ -305,9 +305,99 @@ object ScaleStress {
       // r14: streaming cross-corpus fuzzy match on a real drain — the
       // corpus variant index freezes once; per arriving row the cost
       // is L+1 variant probes with fan-out bounded by true matches +
-      // collisions. Pairs are the metric (growth must track matches).
-      "fuzzy_cross_stream" -> (() => countOf("q_gate_fuzzy_cross_stream")
-        .map { case (_, v) => ("pairs", v) }),
+      // collisions. Names regenerate from the shifted keys (GenScale's
+      // verbatim replication is the documented adversarial
+      // exact-duplication input — see fuzzy_join), and the drain
+      // counts distributed via foreachBatch, never a driver-side
+      // memory sink.
+      "fuzzy_cross_stream" -> (() => {
+        val sup = graft.Tables.load(spark, sfDir, "supplier")
+          .select(col("s_suppkey").as("id"),
+            concat(lit("Supplier#"),
+              lpad(col("s_suppkey").cast("string"), 9, "0")).as("name"))
+        val stage = java.nio.file.Files.createTempDirectory("fzc_stage")
+        stage.toFile.deleteOnExit()
+        sup.filter(col("id") % 5 === 0)
+          .write.mode("overwrite").parquet(stage.toString)
+        val incoming = spark.readStream
+          .schema("id LONG, name STRING").parquet(stage.toString)
+        val pairs = new java.util.concurrent.atomic.AtomicLong()
+        val q = Joins.fuzzyCrossJoin(incoming, sup, 1)
+          .writeStream
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                _: Long) => pairs.addAndGet(b.count()); ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("fzc_ck").toString)
+          .start()
+        require(q.awaitTermination(600000), "fuzzy_cross drain timed out")
+        q.stop()
+        Map("pairs" -> pairs.get())
+      }),
+      // r14: streaming semantic dedup (embedding cross-pairs) on a
+      // real drain — the corpus cell index freezes once; per arriving
+      // row the cost is the plan-baked argmin + one cell occupancy
+      // (corpus/16 with the shipped fixed-cell contract — the same
+      // fixed-cells caveat as ann_ivfpq; production sizes cells √n).
+      "embed_cross_stream" -> (() => {
+        val emb = graft.Tables.load(spark, sfDir, "embeddings")
+        val stage = java.nio.file.Files.createTempDirectory("sdc_stage")
+        stage.toFile.deleteOnExit()
+        emb.filter(col("vec_id") % 4 === 0)
+          .select(col("vec_id"), col("embedding"))
+          .write.mode("overwrite").parquet(stage.toString)
+        val incoming = spark.readStream
+          .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+          .parquet(stage.toString)
+        val pairs = new java.util.concurrent.atomic.AtomicLong()
+        val q = Dedup.embedCrossPairs(incoming, emb, "vec_id", "embedding")
+          .writeStream
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                _: Long) => pairs.addAndGet(b.count()); ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("sdc_ck").toString)
+          .start()
+        require(q.awaitTermination(600000), "embed_cross drain timed out")
+        q.stop()
+        Map("pairs" -> pairs.get())
+      }),
+      // the same drain at PRODUCTION sizing: √n kmeans-fit cells keep
+      // the per-row scan √n — the knob that separates this from the
+      // fixed-16-cell gate contract above (the embedCrossPairsWith
+      // API; same sizing law as semantic_sized).
+      "embed_cross_sized" -> (() => {
+        val raw = graft.Tables.load(spark, sfDir, "embeddings")
+        val cents = Similarity.kmeansFit(emb(), seedCents(kSized), 1)
+        val stage = java.nio.file.Files.createTempDirectory("sds_stage")
+        stage.toFile.deleteOnExit()
+        raw.filter(col("vec_id") % 4 === 0)
+          .select(col("vec_id"), col("embedding"))
+          .write.mode("overwrite").parquet(stage.toString)
+        val incoming = spark.readStream
+          .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+          .parquet(stage.toString)
+        val pairs = new java.util.concurrent.atomic.AtomicLong()
+        val q = Dedup.embedCrossPairsWith(incoming, raw,
+            "vec_id", "embedding", cents, 0.35)
+          .writeStream
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                _: Long) => pairs.addAndGet(b.count()); ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("sds_ck").toString)
+          .start()
+        require(q.awaitTermination(600000),
+          "embed_cross_sized drain timed out")
+        q.stop()
+        Map("k" -> kSized.toLong, "pairs" -> pairs.get())
+      }),
       // streaming LSH ANN TVF on a real drain: the corpus buckets ONCE
       // into a materialized (bucket, candidates) index; per arriving
       // row the cost is one bucket occupancy, so the drain must track

@@ -71,6 +71,15 @@ import org.apache.spark.sql.SparkSession
   *     STREAM (entity resolution at ingest): the corpus variant index
   *     freezes once, each arriving row probes it statelessly; the
   *     corpus must be bounded either way.
+  *   - `TABLE(DEDUP_EMBED_PAIRS(TABLE incoming, TABLE corpus,
+  *     DESCRIPTOR(id), DESCRIPTOR(vec)[, <threshold>]))` → `(ida,
+  *     idb, cosine)`: cross-corpus SEMANTIC dedup — every (incoming,
+  *     corpus) pair sharing a centroid cell with cosine ≥ threshold
+  *     (default 0.35) — [[graft.queries.Dedup.embedCrossPairs]]. The
+  *     incoming side may STREAM (embedding dedup at ingest): the
+  *     corpus freezes its cell index once, each arriving row assigns
+  *     row-locally and scans one cell; the corpus must be bounded
+  *     either way.
   *   - `TABLE(CONNECTED_COMPONENTS(TABLE edges, DESCRIPTOR(a),
   *     DESCRIPTOR(b)))` → `(node, cluster, is_keeper)`: undirected
   *     connected components by min-label propagation —
@@ -110,7 +119,7 @@ import org.apache.spark.sql.SparkSession
 object GraftTvfRewrite {
 
   private val Keyword =
-    """(?i)\b(?:DEDUP_(?:EXACT|MINHASH_PAIRS|SIMHASH_PAIRS|CROSS_PAIRS)|ANN_TOPK(?:_LSH|_IVFPQ)?|TEXT_QUALITY|LANG_ID|PAGERANK|FUZZY_JOIN(?:_CROSS)?|CONNECTED_COMPONENTS)\s*\(""".r
+    """(?i)\b(?:DEDUP_(?:EXACT|MINHASH_PAIRS|SIMHASH_PAIRS|CROSS_PAIRS|EMBED_PAIRS)|ANN_TOPK(?:_LSH|_IVFPQ)?|TEXT_QUALITY|LANG_ID|PAGERANK|FUZZY_JOIN(?:_CROSS)?|CONNECTED_COMPONENTS)\s*\(""".r
   private val viewCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private val Head =
@@ -158,6 +167,12 @@ object GraftTvfRewrite {
     ("""(?i)\bTABLE\s*\(\s*DEDUP_CROSS_PAIRS\s*\(\s*TABLE\s+([`\w.]+)\s*,\s*""" +
       """TABLE\s+([`\w.]+)\s*,\s*DESCRIPTOR\s*\(\s*([`\w]+)\s*\)\s*,\s*""" +
       """DESCRIPTOR\s*\(\s*([`\w]+)\s*\)\s*(?:,\s*([0-9.]+)\s*)?\)\s*\)""").r
+  // cross-corpus SEMANTIC dedup: TWO tables (incoming, corpus); the
+  // incoming side may stream (frozen corpus cell index)
+  private val EmbedCrossRe =
+    ("""(?i)\bTABLE\s*\(\s*DEDUP_EMBED_PAIRS\s*\(\s*TABLE\s+([`\w.]+)\s*,\s*""" +
+      """TABLE\s+([`\w.]+)\s*,\s*DESCRIPTOR\s*\(\s*([`\w]+)\s*\)\s*,\s*""" +
+      """DESCRIPTOR\s*\(\s*([`\w]+)\s*\)\s*(?:,\s*([0-9.]+)\s*)?\)\s*\)""").r
 
   private def allRes = Seq(ExactRe, MinhashRe, SimhashRe, QualityRe, LangIdRe,
     PageRankRe, FuzzyRe, CcRe)
@@ -174,7 +189,7 @@ object GraftTvfRewrite {
     def clean(s: String) = s.replace("`", "").split('.').last
       .toLowerCase(java.util.Locale.ROOT)
     (allRes.flatMap(_.findAllMatchIn(sql).map(m => clean(m.group(1)))) ++
-      Seq(AnnRe, AnnLshRe, AnnIvfPqRe, CrossRe, FuzzyCrossRe)
+      Seq(AnnRe, AnnLshRe, AnnIvfPqRe, CrossRe, FuzzyCrossRe, EmbedCrossRe)
         .flatMap(_.findAllMatchIn(sql).flatMap(m =>
           Seq(clean(m.group(1)), clean(m.group(2)))))).toSet
   }
@@ -249,6 +264,14 @@ object GraftTvfRewrite {
       val k = Option(m.group(5)).map(_.toInt).getOrElse(5)
       view(graft.queries.Similarity.annTopkOn(
         table(m.group(1)), table(m.group(2)), c2(m, 3), c2(m, 4), k))
+    })
+    out = EmbedCrossRe.replaceAllIn(out, m => {
+      // incoming may STREAM (embedding dedup at ingest); the kernel
+      // validates corpus bounded-ness and rejects loudly otherwise
+      val threshold = Option(m.group(5)).map(_.toDouble).getOrElse(0.35)
+      view(graft.queries.Dedup.embedCrossPairs(
+        rawTable(m.group(1)), rawTable(m.group(2)),
+        c2(m, 3), c2(m, 4), threshold))
     })
     out = AnnIvfPqRe.replaceAllIn(out, m => {
       val nProbe = Option(m.group(5)).map(_.toInt).getOrElse(4)
@@ -339,7 +362,8 @@ object GraftTvfRewrite {
     */
   def validateOnly(sql: String): String = {
     val out = (allRes ++
-        Seq(CrossRe, AnnRe, AnnLshRe, AnnIvfPqRe, FuzzyCrossRe))
+        Seq(CrossRe, AnnRe, AnnLshRe, AnnIvfPqRe, FuzzyCrossRe,
+          EmbedCrossRe))
       .foldLeft(sql)((s, re) =>
         re.replaceAllIn(s, _ => "__graft_tvf_validated"))
     requireFullyRewritten(out)
@@ -368,6 +392,8 @@ object GraftTvfRewrite {
           "DESCRIPTOR(id), DESCRIPTOR(vec)[, nProbe])), " +
           "TABLE(FUZZY_JOIN_CROSS(TABLE incoming, TABLE corpus, " +
           "DESCRIPTOR(id), DESCRIPTOR(name)[, k])), " +
+          "TABLE(DEDUP_EMBED_PAIRS(TABLE incoming, TABLE corpus, " +
+          "DESCRIPTOR(id), DESCRIPTOR(vec)[, threshold])), " +
           "TABLE(TEXT_QUALITY(TABLE t, DESCRIPTOR(id), DESCRIPTOR(text))), " +
           "TABLE(LANG_ID(TABLE t, DESCRIPTOR(id), DESCRIPTOR(text))), " +
           "TABLE(PAGERANK(TABLE edges, DESCRIPTOR(src), DESCRIPTOR(dst)" +

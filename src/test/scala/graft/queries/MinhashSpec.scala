@@ -217,6 +217,52 @@ class MinhashSpec extends SparkSpec {
     assert(StaticIndexCache.size == afterFirst)
   }
 
+  test("embed cross-pairs: stream equals batch across micro-batch " +
+    "splits; streaming corpus rejected") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    implicit val sqlCtx = spark.sqlContext
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+    val incomingRows = emb.filter(col("vec_id") % 4 === 0)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    assert(incomingRows.length >= 4)
+    val batchOut = Dedup.embedCrossPairs(
+      emb.filter(col("vec_id") % 4 === 0), emb, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(batchOut.nonEmpty)
+    assert(batchOut.length == batchOut.toSet.size, "duplicate pair (batch)")
+    // every incoming row matches itself at cosine 1.0 (exact-hit dup)
+    assert(batchOut.count { case (a, b, _) => a == b } ==
+      incomingRows.length)
+
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = Dedup.embedCrossPairs(
+      in.toDS().toDF("vec_id", "embedding"), emb, "vec_id", "embedding")
+      .writeStream.format("memory").queryName("embed_cross_eq")
+      .outputMode("append").start()
+    try {
+      val (h, t) = incomingRows.splitAt(incomingRows.length / 2)
+      in.addData(h.toIndexedSeq: _*)
+      q.processAllAvailable()
+      in.addData(t.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("embed_cross_eq").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(got.length == got.toSet.size, "duplicate pair (stream)")
+      assert(got.toSet == batchOut.toSet,
+        s"only-stream=${got.toSet -- batchOut.toSet} " +
+          s"only-batch=${batchOut.toSet -- got.toSet}")
+    } finally q.stop()
+
+    val e = intercept[IllegalArgumentException] {
+      Dedup.embedCrossPairs(in.toDS().toDF("vec_id", "embedding"),
+        in.toDS().toDF("vec_id", "embedding"), "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("BOUNDED"))
+  }
+
   test("streaming cross-pairs rejects a streaming corpus and a batch " +
     "incoming loudly") {
     import spark.implicits._
