@@ -10,7 +10,8 @@ object SparkEntry {
   private def packs: Seq[QueryPack] = Seq(
     qp.Relational, qp.Joins, qp.Analytic, qp.Scalars, qp.Dedup,
     qp.Similarity, qp.TextAnalysis, qp.Windows, qp.Gate, qp.Multimodal,
-    qp.Extras, qp.StreamingGate, qp.Tpch, qp.Shapes, qp.Pipeline)
+    qp.Extras, qp.StreamingGate, qp.Tpch, qp.Shapes, qp.Pipeline,
+    qp.Search)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

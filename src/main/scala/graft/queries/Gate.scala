@@ -889,6 +889,34 @@ object Gate extends QueryPack {
 
     // Cross-corpus fuzzy match through the gate (batch): a 1-in-5
     // supplier slice resolved against the full supplier corpus.
+    // BM25 full-text top-k through the gate: the oracle query set
+    // (every 97th doc's first four tokens) carved as a view, retrieval
+    // via the TEXT_SEARCH_BM25 TVF — shares the library query's oracle.
+    "q_gate_bm25_tvf" -> ((s, dir) => {
+      val runner = new ScriptRunner(s, batchMode = true)
+      runner.run(
+        s"""CREATE TABLE docs_bm (doc_id BIGINT, text VARCHAR,
+           |  lang VARCHAR, source VARCHAR, n_chars INT
+           |) WITH (
+           |  'connector' = 'filesystem',
+           |  'path' = '$dir/documents.parquet',
+           |  'format' = 'parquet'
+           |);
+           |CREATE OR REPLACE TEMPORARY VIEW bm_queries AS
+           |  SELECT doc_id AS qid,
+           |    concat_ws(' ', slice(split(text, ' '), 1, 4)) AS qtext
+           |  FROM docs_bm WHERE doc_id % 97 = 3;
+           |CREATE TABLE bm25_sink (qid BIGINT, doc_id BIGINT,
+           |  score DOUBLE, rank INT) WITH ('connector' = 'memory');
+           |INSERT INTO bm25_sink
+           |SELECT qid, doc_id, score, rank FROM TABLE(TEXT_SEARCH_BM25(
+           |  TABLE bm_queries, TABLE docs_bm,
+           |  DESCRIPTOR(qid), DESCRIPTOR(qtext),
+           |  DESCRIPTOR(doc_id), DESCRIPTOR(text), 10));
+           |""".stripMargin)
+      s.table("bm25_sink_out")
+    }),
+
     "q_gate_fuzzy_cross_tvf" -> ((s, dir) => {
       val runner = new ScriptRunner(s, batchMode = true)
       runner.run(
@@ -1824,6 +1852,9 @@ object Gate extends QueryPack {
     // witnessed by the driver itself)
     "q_gate_fuzzy_cross_tvf" -> oFuzzyCrossSupp,
     "q_gate_fuzzy_cross_stream" -> oFuzzyCrossSupp,
+
+    // BM25 through the gate shares the library route's oracle
+    "q_gate_bm25_tvf" -> Search.oBm25Sql,
 
     // the semantic cross kernel: all three routes (library, batch TVF,
     // streaming drain) share one oracle SQL

@@ -182,6 +182,26 @@ object ScaleStress {
       "substr_grams" -> (() => materialize("q_dedup_substr")),
       "exact_dedup" -> (() => materialize("q_dedup_exact")),
       "lm_score" -> (() => materialize("q_text_lm_score")),
+      // r14: BM25 top-k retrieval — FIXED 200 queries against the
+      // growing corpus, so the decade metric isolates index build +
+      // probe (probe fan-out is Σ df over query terms — corpus-linear
+      // under the synthetic dense vocabulary, the operator's worst
+      // case: every term's posting list is corpus-sized)
+      "bm25_search" -> (() => {
+        val docs = graft.Tables.load(spark, sfDir, "documents")
+        val q = docs.filter(col("doc_id") < 200)
+          .selectExpr("doc_id AS qid",
+            "concat_ws(' ', slice(split(text, ' '), 1, 4)) AS qtext")
+        Map("hits" -> Search.bm25TopK(q, docs, "qid", "qtext",
+          "doc_id", "text", 10).count())
+      }),
+      // r14: per-doc TF-IDF keywords — one tokenize pass, two keyed
+      // exchanges, output corpus-linear (k terms per doc)
+      "tfidf_keywords" -> (() => {
+        val docs = graft.Tables.load(spark, sfDir, "documents")
+        Map("rows" ->
+          Search.keywordsTfidf(docs, "doc_id", "text", 3).count())
+      }),
       "pack_sequences" -> (() => materialize("q_pack_sequences")),
       "tpch_q1" -> (() => materialize("q1_agg")),
       "tpch_q18" -> (() => materialize("q18_bigorders")),

@@ -80,6 +80,13 @@ import org.apache.spark.sql.SparkSession
   *     corpus freezes its cell index once, each arriving row assigns
   *     row-locally and scans one cell; the corpus must be bounded
   *     either way.
+  *   - `TABLE(TEXT_SEARCH_BM25(TABLE queries, TABLE corpus,
+  *     DESCRIPTOR(qid), DESCRIPTOR(qtext), DESCRIPTOR(id),
+  *     DESCRIPTOR(text)[, <k>]))` → `(qid, doc_id, score, rank)`:
+  *     BM25 top-k full-text retrieval (log-free rational idf, k
+  *     default 10) — [[graft.queries.Search.bm25TopK]]. Whole-relation
+  *     (posting index build + per-query score aggregation): both
+  *     sides must be bounded, streaming rejected loudly.
   *   - `TABLE(CONNECTED_COMPONENTS(TABLE edges, DESCRIPTOR(a),
   *     DESCRIPTOR(b)))` → `(node, cluster, is_keeper)`: undirected
   *     connected components by min-label propagation —
@@ -119,7 +126,7 @@ import org.apache.spark.sql.SparkSession
 object GraftTvfRewrite {
 
   private val Keyword =
-    """(?i)\b(?:DEDUP_(?:EXACT|MINHASH_PAIRS|SIMHASH_PAIRS|CROSS_PAIRS|EMBED_PAIRS)|ANN_TOPK(?:_LSH|_IVFPQ)?|TEXT_QUALITY|LANG_ID|PAGERANK|FUZZY_JOIN(?:_CROSS)?|CONNECTED_COMPONENTS)\s*\(""".r
+    """(?i)\b(?:DEDUP_(?:EXACT|MINHASH_PAIRS|SIMHASH_PAIRS|CROSS_PAIRS|EMBED_PAIRS)|ANN_TOPK(?:_LSH|_IVFPQ)?|TEXT_QUALITY|TEXT_SEARCH_BM25|LANG_ID|PAGERANK|FUZZY_JOIN(?:_CROSS)?|CONNECTED_COMPONENTS)\s*\(""".r
   private val viewCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private val Head =
@@ -173,6 +180,14 @@ object GraftTvfRewrite {
     ("""(?i)\bTABLE\s*\(\s*DEDUP_EMBED_PAIRS\s*\(\s*TABLE\s+([`\w.]+)\s*,\s*""" +
       """TABLE\s+([`\w.]+)\s*,\s*DESCRIPTOR\s*\(\s*([`\w]+)\s*\)\s*,\s*""" +
       """DESCRIPTOR\s*\(\s*([`\w]+)\s*\)\s*(?:,\s*([0-9.]+)\s*)?\)\s*\)""").r
+  // BM25 full-text top-k: TWO tables (queries, corpus), FOUR
+  // descriptors (qid, qtext, id, text); whole-relation (posting index
+  // + per-query score agg), so both sides must be bounded
+  private val Bm25Re =
+    ("""(?i)\bTABLE\s*\(\s*TEXT_SEARCH_BM25\s*\(\s*TABLE\s+([`\w.]+)\s*,\s*""" +
+      """TABLE\s+([`\w.]+)\s*,\s*DESCRIPTOR\s*\(\s*([`\w]+)\s*\)\s*,\s*""" +
+      """DESCRIPTOR\s*\(\s*([`\w]+)\s*\)\s*,\s*DESCRIPTOR\s*\(\s*([`\w]+)\s*\)\s*,\s*""" +
+      """DESCRIPTOR\s*\(\s*([`\w]+)\s*\)\s*(?:,\s*(\d+)\s*)?\)\s*\)""").r
 
   private def allRes = Seq(ExactRe, MinhashRe, SimhashRe, QualityRe, LangIdRe,
     PageRankRe, FuzzyRe, CcRe)
@@ -189,7 +204,8 @@ object GraftTvfRewrite {
     def clean(s: String) = s.replace("`", "").split('.').last
       .toLowerCase(java.util.Locale.ROOT)
     (allRes.flatMap(_.findAllMatchIn(sql).map(m => clean(m.group(1)))) ++
-      Seq(AnnRe, AnnLshRe, AnnIvfPqRe, CrossRe, FuzzyCrossRe, EmbedCrossRe)
+      Seq(AnnRe, AnnLshRe, AnnIvfPqRe, CrossRe, FuzzyCrossRe, EmbedCrossRe,
+          Bm25Re)
         .flatMap(_.findAllMatchIn(sql).flatMap(m =>
           Seq(clean(m.group(1)), clean(m.group(2)))))).toSet
   }
@@ -264,6 +280,12 @@ object GraftTvfRewrite {
       val k = Option(m.group(5)).map(_.toInt).getOrElse(5)
       view(graft.queries.Similarity.annTopkOn(
         table(m.group(1)), table(m.group(2)), c2(m, 3), c2(m, 4), k))
+    })
+    out = Bm25Re.replaceAllIn(out, m => {
+      val k = Option(m.group(7)).map(_.toInt).getOrElse(10)
+      view(graft.queries.Search.bm25TopK(
+        table(m.group(1)), table(m.group(2)),
+        c2(m, 3), c2(m, 4), c2(m, 5), c2(m, 6), k))
     })
     out = EmbedCrossRe.replaceAllIn(out, m => {
       // incoming may STREAM (embedding dedup at ingest); the kernel
@@ -363,7 +385,7 @@ object GraftTvfRewrite {
   def validateOnly(sql: String): String = {
     val out = (allRes ++
         Seq(CrossRe, AnnRe, AnnLshRe, AnnIvfPqRe, FuzzyCrossRe,
-          EmbedCrossRe))
+          EmbedCrossRe, Bm25Re))
       .foldLeft(sql)((s, re) =>
         re.replaceAllIn(s, _ => "__graft_tvf_validated"))
     requireFullyRewritten(out)
@@ -394,6 +416,9 @@ object GraftTvfRewrite {
           "DESCRIPTOR(id), DESCRIPTOR(name)[, k])), " +
           "TABLE(DEDUP_EMBED_PAIRS(TABLE incoming, TABLE corpus, " +
           "DESCRIPTOR(id), DESCRIPTOR(vec)[, threshold])), " +
+          "TABLE(TEXT_SEARCH_BM25(TABLE queries, TABLE corpus, " +
+          "DESCRIPTOR(qid), DESCRIPTOR(qtext), DESCRIPTOR(id), " +
+          "DESCRIPTOR(text)[, k])), " +
           "TABLE(TEXT_QUALITY(TABLE t, DESCRIPTOR(id), DESCRIPTOR(text))), " +
           "TABLE(LANG_ID(TABLE t, DESCRIPTOR(id), DESCRIPTOR(text))), " +
           "TABLE(PAGERANK(TABLE edges, DESCRIPTOR(src), DESCRIPTOR(dst)" +

@@ -381,6 +381,13 @@ class GraftTvfSpec extends SparkSpec {
       ("scc_sink (node BIGINT, cluster BIGINT, is_keeper BOOLEAN)",
         "node, cluster, is_keeper",
         "CONNECTED_COMPONENTS(TABLE stream_e, DESCRIPTOR(src), " +
+          "DESCRIPTOR(dst))"),
+      // BM25 is whole-relation on BOTH sides (posting index + per-query
+      // score agg) — here the streaming relation sits in the QUERY seat
+      ("sbm_sink (qid BIGINT, doc_id BIGINT, score DOUBLE, rank INT)",
+        "qid, doc_id, score, rank",
+        "TEXT_SEARCH_BM25(TABLE stream_e, TABLE stream_e, " +
+          "DESCRIPTOR(src), DESCRIPTOR(dst), DESCRIPTOR(src), " +
           "DESCRIPTOR(dst))"))
     for ((sinkDdl, cols, call) <- rejected) {
       val sRunner = new ScriptRunner(spark, batchMode = false)
