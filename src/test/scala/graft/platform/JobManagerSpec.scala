@@ -61,6 +61,90 @@ class JobManagerSpec extends SparkSpec {
     m.stop(id2, withSavepoint = false)
   }
 
+  test("platform stop-with-savepoint → restore carries LIVE " +
+    "MATCH_RECOGNIZE keyed state (the reference verb end-to-end on a " +
+    "stateful gate job)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // StatefulRestoreSpec proves operator-level restore from the SAME
+    // live checkpoint dir; this composes the PLATFORM path — gate SQL →
+    // JobManager.start → stop-with-savepoint (checkpoint COPIED to the
+    // savepoint registry) → restartFromSavepoint (savepoint copied to a
+    // FRESH checkpoint) — with a complete (A,B) match pending in keyed
+    // state at the stop.
+    def writeRows(dir: String, rows: (Long, Long, Long)*): Unit =
+      rows.toSeq.toDF("user_id", "ts_s", "v")
+        .select(col("user_id"), timestamp_seconds(col("ts_s")).as("ts"),
+          col("v"))
+        .coalesce(1).write.mode("append").parquet(dir)
+    def mrScript(dir: String, sink: String) =
+      s"""CREATE TABLE mr_src (user_id BIGINT, ts TIMESTAMP, v BIGINT,
+         |  WATERMARK FOR ts AS ts - INTERVAL '1' SECOND
+         |) WITH (
+         |  'connector' = 'filesystem', 'path' = '$dir',
+         |  'format' = 'parquet');
+         |CREATE TABLE $sink (user_id BIGINT, a_v BIGINT, b_v BIGINT)
+         |  WITH ('connector' = 'filesystem', 'path' = '/tmp/jm_$sink',
+         |    'format' = 'parquet');
+         |INSERT INTO $sink
+         |SELECT user_id, a_v, b_v FROM mr_src MATCH_RECOGNIZE (
+         |  PARTITION BY user_id
+         |  ORDER BY ts
+         |  MEASURES A.v AS a_v, B.v AS b_v
+         |  ONE ROW PER MATCH
+         |  AFTER MATCH SKIP PAST LAST ROW
+         |  PATTERN (A B) WITHIN INTERVAL '10' SECOND
+         |  DEFINE A AS A.v = 1, B AS B.v = 2
+         |);""".stripMargin
+    // phase 1 leaves u1's complete (A@1s, B@2s) match PENDING: its
+    // WITHIN horizon (11s) is past the phase-1 watermark (5s − 1s);
+    // phase 2 pushes the watermark past every horizon
+    val phase1 = Seq((1L, 1L, 1L), (1L, 2L, 2L), (2L, 5L, 7L))
+    val phase2 = Seq((1L, 30L, 1L), (1L, 31L, 2L), (2L, 60L, 7L))
+    def readOut(sink: String) =
+      spark.read.parquet(s"/tmp/jm_$sink")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_.toString).toSeq
+
+    // uninterrupted baseline
+    val fullSrc = srcDir()
+    writeRows(fullSrc, (phase1 ++ phase2): _*)
+    val m = mgr()
+    val idF = m.start("mr_full", mrScript(fullSrc, "mrf_out"))
+    m.info(idF).queries.foreach(_.awaitTermination(120000))
+    m.stop(idF, withSavepoint = false)
+    val expected = readOut("mrf_out")
+    assert(expected == Seq((1L, 1L, 2L), (1L, 1L, 2L)),
+      s"baseline: $expected")
+
+    // interrupted run through the platform verbs
+    val src = srcDir()
+    writeRows(src, phase1: _*)
+    val id1 = m.start("mr_kill", mrScript(src, "mrk_out"))
+    m.info(id1).queries.foreach(_.awaitTermination(120000))
+    val sp = m.stop(id1)
+    assert(sp.isDefined, "stop must produce a savepoint")
+    // the pending match must NOT have been emitted before the stop
+    val premature = try readOut("mrk_out") catch {
+      case _: org.apache.spark.sql.AnalysisException => Seq.empty
+    }
+    assert(premature.isEmpty,
+      s"phase 1 must leave the match pending in state: $premature")
+    // the savepoint carries the keyed state, not just source offsets
+    import scala.jdk.CollectionConverters._
+    val spFiles = Files.walk(java.nio.file.Paths.get(sp.get))
+      .iterator().asScala.filter(Files.isRegularFile(_)).toVector
+    assert(spFiles.exists(_.toString.contains("/state/")),
+      s"savepoint has no state store files: ${sp.get}")
+
+    writeRows(src, phase2: _*)
+    val id2 = m.restartFromSavepoint(id1)
+    m.info(id2).queries.foreach(_.awaitTermination(120000))
+    m.stop(id2, withSavepoint = false)
+    assert(readOut("mrk_out") == expected,
+      s"restore diverged: got=${readOut("mrk_out")} expected=$expected")
+  }
+
   test("dup-run guard: same name RUNNING rejects a second start") {
     val dir = srcDir()
     spark.range(0, 2).toDF("id").coalesce(1).write.mode("append").parquet(dir)
