@@ -915,6 +915,16 @@ object Dedup extends QueryPack {
       val emb = Tables.load(s, dir, "embeddings")
       embedCrossPairs(emb.filter($"vec_id" % 4 === 0), emb,
         "vec_id", "embedding")
+    }),
+
+    // the PRODUCTION-sized cross kernel: 20 cells fitted from the
+    // corpus by one Lloyd round (≈√n at this SF) — the entire sizing
+    // fit is replayed by the DuckDB oracle
+    "q_dedup_embed_sized" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      embedCrossPairsSized(emb.filter($"vec_id" % 4 === 0), emb,
+        "vec_id", "embedding", cells = 20)
     }))
 
   /** Cross-corpus SEMANTIC dedup (SemDeDup's cell-blocked cosine, the
@@ -1025,6 +1035,51 @@ object Dedup extends QueryPack {
         col("m.cosine").as("cosine"))
   }
 
+  /** [[embedCrossPairsWith]] at a PRODUCTION-sized cell count fitted
+    * from the corpus itself: a deterministic stride sample of `cells`
+    * corpus vectors seeds ONE Lloyd round (floor-of-mean integer
+    * centroids, [[Similarity.kmeansFit]]), and the cross kernel runs
+    * against the fitted cells. This is the measured 100 TB shape —
+    * SCALE.md's streaming-drain decade rows read 153 s with the fixed
+    * 16-cell contract vs 9.6 s with √n fitted cells at sf10 — made
+    * statement-layer reachable: `DEDUP_EMBED_PAIRS(..., threshold,
+    * cells)`. The whole fit chain (stride seeds → argmin assignment →
+    * floor-of-mean update, empty cells keeping their seed) is
+    * integer-exact, so the DuckDB oracle replays pairs bit-for-bit.
+    * Fit cost: one corpus count + one assignment pass + a (cells×dim)-
+    * row mean agg, cached per (session, corpus plan, cells).
+    */
+  def embedCrossPairsSized(incoming: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, cells: Int,
+      threshold: Double = SemTheta): DataFrame = {
+    require(cells >= 1,
+      s"DEDUP_EMBED_PAIRS: cells must be >= 1, got $cells")
+    require(!corpus.isStreaming,
+      "DEDUP_EMBED_PAIRS: the corpus side must be a BOUNDED relation " +
+        "(its cell index is built once and frozen) — declare it with " +
+        "'source.bounded' = 'true' or a batch connector")
+    val s = corpus.sparkSession
+    Vec.ensureRegistered(s)
+    val cents = StaticIndexCache.getOrBuild[Seq[(Long, Seq[Long], Long)]](
+      StaticIndexCache.corpusKey(s, corpus, "sem_fit_cents",
+        idCol, vecCol, cells)) {
+      val prepped = corpus
+        .select(col(idCol).as("vec_id"), quant(col(vecCol)).as("qe"))
+        .withColumn("nrm", dotQ(col("qe"), col("qe")))
+      val n = prepped.count()
+      require(n > 0, "DEDUP_EMBED_PAIRS: empty corpus")
+      val stride = math.max(1L, n / cells)
+      // control-plane collect: exactly `cells` rows
+      val seeds = prepped.filter(pmod(col("vec_id"), lit(stride)) === 0)
+        .orderBy(col("vec_id")).limit(cells).collect()
+        .zipWithIndex
+        .map { case (r, i) => (i.toLong, r.getSeq[Long](1), r.getLong(2)) }
+        .toSeq
+      Similarity.kmeansFit(prepped, seeds, 1)
+    }
+    embedCrossPairsWith(incoming, corpus, idCol, vecCol, cents, threshold)
+  }
+
   /** Probe-side bound for the exact embedding near-dup baseline. */
   private val EmbedProbeBound = 500
 
@@ -1049,6 +1104,54 @@ object Dedup extends QueryPack {
        |WHERE a.vec_id % 4 = 0
        |  AND ${Vec.oCosineQ("a.qe", "b.qe", "a.nrm", "b.nrm")} >= $SemTheta"""
       .stripMargin
+
+  /** Mirror of [[embedCrossPairsSized]] over the same 1-in-4 incoming
+    * slice: replays the ENTIRE sizing fit — stride seed sample, argmin
+    * assignment to seeds, floor-of-mean Lloyd update (empty cells keep
+    * their seed), re-assignment to the fitted centroids — then the
+    * cell-blocked pair stage. Shared by the library query and both
+    * gate routes.
+    */
+  private[queries] def oEmbedCrossSizedSql(cells: Int): String = {
+    val cosNS = Vec.oCosineQ("n.qe", "s.ce", "n.nrm", "s.cnrm")
+    val cosNC = Vec.oCosineQ("n.qe", "c.ce", "n.nrm", "c.cnrm")
+    val cosAB = Vec.oCosineQ("a.qe", "b.qe", "a.nrm", "b.nrm")
+    s"""WITH q AS (SELECT vec_id, ${Vec.oQuant} AS qe FROM embeddings),
+       |n AS (SELECT vec_id, qe, list_sum([x*x for x in qe]) AS nrm FROM q),
+       |cnt AS (SELECT COUNT(*) AS n_corpus FROM n),
+       |seeds AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
+       |    qe AS ce, nrm AS cnrm
+       |  FROM n, cnt
+       |  WHERE vec_id % greatest(1, n_corpus // $cells) = 0
+       |  ORDER BY vec_id LIMIT $cells),
+       |scored0 AS (SELECT n.vec_id, n.qe, s.cid, $cosNS AS ccos
+       |  FROM n CROSS JOIN seeds s),
+       |assign0 AS (SELECT vec_id, qe, cid AS cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY ccos DESC, cid) AS rn
+       |    FROM scored0) WHERE rn = 1),
+       |x AS (SELECT cell, unnest(
+       |    [{dim: i, comp: qe[i]} for i in generate_series(1, len(qe))],
+       |    recursive := true) FROM assign0),
+       |mean0 AS (SELECT cell, dim,
+       |    CAST(floor(CAST(sum(comp) AS DOUBLE) / count(*)) AS BIGINT) AS m
+       |  FROM x GROUP BY cell, dim),
+       |fit0 AS (SELECT cell AS cid, list(m ORDER BY dim) AS ce
+       |  FROM mean0 GROUP BY cell),
+       |cent AS (SELECT s.cid, COALESCE(f.ce, s.ce) AS ce,
+       |    list_sum([x*x for x in COALESCE(f.ce, s.ce)]) AS cnrm
+       |  FROM seeds s LEFT JOIN fit0 f ON s.cid = f.cid),
+       |scored AS (SELECT n.vec_id, n.qe, n.nrm, c.cid, $cosNC AS ccos
+       |  FROM n CROSS JOIN cent c),
+       |assign AS (SELECT vec_id, qe, nrm, cid AS cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY ccos DESC, cid) AS rn
+       |    FROM scored) WHERE rn = 1)
+       |SELECT a.vec_id AS ida, b.vec_id AS idb, $cosAB AS cosine
+       |FROM assign a JOIN assign b ON a.cell = b.cell
+       |WHERE a.vec_id % 4 = 0 AND $cosAB >= $SemTheta""".stripMargin
+  }
 
   private val oShingle3 =
     "list_distinct([w[i]||' '||w[i+1]||' '||w[i+2] for i in generate_series(1, len(w)-2)])"
@@ -1243,7 +1346,10 @@ object Dedup extends QueryPack {
          |WHERE ${Vec.oCosineQ("a.qe", "b.qe", "a.nrm", "b.nrm")} >= $SemTheta""".stripMargin,
 
     // slice-vs-corpus mirror of the frozen-cell-index cross kernel
-    "q_dedup_embed_cross" -> oEmbedCrossSql)
+    "q_dedup_embed_cross" -> oEmbedCrossSql,
+
+    // ... and its production-sized variant, fit chain included
+    "q_dedup_embed_sized" -> oEmbedCrossSizedSql(20))
 
   /** DuckDB mirror of the corpus-sized [[simhashVerifiedPairs]] over the
     * documents table: brute-force hamming over the SAME 4w-bit signature

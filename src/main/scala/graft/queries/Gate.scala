@@ -814,6 +814,74 @@ object Gate extends QueryPack {
       } finally runner.close()
     }),
 
+    // The PRODUCTION-sized semantic cross kernel through the gate: the
+    // trailing cells arg makes the corpus fit 20 centroids (stride
+    // seeds + one Lloyd round) before freezing the index — the sizing
+    // the SCALE.md decade rows measured 16× faster than the fixed-cell
+    // contract. The DuckDB oracle replays the entire fit.
+    "q_gate_embed_sized_tvf" -> ((s, dir) => {
+      val runner = new ScriptRunner(s, batchMode = true)
+      runner.run(
+        s"""CREATE TABLE emb_szb (vec_id BIGINT, embedding ARRAY<FLOAT>,
+           |  label INT
+           |) WITH (
+           |  'connector' = 'filesystem',
+           |  'path' = '$dir/embeddings.parquet',
+           |  'format' = 'parquet'
+           |);
+           |CREATE OR REPLACE TEMPORARY VIEW szb_incoming AS
+           |  SELECT * FROM emb_szb WHERE vec_id % 4 = 0;
+           |CREATE TABLE embed_sized_sink (ida BIGINT, idb BIGINT,
+           |  cosine DOUBLE) WITH ('connector' = 'memory');
+           |INSERT INTO embed_sized_sink
+           |SELECT ida, idb, cosine FROM TABLE(DEDUP_EMBED_PAIRS(
+           |  TABLE szb_incoming, TABLE emb_szb,
+           |  DESCRIPTOR(vec_id), DESCRIPTOR(embedding), 0.35, 20));
+           |""".stripMargin)
+      s.table("embed_sized_sink_out")
+    }),
+
+    // ... and the same sized kernel with a STREAMING incoming side on a
+    // real drain, hash-compared to the IDENTICAL oracle SQL.
+    "q_gate_embed_sized_stream" -> ((s, dir) => {
+      val staged = StreamingGate.stagedTableDir(dir, "embeddings")
+      val runner = new ScriptRunner(s, batchMode = false)
+      try {
+        val res = runner.run(
+          s"""CREATE TABLE emb_szs (vec_id BIGINT, embedding ARRAY<FLOAT>,
+             |  label INT
+             |) WITH (
+             |  'connector' = 'filesystem',
+             |  'path' = '$staged',
+             |  'format' = 'parquet'
+             |);
+             |CREATE TABLE emb_szc (vec_id BIGINT, embedding ARRAY<FLOAT>,
+             |  label INT
+             |) WITH (
+             |  'connector' = 'filesystem',
+             |  'path' = '$dir/embeddings.parquet',
+             |  'format' = 'parquet',
+             |  'source.bounded' = 'true'
+             |);
+             |CREATE OR REPLACE TEMPORARY VIEW szs_incoming AS
+             |  SELECT vec_id, embedding FROM emb_szs WHERE vec_id % 4 = 0;
+             |CREATE TABLE embed_sized_stream_sink (ida BIGINT,
+             |  idb BIGINT, cosine DOUBLE) WITH ('connector' = 'memory');
+             |INSERT INTO embed_sized_stream_sink
+             |SELECT ida, idb, cosine FROM TABLE(DEDUP_EMBED_PAIRS(
+             |  TABLE szs_incoming, TABLE emb_szc,
+             |  DESCRIPTOR(vec_id), DESCRIPTOR(embedding), 0.35, 20));
+             |""".stripMargin)
+        try res.queries.foreach { q =>
+          require(q.awaitTermination(300000),
+            "streaming sized DEDUP_EMBED_PAIRS gate query timed out")
+        } finally res.queries.foreach { q =>
+          try q.stop() catch { case _: Throwable => () }
+        }
+        s.table("embed_sized_stream_sink")
+      } finally runner.close()
+    }),
+
     // The iterative graph score through the gate: PAGERANK over an edge
     // view carved from orders (custkey-bucket links orderkey-bucket —
     // a dense deterministic multigraph), three scaled-integer rounds.
@@ -1860,6 +1928,10 @@ object Gate extends QueryPack {
     // streaming drain) share one oracle SQL
     "q_gate_embed_tvf" -> Dedup.oEmbedCrossSql,
     "q_gate_embed_stream" -> Dedup.oEmbedCrossSql,
+
+    // the sized kernel: fit chain replayed, both routes share one SQL
+    "q_gate_embed_sized_tvf" -> Dedup.oEmbedCrossSizedSql(20),
+    "q_gate_embed_sized_stream" -> Dedup.oEmbedCrossSizedSql(20),
 
     "q_gate_text_tvf" ->
       s"""SELECT q.doc_id, l.predicted, q.quality_score

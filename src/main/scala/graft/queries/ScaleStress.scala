@@ -392,7 +392,6 @@ object ScaleStress {
       // API; same sizing law as semantic_sized).
       "embed_cross_sized" -> (() => {
         val raw = graft.Tables.load(spark, sfDir, "embeddings")
-        val cents = Similarity.kmeansFit(emb(), seedCents(kSized), 1)
         val stage = java.nio.file.Files.createTempDirectory("sds_stage")
         stage.toFile.deleteOnExit()
         raw.filter(col("vec_id") % 4 === 0)
@@ -402,8 +401,11 @@ object ScaleStress {
           .schema("vec_id LONG, embedding ARRAY<FLOAT>")
           .parquet(stage.toString)
         val pairs = new java.util.concurrent.atomic.AtomicLong()
-        val q = Dedup.embedCrossPairsWith(incoming, raw,
-            "vec_id", "embedding", cents, 0.35)
+        // the exact TVF-reachable surface (r14: the fit moved inside
+        // embedCrossPairsSized, so this measures the shipped path
+        // including its stride-seed + one-Lloyd-round fit)
+        val q = Dedup.embedCrossPairsSized(incoming, raw,
+            "vec_id", "embedding", kSized, 0.35)
           .writeStream
           .foreachBatch {
             (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],

@@ -72,14 +72,18 @@ import org.apache.spark.sql.SparkSession
   *     freezes once, each arriving row probes it statelessly; the
   *     corpus must be bounded either way.
   *   - `TABLE(DEDUP_EMBED_PAIRS(TABLE incoming, TABLE corpus,
-  *     DESCRIPTOR(id), DESCRIPTOR(vec)[, <threshold>]))` → `(ida,
-  *     idb, cosine)`: cross-corpus SEMANTIC dedup — every (incoming,
-  *     corpus) pair sharing a centroid cell with cosine ≥ threshold
-  *     (default 0.35) — [[graft.queries.Dedup.embedCrossPairs]]. The
-  *     incoming side may STREAM (embedding dedup at ingest): the
-  *     corpus freezes its cell index once, each arriving row assigns
-  *     row-locally and scans one cell; the corpus must be bounded
-  *     either way.
+  *     DESCRIPTOR(id), DESCRIPTOR(vec)[, <threshold>[, <cells>]]))` →
+  *     `(ida, idb, cosine)`: cross-corpus SEMANTIC dedup — every
+  *     (incoming, corpus) pair sharing a centroid cell with cosine ≥
+  *     threshold (default 0.35) — [[graft.queries.Dedup
+  *     .embedCrossPairs]]. With a trailing `cells` count the corpus
+  *     FITS that many centroids (stride seeds + one Lloyd round,
+  *     [[graft.queries.Dedup.embedCrossPairsSized]]) — the measured
+  *     production sizing (√n cells keep the per-row scan √n); without
+  *     it, the fixed 16-cell deterministic window. The incoming side
+  *     may STREAM (embedding dedup at ingest): the corpus freezes its
+  *     cell index once, each arriving row assigns row-locally and
+  *     scans one cell; the corpus must be bounded either way.
   *   - `TABLE(TEXT_SEARCH_BM25(TABLE queries, TABLE corpus,
   *     DESCRIPTOR(qid), DESCRIPTOR(qtext), DESCRIPTOR(id),
   *     DESCRIPTOR(text)[, <k>]))` → `(qid, doc_id, score, rank)`:
@@ -179,7 +183,8 @@ object GraftTvfRewrite {
   private val EmbedCrossRe =
     ("""(?i)\bTABLE\s*\(\s*DEDUP_EMBED_PAIRS\s*\(\s*TABLE\s+([`\w.]+)\s*,\s*""" +
       """TABLE\s+([`\w.]+)\s*,\s*DESCRIPTOR\s*\(\s*([`\w]+)\s*\)\s*,\s*""" +
-      """DESCRIPTOR\s*\(\s*([`\w]+)\s*\)\s*(?:,\s*([0-9.]+)\s*)?\)\s*\)""").r
+      """DESCRIPTOR\s*\(\s*([`\w]+)\s*\)\s*""" +
+      """(?:,\s*([0-9.]+)\s*(?:,\s*(\d+)\s*)?)?\)\s*\)""").r
   // BM25 full-text top-k: TWO tables (queries, corpus), FOUR
   // descriptors (qid, qtext, id, text); whole-relation (posting index
   // + per-query score agg), so both sides must be bounded
@@ -289,11 +294,20 @@ object GraftTvfRewrite {
     })
     out = EmbedCrossRe.replaceAllIn(out, m => {
       // incoming may STREAM (embedding dedup at ingest); the kernel
-      // validates corpus bounded-ness and rejects loudly otherwise
+      // validates corpus bounded-ness and rejects loudly otherwise.
+      // With a trailing cells count, the corpus fits that many
+      // centroids (stride seeds + one Lloyd round) — the measured
+      // production sizing; without it, the fixed 16-cell deterministic
+      // window (the small-corpus oracle contract)
       val threshold = Option(m.group(5)).map(_.toDouble).getOrElse(0.35)
-      view(graft.queries.Dedup.embedCrossPairs(
-        rawTable(m.group(1)), rawTable(m.group(2)),
-        c2(m, 3), c2(m, 4), threshold))
+      view(Option(m.group(6)).map(_.toInt) match {
+        case Some(cells) => graft.queries.Dedup.embedCrossPairsSized(
+          rawTable(m.group(1)), rawTable(m.group(2)),
+          c2(m, 3), c2(m, 4), cells, threshold)
+        case None => graft.queries.Dedup.embedCrossPairs(
+          rawTable(m.group(1)), rawTable(m.group(2)),
+          c2(m, 3), c2(m, 4), threshold)
+      })
     })
     out = AnnIvfPqRe.replaceAllIn(out, m => {
       val nProbe = Option(m.group(5)).map(_.toInt).getOrElse(4)
@@ -415,7 +429,7 @@ object GraftTvfRewrite {
           "TABLE(FUZZY_JOIN_CROSS(TABLE incoming, TABLE corpus, " +
           "DESCRIPTOR(id), DESCRIPTOR(name)[, k])), " +
           "TABLE(DEDUP_EMBED_PAIRS(TABLE incoming, TABLE corpus, " +
-          "DESCRIPTOR(id), DESCRIPTOR(vec)[, threshold])), " +
+          "DESCRIPTOR(id), DESCRIPTOR(vec)[, threshold[, cells]])), " +
           "TABLE(TEXT_SEARCH_BM25(TABLE queries, TABLE corpus, " +
           "DESCRIPTOR(qid), DESCRIPTOR(qtext), DESCRIPTOR(id), " +
           "DESCRIPTOR(text)[, k])), " +

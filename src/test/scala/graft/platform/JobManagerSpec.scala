@@ -77,14 +77,17 @@ class JobManagerSpec extends SparkSpec {
         .select(col("user_id"), timestamp_seconds(col("ts_s")).as("ts"),
           col("v"))
         .coalesce(1).write.mode("append").parquet(dir)
-    def mrScript(dir: String, sink: String) =
+    val sinkDirs = scala.collection.mutable.Map[String, String]()
+    def mrScript(dir: String, sink: String) = {
+      val out = sinkDirs.getOrElseUpdate(sink,
+        Files.createTempDirectory(s"jm_$sink").toString)
       s"""CREATE TABLE mr_src (user_id BIGINT, ts TIMESTAMP, v BIGINT,
          |  WATERMARK FOR ts AS ts - INTERVAL '1' SECOND
          |) WITH (
          |  'connector' = 'filesystem', 'path' = '$dir',
          |  'format' = 'parquet');
          |CREATE TABLE $sink (user_id BIGINT, a_v BIGINT, b_v BIGINT)
-         |  WITH ('connector' = 'filesystem', 'path' = '/tmp/jm_$sink',
+         |  WITH ('connector' = 'filesystem', 'path' = '$out',
          |    'format' = 'parquet');
          |INSERT INTO $sink
          |SELECT user_id, a_v, b_v FROM mr_src MATCH_RECOGNIZE (
@@ -96,13 +99,14 @@ class JobManagerSpec extends SparkSpec {
          |  PATTERN (A B) WITHIN INTERVAL '10' SECOND
          |  DEFINE A AS A.v = 1, B AS B.v = 2
          |);""".stripMargin
+    }
     // phase 1 leaves u1's complete (A@1s, B@2s) match PENDING: its
     // WITHIN horizon (11s) is past the phase-1 watermark (5s − 1s);
     // phase 2 pushes the watermark past every horizon
     val phase1 = Seq((1L, 1L, 1L), (1L, 2L, 2L), (2L, 5L, 7L))
     val phase2 = Seq((1L, 30L, 1L), (1L, 31L, 2L), (2L, 60L, 7L))
     def readOut(sink: String) =
-      spark.read.parquet(s"/tmp/jm_$sink")
+      spark.read.parquet(sinkDirs(sink))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
         .sortBy(_.toString).toSeq
 

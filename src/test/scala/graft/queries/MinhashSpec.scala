@@ -263,6 +263,36 @@ class MinhashSpec extends SparkSpec {
     assert(e.getMessage.contains("BOUNDED"))
   }
 
+  test("sized embed cross-pairs: cells=1 degenerates to the exact " +
+    "all-pairs slice×corpus scan; invalid cells rejected") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+    val inc = emb.filter(col("vec_id") % 4 === 0)
+    // with ONE fitted cell, blocking filters nothing: the output must
+    // equal the brute-force cosine filter over slice×corpus
+    val got = Dedup.embedCrossPairsSized(inc, emb, "vec_id", "embedding",
+      cells = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p = emb.select(col("vec_id"),
+      graft.queries.Vec.quant(col("embedding")).as("qe"))
+      .withColumn("nrm", graft.queries.Vec.dotQ(col("qe"), col("qe")))
+    val a = p.filter(col("vec_id") % 4 === 0)
+      .select(col("vec_id").as("ida"), col("qe").as("qa"),
+        col("nrm").as("na"))
+    val expected = a.crossJoin(
+        p.select(col("vec_id").as("idb"), col("qe").as("qb"),
+          col("nrm").as("nb")))
+      .filter(graft.queries.Vec.cosineQ(col("qa"), col("qb"),
+        col("na"), col("nb")) >= 0.35)
+      .select("ida", "idb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected && got.nonEmpty)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.embedCrossPairsSized(inc, emb, "vec_id", "embedding", 0)
+    }
+    assert(e.getMessage.contains("cells must be"))
+  }
+
   test("streaming cross-pairs rejects a streaming corpus and a batch " +
     "incoming loudly") {
     import spark.implicits._
