@@ -1060,23 +1060,9 @@ object Dedup extends QueryPack {
         "'source.bounded' = 'true' or a batch connector")
     val s = corpus.sparkSession
     Vec.ensureRegistered(s)
-    val cents = StaticIndexCache.getOrBuild[Seq[(Long, Seq[Long], Long)]](
-      StaticIndexCache.corpusKey(s, corpus, "sem_fit_cents",
-        idCol, vecCol, cells)) {
-      val prepped = corpus
-        .select(col(idCol).as("vec_id"), quant(col(vecCol)).as("qe"))
-        .withColumn("nrm", dotQ(col("qe"), col("qe")))
-      val n = prepped.count()
-      require(n > 0, "DEDUP_EMBED_PAIRS: empty corpus")
-      val stride = math.max(1L, n / cells)
-      // control-plane collect: exactly `cells` rows
-      val seeds = prepped.filter(pmod(col("vec_id"), lit(stride)) === 0)
-        .orderBy(col("vec_id")).limit(cells).collect()
-        .zipWithIndex
-        .map { case (r, i) => (i.toLong, r.getSeq[Long](1), r.getLong(2)) }
-        .toSeq
-      Similarity.kmeansFit(prepped, seeds, 1)
-    }
+    val cents = Similarity.fitCentroids(
+      corpus.select(col(idCol).as("vec_id"), quant(col(vecCol)).as("qe"))
+        .withColumn("nrm", dotQ(col("qe"), col("qe"))), cells)
     embedCrossPairsWith(incoming, corpus, idCol, vecCol, cents, threshold)
   }
 
@@ -1113,35 +1099,11 @@ object Dedup extends QueryPack {
     * gate routes.
     */
   private[queries] def oEmbedCrossSizedSql(cells: Int): String = {
-    val cosNS = Vec.oCosineQ("n.qe", "s.ce", "n.nrm", "s.cnrm")
     val cosNC = Vec.oCosineQ("n.qe", "c.ce", "n.nrm", "c.cnrm")
     val cosAB = Vec.oCosineQ("a.qe", "b.qe", "a.nrm", "b.nrm")
     s"""WITH q AS (SELECT vec_id, ${Vec.oQuant} AS qe FROM embeddings),
        |n AS (SELECT vec_id, qe, list_sum([x*x for x in qe]) AS nrm FROM q),
-       |cnt AS (SELECT COUNT(*) AS n_corpus FROM n),
-       |seeds AS (
-       |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
-       |    qe AS ce, nrm AS cnrm
-       |  FROM n, cnt
-       |  WHERE vec_id % greatest(1, n_corpus // $cells) = 0
-       |  ORDER BY vec_id LIMIT $cells),
-       |scored0 AS (SELECT n.vec_id, n.qe, s.cid, $cosNS AS ccos
-       |  FROM n CROSS JOIN seeds s),
-       |assign0 AS (SELECT vec_id, qe, cid AS cell FROM (
-       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-       |      ORDER BY ccos DESC, cid) AS rn
-       |    FROM scored0) WHERE rn = 1),
-       |x AS (SELECT cell, unnest(
-       |    [{dim: i, comp: qe[i]} for i in generate_series(1, len(qe))],
-       |    recursive := true) FROM assign0),
-       |mean0 AS (SELECT cell, dim,
-       |    CAST(floor(CAST(sum(comp) AS DOUBLE) / count(*)) AS BIGINT) AS m
-       |  FROM x GROUP BY cell, dim),
-       |fit0 AS (SELECT cell AS cid, list(m ORDER BY dim) AS ce
-       |  FROM mean0 GROUP BY cell),
-       |cent AS (SELECT s.cid, COALESCE(f.ce, s.ce) AS ce,
-       |    list_sum([x*x for x in COALESCE(f.ce, s.ce)]) AS cnrm
-       |  FROM seeds s LEFT JOIN fit0 f ON s.cid = f.cid),
+       |${Vec.oFittedCent(cells, "n")},
        |scored AS (SELECT n.vec_id, n.qe, n.nrm, c.cid, $cosNC AS ccos
        |  FROM n CROSS JOIN cent c),
        |assign AS (SELECT vec_id, qe, nrm, cid AS cell FROM (

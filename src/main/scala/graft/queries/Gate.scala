@@ -746,6 +746,78 @@ object Gate extends QueryPack {
       } finally runner.close()
     }),
 
+    // The composed tier with a FITTED coarse quantizer through the
+    // gate: the trailing cells arg (20 ≈ √n here) fits stride seeds +
+    // one Lloyd round before freezing the index — production sizing,
+    // statement-reachable, fit replayed by the oracle.
+    "q_gate_ann_ivfpq_sized_tvf" -> ((s, dir) => {
+      val runner = new ScriptRunner(s, batchMode = true)
+      runner.run(
+        s"""CREATE TABLE emb_ipz (vec_id BIGINT, embedding ARRAY<FLOAT>,
+           |  label INT
+           |) WITH (
+           |  'connector' = 'filesystem',
+           |  'path' = '$dir/embeddings.parquet',
+           |  'format' = 'parquet'
+           |);
+           |CREATE OR REPLACE TEMPORARY VIEW ipz_corpus AS
+           |  SELECT * FROM emb_ipz WHERE vec_id >= 8;
+           |CREATE OR REPLACE TEMPORARY VIEW ipz_queries AS
+           |  SELECT * FROM emb_ipz WHERE vec_id < 8;
+           |CREATE TABLE ann_ipz_sink (qid BIGINT, nid BIGINT,
+           |  cosine DOUBLE, rank INT) WITH ('connector' = 'memory');
+           |INSERT INTO ann_ipz_sink
+           |SELECT qid, nid, cosine, rank
+           |FROM TABLE(ANN_TOPK_IVFPQ(TABLE ipz_corpus, TABLE ipz_queries,
+           |  DESCRIPTOR(vec_id), DESCRIPTOR(embedding), 4, 20));
+           |""".stripMargin)
+      s.table("ann_ipz_sink_out")
+    }),
+
+    // ... and the sized tier with a STREAMING query side on a real
+    // drain, hash-compared to the IDENTICAL oracle SQL.
+    "q_gate_ann_ivfpq_sized_stream" -> ((s, dir) => {
+      val staged = StreamingGate.stagedTableDir(dir, "embeddings")
+      val runner = new ScriptRunner(s, batchMode = false)
+      try {
+        val res = runner.run(
+          s"""CREATE TABLE emb_ipzs (vec_id BIGINT, embedding ARRAY<FLOAT>,
+             |  label INT
+             |) WITH (
+             |  'connector' = 'filesystem',
+             |  'path' = '$staged',
+             |  'format' = 'parquet'
+             |);
+             |CREATE TABLE emb_ipzc (vec_id BIGINT, embedding ARRAY<FLOAT>,
+             |  label INT
+             |) WITH (
+             |  'connector' = 'filesystem',
+             |  'path' = '$dir/embeddings.parquet',
+             |  'format' = 'parquet',
+             |  'source.bounded' = 'true'
+             |);
+             |CREATE OR REPLACE TEMPORARY VIEW ipzs_queries AS
+             |  SELECT vec_id, embedding FROM emb_ipzs WHERE vec_id < 8;
+             |CREATE OR REPLACE TEMPORARY VIEW ipzs_corpus AS
+             |  SELECT vec_id, embedding FROM emb_ipzc WHERE vec_id >= 8;
+             |CREATE TABLE ann_ipzs_sink (qid BIGINT, nid BIGINT,
+             |  cosine DOUBLE, rank INT) WITH ('connector' = 'memory');
+             |INSERT INTO ann_ipzs_sink
+             |SELECT qid, nid, cosine, rank
+             |FROM TABLE(ANN_TOPK_IVFPQ(TABLE ipzs_corpus,
+             |  TABLE ipzs_queries,
+             |  DESCRIPTOR(vec_id), DESCRIPTOR(embedding), 4, 20));
+             |""".stripMargin)
+        try res.queries.foreach { q =>
+          require(q.awaitTermination(300000),
+            "streaming sized ANN_TOPK_IVFPQ gate query timed out")
+        } finally res.queries.foreach { q =>
+          try q.stop() catch { case _: Throwable => () }
+        }
+        s.table("ann_ipzs_sink")
+      } finally runner.close()
+    }),
+
     // Cross-corpus SEMANTIC dedup through the gate (batch): a 1-in-4
     // embedding slice against the full corpus via the frozen cell
     // index — shares the library query's oracle verbatim.
@@ -1887,6 +1959,13 @@ object Gate extends QueryPack {
     // verbatim — batch TVF and streaming drain must hash-match it
     "q_gate_ann_ivfpq_tvf" -> Similarity.oracleSql("q_ann_ivfpq"),
     "q_gate_ann_ivfpq_stream" -> Similarity.oracleSql("q_ann_ivfpq"),
+
+    // the sized tier: both gate routes share the library oracle with
+    // the fit chain replayed
+    "q_gate_ann_ivfpq_sized_tvf" ->
+      Similarity.oracleSql("q_ann_ivfpq_sized"),
+    "q_gate_ann_ivfpq_sized_stream" ->
+      Similarity.oracleSql("q_ann_ivfpq_sized"),
 
     // the shared unrolled-iteration machinery behind q_graph_pagerank,
     // over the gate script's bucket-edge SELECT

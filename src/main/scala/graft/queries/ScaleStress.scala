@@ -285,6 +285,17 @@ object ScaleStress {
       // not the routing slope).
       "ann_ivfpq" -> (() => countOf("q_ann_ivfpq")
         .map { case (_, v) => ("hits", v) }),
+      // r14: the composed tier with the FITTED √n coarse quantizer —
+      // the exact TVF-reachable surface (trailing cells arg), fit
+      // included in the timed path (cached after the first pass, so
+      // min-over-passes measures the warm-index probe steady state)
+      "ann_ivfpq_sized" -> (() => {
+        val emb = graft.Tables.load(spark, sfDir, "embeddings")
+        Map("k" -> kSized.toLong,
+          "hits" -> Similarity.ivfPqTopkOn(
+            emb.filter(col("vec_id") >= 8), emb.filter(col("vec_id") < 8),
+            "vec_id", "embedding", cells = Some(kSized)).count())
+      }),
       // deletion-neighborhood fuzzy join. GenScale replicates c_name
       // VERBATIM across copies — massive exact duplication, the
       // operator's one documented adversarial input (its contract says

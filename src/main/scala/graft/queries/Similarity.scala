@@ -365,6 +365,36 @@ object Similarity extends QueryPack {
     cents
   }
 
+  /** Deterministic coarse-quantizer fit shared by the sized
+    * DEDUP_EMBED_PAIRS and ANN_TOPK_IVFPQ paths: a stride sample of
+    * `cells` corpus vectors (every max(1, n/cells)-th id, first
+    * `cells` by id, renumbered 0..cells−1) seeds ONE floor-of-mean
+    * Lloyd round ([[kmeansFit]]); empty cells keep their seed. The
+    * whole chain is integer-exact, so DuckDB replays it
+    * ([[Vec.oFittedCent]]). Cached per (session, prepped corpus plan,
+    * cells) — the fit is index-build cost, paid once per corpus.
+    * `prepped` must carry (vec_id, qe, nrm).
+    */
+  def fitCentroids(prepped0: DataFrame,
+      cells: Int): Seq[(Long, Seq[Long], Long)] = {
+    require(cells >= 1, s"centroid fit: cells must be >= 1, got $cells")
+    val prepped = prepped0.select(col("vec_id"), col("qe"), col("nrm"))
+    val s = prepped.sparkSession
+    StaticIndexCache.getOrBuild[Seq[(Long, Seq[Long], Long)]](
+      StaticIndexCache.corpusKey(s, prepped, "fit_cents", cells)) {
+      val n = prepped.count()
+      require(n > 0, "centroid fit: empty corpus")
+      val stride = math.max(1L, n / cells)
+      // control-plane collect: exactly `cells` rows
+      val seeds = prepped.filter(pmod(col("vec_id"), lit(stride)) === 0)
+        .orderBy(col("vec_id")).limit(cells).collect()
+        .zipWithIndex
+        .map { case (r, i) => (i.toLong, r.getSeq[Long](1), r.getLong(2)) }
+        .toSeq
+      kmeansFit(prepped, seeds, 1)
+    }
+  }
+
   /** Mean (1 − cosine) of every vector to its assigned centroid — the
     * within-cluster cost a Lloyd iteration is meant to reduce. Zero-norm
     * rows (NULL cosine) are skipped by avg; an empty corpus yields NaN
@@ -603,11 +633,18 @@ object Similarity extends QueryPack {
     * the same fixture contract as [[ivfPqSearch]]/q_ann_ivfpq, so the
     * DuckDB oracle replays the result bit-exactly. A production fit
     * swaps in [[kmeansFit]] cells and [[pqFit]] codebooks through the
-    * Scala API; the TVF freezes the deterministic variant.
+    * Scala API; the TVF freezes the deterministic variant — OR, with
+    * `cells` set (r14, the TVF's trailing argument), FITS that many
+    * coarse cells from the corpus via [[fitCentroids]] (stride seeds +
+    * one Lloyd round, oracle-replayed), the production sizing for the
+    * coarse quantizer. The PQ codebook keeps its fixed 256-codeword
+    * seeding either way — like FAISS, codebook size is independent of
+    * corpus size; only the cell count must scale.
     */
   def ivfPqTopkOn(corpusRaw: DataFrame, queriesRaw: DataFrame,
       idCol: String, vecCol: String, nProbe: Int = NProbe,
-      cand: Int = PqCand, k: Int = K): DataFrame = {
+      cand: Int = PqCand, k: Int = K,
+      cells: Option[Int] = None): DataFrame = {
     val s = corpusRaw.sparkSession
     Vec.ensureRegistered(s)
     val dim = corpusDim(corpusRaw, vecCol)
@@ -619,10 +656,15 @@ object Similarity extends QueryPack {
         quant(dimChecked(col(vecCol), dim)).as("qe"))
       .withColumn("nrm", dotQ(col("qe"), col("qe")))
     val corpus = prep(corpusRaw)
-    val cent = corpus
-      .filter(col("vec_id") >= CentLo && col("vec_id") < CentLo + CentN)
-      .select(col("vec_id").as("cid"), col("qe").as("ce"),
-        col("nrm").as("cnrm"))
+    val cent = cells match {
+      case Some(c) =>
+        s.createDataFrame(fitCentroids(corpus, c).toIndexedSeq)
+          .toDF("cid", "ce", "cnrm")
+      case None => corpus
+        .filter(col("vec_id") >= CentLo && col("vec_id") < CentLo + CentN)
+        .select(col("vec_id").as("cid"), col("qe").as("ce"),
+          col("nrm").as("cnrm"))
+    }
     ivfPqSearchWith(s, corpus,
       prep(queriesRaw).select(col("vec_id").as("qid"),
         col("qe").as("qqe"), col("nrm").as("qnrm")),
@@ -660,7 +702,8 @@ object Similarity extends QueryPack {
     */
   def ivfPqTopkStream(corpusRaw: DataFrame, queriesRaw: DataFrame,
       idCol: String, vecCol: String, nProbe: Int = NProbe,
-      cand: Int = PqCand, k: Int = K): DataFrame = {
+      cand: Int = PqCand, k: Int = K,
+      cells: Option[Int] = None): DataFrame = {
     require(queriesRaw.isStreaming,
       "ivfPqTopkStream needs a streaming query side — use ivfPqTopkOn " +
         "for batch-vs-batch")
@@ -679,18 +722,23 @@ object Similarity extends QueryPack {
         quant(dimChecked(col(vecCol), dim)).as("qe"))
       .withColumn("nrm", dotQ(col("qe"), col("qe")))
     val corpus = prep(corpusRaw)
-    val centArr = collectCents(corpus
-      .filter(col("vec_id") >= CentLo && col("vec_id") < CentLo + CentN)
-      .select(col("vec_id").as("cid"), col("qe").as("ce"),
-        col("nrm").as("cnrm")))
+    val centArr = cells match {
+      case Some(c) => fitCentroids(corpus, c)
+      case None => collectCents(corpus
+        .filter(col("vec_id") >= CentLo && col("vec_id") < CentLo + CentN)
+        .select(col("vec_id").as("cid"), col("qe").as("ce"),
+          col("nrm").as("cnrm")))
+    }
     val cb = pqSliceCodebook(corpus)
 
     // frozen index: ONE row per cell with the member array, persisted
     // pre-partitioned on the cell key (see minhashCrossPairsStream for
-    // why: micro-batches then exchange only stream-side rows)
+    // why: micro-batches then exchange only stream-side rows). The
+    // cell count is part of the key — a sized fit partitions the
+    // corpus differently than the deterministic window.
     val idx = StaticIndexCache.getOrBuild[DataFrame](
       StaticIndexCache.corpusKey(s, corpusRaw, "ivfpq_idx",
-        idCol, vecCol)) {
+        idCol, vecCol, cells)) {
       val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx")
       dir.toFile.deleteOnExit()
       Vec.argminAssignWith(corpus, centArr)
@@ -860,6 +908,17 @@ object Similarity extends QueryPack {
     "q_ann_ivfpq" -> ((s, dir) => {
       val emb = embQ(s, dir)
       ivfPqSearch(s, emb, pqSliceCodebook(emb))
+    }),
+
+    // the composed tier with a FITTED coarse quantizer (20 cells ≈ √n
+    // at this SF, the production sizing): the whole fit chain is
+    // integer-exact and replayed by the oracle
+    "q_ann_ivfpq_sized" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.load(s, dir, "embeddings")
+      ivfPqTopkOn(emb.filter($"vec_id" >= NQueries),
+        emb.filter($"vec_id" < NQueries), "vec_id", "embedding",
+        cells = Some(20))
     }),
 
     // Per-cluster embedding outlier detection — the curation pass that
@@ -1079,6 +1138,34 @@ object Similarity extends QueryPack {
          |        icent.cid) AS crn
          |    FROM (SELECT * FROM n WHERE vec_id >= $NQueries) c
          |    CROSS JOIN icent) t WHERE crn = 1),
+         |iprobe AS (
+         |  SELECT qid, cid AS cell FROM (
+         |    SELECT q.vec_id AS qid, icent.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |        ${oCosineQ("q.qe", "icent.ce", "q.nrm", "icent.cnrm")} DESC,
+         |        icent.cid) AS prn
+         |    FROM (SELECT * FROM n WHERE vec_id < $NQueries) q
+         |    CROSS JOIN icent) t WHERE prn <= $NProbe),
+         |${oPqSearch("cw",
+             "\n  JOIN iassign a ON a.nid = enc.vec_id" +
+             "\n  JOIN iprobe p ON p.qid = q.qid AND p.cell = a.cell")}"""
+        .stripMargin,
+
+    // the sized tier: identical chain, but the IVF centroids come from
+    // the replayed stride-seed + one-Lloyd-round fit over the corpus
+    // subset instead of the deterministic id window
+    "q_ann_ivfpq_sized" ->
+      s"""WITH $oEmbQ,
+         |$oPqSeed,
+         |corp AS (SELECT * FROM n WHERE vec_id >= $NQueries),
+         |${Vec.oFittedCent(20, "corp", "icent")},
+         |iassign AS (
+         |  SELECT vec_id AS nid, cid AS cell FROM (
+         |    SELECT c.vec_id, icent.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+         |        ${oCosineQ("c.qe", "icent.ce", "c.nrm", "icent.cnrm")} DESC,
+         |        icent.cid) AS crn
+         |    FROM corp c CROSS JOIN icent) t WHERE crn = 1),
          |iprobe AS (
          |  SELECT qid, cid AS cell FROM (
          |    SELECT q.vec_id AS qid, icent.cid,

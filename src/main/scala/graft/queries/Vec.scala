@@ -119,6 +119,41 @@ private[queries] object Vec {
        |      PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn
        |    FROM scored) WHERE rn = 1)""".stripMargin
 
+  /** DuckDB CTE chain mirroring [[Similarity.fitCentroids]]: over base
+    * relation `$base` (vec_id, qe, nrm), emits `fc_*` intermediates
+    * and the final `$cent`(cid, ce, cnrm) — stride seed sample, argmin
+    * assignment to seeds, one floor-of-mean Lloyd round, empty cells
+    * keeping their seed. Use as `WITH ..., ${oFittedCent(k, "n")} ...`.
+    */
+  def oFittedCent(cells: Int, base: String,
+      cent: String = "cent"): String =
+    s"""fc_cnt AS (SELECT COUNT(*) AS n_corpus FROM $base),
+       |fc_seeds AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid,
+       |    qe AS ce, nrm AS cnrm
+       |  FROM $base, fc_cnt
+       |  WHERE vec_id % greatest(1, n_corpus // $cells) = 0
+       |  ORDER BY vec_id LIMIT $cells),
+       |fc_scored0 AS (SELECT b.vec_id, b.qe, s.cid,
+       |    ${oCosineQ("b.qe", "s.ce", "b.nrm", "s.cnrm")} AS ccos
+       |  FROM $base b CROSS JOIN fc_seeds s),
+       |fc_assign0 AS (SELECT vec_id, qe, cid AS cell FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY ccos DESC, cid) AS rn
+       |    FROM fc_scored0) WHERE rn = 1),
+       |fc_x AS (SELECT cell, unnest(
+       |    [{dim: i, comp: qe[i]} for i in generate_series(1, len(qe))],
+       |    recursive := true) FROM fc_assign0),
+       |fc_mean0 AS (SELECT cell, dim,
+       |    CAST(floor(CAST(sum(comp) AS DOUBLE) / count(*)) AS BIGINT) AS m
+       |  FROM fc_x GROUP BY cell, dim),
+       |fc_fit0 AS (SELECT cell AS cid, list(m ORDER BY dim) AS ce
+       |  FROM fc_mean0 GROUP BY cell),
+       |$cent AS (SELECT s.cid, COALESCE(f.ce, s.ce) AS ce,
+       |    list_sum([x*x for x in COALESCE(f.ce, s.ce)]) AS cnrm
+       |  FROM fc_seeds s LEFT JOIN fc_fit0 f ON s.cid = f.cid)"""
+      .stripMargin
+
   /** DuckDB fragments mirroring the above. */
   val oQuant: String =
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1000000.0+0.5) AS BIGINT))"

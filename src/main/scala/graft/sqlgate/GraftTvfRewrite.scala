@@ -41,13 +41,16 @@ import org.apache.spark.sql.SparkSession
   *     ([[graft.queries.Similarity.annLshTopkStream]]); the corpus must
   *     be bounded either way.
   *   - `TABLE(ANN_TOPK_IVFPQ(TABLE corpus, TABLE queries,
-  *     DESCRIPTOR(id), DESCRIPTOR(vec)[, <nProbe>]))` → same columns,
+  *     DESCRIPTOR(id), DESCRIPTOR(vec)[, <nProbe>[, <cells>]]))` →
+  *     same columns,
   *     the composed FAISS-shape tier: IVF cells route each query to its
   *     nProbe nearest cells, the ADC scan reads only those cells' PQ
   *     codes, survivors get an exact cosine re-rank —
-  *     [[graft.queries.Similarity.ivfPqTopkOn]] (cells/codebook from
-  *     the corpus's deterministic seed windows; fit production indexes
-  *     via kmeansFit/pqFit in the Scala API). On a STREAMING query
+  *     [[graft.queries.Similarity.ivfPqTopkOn]]. With a trailing
+  *     `cells` count the coarse quantizer is FITTED at that size
+  *     (stride seeds + one Lloyd round, oracle-replayed — the
+  *     production √n sizing); otherwise cells/codebook come from the
+  *     corpus's deterministic seed windows. On a STREAMING query
   *     side it probes a frozen per-cell index statelessly
   *     ([[graft.queries.Similarity.ivfPqTopkStream]]); the corpus must
   *     be bounded either way.
@@ -172,7 +175,8 @@ object GraftTvfRewrite {
   private val AnnIvfPqRe =
     ("""(?i)\bTABLE\s*\(\s*ANN_TOPK_IVFPQ\s*\(\s*TABLE\s+([`\w.]+)\s*,\s*""" +
       """TABLE\s+([`\w.]+)\s*,\s*DESCRIPTOR\s*\(\s*([`\w]+)\s*\)\s*,\s*""" +
-      """DESCRIPTOR\s*\(\s*([`\w]+)\s*\)\s*(?:,\s*(\d+)\s*)?\)\s*\)""").r
+      """DESCRIPTOR\s*\(\s*([`\w]+)\s*\)\s*""" +
+      """(?:,\s*(\d+)\s*(?:,\s*(\d+)\s*)?)?\)\s*\)""").r
   // cross-corpus dedup takes TWO table args (incoming, corpus)
   private val CrossRe =
     ("""(?i)\bTABLE\s*\(\s*DEDUP_CROSS_PAIRS\s*\(\s*TABLE\s+([`\w.]+)\s*,\s*""" +
@@ -311,16 +315,21 @@ object GraftTvfRewrite {
     })
     out = AnnIvfPqRe.replaceAllIn(out, m => {
       val nProbe = Option(m.group(5)).map(_.toInt).getOrElse(4)
+      // trailing cells: fit the coarse quantizer at that size (the
+      // production sizing) instead of the deterministic window
+      val cells = Option(m.group(6)).map(_.toInt)
       val qDf = rawTable(m.group(2))
       if (qDf.isStreaming)
         // streaming query side vs frozen composed index — the
         // embedding-dedup-at-ingest cadence; the kernel validates
         // corpus bounded-ness and rejects loudly otherwise
         view(graft.queries.Similarity.ivfPqTopkStream(
-          rawTable(m.group(1)), qDf, c2(m, 3), c2(m, 4), nProbe))
+          rawTable(m.group(1)), qDf, c2(m, 3), c2(m, 4), nProbe,
+          cells = cells))
       else
         view(graft.queries.Similarity.ivfPqTopkOn(
-          table(m.group(1)), qDf, c2(m, 3), c2(m, 4), nProbe))
+          table(m.group(1)), qDf, c2(m, 3), c2(m, 4), nProbe,
+          cells = cells))
     })
     out = AnnLshRe.replaceAllIn(out, m => {
       val k = Option(m.group(5)).map(_.toInt).getOrElse(5)
@@ -425,7 +434,7 @@ object GraftTvfRewrite {
           "TABLE(ANN_TOPK_LSH(TABLE corpus, TABLE queries, " +
           "DESCRIPTOR(id), DESCRIPTOR(vec)[, k[, planes]])), " +
           "TABLE(ANN_TOPK_IVFPQ(TABLE corpus, TABLE queries, " +
-          "DESCRIPTOR(id), DESCRIPTOR(vec)[, nProbe])), " +
+          "DESCRIPTOR(id), DESCRIPTOR(vec)[, nProbe[, cells]])), " +
           "TABLE(FUZZY_JOIN_CROSS(TABLE incoming, TABLE corpus, " +
           "DESCRIPTOR(id), DESCRIPTOR(name)[, k])), " +
           "TABLE(DEDUP_EMBED_PAIRS(TABLE incoming, TABLE corpus, " +
