@@ -122,6 +122,44 @@ class GraftTvfSpec extends SparkSpec {
       r.getLong(0) % 7 == 0 && r.getString(2) != null))
   }
 
+  test("curation pipeline composes TWO TVFs in ONE statement: exact " +
+    "dedup keepers minus BM25 decontamination hits") {
+    import org.apache.spark.sql.functions._
+    val runner = new ScriptRunner(spark, batchMode = true)
+    runner.run(
+      s"""${docsDdl("docs_cp")}
+         |CREATE OR REPLACE TEMPORARY VIEW bench_q AS
+         |  SELECT doc_id AS qid,
+         |    concat_ws(' ', slice(split(text, ' '), 1, 6)) AS qtext
+         |  FROM docs_cp WHERE doc_id % 17 = 1;
+         |CREATE TABLE curated_sink (doc_id BIGINT) WITH
+         |  ('connector' = 'memory');
+         |INSERT INTO curated_sink
+         |SELECT d.doc_id
+         |FROM docs_cp d
+         |JOIN TABLE(DEDUP_EXACT(TABLE docs_cp, DESCRIPTOR(doc_id),
+         |  DESCRIPTOR(text))) k ON d.doc_id = k.keep_id
+         |LEFT ANTI JOIN (
+         |  SELECT doc_id FROM TABLE(TEXT_SEARCH_BM25(TABLE bench_q,
+         |    TABLE docs_cp, DESCRIPTOR(qid), DESCRIPTOR(qtext),
+         |    DESCRIPTOR(doc_id), DESCRIPTOR(text), 3))
+         |) c ON d.doc_id = c.doc_id;""".stripMargin)
+    val viaGate = spark.table("curated_sink_out")
+      .collect().map(_.getLong(0)).toSet
+    // library-side expectation: same keepers minus same top-3 hits
+    val docs = spark.read.parquet(docsDir)
+    val keepers = graft.queries.Dedup.exactGroups(docs, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    val q = docs.filter(col("doc_id") % 17 === 1)
+      .select(col("doc_id").as("qid"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 6)).as("qtext"))
+    val hits = graft.queries.Search.bm25TopK(q, docs, "qid", "qtext",
+      "doc_id", "text", 3).collect().map(_.getLong(1)).toSet
+    assert(viaGate == (keepers -- hits) && viaGate.nonEmpty &&
+      hits.nonEmpty, s"gate=${viaGate.size} keepers=${keepers.size} " +
+        s"hits=${hits.size}")
+  }
+
   test("malformed TVF and streaming sources are rejected loudly") {
     val e = intercept[IllegalArgumentException] {
       GraftTvfRewrite.validateOnly(
