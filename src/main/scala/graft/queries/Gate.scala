@@ -1687,6 +1687,29 @@ object Gate extends QueryPack {
       s.table("text_tvf_sink_out")
     }),
 
+    // TF-IDF keyword extraction through the gate — shares the library
+    // query's oracle (k=3, the default).
+    "q_gate_keywords_tvf" -> ((s, dir) => {
+      val runner = new ScriptRunner(s, batchMode = true)
+      runner.run(
+        s"""CREATE TABLE docs_kw (
+           |  doc_id BIGINT, text VARCHAR, lang VARCHAR, source VARCHAR,
+           |  n_chars BIGINT
+           |) WITH (
+           |  'connector' = 'filesystem',
+           |  'path' = '$dir/documents.parquet',
+           |  'format' = 'parquet'
+           |);
+           |CREATE TABLE keywords_sink (doc_id BIGINT, term VARCHAR,
+           |  weight DOUBLE, rank INT) WITH ('connector' = 'memory');
+           |INSERT INTO keywords_sink
+           |SELECT doc_id, term, weight, rank
+           |FROM TABLE(TEXT_KEYWORDS(TABLE docs_kw, DESCRIPTOR(doc_id),
+           |  DESCRIPTOR(text), 3));
+           |""".stripMargin)
+      s.table("keywords_sink_out")
+    }),
+
     // Scalar-UDF jar shipping end-to-end (SqlCommand.java:32-34,
     // CommandUtil.java:42-47): the gate's `CREATE FUNCTION … USING JAR`
     // must download/ship the jar and make the class resolvable — the
@@ -2002,6 +2025,7 @@ object Gate extends QueryPack {
 
     // BM25 through the gate shares the library route's oracle
     "q_gate_bm25_tvf" -> Search.oBm25Sql,
+    "q_gate_keywords_tvf" -> Search.oracleSql("q_text_keywords"),
 
     // the semantic cross kernel: all three routes (library, batch TVF,
     // streaming drain) share one oracle SQL

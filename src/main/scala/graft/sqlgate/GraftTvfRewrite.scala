@@ -87,6 +87,12 @@ import org.apache.spark.sql.SparkSession
   *     may STREAM (embedding dedup at ingest): the corpus freezes its
   *     cell index once, each arriving row assigns row-locally and
   *     scans one cell; the corpus must be bounded either way.
+  *   - `TABLE(TEXT_KEYWORDS(TABLE t, DESCRIPTOR(id),
+  *     DESCRIPTOR(text)[, <k>]))` → `(doc_id, term, weight, rank)`:
+  *     the k most corpus-distinctive terms per document by log-free
+  *     rational TF-IDF (default 3) —
+  *     [[graft.queries.Search.keywordsTfidf]]. Whole-relation (corpus
+  *     document frequencies): streaming rejected loudly.
   *   - `TABLE(TEXT_SEARCH_BM25(TABLE queries, TABLE corpus,
   *     DESCRIPTOR(qid), DESCRIPTOR(qtext), DESCRIPTOR(id),
   *     DESCRIPTOR(text)[, <k>]))` → `(qid, doc_id, score, rank)`:
@@ -133,7 +139,7 @@ import org.apache.spark.sql.SparkSession
 object GraftTvfRewrite {
 
   private val Keyword =
-    """(?i)\b(?:DEDUP_(?:EXACT|MINHASH_PAIRS|SIMHASH_PAIRS|CROSS_PAIRS|EMBED_PAIRS)|ANN_TOPK(?:_LSH|_IVFPQ)?|TEXT_QUALITY|TEXT_SEARCH_BM25|LANG_ID|PAGERANK|FUZZY_JOIN(?:_CROSS)?|CONNECTED_COMPONENTS)\s*\(""".r
+    """(?i)\b(?:DEDUP_(?:EXACT|MINHASH_PAIRS|SIMHASH_PAIRS|CROSS_PAIRS|EMBED_PAIRS)|ANN_TOPK(?:_LSH|_IVFPQ)?|TEXT_QUALITY|TEXT_SEARCH_BM25|TEXT_KEYWORDS|LANG_ID|PAGERANK|FUZZY_JOIN(?:_CROSS)?|CONNECTED_COMPONENTS)\s*\(""".r
   private val viewCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private val Head =
@@ -144,6 +150,10 @@ object GraftTvfRewrite {
   private val SimhashRe =
     (Head.format("DEDUP_SIMHASH_PAIRS") + """(?:,\s*(\d+)\s*)?\)\s*\)""").r
   private val QualityRe = (Head.format("TEXT_QUALITY") + """\)\s*\)""").r
+  // TF-IDF keyword extraction: whole-relation (corpus df/N stats),
+  // optional per-doc k
+  private val KeywordsRe =
+    (Head.format("TEXT_KEYWORDS") + """(?:,\s*(\d+)\s*)?\)\s*\)""").r
   private val LangIdRe = (Head.format("LANG_ID") + """\)\s*\)""").r
   // whole-relation iterative graph score: optional round count
   private val PageRankRe =
@@ -198,8 +208,8 @@ object GraftTvfRewrite {
       """DESCRIPTOR\s*\(\s*([`\w]+)\s*\)\s*,\s*DESCRIPTOR\s*\(\s*([`\w]+)\s*\)\s*,\s*""" +
       """DESCRIPTOR\s*\(\s*([`\w]+)\s*\)\s*(?:,\s*(\d+)\s*)?\)\s*\)""").r
 
-  private def allRes = Seq(ExactRe, MinhashRe, SimhashRe, QualityRe, LangIdRe,
-    PageRankRe, FuzzyRe, CcRe)
+  private def allRes = Seq(ExactRe, MinhashRe, SimhashRe, QualityRe,
+    KeywordsRe, LangIdRe, PageRankRe, FuzzyRe, CcRe)
 
   /** True iff the statement uses a graft TVF. */
   def present(sql: String): Boolean = Keyword.findFirstIn(sql).isDefined
@@ -359,6 +369,13 @@ object GraftTvfRewrite {
       view(graft.queries.TextAnalysis.qualityOn(
         rawTable(m.group(1)), c2(m, 2), c2(m, 3)))
     })
+    out = KeywordsRe.replaceAllIn(out, m => {
+      val k = Option(m.group(4)).map(_.toInt).getOrElse(3)
+      // whole-relation (per-term document frequencies + corpus N):
+      // streaming rejected by table()
+      view(graft.queries.Search.keywordsTfidf(
+        table(m.group(1)), c2(m, 2), c2(m, 3), k))
+    })
     out = LangIdRe.replaceAllIn(out, m => {
       view(graft.queries.TextAnalysis.langidOn(
         rawTable(m.group(1)), c2(m, 2), c2(m, 3)))
@@ -443,6 +460,8 @@ object GraftTvfRewrite {
           "DESCRIPTOR(qid), DESCRIPTOR(qtext), DESCRIPTOR(id), " +
           "DESCRIPTOR(text)[, k])), " +
           "TABLE(TEXT_QUALITY(TABLE t, DESCRIPTOR(id), DESCRIPTOR(text))), " +
+          "TABLE(TEXT_KEYWORDS(TABLE t, DESCRIPTOR(id), " +
+          "DESCRIPTOR(text)[, k])), " +
           "TABLE(LANG_ID(TABLE t, DESCRIPTOR(id), DESCRIPTOR(text))), " +
           "TABLE(PAGERANK(TABLE edges, DESCRIPTOR(src), DESCRIPTOR(dst)" +
           "[, iters])), " +

@@ -426,6 +426,11 @@ class GraftTvfSpec extends SparkSpec {
         "qid, doc_id, score, rank",
         "TEXT_SEARCH_BM25(TABLE stream_e, TABLE stream_e, " +
           "DESCRIPTOR(src), DESCRIPTOR(dst), DESCRIPTOR(src), " +
+          "DESCRIPTOR(dst))"),
+      // keywords need corpus-wide document frequencies
+      ("skw_sink (doc_id BIGINT, term STRING, weight DOUBLE, rank INT)",
+        "doc_id, term, weight, rank",
+        "TEXT_KEYWORDS(TABLE stream_e, DESCRIPTOR(src), " +
           "DESCRIPTOR(dst))"))
     for ((sinkDdl, cols, call) <- rejected) {
       val sRunner = new ScriptRunner(spark, batchMode = false)
