@@ -94,8 +94,12 @@ object Search extends QueryPack {
         count(lit(1)).over(Window.partitionBy(col("term"))))
       .crossJoin(stats)
 
+    // distinct across the RELATION, not just within a row: a caller
+    // feeding duplicate qid rows must not double-count addends (the
+    // oracle's DISTINCT (qid, term) contract)
     val qterms = queries.select(col(qidCol).as("qid"),
         explode(array_distinct(words(col(qtextCol)))).as("term"))
+      .dropDuplicates("qid", "term")
 
     // the scoring expression, mirrored token-for-token by oracleSql:
     // every input is integer-derived, every op is IEEE mul/div/add in

@@ -389,7 +389,12 @@ object Similarity extends QueryPack {
       val seeds = prepped.filter(pmod(col("vec_id"), lit(stride)) === 0)
         .orderBy(col("vec_id")).limit(cells).collect()
         .zipWithIndex
-        .map { case (r, i) => (i.toLong, r.getSeq[Long](1), r.getLong(2)) }
+        .map { case (r, i) =>
+          require(!r.isNullAt(1),
+            s"centroid fit: seed vector for id ${r.getLong(0)} is NULL " +
+              "— filter NULL vectors before fitting")
+          (i.toLong, r.getSeq[Long](1), r.getLong(2))
+        }
         .toSeq
       kmeansFit(prepped, seeds, 1)
     }

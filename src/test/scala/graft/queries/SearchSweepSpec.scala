@@ -27,10 +27,14 @@ class SearchSweepSpec extends SparkSpec {
     val avgdl = totalTok.toDouble / n
     val df = docs.flatMap { case (_, w) => w.distinct }
       .groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    // the contract dedups (qid, term) across the whole relation, so a
+    // duplicated qid row merges its terms rather than double-counting
+    val qTerms = queries.groupBy(_._1).view.mapValues(
+      _.flatMap(_._2.split(" ", -1)).distinct).toSeq
     val out = for {
-      (qid, qt) <- queries
+      (qid, terms) <- qTerms
       scored = docs.flatMap { case (docId, w) =>
-        val addends = qt.split(" ", -1).toSeq.distinct.flatMap { term =>
+        val addends = terms.flatMap { term =>
           val tf = w.count(_ == term).toLong
           if (tf == 0 || !df.contains(term)) None
           else {
@@ -69,7 +73,10 @@ class SearchSweepSpec extends SparkSpec {
         val terms = Seq.fill(len)(
           if (rnd.nextBoolean()) Vocab(rnd.nextInt(Vocab.length))
           else "oov" + rnd.nextInt(3)) // some out-of-vocabulary
-        ((100 + i).toLong, terms.mkString(" "))
+        // ~1/3 of rows REUSE a qid: duplicate qid rows must merge
+        // their distinct terms, never double-count
+        val qid = if (rnd.nextInt(3) == 0) 100L else (100 + i).toLong
+        (qid, terms.mkString(" "))
       }
       val k = 1 + rnd.nextInt(nDocs + 2) // sometimes > matchable docs
       val got = Search.bm25TopK(
