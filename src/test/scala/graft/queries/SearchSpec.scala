@@ -59,6 +59,12 @@ class SearchSpec extends SparkSpec {
     val plan = res.queryExecution.executedPlan.toString
     assert(plan.contains("ReusedExchange") ||
       plan.contains("ReusedQueryStage"), plan)
+    // column pruning reaches the parquet scan: the documents table has
+    // 5 columns but the index needs only (doc_id, text)
+    val reads = "ReadSchema: [^\n]+".r.findAllIn(plan).toList
+    assert(reads.nonEmpty && reads.forall { r =>
+      !r.contains("lang") && !r.contains("source") && !r.contains("n_chars")
+    }, reads.mkString("\n"))
     // per-qid contract: ranks are 1..k' dense, scores non-increasing
     rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
       val byRank = rs.sortBy(_.getInt(3))
