@@ -1004,10 +1004,12 @@ object Dedup extends QueryPack {
       .select(col(idCol).as("vec_id"), quant(col(vecCol)).as("qe"))
       .withColumn("nrm", dotQ(col("qe"), col("qe")))
     val corpusP = prep(corpus)
+    // the key carries the centroid VALUES (control-plane sized, and
+    // tuple equality is structural) — a hashCode-only key could let a
+    // collision silently reuse the wrong frozen index
     val idx = StaticIndexCache.getOrBuild[DataFrame](
       StaticIndexCache.corpusKey(s, corpus, "sem_cell_idx",
-        idCol, vecCol, cents.length,
-        cents.hashCode)) {
+        idCol, vecCol, cents)) {
       val dir = java.nio.file.Files.createTempDirectory("graft_sem_idx")
       dir.toFile.deleteOnExit()
       Vec.argminAssignWith(corpusP, cents)
@@ -1041,7 +1043,8 @@ object Dedup extends QueryPack {
     * centroids, [[Similarity.kmeansFit]]), and the cross kernel runs
     * against the fitted cells. This is the measured 100 TB shape —
     * SCALE.md's streaming-drain decade rows read 153 s with the fixed
-    * 16-cell contract vs 9.6 s with √n fitted cells at sf10 — made
+    * 16-cell contract vs 3.6 s with √n fitted cells at sf10 (~40×,
+    * warm cached fit) — made
     * statement-layer reachable: `DEDUP_EMBED_PAIRS(..., threshold,
     * cells)`. The whole fit chain (stride seeds → argmin assignment →
     * floor-of-mean update, empty cells keeping their seed) is

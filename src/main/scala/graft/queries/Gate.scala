@@ -889,8 +889,9 @@ object Gate extends QueryPack {
     // The PRODUCTION-sized semantic cross kernel through the gate: the
     // trailing cells arg makes the corpus fit 20 centroids (stride
     // seeds + one Lloyd round) before freezing the index — the sizing
-    // the SCALE.md decade rows measured 16× faster than the fixed-cell
-    // contract. The DuckDB oracle replays the entire fit.
+    // the SCALE.md decade rows measured ~40× faster than the
+    // fixed-cell contract at sf10. The DuckDB oracle replays the
+    // entire fit.
     "q_gate_embed_sized_tvf" -> ((s, dir) => {
       val runner = new ScriptRunner(s, batchMode = true)
       runner.run(
@@ -1027,8 +1028,6 @@ object Gate extends QueryPack {
       s.table("fuzzy2_sink_out")
     }),
 
-    // Cross-corpus fuzzy match through the gate (batch): a 1-in-5
-    // supplier slice resolved against the full supplier corpus.
     // BM25 full-text top-k through the gate: the oracle query set
     // (every 97th doc's first four tokens) carved as a view, retrieval
     // via the TEXT_SEARCH_BM25 TVF — shares the library query's oracle.
@@ -1036,7 +1035,7 @@ object Gate extends QueryPack {
       val runner = new ScriptRunner(s, batchMode = true)
       runner.run(
         s"""CREATE TABLE docs_bm (doc_id BIGINT, text VARCHAR,
-           |  lang VARCHAR, source VARCHAR, n_chars INT
+           |  lang VARCHAR, source VARCHAR, n_chars BIGINT
            |) WITH (
            |  'connector' = 'filesystem',
            |  'path' = '$dir/documents.parquet',
@@ -1057,6 +1056,8 @@ object Gate extends QueryPack {
       s.table("bm25_sink_out")
     }),
 
+    // Cross-corpus fuzzy match through the gate (batch): a 1-in-5
+    // supplier slice resolved against the full supplier corpus.
     "q_gate_fuzzy_cross_tvf" -> ((s, dir) => {
       val runner = new ScriptRunner(s, batchMode = true)
       runner.run(

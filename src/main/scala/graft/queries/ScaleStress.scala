@@ -363,8 +363,9 @@ object ScaleStress {
           .option("checkpointLocation",
             java.nio.file.Files.createTempDirectory("fzc_ck").toString)
           .start()
-        require(q.awaitTermination(600000), "fuzzy_cross drain timed out")
-        q.stop()
+        try require(q.awaitTermination(600000),
+          "fuzzy_cross drain timed out")
+        finally q.stop()
         Map("pairs" -> pairs.get())
       }),
       // r14: streaming semantic dedup (embedding cross-pairs) on a
@@ -393,8 +394,9 @@ object ScaleStress {
           .option("checkpointLocation",
             java.nio.file.Files.createTempDirectory("sdc_ck").toString)
           .start()
-        require(q.awaitTermination(600000), "embed_cross drain timed out")
-        q.stop()
+        try require(q.awaitTermination(600000),
+          "embed_cross drain timed out")
+        finally q.stop()
         Map("pairs" -> pairs.get())
       }),
       // the same drain at PRODUCTION sizing: √n kmeans-fit cells keep
@@ -426,9 +428,9 @@ object ScaleStress {
           .option("checkpointLocation",
             java.nio.file.Files.createTempDirectory("sds_ck").toString)
           .start()
-        require(q.awaitTermination(600000),
+        try require(q.awaitTermination(600000),
           "embed_cross_sized drain timed out")
-        q.stop()
+        finally q.stop()
         Map("k" -> kSized.toLong, "pairs" -> pairs.get())
       }),
       // streaming LSH ANN TVF on a real drain: the corpus buckets ONCE

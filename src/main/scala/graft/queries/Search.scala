@@ -56,43 +56,58 @@ object Search extends QueryPack {
   private val K1 = 1.2
   private val B = 0.75
 
+  /** Shared posting-index build (ONE corpus tokenize pass): per-(doc,
+    * term) counts with dl riding the key, document frequency via a
+    * term window — the single exchange that also leaves the postings
+    * partitioned on the probe key — and the corpus scalars (n_docs,
+    * total_tok) reduced from the same tf relation, whose shuffle both
+    * consumers share via ReuseExchange (spec-pinned; never a second
+    * corpus scan). Every non-NULL text yields ≥ 1 token (split of ""
+    * is [""]), so countDistinct(doc_id) == N; NULL-text rows never
+    * enter tf and are thereby excluded from the corpus and its
+    * statistics — the oracle mirrors this with `WHERE text IS NOT
+    * NULL`.
+    */
+  private def postingIndex(corpus: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val docs = corpus.select(col(idCol).as("doc_id"),
+      words(col(textCol)).as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).as("dl"))
+    val tf = docs.select(col("doc_id"), col("dl"),
+        explode(col("w")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val stats = tf.agg(countDistinct(col("doc_id")).as("n_docs"),
+      sum(col("tf")).as("total_tok"))
+    tf.withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("term"))))
+      .crossJoin(stats)
+  }
+
+  /** The log-free rational odds-ratio idf shared by both scorers —
+    * `(2(N-df)+1)/(2df+1)`, the exact monotone stand-in for
+    * `ln((N-df+.5)/(df+.5))` (see the object Scaladoc).
+    */
+  private def idf: Column =
+    (lit(2.0) * (col("n_docs") - col("df")) + lit(1.0)) /
+      (lit(2.0) * col("df") + lit(1.0))
+
   /** BM25 top-k retrieval: for each query row, the k highest-scoring
     * corpus documents → (qid, doc_id, score, rank). Query terms are
-    * de-duplicated (the standard short-query form; qtf weighting is a
-    * long-query refinement this contract omits). Ties break on doc_id
-    * so ranks are total and deterministic. Queries with no term in the
-    * corpus vocabulary return no rows.
+    * de-duplicated across the relation (the standard short-query form;
+    * qtf weighting is a long-query refinement this contract omits).
+    * Ties break on doc_id so ranks are total and deterministic.
+    * Queries with no term in the corpus vocabulary return no rows.
+    * Contract edges: a NULL-text corpus row is excluded from the
+    * corpus AND its statistics (N, avgdl) — the oracle mirrors this —
+    * and `idCol` must be a key (duplicate ids would merge their term
+    * counts).
     */
   def bm25TopK(queries: DataFrame, corpus: DataFrame,
       qidCol: String, qtextCol: String, idCol: String, textCol: String,
       k: Int = 10): DataFrame = {
     require(k >= 1, s"TEXT_SEARCH_BM25: k must be >= 1, got $k")
-    val docs = corpus.select(col(idCol).as("doc_id"),
-      words(col(textCol)).as("w"))
-      .select(col("doc_id"), col("w"), size(col("w")).as("dl"))
-
-    // per-(doc, term) counts; dl rides the key (functionally dependent
-    // on doc_id, so it adds no groups and saves a join back)
-    val tf = docs.select(col("doc_id"), col("dl"),
-        explode(col("w")).as("term"))
-      .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-
-    // corpus scalars derive from the already-reduced tf relation, NOT
-    // from a second corpus scan: every doc yields >= 1 token (split of
-    // "" is [""]), so countDistinct(doc_id) == N and SUM(tf) == total
-    // tokens. Both consumers of tf share its shuffle via Spark's
-    // ReuseExchange, keeping the build at ONE corpus tokenize pass
-    // (SearchSpec pins the ReusedExchange).
-    val stats = tf.agg(countDistinct(col("doc_id")).as("n_docs"),
-      sum(col("tf")).as("total_tok"))
-
-    // df via a count window over term — one exchange that ALSO leaves
-    // the postings partitioned on the probe key (a groupBy+join-back
-    // would shuffle tf twice and rescan the corpus)
-    val postings = tf.withColumn("df",
-        count(lit(1)).over(Window.partitionBy(col("term"))))
-      .crossJoin(stats)
+    val postings = postingIndex(corpus, idCol, textCol)
 
     // distinct across the RELATION, not just within a row: a caller
     // feeding duplicate qid rows must not double-count addends (the
@@ -107,8 +122,6 @@ object Search extends QueryPack {
     // literals spelled out (2.2, not K1+1.0: the Scala double sum is
     // 2.2000000000000002, the parsed literal both engines share is 2.2)
     val avgdl = col("total_tok").cast("double") / col("n_docs")
-    val idf = (lit(2.0) * (col("n_docs") - col("df")) + lit(1.0)) /
-      (lit(2.0) * col("df") + lit(1.0))
     val tfd = col("tf").cast("double")
     val sat = (tfd * lit(2.2)) /
       (tfd + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
@@ -133,22 +146,8 @@ object Search extends QueryPack {
   def keywordsTfidf(corpus: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame = {
     require(k >= 1, s"keywordsTfidf: k must be >= 1, got $k")
-    val docs = corpus.select(col(idCol).as("doc_id"),
-      words(col(textCol)).as("w"))
-      .select(col("doc_id"), col("w"), size(col("w")).as("dl"))
-    val tf = docs.select(col("doc_id"), col("dl"),
-        explode(col("w")).as("term"))
-      .groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    // same one-tokenize-pass discipline as [[bm25TopK]]: stats from
-    // the reduced tf relation (shared shuffle), df via a term window
-    val stats = tf.agg(countDistinct(col("doc_id")).as("n_docs"))
-    val weight = (col("tf").cast("double") / col("dl")) *
-      ((lit(2.0) * (col("n_docs") - col("df")) + lit(1.0)) /
-        (lit(2.0) * col("df") + lit(1.0)))
-    tf.withColumn("df",
-        count(lit(1)).over(Window.partitionBy(col("term"))))
-      .crossJoin(stats)
+    val weight = (col("tf").cast("double") / col("dl")) * idf
+    postingIndex(corpus, idCol, textCol)
       .select(col("doc_id"), col("term"), weight.as("weight"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("doc_id"))
@@ -184,7 +183,7 @@ object Search extends QueryPack {
     */
   private[queries] val oBm25Sql: String =
     s"""WITH d AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS w
-       |    FROM documents),
+       |    FROM documents WHERE text IS NOT NULL),
        |docs AS (SELECT doc_id, w, len(w) AS dl FROM d),
        |stats AS (SELECT COUNT(*) AS n_docs,
        |    SUM(dl) AS total_tok FROM docs),
@@ -220,7 +219,7 @@ object Search extends QueryPack {
 
     "q_text_keywords" ->
       """WITH d AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS w
-        |    FROM documents),
+        |    FROM documents WHERE text IS NOT NULL),
         |docs AS (SELECT doc_id, w, len(w) AS dl FROM d),
         |stats AS (SELECT COUNT(*) AS n_docs FROM docs),
         |tf AS (SELECT doc_id, dl, unnest(w) AS term FROM docs),

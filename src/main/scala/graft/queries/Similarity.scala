@@ -396,6 +396,11 @@ object Similarity extends QueryPack {
           (i.toLong, r.getSeq[Long](1), r.getLong(2))
         }
         .toSeq
+      require(seeds.nonEmpty,
+        s"centroid fit: no seed ids — the stride sample takes ids " +
+          s"divisible by $stride (n=$n, cells=$cells) and this corpus " +
+          "has none. Use dense-ish ids, or fit centroids yourself and " +
+          "pass them through the *With Scala APIs")
       kmeansFit(prepped, seeds, 1)
     }
   }

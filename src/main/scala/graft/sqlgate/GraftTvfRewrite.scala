@@ -244,9 +244,9 @@ object GraftTvfRewrite {
           "(a silent re-windowing would change semantics — rejected " +
           "loudly). Only DEDUP_EXACT (keyed first-arrival dedup), the " +
           "stateless per-row TVFs TEXT_QUALITY / LANG_ID, the incoming " +
-          "side of DEDUP_CROSS_PAIRS / FUZZY_JOIN_CROSS and the query " +
-          "side of ANN_TOPK_LSH / ANN_TOPK_IVFPQ route streaming " +
-          "sources")
+          "side of DEDUP_CROSS_PAIRS / FUZZY_JOIN_CROSS / " +
+          "DEDUP_EMBED_PAIRS and the query side of ANN_TOPK_LSH / " +
+          "ANN_TOPK_IVFPQ route streaming sources")
       df
     }
     def view(df: org.apache.spark.sql.DataFrame): String = {
