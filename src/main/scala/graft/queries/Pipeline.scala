@@ -149,6 +149,25 @@ object Pipeline extends QueryPack {
     // URL/domain analysis: extract URLs, reduce to domains, aggregate
     // link and document frequencies per domain — the core of a
     // blocklist/allowlist filtering pass. One shuffle, keyed by domain.
+    // Per-source quota capping — the CommonCrawl-style curation step
+    // that stops any one domain from dominating the training mix: keep
+    // at most `quota` docs per source, ranked by quality (doc_id
+    // tie-break). The quality projection is per-row codegen riding the
+    // scan (qualityOn's keep-columns form — no join-back), so the ONLY
+    // exchange is the source-keyed window; at 100 TB the per-source
+    // sort is the declarative form of a quota-bounded top-k.
+    "q_pipeline_domain_quota" -> ((s, dir) => {
+      import s.implicits._
+      val quota = 10
+      TextAnalysis.qualityOn(Tables.load(s, dir, "documents"),
+          "doc_id", "text", keep = Seq("source"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy($"source")
+            .orderBy($"quality_score".desc, $"doc_id")))
+        .filter($"rank" <= quota)
+        .select($"doc_id", $"source", $"quality_score", $"rank")
+    }),
+
     "q_text_urls" -> ((s, dir) => {
       import s.implicits._
       Tables.load(s, dir, "documents")
@@ -326,6 +345,18 @@ object Pipeline extends QueryPack {
          |    '$EmailRe', '<EMAIL>', 'g'), '$Ipv4Re', '<IP>', 'g'),
          |    '$PhoneRe', '<PHONE>', 'g') AS redacted
          |FROM e""".stripMargin,
+
+    "q_pipeline_domain_quota" ->
+      s"""WITH tq AS (SELECT doc_id, source,
+         |    regexp_split_to_array(text, ' ') AS w FROM documents),
+         |sc AS (SELECT doc_id, source,
+         |  ${TextAnalysis.oQualityScore} AS quality_score FROM tq)
+         |SELECT doc_id, source, quality_score, rank FROM (
+         |  SELECT doc_id, source, quality_score,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY quality_score DESC, doc_id) AS rank
+         |  FROM sc)
+         |WHERE rank <= 10""".stripMargin,
 
     "q_text_urls" ->
       s"""WITH e AS (SELECT doc_id, $oUrlEnriched AS etext FROM documents),

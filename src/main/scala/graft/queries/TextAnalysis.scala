@@ -41,7 +41,8 @@ object TextAnalysis extends QueryPack {
     * Output: (idCol, mean_tok_len, stop_ratio, digit_ratio,
     * quality_score). Pure codegen'd per-row arithmetic, zero shuffles.
     */
-  def qualityOn(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def qualityOn(df: DataFrame, idCol: String, textCol: String,
+      keep: Seq[String] = Nil): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val t = col(textCol)
     val w = words(t)
@@ -56,9 +57,12 @@ object TextAnalysis extends QueryPack {
     val digitRatio = (length(t) -
       length(regexp_replace(t, "[0-9]", ""))).cast("double") /
       nullif(length(t), lit(0))
-    df.select(col(idCol), meanLen.as("mean_tok_len"),
+    // `keep` carries passenger columns (e.g. the quota op's source)
+    // through the per-row projection so callers never need a join-back
+    df.select((col(idCol) +: keep.map(col)) ++ Seq(
+      meanLen.as("mean_tok_len"),
       stopRatio.as("stop_ratio"), digitRatio.as("digit_ratio"),
-      (stopRatio * 0.5 + meanLen * 0.1).as("quality_score"))
+      (stopRatio * 0.5 + meanLen * 0.1).as("quality_score")): _*)
   }
 
   /** Marker-word argmax language prediction with deterministic
@@ -290,6 +294,15 @@ object TextAnalysis extends QueryPack {
     s"len(list_filter(w, x -> list_contains(${markers.map(m => s"'$m'").mkString("[", ", ", "]")}, x)))"
 
   /** Per-doc quality SELECT over `documents` — mirrors [[qualityOn]]. */
+  /** The quality_score expression alone (over a relation exposing `w`
+    * = split text), for composers like the per-source quota op.
+    */
+  private[queries] def oQualityScore: String =
+    s"""(CAST(len(list_filter(w, x -> list_contains($oStop, x))) AS DOUBLE)
+       |    / len(w)) * 0.5 +
+       |  (CAST(list_sum([length(x) for x in w]) AS DOUBLE) / len(w)) * 0.1"""
+      .stripMargin
+
   private[queries] def oQualityPerDocSql: String =
     s"""WITH tq AS (SELECT doc_id, text,
        |    regexp_split_to_array(text, ' ') AS w FROM documents)
