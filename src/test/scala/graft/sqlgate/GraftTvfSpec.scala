@@ -256,6 +256,58 @@ class GraftTvfSpec extends SparkSpec {
     assert(viaGate.groupBy(_._1).forall(_._2.size == 4))
   }
 
+  test("ANN_TOPK_IVFPQ sized (trailing cells) and TEXT_KEYWORDS match " +
+    "their library kernels through the gate") {
+    import org.apache.spark.sql.functions.col
+    val embDir = "/root/testdata/sf0.001/embeddings.parquet"
+    val runner = new ScriptRunner(spark, batchMode = true)
+    runner.run(
+      s"""create table emb_szg (vec_id BIGINT, embedding ARRAY<FLOAT>,
+         |  label INT
+         |) with (
+         |  'connector' = 'filesystem', 'path' = '$embDir',
+         |  'format' = 'parquet'
+         |);
+         |CREATE OR REPLACE TEMPORARY VIEW szg_corpus AS
+         |  SELECT * FROM emb_szg WHERE vec_id >= 8;
+         |CREATE OR REPLACE TEMPORARY VIEW szg_queries AS
+         |  SELECT * FROM emb_szg WHERE vec_id < 8;
+         |CREATE TABLE szg_sink (qid BIGINT, nid BIGINT, cosine DOUBLE,
+         |  rank INT) WITH ('connector' = 'memory');
+         |INSERT INTO szg_sink SELECT qid, nid, cosine, rank
+         |FROM TABLE(ANN_TOPK_IVFPQ(TABLE szg_corpus, TABLE szg_queries,
+         |  DESCRIPTOR(vec_id), DESCRIPTOR(embedding), 4, 7));""".stripMargin)
+    val raw = spark.read.parquet(embDir)
+    val direct = graft.queries.Similarity.ivfPqTopkOn(
+      raw.filter("vec_id >= 8"), raw.filter("vec_id < 8"),
+      "vec_id", "embedding", nProbe = 4, cells = Some(7))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    val viaGate = spark.table("szg_sink_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(viaGate == direct && viaGate.nonEmpty)
+
+    runner.run(
+      s"""${docsDdl("docs_kwg")}
+         |CREATE TABLE kwg_sink (doc_id BIGINT, term STRING,
+         |  weight DOUBLE, rank INT) WITH ('connector' = 'memory');
+         |INSERT INTO kwg_sink SELECT doc_id, term, weight, rank
+         |FROM TABLE(TEXT_KEYWORDS(TABLE docs_kwg, DESCRIPTOR(doc_id),
+         |  DESCRIPTOR(text), 2));""".stripMargin)
+    val kwGate = spark.table("kwg_sink_out").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    val kwDirect = graft.queries.Search.keywordsTfidf(
+      spark.read.parquet(docsDir), "doc_id", "text", 2)
+      .select(col("doc_id"), col("term"), col("weight"), col("rank"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getInt(3))).toSet
+    assert(kwGate == kwDirect && kwGate.nonEmpty)
+  }
+
   test("ANN_TOPK_IVFPQ through the gate matches the library kernel") {
     val embDir = "/root/testdata/sf0.001/embeddings.parquet"
     val runner = new ScriptRunner(spark, batchMode = true)
