@@ -49,6 +49,11 @@ final case class RowPatternSpec(
 // booleans + order/tiebreak) is unchanged. The reference's headline
 // verb is stop-with-savepoint → restore (CommandUtil.java:34-36);
 // Kryo-encoded state would tie that restore to Scala class shape.
+// UPGRADE BOUNDARY: checkpoints written by the pre-r14 Kryo build do
+// NOT restore under this encoding (the state-store schema check
+// rejects BINARY vs ARRAY<STRUCT>) — a one-time break accepted when
+// the explicit schema landed; jobs crossing it must drain-and-restart
+// rather than restore.
 
 /** The per-key backtracking matcher shared by the batch and streaming
   * execution shapes — works over one key's rows sorted by

@@ -1823,10 +1823,6 @@ object Gate extends QueryPack {
     jarPath.toString
   }
 
-  /** LSH top-3 over embeddings (8 queries vs the rest), the q_ann_lsh
-    * shape at k=3 — shared verbatim by the batch and streaming
-    * ANN_TOPK_LSH gate oracles.
-    */
   // slice-vs-corpus all-pairs mirror of the blocked FUZZY_JOIN_CROSS
   private val oFuzzyCrossSupp: String =
     """SELECT a.s_suppkey AS ida, b.s_suppkey AS idb,
@@ -1834,6 +1830,11 @@ object Gate extends QueryPack {
       |FROM supplier a JOIN supplier b
       |  ON levenshtein(a.s_name, b.s_name) <= 1
       |WHERE a.s_suppkey % 5 = 0""".stripMargin
+
+  /** LSH top-3 over embeddings (8 queries vs the rest), the q_ann_lsh
+    * shape at k=3 — shared verbatim by the batch and streaming
+    * ANN_TOPK_LSH gate oracles.
+    */
 
   private val oAnnLsh3: String =
     s"""WITH ${Similarity.oEmbQ},

@@ -135,14 +135,44 @@ object Similarity extends QueryPack {
       col("qe").as("qqe"), col("nrm").as("qnrm")), k, nPlanes, dim)
   }
 
-  private def corpusDim(corpus: DataFrame, vecCol: String): Int = {
+  /** Struct comparator for array_sort: `score` DESC with NULLs LAST,
+    * `id` ASC tie-break — the ONE ordering every ANN array stage
+    * shares, bit-identical to the oracles' `ORDER BY score DESC, id`.
+    * Centralized so a tie-break or NULL-ordering change cannot be
+    * applied to one stage and missed in another (each would silently
+    * break its oracle hash-match).
+    */
+  private def cmpDescNullsLast(score: String, id: String)
+      (l: Column, r: Column): Column = {
+    val (lc, rc) = (l.getField(score), r.getField(score))
+    val (ln, rn) = (l.getField(id), r.getField(id))
+    val byId = when(ln < rn, -1).when(ln > rn, 1).otherwise(0)
+    when(lc.isNull && rc.isNull, byId)
+      .when(lc.isNull, 1).when(rc.isNull, -1)
+      .when(lc > rc, -1).when(lc < rc, 1)
+      .otherwise(byId)
+  }
+
+  /** `score` ASC, `id` ASC — the ADC-distance ordering (scores are
+    * non-NULL integer sums by construction).
+    */
+  private def cmpAscBy(score: String, id: String)
+      (l: Column, r: Column): Column = {
+    val (la, ra) = (l.getField(score), r.getField(score))
+    val (ln, rn) = (l.getField(id), r.getField(id))
+    when(la < ra, -1).when(la > ra, 1)
+      .otherwise(when(ln < rn, -1).when(ln > rn, 1).otherwise(0))
+  }
+
+  private def corpusDim(corpus: DataFrame, vecCol: String,
+      op: String = "ANN_TOPK_LSH"): Int = {
     // NULL vectors are skipped when probing the dimension (size(NULL)
     // is NULL and would NPE here with no context); an all-NULL or
     // empty corpus fails with the operator-prefixed message instead.
     val head = corpus.filter(col(vecCol).isNotNull)
       .select(size(col(vecCol))).head(1)
     require(head.nonEmpty,
-      "ANN_TOPK_LSH: corpus has no non-NULL vectors — nothing to index")
+      s"$op: corpus has no non-NULL vectors — nothing to index")
     head(0).getInt(0)
   }
 
@@ -150,13 +180,34 @@ object Similarity extends QueryPack {
     * dimension fails the query instead of silently bucketing wrong
     * (hyperplane dots over a short vector would collapse to bucket 0).
     * assert_true keeps the column's own type and yields NULL when the
-    * check passes, so `when(_.isNull, vec)` is the identity.
+    * check passes, so `when(_.isNull, vec)` is the identity. `op`
+    * names the TVF the user actually invoked in the diagnostic.
     */
-  private def dimChecked(vec: Column, dim: Int): Column =
+  private def dimChecked(vec: Column, dim: Int,
+      op: String = "ANN_TOPK_LSH"): Column =
     when(assert_true(size(vec) === dim,
-      concat(lit("ANN_TOPK_LSH: vector dim "),
+      concat(lit(s"$op: vector dim "),
         coalesce(size(vec).cast("string"), lit("NULL")),
         lit(s" != corpus dim $dim"))).isNull, vec)
+
+  /** IVF+PQ's corpus-dimension contract, shared by the batch and
+    * streaming kernels: probe the corpus dim, require the fixed PQ
+    * slicing width, diagnostics naming ANN_TOPK_IVFPQ.
+    */
+  private def ivfPqDim(corpusRaw: DataFrame, vecCol: String): Int = {
+    val dim = corpusDim(corpusRaw, vecCol, "ANN_TOPK_IVFPQ")
+    require(dim == NDim,
+      s"ANN_TOPK_IVFPQ: embeddings have dim $dim but the PQ slicing " +
+        s"is built for $NDim")
+    dim
+  }
+
+  /** Shared IVF+PQ row prep: per-row dim-checked quantization + norm. */
+  private def ivfPqPrep(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int): DataFrame = df
+    .select(col(idCol).as("vec_id"),
+      quant(dimChecked(col(vecCol), dim, "ANN_TOPK_IVFPQ")).as("qe"))
+    .withColumn("nrm", dotQ(col("qe"), col("qe")))
 
   /** Streaming LSH top-k: bounded corpus → once-materialized
     * bucket-array index (one corpus scan, written to parquet so no
@@ -214,18 +265,10 @@ object Similarity extends QueryPack {
         cosineQ(col("qqe"), e.getField("qe"), col("qnrm"),
           e.getField("nrm")).as("cosine")))
     // annLsh's ordering exactly: cosine DESC NULLS LAST, nid ASC
-    def cmp(l: Column, r: Column): Column = {
-      val (lc, rc) = (l.getField("cosine"), r.getField("cosine"))
-      val (ln, rn) = (l.getField("nid"), r.getField("nid"))
-      val byNid = when(ln < rn, -1).when(ln > rn, 1).otherwise(0)
-      when(lc.isNull && rc.isNull, byNid)
-        .when(lc.isNull, 1).when(rc.isNull, -1)
-        .when(lc > rc, -1).when(lc < rc, 1)
-        .otherwise(byNid)
-    }
     q.join(idx, Seq("bucket"))
       .select(col("qid"),
-        posexplode(slice(array_sort(scored, cmp), 1, k)))
+        posexplode(slice(
+          array_sort(scored, cmpDescNullsLast("cosine", "nid")), 1, k)))
       .select(col("qid"), col("col.nid").as("nid"),
         col("col.cosine").as("cosine"), (col("pos") + 1).as("rank"))
   }
@@ -657,14 +700,8 @@ object Similarity extends QueryPack {
       cells: Option[Int] = None): DataFrame = {
     val s = corpusRaw.sparkSession
     Vec.ensureRegistered(s)
-    val dim = corpusDim(corpusRaw, vecCol)
-    require(dim == NDim,
-      s"ANN_TOPK_IVFPQ: embeddings have dim $dim but the PQ slicing " +
-        s"is built for $NDim")
-    def prep(df: DataFrame) = df
-      .select(col(idCol).as("vec_id"),
-        quant(dimChecked(col(vecCol), dim)).as("qe"))
-      .withColumn("nrm", dotQ(col("qe"), col("qe")))
+    val dim = ivfPqDim(corpusRaw, vecCol)
+    def prep(df: DataFrame) = ivfPqPrep(df, idCol, vecCol, dim)
     val corpus = prep(corpusRaw)
     val cent = cells match {
       case Some(c) =>
@@ -723,14 +760,8 @@ object Similarity extends QueryPack {
         "'source.bounded' = 'true' or a batch connector")
     val s = corpusRaw.sparkSession
     Vec.ensureRegistered(s)
-    val dim = corpusDim(corpusRaw, vecCol)
-    require(dim == NDim,
-      s"ANN_TOPK_IVFPQ: embeddings have dim $dim but the PQ slicing " +
-        s"is built for $NDim")
-    def prep(df: DataFrame) = df
-      .select(col(idCol).as("vec_id"),
-        quant(dimChecked(col(vecCol), dim)).as("qe"))
-      .withColumn("nrm", dotQ(col("qe"), col("qe")))
+    val dim = ivfPqDim(corpusRaw, vecCol)
+    def prep(df: DataFrame) = ivfPqPrep(df, idCol, vecCol, dim)
     val corpus = prep(corpusRaw)
     val centArr = cells match {
       case Some(c) => fitCentroids(corpus, c)
@@ -778,17 +809,9 @@ object Similarity extends QueryPack {
           .as("ccos"),
         lit(cid).as("cid"))
     }: _*)
-    def cmpCcos(l: Column, r: Column): Column = {
-      val (lc, rc) = (l.getField("ccos"), r.getField("ccos"))
-      val (ln, rn) = (l.getField("cid"), r.getField("cid"))
-      val byCid = when(ln < rn, -1).when(ln > rn, 1).otherwise(0)
-      when(lc.isNull && rc.isNull, byCid)
-        .when(lc.isNull, 1).when(rc.isNull, -1)
-        .when(lc > rc, -1).when(lc < rc, 1)
-        .otherwise(byCid)
-    }
     val probes = transform(
-      slice(array_sort(scoredCells, cmpCcos), 1, nProbe),
+      slice(array_sort(scoredCells, cmpDescNullsLast("ccos", "cid")),
+        1, nProbe),
       e => e.getField("cid"))
     // nProbe stream-static equi joins fetch the probed cells' member
     // arrays (left: an empty cell has no index row)
@@ -818,29 +841,16 @@ object Similarity extends QueryPack {
     val adcScored = transform(members, e =>
       struct(adcOf(e).as("adc"), e.getField("nid").as("nid"),
         e.getField("qe").as("qe"), e.getField("nrm").as("nrm")))
-    def cmpAdc(l: Column, r: Column): Column = {
-      val (la, ra) = (l.getField("adc"), r.getField("adc"))
-      val (ln, rn) = (l.getField("nid"), r.getField("nid"))
-      when(la < ra, -1).when(la > ra, 1)
-        .otherwise(when(ln < rn, -1).when(ln > rn, 1).otherwise(0))
-    }
-    val candArr = slice(array_sort(adcScored, cmpAdc), 1, cand)
+    val candArr =
+      slice(array_sort(adcScored, cmpAscBy("adc", "nid")), 1, cand)
     val reranked = transform(candArr, e =>
       struct(
         cosineQ(col("qqe"), e.getField("qe"), col("qnrm"),
           e.getField("nrm")).as("cosine"),
         e.getField("nid").as("nid")))
-    def cmpCos(l: Column, r: Column): Column = {
-      val (lc, rc) = (l.getField("cosine"), r.getField("cosine"))
-      val (ln, rn) = (l.getField("nid"), r.getField("nid"))
-      val byNid = when(ln < rn, -1).when(ln > rn, 1).otherwise(0)
-      when(lc.isNull && rc.isNull, byNid)
-        .when(lc.isNull, 1).when(rc.isNull, -1)
-        .when(lc > rc, -1).when(lc < rc, 1)
-        .otherwise(byNid)
-    }
     joined.select(col("qid"),
-        posexplode(slice(array_sort(reranked, cmpCos), 1, k)))
+        posexplode(slice(
+          array_sort(reranked, cmpDescNullsLast("cosine", "nid")), 1, k)))
       .select(col("qid"), col("col.nid").as("nid"),
         col("col.cosine").as("cosine"), (col("pos") + 1).as("rank"))
   }

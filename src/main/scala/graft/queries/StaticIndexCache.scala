@@ -36,12 +36,34 @@ private[graft] object StaticIndexCache {
     cache.computeIfAbsent(key, _ => build).asInstanceOf[T]
 
   /** Cache key for a corpus-derived index: the session, the corpus's
-    * canonicalized analyzed plan, and the index parameters.
+    * canonicalized analyzed plan, a fingerprint of its backing FILES,
+    * and the index parameters.
+    *
+    * The file fingerprint matters: for filesystem relations the
+    * canonicalized plan compares only root paths (Spark's
+    * InMemoryFileIndex equality), so a corpus OVERWRITTEN or APPENDED
+    * at the same path mid-session would otherwise silently keep
+    * serving the old frozen index. Spark-written data always produces
+    * fresh part-file names, so hashing the sorted `inputFiles` list
+    * catches both cases; non-file sources report no input files and
+    * fall back to plan equality alone.
     */
   def corpusKey(s: SparkSession, corpus: org.apache.spark.sql.DataFrame,
-      family: String, params: Any*): Any =
-    (s, corpus.queryExecution.analyzed.canonicalized, family,
-      params.toList)
+      family: String, params: Any*): Any = {
+    val files = corpus.inputFiles
+    java.util.Arrays.sort(files.asInstanceOf[Array[Object]])
+    // cryptographic digest, not hashCode: a collision here would
+    // silently serve the wrong index (same rationale as carrying
+    // centroid VALUES in the sized-index key)
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    files.foreach { f =>
+      md.update(f.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.update(0.toByte)
+    }
+    val fp = java.util.Base64.getEncoder.encodeToString(md.digest())
+    (s, corpus.queryExecution.analyzed.canonicalized, files.length, fp,
+      family, params.toList)
+  }
 
   /** Test hook: entry count (to pin reuse) and reset. */
   private[graft] def size: Int = cache.size
