@@ -293,6 +293,31 @@ class MinhashSpec extends SparkSpec {
     assert(e.getMessage.contains("cells must be"))
   }
 
+  test("a corpus OVERWRITTEN at the same path misses the frozen-index " +
+    "cache: results reflect the new data, not the stale index") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("refresh_corpus")
+      .toString
+    def corpusOf(label: String) = (0L until 8L)
+      .map(i => (i, s"$label shared tokens for doc $i $label $label"))
+      .toDF("vec_id", "text")
+    corpusOf("alpha").write.mode("overwrite").parquet(dir)
+    val incoming = Seq((100L, "alpha shared tokens for doc 0 alpha alpha"))
+      .toDF("vec_id", "text")
+    def run() = Dedup.minhashCrossPairs(incoming,
+      spark.read.parquet(dir), "vec_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val first = run()
+    assert(first.nonEmpty, "the alpha corpus must match the alpha probe")
+    // refresh the corpus AT THE SAME PATH with disjoint content: the
+    // frozen band index must be rebuilt (file-fingerprinted cache key),
+    // not served stale — a stale index would still emit alpha matches
+    corpusOf("omega").write.mode("overwrite").parquet(dir)
+    assert(run().isEmpty,
+      "stale frozen index served after a same-path corpus overwrite")
+  }
+
   test("streaming cross-pairs rejects a streaming corpus and a batch " +
     "incoming loudly") {
     import spark.implicits._
