@@ -212,4 +212,24 @@ class AnnSpec extends SparkSpec {
       f"fitted codebooks lost recall: $rFit%.3f <= $rSeed%.3f")
     assert(rFit >= 0.35, f"fitted recall unreasonably low: $rFit%.3f")
   }
+
+  test("fitCentroids: ids that dodge the stride sample fail loudly " +
+    "with the escape hatch named") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    graft.queries.Vec.ensureRegistered(spark)
+    // n=4 odd ids, cells=2 -> stride=2; no id satisfies id % 2 == 0
+    val prepped = Seq(1L, 3L, 5L, 7L)
+      .map(i => (i, Seq.fill(4)(i), 4 * i * i)).toDF("vec_id", "qe", "nrm")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.fitCentroids(prepped, cells = 2)
+    }
+    assert(e.getMessage.contains("no seed ids") &&
+      e.getMessage.contains("*With"), e.getMessage)
+    // dense ids with the same shape fit fine
+    val dense = Seq(0L, 1L, 2L, 3L)
+      .map(i => (i, Seq.fill(4)(i + 1), 4 * (i + 1) * (i + 1)))
+      .toDF("vec_id", "qe", "nrm")
+    assert(Similarity.fitCentroids(dense, cells = 2).length == 2)
+  }
 }
