@@ -90,7 +90,8 @@ object GraftFunctions {
     */
   val nativeNames: Set[String] = Set("long_dot", "simhash60",
     "word_ngrams", "count_in", "text_fingerprint", "jaccard_distinct",
-    "quant_vec", "argmin_cos", "pq_encode", "deletion_variants")
+    "quant_vec", "argmin_cos", "topn_cos", "pq_encode",
+    "deletion_variants")
 
   // once per session: createOrReplaceTempFunction logs a WARN on every
   // re-register, and the query packs call register() per query. Weak
@@ -172,6 +173,15 @@ object GraftFunctions {
           longs(exprs(2)), longs(exprs(3)), longs(exprs(4)))
       }, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "topn_cos", exprs => {
+        def longs(e: Expression): Array[Long] = e.eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toLongArray()
+        TopNCosine(exprs(0), exprs(1),
+          longs(exprs(2)), longs(exprs(3)), longs(exprs(4)),
+          intLiteral(exprs(5), "topn_cos", "n"))
+      }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "deletion_variants", exprs => DeletionVariants(exprs(0),
         intLiteral(exprs(1), "deletion_variants", "k")), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -196,6 +206,14 @@ object GraftFunctions {
       cents: Array[Long], cnorms: Array[Long]): Column = {
     import org.apache.spark.sql.functions.lit
     call_function("argmin_cos", qe, nrm, lit(cids), lit(cents), lit(cnorms))
+  }
+
+  /** Rank-ordered top-n nearest cells ([[TopNCosine]]). */
+  def topnCos(qe: Column, nrm: Column, cids: Array[Long],
+      cents: Array[Long], cnorms: Array[Long], n: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("topn_cos", qe, nrm, lit(cids), lit(cents),
+      lit(cnorms), lit(n))
   }
 
   def simhash60(a: Column): Column = call_function("simhash60", a)

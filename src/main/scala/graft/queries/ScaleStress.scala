@@ -296,6 +296,39 @@ object ScaleStress {
             emb.filter(col("vec_id") >= 8), emb.filter(col("vec_id") < 8),
             "vec_id", "embedding", cells = Some(kSized)).count())
       }),
+      // ... and the STREAMING probe at the same √n sizing: the
+      // arriving row scores all kSized cells through the plan-baked
+      // centroid array — the row-local spelling whose expression tree
+      // grows with the cell count, so this row is the evidence it
+      // holds (or does not) at production cell counts
+      "ann_ivfpq_sized_stream" -> (() => {
+        val emb = graft.Tables.load(spark, sfDir, "embeddings")
+        val stage = java.nio.file.Files.createTempDirectory("ipzs_stage")
+        stage.toFile.deleteOnExit()
+        emb.filter(col("vec_id") < 8)
+          .select(col("vec_id"), col("embedding"))
+          .write.mode("overwrite").parquet(stage.toString)
+        val incoming = spark.readStream
+          .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+          .parquet(stage.toString)
+        val hits = new java.util.concurrent.atomic.AtomicLong()
+        val q = Similarity.ivfPqTopkStream(
+            emb.filter(col("vec_id") >= 8), incoming,
+            "vec_id", "embedding", cells = Some(kSized))
+          .writeStream
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                _: Long) => hits.addAndGet(b.count()); ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("ipzs_ck").toString)
+          .start()
+        try require(q.awaitTermination(600000),
+          "ann_ivfpq_sized_stream drain timed out")
+        finally q.stop()
+        Map("k" -> kSized.toLong, "hits" -> hits.get())
+      }),
       // deletion-neighborhood fuzzy join. GenScale replicates c_name
       // VERBATIM across copies — massive exact duplication, the
       // operator's one documented adversarial input (its contract says

@@ -800,19 +800,20 @@ object Similarity extends QueryPack {
     // ---- row-local query pipeline ----
     val q0 = prep(queriesRaw).select(col("vec_id").as("qid"),
       col("qe").as("qqe"), col("nrm").as("qnrm"))
-    // cell scores: one codegen'd long_dot branch per centroid literal —
-    // the streaming analogue of the batch probe's broadcast+window,
-    // same (ccos DESC NULLS LAST, cid) order
-    val scoredCells = array(centArr.map { case (cid, ce, cnrm) =>
-      struct(
-        cosineQ(col("qqe"), lit(ce.toArray), col("qnrm"), lit(cnrm))
-          .as("ccos"),
-        lit(cid).as("cid"))
-    }: _*)
-    val probes = transform(
-      slice(array_sort(scoredCells, cmpDescNullsLast("ccos", "cid")),
-        1, nProbe),
-      e => e.getField("cid"))
+    // per-row nProbe nearest cells as ONE fused expression
+    // (graft.functions.TopNCosine) — the streaming analogue of the
+    // batch probe's broadcast+window, same (ccos DESC NULLS LAST, cid)
+    // order bit-for-bit. The per-cell struct-array spelling this
+    // replaces carried one centroid literal per cell: at the √n sized
+    // cell count (k=448, sf10) that was a 9 MiB task binary re-planned
+    // per micro-batch and a 3-39 s drain; the fused node carries the
+    // centroids as flat reference arrays, O(1) plan size in k·d.
+    val sortedCents = centArr.sortBy(_._1)
+    val probes = graft.functions.GraftFunctions.topnCos(
+      col("qqe"), col("qnrm"),
+      sortedCents.map(_._1).toArray,
+      sortedCents.flatMap(_._2).toArray,
+      sortedCents.map(_._3).toArray, nProbe)
     // nProbe stream-static equi joins fetch the probed cells' member
     // arrays (left: an empty cell has no index row)
     val withProbes = q0.withColumn("probes", probes)
