@@ -1,13 +1,27 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import java.io.ByteArrayInputStream
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+
+import scala.util.control.NonFatal
 
 /** Multimodal column handling for a training-data pipeline: media payloads
   * as opaque `BINARY` columns + typed metadata, with decode / feature /
   * frame-sample operators running as `mapPartitions` over the binary
-  * payloads (the Spark-side plumbing — schema, partitioning, batch shape —
-  * is real; only the codec itself is stubbed, see [[StubCodec]]).
+  * payloads. The image codec is REAL (`javax.imageio`, JDK built-in — no
+  * external dependency): [[imageFeatures]] decodes actual PNG/BMP/JPEG
+  * bytes into dimensions and exact per-channel sums, and
+  * [[channelHistogram]] into exact integer channel histograms.
+  *
+  * Failure contract (the production rule for a crawled corpus): a payload
+  * that does not decode — truncated, garbage, unsupported container —
+  * NEVER crashes the job. [[imageFeatures]] emits the row with
+  * `ok = false` and NULL features (so corruption is countable downstream);
+  * the narrower operators ([[channelHistogram]]) drop undecodable rows.
+  * An executor-side exception hours into a 100 TB job is the alternative.
   *
   * Scale notes: media processing is per-row CPU-bound work with large
   * payloads — exactly what `mapPartitions` + high partition counts are
@@ -18,17 +32,35 @@ import org.apache.spark.sql.functions._
   */
 object MediaOps {
 
-  /** STUB: the container ships no image/audio codecs, so decode derives
-    * deterministic fake dimensions from the payload bytes. In production
-    * this is the only function to replace (e.g. javax.imageio /
-    * ffmpeg-cli per partition); every caller is codec-agnostic.
+  /** Container sniffing from magic bytes — the cheap pre-decode routing
+    * step (a real pipeline fans different containers to different
+    * decoders). Deliberately independent of `ImageIO.read`: a truncated
+    * PNG still sniffs as "png" (its 8-byte signature survives) while its
+    * decode fails, and the two signals together distinguish "corrupt
+    * image" from "not an image at all".
     */
-  object StubCodec {
-    def decodeDims(bytes: Array[Byte]): (Int, Int) = {
-      val s = byteSum(bytes)
-      ((s % 640).toInt, (bytes.length % 480))
-    }
+  def sniffFormat(bytes: Array[Byte]): String = {
+    def at(i: Int): Int = bytes(i) & 0xff
+    if (bytes.length >= 8 && at(0) == 0x89 && at(1) == 'P' && at(2) == 'N' &&
+      at(3) == 'G' && at(4) == 0x0d && at(5) == 0x0a && at(6) == 0x1a &&
+      at(7) == 0x0a) "png"
+    else if (bytes.length >= 2 && at(0) == 'B' && at(1) == 'M') "bmp"
+    else if (bytes.length >= 3 && at(0) == 0xff && at(1) == 0xd8 &&
+      at(2) == 0xff) "jpg"
+    else "unknown"
   }
+
+  /** Formats whose decode is bit-exact (lossless codec + no chroma
+    * subsampling), i.e. whose per-channel sums are oracle-checkable
+    * against the encoder's input. JPEG decodes REAL dimensions but
+    * approximate pixels, so its channel features are NULLed rather
+    * than emitted as almost-right numbers.
+    */
+  val LosslessFormats: Set[String] = Set("png", "bmp")
+
+  private def decode(bytes: Array[Byte]): java.awt.image.BufferedImage =
+    try ImageIO.read(new ByteArrayInputStream(bytes))
+    catch { case NonFatal(_) => null } // corrupt payload → skip-and-count
 
   private[multimodal] def byteSum(bytes: Array[Byte]): Long = {
     var s = 0L
@@ -48,23 +80,103 @@ object MediaOps {
   private def nonNullMedia(df: DataFrame): DataFrame =
     df.select(col("id"), col("media")).filter(col("media").isNotNull)
 
-  /** Decode + per-payload features. Input df needs (id BIGINT,
-    * media BINARY); output drops the payload immediately.
+  /** REAL image decode + per-image features. Input df needs (id BIGINT,
+    * media BINARY); output drops the payload immediately. Every input
+    * row is emitted: decodable rows carry real dimensions (all
+    * supported formats) and exact per-channel sums (lossless formats
+    * only — see [[LosslessFormats]]); undecodable rows carry
+    * `ok = false` and NULLs, so downstream can both filter and COUNT
+    * corruption.
     */
-  def features(df: DataFrame): Dataset[MediaFeatures] = {
+  def imageFeatures(df: DataFrame): Dataset[ImageFeatures] = {
     val spark = df.sparkSession
     import spark.implicits._
     nonNullMedia(df).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val (w, h) = StubCodec.decodeDims(bytes)
-          MediaFeatures(id, bytes.length, md5hex(bytes), byteSum(bytes), w, h)
+          val fmt = sniffFormat(bytes)
+          val img = decode(bytes)
+          if (img == null)
+            ImageFeatures(id, fmt, ok = false, None, None, None,
+              None, None, None)
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            val nPx = w.toLong * h
+            if (LosslessFormats(fmt)) {
+              var rs = 0L; var gs = 0L; var bs = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  rs += (rgb >> 16) & 0xff
+                  gs += (rgb >> 8) & 0xff
+                  bs += rgb & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              ImageFeatures(id, fmt, ok = true, Some(w), Some(h), Some(nPx),
+                Some(rs), Some(gs), Some(bs))
+            } else
+              ImageFeatures(id, fmt, ok = true, Some(w), Some(h), Some(nPx),
+                None, None, None)
+          }
+        }
+      }
+  }
+
+  /** REAL decode → exact 8-bucket red-channel histogram (32 code points
+    * per bucket) — the feature-extraction shape with integer outputs so
+    * it stays oracle-checkable. Only losslessly-decodable rows are
+    * emitted (JPEG pixel values are approximate; corrupt rows don't
+    * decode at all).
+    */
+  def channelHistogram(df: DataFrame): Dataset[MediaHistogram] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    nonNullMedia(df).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val img = decode(bytes)
+          if (img == null || !LosslessFormats(sniffFormat(bytes))) None
+          else {
+            val hist = new Array[Long](8)
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                hist(((img.getRGB(x, y) >> 16) & 0xff) / 32) += 1
+                x += 1
+              }
+              y += 1
+            }
+            Some(MediaHistogram(id, hist.toSeq))
+          }
+        }
+      }
+  }
+
+  /** Payload-level features (no decode): size, digest, byte sum — the
+    * exact-dedup / integrity side of a media pipeline (a binary digest
+    * dedups identical crawls regardless of whether the payload decodes).
+    */
+  def payloadFeatures(df: DataFrame): Dataset[PayloadFeatures] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    nonNullMedia(df).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          PayloadFeatures(id, bytes.length, md5hex(bytes), byteSum(bytes))
         }
       }
   }
 
   /** Frame sampling: split the payload into k contiguous chunks (the
-    * video-frame stand-in) and emit per-chunk summaries.
+    * video-frame stand-in — the container ships no video codec, and a
+    * per-chunk summary is the per-frame-feature batch shape) and emit
+    * per-chunk summaries.
     */
   def frameSample(df: DataFrame, k: Int): Dataset[FrameFeature] = {
     val spark = df.sparkSession
@@ -81,25 +193,12 @@ object MediaOps {
         }
       }
   }
-
-  /** Integer byte-histogram "embedding" (8 buckets of 32 code points) —
-    * the feature-extraction shape; exact ints so it is oracle-checkable.
-    */
-  def histogram(df: DataFrame): Dataset[MediaHistogram] = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    nonNullMedia(df).as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.map { case (id, bytes) =>
-          val h = new Array[Long](8)
-          bytes.foreach { b => h((b & 0xff) / 32) += 1 }
-          MediaHistogram(id, h.toSeq)
-        }
-      }
-  }
 }
 
-final case class MediaFeatures(id: Long, n_bytes: Int, digest: String,
-    byte_sum: Long, fake_width: Int, fake_height: Int)
+final case class ImageFeatures(id: Long, fmt: String, ok: Boolean,
+    width: Option[Int], height: Option[Int], n_px: Option[Long],
+    r_sum: Option[Long], g_sum: Option[Long], b_sum: Option[Long])
+final case class PayloadFeatures(id: Long, n_bytes: Int, digest: String,
+    byte_sum: Long)
 final case class FrameFeature(id: Long, frame_idx: Int, chunk_sum: Long)
 final case class MediaHistogram(id: Long, hist: Seq[Long])

@@ -1,39 +1,70 @@
 package graft.queries
 
 import graft.{QueryPack, Tables}
-import graft.multimodal.MediaOps
+import graft.multimodal.{MediaFixture, MediaOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Oracle-checked entry points for the multimodal plumbing: documents'
-  * text reinterpreted as an opaque BINARY payload (the corpus has no real
-  * media; ASCII bytes make every derived value mirrorable in DuckDB),
-  * then run through the real mapPartitions operators of MediaOps.
+/** Oracle-checked entry points for the multimodal operators.
+  *
+  * The decode queries run the REAL codec end-to-end: [[MediaFixture]]
+  * encodes actual PNG/BMP/JPEG payloads whose pixel content is a closed
+  * form of `doc_id`, [[MediaOps.imageFeatures]] decodes them back with
+  * `javax.imageio`, and the DuckDB oracle recomputes the expected output
+  * arithmetically from `doc_id` — so a wrong decode (dims, channel
+  * values, corruption handling, format sniff) hash-mismatches. The
+  * payload/frame queries reinterpret documents' text as an opaque BINARY
+  * payload (ASCII bytes make every byte-level value mirrorable in
+  * DuckDB).
   */
 object Multimodal extends QueryPack {
 
-  private def mediaDF(s: SparkSession, dir: String): DataFrame =
+  /** Real encoded-image corpus derived from the documents ids. */
+  private def imageDF(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    MediaFixture.mediaTable(
+      Tables.load(s, dir, "documents").select(col("doc_id")).as[Long])
+  }
+
+  private def byteDF(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
       .select(col("doc_id").as("id"), col("text").cast("binary").as("media"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // decode-stub + payload features via mapPartitions
+    // REAL decode: encode → ImageIO.read → dims + exact channel sums
+    // (lossless formats), dims only (jpg), ok=false + NULLs (corrupt)
     "q_media_features" -> ((s, dir) =>
-      MediaOps.features(mediaDF(s, dir)).toDF()
-        .select(col("id"), col("n_bytes"), col("digest"), col("byte_sum"),
-          col("fake_width"), col("fake_height"))),
+      MediaOps.imageFeatures(imageDF(s, dir)).toDF()),
+
+    // REAL decode → exact red-channel histogram; serialized to a CSV
+    // string so the driver harness (pandas sort) can hash-compare it —
+    // arrays are unhashable on its side.
+    "q_media_hist" -> ((s, dir) =>
+      MediaOps.channelHistogram(imageDF(s, dir)).toDF()
+        .select(col("id"),
+          array_join(col("hist").cast("array<string>"), ",").as("hist"))),
+
+    // payload-level features (no decode): the exact-dedup / integrity side
+    "q_media_payload" -> ((s, dir) =>
+      MediaOps.payloadFeatures(byteDF(s, dir)).toDF()),
 
     // frame sampling: 4 contiguous chunks per payload
     "q_media_frames" -> ((s, dir) =>
-      MediaOps.frameSample(mediaDF(s, dir), 4).toDF()),
+      MediaOps.frameSample(byteDF(s, dir), 4).toDF()))
 
-    // integer byte-histogram embedding; serialized to a CSV string so the
-    // driver harness (pandas sort) can hash-compare it — arrays are
-    // unhashable on its side.
-    "q_media_hist" -> ((s, dir) =>
-      MediaOps.histogram(mediaDF(s, dir)).toDF()
-        .select(col("id"),
-          array_join(col("hist").cast("array<string>"), ",").as("hist"))))
+  // --- DuckDB mirrors -----------------------------------------------------
+
+  /** The fixture's closed form as SQL (one CTE shared by both decode
+    * oracles; see [[MediaFixture]] for the Scala side it mirrors).
+    */
+  private val oFixture =
+    """WITH d AS (SELECT doc_id AS id,
+      |    CASE WHEN doc_id % 4 = 3 THEN 'jpg'
+      |         WHEN doc_id % 4 = 2 THEN 'bmp' ELSE 'png' END AS fmt,
+      |    doc_id % 13 = 5 AS corrupt,
+      |    CAST(8 + doc_id % 9 AS INT) AS width,
+      |    CAST(8 + doc_id % 7 AS INT) AS height
+      |  FROM documents)""".stripMargin
 
   private val oCodes =
     "[ascii(text[i]) for i in generate_series(1, length(text))]"
@@ -42,10 +73,39 @@ object Multimodal extends QueryPack {
     // NOTE: DuckDB list_sum returns HUGEINT (int128); the driver hashes the
     // physical type, so every sum is CAST to BIGINT to match Spark's LongType.
     "q_media_features" ->
+      s"""$oFixture
+         |SELECT id, fmt, NOT corrupt AS ok,
+         |  CASE WHEN corrupt THEN NULL ELSE width END AS width,
+         |  CASE WHEN corrupt THEN NULL ELSE height END AS height,
+         |  CASE WHEN corrupt THEN NULL
+         |       ELSE CAST(width * height AS BIGINT) END AS n_px,
+         |  CASE WHEN corrupt OR fmt = 'jpg' THEN NULL
+         |       ELSE CAST(list_sum([(id + 3 * p) % 256
+         |         for p in generate_series(0, width * height - 1)])
+         |         AS BIGINT) END AS r_sum,
+         |  CASE WHEN corrupt OR fmt = 'jpg' THEN NULL
+         |       ELSE CAST(list_sum([(2 * id + 5 * p) % 256
+         |         for p in generate_series(0, width * height - 1)])
+         |         AS BIGINT) END AS g_sum,
+         |  CASE WHEN corrupt OR fmt = 'jpg' THEN NULL
+         |       ELSE CAST(list_sum([(3 * id + 7 * p) % 256
+         |         for p in generate_series(0, width * height - 1)])
+         |         AS BIGINT) END AS b_sum
+         |FROM d""".stripMargin,
+
+    "q_media_hist" ->
+      s"""$oFixture
+         |SELECT id,
+         |  array_to_string([CAST(len(list_filter(
+         |      [(id + 3 * p) % 256
+         |        for p in generate_series(0, width * height - 1)],
+         |      c -> c // 32 = b)) AS BIGINT)
+         |    for b in generate_series(0, 7)], ',') AS hist
+         |FROM d WHERE NOT corrupt AND fmt <> 'jpg'""".stripMargin,
+
+    "q_media_payload" ->
       s"""SELECT doc_id AS id, length(text) AS n_bytes, md5(text) AS digest,
-         |  CAST(list_sum($oCodes) AS BIGINT) AS byte_sum,
-         |  CAST(list_sum($oCodes) % 640 AS INT) AS fake_width,
-         |  CAST(length(text) % 480 AS INT) AS fake_height
+         |  CAST(list_sum($oCodes) AS BIGINT) AS byte_sum
          |FROM documents""".stripMargin,
 
     "q_media_frames" ->
@@ -54,11 +114,5 @@ object Multimodal extends QueryPack {
          |    generate_series((f.i * length(text)) // 4 + 1,
          |                    ((f.i + 1) * length(text)) // 4)]), 0)
          |    AS BIGINT) AS chunk_sum
-         |FROM documents CROSS JOIN generate_series(0, 3) f(i)""".stripMargin,
-
-    "q_media_hist" ->
-      s"""SELECT doc_id AS id,
-         |  array_to_string([CAST(len(list_filter($oCodes, c -> c // 32 = b))
-         |      AS BIGINT) for b in generate_series(0, 7)], ',') AS hist
-         |FROM documents""".stripMargin)
+         |FROM documents CROSS JOIN generate_series(0, 3) f(i)""".stripMargin)
 }
