@@ -124,13 +124,21 @@ object Bench {
     // the detail line, and the judge needed a full re-run last round just
     // to adjudicate noise vs regression. The file survives the round.
     //
-    // SEMANTICS (pinned after r13's drift): the FILE is the per-query
-    // MIN over all clean runs at this sf — the tightest believed
-    // steady-state, i.e. the reference the self-healing rerun pass
-    // compares against — while stdout (and the driver's BENCH artifact)
-    // always carries THIS run's actual measurements. A clean run merges
-    // min(prior, current) per query; entries for queries no longer in
-    // the suite drop out.
+    // SEMANTICS (pinned after r13's drift, aged since r15): the FILE
+    // tracks the per-query believed steady-state at this sf — the
+    // reference the self-healing rerun pass compares against — while
+    // stdout (and the driver's BENCH artifact) always carries THIS
+    // run's actual measurements. A clean run merges per query:
+    // min(current, prior) when current improves (a new min is believed
+    // immediately), else prior decayed 10% toward current
+    // (0.9·prior + 0.1·current). A pure min-over-history ratchet could
+    // only tighten: a genuine regression never updated the file, and a
+    // permanently-slower host re-triggered the rerun pass on nearly
+    // every query against an unreachable reference, forever. The decay
+    // keeps the reference tracking ACHIEVABLE steady-state (≈7 clean
+    // runs to close half a persistent gap) while one noisy run still
+    // moves it by only 10% of the spike. Entries for queries no longer
+    // in the suite drop out.
     try {
       new java.io.File("dev").mkdirs()
       // a run with failures must NOT touch the clean baseline: its
@@ -143,7 +151,9 @@ object Bench {
       val fileLine = if (errors.isEmpty) {
         val merged = results.map { case (k, v) =>
           val prior = priors.getOrElse(k, -1.0)
-          k -> (if (v >= 0 && prior > 0) math.min(v, prior) else v)
+          k -> (if (v >= 0 && prior > 0)
+            (if (v < prior) v else 0.9 * prior + 0.1 * v)
+          else v)
         }
         val mq = merged.map { case (k, v) => JsonUtil.str(k) + ":" + v }
           .mkString("{", ",", "}")

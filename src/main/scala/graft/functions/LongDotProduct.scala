@@ -182,6 +182,9 @@ object GraftFunctions {
           intLiteral(exprs(5), "topn_cos", "n"))
       }, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bm25_merge_topk", exprs => Bm25MergeTopK(exprs(0),
+        intLiteral(exprs(1), "bm25_merge_topk", "k")), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "deletion_variants", exprs => DeletionVariants(exprs(0),
         intLiteral(exprs(1), "deletion_variants", "k")), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -215,6 +218,11 @@ object GraftFunctions {
     call_function("topn_cos", qe, nrm, lit(cids), lit(cents),
       lit(cnorms), lit(n))
   }
+
+  /** Per-row BM25 per-doc score merge + top-k ([[Bm25MergeTopK]]). */
+  def bm25MergeTopK(members: Column, k: Int): Column =
+    call_function("bm25_merge_topk", members,
+      org.apache.spark.sql.functions.lit(k))
 
   def simhash60(a: Column): Column = call_function("simhash60", a)
 

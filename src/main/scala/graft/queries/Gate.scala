@@ -1044,7 +1044,7 @@ object Gate extends QueryPack {
            |CREATE OR REPLACE TEMPORARY VIEW bm_queries AS
            |  SELECT doc_id AS qid,
            |    concat_ws(' ', slice(split(text, ' '), 1, 4)) AS qtext
-           |  FROM docs_bm WHERE doc_id % 97 = 3;
+           |  FROM docs_bm WHERE doc_id % 97 = 3 AND text IS NOT NULL;
            |CREATE TABLE bm25_sink (qid BIGINT, doc_id BIGINT,
            |  score DOUBLE, rank INT) WITH ('connector' = 'memory');
            |INSERT INTO bm25_sink
@@ -1054,6 +1054,82 @@ object Gate extends QueryPack {
            |  DESCRIPTOR(doc_id), DESCRIPTOR(text), 10));
            |""".stripMargin)
       s.table("bm25_sink_out")
+    }),
+
+    // the stop-term recall knob through the gate: the trailing dfCap
+    // TVF argument drops terms with df > 390 from scoring — shares the
+    // library capped query's oracle (which applies the same cap)
+    "q_gate_bm25_cap_tvf" -> ((s, dir) => {
+      val runner = new ScriptRunner(s, batchMode = true)
+      runner.run(
+        s"""CREATE TABLE docs_bmc (doc_id BIGINT, text VARCHAR,
+           |  lang VARCHAR, source VARCHAR, n_chars BIGINT
+           |) WITH (
+           |  'connector' = 'filesystem',
+           |  'path' = '$dir/documents.parquet',
+           |  'format' = 'parquet'
+           |);
+           |CREATE OR REPLACE TEMPORARY VIEW bmc_queries AS
+           |  SELECT doc_id AS qid,
+           |    concat_ws(' ', slice(split(text, ' '), 1, 4)) AS qtext
+           |  FROM docs_bmc WHERE doc_id % 97 = 3 AND text IS NOT NULL;
+           |CREATE TABLE bm25_cap_sink (qid BIGINT, doc_id BIGINT,
+           |  score DOUBLE, rank INT) WITH ('connector' = 'memory');
+           |INSERT INTO bm25_cap_sink
+           |SELECT qid, doc_id, score, rank FROM TABLE(TEXT_SEARCH_BM25(
+           |  TABLE bmc_queries, TABLE docs_bmc,
+           |  DESCRIPTOR(qid), DESCRIPTOR(qtext),
+           |  DESCRIPTOR(doc_id), DESCRIPTOR(text), 10,
+           |  ${Search.OracleDfCap}));
+           |""".stripMargin)
+      s.table("bm25_cap_sink_out")
+    }),
+
+    // STREAMING BM25 probe through the gate — contamination-lookup-at-
+    // ingest: the query carve STREAMS against the frozen posting index
+    // of the bounded corpus declaration; a real micro-batch drain into
+    // a memory sink, sharing the batch route's oracle verbatim (the
+    // row-local decimal fold is bit-identical to the batch dsum6).
+    "q_gate_bm25_stream" -> ((s, dir) => {
+      val staged = StreamingGate.stagedTableDir(dir, "documents")
+      val runner = new ScriptRunner(s, batchMode = false)
+      try {
+        val res = runner.run(
+          s"""CREATE TABLE docs_bms (doc_id BIGINT, text VARCHAR,
+             |  lang VARCHAR, source VARCHAR, n_chars BIGINT
+             |) WITH (
+             |  'connector' = 'filesystem',
+             |  'path' = '$staged',
+             |  'format' = 'parquet'
+             |);
+             |CREATE TABLE docs_bmf (doc_id BIGINT, text VARCHAR,
+             |  lang VARCHAR, source VARCHAR, n_chars BIGINT
+             |) WITH (
+             |  'connector' = 'filesystem',
+             |  'path' = '$dir/documents.parquet',
+             |  'format' = 'parquet',
+             |  'source.bounded' = 'true'
+             |);
+             |CREATE OR REPLACE TEMPORARY VIEW bms_queries AS
+             |  SELECT doc_id AS qid,
+             |    concat_ws(' ', slice(split(text, ' '), 1, 4)) AS qtext
+             |  FROM docs_bms WHERE doc_id % 97 = 3 AND text IS NOT NULL;
+             |CREATE TABLE bm25_stream_sink (qid BIGINT, doc_id BIGINT,
+             |  score DOUBLE, rank INT) WITH ('connector' = 'memory');
+             |INSERT INTO bm25_stream_sink
+             |SELECT qid, doc_id, score, rank FROM TABLE(TEXT_SEARCH_BM25(
+             |  TABLE bms_queries, TABLE docs_bmf,
+             |  DESCRIPTOR(qid), DESCRIPTOR(qtext),
+             |  DESCRIPTOR(doc_id), DESCRIPTOR(text), 10));
+             |""".stripMargin)
+        try res.queries.foreach { q =>
+          require(q.awaitTermination(300000),
+            "streaming TEXT_SEARCH_BM25 gate query timed out")
+        } finally res.queries.foreach { q =>
+          try q.stop() catch { case _: Throwable => () }
+        }
+        s.table("bm25_stream_sink")
+      } finally runner.close()
     }),
 
     // Cross-corpus fuzzy match through the gate (batch): a 1-in-5
@@ -2025,8 +2101,12 @@ object Gate extends QueryPack {
     "q_gate_fuzzy_cross_tvf" -> oFuzzyCrossSupp,
     "q_gate_fuzzy_cross_stream" -> oFuzzyCrossSupp,
 
-    // BM25 through the gate shares the library route's oracle
+    // BM25 through the gate shares the library route's oracle — all
+    // three routes (batch TVF, capped TVF, streaming drain) against
+    // the same SQL, so they cannot drift from each other
     "q_gate_bm25_tvf" -> Search.oBm25Sql,
+    "q_gate_bm25_cap_tvf" -> Search.oBm25CappedSql,
+    "q_gate_bm25_stream" -> Search.oBm25Sql,
     "q_gate_keywords_tvf" -> Search.oracleSql("q_text_keywords"),
 
     // the semantic cross kernel: all three routes (library, batch TVF,

@@ -195,6 +195,60 @@ object ScaleStress {
         Map("hits" -> Search.bm25TopK(q, docs, "qid", "qtext",
           "doc_id", "text", 10).count())
       }),
+      // r15: the df-capped probe — the stop-term discipline on the
+      // same dense-vocabulary worst case. The fixture's df
+      // distribution is tightly banded (most terms at df ≈ 0.77·N,
+      // rare ones at 0.05·N), so cap = 0.78·N — the oracle's ratio,
+      // OracleDfCap = 390 at N = 500 — drops the top-quartile
+      // stop-grade lists while the queries keep scoring: the cell
+      // isolates what the recall knob buys in probe fan-out
+      "bm25_capped" -> (() => {
+        val docs = graft.Tables.load(spark, sfDir, "documents")
+        val n = docs.count()
+        val q = docs.filter(col("doc_id") < 200)
+          .selectExpr("doc_id AS qid",
+            "concat_ws(' ', slice(split(text, ' '), 1, 4)) AS qtext")
+        val cap = n * 78 / 100
+        Map("cap" -> cap,
+          "hits" -> Search.bm25TopK(q, docs, "qid", "qtext",
+            "doc_id", "text", 10, dfCap = Some(cap)).count())
+      }),
+      // r15: the STREAMING probe (contamination-lookup-at-ingest) on a
+      // real drain, at the production pairing (df cap — an uncapped
+      // stop term would make single rows corpus-sized, the documented
+      // skew knob): frozen per-term index builds once (cached after
+      // the first pass → min-over-passes measures the warm-index
+      // drain), each arriving query row fetches ≤ maxTerms posting
+      // arrays and merges scores row-locally
+      "bm25_stream" -> (() => {
+        val docs = graft.Tables.load(spark, sfDir, "documents")
+        val n = docs.count()
+        val stage = java.nio.file.Files.createTempDirectory("bms_stage")
+        stage.toFile.deleteOnExit()
+        docs.filter(col("doc_id") < 200)
+          .selectExpr("doc_id AS qid",
+            "concat_ws(' ', slice(split(text, ' '), 1, 4)) AS qtext")
+          .write.mode("overwrite").parquet(stage.toString)
+        val incoming = spark.readStream
+          .schema("qid LONG, qtext STRING").parquet(stage.toString)
+        val hits = new java.util.concurrent.atomic.AtomicLong()
+        val cap = n * 78 / 100
+        val q = Search.bm25TopKStream(incoming, docs, "qid", "qtext",
+            "doc_id", "text", 10, dfCap = Some(cap))
+          .writeStream
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                _: Long) => hits.addAndGet(b.count()); ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("bms_ck").toString)
+          .start()
+        try require(q.awaitTermination(600000),
+          "bm25_stream drain timed out")
+        finally q.stop()
+        Map("cap" -> cap, "hits" -> hits.get())
+      }),
       // r14: per-doc TF-IDF keywords — one tokenize pass, two keyed
       // exchanges, output corpus-linear (k terms per doc)
       "tfidf_keywords" -> (() => {

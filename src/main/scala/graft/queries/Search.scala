@@ -5,14 +5,15 @@ import graft.Num.{dsum6, oSum6}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Full-text relevance search over the document corpus — the retrieval
   * side of a training-data pipeline (dedup-adjacent: "find everything
   * that looks like this query" is the same posting-list machinery as
   * contamination lookup, e.g. reference job platforms route such
-  * queries to an external search sink;
-  * /root/reference/docs/sql_demo/demo_7.md wires one up — here the
-  * scoring itself is native).
+  * queries to an external search sink; the reference wires an
+  * Elasticsearch sink up in /root/reference/docs/sql_demo/demo_6.md —
+  * here the scoring itself is native).
   *
   * Scoring is BM25 with a LOG-FREE idf: the exact rational odds ratio
   * `(2(N-df)+1)/(2df+1)` stands in for `ln((N-df+0.5)/(df+0.5))`.
@@ -42,9 +43,16 @@ import org.apache.spark.sql.functions._
   *     `row_number` window partitioned by query id, k rows kept per
   *     query.
   *   - Skew: a stop-word-grade term's posting list is corpus-sized;
-  *     production pairs this with stop-term dropping (df cap) — the
-  *     same hot-bucket discipline as minhash LSH. Left uncapped here
-  *     because the cap is a recall knob, not an index parameter.
+  *     production pairs this with stop-term dropping — the `dfCap`
+  *     option (same hot-bucket discipline as minhash LSH's
+  *     `maxBucket`): terms with df > cap are dropped from SCORING
+  *     (corpus statistics stay uncapped), drops are accounted via an
+  *     `observe()` metric and logged at WARN — no silent truncation.
+  *     Default stays uncapped: the cap is a recall knob, the operator
+  *     keeps exact semantics unless the user opts in.
+  *   - Streaming probe ([[bm25TopKStream]]): queries stream against a
+  *     FROZEN per-term index (contamination-lookup-at-ingest), zero
+  *     keyed state, append mode.
   */
 object Search extends QueryPack {
 
@@ -55,6 +63,18 @@ object Search extends QueryPack {
 
   private val K1 = 1.2
   private val B = 0.75
+
+  /** Partition floor for the index-build window exchanges: an EXPLICIT
+    * repartition count is exempt from AQE partition coalescing, which
+    * on small corpora folded these corpus-sized window stages to ONE
+    * partition and serialized them (the measured sf0.1 > sf1 anomaly
+    * in SCALE.md); at sf1+ the count equals what AQE picked anyway, so
+    * nothing changes at scale. Falls back to 32 if the session conf is
+    * not a number (e.g. "auto" on some deployments).
+    */
+  private def indexPartitions(s: SparkSession): Int =
+    s.conf.getOption("spark.sql.shuffle.partitions")
+      .flatMap(_.toIntOption).getOrElse(32).max(1)
 
   /** Shared posting-index build (ONE corpus tokenize pass): per-(doc,
     * term) counts with dl riding the key, document frequency via a
@@ -67,9 +87,15 @@ object Search extends QueryPack {
     * enter tf and are thereby excluded from the corpus and its
     * statistics — the oracle mirrors this with `WHERE text IS NOT
     * NULL`.
+    *
+    * `dfCap`: drop terms with df > cap from the index (stop-term
+    * discipline — their posting lists are corpus-sized and dominate
+    * probe fan-out). Corpus statistics are computed BEFORE the cap
+    * (the cap tunes recall, not the idf definition), and dropped
+    * posting rows are counted via the `bm25_dfcap` observe() metric.
     */
-  private def postingIndex(corpus: DataFrame, idCol: String,
-      textCol: String): DataFrame = {
+  private[queries] def postingIndex(corpus: DataFrame, idCol: String,
+      textCol: String, dfCap: Option[Long] = None): DataFrame = {
     val docs = corpus.select(col(idCol).as("doc_id"),
       words(col(textCol)).as("w"))
       .select(col("doc_id"), col("w"), size(col("w")).as("dl"))
@@ -79,10 +105,60 @@ object Search extends QueryPack {
       .agg(count(lit(1)).as("tf"))
     val stats = tf.agg(countDistinct(col("doc_id")).as("n_docs"),
       sum(col("tf")).as("total_tok"))
-    tf.withColumn("df",
+    val withDf = tf
+      .repartition(indexPartitions(corpus.sparkSession), col("term"))
+      .withColumn("df",
         count(lit(1)).over(Window.partitionBy(col("term"))))
-      .crossJoin(stats)
+    val kept = dfCap match {
+      case Some(cap) =>
+        require(cap >= 1, s"TEXT_SEARCH_BM25: df cap must be >= 1, got $cap")
+        ensureCapLogger(corpus.sparkSession)
+        withDf
+          .observe("bm25_dfcap",
+            sum(when(col("df") > cap, 1).otherwise(0))
+              .as("dropped_postings"))
+          .filter(col("df") <= cap)
+      // uncapped mode carries no drop accounting at all — a
+      // never-firing metric would mislead readers into thinking drops
+      // are possible on this path
+      case None => withDf
+    }
+    kept.crossJoin(stats)
   }
+
+  /** Log df-cap drops after any action over a capped-index plan —
+    * observe() metrics cost nothing at runtime and surface here, so
+    * capped truncation is always visible in the driver log (same
+    * policy as [[Dedup]]'s hot-bucket cap logger).
+    */
+  // weak keys: stopped sessions must not stay pinned by this static set
+  private val capLoggerSessions =
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+  private def ensureCapLogger(s: SparkSession): Unit =
+    capLoggerSessions.synchronized {
+      if (!capLoggerSessions.contains(s)) {
+        capLoggerSessions.add(s)
+        s.listenerManager.register(
+          new org.apache.spark.sql.util.QueryExecutionListener {
+            override def onSuccess(funcName: String,
+                qe: org.apache.spark.sql.execution.QueryExecution,
+                durationNs: Long): Unit =
+              qe.observedMetrics.foreach { case (name, row) =>
+                // the sum over an EMPTY index is NULL — guard the unbox
+                if (name == "bm25_dfcap" && !row.isNullAt(0) &&
+                    row.getLong(0) > 0)
+                  log.warn(s"bm25 df cap dropped ${row.getLong(0)} posting " +
+                    "rows (stop-grade terms) — raise the cap to trade " +
+                    "probe fan-out for recall on those terms")
+              }
+            override def onFailure(funcName: String,
+                qe: org.apache.spark.sql.execution.QueryExecution,
+                exception: Exception): Unit = ()
+          })
+      }
+    }
 
   /** The log-free rational odds-ratio idf shared by both scorers —
     * `(2(N-df)+1)/(2df+1)`, the exact monotone stand-in for
@@ -91,6 +167,22 @@ object Search extends QueryPack {
   private def idf: Column =
     (lit(2.0) * (col("n_docs") - col("df")) + lit(1.0)) /
       (lit(2.0) * col("df") + lit(1.0))
+
+  /** The per-posting BM25 addend (idf × tf-saturation), ONE fixed
+    * expression tree shared by the batch scorer and the streaming
+    * index build so the two routes cannot drift — every input is
+    * integer-derived, every op is IEEE mul/div/add, so both engines
+    * (and both routes) produce bit-identical doubles. Literals spelled
+    * out (2.2, not K1+1.0: the Scala double sum is 2.2000000000000002,
+    * the parsed literal both engines share is 2.2).
+    */
+  private def bm25Addend: Column = {
+    val avgdl = col("total_tok").cast("double") / col("n_docs")
+    val tfd = col("tf").cast("double")
+    val sat = (tfd * lit(2.2)) /
+      (tfd + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
+    idf * sat
+  }
 
   /** BM25 top-k retrieval: for each query row, the k highest-scoring
     * corpus documents → (qid, doc_id, score, rank). Query terms are
@@ -101,13 +193,14 @@ object Search extends QueryPack {
     * Contract edges: a NULL-text corpus row is excluded from the
     * corpus AND its statistics (N, avgdl) — the oracle mirrors this —
     * and `idCol` must be a key (duplicate ids would merge their term
-    * counts).
+    * counts). `dfCap` drops stop-grade terms from scoring (see
+    * [[postingIndex]]); default uncapped.
     */
   def bm25TopK(queries: DataFrame, corpus: DataFrame,
       qidCol: String, qtextCol: String, idCol: String, textCol: String,
-      k: Int = 10): DataFrame = {
+      k: Int = 10, dfCap: Option[Long] = None): DataFrame = {
     require(k >= 1, s"TEXT_SEARCH_BM25: k must be >= 1, got $k")
-    val postings = postingIndex(corpus, idCol, textCol)
+    val postings = postingIndex(corpus, idCol, textCol, dfCap)
 
     // distinct across the RELATION, not just within a row: a caller
     // feeding duplicate qid rows must not double-count addends (the
@@ -116,19 +209,9 @@ object Search extends QueryPack {
         explode(array_distinct(words(col(qtextCol)))).as("term"))
       .dropDuplicates("qid", "term")
 
-    // the scoring expression, mirrored token-for-token by oracleSql:
-    // every input is integer-derived, every op is IEEE mul/div/add in
-    // a fixed tree, so both engines produce bit-identical doubles
-    // literals spelled out (2.2, not K1+1.0: the Scala double sum is
-    // 2.2000000000000002, the parsed literal both engines share is 2.2)
-    val avgdl = col("total_tok").cast("double") / col("n_docs")
-    val tfd = col("tf").cast("double")
-    val sat = (tfd * lit(2.2)) /
-      (tfd + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
-
     val scored = qterms.join(postings, "term")
       .groupBy(col("qid"), col("doc_id"))
-      .agg(dsum6(idf * sat).as("score"))
+      .agg(dsum6(bm25Addend).as("score"))
 
     scored
       .withColumn("rank", row_number().over(
@@ -137,11 +220,114 @@ object Search extends QueryPack {
       .filter(col("rank") <= k)
   }
 
+  /** STREAMING BM25 probe — contamination-lookup-at-ingest: each
+    * arriving query row is scored against a FROZEN corpus index,
+    * bit-identically to [[bm25TopK]]. Zero keyed state, append mode.
+    *
+    * Shape (the frozen-index discipline of [[Similarity.ivfPqTopkStream]]):
+    *   - Index: ONE row per term carrying the PRE-SCORED posting list
+    *     (the BM25 addend is fully query-independent — idf, tf
+    *     saturation, and corpus scalars are all index-side — so the
+    *     probe never recomputes scoring arithmetic). Built once, cached
+    *     by corpus fingerprint, persisted pre-partitioned on `term`.
+    *   - Probe: `maxTerms` stream-static equi joins fetch the query's
+    *     terms' posting arrays row-locally (the nProbe-join pattern);
+    *     per-doc scores merge INSIDE the row via an order-free
+    *     decimal(18,6) fold — the same exact arithmetic as the batch
+    *     `dsum6`, so batch and stream hash-match — then one array sort
+    *     + slice yields the top k.
+    *
+    * Contracts: the query side must stream, the corpus must be
+    * bounded; queries carry at most `maxTerms` DISTINCT terms (a
+    * per-row raise_error otherwise — loud, not silently truncated).
+    * At 100 TB the per-row cost is Σ df over the query's terms
+    * materialized as in-row arrays, so pair this with `dfCap` — an
+    * uncapped stop-term would make single rows corpus-sized (the
+    * documented skew knob; the batch probe amortizes the same fan-out
+    * across a shuffle instead).
+    */
+  def bm25TopKStream(queries: DataFrame, corpus: DataFrame,
+      qidCol: String, qtextCol: String, idCol: String, textCol: String,
+      k: Int = 10, dfCap: Option[Long] = None,
+      maxTerms: Int = 8): DataFrame = {
+    require(k >= 1, s"TEXT_SEARCH_BM25: k must be >= 1, got $k")
+    require(maxTerms >= 1,
+      s"TEXT_SEARCH_BM25: maxTerms must be >= 1, got $maxTerms")
+    require(queries.isStreaming,
+      "bm25TopKStream needs a streaming query side — use bm25TopK for " +
+        "batch-vs-batch")
+    require(!corpus.isStreaming,
+      "TEXT_SEARCH_BM25: the corpus side must be a BOUNDED relation " +
+        "(its posting index is built once and frozen) — declare it with " +
+        "'source.bounded' = 'true' or a batch connector")
+    val s = corpus.sparkSession
+    Vec.ensureRegistered(s) // bm25_merge_topk rides the same registry
+
+    // frozen per-term index: (term, postings: array<(doc_id, addend)>),
+    // persisted pre-partitioned on the probe key (micro-batches then
+    // exchange only stream-side rows); cached by corpus fingerprint so
+    // a same-path refresh cannot serve stale
+    val idx = StaticIndexCache.getOrBuild[DataFrame](
+      StaticIndexCache.corpusKey(s, corpus, "bm25_idx",
+        idCol, textCol, dfCap)) {
+      val dir = java.nio.file.Files.createTempDirectory("graft_bm25_idx")
+      dir.toFile.deleteOnExit()
+      postingIndex(corpus, idCol, textCol, dfCap)
+        .select(col("term"), col("doc_id"), bm25Addend.as("addend"))
+        .groupBy(col("term"))
+        .agg(collect_list(struct(col("doc_id"), col("addend")))
+          .as("postings"))
+        .write.parquet(s"$dir/idx")
+      s.read.parquet(s"$dir/idx")
+        .repartition(col("term"))
+        .sortWithinPartitions(col("term"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+    // ---- row-local query pipeline ----
+    val qtRaw = array_distinct(words(col(qtextCol)))
+    // loud per-row contract: more distinct terms than probe joins would
+    // silently drop scoring mass — fail the row instead
+    val qt = when(size(qtRaw) > maxTerms,
+      raise_error(concat(
+        lit(s"TEXT_SEARCH_BM25 streaming probe supports at most " +
+          s"$maxTerms distinct query terms (maxTerms arg); got "),
+        size(qtRaw).cast("string")))).otherwise(qtRaw)
+    val q0 = queries.select(col(qidCol).as("qid"), qt.as("qterms"))
+    // maxTerms stream-static equi joins fetch the terms' posting
+    // arrays (left: an out-of-vocabulary term has no index row)
+    val joined = (0 until maxTerms).foldLeft(q0) { (acc, j) =>
+      // get(), not element_at: 0-based and NULL (never an ANSI error)
+      // past the end of a shorter-than-maxTerms query — a NULL join key
+      // simply matches no index row
+      acc.join(
+        idx.select(col("term").as(s"__t_$j"),
+          col("postings").as(s"__p_$j")),
+        get(col("qterms"), lit(j)) === col(s"__t_$j"), "left")
+    }
+    val emptyPostings = array().cast(idx.schema("postings").dataType)
+    val members = flatten(array((0 until maxTerms).map(j =>
+      coalesce(col(s"__p_$j"), emptyPostings)): _*))
+    // per-doc merge + top-k INSIDE the row as ONE fused native node
+    // ([[graft.functions.Bm25MergeTopK]]): O(n) hash merge over the
+    // n = Σ df addends with the batch dsum6's exact decimal(18,6)
+    // arithmetic, then a bounded (score DESC, doc_id ASC) top-k — the
+    // routes hash-match bit-for-bit. The pure-SQL spelling (per-doc
+    // filter+aggregate lambdas) was O(D·n) interpreted calls per row,
+    // measured intractable on the dense-vocabulary stress corpus.
+    val topk = graft.functions.GraftFunctions.bm25MergeTopK(members, k)
+    joined.select(col("qid"), posexplode(topk))
+      .select(col("qid"), col("col.doc_id").as("doc_id"),
+        col("col.score").as("score"), (col("pos") + 1).as("rank"))
+  }
+
   /** TF-IDF keyword extraction: the k most corpus-distinctive terms
     * per document → (doc_id, term, weight, rank). Weight is the
     * log-free rational `tf/dl × (2(N-df)+1)/(2df+1)` (same idf family
     * as [[bm25TopK]], same bit-stability rationale). One tokenize
-    * pass, two map-side-combined keyed aggs, one per-doc window.
+    * pass, two map-side-combined keyed aggs, one per-doc window (with
+    * the same explicit-count partition floor as the index build — see
+    * [[indexPartitions]]).
     */
   def keywordsTfidf(corpus: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame = {
@@ -149,6 +335,7 @@ object Search extends QueryPack {
     val weight = (col("tf").cast("double") / col("dl")) * idf
     postingIndex(corpus, idCol, textCol)
       .select(col("doc_id"), col("term"), weight.as("weight"))
+      .repartition(indexPartitions(corpus.sparkSession), col("doc_id"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("doc_id"))
           .orderBy(col("weight").desc, col("term"))))
@@ -157,12 +344,22 @@ object Search extends QueryPack {
 
   /** The oracle's deterministic query set: every 97th document's first
     * four tokens (≥5 queries at sf0.01, slice bounded so the all-docs
-    * DuckDB mirror stays cheap).
+    * DuckDB mirror stays cheap). NULL-text docs are excluded — the
+    * DuckDB mirror's query CTE derives from the text-IS-NOT-NULL docs
+    * CTE, and concat_ws would otherwise turn a NULL text into the ''
+    * query, defining the query set differently across engines.
     */
   private def oracleQueries(docs: DataFrame): DataFrame =
-    docs.filter(col("doc_id") % 97 === 3)
+    docs.filter(col("doc_id") % 97 === 3 && col("text").isNotNull)
       .select(col("doc_id").as("qid"),
         concat_ws(" ", slice(words(col("text")), 1, 4)).as("qtext"))
+
+  /** df cap for the capped oracle queries: at the fixtures' dense
+    * ~31-term vocabulary most terms sit at df≈390·sf/0.01, so 390
+    * splits the vocabulary non-trivially at sf0.01 (rare terms
+    * survive, stop-grade terms drop) — both branches exercised.
+    */
+  private[queries] val OracleDfCap = 390L
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_bm25" -> ((s, dir) => {
@@ -171,17 +368,28 @@ object Search extends QueryPack {
         "doc_id", "text", k = 10)
     }),
 
+    // the stop-term (df cap) recall knob: same query set, terms with
+    // df > cap dropped from scoring — the oracle applies the same cap
+    "q_text_bm25_capped" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      bm25TopK(oracleQueries(docs), docs, "qid", "qtext",
+        "doc_id", "text", k = 10, dfCap = Some(OracleDfCap))
+    }),
+
     "q_text_keywords" -> ((s, dir) =>
       keywordsTfidf(Tables.load(s, dir, "documents"), "doc_id", "text",
         k = 3)))
 
   // --- DuckDB mirrors -----------------------------------------------------
 
-  /** Shared by `q_text_bm25` and the gate TVF route so the two checks
-    * cannot drift. The scoring arithmetic mirrors [[bm25TopK]]'s
-    * expression tree token-for-token (see the object Scaladoc).
+  /** Shared by `q_text_bm25`, the gate TVF route, AND the streaming
+    * probe (bit-identical by construction) so the checks cannot
+    * drift. The scoring arithmetic mirrors [[bm25TopK]]'s expression
+    * tree token-for-token (see the object Scaladoc). `dfCap` mirrors
+    * the Spark-side stop-term drop.
     */
-  private[queries] val oBm25Sql: String =
+  private[queries] def oBm25SqlWith(dfCap: Option[Long]): String = {
+    val capPred = dfCap.fold("")(c => s" WHERE df <= $c")
     s"""WITH d AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS w
        |    FROM documents WHERE text IS NOT NULL),
        |docs AS (SELECT doc_id, w, len(w) AS dl FROM d),
@@ -190,7 +398,8 @@ object Search extends QueryPack {
        |tf AS (SELECT doc_id, dl, unnest(w) AS term FROM docs),
        |tfc AS (SELECT doc_id, dl, term, COUNT(*) AS tf
        |  FROM tf GROUP BY doc_id, dl, term),
-       |dfreq AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY term),
+       |dfreq0 AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY term),
+       |dfreq AS (SELECT term, df FROM dfreq0$capPred),
        |q AS (SELECT doc_id AS qid, w[1:4] AS qw FROM docs
        |  WHERE doc_id % 97 = 3),
        |qt AS (SELECT DISTINCT qid, term
@@ -213,9 +422,15 @@ object Search extends QueryPack {
        |      ORDER BY score DESC, doc_id) AS rank
        |  FROM scored)
        |WHERE rank <= 10""".stripMargin
+  }
+
+  private[queries] val oBm25Sql: String = oBm25SqlWith(None)
+  private[queries] val oBm25CappedSql: String =
+    oBm25SqlWith(Some(OracleDfCap))
 
   def oracleSql: Map[String, String] = Map(
     "q_text_bm25" -> oBm25Sql,
+    "q_text_bm25_capped" -> oBm25CappedSql,
 
     "q_text_keywords" ->
       """WITH d AS (SELECT doc_id, regexp_split_to_array(text, ' ') AS w

@@ -17,6 +17,17 @@ import org.apache.spark.sql.SparkSession
   * where the frozen index is a bucketed table built once and probed
   * by every subsequent query.
   *
+  * Keys split into a stable PREFIX (session, canonical plan, family,
+  * params) and a VERSION (backing-file fingerprint). Entries are
+  * stored per prefix: a version mismatch — the corpus was overwritten
+  * or appended at the same path — REPLACES the superseded entry and
+  * unpersists its cached frames, so a long session refreshing the
+  * same corpus holds one live index per (corpus, family), not one per
+  * corpus VERSION. (Tmp parquet dirs of superseded entries stay on
+  * disk until JVM exit — deleteOnExit — because an in-flight query
+  * may still be scanning them; only the block-manager pins are
+  * released eagerly.)
+  *
   * Keys include the [[SparkSession]] because the cached value (a
   * DataFrame or persisted frame) is bound to its session; the session
   * reference is weak-equivalent here since entries die with the JVM
@@ -24,20 +35,83 @@ import org.apache.spark.sql.SparkSession
   * structurally (the same mechanism as `QueryPlan.sameResult`), so
   * two reads of the same table with the same projection hit the same
   * entry while a changed corpus misses.
+  *
+  * Concurrency: the map operation is O(1) — builds run in a per-key
+  * lazy cell OUTSIDE the map's bin locks (a multi-second Spark job
+  * inside `computeIfAbsent` would serialize unrelated builders that
+  * hash to the same bin, and a nested getOrBuild inside a build
+  * closure would throw recursive-update). Two racing builders of the
+  * SAME key still build at most once (the lazy cell's monitor).
   */
 private[graft] object StaticIndexCache {
+
+  /** Split cache key — see [[corpusKey]]. */
+  final case class CorpusKey(prefix: Any, version: Any)
+
+  /** Per-key build cell: at-most-once via the lazy monitor, with a
+    * forced-flag so eviction can unpersist exactly the values that
+    * were actually built (forcing an unbuilt cell just to clean it
+    * up would RUN the multi-second build).
+    */
+  private final class Cell(build: () => AnyRef) {
+    @volatile private var forced = false
+    lazy val value: AnyRef = { val v = build(); forced = true; v }
+    def builtValue: Option[AnyRef] = if (forced) Some(value) else None
+  }
+
+  private final case class Holder(version: Any, cell: Cell)
+
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[Any, AnyRef]()
+    new java.util.concurrent.ConcurrentHashMap[Any, Holder]()
+
+  /** Release the block-manager pins of a superseded entry's value
+    * (DataFrames nested in tuples/collections included). Non-blocking:
+    * in-flight queries over the old frame finish from disk.
+    */
+  private def unpersistAll(v: Any): Unit = v match {
+    case df: org.apache.spark.sql.DataFrame =>
+      try df.unpersist(blocking = false) catch { case _: Throwable => () }
+    case p: Product => p.productIterator.foreach(unpersistAll)
+    case it: Iterable[_] => it.foreach(unpersistAll)
+    case _ => ()
+  }
 
   /** Build-once-then-reuse. `build` runs at most once per distinct
-    * key (ConcurrentHashMap.computeIfAbsent's mutual exclusion).
+    * key; a same-prefix key with a NEWER version evicts (and
+    * unpersists) the superseded entry instead of accumulating beside
+    * it.
     */
-  def getOrBuild[T <: AnyRef](key: Any)(build: => T): T =
-    cache.computeIfAbsent(key, _ => build).asInstanceOf[T]
+  def getOrBuild[T <: AnyRef](key: Any)(build: => T): T = {
+    val (prefix, version) = key match {
+      case CorpusKey(p, v) => (p, v)
+      case other => (other, ()) // opaque key: the whole key is stable
+    }
+    var result: AnyRef = null
+    var done = false
+    while (!done) {
+      val cur = cache.get(prefix)
+      if (cur != null && cur.version == version) {
+        result = cur.cell.value
+        done = true
+      } else {
+        val fresh = Holder(version, new Cell(() => build))
+        val installed =
+          if (cur == null) cache.putIfAbsent(prefix, fresh) == null
+          else cache.replace(prefix, cur, fresh)
+        if (installed) {
+          if (cur != null) cur.cell.builtValue.foreach(unpersistAll)
+          result = fresh.cell.value
+          done = true
+        } // lost an install race — loop and re-read the winner
+      }
+    }
+    result.asInstanceOf[T]
+  }
 
   /** Cache key for a corpus-derived index: the session, the corpus's
-    * canonicalized analyzed plan, a fingerprint of its backing FILES,
-    * and the index parameters.
+    * canonicalized analyzed plan, the family and index parameters
+    * (together the stable prefix), plus a fingerprint of its backing
+    * FILES (the version).
     *
     * The file fingerprint matters: for filesystem relations the
     * canonicalized plan compares only root paths (Spark's
@@ -61,11 +135,29 @@ private[graft] object StaticIndexCache {
       md.update(0.toByte)
     }
     val fp = java.util.Base64.getEncoder.encodeToString(md.digest())
-    (s, corpus.queryExecution.analyzed.canonicalized, files.length, fp,
-      family, params.toList)
+    CorpusKey(
+      (s, corpus.queryExecution.analyzed.canonicalized, family,
+        params.toList),
+      (files.length, fp))
+  }
+
+  /** Explicit invalidation hook: drop (and unpersist) every entry, or
+    * with a predicate only the matching prefixes — for callers that
+    * know an index family is dead before any same-path rebuild would
+    * evict it.
+    */
+  private[graft] def invalidate(prefixMatch: Any => Boolean): Unit = {
+    val it = cache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (prefixMatch(e.getKey)) {
+        e.getValue.cell.builtValue.foreach(unpersistAll)
+        it.remove()
+      }
+    }
   }
 
   /** Test hook: entry count (to pin reuse) and reset. */
   private[graft] def size: Int = cache.size
-  private[graft] def clear(): Unit = cache.clear()
+  private[graft] def clear(): Unit = invalidate(_ => true)
 }

@@ -95,11 +95,15 @@ import org.apache.spark.sql.SparkSession
   *     document frequencies): streaming rejected loudly.
   *   - `TABLE(TEXT_SEARCH_BM25(TABLE queries, TABLE corpus,
   *     DESCRIPTOR(qid), DESCRIPTOR(qtext), DESCRIPTOR(id),
-  *     DESCRIPTOR(text)[, <k>]))` → `(qid, doc_id, score, rank)`:
-  *     BM25 top-k full-text retrieval (log-free rational idf, k
-  *     default 10) — [[graft.queries.Search.bm25TopK]]. Whole-relation
-  *     (posting index build + per-query score aggregation): both
-  *     sides must be bounded, streaming rejected loudly.
+  *     DESCRIPTOR(text)[, <k>[, <dfCap>]]))` → `(qid, doc_id, score,
+  *     rank)`: BM25 top-k full-text retrieval (log-free rational idf,
+  *     k default 10; dfCap drops stop-grade terms with df > cap from
+  *     scoring — default uncapped) —
+  *     [[graft.queries.Search.bm25TopK]]. The QUERY side may stream
+  *     (contamination-lookup-at-ingest: frozen per-term posting index,
+  *     row-local scoring — [[graft.queries.Search.bm25TopKStream]]);
+  *     the corpus must be bounded either way, rejected loudly
+  *     otherwise.
   *   - `TABLE(CONNECTED_COMPONENTS(TABLE edges, DESCRIPTOR(a),
   *     DESCRIPTOR(b)))` → `(node, cluster, is_keeper)`: undirected
   *     connected components by min-label propagation —
@@ -206,7 +210,7 @@ object GraftTvfRewrite {
     ("""(?i)\bTABLE\s*\(\s*TEXT_SEARCH_BM25\s*\(\s*TABLE\s+([`\w.]+)\s*,\s*""" +
       """TABLE\s+([`\w.]+)\s*,\s*DESCRIPTOR\s*\(\s*([`\w]+)\s*\)\s*,\s*""" +
       """DESCRIPTOR\s*\(\s*([`\w]+)\s*\)\s*,\s*DESCRIPTOR\s*\(\s*([`\w]+)\s*\)\s*,\s*""" +
-      """DESCRIPTOR\s*\(\s*([`\w]+)\s*\)\s*(?:,\s*(\d+)\s*)?\)\s*\)""").r
+      """DESCRIPTOR\s*\(\s*([`\w]+)\s*\)\s*(?:,\s*(\d+)\s*(?:,\s*(\d+)\s*)?)?\)\s*\)""").r
 
   private def allRes = Seq(ExactRe, MinhashRe, SimhashRe, QualityRe,
     KeywordsRe, LangIdRe, PageRankRe, FuzzyRe, CcRe)
@@ -302,9 +306,21 @@ object GraftTvfRewrite {
     })
     out = Bm25Re.replaceAllIn(out, m => {
       val k = Option(m.group(7)).map(_.toInt).getOrElse(10)
-      view(graft.queries.Search.bm25TopK(
-        table(m.group(1)), table(m.group(2)),
-        c2(m, 3), c2(m, 4), c2(m, 5), c2(m, 6), k))
+      // trailing dfCap: drop stop-grade terms (df > cap) from scoring —
+      // the hot-bucket discipline for corpus-sized posting lists
+      val dfCap = Option(m.group(8)).map(_.toLong)
+      val qDf = rawTable(m.group(1))
+      if (qDf.isStreaming)
+        // streaming query side vs frozen posting index — the
+        // contamination-lookup-at-ingest cadence; the kernel validates
+        // corpus bounded-ness and rejects loudly otherwise
+        view(graft.queries.Search.bm25TopKStream(
+          qDf, rawTable(m.group(2)),
+          c2(m, 3), c2(m, 4), c2(m, 5), c2(m, 6), k, dfCap))
+      else
+        view(graft.queries.Search.bm25TopK(
+          qDf, table(m.group(2)),
+          c2(m, 3), c2(m, 4), c2(m, 5), c2(m, 6), k, dfCap))
     })
     out = EmbedCrossRe.replaceAllIn(out, m => {
       // incoming may STREAM (embedding dedup at ingest); the kernel
@@ -458,7 +474,7 @@ object GraftTvfRewrite {
           "DESCRIPTOR(id), DESCRIPTOR(vec)[, threshold[, cells]])), " +
           "TABLE(TEXT_SEARCH_BM25(TABLE queries, TABLE corpus, " +
           "DESCRIPTOR(qid), DESCRIPTOR(qtext), DESCRIPTOR(id), " +
-          "DESCRIPTOR(text)[, k])), " +
+          "DESCRIPTOR(text)[, k[, dfCap]])), " +
           "TABLE(TEXT_QUALITY(TABLE t, DESCRIPTOR(id), DESCRIPTOR(text))), " +
           "TABLE(TEXT_KEYWORDS(TABLE t, DESCRIPTOR(id), " +
           "DESCRIPTOR(text)[, k])), " +

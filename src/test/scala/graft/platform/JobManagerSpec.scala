@@ -149,6 +149,106 @@ class JobManagerSpec extends SparkSpec {
       s"restore diverged: got=${readOut("mrk_out")} expected=$expected")
   }
 
+  test("platform stop-with-savepoint → restore carries a FUSED " +
+    "statement set's AGGREGATE state (one query, three sinks, ONE " +
+    "savepoint; deleted source files make lost state unfakeable)") {
+    import spark.implicits._
+    // FusedFailoverSpec proves exactly-once resume of the fused set
+    // from its shared checkpoint; this composes the PLATFORM verb on a
+    // FULLY-fused multi-INSERT job: the two stateless inserts AND the
+    // algebraic aggregate fuse into ONE query (classifyAgg keeps the
+    // aggregate's keyed state batch-id-addressed under the shared
+    // checkpoint). stop-with-savepoint must capture source offsets AND
+    // the half-advanced aggregate state in one savepoint copy. The
+    // discriminator: phase-1 source files are DELETED after the stop,
+    // so a restore that lost the aggregate state converges to the
+    // wrong sums (2, phase-2 alone) while a correct restore reaches
+    // the uninterrupted run's 3 — re-reading from scratch cannot fake
+    // it.
+    val curl = "jdbc:derby:memory:jmaggdb;create=true"
+    val conn = java.sql.DriverManager.getConnection(curl)
+    try conn.createStatement().execute(
+      "CREATE TABLE agg_sums (k INT PRIMARY KEY, s BIGINT)")
+    finally conn.close()
+    val src = srcDir()
+    val outA = Files.createTempDirectory("jm_fa").toString
+    val outB = Files.createTempDirectory("jm_fb").toString
+    val setScript =
+      s"""SET 'graft.exec.statement-set.fuse' = 'true';
+         |CREATE TABLE fsrc (k INT, v INT) WITH (
+         |  'connector' = 'filesystem', 'path' = '$src',
+         |  'format' = 'parquet');
+         |CREATE TABLE pass_a (k INT, v INT) WITH (
+         |  'connector' = 'filesystem', 'path' = '$outA',
+         |  'format' = 'parquet');
+         |CREATE TABLE pass_b (k INT, v INT) WITH (
+         |  'connector' = 'filesystem', 'path' = '$outB',
+         |  'format' = 'parquet');
+         |CREATE TABLE agg_snk (k INT, s BIGINT,
+         |  PRIMARY KEY (k) NOT ENFORCED) WITH (
+         |  'connector' = 'jdbc', 'url' = '$curl',
+         |  'table-name' = 'agg_sums', 'dialect' = 'two-step');
+         |BEGIN STATEMENT SET;
+         |INSERT INTO pass_a SELECT k, v FROM fsrc WHERE k % 2 = 0;
+         |INSERT INTO pass_b SELECT k, v FROM fsrc WHERE k % 2 = 1;
+         |INSERT INTO agg_snk SELECT k, SUM(v) AS s FROM fsrc GROUP BY k;
+         |END;
+         |""".stripMargin
+    def sums(): Map[Int, Long] = {
+      val c = java.sql.DriverManager.getConnection(curl)
+      try {
+        val rs = c.createStatement().executeQuery(
+          "SELECT k, s FROM agg_sums")
+        Iterator.continually(rs).takeWhile(_.next())
+          .map(r => r.getInt(1) -> r.getLong(2)).toMap
+      } finally c.close()
+    }
+    def passRows(dir: String): Seq[(Int, Int)] =
+      spark.read.parquet(dir).collect()
+        .map(r => (r.getInt(0), r.getInt(1))).sorted.toSeq
+
+    val m = mgr()
+    (0 to 3).map(k => (k, 1)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(src)
+    val id1 = m.start("fused_agg_job", setScript)
+    // the fusion contract: ALL THREE inserts (incl. the algebraic
+    // aggregate) run as ONE fused query under the shared checkpoint
+    assert(m.info(id1).queries.size == 1,
+      s"statement set should run FULLY fused (aggregate included), " +
+        s"got ${m.info(id1).queries.size} queries")
+    m.info(id1).queries.foreach(_.awaitTermination(120000))
+    assert(sums() == Map(0 -> 1L, 1 -> 1L, 2 -> 1L, 3 -> 1L))
+
+    // stop-with-savepoint: ONE savepoint covering both queries —
+    // offsets for the fused pair, state-store files for the aggregate
+    val sp = m.stop(id1)
+    assert(sp.isDefined, "stop must produce a savepoint")
+    import scala.jdk.CollectionConverters._
+    val spFiles = Files.walk(java.nio.file.Paths.get(sp.get))
+      .iterator().asScala.filter(Files.isRegularFile(_)).toVector
+    assert(spFiles.exists(_.toString.contains("__stmtset_state")),
+      s"savepoint carries no fused-aggregate state: ${sp.get}")
+
+    // delete the committed phase-1 files: only carried state can now
+    // produce the uninterrupted totals
+    Files.list(java.nio.file.Paths.get(src)).iterator().asScala
+      .foreach(p => Files.deleteIfExists(p))
+    (0 to 3).map(k => (k, 2)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(src)
+
+    val id2 = m.restartFromSavepoint(id1)
+    m.info(id2).queries.foreach(_.awaitTermination(120000))
+    m.stop(id2, withSavepoint = false)
+    // aggregate state carried: 1 (restored) + 2 (phase 2) = 3 per key
+    assert(sums() == Map(0 -> 3L, 1 -> 3L, 2 -> 3L, 3 -> 3L),
+      s"aggregate state lost across the platform savepoint: ${sums()}")
+    // fused siblings exactly-once: each phase's rows once, no replay
+    assert(passRows(outA) == Seq((0, 1), (0, 2), (2, 1), (2, 2)),
+      s"pass_a diverged: ${passRows(outA)}")
+    assert(passRows(outB) == Seq((1, 1), (1, 2), (3, 1), (3, 2)),
+      s"pass_b diverged: ${passRows(outB)}")
+  }
+
   test("dup-run guard: same name RUNNING rejects a second start") {
     val dir = srcDir()
     spark.range(0, 2).toDF("id").coalesce(1).write.mode("append").parquet(dir)

@@ -1,0 +1,86 @@
+package graft.queries
+
+import graft.SparkSpec
+import org.apache.spark.storage.StorageLevel
+
+/** [[StaticIndexCache]] semantics: at-most-once builds, superseded-
+  * version eviction with unpersist, and build-outside-map-locks
+  * (nested builds must not deadlock or throw recursive-update).
+  */
+class StaticIndexCacheSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshCorpusDir(label: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory("sic_spec").toString
+    Seq((1L, label), (2L, label)).toDF("id", "text")
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("same-prefix version bump replaces the superseded entry and " +
+    "unpersists its frames") {
+    StaticIndexCache.clear()
+    val dir = freshCorpusDir("v1")
+    def key() = StaticIndexCache.corpusKey(spark,
+      spark.read.parquet(dir), "spec_fam", 42)
+    val first = StaticIndexCache.getOrBuild[
+        org.apache.spark.sql.DataFrame](key()) {
+      val f = spark.range(5).toDF("n").persist(StorageLevel.MEMORY_AND_DISK)
+      f.count()
+      f
+    }
+    assert(StaticIndexCache.size == 1)
+    assert(first.storageLevel != StorageLevel.NONE)
+    // same prefix, same version → cache hit, no rebuild
+    var rebuilt = false
+    val again = StaticIndexCache.getOrBuild[
+        org.apache.spark.sql.DataFrame](key()) { rebuilt = true; first }
+    assert(!rebuilt && (again eq first))
+    // overwrite the corpus AT THE SAME PATH → version bump: the entry
+    // is REPLACED (size stays flat — no per-version accumulation) and
+    // the superseded frame's block-manager pin is released
+    Seq((9L, "v2")).toDF("id", "text").write.mode("overwrite").parquet(dir)
+    val second = StaticIndexCache.getOrBuild[
+        org.apache.spark.sql.DataFrame](key()) {
+      val f = spark.range(7).toDF("n").persist(StorageLevel.MEMORY_AND_DISK)
+      f.count()
+      f
+    }
+    assert(StaticIndexCache.size == 1,
+      "superseded corpus version must be evicted, not accumulated")
+    assert(second ne first)
+    assert(first.storageLevel == StorageLevel.NONE,
+      "superseded entry's persisted frame must be unpersisted")
+    assert(second.storageLevel != StorageLevel.NONE)
+  }
+
+  test("builds run outside the map's locks: a nested getOrBuild inside " +
+    "a build closure works, and racing same-key builders build once") {
+    StaticIndexCache.clear()
+    val built = new java.util.concurrent.atomic.AtomicInteger()
+    // nested build of a DIFFERENT key inside a build closure — under
+    // computeIfAbsent this was a recursive-update IllegalStateException
+    val outer = StaticIndexCache.getOrBuild[String]("outer_key") {
+      StaticIndexCache.getOrBuild[String]("inner_key") {
+        built.incrementAndGet(); "inner"
+      } + "+outer"
+    }
+    assert(outer == "inner+outer" && built.get() == 1)
+    assert(StaticIndexCache.size == 2)
+    // racing builders of the SAME key: at most one build runs
+    built.set(0)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val results = (1 to 8).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[String] {
+          def call(): String =
+            StaticIndexCache.getOrBuild[String]("race_key") {
+              Thread.sleep(50); built.incrementAndGet(); "built"
+            }
+        })
+      }
+      assert(results.map(_.get()).forall(_ == "built"))
+      assert(built.get() == 1, s"same-key race built ${built.get()} times")
+    } finally pool.shutdown()
+  }
+}

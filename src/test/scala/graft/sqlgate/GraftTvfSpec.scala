@@ -472,13 +472,6 @@ class GraftTvfSpec extends SparkSpec {
         "node, cluster, is_keeper",
         "CONNECTED_COMPONENTS(TABLE stream_e, DESCRIPTOR(src), " +
           "DESCRIPTOR(dst))"),
-      // BM25 is whole-relation on BOTH sides (posting index + per-query
-      // score agg) — here the streaming relation sits in the QUERY seat
-      ("sbm_sink (qid BIGINT, doc_id BIGINT, score DOUBLE, rank INT)",
-        "qid, doc_id, score, rank",
-        "TEXT_SEARCH_BM25(TABLE stream_e, TABLE stream_e, " +
-          "DESCRIPTOR(src), DESCRIPTOR(dst), DESCRIPTOR(src), " +
-          "DESCRIPTOR(dst))"),
       // keywords need corpus-wide document frequencies
       ("skw_sink (doc_id BIGINT, term STRING, weight DOUBLE, rank INT)",
         "doc_id, term, weight, rank",
@@ -497,5 +490,22 @@ class GraftTvfSpec extends SparkSpec {
       }
       assert(err.getMessage.contains("batch gate mode"), call)
     }
+    // BM25's QUERY seat legitimately streams since r15 (frozen-index
+    // probe, proven batch-equal in SearchStreamSpec); its CORPUS seat
+    // must stay bounded — the kernel's own loud guard, not table()'s
+    val bmRunner = new ScriptRunner(spark, batchMode = false)
+    val bmErr = intercept[IllegalArgumentException] {
+      bmRunner.run(
+        s"""create table stream_e (src BIGINT, dst BIGINT
+           |) with ('connector' = 'datagen', 'rows-per-second' = '10');
+           |CREATE TABLE sbm_sink (qid BIGINT, doc_id BIGINT,
+           |  score DOUBLE, rank INT)
+           |WITH ('connector' = 'memory');
+           |INSERT INTO sbm_sink SELECT qid, doc_id, score, rank
+           |FROM TABLE(TEXT_SEARCH_BM25(TABLE stream_e, TABLE stream_e,
+           |  DESCRIPTOR(src), DESCRIPTOR(dst), DESCRIPTOR(src),
+           |  DESCRIPTOR(dst)));""".stripMargin)
+    }
+    assert(bmErr.getMessage.contains("BOUNDED"), bmErr.getMessage)
   }
 }
