@@ -32,6 +32,10 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   */
 object MediaFixture {
 
+  // heap-backed ImageIO streams — see the MediaOps note (file-backed
+  // caches cost a temp file per encoded image)
+  ImageIO.setUseCache(false)
+
   def fmtFor(id: Long): String =
     (id % 4) match { case 3 => "jpg"; case 2 => "bmp"; case _ => "png" }
 

@@ -32,6 +32,16 @@ import scala.util.control.NonFatal
   */
 object MediaOps {
 
+  /** ImageIO's stream wrappers default to FILE-backed caches
+    * (`useCache=true`): every `ImageIO.read`/`write` over an in-memory
+    * byte array creates and deletes a temp file. Measured at sf10
+    * (462 k images): ~1 M temp-file churns made the per-row decode
+    * read 2× per decade instead of linear. The payloads here are
+    * in-memory byte arrays — a heap-backed cache is strictly right.
+    * JVM-global, set once per executor at class load (idempotent).
+    */
+  ImageIO.setUseCache(false)
+
   /** Container sniffing from magic bytes — the cheap pre-decode routing
     * step (a real pipeline fans different containers to different
     * decoders). Deliberately independent of `ImageIO.read`: a truncated

@@ -256,6 +256,18 @@ object ScaleStress {
         Map("rows" ->
           Search.keywordsTfidf(docs, "doc_id", "text", 3).count())
       }),
+      // r15: REAL image codec round trip (encode deterministic
+      // PNG/BMP/JPEG payloads from ids, decode with javax.imageio,
+      // exact channel sums) — per-row CPU in a narrow map, zero
+      // shuffle, so the decade metric should read corpus-linear
+      "media_decode" -> (() => {
+        import graft.multimodal.{MediaFixture, MediaOps}
+        import spark.implicits._
+        val ids = graft.Tables.load(spark, sfDir, "documents")
+          .select(col("doc_id")).as[Long]
+        val feats = MediaOps.imageFeatures(MediaFixture.mediaTable(ids))
+        Map("decoded" -> feats.filter(_.ok).count())
+      }),
       "pack_sequences" -> (() => materialize("q_pack_sequences")),
       "tpch_q1" -> (() => materialize("q1_agg")),
       "tpch_q18" -> (() => materialize("q18_bigorders")),
@@ -454,6 +466,43 @@ object ScaleStress {
           "fuzzy_cross drain timed out")
         finally q.stop()
         Map("pairs" -> pairs.get())
+      }),
+      // r15: the CODES-ONLY streaming IVF+PQ shape at the same √n
+      // sizing — cell rows carry 8 PQ bytes per member (vs dim+1 raw
+      // longs) and the exact re-rank fetches the 100 ADC survivors'
+      // vectors through 100 stream-static joins (the only zero-state
+      // spelling). Measured against ann_ivfpq_sized_stream above to
+      // decide which shape ships: per-probe index read vs plan size
+      "ivfpq_codes_stream" -> (() => {
+        val emb = graft.Tables.load(spark, sfDir, "embeddings")
+        val stage = java.nio.file.Files.createTempDirectory("ipqc_stage")
+        stage.toFile.deleteOnExit()
+        emb.filter(col("vec_id") < 8)
+          .select(col("vec_id"), col("embedding"))
+          .write.mode("overwrite").parquet(stage.toString)
+        val incoming = spark.readStream
+          .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+          .parquet(stage.toString)
+        val hits = new java.util.concurrent.atomic.AtomicLong()
+        val q = Similarity.ivfPqTopkStreamCodesOnly(
+            emb.filter(col("vec_id") >= 8), incoming,
+            "vec_id", "embedding", cells = Some(kSized))
+          .writeStream
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                _: Long) => hits.addAndGet(b.count()); ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("ipqc_ck").toString)
+          .start()
+        // a DNF is this cell's MEASUREMENT, not a harness failure: the
+        // shape under test times out at sf10 (SCALE.md r15) — report
+        // it as data so the full-suite artifact still completes
+        val finished = try q.awaitTermination(600000)
+        finally q.stop()
+        Map("k" -> kSized.toLong, "hits" -> hits.get(),
+          "timed_out" -> (if (finished) 0L else 1L))
       }),
       // r14: streaming semantic dedup (embedding cross-pairs) on a
       // real drain — the corpus cell index freezes once; per arriving

@@ -856,6 +856,119 @@ object Similarity extends QueryPack {
         col("col.cosine").as("cosine"), (col("pos") + 1).as("rank"))
   }
 
+  /** MEASUREMENT variant of [[ivfPqTopkStream]] (kept off the shipped
+    * path — see SCALE.md's r15 comparison): a CODES-ONLY frozen cell
+    * index (8 PQ bytes per member instead of dim+1 raw longs) plus a
+    * second nid-keyed vector relation, with the exact re-rank fetching
+    * the `cand` ADC survivors' vectors through `cand` stream-static
+    * equi joins (the only zero-state spelling of "fetch survivors by
+    * nid" — a single explode+join needs a per-qid regroup, which is a
+    * stateful streaming aggregation). The trade under test: per-probe
+    * index read shrinks ~(dim·8)/8 per member, but the plan carries
+    * `cand` (=100 at the oracle contract) join operators re-planned
+    * per micro-batch — the same plan-size axis the r14 `topn_cos`
+    * fusion was about. Output is bit-identical to [[ivfPqTopkStream]]
+    * (same candidate cut, same cosine, same order) — pinned in
+    * AnnStreamSpec.
+    */
+  private[queries] def ivfPqTopkStreamCodesOnly(corpusRaw: DataFrame,
+      queriesRaw: DataFrame, idCol: String, vecCol: String,
+      nProbe: Int = NProbe, cand: Int = PqCand, k: Int = K,
+      cells: Option[Int] = None): DataFrame = {
+    require(queriesRaw.isStreaming, "codes-only variant: streaming queries")
+    require(!corpusRaw.isStreaming, "codes-only variant: bounded corpus")
+    val s = corpusRaw.sparkSession
+    Vec.ensureRegistered(s)
+    val dim = ivfPqDim(corpusRaw, vecCol)
+    def prep(df: DataFrame) = ivfPqPrep(df, idCol, vecCol, dim)
+    val corpus = prep(corpusRaw)
+    val centArr = cells match {
+      case Some(c) => fitCentroids(corpus, c)
+      case None => collectCents(corpus
+        .filter(col("vec_id") >= CentLo && col("vec_id") < CentLo + CentN)
+        .select(col("vec_id").as("cid"), col("qe").as("ce"),
+          col("nrm").as("cnrm")))
+    }
+    val cb = pqSliceCodebook(corpus)
+    // frozen pair: codes-only cell rows + an nid-keyed vector relation
+    val (idx, vecIdx) = StaticIndexCache.getOrBuild[(DataFrame, DataFrame)](
+      StaticIndexCache.corpusKey(s, corpusRaw, "ivfpq_codes_idx",
+        idCol, vecCol, cells)) {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ipq_codes")
+      dir.toFile.deleteOnExit()
+      Vec.argminAssignWith(corpus, centArr)
+        .select(col("vec_id").as("nid"),
+          graft.functions.GraftFunctions
+            .pqEncode(col("qe"), cb, PqM, PqC, PqD).as("codes"),
+          col("cell"))
+        .groupBy(col("cell"))
+        .agg(collect_list(struct(col("nid"), col("codes"))).as("cands"))
+        .write.parquet(s"$dir/cells")
+      corpus.select(col("vec_id").as("nid"), col("qe"), col("nrm"))
+        .write.parquet(s"$dir/vecs")
+      val cellsDf = s.read.parquet(s"$dir/cells")
+        .repartition(col("cell")).sortWithinPartitions(col("cell"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val vecsDf = s.read.parquet(s"$dir/vecs")
+        .repartition(col("nid")).sortWithinPartitions(col("nid"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (cellsDf, vecsDf)
+    }
+    val q0 = prep(queriesRaw).select(col("vec_id").as("qid"),
+      col("qe").as("qqe"), col("nrm").as("qnrm"))
+    val sortedCents = centArr.sortBy(_._1)
+    val probes = graft.functions.GraftFunctions.topnCos(
+      col("qqe"), col("qnrm"),
+      sortedCents.map(_._1).toArray,
+      sortedCents.flatMap(_._2).toArray,
+      sortedCents.map(_._3).toArray, nProbe)
+    val withProbes = q0.withColumn("probes", probes)
+    val cellJoined = (0 until nProbe).foldLeft(withProbes) { (acc, j) =>
+      acc.join(
+        idx.select(col("cell").as(s"__cell_$j"),
+          col("cands").as(s"__cands_$j")),
+        get(col("probes"), lit(j)) === col(s"__cell_$j"), "left")
+    }
+    val emptyCands = array().cast(idx.schema("cands").dataType)
+    val members = flatten(array((0 until nProbe).map(j =>
+      coalesce(col(s"__cands_$j"), emptyCands)): _*))
+    val cbLit = lit(cb)
+    def adcOf(e: Column): Column = (0 until PqM).map { m =>
+      val code = get(e.getField("codes"), lit(m)).cast("long")
+      (0 until PqD).map { i =>
+        val d = get(col("qqe"), lit(m * PqD + i)) -
+          element_at(cbLit,
+            ((lit((m * PqC).toLong) + code) * PqD + i + 1).cast("int"))
+        d * d
+      }.reduce(_ + _)
+    }.reduce(_ + _)
+    val adcScored = transform(members, e =>
+      struct(adcOf(e).as("adc"), e.getField("nid").as("nid")))
+    val candNids = transform(
+      slice(array_sort(adcScored, cmpAscBy("adc", "nid")), 1, cand),
+      _.getField("nid"))
+    // cand survivor-fetch joins — the measured cost axis of this shape
+    val base = cellJoined.select(col("qid"), col("qqe"), col("qnrm"),
+      candNids.as("__cand_nids"))
+    val vecJoined = (0 until cand).foldLeft(base) { (acc, j) =>
+      acc.join(
+        vecIdx.select(col("nid").as(s"__vn_$j"), col("qe").as(s"__vq_$j"),
+          col("nrm").as(s"__vr_$j")),
+        get(col("__cand_nids"), lit(j)) === col(s"__vn_$j"), "left")
+    }
+    val reranked = filter(
+      array((0 until cand).map(j => struct(
+        cosineQ(col("qqe"), col(s"__vq_$j"), col("qnrm"),
+          col(s"__vr_$j")).as("cosine"),
+        col(s"__vn_$j").as("nid"))): _*),
+      e => e.getField("nid").isNotNull)
+    vecJoined.select(col("qid"),
+        posexplode(slice(
+          array_sort(reranked, cmpDescNullsLast("cosine", "nid")), 1, k)))
+      .select(col("qid"), col("col.nid").as("nid"),
+        col("col.cosine").as("cosine"), (col("pos") + 1).as("rank"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact brute-force cosine top-k: broadcast the (tiny) query set, one
     // corpus scan, per-query heap via row_number.

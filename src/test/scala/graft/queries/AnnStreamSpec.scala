@@ -101,6 +101,15 @@ class AnnStreamSpec extends SparkSpec {
     assert(streamed == batch,
       s"stream-batch divergence: only-stream=${streamed -- batch} " +
         s"only-batch=${batch -- streamed}")
+    // the codes-only measurement variant (SCALE.md r15 comparison)
+    // must emit the SAME rows: same ADC candidate cut, same exact
+    // cosine re-rank, same (cosine DESC, nid) order — only the index
+    // payload and the survivor-vector fetch path differ
+    val codesOnly = rows4(drain(Similarity.ivfPqTopkStreamCodesOnly(
+      corpus, streamQ, "vec_id", "embedding"), "ivfpq_codes_eq"))
+    assert(codesOnly == batch,
+      s"codes-only divergence: only-codes=${codesOnly -- batch} " +
+        s"only-batch=${batch -- codesOnly}")
   }
 
   test("streaming IVF+PQ: per-batch plan reads ONLY the frozen index — " +
