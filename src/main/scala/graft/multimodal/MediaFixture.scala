@@ -75,4 +75,52 @@ object MediaFixture {
     import spark.implicits._
     ids.mapPartitions(_.map(id => (id, encode(id)))).toDF("id", "media")
   }
+
+  // ---- audio fixture (WAV/PCM s16le) --------------------------------------
+  // Closed form mirrored by the q_media_audio oracle:
+  //   channels = 1 + id % 2, frames = 64 + id % 37, rate = 8000
+  //   sample s of channel c: ((5·id + 11·s + 17·c) % 2048) − 1024
+  //   corruption: id % 11 == 7 → truncated to 16 bytes (the 12-byte
+  //   RIFF/WAVE magic survives, the fmt chunk does not — sniff works,
+  //   decode fails: the skip-and-count path)
+
+  def audioChannelsFor(id: Long): Int = (1 + id % 2).toInt
+  def audioFramesFor(id: Long): Int = (64 + id % 37).toInt
+  def isAudioCorrupt(id: Long): Boolean = id % 11 == 7
+  val AudioRate = 8000
+
+  /** One deterministic WAV payload; requires id >= 0 (closed form). */
+  def encodeWav(id: Long): Array[Byte] = {
+    require(id >= 0, s"MediaFixture ids must be nonnegative, got $id")
+    val channels = audioChannelsFor(id)
+    val frames = audioFramesFor(id)
+    val dataLen = frames * channels * 2
+    val out = new ByteArrayOutputStream()
+    val o = new java.io.DataOutputStream(out)
+    def le32(v: Int): Unit = o.writeInt(Integer.reverseBytes(v))
+    def le16(v: Int): Unit = o.writeShort(java.lang.Short.reverseBytes(v.toShort))
+    o.writeBytes("RIFF"); le32(36 + dataLen); o.writeBytes("WAVE")
+    o.writeBytes("fmt "); le32(16)
+    le16(1); le16(channels); le32(AudioRate)
+    le32(AudioRate * channels * 2); le16(channels * 2); le16(16)
+    o.writeBytes("data"); le32(dataLen)
+    var s = 0
+    while (s < frames) {
+      var c = 0
+      while (c < channels) {
+        le16((((5 * id + 11L * s + 17L * c) % 2048) - 1024).toInt)
+        c += 1
+      }
+      s += 1
+    }
+    val bytes = out.toByteArray
+    if (isAudioCorrupt(id)) java.util.Arrays.copyOf(bytes, 16) else bytes
+  }
+
+  /** (id BIGINT, media BINARY) WAV fixture frame — narrow map. */
+  def audioTable(ids: Dataset[Long]): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.mapPartitions(_.map(id => (id, encodeWav(id)))).toDF("id", "media")
+  }
 }

@@ -168,6 +168,115 @@ object MediaOps {
       }
   }
 
+  /** REAL decode → nearest-neighbor downscale by an integer factor →
+    * features of the RESIZED image (the thumbnail/feature-extraction
+    * resize step of a media pipeline). Nearest-neighbor, deliberately:
+    * out(x,y) = in(x·f, y·f) is exact integer pixel selection, so the
+    * resized channel sums stay oracle-checkable closed-form (an
+    * interpolating kernel would be float-blended and engine-specific).
+    * Only losslessly-decoded rows are emitted (same contract as
+    * [[channelHistogram]]); images smaller than the factor are dropped
+    * (no 0-dimension output). A narrow map like every operator here.
+    */
+  def resizeFeatures(df: DataFrame, factor: Int): Dataset[ResizedFeatures] = {
+    require(factor >= 1, s"resizeFeatures: factor must be >= 1, got $factor")
+    val spark = df.sparkSession
+    import spark.implicits._
+    nonNullMedia(df).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val img = decode(bytes)
+          if (img == null || !LosslessFormats(sniffFormat(bytes)) ||
+            img.getWidth < factor || img.getHeight < factor) None
+          else {
+            val w2 = img.getWidth / factor
+            val h2 = img.getHeight / factor
+            var rs = 0L; var gs = 0L; var bs = 0L
+            var y = 0
+            while (y < h2) {
+              var x = 0
+              while (x < w2) {
+                val rgb = img.getRGB(x * factor, y * factor)
+                rs += (rgb >> 16) & 0xff
+                gs += (rgb >> 8) & 0xff
+                bs += rgb & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            Some(ResizedFeatures(id, w2, h2, rs, gs, bs))
+          }
+        }
+      }
+  }
+
+  /** REAL audio decode (`javax.sound.sampled`, JDK built-in): WAV/PCM
+    * payloads → frame count, channel count, sample rate, exact
+    * per-channel sample sums and absolute peak. Same failure contract
+    * as [[imageFeatures]]: undecodable payloads (truncated header,
+    * garbage, unsupported container) are `ok=false` rows with NULL
+    * features — countable, never a crash. The feature schema models
+    * mono/stereo (ch0_sum, ch1_sum); payloads with more channels
+    * still decode — their first two channels' sums are emitted, the
+    * rest contribute only to the peak (documented contract edge).
+    */
+  def audioFeatures(df: DataFrame): Dataset[AudioFeatures] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    nonNullMedia(df).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val fmt = sniffAudioFormat(bytes)
+          decodePcm(bytes) match {
+            case None =>
+              AudioFeatures(id, fmt, ok = false, None, None, None,
+                None, None, None)
+            case Some((channels, rate, frames, data)) =>
+              val sums = new Array[Long](channels)
+              var peak = 0L
+              var i = 0
+              while (i + 1 < data.length) {
+                val v = ((data(i) & 0xff) | (data(i + 1) << 8)).toShort.toInt
+                sums((i / 2) % channels) += v
+                if (math.abs(v.toLong) > peak) peak = math.abs(v.toLong)
+                i += 2
+              }
+              AudioFeatures(id, fmt, ok = true, Some(channels),
+                Some(rate), Some(frames), Some(sums(0)),
+                if (channels > 1) Some(sums(1)) else None, Some(peak))
+          }
+        }
+      }
+  }
+
+  /** RIFF/WAVE container sniff (12-byte magic) — same pre-decode
+    * routing role as [[sniffFormat]].
+    */
+  def sniffAudioFormat(bytes: Array[Byte]): String =
+    if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' &&
+      bytes(2) == 'F' && bytes(3) == 'F' && bytes(8) == 'W' &&
+      bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E') "wav"
+    else "unknown"
+
+  /** 16-bit PCM decode → (channels, rate, frames, raw little-endian
+    * sample bytes); None for anything undecodable or non-s16 PCM.
+    */
+  private def decodePcm(bytes: Array[Byte])
+      : Option[(Int, Int, Long, Array[Byte])] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(bytes))
+      try {
+        val f = in.getFormat
+        if (f.getEncoding !=
+            javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          f.getSampleSizeInBits != 16 || f.isBigEndian ||
+          f.getChannels < 1) None
+        else Some((f.getChannels, f.getSampleRate.toInt,
+          in.getFrameLength, in.readAllBytes()))
+      } finally in.close()
+    } catch { case NonFatal(_) => None }
+
   /** Payload-level features (no decode): size, digest, byte sum — the
     * exact-dedup / integrity side of a media pipeline (a binary digest
     * dedups identical crawls regardless of whether the payload decodes).
@@ -205,6 +314,11 @@ object MediaOps {
   }
 }
 
+final case class ResizedFeatures(id: Long, width: Int, height: Int,
+    r_sum: Long, g_sum: Long, b_sum: Long)
+final case class AudioFeatures(id: Long, fmt: String, ok: Boolean,
+    channels: Option[Int], rate: Option[Int], frames: Option[Long],
+    ch0_sum: Option[Long], ch1_sum: Option[Long], peak: Option[Long])
 final case class ImageFeatures(id: Long, fmt: String, ok: Boolean,
     width: Option[Int], height: Option[Int], n_px: Option[Long],
     r_sum: Option[Long], g_sum: Option[Long], b_sum: Option[Long])

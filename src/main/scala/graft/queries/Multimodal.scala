@@ -44,6 +44,22 @@ object Multimodal extends QueryPack {
         .select(col("id"),
           array_join(col("hist").cast("array<string>"), ",").as("hist"))),
 
+    // REAL decode → nearest-neighbor ÷2 downscale → exact channel sums
+    // of the RESIZED image (the thumbnail step; integer pixel selection
+    // keeps it closed-form checkable)
+    "q_media_resize" -> ((s, dir) =>
+      MediaOps.resizeFeatures(imageDF(s, dir), factor = 2).toDF()),
+
+    // REAL audio decode (javax.sound WAV/PCM): frames, channels, rate,
+    // exact per-channel sample sums + peak; truncated payloads are
+    // countable ok=false rows
+    "q_media_audio" -> ((s, dir) => {
+      import s.implicits._
+      MediaOps.audioFeatures(MediaFixture.audioTable(
+        Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]))
+        .toDF()
+    }),
+
     // payload-level features (no decode): the exact-dedup / integrity side
     "q_media_payload" -> ((s, dir) =>
       MediaOps.payloadFeatures(byteDF(s, dir)).toDF()),
@@ -102,6 +118,58 @@ object Multimodal extends QueryPack {
          |      c -> c // 32 = b)) AS BIGINT)
          |    for b in generate_series(0, 7)], ',') AS hist
          |FROM d WHERE NOT corrupt AND fmt <> 'jpg'""".stripMargin,
+
+    // resized pixel (x, y) selects original pixel p' = 2y·w + 2x
+    // (nearest-neighbor ÷2); jpg (lossy) and corrupt rows excluded,
+    // exactly like q_media_hist
+    "q_media_resize" ->
+      s"""$oFixture
+         |SELECT id, CAST(width // 2 AS INT) AS width,
+         |  CAST(height // 2 AS INT) AS height,
+         |  CAST(list_sum([(id + 3 * (((q // (width // 2)) * 2) * width
+         |      + (q % (width // 2)) * 2)) % 256
+         |    for q in generate_series(0,
+         |      (width // 2) * (height // 2) - 1)]) AS BIGINT) AS r_sum,
+         |  CAST(list_sum([(2 * id + 5 * (((q // (width // 2)) * 2) * width
+         |      + (q % (width // 2)) * 2)) % 256
+         |    for q in generate_series(0,
+         |      (width // 2) * (height // 2) - 1)]) AS BIGINT) AS g_sum,
+         |  CAST(list_sum([(3 * id + 7 * (((q // (width // 2)) * 2) * width
+         |      + (q % (width // 2)) * 2)) % 256
+         |    for q in generate_series(0,
+         |      (width // 2) * (height // 2) - 1)]) AS BIGINT) AS b_sum
+         |FROM d WHERE NOT corrupt AND fmt <> 'jpg'""".stripMargin,
+
+    // WAV fixture closed form (see MediaFixture): sample s of channel c
+    // is ((5·id + 11·s + 17·c) % 2048) − 1024; every-11th payload is
+    // truncated to 16 bytes — magic survives (fmt 'wav'), decode fails
+    "q_media_audio" ->
+      """WITH a AS (SELECT doc_id AS id,
+        |    doc_id % 11 = 7 AS corrupt,
+        |    CAST(1 + doc_id % 2 AS INT) AS ch,
+        |    CAST(64 + doc_id % 37 AS BIGINT) AS n
+        |  FROM documents),
+        |s AS (SELECT id, corrupt, ch, n,
+        |    [(5 * id + 11 * s) % 2048 - 1024
+        |      for s in generate_series(0, n - 1)] AS c0,
+        |    [(5 * id + 11 * s + 17) % 2048 - 1024
+        |      for s in generate_series(0, n - 1)] AS c1
+        |  FROM a)
+        |SELECT id, 'wav' AS fmt, NOT corrupt AS ok,
+        |  CASE WHEN corrupt THEN NULL ELSE ch END AS channels,
+        |  CASE WHEN corrupt THEN NULL ELSE 8000 END AS rate,
+        |  CASE WHEN corrupt THEN NULL ELSE n END AS frames,
+        |  CASE WHEN corrupt THEN NULL
+        |       ELSE CAST(list_sum(c0) AS BIGINT) END AS ch0_sum,
+        |  CASE WHEN corrupt OR ch = 1 THEN NULL
+        |       ELSE CAST(list_sum(c1) AS BIGINT) END AS ch1_sum,
+        |  CASE WHEN corrupt THEN NULL
+        |       ELSE CAST(CASE WHEN ch = 2 THEN greatest(
+        |           list_max(list_transform(c0, x -> abs(x))),
+        |           list_max(list_transform(c1, x -> abs(x))))
+        |         ELSE list_max(list_transform(c0, x -> abs(x))) END
+        |         AS BIGINT) END AS peak
+        |FROM s""".stripMargin,
 
     "q_media_payload" ->
       s"""SELECT doc_id AS id, length(text) AS n_bytes, md5(text) AS digest,

@@ -92,6 +92,70 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resizeFeatures: nearest-neighbor ÷2 selects exact pixels; " +
+    "lossy/corrupt dropped; factor validated") {
+    val out = MediaOps.resizeFeatures(images, factor = 2).collect()
+      .map(f => f.id -> f).toMap
+    assert(out.keySet == Set(0L, 1L, 2L)) // jpg + corrupt excluded
+    for ((id, f) <- out) {
+      val (w, h) = (MediaFixture.widthFor(id), MediaFixture.heightFor(id))
+      assert(f.width == w / 2 && f.height == h / 2)
+      var rs = 0L; var gs = 0L; var bs = 0L
+      for (y <- 0 until h / 2; x <- 0 until w / 2) {
+        val p = (y * 2).toLong * w + x * 2
+        rs += (id + 3 * p) % 256
+        gs += (2 * id + 5 * p) % 256
+        bs += (3 * id + 7 * p) % 256
+      }
+      assert((f.r_sum, f.g_sum, f.b_sum) == ((rs, gs, bs)),
+        s"id=$id resized sums mismatch")
+    }
+    val e = intercept[IllegalArgumentException] {
+      MediaOps.resizeFeatures(images, factor = 0)
+    }
+    assert(e.getMessage.contains("factor"))
+  }
+
+  test("audioFeatures: real WAV decode is sample-exact vs closed form") {
+    import spark.implicits._
+    // 0 mono, 1 stereo, 7 corrupt (7%11==7), 18 corrupt (18%11==7)
+    val ids = Seq(0L, 1L, 2L, 7L, 18L)
+    val out = MediaOps.audioFeatures(MediaFixture.audioTable(ids.toDS()))
+      .collect().map(f => f.id -> f).toMap
+    for (id <- Seq(0L, 1L, 2L)) {
+      val f = out(id)
+      val ch = MediaFixture.audioChannelsFor(id)
+      val n = MediaFixture.audioFramesFor(id)
+      assert(f.ok && f.fmt == "wav")
+      assert(f.channels.contains(ch) && f.frames.contains(n.toLong) &&
+        f.rate.contains(MediaFixture.AudioRate))
+      def amp(s: Int, c: Int): Long = (5 * id + 11L * s + 17L * c) % 2048 - 1024
+      assert(f.ch0_sum.contains((0 until n).map(amp(_, 0)).sum))
+      if (ch == 2) assert(f.ch1_sum.contains((0 until n).map(amp(_, 1)).sum))
+      else assert(f.ch1_sum.isEmpty)
+      val peak = (for (s <- 0 until n; c <- 0 until ch)
+        yield math.abs(amp(s, c))).max
+      assert(f.peak.contains(peak), s"id=$id peak")
+    }
+    // truncated: 12-byte RIFF/WAVE magic survives, decode fails
+    for (id <- Seq(7L, 18L)) {
+      val f = out(id)
+      assert(!f.ok && f.fmt == "wav" && f.channels.isEmpty &&
+        f.ch0_sum.isEmpty)
+    }
+  }
+
+  test("audioFeatures: garbage and image payloads are ok=false rows") {
+    import spark.implicits._
+    val junk = Seq(
+      (50L, Array.fill[Byte](64)(0x41)),
+      (51L, MediaFixture.encode(0L))) // a PNG is not audio
+      .toDF("id", "media")
+    val out = MediaOps.audioFeatures(junk).collect().sortBy(_.id)
+    assert(out.forall(!_.ok))
+    assert(out.map(_.fmt).toSeq == Seq("unknown", "unknown"))
+  }
+
   test("payloadFeatures: digest + byte stats, payload dropped from output") {
     val out = MediaOps.payloadFeatures(byteMedia).collect().sortBy(_.id)
     assert(out.map(_.id).toSeq == Seq(1L, 2L, 3L))
