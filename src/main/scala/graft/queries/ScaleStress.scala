@@ -497,9 +497,10 @@ object ScaleStress {
             java.nio.file.Files.createTempDirectory("ipqc_ck").toString)
           .start()
         // a DNF is this cell's MEASUREMENT, not a harness failure: the
-        // shape under test times out at sf10 (SCALE.md r15) — report
-        // it as data so the full-suite artifact still completes
-        val finished = try q.awaitTermination(600000)
+        // shape under test times out at sf10 (SCALE.md r15; 240 s vs
+        // the winner's 19 s is conclusive) — report it as data so the
+        // full-suite artifact still completes
+        val finished = try q.awaitTermination(240000)
         finally q.stop()
         Map("k" -> kSized.toLong, "hits" -> hits.get(),
           "timed_out" -> (if (finished) 0L else 1L))
