@@ -123,4 +123,62 @@ object MediaFixture {
     import spark.implicits._
     ids.mapPartitions(_.map(id => (id, encodeWav(id)))).toDF("id", "media")
   }
+
+  // ---- video fixture (GFV1: indexed packed PNG frames) ---------------------
+  // Closed form mirrored by the q_media_video oracle:
+  //   n = 3 + id % 5 frames; frame fi has width = 8 + (id + fi) % 9,
+  //   height = 8 + (id + fi) % 7; pixel p (row-major, 0-based) of frame
+  //   fi: r = (id + 19·fi + 3·p) % 256, g = (2·id + 23·fi + 5·p) % 256,
+  //   b = (3·id + 29·fi + 7·p) % 256. Every frame is PNG (lossless →
+  //   sums oracle-exact).
+  //   container corruption: id % 13 == 5 → payload truncated to 6 bytes
+  //     (the 4-byte magic survives, the frame count does not — sniff
+  //     works, parse fails)
+  //   frame corruption: id % 17 == 9 → frame 0's first 8 bytes zeroed
+  //     in place (the index stays valid, frame 0's PNG signature is
+  //     destroyed — decode of THAT frame fails, the others still decode)
+
+  def videoFramesFor(id: Long): Int = (3 + id % 5).toInt
+  def isVideoCorrupt(id: Long): Boolean = id % 13 == 5
+  def isVideoFrame0Corrupt(id: Long): Boolean = id % 17 == 9
+
+  /** One deterministic GFV1 clip; requires id >= 0 (closed form). */
+  def encodeVideo(id: Long): Array[Byte] = {
+    require(id >= 0, s"MediaFixture ids must be nonnegative, got $id")
+    val n = videoFramesFor(id)
+    val frames = (0 until n).map { fi =>
+      val w = (8 + (id + fi) % 9).toInt
+      val h = (8 + (id + fi) % 7).toInt
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var p = 0
+      while (p < w * h) {
+        val r = ((id + 19L * fi + 3L * p) % 256).toInt
+        val g = ((2L * id + 23L * fi + 5L * p) % 256).toInt
+        val b = ((3L * id + 29L * fi + 7L * p) % 256).toInt
+        img.setRGB(p % w, p / w, (r << 16) | (g << 8) | b)
+        p += 1
+      }
+      val out = new ByteArrayOutputStream()
+      val wrote = ImageIO.write(img, "png", out)
+      require(wrote, "no ImageIO writer for png")
+      out.toByteArray
+    }
+    val out = new ByteArrayOutputStream()
+    val o = new java.io.DataOutputStream(out) // writeInt is big-endian
+    o.writeBytes("GFV1")
+    o.writeInt(n)
+    frames.foreach(f => o.writeInt(f.length))
+    frames.foreach(o.write)
+    val bytes = out.toByteArray
+    if (isVideoFrame0Corrupt(id))
+      java.util.Arrays.fill(bytes, 8 + 4 * n, 8 + 4 * n + 8, 0.toByte)
+    if (isVideoCorrupt(id)) java.util.Arrays.copyOf(bytes, 6) else bytes
+  }
+
+  /** (id BIGINT, media BINARY) GFV1 fixture frame — narrow map. */
+  def videoTable(ids: Dataset[Long]): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.mapPartitions(_.map(id => (id, encodeVideo(id)))).toDF("id", "media")
+  }
 }

@@ -72,6 +72,26 @@ object MediaOps {
     try ImageIO.read(new ByteArrayInputStream(bytes))
     catch { case NonFatal(_) => null } // corrupt payload → skip-and-count
 
+  /** Exact per-channel pixel sums of a decoded image — the shared
+    * feature kernel of [[imageFeatures]] and [[videoFrameFeatures]].
+    */
+  private def rgbSums(img: java.awt.image.BufferedImage): (Long, Long, Long) = {
+    var rs = 0L; var gs = 0L; var bs = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        rs += (rgb >> 16) & 0xff
+        gs += (rgb >> 8) & 0xff
+        bs += rgb & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    (rs, gs, bs)
+  }
+
   private[multimodal] def byteSum(bytes: Array[Byte]): Long = {
     var s = 0L
     var i = 0
@@ -114,19 +134,7 @@ object MediaOps {
             val h = img.getHeight
             val nPx = w.toLong * h
             if (LosslessFormats(fmt)) {
-              var rs = 0L; var gs = 0L; var bs = 0L
-              var y = 0
-              while (y < h) {
-                var x = 0
-                while (x < w) {
-                  val rgb = img.getRGB(x, y)
-                  rs += (rgb >> 16) & 0xff
-                  gs += (rgb >> 8) & 0xff
-                  bs += rgb & 0xff
-                  x += 1
-                }
-                y += 1
-              }
+              val (rs, gs, bs) = rgbSums(img)
               ImageFeatures(id, fmt, ok = true, Some(w), Some(h), Some(nPx),
                 Some(rs), Some(gs), Some(bs))
             } else
@@ -292,10 +300,118 @@ object MediaOps {
       }
   }
 
-  /** Frame sampling: split the payload into k contiguous chunks (the
-    * video-frame stand-in — the container ships no video codec, and a
-    * per-chunk summary is the per-frame-feature batch shape) and emit
-    * per-chunk summaries.
+  // ---- video container (GFV1: indexed packed image frames) ----------------
+  // The JDK ships no video codec, so the video operators work over an
+  // OPEN container this repo defines — the MJPEG/AVI shape reduced to its
+  // essentials: a magic, a frame count, an offset index, then real image
+  // frames packed back-to-back. The frames themselves are REAL PNGs
+  // decoded by the REAL `javax.imageio` codec; only the inter-frame
+  // compression of a production codec is out of scope. The index is the
+  // scale-defining piece: frame sampling seeks straight to the k selected
+  // frames and decodes ONLY those — at 100 TB of video you sample frames,
+  // you never decode the stream.
+  //
+  //   bytes 0-3   magic 'GFV1'
+  //   bytes 4-7   int32 BE frame count n (1 ≤ n ≤ MaxVideoFrames)
+  //   8 .. 8+4n-1 int32 BE per-frame byte length
+  //   then        n frame payloads, concatenated in index order
+
+  /** Upper bound on a parseable frame count — a malformed/hostile count
+    * field must not drive a multi-GB index allocation on an executor.
+    */
+  val MaxVideoFrames: Int = 1 << 20
+
+  /** GFV1 container sniff (4-byte magic) — same pre-decode routing role
+    * as [[sniffFormat]], and independent of the parse: a truncated
+    * container still sniffs as "gfv" while its parse fails.
+    */
+  def sniffVideoFormat(bytes: Array[Byte]): String =
+    if (bytes.length >= 4 && bytes(0) == 'G' && bytes(1) == 'F' &&
+      bytes(2) == 'V' && bytes(3) == '1') "gfv"
+    else "unknown"
+
+  /** Parse the GFV1 index into per-frame (offset, length) without
+    * touching frame bytes — O(index), not O(payload). None for anything
+    * malformed: short header, insane frame count, a frame extending past
+    * the payload. Per-frame DECODE failures are not this layer's job —
+    * a well-indexed container with one smashed frame should still let
+    * every other frame decode.
+    */
+  private[multimodal] def parseVideoIndex(
+      bytes: Array[Byte]): Option[Array[(Int, Int)]] = {
+    if (sniffVideoFormat(bytes) != "gfv" || bytes.length < 8) return None
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt(4)
+    if (n < 1 || n > MaxVideoFrames) return None
+    val headerLen = 8L + 4L * n
+    if (bytes.length < headerLen) return None
+    val table = new Array[(Int, Int)](n)
+    var off = headerLen.toInt
+    var i = 0
+    while (i < n) {
+      val len = bb.getInt(8 + 4 * i)
+      if (len < 0 || off.toLong + len > bytes.length) return None
+      table(i) = (off, len)
+      off += len
+      i += 1
+    }
+    Some(table)
+  }
+
+  /** Uniform-stride frame selection: all frames when n ≤ k, else the k
+    * indices ⌊j·n/k⌋ (j = 0..k−1, distinct because n > k). Mirrored by
+    * the q_media_video oracle.
+    */
+  private[multimodal] def sampleIndices(n: Int, k: Int): IndexedSeq[Int] =
+    if (n <= k) 0 until n
+    else (0 until k).map(j => (j.toLong * n / k).toInt)
+
+  /** REAL video frame sampling: parse the GFV1 index, seek to k
+    * uniform-stride frames, decode ONLY those with `ImageIO`, and emit
+    * per-frame dimensions + exact channel sums. Failure contract at both
+    * granularities: an unparseable CONTAINER is one `ok=false` row with
+    * NULL frame_idx (countable, never a crash); a sampled FRAME that
+    * does not decode is an `ok=false` row with its frame_idx while the
+    * container's other frames still emit — one smashed keyframe must
+    * not void the clip. A narrow map like every media operator; decode
+    * cost is O(k) per row regardless of clip length.
+    */
+  def videoFrameFeatures(df: DataFrame, k: Int): Dataset[VideoFrameFeatures] = {
+    require(k >= 1, s"videoFrameFeatures: k must be >= 1, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    nonNullMedia(df).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          parseVideoIndex(bytes) match {
+            case None =>
+              Iterator.single(VideoFrameFeatures(id, None, None, ok = false,
+                None, None, None, None, None))
+            case Some(table) =>
+              val n = table.length
+              sampleIndices(n, k).iterator.map { fi =>
+                val (off, len) = table(fi)
+                val img =
+                  decode(java.util.Arrays.copyOfRange(bytes, off, off + len))
+                if (img == null)
+                  VideoFrameFeatures(id, Some(n), Some(fi), ok = false,
+                    None, None, None, None, None)
+                else {
+                  val (rs, gs, bs) = rgbSums(img)
+                  VideoFrameFeatures(id, Some(n), Some(fi), ok = true,
+                    Some(img.getWidth), Some(img.getHeight),
+                    Some(rs), Some(gs), Some(bs))
+                }
+              }
+          }
+        }
+      }
+  }
+
+  /** Byte-level chunk sampling: split an OPAQUE payload into k contiguous
+    * chunks and emit per-chunk summaries — the pre-decode integrity scan
+    * for containers with no registered codec ([[videoFrameFeatures]] is
+    * the decoding path for indexed GFV1 video).
     */
   def frameSample(df: DataFrame, k: Int): Dataset[FrameFeature] = {
     val spark = df.sparkSession
@@ -325,4 +441,8 @@ final case class ImageFeatures(id: Long, fmt: String, ok: Boolean,
 final case class PayloadFeatures(id: Long, n_bytes: Int, digest: String,
     byte_sum: Long)
 final case class FrameFeature(id: Long, frame_idx: Int, chunk_sum: Long)
+final case class VideoFrameFeatures(id: Long, n_frames: Option[Int],
+    frame_idx: Option[Int], ok: Boolean, width: Option[Int],
+    height: Option[Int], r_sum: Option[Long], g_sum: Option[Long],
+    b_sum: Option[Long])
 final case class MediaHistogram(id: Long, hist: Seq[Long])

@@ -66,7 +66,18 @@ object Multimodal extends QueryPack {
 
     // frame sampling: 4 contiguous chunks per payload
     "q_media_frames" -> ((s, dir) =>
-      MediaOps.frameSample(byteDF(s, dir), 4).toDF()))
+      MediaOps.frameSample(byteDF(s, dir), 4).toDF()),
+
+    // REAL video frame sampling: GFV1 clips of real PNG frames, 3
+    // uniform-stride frames seek-decoded per clip (never the whole
+    // stream); container-level AND frame-level corruption are countable
+    // ok=false rows
+    "q_media_video" -> ((s, dir) => {
+      import s.implicits._
+      MediaOps.videoFrameFeatures(MediaFixture.videoTable(
+        Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]),
+        k = 3).toDF()
+    }))
 
   // --- DuckDB mirrors -----------------------------------------------------
 
@@ -182,5 +193,47 @@ object Multimodal extends QueryPack {
          |    generate_series((f.i * length(text)) // 4 + 1,
          |                    ((f.i + 1) * length(text)) // 4)]), 0)
          |    AS BIGINT) AS chunk_sum
-         |FROM documents CROSS JOIN generate_series(0, 3) f(i)""".stripMargin)
+         |FROM documents CROSS JOIN generate_series(0, 3) f(i)""".stripMargin,
+
+    // GFV1 fixture closed form (see MediaFixture): n = 3 + id % 5 frames,
+    // sampled frame indices ⌊j·n/3⌋ (j = 0..2, distinct since n ≥ 3);
+    // frame fi is (8 + (id+fi) % 9) × (8 + (id+fi) % 7) with pixel p
+    // channels (id + 19·fi + 3·p) / (2·id + 23·fi + 5·p) /
+    // (3·id + 29·fi + 7·p) mod 256. Every-13th clip's container is
+    // truncated (one ok=false row, NULL frame_idx); every-17th clip's
+    // frame 0 is smashed in place (that frame ok=false, siblings emit).
+    "q_media_video" ->
+      """WITH v AS (SELECT doc_id AS id,
+        |    CAST(3 + doc_id % 5 AS INT) AS n,
+        |    doc_id % 13 = 5 AS c_corrupt,
+        |    doc_id % 17 = 9 AS f0_corrupt
+        |  FROM documents),
+        |f AS (SELECT id, n, CAST((j.j * n) // 3 AS INT) AS fi,
+        |    f0_corrupt AND (j.j * n) // 3 = 0 AS bad
+        |  FROM v CROSS JOIN generate_series(0, 2) j(j) WHERE NOT c_corrupt),
+        |g AS (SELECT id, n, fi, bad,
+        |    CAST(8 + (id + fi) % 9 AS INT) AS w,
+        |    CAST(8 + (id + fi) % 7 AS INT) AS h
+        |  FROM f)
+        |SELECT id, n AS n_frames, fi AS frame_idx, NOT bad AS ok,
+        |  CASE WHEN bad THEN NULL ELSE w END AS width,
+        |  CASE WHEN bad THEN NULL ELSE h END AS height,
+        |  CASE WHEN bad THEN NULL
+        |       ELSE CAST(list_sum([(id + 19 * fi + 3 * p) % 256
+        |         for p in generate_series(0, w * h - 1)])
+        |         AS BIGINT) END AS r_sum,
+        |  CASE WHEN bad THEN NULL
+        |       ELSE CAST(list_sum([(2 * id + 23 * fi + 5 * p) % 256
+        |         for p in generate_series(0, w * h - 1)])
+        |         AS BIGINT) END AS g_sum,
+        |  CASE WHEN bad THEN NULL
+        |       ELSE CAST(list_sum([(3 * id + 29 * fi + 7 * p) % 256
+        |         for p in generate_series(0, w * h - 1)])
+        |         AS BIGINT) END AS b_sum
+        |FROM g
+        |UNION ALL
+        |SELECT id, CAST(NULL AS INT), CAST(NULL AS INT), false,
+        |  CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS BIGINT),
+        |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+        |FROM v WHERE c_corrupt""".stripMargin)
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Num, QueryPack}
+import graft.multimodal.{MediaFixture, MediaOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -239,6 +240,35 @@ object StreamingGate extends QueryPack {
         graft.streaming.StreamOps.runningOverFrame(in, preceding = 2,
           delay = "0 seconds").toDF(),
         "stream_over_gate", mode = "update")
+    }),
+
+    // Media decode at INGEST — the production shape for multimodal
+    // pipelines (feature-extract each payload as it arrives, not in a
+    // nightly batch). The extractors are stateless narrow maps, so they
+    // run unchanged on a stream: append mode, zero keyed state, per-row
+    // cost identical to batch. Shares q_media_features' oracle verbatim
+    // (same fixture, same REAL ImageIO decode) — stream == batch.
+    "q_stream_media" -> ((s, dir) => {
+      import s.implicits._
+      val staged = stagedTableDir(dir, "documents")
+      val ids = s.readStream.schema(s.read.parquet(staged).schema)
+        .parquet(staged).select($"doc_id").as[Long]
+      runToTable(s,
+        MediaOps.imageFeatures(MediaFixture.mediaTable(ids)).toDF(),
+        "stream_media_gate", mode = "append")
+    }),
+
+    // Video frame sampling at ingest — the GFV1 seek-and-decode path on
+    // a stream, same stateless contract; shares q_media_video's oracle.
+    "q_stream_media_video" -> ((s, dir) => {
+      import s.implicits._
+      val staged = stagedTableDir(dir, "documents")
+      val ids = s.readStream.schema(s.read.parquet(staged).schema)
+        .parquet(staged).select($"doc_id").as[Long]
+      runToTable(s,
+        MediaOps.videoFrameFeatures(MediaFixture.videoTable(ids), k = 3)
+          .toDF(),
+        "stream_media_video_gate", mode = "append")
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -288,5 +318,10 @@ object StreamingGate extends QueryPack {
         |  COUNT(*) OVER (
         |    PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS n_frame
-        |FROM events""".stripMargin)
+        |FROM events""".stripMargin,
+
+    // shared verbatim with the batch pack: the streaming drain must
+    // produce bit-identical decode output to the batch operator
+    "q_stream_media" -> Multimodal.oracleSql("q_media_features"),
+    "q_stream_media_video" -> Multimodal.oracleSql("q_media_video"))
 }

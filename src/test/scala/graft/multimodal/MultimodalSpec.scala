@@ -197,4 +197,106 @@ class MultimodalSpec extends SparkSpec {
       .sortBy(_.id).toSeq
     assert(a == b)
   }
+
+  // ---- video (GFV1) --------------------------------------------------------
+
+  // 0 → n=3, 1 → n=4, 4 → n=7 (stride sampling skips frames),
+  // 5 → container corrupt (5%13==5), 9 → frame-0 corrupt (9%17==9)
+  private val videoIds = Seq(0L, 1L, 4L, 5L, 9L)
+  private def videos = MediaFixture.videoTable(videoIds.toDS())
+
+  private def videoFrameSums(id: Long, fi: Int): (Long, Long, Long) = {
+    val n = (8 + (id + fi) % 9) * (8 + (id + fi) % 7)
+    var rs = 0L; var gs = 0L; var bs = 0L
+    (0L until n).foreach { p =>
+      rs += (id + 19 * fi + 3 * p) % 256
+      gs += (2 * id + 23 * fi + 5 * p) % 256
+      bs += (3 * id + 29 * fi + 7 * p) % 256
+    }
+    (rs, gs, bs)
+  }
+
+  test("videoFrameFeatures: real per-frame PNG decode is pixel-exact; " +
+    "only the k stride-sampled frames emit") {
+    val out = MediaOps.videoFrameFeatures(videos, k = 3).collect()
+    for (id <- Seq(0L, 1L, 4L)) {
+      val n = MediaFixture.videoFramesFor(id)
+      val rows = out.filter(_.id == id).sortBy(_.frame_idx)
+      val expIdx = (0 until 3).map(j => (j.toLong * n / 3).toInt).distinct
+      assert(rows.map(_.frame_idx.get).toSeq == expIdx,
+        s"id=$id sampled indices")
+      for (f <- rows) {
+        val fi = f.frame_idx.get
+        assert(f.ok && f.n_frames.contains(n))
+        assert(f.width.contains((8 + (id + fi) % 9).toInt) &&
+          f.height.contains((8 + (id + fi) % 7).toInt))
+        val (rs, gs, bs) = videoFrameSums(id, fi)
+        assert((f.r_sum, f.g_sum, f.b_sum) == ((Some(rs), Some(gs), Some(bs))),
+          s"id=$id frame=$fi channel sums must be exact")
+      }
+    }
+    // n=7, k=3 must sample frames 0, 2, 4 — never decode all seven
+    assert(out.filter(_.id == 4L).map(_.frame_idx.get).sorted.toSeq ==
+      Seq(0, 2, 4))
+  }
+
+  test("videoFrameFeatures: truncated container is ONE countable " +
+    "ok=false row; a smashed frame fails alone while siblings decode") {
+    val out = MediaOps.videoFrameFeatures(videos, k = 3).collect()
+    // container-level: magic survives (sniff routes), parse fails
+    val c = out.filter(_.id == 5L)
+    assert(c.length == 1 && !c.head.ok && c.head.frame_idx.isEmpty &&
+      c.head.n_frames.isEmpty && c.head.width.isEmpty)
+    assert(MediaOps.sniffVideoFormat(MediaFixture.encodeVideo(5L)) == "gfv")
+    // frame-level: frame 0's bytes are zeroed in place — it emits
+    // ok=false with its index, the other sampled frames are exact
+    val f9 = out.filter(_.id == 9L).sortBy(_.frame_idx)
+    val n9 = MediaFixture.videoFramesFor(9L)
+    assert(f9.length == 3 && f9.forall(_.n_frames.contains(n9)))
+    assert(!f9.head.ok && f9.head.frame_idx.contains(0) &&
+      f9.head.r_sum.isEmpty)
+    assert(f9.tail.forall(_.ok))
+    val fi1 = f9(1).frame_idx.get
+    assert(f9(1).r_sum.contains(videoFrameSums(9L, fi1)._1))
+  }
+
+  test("videoFrameFeatures: garbage, empty and non-video payloads are " +
+    "ok=false rows; hostile index fields cannot allocate") {
+    val junk = Seq(
+      (60L, Array.fill[Byte](64)(0x41)), // not a container
+      (61L, Array.emptyByteArray),
+      (62L, "GFV1".getBytes("UTF-8")), // magic only, no count
+      (63L, MediaFixture.encode(0L))) // a bare PNG is not a clip
+      .toDF("id", "media")
+    val out = MediaOps.videoFrameFeatures(junk, k = 3).collect()
+    assert(out.length == 4 && out.forall(f => !f.ok && f.frame_idx.isEmpty))
+    // a count field of MaxInt must be rejected by the parse, not drive
+    // a 16 GB index allocation on an executor
+    val hostile = java.nio.ByteBuffer.allocate(12)
+      .put("GFV1".getBytes).putInt(Int.MaxValue).putInt(8).array()
+    assert(MediaOps.parseVideoIndex(hostile).isEmpty)
+    // a frame length past the payload end is rejected
+    val overrun = java.nio.ByteBuffer.allocate(16)
+      .put("GFV1".getBytes).putInt(1).putInt(9999).putInt(0).array()
+    assert(MediaOps.parseVideoIndex(overrun).isEmpty)
+  }
+
+  test("videoFrameFeatures: narrow map, deterministic across " +
+    "partitionings, k validated") {
+    val parted = videos.repartition(3)
+    val ds = MediaOps.videoFrameFeatures(parted, k = 3)
+    assert(ds.rdd.getNumPartitions == 3)
+    val plan = ds.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      s"video decode must stay a narrow map, got:\n$plan")
+    val a = MediaOps.videoFrameFeatures(videos, k = 3).collect()
+      .sortBy(f => (f.id, f.frame_idx.getOrElse(-1))).toSeq
+    val b = MediaOps.videoFrameFeatures(videos.repartition(5), k = 3)
+      .collect().sortBy(f => (f.id, f.frame_idx.getOrElse(-1))).toSeq
+    assert(a == b)
+    val e = intercept[IllegalArgumentException] {
+      MediaOps.videoFrameFeatures(videos, k = 0)
+    }
+    assert(e.getMessage.contains("k must be"))
+  }
 }
