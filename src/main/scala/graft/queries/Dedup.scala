@@ -676,13 +676,15 @@ object Dedup extends QueryPack {
     // maybe — ~50 B/row) is persisted so the two-branch union costs one
     // corpus scan, not two (same pattern as q_pack_sequences).
     //
-    // The mightContain probe is a Scala UDF by necessity: Spark has no
-    // public bloom-probe expression (BloomFilterMightContain is internal
-    // to runtime filtering), and a literal-embedded filter would bloat
-    // the plan — a broadcast sketch behind a boolean UDF over a 32-char
-    // string is the idiomatic compromise, and it sits outside every
-    // aggregation hot path. At 100 TB with ~10^10 reference keys the
-    // driver-held filter reaches tens of GB at 1% fpp: shard the
+    // The mightContain probe is the native codegen'd
+    // [[graft.functions.BloomMightContain]] expression over the
+    // broadcast sketch (Spark's own BloomFilterMightContain is internal
+    // to runtime filtering and not constructible from user code; a
+    // literal-embedded filter would bloat the plan) — the probe stays
+    // inside whole-stage codegen instead of crossing a UDF boundary per
+    // row, with byte-identical hashing to the driver-side
+    // mightContain(string) path. At 100 TB with ~10^10 reference keys
+    // the driver-held filter reaches tens of GB at 1% fpp: shard the
     // reference by digest prefix and run one pass per shard-group, or
     // relax fpp — the verify join keeps the result exact either way.
     "q_dedup_bloom" -> ((s, dir) => {
@@ -696,10 +698,10 @@ object Dedup extends QueryPack {
       val nOld = math.max(oldKeys.count(), 1L)
       val bloom = oldKeys.stat.bloomFilter("h", nOld, 0.01)
       val bloomB = s.sparkContext.broadcast(bloom)
-      val might = udf((h: String) => bloomB.value.mightContain(h))
       val flagged = docs.filter($"doc_id" % 10 >= 2)
         .select($"doc_id", md5($"text").as("h"))
-        .withColumn("maybe", might($"h"))
+        .withColumn("maybe",
+          graft.functions.BloomMightContain($"h", bloomB))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       flagged.filter(!$"maybe").select($"doc_id", $"h")
         .unionByName(flagged.filter($"maybe")
