@@ -1764,6 +1764,54 @@ object Gate extends QueryPack {
       s.table("text_tvf_sink_out")
     }),
 
+    // Media decode through the STATEMENT layer: a binary-payload view
+    // (fixture-encoded real PNG/BMP/JPEG from the documents ids, same
+    // closed form as q_media_features) scored by the stateless
+    // MEDIA_FEATURES TVF; shares the library oracle verbatim.
+    "q_gate_media_tvf" -> ((s, dir) => {
+      import s.implicits._
+      graft.multimodal.MediaFixture.mediaTable(
+        graft.Tables.load(s, dir, "documents")
+          .select(org.apache.spark.sql.functions.col("doc_id")).as[Long])
+        .createOrReplaceTempView("media_imgs")
+      val runner = new ScriptRunner(s, batchMode = true)
+      runner.run(
+        s"""CREATE TABLE media_feat_sink (id BIGINT, fmt VARCHAR,
+           |  ok BOOLEAN, width INT, height INT, n_px BIGINT,
+           |  r_sum BIGINT, g_sum BIGINT, b_sum BIGINT
+           |) WITH ('connector' = 'memory');
+           |INSERT INTO media_feat_sink
+           |SELECT id, fmt, ok, width, height, n_px, r_sum, g_sum, b_sum
+           |FROM TABLE(MEDIA_FEATURES(TABLE media_imgs, DESCRIPTOR(id),
+           |  DESCRIPTOR(media)));
+           |""".stripMargin)
+      s.table("media_feat_sink_out")
+    }),
+
+    // ... and the video form: GFV1 clips, 3 stride-sampled frames
+    // seek-decoded per clip through MEDIA_VIDEO_FRAMES; shares
+    // q_media_video's oracle.
+    "q_gate_media_video_tvf" -> ((s, dir) => {
+      import s.implicits._
+      graft.multimodal.MediaFixture.videoTable(
+        graft.Tables.load(s, dir, "documents")
+          .select(org.apache.spark.sql.functions.col("doc_id")).as[Long])
+        .createOrReplaceTempView("media_clips")
+      val runner = new ScriptRunner(s, batchMode = true)
+      runner.run(
+        s"""CREATE TABLE media_video_sink (id BIGINT, n_frames INT,
+           |  frame_idx INT, ok BOOLEAN, width INT, height INT,
+           |  r_sum BIGINT, g_sum BIGINT, b_sum BIGINT
+           |) WITH ('connector' = 'memory');
+           |INSERT INTO media_video_sink
+           |SELECT id, n_frames, frame_idx, ok, width, height,
+           |  r_sum, g_sum, b_sum
+           |FROM TABLE(MEDIA_VIDEO_FRAMES(TABLE media_clips,
+           |  DESCRIPTOR(id), DESCRIPTOR(media), 3));
+           |""".stripMargin)
+      s.table("media_video_sink_out")
+    }),
+
     // TF-IDF keyword extraction through the gate — shares the library
     // query's oracle (k=3, the default).
     "q_gate_keywords_tvf" -> ((s, dir) => {
@@ -2108,6 +2156,11 @@ object Gate extends QueryPack {
     "q_gate_bm25_cap_tvf" -> Search.oBm25CappedSql,
     "q_gate_bm25_stream" -> Search.oBm25Sql,
     "q_gate_keywords_tvf" -> Search.oracleSql("q_text_keywords"),
+
+    // media decode through the statement layer: both TVF routes share
+    // the library oracles verbatim (same fixture, same decode)
+    "q_gate_media_tvf" -> Multimodal.oracleSql("q_media_features"),
+    "q_gate_media_video_tvf" -> Multimodal.oracleSql("q_media_video"),
 
     // the semantic cross kernel: all three routes (library, batch TVF,
     // streaming drain) share one oracle SQL

@@ -59,6 +59,18 @@ import org.apache.spark.sql.SparkSession
   *     [[graft.queries.TextAnalysis.qualityOn]].
   *   - `TABLE(LANG_ID(TABLE t, DESCRIPTOR(id), DESCRIPTOR(text)))`
   *     → `(id, predicted)` — [[graft.queries.TextAnalysis.langidOn]].
+  *   - `TABLE(MEDIA_FEATURES(TABLE t, DESCRIPTOR(id),
+  *     DESCRIPTOR(media)))` → `(id, fmt, ok, width, height, n_px,
+  *     r_sum, g_sum, b_sum)`: REAL image decode of a BINARY payload
+  *     column — [[graft.multimodal.MediaOps.imageFeatures]]. Stateless
+  *     per-row, so streaming relations route unchanged (decode at
+  *     ingest).
+  *   - `TABLE(MEDIA_VIDEO_FRAMES(TABLE t, DESCRIPTOR(id),
+  *     DESCRIPTOR(media)[, <k>]))` → `(id, n_frames, frame_idx, ok,
+  *     width, height, r_sum, g_sum, b_sum)`: GFV1 video containers,
+  *     k uniform-stride frames seek-decoded per clip (default 3) —
+  *     [[graft.multimodal.MediaOps.videoFrameFeatures]]. Stateless
+  *     per-row like MEDIA_FEATURES.
   *   - `TABLE(PAGERANK(TABLE edges, DESCRIPTOR(src), DESCRIPTOR(dst)
   *     [, <iters>]))` → `(node, rank)`: scaled-integer PageRank power
   *     iteration over the edge relation (domain-authority scoring) —
@@ -143,7 +155,7 @@ import org.apache.spark.sql.SparkSession
 object GraftTvfRewrite {
 
   private val Keyword =
-    """(?i)\b(?:DEDUP_(?:EXACT|MINHASH_PAIRS|SIMHASH_PAIRS|CROSS_PAIRS|EMBED_PAIRS)|ANN_TOPK(?:_LSH|_IVFPQ)?|TEXT_QUALITY|TEXT_SEARCH_BM25|TEXT_KEYWORDS|LANG_ID|PAGERANK|FUZZY_JOIN(?:_CROSS)?|CONNECTED_COMPONENTS)\s*\(""".r
+    """(?i)\b(?:DEDUP_(?:EXACT|MINHASH_PAIRS|SIMHASH_PAIRS|CROSS_PAIRS|EMBED_PAIRS)|ANN_TOPK(?:_LSH|_IVFPQ)?|TEXT_QUALITY|TEXT_SEARCH_BM25|TEXT_KEYWORDS|LANG_ID|PAGERANK|FUZZY_JOIN(?:_CROSS)?|CONNECTED_COMPONENTS|MEDIA_FEATURES|MEDIA_VIDEO_FRAMES)\s*\(""".r
   private val viewCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private val Head =
@@ -212,8 +224,16 @@ object GraftTvfRewrite {
       """DESCRIPTOR\s*\(\s*([`\w]+)\s*\)\s*,\s*DESCRIPTOR\s*\(\s*([`\w]+)\s*\)\s*,\s*""" +
       """DESCRIPTOR\s*\(\s*([`\w]+)\s*\)\s*(?:,\s*(\d+)\s*(?:,\s*(\d+)\s*)?)?\)\s*\)""").r
 
+  // stateless per-row media decode (id + BINARY payload); optional k =
+  // frames sampled per clip for the video form
+  private val MediaFeaturesRe =
+    (Head.format("MEDIA_FEATURES") + """\)\s*\)""").r
+  private val MediaVideoRe =
+    (Head.format("MEDIA_VIDEO_FRAMES") + """(?:,\s*(\d+)\s*)?\)\s*\)""").r
+
   private def allRes = Seq(ExactRe, MinhashRe, SimhashRe, QualityRe,
-    KeywordsRe, LangIdRe, PageRankRe, FuzzyRe, CcRe)
+    KeywordsRe, LangIdRe, PageRankRe, FuzzyRe, CcRe, MediaFeaturesRe,
+    MediaVideoRe)
 
   /** True iff the statement uses a graft TVF. */
   def present(sql: String): Boolean = Keyword.findFirstIn(sql).isDefined
@@ -247,7 +267,8 @@ object GraftTvfRewrite {
           s"and runs in batch gate mode; '$src' is a streaming source " +
           "(a silent re-windowing would change semantics — rejected " +
           "loudly). Only DEDUP_EXACT (keyed first-arrival dedup), the " +
-          "stateless per-row TVFs TEXT_QUALITY / LANG_ID, the incoming " +
+          "stateless per-row TVFs TEXT_QUALITY / LANG_ID / " +
+          "MEDIA_FEATURES / MEDIA_VIDEO_FRAMES, the incoming " +
           "side of DEDUP_CROSS_PAIRS / FUZZY_JOIN_CROSS / " +
           "DEDUP_EMBED_PAIRS and the query side of ANN_TOPK_LSH / " +
           "ANN_TOPK_IVFPQ route streaming sources")
@@ -396,6 +417,22 @@ object GraftTvfRewrite {
       view(graft.queries.TextAnalysis.langidOn(
         rawTable(m.group(1)), c2(m, 2), c2(m, 3)))
     })
+    // MEDIA_FEATURES / MEDIA_VIDEO_FRAMES are stateless per-row decodes
+    // (narrow maps, no aggregation or join) — streaming relations route
+    // through the SAME operators, append mode, zero state (rawTable,
+    // like TEXT_QUALITY / LANG_ID). The operators take (id, media)
+    // column names; the descriptors rename into that contract.
+    def mediaCols(m: scala.util.matching.Regex.Match) =
+      rawTable(m.group(1)).select(
+        org.apache.spark.sql.functions.col(c2(m, 2)).cast("long").as("id"),
+        org.apache.spark.sql.functions.col(c2(m, 3)).as("media"))
+    out = MediaFeaturesRe.replaceAllIn(out, m =>
+      view(graft.multimodal.MediaOps.imageFeatures(mediaCols(m)).toDF()))
+    out = MediaVideoRe.replaceAllIn(out, m => {
+      val k = Option(m.group(4)).map(_.toInt).getOrElse(3)
+      view(graft.multimodal.MediaOps
+        .videoFrameFeatures(mediaCols(m), k).toDF())
+    })
     out = PageRankRe.replaceAllIn(out, m => {
       // whole-relation power iteration — batch only (table() guard)
       val iters = Option(m.group(4)).map(_.toInt).getOrElse(3)
@@ -479,6 +516,10 @@ object GraftTvfRewrite {
           "TABLE(TEXT_KEYWORDS(TABLE t, DESCRIPTOR(id), " +
           "DESCRIPTOR(text)[, k])), " +
           "TABLE(LANG_ID(TABLE t, DESCRIPTOR(id), DESCRIPTOR(text))), " +
+          "TABLE(MEDIA_FEATURES(TABLE t, DESCRIPTOR(id), " +
+          "DESCRIPTOR(media))), " +
+          "TABLE(MEDIA_VIDEO_FRAMES(TABLE t, DESCRIPTOR(id), " +
+          "DESCRIPTOR(media)[, k])), " +
           "TABLE(PAGERANK(TABLE edges, DESCRIPTOR(src), DESCRIPTOR(dst)" +
           "[, iters])), " +
           "TABLE(FUZZY_JOIN(TABLE t, DESCRIPTOR(id), DESCRIPTOR(name)" +

@@ -160,6 +160,48 @@ class GraftTvfSpec extends SparkSpec {
         s"hits=${hits.size}")
   }
 
+  test("MEDIA_FEATURES / MEDIA_VIDEO_FRAMES through the gate match the " +
+    "library operators") {
+    import spark.implicits._
+    import graft.multimodal.{MediaFixture, MediaOps}
+    val ids = Seq(0L, 1L, 2L, 3L, 4L, 5L, 9L).toDS()
+    MediaFixture.mediaTable(ids).createOrReplaceTempView("tvf_imgs")
+    MediaFixture.videoTable(ids).createOrReplaceTempView("tvf_clips")
+    val runner = new ScriptRunner(spark, batchMode = true)
+    runner.run(
+      """CREATE TABLE img_sink (id BIGINT, fmt STRING, ok BOOLEAN,
+        |  width INT, height INT, n_px BIGINT, r_sum BIGINT,
+        |  g_sum BIGINT, b_sum BIGINT) WITH ('connector' = 'memory');
+        |INSERT INTO img_sink SELECT id, fmt, ok, width, height, n_px,
+        |  r_sum, g_sum, b_sum
+        |FROM TABLE(MEDIA_FEATURES(TABLE tvf_imgs, DESCRIPTOR(id),
+        |  DESCRIPTOR(media)));
+        |CREATE TABLE clip_sink (id BIGINT, n_frames INT, frame_idx INT,
+        |  ok BOOLEAN, width INT, height INT, r_sum BIGINT,
+        |  g_sum BIGINT, b_sum BIGINT) WITH ('connector' = 'memory');
+        |INSERT INTO clip_sink SELECT id, n_frames, frame_idx, ok,
+        |  width, height, r_sum, g_sum, b_sum
+        |FROM TABLE(MEDIA_VIDEO_FRAMES(TABLE tvf_clips, DESCRIPTOR(id),
+        |  DESCRIPTOR(media), 3));""".stripMargin)
+    val gateImg = spark.table("img_sink_out").collect()
+      .map(_.toSeq).sortBy(_.toString)
+    val libImg = MediaOps.imageFeatures(MediaFixture.mediaTable(ids))
+      .toDF().collect().map(_.toSeq).sortBy(_.toString)
+    assert(gateImg.toSeq == libImg.toSeq)
+    val gateVid = spark.table("clip_sink_out").collect()
+      .map(_.toSeq).sortBy(_.toString)
+    val libVid = MediaOps.videoFrameFeatures(MediaFixture.videoTable(ids), 3)
+      .toDF().collect().map(_.toSeq).sortBy(_.toString)
+    assert(gateVid.toSeq == libVid.toSeq)
+    // pre-flight validator accepts both spellings
+    GraftTvfRewrite.validateOnly(
+      """SELECT * FROM TABLE(MEDIA_FEATURES(TABLE t, DESCRIPTOR(id),
+        |DESCRIPTOR(media)))""".stripMargin)
+    GraftTvfRewrite.validateOnly(
+      """SELECT * FROM TABLE(MEDIA_VIDEO_FRAMES(TABLE t, DESCRIPTOR(id),
+        |DESCRIPTOR(media), 5))""".stripMargin)
+  }
+
   test("malformed TVF and streaming sources are rejected loudly") {
     val e = intercept[IllegalArgumentException] {
       GraftTvfRewrite.validateOnly(
