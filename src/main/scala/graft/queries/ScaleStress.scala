@@ -268,6 +268,21 @@ object ScaleStress {
         val feats = MediaOps.imageFeatures(MediaFixture.mediaTable(ids))
         Map("decoded" -> feats.filter(_.ok).count())
       }),
+      // r15: the REAL video path — encode GFV1 clips (3-7 packed PNG
+      // frames) from ids, then seek-decode 3 stride-sampled frames per
+      // clip through the container index. Narrow map, zero shuffle →
+      // the decade metric should read corpus-linear; the structural
+      // claim is the sampling contract itself (decode cost is O(k)
+      // frames per clip however long the clip grows).
+      "media_video" -> (() => {
+        import graft.multimodal.{MediaFixture, MediaOps}
+        import spark.implicits._
+        val ids = graft.Tables.load(spark, sfDir, "documents")
+          .select(col("doc_id")).as[Long]
+        val frames =
+          MediaOps.videoFrameFeatures(MediaFixture.videoTable(ids), k = 3)
+        Map("frames_ok" -> frames.filter(_.ok).count())
+      }),
       "pack_sequences" -> (() => materialize("q_pack_sequences")),
       "tpch_q1" -> (() => materialize("q1_agg")),
       "tpch_q18" -> (() => materialize("q18_bigorders")),

@@ -969,6 +969,84 @@ object Similarity extends QueryPack {
         col("col.cosine").as("cosine"), (col("pos") + 1).as("rank"))
   }
 
+  /** All-but-the-top embedding post-processing (Mu & Viswanath 2018,
+    * "All-but-the-Top: Simple and Effective Postprocessing for Word
+    * Representations"): mean-center the corpus embeddings and remove
+    * each vector's projection onto the dominant principal direction —
+    * the standard isotropy fix that measurably improves cosine
+    * retrieval. The direction comes from `rounds` power-iteration steps
+    * over the (never materialized) covariance: each round is ONE corpus
+    * pass computing per-row centered dots d_i = ⟨qe_i − μ, v⟩ (a
+    * codegen'd `long_dot` against the plan-baked v, minus the scalar
+    * ⟨μ, v⟩ — the centered matrix is never built), then a d=64-key
+    * partial aggregation Σ_i qe_ij·(d_i div 2³⁰) for the next v. All
+    * arithmetic is int64 with truncating divisions at FIVE fixed points
+    * (μ = S div n; ds = d div 2³⁰; v = u div ((max|u| div 10⁶)+1);
+    * p = d div 2¹⁰; proj_j = p·v_j div ((⟨v,v⟩ div 2¹⁰)+1)), identical
+    * in Spark (`div`) and DuckDB (`//`) — both truncate toward zero for
+    * negatives too — so the oracle replays the entire fit + projection
+    * bit-exactly with the rounds unrolled as CTEs.
+    *
+    * Scale: per round, one corpus scan + one 64-key shuffle; the
+    * direction vector is control-plane (64 longs, collected and baked
+    * back as a literal array). Final residual pass is row-local. The
+    * ds = d div 2³⁰ rescale bounds Σ qe·ds below int64 overflow to
+    * ~7·10⁷ rows at this quantization; larger corpora raise the shift
+    * (ANSI mode makes an overflow loud, never silent). Production runs
+    * power iteration to tolerance from a random seed; the fixed
+    * all-10⁶ seed and fixed round count here make the contract
+    * deterministic and oracle-replayable.
+    */
+  def allButTop(emb: DataFrame, idCol: String, vecCol: String,
+      rounds: Int = 2): DataFrame = {
+    val spark = emb.sparkSession
+    Vec.ensureRegistered(spark)
+    val dim = NDim
+    val q = emb.select(col(idCol).as("vid"), quant(col(vecCol)).as("qe"))
+    // control plane: n and the per-dim sums → truncated integer mean
+    val n = math.max(q.count(), 1L)
+    val sums = new Array[Long](dim)
+    q.select(posexplode(col("qe"))).groupBy("pos")
+      .agg(sum(col("col")).as("s")).collect()
+      .foreach(r => sums(r.getInt(0)) = r.getLong(1))
+    val mu = sums.map(_ / n) // Java / == Spark div == DuckDB // (toward 0)
+    var v = Array.fill(dim)(1000000L)
+    def withD(vec: Array[Long]): DataFrame = {
+      val c0 = vec.indices.map(j => mu(j) * vec(j)).sum
+      q.withColumn("d", dotQ(col("qe"), lit(vec)) - lit(c0))
+    }
+    for (_ <- 1 to rounds) {
+      val dd = withD(v).withColumn("ds", expr("d div 1073741824"))
+      // Σ_i qe_ij·ds_i per dim and Σ_i ds_i in ONE aggregation pass:
+      // ds rides the posexplode, the scalar sum divides out the fan-out
+      val agg = dd.select(posexplode(col("qe")).as(Seq("j", "x")),
+          col("ds"))
+        .groupBy("j").agg(sum(col("x") * col("ds")).as("xs"),
+          sum(col("ds")).as("sds"))
+        .collect()
+      val xs = new Array[Long](dim)
+      var sds = 0L
+      agg.foreach { r =>
+        xs(r.getInt(0)) = r.getLong(1)
+        sds = r.getLong(2) // identical for every dim (same row set)
+      }
+      val u = Array.tabulate(dim)(j => xs(j) - mu(j) * sds)
+      val m = u.map(math.abs).max
+      v = u.map(_ / (m / 1000000L + 1L))
+    }
+    val vv = v.map(x => x * x).sum
+    val denom = vv / 1024L + 1L
+    withD(v)
+      .withColumn("mu_a", lit(mu))
+      .withColumn("v_a", lit(v))
+      .withColumn("p", expr("d div 1024"))
+      .withColumn("res", expr(
+        s"transform(qe, (x, j) -> (x - element_at(mu_a, j + 1)) - " +
+          s"((p * element_at(v_a, j + 1)) div $denom))"))
+      .select(col("vid").as("vec_id"), col("d").as("proj"),
+        array_join(col("res").cast("array<string>"), ",").as("residual"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact brute-force cosine top-k: broadcast the (tiny) query set, one
     // corpus scan, per-query heap via row_number.
@@ -1098,7 +1176,13 @@ object Similarity extends QueryPack {
           floor(sum($"comp").cast("double") / count(lit(1)))
             .cast("long").as("c_new"),
           count(lit(1)).as("n_members"))
-    }))
+    }),
+
+    // All-but-the-top embedding cleanup: integer-exact mean-centering +
+    // dominant-direction removal, with the 2-round power-iteration fit
+    // replayed bit-exactly by the oracle's unrolled CTEs ([[allButTop]]).
+    "q_embed_abtt" -> ((s, dir) =>
+      allButTop(Tables.load(s, dir, "embeddings"), "vec_id", "embedding")))
 
   // --- DuckDB mirrors -----------------------------------------------------
 
@@ -1331,5 +1415,51 @@ object Similarity extends QueryPack {
          |SELECT cell, dim,
          |  CAST(floor(CAST(sum(comp) AS DOUBLE) / count(*)) AS BIGINT) AS c_new,
          |  count(*) AS n_members
-         |FROM x GROUP BY cell, dim""".stripMargin)
+         |FROM x GROUP BY cell, dim""".stripMargin,
+
+    // allButTop's integer arithmetic replayed token-for-token: truncated
+    // integer mean, two unrolled power-iteration rounds (centered dot →
+    // div 2^30 rescale → per-dim re-aggregation → max-abs renormalize),
+    // then the row-local projection removal. DuckDB `//` and Spark `div`
+    // both truncate toward zero, for negatives too.
+    "q_embed_abtt" ->
+      s"""WITH e AS (SELECT vec_id, $oQuant AS qe FROM embeddings),
+         |mu AS (SELECT g.j, SUM(qe[g.j]) // (SELECT COUNT(*) FROM e) AS mu
+         |  FROM e, generate_series(1, 64) g(j) GROUP BY g.j),
+         |v0 AS (SELECT j, CAST(1000000 AS BIGINT) AS v
+         |  FROM generate_series(1, 64) g(j)),
+         |d1 AS (SELECT e.vec_id, SUM(e.qe[v.j] * v.v)
+         |    - (SELECT SUM(m.mu * v2.v) FROM mu m JOIN v0 v2 USING (j)) AS d
+         |  FROM e, v0 v GROUP BY e.vec_id),
+         |x1 AS (SELECT g.j, SUM(e.qe[g.j] * (d1.d // 1073741824)) AS xs,
+         |    SUM(d1.d // 1073741824) AS sds
+         |  FROM e JOIN d1 USING (vec_id), generate_series(1, 64) g(j)
+         |  GROUP BY g.j),
+         |u1 AS (SELECT x1.j, x1.xs - mu.mu * x1.sds AS u
+         |  FROM x1 JOIN mu USING (j)),
+         |v1 AS (SELECT j, u // ((SELECT MAX(ABS(u)) FROM u1) // 1000000
+         |    + 1) AS v FROM u1),
+         |d2 AS (SELECT e.vec_id, SUM(e.qe[v.j] * v.v)
+         |    - (SELECT SUM(m.mu * v2.v) FROM mu m JOIN v1 v2 USING (j)) AS d
+         |  FROM e, v1 v GROUP BY e.vec_id),
+         |x2 AS (SELECT g.j, SUM(e.qe[g.j] * (d2.d // 1073741824)) AS xs,
+         |    SUM(d2.d // 1073741824) AS sds
+         |  FROM e JOIN d2 USING (vec_id), generate_series(1, 64) g(j)
+         |  GROUP BY g.j),
+         |u2 AS (SELECT x2.j, x2.xs - mu.mu * x2.sds AS u
+         |  FROM x2 JOIN mu USING (j)),
+         |v2 AS (SELECT j, u // ((SELECT MAX(ABS(u)) FROM u2) // 1000000
+         |    + 1) AS v FROM u2),
+         |vv AS (SELECT SUM(v * v) AS vv FROM v2),
+         |df AS (SELECT e.vec_id, SUM(e.qe[v.j] * v.v)
+         |    - (SELECT SUM(m.mu * v2.v) FROM mu m JOIN v2 USING (j)) AS d
+         |  FROM e, v2 v GROUP BY e.vec_id)
+         |SELECT e.vec_id, CAST(df.d AS BIGINT) AS proj,
+         |  array_to_string(list(
+         |    (e.qe[g.j] - mu.mu) - ((df.d // 1024) * v2.v)
+         |      // ((SELECT vv FROM vv) // 1024 + 1)
+         |    ORDER BY g.j), ',') AS residual
+         |FROM e JOIN df USING (vec_id), generate_series(1, 64) g(j)
+         |  JOIN mu ON mu.j = g.j JOIN v2 ON v2.j = g.j
+         |GROUP BY e.vec_id, df.d""".stripMargin)
 }
