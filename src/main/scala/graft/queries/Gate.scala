@@ -1764,6 +1764,29 @@ object Gate extends QueryPack {
       s.table("text_tvf_sink_out")
     }),
 
+    // All-but-the-top embedding cleanup through the statement layer —
+    // the whole fit chain (mean, 2 power-iteration rounds, projection
+    // removal) runs behind one TVF call; shares q_embed_abtt's oracle.
+    "q_gate_abtt_tvf" -> ((s, dir) => {
+      val runner = new ScriptRunner(s, batchMode = true)
+      runner.run(
+        s"""CREATE TABLE emb_abtt (vec_id BIGINT, embedding ARRAY<FLOAT>,
+           |  label INT
+           |) WITH (
+           |  'connector' = 'filesystem',
+           |  'path' = '$dir/embeddings.parquet',
+           |  'format' = 'parquet'
+           |);
+           |CREATE TABLE abtt_sink (vec_id BIGINT, proj BIGINT,
+           |  residual STRING) WITH ('connector' = 'memory');
+           |INSERT INTO abtt_sink
+           |SELECT vec_id, proj, residual
+           |FROM TABLE(EMBED_ABTT(TABLE emb_abtt, DESCRIPTOR(vec_id),
+           |  DESCRIPTOR(embedding), 2));
+           |""".stripMargin)
+      s.table("abtt_sink_out")
+    }),
+
     // Media decode through the STATEMENT layer: a binary-payload view
     // (fixture-encoded real PNG/BMP/JPEG from the documents ids, same
     // closed form as q_media_features) scored by the stateless
@@ -2161,6 +2184,9 @@ object Gate extends QueryPack {
     // the library oracles verbatim (same fixture, same decode)
     "q_gate_media_tvf" -> Multimodal.oracleSql("q_media_features"),
     "q_gate_media_video_tvf" -> Multimodal.oracleSql("q_media_video"),
+
+    // embedding cleanup through the statement layer: same fit, same SQL
+    "q_gate_abtt_tvf" -> Similarity.oracleSql("q_embed_abtt"),
 
     // the semantic cross kernel: all three routes (library, batch TVF,
     // streaming drain) share one oracle SQL

@@ -283,6 +283,16 @@ object ScaleStress {
           MediaOps.videoFrameFeatures(MediaFixture.videoTable(ids), k = 3)
         Map("frames_ok" -> frames.filter(_.ok).count())
       }),
+      // r15: all-but-the-top embedding cleanup — per round one corpus
+      // pass + one 64-key shuffle, control-plane direction vector; the
+      // residual pass is row-local. Decade metric should track the
+      // corpus scans (~linear); the structural claim is that nothing in
+      // the fit materializes a covariance or an n×n anything.
+      "embed_abtt" -> (() => {
+        val emb = graft.Tables.load(spark, sfDir, "embeddings")
+        Map("rows" ->
+          Similarity.allButTop(emb, "vec_id", "embedding").count())
+      }),
       "pack_sequences" -> (() => materialize("q_pack_sequences")),
       "tpch_q1" -> (() => materialize("q1_agg")),
       "tpch_q18" -> (() => materialize("q18_bigorders")),

@@ -71,6 +71,12 @@ import org.apache.spark.sql.SparkSession
   *     k uniform-stride frames seek-decoded per clip (default 3) —
   *     [[graft.multimodal.MediaOps.videoFrameFeatures]]. Stateless
   *     per-row like MEDIA_FEATURES.
+  *   - `TABLE(EMBED_ABTT(TABLE t, DESCRIPTOR(id), DESCRIPTOR(vec)
+  *     [, <rounds>]))` → `(vec_id, proj, residual)`: all-but-the-top
+  *     embedding cleanup (mean-center + dominant-direction removal,
+  *     integer-exact power-iteration fit, default 2 rounds) —
+  *     [[graft.queries.Similarity.allButTop]]. Whole-relation:
+  *     streaming rejected loudly.
   *   - `TABLE(PAGERANK(TABLE edges, DESCRIPTOR(src), DESCRIPTOR(dst)
   *     [, <iters>]))` → `(node, rank)`: scaled-integer PageRank power
   *     iteration over the edge relation (domain-authority scoring) —
@@ -155,7 +161,7 @@ import org.apache.spark.sql.SparkSession
 object GraftTvfRewrite {
 
   private val Keyword =
-    """(?i)\b(?:DEDUP_(?:EXACT|MINHASH_PAIRS|SIMHASH_PAIRS|CROSS_PAIRS|EMBED_PAIRS)|ANN_TOPK(?:_LSH|_IVFPQ)?|TEXT_QUALITY|TEXT_SEARCH_BM25|TEXT_KEYWORDS|LANG_ID|PAGERANK|FUZZY_JOIN(?:_CROSS)?|CONNECTED_COMPONENTS|MEDIA_FEATURES|MEDIA_VIDEO_FRAMES)\s*\(""".r
+    """(?i)\b(?:DEDUP_(?:EXACT|MINHASH_PAIRS|SIMHASH_PAIRS|CROSS_PAIRS|EMBED_PAIRS)|ANN_TOPK(?:_LSH|_IVFPQ)?|TEXT_QUALITY|TEXT_SEARCH_BM25|TEXT_KEYWORDS|LANG_ID|PAGERANK|FUZZY_JOIN(?:_CROSS)?|CONNECTED_COMPONENTS|MEDIA_FEATURES|MEDIA_VIDEO_FRAMES|EMBED_ABTT)\s*\(""".r
   private val viewCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private val Head =
@@ -230,10 +236,14 @@ object GraftTvfRewrite {
     (Head.format("MEDIA_FEATURES") + """\)\s*\)""").r
   private val MediaVideoRe =
     (Head.format("MEDIA_VIDEO_FRAMES") + """(?:,\s*(\d+)\s*)?\)\s*\)""").r
+  // whole-relation embedding cleanup (corpus mean + power-iteration
+  // fit): optional round count
+  private val AbttRe =
+    (Head.format("EMBED_ABTT") + """(?:,\s*(\d+)\s*)?\)\s*\)""").r
 
   private def allRes = Seq(ExactRe, MinhashRe, SimhashRe, QualityRe,
     KeywordsRe, LangIdRe, PageRankRe, FuzzyRe, CcRe, MediaFeaturesRe,
-    MediaVideoRe)
+    MediaVideoRe, AbttRe)
 
   /** True iff the statement uses a graft TVF. */
   def present(sql: String): Boolean = Keyword.findFirstIn(sql).isDefined
@@ -433,6 +443,13 @@ object GraftTvfRewrite {
       view(graft.multimodal.MediaOps
         .videoFrameFeatures(mediaCols(m), k).toDF())
     })
+    out = AbttRe.replaceAllIn(out, m => {
+      // whole-relation (corpus mean + covariance power iteration):
+      // streaming rejected by table()
+      val rounds = Option(m.group(4)).map(_.toInt).getOrElse(2)
+      view(graft.queries.Similarity.allButTop(
+        table(m.group(1)), c2(m, 2), c2(m, 3), rounds))
+    })
     out = PageRankRe.replaceAllIn(out, m => {
       // whole-relation power iteration — batch only (table() guard)
       val iters = Option(m.group(4)).map(_.toInt).getOrElse(3)
@@ -520,6 +537,8 @@ object GraftTvfRewrite {
           "DESCRIPTOR(media))), " +
           "TABLE(MEDIA_VIDEO_FRAMES(TABLE t, DESCRIPTOR(id), " +
           "DESCRIPTOR(media)[, k])), " +
+          "TABLE(EMBED_ABTT(TABLE t, DESCRIPTOR(id), DESCRIPTOR(vec)" +
+          "[, rounds])), " +
           "TABLE(PAGERANK(TABLE edges, DESCRIPTOR(src), DESCRIPTOR(dst)" +
           "[, iters])), " +
           "TABLE(FUZZY_JOIN(TABLE t, DESCRIPTOR(id), DESCRIPTOR(name)" +
