@@ -999,46 +999,80 @@ object Similarity extends QueryPack {
     */
   def allButTop(emb: DataFrame, idCol: String, vecCol: String,
       rounds: Int = 2): DataFrame = {
+    val model = allButTopModel(emb, idCol, vecCol, rounds)
+    allButTopApply(emb, idCol, vecCol, model)
+  }
+
+  /** The frozen fit: integer corpus mean + fitted dominant direction —
+    * 64+64 longs of control plane, the thing a production pipeline
+    * computes once per corpus snapshot and then applies at ingest.
+    */
+  final case class AbttModel(mu: Array[Long], v: Array[Long])
+
+  /** FIT side of [[allButTop]]: truncated integer mean + `rounds`
+    * power-iteration steps (see the arithmetic contract above).
+    */
+  def allButTopModel(emb: DataFrame, idCol: String, vecCol: String,
+      rounds: Int = 2): AbttModel = {
     val spark = emb.sparkSession
     Vec.ensureRegistered(spark)
     val dim = NDim
-    val q = emb.select(col(idCol).as("vid"), quant(col(vecCol)).as("qe"))
-    // control plane: n and the per-dim sums → truncated integer mean
-    val n = math.max(q.count(), 1L)
-    val sums = new Array[Long](dim)
-    q.select(posexplode(col("qe"))).groupBy("pos")
-      .agg(sum(col("col")).as("s")).collect()
-      .foreach(r => sums(r.getInt(0)) = r.getLong(1))
-    val mu = sums.map(_ / n) // Java / == Spark div == DuckDB // (toward 0)
-    var v = Array.fill(dim)(1000000L)
-    def withD(vec: Array[Long]): DataFrame = {
-      val c0 = vec.indices.map(j => mu(j) * vec(j)).sum
-      q.withColumn("d", dotQ(col("qe"), lit(vec)) - lit(c0))
-    }
-    for (_ <- 1 to rounds) {
-      val dd = withD(v).withColumn("ds", expr("d div 1073741824"))
-      // Σ_i qe_ij·ds_i per dim and Σ_i ds_i in ONE aggregation pass:
-      // ds rides the posexplode, the scalar sum divides out the fan-out
-      val agg = dd.select(posexplode(col("qe")).as(Seq("j", "x")),
-          col("ds"))
-        .groupBy("j").agg(sum(col("x") * col("ds")).as("xs"),
-          sum(col("ds")).as("sds"))
-        .collect()
-      val xs = new Array[Long](dim)
-      var sds = 0L
-      agg.foreach { r =>
-        xs(r.getInt(0)) = r.getLong(1)
-        sds = r.getLong(2) // identical for every dim (same row set)
+    // the fit reads the quantized frame rounds+1 times — cache it so
+    // every pass after the first is a memory scan, not parquet + quant
+    val q = emb.select(quant(col(vecCol)).as("qe"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // control plane: per-dim sums AND n from ONE aggregation pass (the
+      // per-dim row count is the corpus row count) → truncated int mean
+      val sums = new Array[Long](dim)
+      var n = 1L
+      q.select(posexplode(col("qe"))).groupBy("pos")
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n")).collect()
+        .foreach { r => sums(r.getInt(0)) = r.getLong(1); n = r.getLong(2) }
+      val mu = sums.map(_ / n) // Java / == Spark div == DuckDB // (to 0)
+      var v = Array.fill(dim)(1000000L)
+      for (_ <- 1 to rounds) {
+        val c0 = v.indices.map(j => mu(j) * v(j)).sum
+        val dd = q.withColumn("d", dotQ(col("qe"), lit(v)) - lit(c0))
+          .withColumn("ds", expr("d div 1073741824"))
+        // Σ_i qe_ij·ds_i per dim and Σ_i ds_i in ONE aggregation pass:
+        // ds rides the posexplode, Σds repeats identically per dim
+        val agg = dd.select(posexplode(col("qe")).as(Seq("j", "x")),
+            col("ds"))
+          .groupBy("j").agg(sum(col("x") * col("ds")).as("xs"),
+            sum(col("ds")).as("sds"))
+          .collect()
+        val xs = new Array[Long](dim)
+        var sds = 0L
+        agg.foreach { r =>
+          xs(r.getInt(0)) = r.getLong(1)
+          sds = r.getLong(2)
+        }
+        val u = Array.tabulate(dim)(j => xs(j) - mu(j) * sds)
+        val m = u.map(math.abs).max
+        v = u.map(_ / (m / 1000000L + 1L))
       }
-      val u = Array.tabulate(dim)(j => xs(j) - mu(j) * sds)
-      val m = u.map(math.abs).max
-      v = u.map(_ / (m / 1000000L + 1L))
-    }
-    val vv = v.map(x => x * x).sum
+      AbttModel(mu, v)
+    } finally { q.unpersist(); () }
+  }
+
+  /** APPLY side of [[allButTop]]: row-local mean-centering + projection
+    * removal against a frozen [[AbttModel]] (mu/v baked into the plan
+    * as literal arrays). Pure per-row arithmetic, no aggregation or
+    * state — so it runs unchanged on a STREAMING relation: the
+    * clean-embeddings-at-ingest shape, fit once on the corpus snapshot,
+    * applied to every arriving vector.
+    */
+  def allButTopApply(df: DataFrame, idCol: String, vecCol: String,
+      model: AbttModel): DataFrame = {
+    Vec.ensureRegistered(df.sparkSession)
+    val c0 = model.mu.indices.map(j => model.mu(j) * model.v(j)).sum
+    val vv = model.v.map(x => x * x).sum
     val denom = vv / 1024L + 1L
-    withD(v)
-      .withColumn("mu_a", lit(mu))
-      .withColumn("v_a", lit(v))
+    df.select(col(idCol).as("vid"), quant(col(vecCol)).as("qe"))
+      .withColumn("d", dotQ(col("qe"), lit(model.v)) - lit(c0))
+      .withColumn("mu_a", lit(model.mu))
+      .withColumn("v_a", lit(model.v))
       .withColumn("p", expr("d div 1024"))
       .withColumn("res", expr(
         s"transform(qe, (x, j) -> (x - element_at(mu_a, j + 1)) - " +

@@ -258,6 +258,24 @@ object StreamingGate extends QueryPack {
         "stream_media_gate", mode = "append")
     }),
 
+    // Embedding cleanup at INGEST: all-but-the-top applied to arriving
+    // vectors against a model frozen from the bounded corpus snapshot
+    // (the production shape — fit once per snapshot, clean every new
+    // embedding row-locally, zero state). The streamed relation here IS
+    // the fit corpus, so the drain must reproduce the batch
+    // q_embed_abtt output bit-exactly — shared oracle.
+    "q_stream_abtt" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = graft.Tables.load(s, dir, "embeddings")
+      val model = Similarity.allButTopModel(corpus, "vec_id", "embedding")
+      val staged = stagedTableDir(dir, "embeddings")
+      val incoming = s.readStream
+        .schema(s.read.parquet(staged).schema).parquet(staged)
+      runToTable(s,
+        Similarity.allButTopApply(incoming, "vec_id", "embedding", model),
+        "stream_abtt_gate", mode = "append")
+    }),
+
     // Video frame sampling at ingest — the GFV1 seek-and-decode path on
     // a stream, same stateless contract; shares q_media_video's oracle.
     "q_stream_media_video" -> ((s, dir) => {
@@ -323,5 +341,6 @@ object StreamingGate extends QueryPack {
     // shared verbatim with the batch pack: the streaming drain must
     // produce bit-identical decode output to the batch operator
     "q_stream_media" -> Multimodal.oracleSql("q_media_features"),
-    "q_stream_media_video" -> Multimodal.oracleSql("q_media_video"))
+    "q_stream_media_video" -> Multimodal.oracleSql("q_media_video"),
+    "q_stream_abtt" -> Similarity.oracleSql("q_embed_abtt"))
 }
