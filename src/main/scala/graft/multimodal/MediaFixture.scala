@@ -60,10 +60,7 @@ object MediaFixture {
       img.setRGB(p % w, p / w, (r << 16) | (g << 8) | b)
       p += 1
     }
-    val out = new ByteArrayOutputStream()
-    val wrote = ImageIO.write(img, fmtFor(id), out)
-    require(wrote, s"no ImageIO writer for ${fmtFor(id)}")
-    val bytes = out.toByteArray
+    val bytes = MediaCodec.encode(img, fmtFor(id))
     if (isCorrupt(id)) java.util.Arrays.copyOf(bytes, 8) else bytes
   }
 
@@ -158,10 +155,7 @@ object MediaFixture {
         img.setRGB(p % w, p / w, (r << 16) | (g << 8) | b)
         p += 1
       }
-      val out = new ByteArrayOutputStream()
-      val wrote = ImageIO.write(img, "png", out)
-      require(wrote, "no ImageIO writer for png")
-      out.toByteArray
+      MediaCodec.encode(img, "png")
     }
     val out = new ByteArrayOutputStream()
     val o = new java.io.DataOutputStream(out) // writeInt is big-endian

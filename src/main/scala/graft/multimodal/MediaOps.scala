@@ -68,9 +68,11 @@ object MediaOps {
     */
   val LosslessFormats: Set[String] = Set("png", "bmp")
 
+  // registry-free, finalizer-free decode (see [[MediaCodec]]: the
+  // ImageIO convenience API's per-call registry scan convoyed 13/32
+  // executor threads on one monitor at sf10); corrupt payload → null
   private def decode(bytes: Array[Byte]): java.awt.image.BufferedImage =
-    try ImageIO.read(new ByteArrayInputStream(bytes))
-    catch { case NonFatal(_) => null } // corrupt payload → skip-and-count
+    MediaCodec.decode(bytes)
 
   /** Exact per-channel pixel sums of a decoded image — the shared
     * feature kernel of [[imageFeatures]] and [[videoFrameFeatures]].

@@ -244,10 +244,10 @@ object ScaleStress {
           .option("checkpointLocation",
             java.nio.file.Files.createTempDirectory("bms_ck").toString)
           .start()
-        try require(q.awaitTermination(600000),
-          "bm25_stream drain timed out")
+        val finished = try q.awaitTermination(600000)
         finally q.stop()
-        Map("cap" -> cap, "hits" -> hits.get())
+        Map("cap" -> cap, "hits" -> hits.get(),
+          "timed_out" -> (if (finished) 0L else 1L))
       }),
       // r14: per-doc TF-IDF keywords — one tokenize pass, two keyed
       // exchanges, output corpus-linear (k terms per doc)
@@ -415,10 +415,10 @@ object ScaleStress {
           .option("checkpointLocation",
             java.nio.file.Files.createTempDirectory("ipzs_ck").toString)
           .start()
-        try require(q.awaitTermination(600000),
-          "ann_ivfpq_sized_stream drain timed out")
+        val finished = try q.awaitTermination(600000)
         finally q.stop()
-        Map("k" -> kSized.toLong, "hits" -> hits.get())
+        Map("k" -> kSized.toLong, "hits" -> hits.get(),
+          "timed_out" -> (if (finished) 0L else 1L))
       }),
       // deletion-neighborhood fuzzy join. GenScale replicates c_name
       // VERBATIM across copies — massive exact duplication, the
@@ -487,10 +487,10 @@ object ScaleStress {
           .option("checkpointLocation",
             java.nio.file.Files.createTempDirectory("fzc_ck").toString)
           .start()
-        try require(q.awaitTermination(600000),
-          "fuzzy_cross drain timed out")
+        val finished = try q.awaitTermination(600000)
         finally q.stop()
-        Map("pairs" -> pairs.get())
+        Map("pairs" -> pairs.get(),
+          "timed_out" -> (if (finished) 0L else 1L))
       }),
       // r15: the CODES-ONLY streaming IVF+PQ shape at the same √n
       // sizing — cell rows carry 8 PQ bytes per member (vs dim+1 raw
@@ -556,10 +556,14 @@ object ScaleStress {
           .option("checkpointLocation",
             java.nio.file.Files.createTempDirectory("sdc_ck").toString)
           .start()
-        try require(q.awaitTermination(600000),
-          "embed_cross drain timed out")
+        // non-fatal on timeout (same contract as ivfpq_codes_stream): a
+        // slow drain on a contended host is this cell's measurement —
+        // it must not kill the whole artifact (an r15 run died exactly
+        // here and shipped an EMPTY sf10 json)
+        val finished = try q.awaitTermination(600000)
         finally q.stop()
-        Map("pairs" -> pairs.get())
+        Map("pairs" -> pairs.get(),
+          "timed_out" -> (if (finished) 0L else 1L))
       }),
       // the same drain at PRODUCTION sizing: √n kmeans-fit cells keep
       // the per-row scan √n — the knob that separates this from the
@@ -590,10 +594,10 @@ object ScaleStress {
           .option("checkpointLocation",
             java.nio.file.Files.createTempDirectory("sds_ck").toString)
           .start()
-        try require(q.awaitTermination(600000),
-          "embed_cross_sized drain timed out")
+        val finished = try q.awaitTermination(600000)
         finally q.stop()
-        Map("k" -> kSized.toLong, "pairs" -> pairs.get())
+        Map("k" -> kSized.toLong, "pairs" -> pairs.get(),
+          "timed_out" -> (if (finished) 0L else 1L))
       }),
       // streaming LSH ANN TVF on a real drain: the corpus buckets ONCE
       // into a materialized (bucket, candidates) index; per arriving
