@@ -644,8 +644,11 @@ object ScaleStress {
       val t0 = System.nanoTime()
       val m = fn()
       val dt = (System.nanoTime() - t0) / 1e9
+      // metrics travel WITH the pass that set the min — a pass-1 time
+      // next to pass-2 metrics once shipped "sec=32.4, timed_out=1"
+      // for an op whose 32 s pass completed fine
+      if (!times.get(name).exists(_ <= dt)) metrics(name) = m
       times(name) = times.get(name).fold(dt)(math.min(_, dt))
-      metrics(name) = m
       System.err.println(f"[stress] pass $p $name%-18s $dt%8.2fs " +
         m.map { case (k, v) => s"$k=$v" }.mkString(" "))
     }
