@@ -281,6 +281,68 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaOps.parseVideoIndex(overrun).isEmpty)
   }
 
+  test("GFV1 parse property sweep: generated containers round-trip " +
+    "exactly; truncations and byte-flips never crash") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[T](g: Gen[T], seed: Long): T =
+      g.pureApply(Gen.Parameters.default, Seed(seed))
+    val clipGen = for {
+      n <- Gen.chooseNum(1, 9)
+      frames <- Gen.listOfN(n, Gen.chooseNum(0, 40).flatMap(len =>
+        Gen.listOfN(len, Gen.chooseNum(-128, 127).map(_.toByte))))
+    } yield frames.map(_.toArray)
+    (0 until 200).foreach { i =>
+      val frames = sample(clipGen, 1000L + i)
+      val out = new java.io.ByteArrayOutputStream()
+      val o = new java.io.DataOutputStream(out)
+      o.writeBytes("GFV1"); o.writeInt(frames.size)
+      frames.foreach(f => o.writeInt(f.length))
+      frames.foreach(o.write)
+      val bytes = out.toByteArray
+      // round trip: the index recovers every frame's exact bytes
+      val idx = MediaOps.parseVideoIndex(bytes).getOrElse(
+        fail(s"seed $i: valid container must parse"))
+      assert(idx.length == frames.size)
+      idx.zip(frames).foreach { case ((off, len), f) =>
+        assert(bytes.slice(off, off + len).toSeq == f.toSeq,
+          s"seed $i: frame bytes must round-trip")
+      }
+      // any strict truncation drops a frame or the index → parse must
+      // reject (None), never crash and never return overrunning offsets
+      val cut = sample(Gen.chooseNum(0, bytes.length - 1), 5000L + i)
+      assert(MediaOps.parseVideoIndex(
+        java.util.Arrays.copyOf(bytes, cut)).isEmpty)
+      // a single byte-flip anywhere parses to None or to in-bounds
+      // offsets — the operator's slices can then never throw
+      val pos = sample(Gen.chooseNum(0, bytes.length - 1), 9000L + i)
+      val mut = bytes.clone()
+      mut(pos) = (mut(pos) ^ 0x5a).toByte
+      MediaOps.parseVideoIndex(mut).foreach(_.foreach { case (off, len) =>
+        assert(off >= 0 && len >= 0 && off.toLong + len <= mut.length)
+      })
+    }
+  }
+
+  test("videoFrameFeatures: byte-flipped REAL clips never crash the " +
+    "operator — every row lands as decoded or countable ok=false") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[T](g: Gen[T], seed: Long): T =
+      g.pureApply(Gen.Parameters.default, Seed(seed))
+    val rows = (0 until 50).map { i =>
+      val clip = MediaFixture.encodeVideo(i.toLong * 3 % 23)
+      val pos = sample(Gen.chooseNum(0, clip.length - 1), 400L + i)
+      val mut = clip.clone()
+      mut(pos) = (mut(pos) ^ 0x5a).toByte
+      (i.toLong, mut)
+    }
+    val out = MediaOps.videoFrameFeatures(
+      rows.toDF("id", "media"), k = 3).collect()
+    assert(out.nonEmpty && out.forall(f =>
+      f.ok || (f.width.isEmpty && f.r_sum.isEmpty)))
+  }
+
   test("videoFrameFeatures: narrow map, deterministic across " +
     "partitionings, k validated") {
     val parted = videos.repartition(3)
