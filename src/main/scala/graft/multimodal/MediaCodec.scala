@@ -69,9 +69,12 @@ object MediaCodec {
     private var size = 0
     private def ensure(cap: Long): Unit = {
       if (cap > buf.length) {
+        require(
+          cap <= Int.MaxValue - 8,
+          s"encoded image exceeds the 2 GB single-buffer limit (need $cap bytes)")
         var n = buf.length.toLong
         while (n < cap) n *= 2
-        buf = java.util.Arrays.copyOf(buf, math.min(n, Int.MaxValue).toInt)
+        buf = java.util.Arrays.copyOf(buf, math.min(n, Int.MaxValue - 8L).toInt)
       }
     }
     override def write(b: Int): Unit = {
@@ -112,7 +115,11 @@ object MediaCodec {
   // one plugin instance per executor thread per format: ImageReader /
   // ImageWriter are stateful and not thread-safe, but an executor
   // thread reuses its own across rows and partitions — the registry is
-  // consulted once per (thread, format), not once per row
+  // consulted once per (thread, format), not once per row. Pooled
+  // plugins are deliberately NOT disposed at thread death: Spark
+  // executor task threads live for the JVM's lifetime, and a
+  // ThreadLocal death hook would reintroduce per-thread bookkeeping
+  // for a handful of small native-free objects the GC reclaims anyway.
   private val readerPool =
     ThreadLocal.withInitial[java.util.HashMap[String, ImageReader]](
       () => new java.util.HashMap[String, ImageReader]())
@@ -139,7 +146,11 @@ object MediaCodec {
     val in = new BytesImageInputStream(bytes)
     try {
       reader.setInput(in, true, true)
-      reader.read(0)
+      val img = reader.read(0)
+      // drop the stream reference so the pooled slot doesn't pin this
+      // row's payload byte array until the thread's next decode
+      reader.setInput(null)
+      img
     } catch {
       case NonFatal(_) =>
         reader.dispose()
@@ -164,6 +175,9 @@ object MediaCodec {
     try {
       writer.setOutput(out)
       writer.write(img)
+      // same payload-pinning discipline as decode(): release the
+      // output buffer reference before the slot goes idle
+      writer.setOutput(null)
       out.toByteArray
     } catch {
       case NonFatal(e) =>

@@ -432,10 +432,32 @@ object GraftTvfRewrite {
     // through the SAME operators, append mode, zero state (rawTable,
     // like TEXT_QUALITY / LANG_ID). The operators take (id, media)
     // column names; the descriptors rename into that contract.
-    def mediaCols(m: scala.util.matching.Regex.Match) =
-      rawTable(m.group(1)).select(
-        org.apache.spark.sql.functions.col(c2(m, 2)).cast("long").as("id"),
+    def mediaCols(m: scala.util.matching.Regex.Match) = {
+      val df = rawTable(m.group(1))
+      val idName = c2(m, 2)
+      // validate the id descriptor BEFORE the widening cast: a silent
+      // cast("long") would turn a string/decimal/NULL id into an opaque
+      // encoder null-field error deep inside the operator; every other
+      // TVF route surfaces descriptor-contract violations loudly
+      val idType = df.schema.fields
+        .find(f => spark.sessionState.conf.resolver(f.name, idName))
+        .map(_.dataType)
+      val ok = idType.exists {
+        case org.apache.spark.sql.types.LongType |
+            org.apache.spark.sql.types.IntegerType |
+            org.apache.spark.sql.types.ShortType |
+            org.apache.spark.sql.types.ByteType => true
+        case _ => false
+      }
+      require(ok,
+        s"MEDIA_FEATURES / MEDIA_VIDEO_FRAMES: id column '$idName' must be " +
+          s"an integer type (BIGINT/INT/SMALLINT/TINYINT); got " +
+          s"${idType.map(_.sql).getOrElse("no such column")}. Usage: " +
+          "MEDIA_FEATURES(TABLE t, DESCRIPTOR(id_col), DESCRIPTOR(media_col))")
+      df.select(
+        org.apache.spark.sql.functions.col(idName).cast("long").as("id"),
         org.apache.spark.sql.functions.col(c2(m, 3)).as("media"))
+    }
     out = MediaFeaturesRe.replaceAllIn(out, m =>
       view(graft.multimodal.MediaOps.imageFeatures(mediaCols(m)).toDF()))
     out = MediaVideoRe.replaceAllIn(out, m => {

@@ -13,6 +13,14 @@ import org.apache.spark.sql.catalyst.expressions.Expression
   * every Spark extension library ships for that case; nothing here
   * touches non-public BEHAVIOR — it only converts between the two
   * public-facing types.
+  *
+  * VERSION PIN: verified against Spark 4.1.2, where the converters live
+  * at `org.apache.spark.sql.classic.ExpressionUtils` (moved there from
+  * `Column.apply`/`Column.expr` in the 4.0 classic/connect split). This
+  * is the one seam that can break silently on a Spark upgrade — the
+  * round-trip is compile-time- and runtime-exercised by
+  * GraftSqlBridgeSpec (plus BloomMightContainSpec's end-to-end use), so
+  * a relocation fails the build, not production.
   */
 object GraftSqlBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)

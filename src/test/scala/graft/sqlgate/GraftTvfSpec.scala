@@ -202,6 +202,19 @@ class GraftTvfSpec extends SparkSpec {
         |DESCRIPTOR(media), 5))""".stripMargin)
   }
 
+  test("MEDIA_* TVF rejects a non-integer id descriptor loudly") {
+    import spark.implicits._
+    Seq(("a", Array[Byte](1, 2, 3))).toDF("sid", "media")
+      .createOrReplaceTempView("tvf_bad_media")
+    val e = intercept[IllegalArgumentException] {
+      GraftTvfRewrite.rewriteTracking(spark,
+        "SELECT * FROM TABLE(MEDIA_FEATURES(TABLE tvf_bad_media, " +
+          "DESCRIPTOR(sid), DESCRIPTOR(media)))")
+    }
+    assert(e.getMessage.contains("must be an integer type"), e.getMessage)
+    assert(e.getMessage.contains("STRING"), e.getMessage)
+  }
+
   test("malformed TVF and streaming sources are rejected loudly") {
     val e = intercept[IllegalArgumentException] {
       GraftTvfRewrite.validateOnly(
