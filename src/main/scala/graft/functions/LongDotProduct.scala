@@ -91,7 +91,7 @@ object GraftFunctions {
   val nativeNames: Set[String] = Set("long_dot", "simhash60",
     "word_ngrams", "count_in", "text_fingerprint", "jaccard_distinct",
     "quant_vec", "argmin_cos", "topn_cos", "pq_encode",
-    "deletion_variants")
+    "deletion_variants", "heavy_hitters")
 
   // once per session: createOrReplaceTempFunction logs a WARN on every
   // re-register, and the query packs call register() per query. Weak
@@ -188,6 +188,10 @@ object GraftFunctions {
       "deletion_variants", exprs => DeletionVariants(exprs(0),
         intLiteral(exprs(1), "deletion_variants", "k")), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "heavy_hitters", exprs => SpaceSavingTopK(exprs(0),
+        intLiteral(exprs(1), "heavy_hitters", "capacity"))
+        .toAggregateExpression(), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "pq_encode", exprs => {
         val cb = exprs(1).eval()
           .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
@@ -248,6 +252,13 @@ object GraftFunctions {
 
   /** Integer quantization of a float/double embedding (fused loop). */
   def quantVec(a: Column): Column = call_function("quant_vec", a)
+
+  /** Bounded-state Misra-Gries heavy-hitters summary ([[SpaceSavingTopK]]):
+    * `array<struct<key, est, dropped>>`, at most `capacity` entries.
+    */
+  def heavyHitters(key: Column, capacity: Int): Column =
+    call_function("heavy_hitters", key,
+      org.apache.spark.sql.functions.lit(capacity))
 
   /** 64-bit hashes of a string's ≤k-deletion neighborhood (fused loop;
     * k is baked into the plan as a literal).

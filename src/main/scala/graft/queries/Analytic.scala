@@ -162,6 +162,23 @@ object Analytic extends QueryPack {
             .as("variance"))
     }),
 
+    // Exact heavy hitters at unbounded key cardinality: bounded-state
+    // Misra-Gries sketch nominates candidates, an exact candidate-only
+    // count answers, and the sketch error bound PROVES exactness (see
+    // graft.operators.HeavyHitters — the fallback makes the result
+    // exact even when the proof fails, so the oracle is a plain
+    // GROUP BY top-k either way). The key is skew-shaped from user_id
+    // (70% of events collapse onto 3 hot keys, the rest stay unique) —
+    // the distribution heavy-hitter queries exist for.
+    "q_agg_heavyhitters" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.load(s, dir, "events")
+        .select(when($"user_id" % 10 < 7, $"user_id" % 3)
+          .otherwise($"user_id").as("k"))
+      graft.operators.HeavyHitters.exactTopK(ev, "k", k = 3, capacity = 64)
+        .select($"key".as("k"), $"cnt")
+    }),
+
     // Sorted array aggregation (order-insensitive collect); joined to a
     // string so the driver harness can hash the compared column.
     "q_agg_collect" -> ((s, dir) => {
@@ -382,6 +399,12 @@ object Analytic extends QueryPack {
          |  SELECT c_mktsegment, COUNT(*) AS n, ${oSum2("c_acctbal")} AS s1,
          |    ${oSumSq("c_acctbal")} AS s2
          |  FROM customer GROUP BY c_mktsegment) t""".stripMargin,
+
+    "q_agg_heavyhitters" ->
+      """WITH e AS (SELECT CASE WHEN user_id % 10 < 7 THEN user_id % 3
+        |    ELSE user_id END AS k FROM events)
+        |SELECT k, COUNT(*) AS cnt FROM e
+        |GROUP BY k ORDER BY cnt DESC, k LIMIT 3""".stripMargin,
 
     "q_agg_collect" ->
       """SELECT n_regionkey, array_to_string(list_sort(list(n_name)), ',')

@@ -602,6 +602,57 @@ object Dedup extends QueryPack {
       ($"node" === $"lab").as("is_keeper"))
   }
 
+  /** Prefix-filtered EXACT threshold Jaccard self-join (the core of
+    * q_dedup_ppjoin; theta = num/den, default 3/5 = 0.6). Input: one row
+    * per doc, (doc_id BIGINT, ss ARRAY<STRING> element-distinct).
+    * Output: (ida, idb, jacc) for every pair with Jaccard >= theta —
+    * identical to the O(n²) cross join, candidate generation provably
+    * complete (see q_dedup_ppjoin's notes), verification exact.
+    * All filter thresholds use integer arithmetic in num/den form so no
+    * float boundary can disagree with the verify stage.
+    */
+  private[graft] def jaccardJoin(sets: DataFrame, num: Int = 3,
+      den: Int = 5): DataFrame = {
+    import sets.sparkSession.implicits._
+    require(num > 0 && den > num, s"theta=num/den must be in (0,1)")
+    val toks = sets.select($"doc_id", size($"ss").as("sz"),
+      explode($"ss").as("tok"))
+    val dfc = toks.groupBy($"tok").agg(count(lit(1)).as("df"))
+    // rank each doc's tokens rarest-first (ties broken by the token
+    // itself — ANY consistent total order works, it only has to be
+    // the SAME order for every doc)
+    val ranked = toks.join(dfc, "tok")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"df", $"tok")) - 1)
+    // prefix length p = sz - ceil(num·sz/den) + 1; ceil(num·sz/den) =
+    // floor((num·sz + den-1)/den), exact in double far past any real
+    // set size
+    val prefix = ranked
+      .filter($"pos" <
+        $"sz" - floor(($"sz" * num + (den - 1)) / den) + 1)
+      .select($"doc_id", $"sz", $"pos", $"tok")
+    val a = prefix.select($"doc_id".as("ida"), $"sz".as("sza"),
+      $"pos".as("pa"), $"tok")
+    val b = prefix.select($"doc_id".as("idb"), $"sz".as("szb"),
+      $"pos".as("pb"), $"tok")
+    // minimum required overlap alpha = ceil(num·(sza+szb)/(num+den))
+    val alpha = floor(
+      (($"sza" + $"szb") * num + (num + den - 1)) / (num + den))
+    val cand = a.join(b, Seq("tok"))
+      .where($"ida" < $"idb" &&
+        $"szb" * den >= $"sza" * num && $"sza" * den >= $"szb" * num &&
+        least($"sza" - $"pa", $"szb" - $"pb") >= alpha)
+      .select($"ida", $"idb").distinct()
+    val theta = num.toDouble / den
+    cand
+      .join(sets.select($"doc_id".as("ida"), $"ss".as("ssa")), "ida")
+      .join(sets.select($"doc_id".as("idb"), $"ss".as("ssb")), "idb")
+      .select($"ida", $"idb",
+        graft.functions.GraftFunctions.jaccardDistinct($"ssa", $"ssb")
+          .as("jacc"))
+      .filter($"jacc" >= theta)
+  }
+
   /** Word n-gram shingles via the fused native expression — same output
     * as the DuckDB 1-based comprehension mirror, but one codegen'd loop
     * per row instead of an interpreted transform(sequence(...)) lambda
@@ -782,6 +833,44 @@ object Dedup extends QueryPack {
           graft.functions.GraftFunctions.jaccardDistinct($"a.ss", $"b.ss")
             .as("jacc"))
         .filter($"jacc" >= 0.6)
+    }),
+
+    // EXACT threshold Jaccard self-join WITHOUT the quadratic stage: the
+    // prefix-filtering set-similarity join (Bayardo et al. 2007 "Scaling
+    // Up All Pairs Similarity Search"; Xiao et al. 2008 PPJoin). Same
+    // result set as q_dedup_ngram's cross join — every pair with
+    // Jaccard >= 0.6, verified exactly — but UNBOUNDED: no doc_id guard,
+    // the whole corpus participates.
+    //
+    // Why it scales where the cross join can't: Jaccard(x,y) >= t
+    // implies |x∩y| >= t/(1+t)·(|x|+|y|), so after ordering every doc's
+    // shingles by ascending global document frequency (rarest first), two
+    // qualifying docs MUST share a token among their first
+    // |s| - ceil(t·|s|) + 1 tokens (the prefix). Joining only prefix
+    // tokens — the RAREST slice of each doc — keeps per-token join
+    // groups small by construction; the frequent shingles (the skew
+    // risk: boilerplate) are exactly the ones excluded from prefixes.
+    // Candidates are then cut further by the size filter
+    // (t·|x| <= |y| <= |x|/t) and PPJoin's positional filter (for the
+    // first shared token at positions i,j the true overlap is at most
+    // min(|x|-i, |y|-j)) before the exact verify touches full arrays.
+    // All thresholds use integer arithmetic (t = 3/5: 5·|y| >= 3·|x|,
+    // alpha = ceil(3(|x|+|y|)/8) = (3(|x|+|y|)+7) div 8) so no float
+    // boundary can disagree between candidate and verify stages.
+    //
+    // Scale (100 TB): three keyed shuffles — df counts by token, a
+    // window by doc_id for rank-ordering, the candidate join by prefix
+    // token — all map-side combinable or AQE-skew-splittable; the
+    // verify join moves only candidate pairs. The cross-join baseline
+    // above stays in-tree as this operator's oracle twin at spec scale.
+    "q_dedup_ppjoin" -> ((s, dir) => {
+      import s.implicits._
+      Vec.ensureRegistered(s)
+      val sets = Tables.load(s, dir, "documents")
+        .select($"doc_id", words($"text").as("w"))
+        .filter(size($"w") >= 2)
+        .select($"doc_id", array_distinct(shingles($"w", 2)).as("ss"))
+      jaccardJoin(sets)
     }),
 
     // Benchmark decontamination: flag training documents sharing any
@@ -1261,6 +1350,24 @@ object Dedup extends QueryPack {
          |FROM sets a JOIN sets b ON a.doc_id < b.doc_id
          |WHERE CAST(len(list_intersect(a.ss, b.ss)) AS DOUBLE) /
          |    len(list_distinct(list_concat(a.ss, b.ss))) >= 0.6""".stripMargin,
+
+    // Oracle twin of the prefix-filtered join: token-join formulation so
+    // DuckDB avoids the O(n²) cross join too. jacc is the SAME double
+    // division (intersection / union of the distinct shingle sets), and
+    // the WHERE repeats the identical double comparison the Spark side
+    // applies, so the kept-pair set can't disagree at the threshold.
+    "q_dedup_ppjoin" ->
+      s"""WITH w AS (SELECT doc_id, regexp_split_to_array(text,' ') w
+         |  FROM documents),
+         |sets AS (SELECT doc_id, $oShingle2 AS ss FROM w WHERE len(w) >= 2),
+         |tok AS (SELECT doc_id, len(ss) AS sz, unnest(ss) AS g FROM sets),
+         |inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+         |    a.sz AS sza, b.sz AS szb, count(*) AS i
+         |  FROM tok a JOIN tok b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT ida, idb, CAST(i AS DOUBLE) / (sza + szb - i) AS jacc
+         |FROM inter
+         |WHERE CAST(i AS DOUBLE) / (sza + szb - i) >= 0.6""".stripMargin,
 
     "q_decontaminate" ->
       s"""WITH w AS (SELECT doc_id, regexp_split_to_array(text,' ') w FROM documents),

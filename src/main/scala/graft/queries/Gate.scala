@@ -981,6 +981,48 @@ object Gate extends QueryPack {
       s.table("pagerank_sink_out")
     }),
 
+    // Exact heavy hitters through the gate: the same sketch→verify
+    // kernel as q_agg_heavyhitters (skew-shaped key, k=3, capacity 64),
+    // statement-reachable as a TVF.
+    "q_gate_heavy_tvf" -> ((s, dir) => {
+      val runner = new ScriptRunner(s, batchMode = true)
+      runner.run(
+        s"""CREATE TABLE events_hh (user_id BIGINT) WITH (
+           |  'connector' = 'filesystem',
+           |  'path' = '$dir/events.parquet',
+           |  'format' = 'parquet'
+           |);
+           |CREATE OR REPLACE TEMPORARY VIEW hh_keys AS
+           |  SELECT CASE WHEN user_id % 10 < 7 THEN user_id % 3
+           |    ELSE user_id END AS k FROM events_hh;
+           |CREATE TABLE heavy_sink (key BIGINT, cnt BIGINT)
+           |WITH ('connector' = 'memory');
+           |INSERT INTO heavy_sink
+           |SELECT key, cnt FROM TABLE(HEAVY_HITTERS(TABLE hh_keys,
+           |  DESCRIPTOR(k), 3, 64));
+           |""".stripMargin)
+      s.table("heavy_sink_out")
+    }),
+
+    // The prefix-filtered exact Jaccard self-join through the gate: the
+    // q_dedup_ppjoin kernel (theta = 3/5 default) as a TVF.
+    "q_gate_jaccard_tvf" -> ((s, dir) => {
+      val runner = new ScriptRunner(s, batchMode = true)
+      runner.run(
+        s"""CREATE TABLE docs_ppj (doc_id BIGINT, text STRING) WITH (
+           |  'connector' = 'filesystem',
+           |  'path' = '$dir/documents.parquet',
+           |  'format' = 'parquet'
+           |);
+           |CREATE TABLE ppj_sink (ida BIGINT, idb BIGINT, jacc DOUBLE)
+           |WITH ('connector' = 'memory');
+           |INSERT INTO ppj_sink
+           |SELECT ida, idb, jacc FROM TABLE(DEDUP_JACCARD_PAIRS(
+           |  TABLE docs_ppj, DESCRIPTOR(doc_id), DESCRIPTOR(text)));
+           |""".stripMargin)
+      s.table("ppj_sink_out")
+    }),
+
     // The fuzzy edit-distance self-join through the gate: FUZZY_JOIN
     // over supplier names, k = 1 — the same kernel q_join_fuzzy runs on
     // customer (GraftTvfSpec pins gate-vs-library equality); supplier
@@ -2143,6 +2185,19 @@ object Gate extends QueryPack {
     // over the gate script's bucket-edge SELECT
     "q_gate_pagerank_tvf" -> Pipeline.oPageRank("",
       "SELECT o_custkey % 1000 AS src, o_orderkey % 1000 AS dst FROM orders"),
+
+    // exact heavy hitters: the oracle is the plain GROUP BY top-k the
+    // sketch→verify kernel provably equals (same derived skew key as
+    // q_agg_heavyhitters, TVF output column names)
+    "q_gate_heavy_tvf" ->
+      """WITH e AS (SELECT CASE WHEN user_id % 10 < 7 THEN user_id % 3
+        |    ELSE user_id END AS k FROM events)
+        |SELECT k AS key, COUNT(*) AS cnt FROM e
+        |GROUP BY k ORDER BY cnt DESC, k LIMIT 3""".stripMargin,
+
+    // the prefix-filtered exact Jaccard join: one kernel, one oracle —
+    // shared verbatim with the library query
+    "q_gate_jaccard_tvf" -> Dedup.oracleSql("q_dedup_ppjoin"),
 
     // the q_dedup_cluster recursive-CTE closure (Dedup.oCcClosure — one
     // shared machinery, two oracles) over the gate script's own

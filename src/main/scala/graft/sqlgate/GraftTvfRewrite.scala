@@ -161,7 +161,7 @@ import org.apache.spark.sql.SparkSession
 object GraftTvfRewrite {
 
   private val Keyword =
-    """(?i)\b(?:DEDUP_(?:EXACT|MINHASH_PAIRS|SIMHASH_PAIRS|CROSS_PAIRS|EMBED_PAIRS)|ANN_TOPK(?:_LSH|_IVFPQ)?|TEXT_QUALITY|TEXT_SEARCH_BM25|TEXT_KEYWORDS|LANG_ID|PAGERANK|FUZZY_JOIN(?:_CROSS)?|CONNECTED_COMPONENTS|MEDIA_FEATURES|MEDIA_VIDEO_FRAMES|EMBED_ABTT)\s*\(""".r
+    """(?i)\b(?:DEDUP_(?:EXACT|MINHASH_PAIRS|SIMHASH_PAIRS|CROSS_PAIRS|EMBED_PAIRS|JACCARD_PAIRS)|ANN_TOPK(?:_LSH|_IVFPQ)?|TEXT_QUALITY|TEXT_SEARCH_BM25|TEXT_KEYWORDS|LANG_ID|PAGERANK|FUZZY_JOIN(?:_CROSS)?|CONNECTED_COMPONENTS|MEDIA_FEATURES|MEDIA_VIDEO_FRAMES|EMBED_ABTT|HEAVY_HITTERS)\s*\(""".r
   private val viewCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private val Head =
@@ -240,10 +240,21 @@ object GraftTvfRewrite {
   // fit): optional round count
   private val AbttRe =
     (Head.format("EMBED_ABTT") + """(?:,\s*(\d+)\s*)?\)\s*\)""").r
+  // exact prefix-filtered threshold Jaccard self-join (whole-relation:
+  // global token-frequency ordering); optional thetaNum, thetaDen
+  private val JaccardPairsRe =
+    (Head.format("DEDUP_JACCARD_PAIRS") +
+      """(?:,\s*(\d+)\s*,\s*(\d+)\s*)?\)\s*\)""").r
+  // exact heavy hitters: ONE descriptor (the key) + required k +
+  // optional sketch capacity; whole-relation (sketch + verify passes)
+  private val HeavyRe =
+    ("""(?i)\bTABLE\s*\(\s*HEAVY_HITTERS\s*\(\s*TABLE\s+([`\w.]+)\s*,\s*""" +
+      """DESCRIPTOR\s*\(\s*([`\w]+)\s*\)\s*,\s*(\d+)\s*""" +
+      """(?:,\s*(\d+)\s*)?\)\s*\)""").r
 
   private def allRes = Seq(ExactRe, MinhashRe, SimhashRe, QualityRe,
     KeywordsRe, LangIdRe, PageRankRe, FuzzyRe, CcRe, MediaFeaturesRe,
-    MediaVideoRe, AbttRe)
+    MediaVideoRe, AbttRe, JaccardPairsRe, HeavyRe)
 
   /** True iff the statement uses a graft TVF. */
   def present(sql: String): Boolean = Keyword.findFirstIn(sql).isDefined
@@ -472,6 +483,32 @@ object GraftTvfRewrite {
       view(graft.queries.Similarity.allButTop(
         table(m.group(1)), c2(m, 2), c2(m, 3), rounds))
     })
+    out = JaccardPairsRe.replaceAllIn(out, m => {
+      // whole-relation (global token-frequency ordering): batch only
+      // (table() guard). Same shingling contract as the library query.
+      val (num, den) = (Option(m.group(4)), Option(m.group(5))) match {
+        case (Some(n), Some(d)) => (n.toInt, d.toInt)
+        case _ => (3, 5)
+      }
+      val f = org.apache.spark.sql.functions
+      val sets = table(m.group(1))
+        .select(f.col(c2(m, 2)).as("doc_id"),
+          f.split(f.col(c2(m, 3)), " ").as("w"))
+        .filter(f.size(f.col("w")) >= 2)
+        .select(f.col("doc_id"), f.array_distinct(
+          graft.functions.GraftFunctions.wordNgrams(f.col("w"), 2)).as("ss"))
+      view(graft.queries.Dedup.jaccardJoin(sets, num, den))
+    })
+    out = HeavyRe.replaceAllIn(out, m => {
+      // whole-relation (sketch pass + exact verify with a control-plane
+      // sized candidate collect): batch only (table() guard)
+      val k = m.group(3).toInt
+      val cap = Option(m.group(4)).map(_.toInt)
+        .getOrElse(math.max(256, 4 * k))
+      val in = table(m.group(1)).select(
+        org.apache.spark.sql.functions.col(c2(m, 2)).as("key"))
+      view(graft.operators.HeavyHitters.exactTopK(in, "key", k, cap))
+    })
     out = PageRankRe.replaceAllIn(out, m => {
       // whole-relation power iteration — batch only (table() guard)
       val iters = Option(m.group(4)).map(_.toInt).getOrElse(3)
@@ -565,6 +602,9 @@ object GraftTvfRewrite {
           "[, iters])), " +
           "TABLE(FUZZY_JOIN(TABLE t, DESCRIPTOR(id), DESCRIPTOR(name)" +
           "[, k])) " +
+          "TABLE(DEDUP_JACCARD_PAIRS(TABLE t, DESCRIPTOR(id), " +
+          "DESCRIPTOR(text)[, thetaNum, thetaDen])), " +
+          "TABLE(HEAVY_HITTERS(TABLE t, DESCRIPTOR(key), k[, capacity])) " +
           "or TABLE(CONNECTED_COMPONENTS(TABLE edges, DESCRIPTOR(a), " +
           "DESCRIPTOR(b)))")
     }

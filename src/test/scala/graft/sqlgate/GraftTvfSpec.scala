@@ -202,6 +202,25 @@ class GraftTvfSpec extends SparkSpec {
         |DESCRIPTOR(media), 5))""".stripMargin)
   }
 
+  test("HEAVY_HITTERS / DEDUP_JACCARD_PAIRS forms validate") {
+    GraftTvfRewrite.validateOnly(
+      "SELECT * FROM TABLE(HEAVY_HITTERS(TABLE t, DESCRIPTOR(k), 5))")
+    GraftTvfRewrite.validateOnly(
+      "SELECT * FROM TABLE(HEAVY_HITTERS(TABLE t, DESCRIPTOR(k), 5, 128))")
+    GraftTvfRewrite.validateOnly(
+      """SELECT * FROM TABLE(DEDUP_JACCARD_PAIRS(TABLE d,
+        |DESCRIPTOR(doc_id), DESCRIPTOR(text)))""".stripMargin)
+    GraftTvfRewrite.validateOnly(
+      """SELECT * FROM TABLE(DEDUP_JACCARD_PAIRS(TABLE d,
+        |DESCRIPTOR(doc_id), DESCRIPTOR(text), 4, 5))""".stripMargin)
+    // k is required for HEAVY_HITTERS — its absence is malformed
+    val e = intercept[IllegalArgumentException] {
+      GraftTvfRewrite.validateOnly(
+        "SELECT * FROM TABLE(HEAVY_HITTERS(TABLE t, DESCRIPTOR(k)))")
+    }
+    assert(e.getMessage.contains("malformed graft TVF"))
+  }
+
   test("MEDIA_* TVF rejects a non-integer id descriptor loudly") {
     import spark.implicits._
     Seq(("a", Array[Byte](1, 2, 3))).toDF("sid", "media")
