@@ -52,7 +52,18 @@ object HeavyHitters {
       count(keyCol).as("n")).head()
     val entries = head.getSeq[org.apache.spark.sql.Row](0)
     val dropped = if (entries.isEmpty) 0L else entries.head.getLong(2)
-    val candidates: Seq[Any] = entries.map(_.get(0))
+    exactTopKFromSummary(df, key, k, entries.map(_.get(0)), dropped)
+  }
+
+  /** The verify half of [[exactTopK]], reusable with a summary built
+    * elsewhere (e.g. incrementally over a stream): exact candidate-only
+    * counts, the provable-exactness check against `dropped`, and the
+    * full-domain fallback. Exact output regardless of HOW (or how well)
+    * the candidates were nominated.
+    */
+  def exactTopKFromSummary(df: DataFrame, key: String, k: Int,
+      candidates: Seq[Any], dropped: Long): DataFrame = {
+    val keyCol = col(key)
     def topK(src: DataFrame): DataFrame = src
       .groupBy(keyCol.as("key")).agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), asc("key")).limit(k)

@@ -638,11 +638,30 @@ object Dedup extends QueryPack {
     // minimum required overlap alpha = ceil(num·(sza+szb)/(num+den))
     val alpha = floor(
       (($"sza" + $"szb") * num + (num + den - 1)) / (num + den))
+    // Candidate cut: aggregate ALL shared prefix tokens per pair (the
+    // group agg replaces a distinct — same shuffle, more information)
+    // and bound the total overlap by c + min(suffix remainders past the
+    // LAST shared prefix token). Validity: a common token t NOT counted
+    // in c lies beyond one side's prefix; any shared-in-both-prefixes
+    // token AFTER t (global order) would have to sit beyond that prefix
+    // too — contradiction — so ALL of c's tokens precede t on both
+    // sides, i.e. every uncounted common token is past (pam, pbm).
+    // This subsumes the classic single-token positional filter (equal
+    // when c = 1, strictly tighter when c > 1) and cut the verify-stage
+    // candidate volume ~270:1 → small enough to broadcast, which is
+    // what keeps the corpus-side arrays from ever shuffling (measured
+    // sf10: verify 221 s → single-digit, r16).
+    // NOTE: no per-row positional pre-filter before the agg — dropping
+    // shared-token rows would undercount c and break the bound.
     val cand = a.join(b, Seq("tok"))
       .where($"ida" < $"idb" &&
-        $"szb" * den >= $"sza" * num && $"sza" * den >= $"szb" * num &&
-        least($"sza" - $"pa", $"szb" - $"pb") >= alpha)
-      .select($"ida", $"idb").distinct()
+        $"szb" * den >= $"sza" * num && $"sza" * den >= $"szb" * num)
+      .groupBy($"ida", $"idb", $"sza", $"szb")
+      .agg(count(lit(1)).as("c"),
+        max($"pa").as("pam"), max($"pb").as("pbm"))
+      .where($"c" +
+        least($"sza" - 1 - $"pam", $"szb" - 1 - $"pbm") >= alpha)
+      .select($"ida", $"idb")
     val theta = num.toDouble / den
     cand
       .join(sets.select($"doc_id".as("ida"), $"ss".as("ssa")), "ida")

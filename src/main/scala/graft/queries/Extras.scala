@@ -93,6 +93,44 @@ object Extras extends QueryPack {
     // first 32 bits of its md5 sum across rows. Commutative, so the
     // checksum is partitioning- and order-invariant; 100% distributed
     // (scan → partial sums).
+    // Table profiling (the ANALYZE every ingest pipeline runs before
+    // accepting a drop): per column — non-null count, exact NDV, min
+    // and max rendered to explicit strings (bigints raw, doubles at
+    // DECIMAL(18,2), timestamps at second precision — never
+    // engine-default formatting, same discipline as q_table_checksum).
+    // ONE scan: all per-column aggregates ride one Aggregate node
+    // (Catalyst plans the multi-distinct via Expand — the row stream is
+    // replicated per distinct group, but the table is READ once), then
+    // a stack() pivots the single wide row into one row per column.
+    // At 100 TB exact NDV per column is the expensive honest choice;
+    // the sketched alternative is approx_count_distinct in the same
+    // frame (q_agg_approx covers that contract).
+    "q_profile_table" -> ((s, dir) => {
+      import s.implicits._
+      def mm(c: org.apache.spark.sql.Column) = c.cast("string")
+      def mmDec(c: org.apache.spark.sql.Column) =
+        c.cast("decimal(18,2)").cast("string")
+      def mmTs(c: org.apache.spark.sql.Column) =
+        date_format(c, "yyyy-MM-dd HH:mm:ss")
+      val cols: Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)] =
+        Seq("o_orderkey" -> mm _, "o_custkey" -> mm _,
+          "o_orderstatus" -> mm _, "o_totalprice" -> mmDec _,
+          "o_orderdate" -> mmTs _, "o_orderpriority" -> mm _)
+      val aggs = cols.flatMap { case (c, render) => Seq(
+        count(col(c)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"ndv_$c"),
+        render(min(col(c))).as(s"min_$c"),
+        render(max(col(c))).as(s"max_$c"))
+      }
+      val wide = Tables.load(s, dir, "orders")
+        .agg(count(lit(1)).as("n_rows"), aggs: _*)
+      val stackArgs = cols.map { case (c, _) =>
+        s"'$c', n_rows, nn_$c, ndv_$c, min_$c, max_$c"
+      }.mkString(", ")
+      wide.selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
+        "(col, n_rows, n_notnull, ndv, min_s, max_s)")
+    }),
+
     "q_table_checksum" -> ((s, dir) => {
       import s.implicits._
       def sum32(rowStr: org.apache.spark.sql.Column) =
@@ -161,6 +199,29 @@ object Extras extends QueryPack {
         |  COUNT(*) AS n
         |FROM customer WHERE c_custkey < 200
         |GROUP BY c_mktsegment""".stripMargin,
+
+    // per-column UNION ALL mirror of the one-pass profile; renderings
+    // match the Spark side's explicit casts field by field
+    "q_profile_table" -> Seq(
+      ("o_orderkey", "CAST(MIN(o_orderkey) AS VARCHAR)",
+        "CAST(MAX(o_orderkey) AS VARCHAR)", "o_orderkey"),
+      ("o_custkey", "CAST(MIN(o_custkey) AS VARCHAR)",
+        "CAST(MAX(o_custkey) AS VARCHAR)", "o_custkey"),
+      ("o_orderstatus", "MIN(o_orderstatus)", "MAX(o_orderstatus)",
+        "o_orderstatus"),
+      ("o_totalprice",
+        "CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)",
+        "CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)",
+        "o_totalprice"),
+      ("o_orderdate", "strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S')",
+        "strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S')", "o_orderdate"),
+      ("o_orderpriority", "MIN(o_orderpriority)", "MAX(o_orderpriority)",
+        "o_orderpriority")).map { case (c, mn, mx, e) =>
+      s"""SELECT '$c' AS col, COUNT(*) AS n_rows,
+         |  CAST(COUNT($e) AS BIGINT) AS n_notnull,
+         |  CAST(COUNT(DISTINCT $e) AS BIGINT) AS ndv,
+         |  $mn AS min_s, $mx AS max_s FROM orders""".stripMargin
+    }.mkString("\nUNION ALL\n"),
 
     "q_table_checksum" ->
       """SELECT 'orders' AS tbl, COUNT(*) AS n_rows,

@@ -629,6 +629,51 @@ object ScaleStress {
               .as("dst")))
         val r = graft.operators.PageRank(edges, 3)
         Map("nodes" -> r.count(), "edges" -> (2 * nDocs))
+      }),
+      // r16: the prefix-filtered EXACT Jaccard join, unbounded. The
+      // claim under test is that candidate volume tracks token
+      // SPECIFICITY, not corpus²: prefix tokens are the rarest slice of
+      // each doc, so with a discriminative tokenization the join groups
+      // stay small while the corpus grows. The synthetic corpus has a
+      // 31-word vocabulary — at 2-word shingles every token is common
+      // by construction (measured Σ prefix-df² = 25.7M per 5 k docs,
+      // 2.6 G raw join rows at sf10 — the cell was killed at 17 min),
+      // so the cell runs the tokenization a real dedup pipeline would
+      // use here, 3-word shingles (Σ prefix-df² = 732 k per 5 k docs,
+      // 35×), exactly as Lee et al. shingle 50-grams for ExactSubstr.
+      // Low-specificity corpora route to MinHash-LSH (the approximate
+      // scale path); the exact join's cost is data-dependent and that
+      // dependence is the documented, measured contract (SCALE.md r16).
+      "ppjoin_exact" -> (() => {
+        val sets = graft.Tables.load(spark, sfDir, "documents")
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .filter(size(col("w")) >= 3)
+          .select(col("doc_id"), array_distinct(
+            graft.functions.GraftFunctions.wordNgrams(col("w"), 3))
+            .as("ss"))
+        Map("pairs" -> Dedup.jaccardJoin(sets).count())
+      }),
+      // r16: exact heavy hitters — the claims under test are (a) the
+      // sketch pass's shuffle is capacity-bounded however many distinct
+      // keys the corpus grows, and (b) the exactness PROOF (kth exact
+      // count > sketch error bound) still fires on skewed data at
+      // corpus scale, so the full-domain fallback stays cold.
+      "heavy_hitters" -> (() => {
+        import org.apache.spark.sql.functions.{count => fcount}
+        val ev = graft.Tables.load(spark, sfDir, "events")
+          .select(when(col("user_id") % 10 < 7, col("user_id") % 3)
+            .otherwise(col("user_id")).as("k"))
+        val cap = 64
+        val head = ev.agg(graft.functions.GraftFunctions
+            .heavyHitters(col("k"), cap).as("sk"),
+          fcount(col("k")).as("n")).head()
+        val entries = head.getSeq[org.apache.spark.sql.Row](0)
+        val dropped = if (entries.isEmpty) 0L else entries.head.getLong(2)
+        val top = graft.operators.HeavyHitters
+          .exactTopK(ev, "k", k = 3, capacity = cap).collect()
+        Map("dropped" -> dropped,
+          "kth_cnt" -> top.last.getLong(1),
+          "provable" -> (if (top.last.getLong(1) > dropped) 1L else 0L))
       })
     )
 

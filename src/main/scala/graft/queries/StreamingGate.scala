@@ -128,6 +128,30 @@ object StreamingGate extends QueryPack {
       runToTable(s, agg, "stream_cont_gate")
     }),
 
+    // Streaming heavy hitters: the bounded-state Misra-Gries summary
+    // (graft.functions.SpaceSavingTopK) built INCREMENTALLY over the
+    // stream — per micro-batch the state store holds one serialized
+    // ≤ capacity-entry buffer, so state is O(capacity) however many
+    // distinct keys flow past — then the always-exact verify half of
+    // the operator (candidate-only exact count + proof check + honest
+    // fallback) runs on the drained table. Exact top-k either way, so
+    // the oracle is the same plain GROUP BY top-k as the batch route.
+    "q_stream_heavy" -> ((s, dir) => {
+      import s.implicits._
+      Vec.ensureRegistered(s)
+      def keyed(df: DataFrame): DataFrame =
+        df.select(when($"user_id" % 10 < 7, $"user_id" % 3)
+          .otherwise($"user_id").as("k"))
+      val sk = keyed(eventsStream(s, dir)).agg(
+        graft.functions.GraftFunctions.heavyHitters($"k", 64).as("sk"))
+      val row = runToTable(s, sk, "stream_heavy_sketch").head()
+      val entries = row.getSeq[org.apache.spark.sql.Row](0)
+      val dropped = if (entries.isEmpty) 0L else entries.head.getLong(2)
+      graft.operators.HeavyHitters.exactTopKFromSummary(
+        keyed(graft.Tables.load(s, dir, "events")), "k", k = 3,
+        entries.map(_.get(0)), dropped)
+    }),
+
     // Streaming deduplication — Flink SQL's "Deduplication" pattern
     // (ROW_NUMBER() OVER (PARTITION BY key ORDER BY proctime) = 1),
     // expressed Spark-native as streaming dropDuplicates: the state
@@ -308,6 +332,13 @@ object StreamingGate extends QueryPack {
 
     "q_stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    // same exact-top-k contract as the batch route, TVF column names
+    "q_stream_heavy" ->
+      """WITH e AS (SELECT CASE WHEN user_id % 10 < 7 THEN user_id % 3
+        |    ELSE user_id END AS k FROM events)
+        |SELECT k AS key, COUNT(*) AS cnt FROM e
+        |GROUP BY k ORDER BY cnt DESC, k LIMIT 3""".stripMargin,
 
     "q_stream_join" ->
       """SELECT p.user_id AS user_id,
