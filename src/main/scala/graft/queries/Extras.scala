@@ -93,43 +93,11 @@ object Extras extends QueryPack {
     // first 32 bits of its md5 sum across rows. Commutative, so the
     // checksum is partitioning- and order-invariant; 100% distributed
     // (scan → partial sums).
-    // Table profiling (the ANALYZE every ingest pipeline runs before
-    // accepting a drop): per column — non-null count, exact NDV, min
-    // and max rendered to explicit strings (bigints raw, doubles at
-    // DECIMAL(18,2), timestamps at second precision — never
-    // engine-default formatting, same discipline as q_table_checksum).
-    // ONE scan: all per-column aggregates ride one Aggregate node
-    // (Catalyst plans the multi-distinct via Expand — the row stream is
-    // replicated per distinct group, but the table is READ once), then
-    // a stack() pivots the single wide row into one row per column.
-    // At 100 TB exact NDV per column is the expensive honest choice;
-    // the sketched alternative is approx_count_distinct in the same
-    // frame (q_agg_approx covers that contract).
-    "q_profile_table" -> ((s, dir) => {
-      import s.implicits._
-      def mm(c: org.apache.spark.sql.Column) = c.cast("string")
-      def mmDec(c: org.apache.spark.sql.Column) =
-        c.cast("decimal(18,2)").cast("string")
-      def mmTs(c: org.apache.spark.sql.Column) =
-        date_format(c, "yyyy-MM-dd HH:mm:ss")
-      val cols: Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)] =
-        Seq("o_orderkey" -> mm _, "o_custkey" -> mm _,
-          "o_orderstatus" -> mm _, "o_totalprice" -> mmDec _,
-          "o_orderdate" -> mmTs _, "o_orderpriority" -> mm _)
-      val aggs = cols.flatMap { case (c, render) => Seq(
-        count(col(c)).as(s"nn_$c"),
-        countDistinct(col(c)).as(s"ndv_$c"),
-        render(min(col(c))).as(s"min_$c"),
-        render(max(col(c))).as(s"max_$c"))
-      }
-      val wide = Tables.load(s, dir, "orders")
-        .agg(count(lit(1)).as("n_rows"), aggs: _*)
-      val stackArgs = cols.map { case (c, _) =>
-        s"'$c', n_rows, nn_$c, ndv_$c, min_$c, max_$c"
-      }.mkString(", ")
-      wide.selectExpr(s"stack(${cols.size}, $stackArgs) AS " +
-        "(col, n_rows, n_notnull, ndv, min_s, max_s)")
-    }),
+    // Table profiling — schema-driven one-scan ANALYZE (see
+    // graft.operators.TableProfile for the plan shape and the explicit
+    // min/max rendering discipline); also gate-reachable as PROFILE.
+    "q_profile_table" -> ((s, dir) =>
+      graft.operators.TableProfile.profile(Tables.load(s, dir, "orders"))),
 
     "q_table_checksum" -> ((s, dir) => {
       import s.implicits._

@@ -1004,6 +1004,30 @@ object Gate extends QueryPack {
       s.table("heavy_sink_out")
     }),
 
+    // The schema-driven one-scan ANALYZE through the gate: PROFILE over
+    // the orders table — same kernel as q_profile_table. The source DDL
+    // declares ALL columns (the profile is schema-driven, so the
+    // declared schema IS the contract under test).
+    "q_gate_profile_tvf" -> ((s, dir) => {
+      val runner = new ScriptRunner(s, batchMode = true)
+      runner.run(
+        s"""CREATE TABLE orders_prof (o_orderkey BIGINT, o_custkey BIGINT,
+           |  o_orderstatus STRING, o_totalprice DOUBLE,
+           |  o_orderdate TIMESTAMP, o_orderpriority STRING) WITH (
+           |  'connector' = 'filesystem',
+           |  'path' = '$dir/orders.parquet',
+           |  'format' = 'parquet'
+           |);
+           |CREATE TABLE prof_sink (col STRING, n_rows BIGINT,
+           |  n_notnull BIGINT, ndv BIGINT, min_s STRING, max_s STRING)
+           |WITH ('connector' = 'memory');
+           |INSERT INTO prof_sink
+           |SELECT col, n_rows, n_notnull, ndv, min_s, max_s
+           |FROM TABLE(PROFILE(TABLE orders_prof));
+           |""".stripMargin)
+      s.table("prof_sink_out")
+    }),
+
     // The prefix-filtered exact Jaccard self-join through the gate: the
     // q_dedup_ppjoin kernel (theta = 3/5 default) as a TVF.
     "q_gate_jaccard_tvf" -> ((s, dir) => {
@@ -2198,6 +2222,9 @@ object Gate extends QueryPack {
     // the prefix-filtered exact Jaccard join: one kernel, one oracle —
     // shared verbatim with the library query
     "q_gate_jaccard_tvf" -> Dedup.oracleSql("q_dedup_ppjoin"),
+
+    // one-scan ANALYZE: one kernel, one oracle (shared with Extras)
+    "q_gate_profile_tvf" -> Extras.oracleSql("q_profile_table"),
 
     // the q_dedup_cluster recursive-CTE closure (Dedup.oCcClosure — one
     // shared machinery, two oracles) over the gate script's own

@@ -161,7 +161,7 @@ import org.apache.spark.sql.SparkSession
 object GraftTvfRewrite {
 
   private val Keyword =
-    """(?i)\b(?:DEDUP_(?:EXACT|MINHASH_PAIRS|SIMHASH_PAIRS|CROSS_PAIRS|EMBED_PAIRS|JACCARD_PAIRS)|ANN_TOPK(?:_LSH|_IVFPQ)?|TEXT_QUALITY|TEXT_SEARCH_BM25|TEXT_KEYWORDS|LANG_ID|PAGERANK|FUZZY_JOIN(?:_CROSS)?|CONNECTED_COMPONENTS|MEDIA_FEATURES|MEDIA_VIDEO_FRAMES|EMBED_ABTT|HEAVY_HITTERS)\s*\(""".r
+    """(?i)\b(?:DEDUP_(?:EXACT|MINHASH_PAIRS|SIMHASH_PAIRS|CROSS_PAIRS|EMBED_PAIRS|JACCARD_PAIRS)|ANN_TOPK(?:_LSH|_IVFPQ)?|TEXT_QUALITY|TEXT_SEARCH_BM25|TEXT_KEYWORDS|LANG_ID|PAGERANK|FUZZY_JOIN(?:_CROSS)?|CONNECTED_COMPONENTS|MEDIA_FEATURES|MEDIA_VIDEO_FRAMES|EMBED_ABTT|HEAVY_HITTERS|PROFILE)\s*\(""".r
   private val viewCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private val Head =
@@ -251,10 +251,13 @@ object GraftTvfRewrite {
     ("""(?i)\bTABLE\s*\(\s*HEAVY_HITTERS\s*\(\s*TABLE\s+([`\w.]+)\s*,\s*""" +
       """DESCRIPTOR\s*\(\s*([`\w]+)\s*\)\s*,\s*(\d+)\s*""" +
       """(?:,\s*(\d+)\s*)?\)\s*\)""").r
+  // schema-driven one-scan ANALYZE: no descriptors, the whole relation
+  private val ProfileRe =
+    """(?i)\bTABLE\s*\(\s*PROFILE\s*\(\s*TABLE\s+([`\w.]+)\s*\)\s*\)""".r
 
   private def allRes = Seq(ExactRe, MinhashRe, SimhashRe, QualityRe,
     KeywordsRe, LangIdRe, PageRankRe, FuzzyRe, CcRe, MediaFeaturesRe,
-    MediaVideoRe, AbttRe, JaccardPairsRe, HeavyRe)
+    MediaVideoRe, AbttRe, JaccardPairsRe, HeavyRe, ProfileRe)
 
   /** True iff the statement uses a graft TVF. */
   def present(sql: String): Boolean = Keyword.findFirstIn(sql).isDefined
@@ -509,6 +512,9 @@ object GraftTvfRewrite {
         org.apache.spark.sql.functions.col(c2(m, 2)).as("key"))
       view(graft.operators.HeavyHitters.exactTopK(in, "key", k, cap))
     })
+    out = ProfileRe.replaceAllIn(out, m =>
+      // whole-relation (multi-distinct agg): batch only (table() guard)
+      view(graft.operators.TableProfile.profile(table(m.group(1)))))
     out = PageRankRe.replaceAllIn(out, m => {
       // whole-relation power iteration — batch only (table() guard)
       val iters = Option(m.group(4)).map(_.toInt).getOrElse(3)
@@ -604,7 +610,8 @@ object GraftTvfRewrite {
           "[, k])) " +
           "TABLE(DEDUP_JACCARD_PAIRS(TABLE t, DESCRIPTOR(id), " +
           "DESCRIPTOR(text)[, thetaNum, thetaDen])), " +
-          "TABLE(HEAVY_HITTERS(TABLE t, DESCRIPTOR(key), k[, capacity])) " +
+          "TABLE(HEAVY_HITTERS(TABLE t, DESCRIPTOR(key), k[, capacity])), " +
+          "TABLE(PROFILE(TABLE t)) " +
           "or TABLE(CONNECTED_COMPONENTS(TABLE edges, DESCRIPTOR(a), " +
           "DESCRIPTOR(b)))")
     }

@@ -219,6 +219,22 @@ class GraftTvfSpec extends SparkSpec {
         "SELECT * FROM TABLE(HEAVY_HITTERS(TABLE t, DESCRIPTOR(k)))")
     }
     assert(e.getMessage.contains("malformed graft TVF"))
+    GraftTvfRewrite.validateOnly(
+      "SELECT * FROM TABLE(PROFILE(TABLE t))")
+  }
+
+  test("PROFILE TVF handles exotic column types without crashing") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(1, 2), Map("a" -> 1), Array[Byte](1), 2.5))
+      .toDF("id", "arr", "m", "bin", "d")
+    val rows = graft.operators.TableProfile.profile(df).collect()
+    assert(rows.length == 5)
+    val byCol = rows.map(r => r.getString(0) -> r).toMap
+    assert(byCol("id").getString(4) == "1")       // min_s rendered
+    assert(byCol("d").getString(4) == "2.50")     // decimal rendering
+    assert(byCol("arr").get(4) == null)           // no stable rendering
+    assert(byCol("m").get(3) == null)             // map: no NDV
+    assert(byCol("bin").getLong(2) == 1L)         // counts still real
   }
 
   test("MEDIA_* TVF rejects a non-integer id descriptor loudly") {
