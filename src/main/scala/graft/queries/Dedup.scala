@@ -672,6 +672,172 @@ object Dedup extends QueryPack {
       .filter($"jacc" >= theta)
   }
 
+  /** Cross-corpus EXACT threshold Jaccard join (incoming shard vs
+    * corpus; theta = num/den): prefix filtering with the CORPUS's
+    * global token-frequency order on both sides (incoming tokens
+    * absent from the corpus rank df = 0 — consistently rarest, and
+    * harmless: they can't match anything). Same group-level
+    * `c + min(suffix remainders) >= alpha` cut as [[jaccardJoin]],
+    * then exact verification. Output: every (ida ∈ incoming,
+    * idb ∈ corpus) pair with Jaccard >= theta.
+    */
+  private[graft] def jaccardJoinCrossSets(aSets: DataFrame,
+      bSets: DataFrame, num: Int = 3, den: Int = 5): DataFrame = {
+    import aSets.sparkSession.implicits._
+    require(num > 0 && den > num, s"theta=num/den must be in (0,1)")
+    def toks(sets: DataFrame) = sets.select($"doc_id",
+      size($"ss").as("sz"), explode($"ss").as("tok"))
+    def prefixLen = $"sz" - floor(($"sz" * num + (den - 1)) / den) + 1
+    val btoks = toks(bSets)
+    val dfc = btoks.groupBy($"tok").agg(count(lit(1)).as("df"))
+    val bPrefix = btoks.join(dfc, "tok")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"df", $"tok")) - 1)
+      .filter($"pos" < prefixLen)
+      .select($"doc_id".as("idb"), $"sz".as("szb"), $"pos".as("pb"),
+        $"tok")
+    val aPrefix = toks(aSets).join(dfc, Seq("tok"), "left")
+      .na.fill(0L, Seq("df"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"df", $"tok")) - 1)
+      .filter($"pos" < prefixLen)
+      .select($"doc_id".as("ida"), $"sz".as("sza"), $"pos".as("pa"),
+        $"tok")
+    val alpha = floor(
+      (($"sza" + $"szb") * num + (num + den - 1)) / (num + den))
+    val cand = aPrefix.join(bPrefix, Seq("tok"))
+      .where($"szb" * den >= $"sza" * num && $"sza" * den >= $"szb" * num)
+      .groupBy($"ida", $"idb", $"sza", $"szb")
+      .agg(count(lit(1)).as("c"),
+        max($"pa").as("pam"), max($"pb").as("pbm"))
+      .where($"c" +
+        least($"sza" - 1 - $"pam", $"szb" - 1 - $"pbm") >= alpha)
+      .select($"ida", $"idb")
+    val theta = num.toDouble / den
+    cand
+      .join(aSets.select($"doc_id".as("ida"), $"ss".as("ssa")), "ida")
+      .join(bSets.select($"doc_id".as("idb"), $"ss".as("ssb")), "idb")
+      .select($"ida", $"idb",
+        graft.functions.GraftFunctions.jaccardDistinct($"ssa", $"ssb")
+          .as("jacc"))
+      .filter($"jacc" >= theta)
+  }
+
+  /** (id, text) convenience wrapper over [[jaccardJoinCrossSets]] with
+    * the q_dedup_ppjoin shingling contract (word n-grams, distinct).
+    */
+  private[graft] def jaccardJoinCross(incoming: DataFrame,
+      corpus: DataFrame, idCol: String, textCol: String,
+      num: Int = 3, den: Int = 5, shingleN: Int = 2): DataFrame =
+    jaccardJoinCrossSets(jaccardSets(incoming, idCol, textCol, shingleN),
+      jaccardSets(corpus, idCol, textCol, shingleN), num, den)
+
+  /** Shared shingling: (id, text) → (doc_id, ss element-distinct). */
+  private[graft] def jaccardSets(df: DataFrame, idCol: String,
+      textCol: String, shingleN: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol).as("doc_id"), words(col(textCol)).as("w"))
+      .filter(size(col("w")) >= shingleN)
+      .select(col("doc_id"),
+        array_distinct(shingles(col("w"), shingleN)).as("ss"))
+  }
+
+  /** STREAMING cross-corpus exact Jaccard join: incoming streams, the
+    * corpus is FROZEN into a once-built prefix index (the
+    * [[minhashCrossPairsStream]] cadence — crawl shards arriving
+    * against yesterday's corpus).
+    *
+    * Streaming shape: everything per-row is STATELESS. The incoming
+    * side explodes its FULL shingle set (no incoming-side prefix — a
+    * per-doc rank against corpus df isn't row-local; the one-sided
+    * index prefix is still COMPLETE: a qualifying pair has
+    * overlap >= ceil(theta·szb), and missing all of the corpus doc's
+    * prefix leaves at most ceil(theta·szb) − 1 common tokens), joins
+    * stream-static against the frozen (tok, idb, pb, szb) prefix
+    * index, dedups pairs ROW-LOCALLY (keep the row whose token is the
+    * FIRST of the corpus doc's ordered prefix present in the incoming
+    * set — both arrays ride the row), applies the positional cut
+    * `min(sza, szb − pb) >= alpha`, and verifies exactly. No streaming
+    * aggregation, no state store — one output row per qualifying pair
+    * per micro-batch, bit-equal to the batch kernel on the same rows.
+    */
+  def jaccardJoinCrossStream(incoming: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, num: Int = 3, den: Int = 5,
+      shingleN: Int = 2): DataFrame = {
+    require(incoming.isStreaming,
+      "jaccardJoinCrossStream needs a streaming incoming side — use " +
+        "jaccardJoinCross for batch-vs-batch")
+    require(!corpus.isStreaming,
+      "DEDUP_JACCARD_CROSS: the corpus side must be a BOUNDED relation " +
+        "(its prefix index is built once and frozen) — declare it with " +
+        "'source.bounded' = 'true' or a batch connector")
+    val s = corpus.sparkSession
+    graft.functions.GraftFunctions.register(s)
+
+    // --- frozen corpus prefix index (StaticIndexCache: build once per
+    // corpus version, reuse across gate invocations) ---
+    val (meta, idx) = StaticIndexCache.getOrBuild[(DataFrame, DataFrame)](
+      StaticIndexCache.corpusKey(s, corpus, "jaccard_cross_idx",
+        idCol, textCol, num, den, shingleN)) {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ppj_idx")
+      dir.toFile.deleteOnExit()
+      val sets = jaccardSets(corpus, idCol, textCol, shingleN)
+      val btoks = sets.select(col("doc_id"), size(col("ss")).as("sz"),
+        explode(col("ss")).as("tok"))
+      val dfc = btoks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      val ranked = btoks.join(dfc, "tok")
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok")))
+          - 1)
+        .filter(col("pos") <
+          col("sz") - floor((col("sz") * num + (den - 1)) / den) + 1)
+      // meta carries BOTH the full set (exact verify) and the ORDERED
+      // prefix array (row-local first-shared-token pair dedup)
+      ranked.groupBy(col("doc_id"), col("sz"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("tok"))))
+          .as("pp"))
+        .select(col("doc_id").as("idb"), col("sz").as("szb"),
+          transform(col("pp"), p => p("tok")).as("pb_arr"))
+        .join(sets.select(col("doc_id").as("idb"), col("ss").as("sb")),
+          "idb")
+        .write.parquet(s"$dir/meta")
+      val m = s.read.parquet(s"$dir/meta")
+        .repartition(col("idb")).sortWithinPartitions(col("idb"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      m.select(col("idb"), col("szb"),
+          posexplode(col("pb_arr")).as(Seq("pb", "tok")))
+        .write.parquet(s"$dir/idx")
+      val i = s.read.parquet(s"$dir/idx")
+        .repartition(col("tok")).sortWithinPartitions(col("tok"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      (m, i)
+    }
+
+    val inc = jaccardSets(incoming, idCol, textCol, shingleN)
+      .select(col("doc_id").as("ida"), col("ss").as("sa"),
+        size(col("ss")).as("sza"))
+    val alpha = floor(
+      ((col("sza") + col("szb")) * num + (num + den - 1)) / (num + den))
+    val theta = num.toDouble / den
+    inc.select(col("ida"), col("sa"), col("sza"),
+        explode(col("sa")).as("tok"))
+      .join(idx, Seq("tok"))
+      .where(col("szb") * den >= col("sza") * num &&
+        col("sza") * den >= col("szb") * num)
+      .join(meta, Seq("idb", "szb"))
+      // row-local pair dedup: survive only on the FIRST corpus-prefix
+      // token that the incoming set contains (both arrays are in-row)
+      .filter(col("tok") === element_at(
+        filter(col("pb_arr"), t => array_contains(col("sa"), t)), 1))
+      // positional cut from the first shared token (valid: every common
+      // token sits at or past pb in the corpus doc's order)
+      .where(least(col("sza"), col("szb") - col("pb")) >= alpha)
+      .select(col("ida"), col("idb"),
+        graft.functions.GraftFunctions.jaccardDistinct(col("sa"), col("sb"))
+          .as("jacc"))
+      .filter(col("jacc") >= theta)
+  }
+
   /** Word n-gram shingles via the fused native expression — same output
     * as the DuckDB 1-based comprehension mirror, but one codegen'd loop
     * per row instead of an interpreted transform(sequence(...)) lambda
@@ -817,6 +983,19 @@ object Dedup extends QueryPack {
     "q_dedup_cross" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       minhashCrossPairs(
+        docs.filter(col("doc_id") % 10 >= 8),
+        docs.filter(col("doc_id") % 10 < 8),
+        "doc_id", "text")
+    }),
+
+    // Cross-corpus EXACT threshold Jaccard join — the incoming-shard-
+    // vs-frozen-corpus cadence with exact semantics: prefix filtering
+    // under the CORPUS's token-frequency order on both sides (see
+    // jaccardJoinCrossSets). The exact counterpart of q_dedup_cross's
+    // MinHash screen; same shard split.
+    "q_dedup_jaccard_cross" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      jaccardJoinCross(
         docs.filter(col("doc_id") % 10 >= 8),
         docs.filter(col("doc_id") % 10 < 8),
         "doc_id", "text")
@@ -1350,6 +1529,25 @@ object Dedup extends QueryPack {
     "q_dedup_minhash" -> oMinhashPairsSql,
 
     "q_dedup_cross" -> oMinhashCrossSql,
+
+    // token-join mirror of the cross-corpus exact Jaccard join; the
+    // WHERE repeats the identical double comparison the Spark side
+    // applies (q_dedup_ppjoin's convention)
+    "q_dedup_jaccard_cross" ->
+      s"""WITH w AS (SELECT doc_id, regexp_split_to_array(text,' ') w
+         |  FROM documents),
+         |sets AS (SELECT doc_id, $oShingle2 AS ss FROM w WHERE len(w) >= 2),
+         |atok AS (SELECT doc_id, len(ss) AS sz, unnest(ss) AS g
+         |  FROM sets WHERE doc_id % 10 >= 8),
+         |btok AS (SELECT doc_id, len(ss) AS sz, unnest(ss) AS g
+         |  FROM sets WHERE doc_id % 10 < 8),
+         |inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+         |    a.sz AS sza, b.sz AS szb, count(*) AS i
+         |  FROM atok a JOIN btok b ON a.g = b.g
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT ida, idb, CAST(i AS DOUBLE) / (sza + szb - i) AS jacc
+         |FROM inter
+         |WHERE CAST(i AS DOUBLE) / (sza + szb - i) >= 0.6""".stripMargin,
 
     "q_dedup_cluster" -> oCcClosure(oMinhashPairsSql, "doc_id"),
 

@@ -1004,6 +1004,50 @@ object Gate extends QueryPack {
       s.table("heavy_sink_out")
     }),
 
+    // Cross-corpus exact Jaccard through the gate, STREAMING incoming
+    // vs bounded corpus: the frozen prefix index route — the crawl
+    // shard cadence with exact (not MinHash-screened) semantics.
+    "q_gate_jaccard_cross_stream" -> ((s, dir) => {
+      val staged = StreamingGate.stagedTableDir(dir, "documents")
+      val runner = new ScriptRunner(s, batchMode = false)
+      try {
+        val res = runner.run(
+          s"""CREATE TABLE docs_jxs (
+             |  doc_id BIGINT, text VARCHAR
+             |) WITH (
+             |  'connector' = 'filesystem',
+             |  'path' = '$staged',
+             |  'format' = 'parquet'
+             |);
+             |CREATE TABLE docs_jxc (
+             |  doc_id BIGINT, text VARCHAR
+             |) WITH (
+             |  'connector' = 'filesystem',
+             |  'path' = '$dir/documents.parquet',
+             |  'format' = 'parquet',
+             |  'source.bounded' = 'true'
+             |);
+             |CREATE OR REPLACE TEMPORARY VIEW jxs_incoming AS
+             |  SELECT doc_id, text FROM docs_jxs WHERE doc_id % 10 >= 8;
+             |CREATE OR REPLACE TEMPORARY VIEW jxs_corpus AS
+             |  SELECT doc_id, text FROM docs_jxc WHERE doc_id % 10 < 8;
+             |CREATE TABLE jaccard_cross_sink (ida BIGINT, idb BIGINT,
+             |  jacc DOUBLE) WITH ('connector' = 'memory');
+             |INSERT INTO jaccard_cross_sink
+             |SELECT ida, idb, jacc
+             |FROM TABLE(DEDUP_JACCARD_CROSS(TABLE jxs_incoming,
+             |  TABLE jxs_corpus, DESCRIPTOR(doc_id), DESCRIPTOR(text)));
+             |""".stripMargin)
+        try res.queries.foreach { q =>
+          require(q.awaitTermination(300000),
+            "streaming DEDUP_JACCARD_CROSS gate query timed out")
+        } finally res.queries.foreach { q =>
+          try q.stop() catch { case _: Throwable => () }
+        }
+        s.table("jaccard_cross_sink")
+      } finally runner.close()
+    }),
+
     // The schema-driven one-scan ANALYZE through the gate: PROFILE over
     // the orders table — same kernel as q_profile_table. The source DDL
     // declares ALL columns (the profile is schema-driven, so the
@@ -2225,6 +2269,10 @@ object Gate extends QueryPack {
 
     // one-scan ANALYZE: one kernel, one oracle (shared with Extras)
     "q_gate_profile_tvf" -> Extras.oracleSql("q_profile_table"),
+
+    // streaming route of the cross-corpus exact Jaccard join: one
+    // kernel, one oracle (shared with the batch library query)
+    "q_gate_jaccard_cross_stream" -> Dedup.oracleSql("q_dedup_jaccard_cross"),
 
     // the q_dedup_cluster recursive-CTE closure (Dedup.oCcClosure — one
     // shared machinery, two oracles) over the gate script's own

@@ -161,7 +161,7 @@ import org.apache.spark.sql.SparkSession
 object GraftTvfRewrite {
 
   private val Keyword =
-    """(?i)\b(?:DEDUP_(?:EXACT|MINHASH_PAIRS|SIMHASH_PAIRS|CROSS_PAIRS|EMBED_PAIRS|JACCARD_PAIRS)|ANN_TOPK(?:_LSH|_IVFPQ)?|TEXT_QUALITY|TEXT_SEARCH_BM25|TEXT_KEYWORDS|LANG_ID|PAGERANK|FUZZY_JOIN(?:_CROSS)?|CONNECTED_COMPONENTS|MEDIA_FEATURES|MEDIA_VIDEO_FRAMES|EMBED_ABTT|HEAVY_HITTERS|PROFILE)\s*\(""".r
+    """(?i)\b(?:DEDUP_(?:EXACT|MINHASH_PAIRS|SIMHASH_PAIRS|CROSS_PAIRS|EMBED_PAIRS|JACCARD_PAIRS|JACCARD_CROSS)|ANN_TOPK(?:_LSH|_IVFPQ)?|TEXT_QUALITY|TEXT_SEARCH_BM25|TEXT_KEYWORDS|LANG_ID|PAGERANK|FUZZY_JOIN(?:_CROSS)?|CONNECTED_COMPONENTS|MEDIA_FEATURES|MEDIA_VIDEO_FRAMES|EMBED_ABTT|HEAVY_HITTERS|PROFILE)\s*\(""".r
   private val viewCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private val Head =
@@ -254,6 +254,13 @@ object GraftTvfRewrite {
   // schema-driven one-scan ANALYZE: no descriptors, the whole relation
   private val ProfileRe =
     """(?i)\bTABLE\s*\(\s*PROFILE\s*\(\s*TABLE\s+([`\w.]+)\s*\)\s*\)""".r
+  // cross-corpus exact Jaccard: TWO tables (incoming, corpus); the
+  // incoming side may stream (frozen corpus prefix index)
+  private val JaccardCrossRe =
+    ("""(?i)\bTABLE\s*\(\s*DEDUP_JACCARD_CROSS\s*\(\s*TABLE\s+([`\w.]+)\s*,\s*""" +
+      """TABLE\s+([`\w.]+)\s*,\s*DESCRIPTOR\s*\(\s*([`\w]+)\s*\)\s*,\s*""" +
+      """DESCRIPTOR\s*\(\s*([`\w]+)\s*\)\s*""" +
+      """(?:,\s*(\d+)\s*,\s*(\d+)\s*)?\)\s*\)""").r
 
   private def allRes = Seq(ExactRe, MinhashRe, SimhashRe, QualityRe,
     KeywordsRe, LangIdRe, PageRankRe, FuzzyRe, CcRe, MediaFeaturesRe,
@@ -502,6 +509,21 @@ object GraftTvfRewrite {
           graft.functions.GraftFunctions.wordNgrams(f.col("w"), 2)).as("ss"))
       view(graft.queries.Dedup.jaccardJoin(sets, num, den))
     })
+    out = JaccardCrossRe.replaceAllIn(out, m => {
+      val (num, den) = (Option(m.group(5)), Option(m.group(6))) match {
+        case (Some(n), Some(d)) => (n.toInt, d.toInt)
+        case _ => (3, 5)
+      }
+      val incDf = rawTable(m.group(1))
+      if (incDf.isStreaming)
+        // streaming incoming vs frozen corpus prefix index — stateless
+        // stream-static join; the operator validates the corpus side
+        view(graft.queries.Dedup.jaccardJoinCrossStream(
+          incDf, rawTable(m.group(2)), c2(m, 3), c2(m, 4), num, den))
+      else
+        view(graft.queries.Dedup.jaccardJoinCross(
+          incDf, table(m.group(2)), c2(m, 3), c2(m, 4), num, den))
+    })
     out = HeavyRe.replaceAllIn(out, m => {
       // whole-relation (sketch pass + exact verify with a control-plane
       // sized candidate collect): batch only (table() guard)
@@ -560,7 +582,7 @@ object GraftTvfRewrite {
   def validateOnly(sql: String): String = {
     val out = (allRes ++
         Seq(CrossRe, AnnRe, AnnLshRe, AnnIvfPqRe, FuzzyCrossRe,
-          EmbedCrossRe, Bm25Re))
+          EmbedCrossRe, Bm25Re, JaccardCrossRe))
       .foldLeft(sql)((s, re) =>
         re.replaceAllIn(s, _ => "__graft_tvf_validated"))
     requireFullyRewritten(out)
@@ -610,6 +632,8 @@ object GraftTvfRewrite {
           "[, k])) " +
           "TABLE(DEDUP_JACCARD_PAIRS(TABLE t, DESCRIPTOR(id), " +
           "DESCRIPTOR(text)[, thetaNum, thetaDen])), " +
+          "TABLE(DEDUP_JACCARD_CROSS(TABLE incoming, TABLE corpus, " +
+          "DESCRIPTOR(id), DESCRIPTOR(text)[, thetaNum, thetaDen])), " +
           "TABLE(HEAVY_HITTERS(TABLE t, DESCRIPTOR(key), k[, capacity])), " +
           "TABLE(PROFILE(TABLE t)) " +
           "or TABLE(CONNECTED_COMPONENTS(TABLE edges, DESCRIPTOR(a), " +
