@@ -819,12 +819,18 @@ object Dedup extends QueryPack {
     val alpha = floor(
       ((col("sza") + col("szb")) * num + (num + den - 1)) / (num + den))
     val theta = num.toDouble / den
+    // merge hints: each exploded stream row carries the doc's full
+    // shingle array (the row-local design), so the per-micro-batch
+    // planner must NEVER pick that side for a broadcast (measured at
+    // sf10: a 12.1 GiB broadcast attempt). The static sides are
+    // persisted pre-partitioned+sorted on their join keys, so the
+    // sort-merge join exchanges ONLY the stream side.
     inc.select(col("ida"), col("sa"), col("sza"),
         explode(col("sa")).as("tok"))
-      .join(idx, Seq("tok"))
+      .join(idx.hint("merge"), Seq("tok"))
       .where(col("szb") * den >= col("sza") * num &&
         col("sza") * den >= col("szb") * num)
-      .join(meta, Seq("idb", "szb"))
+      .join(meta.hint("merge"), Seq("idb", "szb"))
       // row-local pair dedup: survive only on the FIRST corpus-prefix
       // token that the incoming set contains (both arrays are in-row)
       .filter(col("tok") === element_at(

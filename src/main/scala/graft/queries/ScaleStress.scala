@@ -653,6 +653,31 @@ object ScaleStress {
             .as("ss"))
         Map("pairs" -> Dedup.jaccardJoin(sets).count())
       }),
+      // r16: cross-corpus exact Jaccard, STREAMING incoming vs frozen
+      // corpus prefix index — the claim under test is that the drain
+      // cost tracks the incoming shard (stream-static joins against the
+      // once-built index; no state store), with the same 3-word-shingle
+      // specificity note as ppjoin_exact. pairs = qualifying pairs.
+      "ppjoin_cross_stream" -> (() => {
+        import org.apache.spark.sql.streaming.Trigger
+        val docs = graft.Tables.load(spark, sfDir, "documents")
+        val corpus = docs.filter(col("doc_id") % 10 < 8)
+        val incB = docs.filter(col("doc_id") % 10 >= 8)
+        val dir = java.nio.file.Files
+          .createTempDirectory("ppjx_stage").toString
+        incB.write.mode("overwrite").parquet(dir)
+        val inc = spark.readStream
+          .schema(spark.read.parquet(dir).schema).parquet(dir)
+        val out = Dedup.jaccardJoinCrossStream(
+          inc, corpus, "doc_id", "text", shingleN = 3)
+        val name = "ppjx_stress_sink"
+        val q = out.writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        val finished = q.awaitTermination(540000)
+        q.stop()
+        Map("pairs" -> spark.table(name).count(),
+          "timed_out" -> (if (finished) 0L else 1L))
+      }),
       // r16: exact heavy hitters — the claims under test are (a) the
       // sketch pass's shuffle is capacity-bounded however many distinct
       // keys the corpus grows, and (b) the exactness PROOF (kth exact
