@@ -313,4 +313,31 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s"expected exactly 1 shuffle, got $exchanges\n$p")
     assert(!p.contains("rangepartitioning"), p) // no global sort
   }
+
+  test("q_profile_table: ONE scan of orders feeds every per-column agg") {
+    // the multi-distinct plans via Expand over a single file scan — a
+    // per-column scan would read the table ncols times at 100 TB
+    val scans = SparkEntry.queries("q_profile_table")(spark, sf)
+      .queryExecution.sparkPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+    assert(scans.length == 1, scans.map(_.nodeName))
+    assert(plan("q_profile_table").contains("Expand"),
+      "multi-distinct should plan via Expand")
+  }
+
+  test("q_agg_heavyhitters: scans prune to the key column only") {
+    // both passes (sketch + candidate count) read user_id alone; at
+    // 100 TB reading any other column is pure waste. The exact pass's
+    // isin() can't push to parquet (the key is derived), but the scan
+    // width is what dominates.
+    val scans = SparkEntry.queries("q_agg_heavyhitters")(spark, sf)
+      .queryExecution.sparkPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+    scans.foreach { s =>
+      assert(s.requiredSchema.fieldNames.toSeq == Seq("user_id"),
+        s.requiredSchema.fieldNames.toSeq)
+    }
+  }
 }
