@@ -728,7 +728,7 @@ object Dedup extends QueryPack {
     */
   private[graft] def jaccardJoinCross(incoming: DataFrame,
       corpus: DataFrame, idCol: String, textCol: String,
-      num: Int = 3, den: Int = 5, shingleN: Int = 2): DataFrame =
+      num: Int = 3, den: Int = 5, shingleN: Int = 3): DataFrame =
     jaccardJoinCrossSets(jaccardSets(incoming, idCol, textCol, shingleN),
       jaccardSets(corpus, idCol, textCol, shingleN), num, den)
 
@@ -763,7 +763,7 @@ object Dedup extends QueryPack {
     */
   def jaccardJoinCrossStream(incoming: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, num: Int = 3, den: Int = 5,
-      shingleN: Int = 2): DataFrame = {
+      shingleN: Int = 3): DataFrame = {
     require(incoming.isStreaming,
       "jaccardJoinCrossStream needs a streaming incoming side — use " +
         "jaccardJoinCross for batch-vs-batch")
@@ -1042,9 +1042,14 @@ object Dedup extends QueryPack {
     // EXACT threshold Jaccard self-join WITHOUT the quadratic stage: the
     // prefix-filtering set-similarity join (Bayardo et al. 2007 "Scaling
     // Up All Pairs Similarity Search"; Xiao et al. 2008 PPJoin). Same
-    // result set as q_dedup_ngram's cross join — every pair with
-    // Jaccard >= 0.6, verified exactly — but UNBOUNDED: no doc_id guard,
-    // the whole corpus participates.
+    // semantics as q_dedup_ngram's cross join — every pair with
+    // Jaccard >= 0.6 over the distinct shingle sets, verified exactly —
+    // but UNBOUNDED: no doc_id guard, the whole corpus participates.
+    // Shingles are 3 words (the minhash family's tokenization): prefix
+    // selectivity is a property of the tokens, and on this corpus's
+    // 31-word vocabulary 2-word shingles are common BY CONSTRUCTION
+    // (measured 35× candidate blowup — SCALE.md r16), which is a data
+    // regime for MinHash-LSH, not for an exact prefix join.
     //
     // Why it scales where the cross join can't: Jaccard(x,y) >= t
     // implies |x∩y| >= t/(1+t)·(|x|+|y|), so after ordering every doc's
@@ -1072,8 +1077,8 @@ object Dedup extends QueryPack {
       Vec.ensureRegistered(s)
       val sets = Tables.load(s, dir, "documents")
         .select($"doc_id", words($"text").as("w"))
-        .filter(size($"w") >= 2)
-        .select($"doc_id", array_distinct(shingles($"w", 2)).as("ss"))
+        .filter(size($"w") >= 3)
+        .select($"doc_id", array_distinct(shingles($"w", 3)).as("ss"))
       jaccardJoin(sets)
     }),
 
@@ -1542,7 +1547,7 @@ object Dedup extends QueryPack {
     "q_dedup_jaccard_cross" ->
       s"""WITH w AS (SELECT doc_id, regexp_split_to_array(text,' ') w
          |  FROM documents),
-         |sets AS (SELECT doc_id, $oShingle2 AS ss FROM w WHERE len(w) >= 2),
+         |sets AS (SELECT doc_id, $oShingle3 AS ss FROM w WHERE len(w) >= 3),
          |atok AS (SELECT doc_id, len(ss) AS sz, unnest(ss) AS g
          |  FROM sets WHERE doc_id % 10 >= 8),
          |btok AS (SELECT doc_id, len(ss) AS sz, unnest(ss) AS g
@@ -1582,7 +1587,7 @@ object Dedup extends QueryPack {
     "q_dedup_ppjoin" ->
       s"""WITH w AS (SELECT doc_id, regexp_split_to_array(text,' ') w
          |  FROM documents),
-         |sets AS (SELECT doc_id, $oShingle2 AS ss FROM w WHERE len(w) >= 2),
+         |sets AS (SELECT doc_id, $oShingle3 AS ss FROM w WHERE len(w) >= 3),
          |tok AS (SELECT doc_id, len(ss) AS sz, unnest(ss) AS g FROM sets),
          |inter AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
          |    a.sz AS sza, b.sz AS szb, count(*) AS i

@@ -26,6 +26,15 @@ object TextAnalysis extends QueryPack {
   private val Stopwords = Seq("the", "a", "of", "and", "in", "to", "is")
   private val BpeIsh = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 
+  // BPE trainer constants: symbols are sentinel-delimited (chr(1) twice —
+  // double so adjacent merge patterns never share a separator char and
+  // replace() stays exactly left-to-right non-overlapping greedy), merged
+  // symbols glue with chr(2) (atomic in later rounds, collision-free:
+  // the corpus is space-split words with neither control char)
+  private[queries] val BpeSep = "\u0001\u0001"
+  private[queries] val BpeGlue = "\u0002"
+  private[queries] val BpeRounds = 4
+
   private def words(c: Column): Column = split(c, " ")
 
   // language-ID marker words, one bag per language (shared by
@@ -86,6 +95,40 @@ object TextAnalysis extends QueryPack {
     df.select(col(idCol), predictedLang(words(col(textCol))).as("predicted"))
   }
 
+  /** The BPE training loop behind q_text_bpe_merges — reusable so the
+    * spec can replay it on synthetic corpora against a plain-Scala
+    * reference implementation. Output: (round, a, b, freq).
+    */
+  private[graft] def bpeMerges(df: DataFrame, textCol: String,
+      rounds: Int): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    var cur = df
+      .select(concat(lit(BpeSep),
+        array_join(split(col(textCol), " "), BpeSep), lit(BpeSep)).as("s"))
+      .cache()
+    val merges =
+      scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    for (r <- 1 to rounds) {
+      val toks = filter(split($"s", BpeSep), x => x =!= "")
+      val top = cur
+        .select(explode(wordNgrams(toks, 2)).as("p"))
+        .groupBy($"p").agg(count(lit(1)).as("c"))
+        .orderBy($"c".desc, $"p").limit(1).head()
+      val Array(a, b) = top.getString(0).split(" ", 2)
+      merges += ((r, a, b, top.getLong(1)))
+      val next = cur.select(
+        replace($"s", lit(a + BpeSep + b), lit(a + BpeGlue + b)).as("s"))
+        .cache()
+      next.count() // materialize before releasing the parent round
+      cur.unpersist(blocking = false)
+      cur = next
+    }
+    cur.unpersist(blocking = false)
+    merges.toSeq.toDF("round", "a", "b", "freq")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting: whitespace tokens, BPE-ish regex tokens, chars.
     "q_text_tokens" -> ((s, dir) => {
@@ -97,6 +140,26 @@ object TextAnalysis extends QueryPack {
           length($"text").as("n_chars_real"),
           $"n_chars")
     }),
+
+    // BPE-style pair-merge TRAINER over word symbols (Sennrich et al.
+    // 2016's induction loop, at phrase granularity): K rounds of
+    // (count adjacent symbol pairs corpus-wide) → (argmax with
+    // deterministic count-desc/pair-asc tie-break) → (merge every
+    // non-overlapping left-to-right occurrence corpus-wide). The merge
+    // rewrite is a plain string replace over a sentinel-delimited
+    // symbol string — replace()'s left-to-right non-overlapping
+    // semantics are exactly BPE's greedy merge, and are identical in
+    // Spark (UTF8String.replace) and DuckDB, so the oracle replays the
+    // whole training loop bit-for-bit. Output: the learned merge table.
+    //
+    // Scale (100 TB): each round is one scan + one map-side-combined
+    // pair count (shuffle = distinct pairs, vocabulary-sized) + one
+    // per-row rewrite; the argmax is a driver-side single row
+    // (control-plane sized). K rounds = K scans over a CACHED,
+    // progressively-rewritten corpus — the standard distributed BPE
+    // shape; lineage stays flat because each round materializes.
+    "q_text_bpe_merges" -> ((s, dir) =>
+      bpeMerges(Tables.load(s, dir, "documents"), "text", BpeRounds)),
 
     // Quality scoring: mean token length, stopword ratio, digit/punct
     // ratios, and a composite score — the usual junk-filter features.
@@ -335,8 +398,48 @@ object TextAnalysis extends QueryPack {
        |  FROM (SELECT doc_id, regexp_split_to_array(text, ' ') AS w
        |    FROM documents) tl) sc""".stripMargin
 
+  /** DuckDB replay of the BPE trainer: the K rounds unroll into K CTE
+    * stages, each recomputing the pair argmax (count desc, pair asc)
+    * from the previous stage's rewritten corpus and applying the same
+    * left-to-right non-overlapping replace. chr(1)/chr(2) mirror
+    * [[BpeSep]]/[[BpeGlue]].
+    */
+  private lazy val oBpeSql: String = {
+    val S = "chr(1) || chr(1)"
+    val sb = new StringBuilder
+    sb ++= "WITH d0 AS (SELECT " + S +
+      " || array_to_string(regexp_split_to_array(text, ' '), " + S +
+      ") || " + S + " AS s FROM documents)"
+    for (r <- 1 to BpeRounds) {
+      def part(i: Int) = s"(SELECT split_part(p, ' ', $i) FROM m$r)"
+      sb ++= s""",
+         |m$r AS (SELECT p, c FROM (
+         |    SELECT p, count(*) AS c FROM (
+         |      SELECT unnest([w[i] || ' ' || w[i+1]
+         |          for i in generate_series(1, len(w) - 1)]) AS p
+         |      FROM (SELECT list_filter(string_split(s, $S),
+         |          x -> x <> '') AS w FROM d${r - 1})
+         |      WHERE len(w) >= 2)
+         |    GROUP BY p)
+         |  ORDER BY c DESC, p LIMIT 1),
+         |d$r AS (SELECT replace(s,
+         |    ${part(1)} || $S || ${part(2)},
+         |    ${part(1)} || chr(2) || ${part(2)}) AS s FROM d${r - 1})"""
+        .stripMargin
+    }
+    sb ++= (1 to BpeRounds).map { r =>
+      s"""
+         |SELECT $r AS round, split_part(p, ' ', 1) AS a,
+         |  split_part(p, ' ', 2) AS b, c AS freq FROM m$r"""
+        .stripMargin
+    }.mkString("\nUNION ALL")
+    sb.toString
+  }
+
   def oracleSql: Map[String, String] = {
     Map(
+      "q_text_bpe_merges" -> oBpeSql,
+
       "q_text_tokens" ->
         s"""SELECT doc_id, len(regexp_split_to_array(text, ' ')) AS n_ws_tokens,
            |  len(regexp_extract_all(text, '$BpeIsh')) AS n_re_tokens,

@@ -500,13 +500,10 @@ object GraftTvfRewrite {
         case (Some(n), Some(d)) => (n.toInt, d.toInt)
         case _ => (3, 5)
       }
-      val f = org.apache.spark.sql.functions
-      val sets = table(m.group(1))
-        .select(f.col(c2(m, 2)).as("doc_id"),
-          f.split(f.col(c2(m, 3)), " ").as("w"))
-        .filter(f.size(f.col("w")) >= 2)
-        .select(f.col("doc_id"), f.array_distinct(
-          graft.functions.GraftFunctions.wordNgrams(f.col("w"), 2)).as("ss"))
+      // 3-word shingles — the minhash family's tokenization; 2-word
+      // shingles are non-selective on small vocabularies (SCALE.md r16)
+      val sets = graft.queries.Dedup.jaccardSets(
+        table(m.group(1)), c2(m, 2), c2(m, 3), shingleN = 3)
       view(graft.queries.Dedup.jaccardJoin(sets, num, den))
     })
     out = JaccardCrossRe.replaceAllIn(out, m => {

@@ -1,0 +1,93 @@
+package graft.queries
+
+import scala.collection.mutable
+import scala.util.Random
+
+import graft.SparkSpec
+
+/** The distributed BPE trainer vs a plain-Scala reference: greedy
+  * left-to-right non-overlapping merges, argmax tie-broken by
+  * (count desc, "a b" string asc) — the exact loop the DuckDB oracle
+  * unrolls. Property-swept on seeded random corpora whose small
+  * vocabularies force repeated symbols, overlapping runs (a a a), and
+  * count ties.
+  */
+class BpeTrainerSpec extends SparkSpec {
+
+  private val Glue = "\u0002"
+
+  private def reference(docs: Seq[String], rounds: Int)
+      : Seq[(Int, String, String, Long)] = {
+    var corpus: Seq[Vector[String]] = docs.map(_.split(" ").toVector)
+    val out = mutable.ArrayBuffer[(Int, String, String, Long)]()
+    for (r <- 1 to rounds) {
+      val counts = mutable.Map[(String, String), Long]().withDefaultValue(0L)
+      corpus.foreach { w =>
+        var i = 0
+        while (i + 1 < w.length) {
+          counts((w(i), w(i + 1))) += 1; i += 1
+        }
+      }
+      val ((a, b), c) = counts.toSeq
+        .sortBy { case ((x, y), n) => (-n, x + " " + y) }.head
+      out += ((r, a, b, c))
+      corpus = corpus.map { w =>
+        val buf = Vector.newBuilder[String]
+        var i = 0
+        while (i < w.length) {
+          if (i + 1 < w.length && w(i) == a && w(i + 1) == b) {
+            buf += a + Glue + b; i += 2
+          } else { buf += w(i); i += 1 }
+        }
+        buf.result()
+      }
+    }
+    out.toSeq
+  }
+
+  private def trained(docs: Seq[String], rounds: Int)
+      : Seq[(Int, String, String, Long)] = {
+    import spark.implicits._
+    TextAnalysis.bpeMerges(docs.toDF("text"), "text", rounds)
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+  }
+
+  test("trainer matches the reference on adversarial hand corpora") {
+    // overlapping runs: greedy left-to-right must merge [a,a,a] -> [aa,a]
+    assert(trained(Seq("a a a a a", "a a"), 2) ==
+      reference(Seq("a a a a a", "a a"), 2))
+    // ties everywhere: resolved by pair-string ascending
+    assert(trained(Seq("b a", "a b", "c a", "a c"), 3) ==
+      reference(Seq("b a", "a b", "c a", "a c"), 3))
+    // merged symbols participate in later rounds atomically
+    assert(trained(Seq("x y z x y z x y z"), 3) ==
+      reference(Seq("x y z x y z x y z"), 3))
+  }
+
+  test("trainer matches the reference on seeded random corpora") {
+    val rnd = new Random(17)
+    for (trial <- 1 to 5) {
+      val vocab = (0 until (2 + rnd.nextInt(6))).map(i => s"w$i")
+      val docs = Seq.fill(20 + rnd.nextInt(40)) {
+        Seq.fill(2 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" ")
+      }
+      val rounds = 1 + rnd.nextInt(4)
+      assert(trained(docs, rounds) == reference(docs, rounds),
+        s"trial $trial (rounds=$rounds)")
+    }
+  }
+
+  test("trainer is partition-invariant") {
+    import spark.implicits._
+    val docs = Seq.fill(200)(
+      Seq.fill(10)(s"t${(new Random(7)).nextInt(4)}").mkString(" "))
+    val a = TextAnalysis.bpeMerges(
+      docs.toDF("text").repartition(1), "text", 3).collect().toSeq
+    val b = TextAnalysis.bpeMerges(
+      docs.toDF("text").repartition(13), "text", 3).collect().toSeq
+    assert(a.sortBy(_.getInt(0)) == b.sortBy(_.getInt(0)))
+  }
+}

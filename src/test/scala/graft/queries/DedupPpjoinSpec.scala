@@ -66,13 +66,21 @@ class DedupPpjoinSpec extends SparkSpec {
     assert(got == bruteForce(all, 4.0 / 5))
   }
 
-  test("q_dedup_ppjoin restricted to the ngram baseline's bound matches it") {
+  test("q_dedup_ppjoin matches an O(n²) cross join on the real corpus") {
     import spark.implicits._
+    graft.queries.Vec.ensureRegistered(spark)
     val pp = graft.SparkEntry.queries("q_dedup_ppjoin")(spark, sf)
-      .filter($"ida" < 300 && $"idb" < 300)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       .toSet
-    val ng = graft.SparkEntry.queries("q_dedup_ngram")(spark, sf)
+    // brute-force twin with the SAME 3-word shingling, quadratic on
+    // purpose (sf0.001 = 500 docs)
+    val sets = Dedup.jaccardSets(
+      graft.Tables.load(spark, sf, "documents"), "doc_id", "text", 3)
+    val ng = sets.as("a").join(sets.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("ida"), $"b.doc_id".as("idb"),
+        graft.functions.GraftFunctions
+          .jaccardDistinct($"a.ss", $"b.ss").as("jacc"))
+      .filter($"jacc" >= 0.6)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
       .toSet
     assert(pp == ng)
