@@ -1048,6 +1048,25 @@ object Gate extends QueryPack {
       } finally runner.close()
     }),
 
+    // The BPE pair-merge trainer through the gate: same kernel and
+    // rounds as q_text_bpe_merges, statement-reachable.
+    "q_gate_bpe_tvf" -> ((s, dir) => {
+      val runner = new ScriptRunner(s, batchMode = true)
+      runner.run(
+        s"""CREATE TABLE docs_bpe (doc_id BIGINT, text STRING) WITH (
+           |  'connector' = 'filesystem',
+           |  'path' = '$dir/documents.parquet',
+           |  'format' = 'parquet'
+           |);
+           |CREATE TABLE bpe_sink (round INT, a STRING, b STRING,
+           |  freq BIGINT) WITH ('connector' = 'memory');
+           |INSERT INTO bpe_sink
+           |SELECT round, a, b, freq FROM TABLE(TEXT_BPE_MERGES(
+           |  TABLE docs_bpe, DESCRIPTOR(text)));
+           |""".stripMargin)
+      s.table("bpe_sink_out")
+    }),
+
     // The schema-driven one-scan ANALYZE through the gate: PROFILE over
     // the orders table — same kernel as q_profile_table. The source DDL
     // declares ALL columns (the profile is schema-driven, so the
@@ -2269,6 +2288,9 @@ object Gate extends QueryPack {
 
     // one-scan ANALYZE: one kernel, one oracle (shared with Extras)
     "q_gate_profile_tvf" -> Extras.oracleSql("q_profile_table"),
+
+    // BPE trainer: one kernel, one oracle (shared with TextAnalysis)
+    "q_gate_bpe_tvf" -> TextAnalysis.oracleSql("q_text_bpe_merges"),
 
     // streaming route of the cross-corpus exact Jaccard join: one
     // kernel, one oracle (shared with the batch library query)

@@ -678,6 +678,17 @@ object ScaleStress {
         Map("pairs" -> spark.table(name).count(),
           "timed_out" -> (if (finished) 0L else 1L))
       }),
+      // r16: BPE pair-merge trainer — the claim under test is K-round
+      // linearity: each round is one cached-corpus scan + a vocabulary-
+      // sized pair-count shuffle + a per-row rewrite, with a driver-side
+      // single-row argmax; nothing grows with corpus size except the
+      // scans themselves.
+      "bpe_trainer" -> (() => {
+        val m = TextAnalysis.bpeMerges(
+          graft.Tables.load(spark, sfDir, "documents"), "text",
+          TextAnalysis.BpeRounds).collect()
+        Map("rounds" -> m.length.toLong, "top_freq" -> m.head.getLong(3))
+      }),
       // r16: exact heavy hitters — the claims under test are (a) the
       // sketch pass's shuffle is capacity-bounded however many distinct
       // keys the corpus grows, and (b) the exactness PROOF (kth exact

@@ -31,9 +31,9 @@ object TextAnalysis extends QueryPack {
   // replace() stays exactly left-to-right non-overlapping greedy), merged
   // symbols glue with chr(2) (atomic in later rounds, collision-free:
   // the corpus is space-split words with neither control char)
-  private[queries] val BpeSep = "\u0001\u0001"
-  private[queries] val BpeGlue = "\u0002"
-  private[queries] val BpeRounds = 4
+  private[graft] val BpeSep = "\u0001\u0001"
+  private[graft] val BpeGlue = "\u0002"
+  private[graft] val BpeRounds = 4
 
   private def words(c: Column): Column = split(c, " ")
 

@@ -161,7 +161,7 @@ import org.apache.spark.sql.SparkSession
 object GraftTvfRewrite {
 
   private val Keyword =
-    """(?i)\b(?:DEDUP_(?:EXACT|MINHASH_PAIRS|SIMHASH_PAIRS|CROSS_PAIRS|EMBED_PAIRS|JACCARD_PAIRS|JACCARD_CROSS)|ANN_TOPK(?:_LSH|_IVFPQ)?|TEXT_QUALITY|TEXT_SEARCH_BM25|TEXT_KEYWORDS|LANG_ID|PAGERANK|FUZZY_JOIN(?:_CROSS)?|CONNECTED_COMPONENTS|MEDIA_FEATURES|MEDIA_VIDEO_FRAMES|EMBED_ABTT|HEAVY_HITTERS|PROFILE)\s*\(""".r
+    """(?i)\b(?:DEDUP_(?:EXACT|MINHASH_PAIRS|SIMHASH_PAIRS|CROSS_PAIRS|EMBED_PAIRS|JACCARD_PAIRS|JACCARD_CROSS)|ANN_TOPK(?:_LSH|_IVFPQ)?|TEXT_QUALITY|TEXT_SEARCH_BM25|TEXT_KEYWORDS|LANG_ID|PAGERANK|FUZZY_JOIN(?:_CROSS)?|CONNECTED_COMPONENTS|MEDIA_FEATURES|MEDIA_VIDEO_FRAMES|EMBED_ABTT|HEAVY_HITTERS|PROFILE|TEXT_BPE_MERGES)\s*\(""".r
   private val viewCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private val Head =
@@ -254,6 +254,11 @@ object GraftTvfRewrite {
   // schema-driven one-scan ANALYZE: no descriptors, the whole relation
   private val ProfileRe =
     """(?i)\bTABLE\s*\(\s*PROFILE\s*\(\s*TABLE\s+([`\w.]+)\s*\)\s*\)""".r
+  // BPE pair-merge trainer: ONE descriptor (the text) + optional rounds;
+  // whole-relation iterative loop (driver-coordinated argmax per round)
+  private val BpeRe =
+    ("""(?i)\bTABLE\s*\(\s*TEXT_BPE_MERGES\s*\(\s*TABLE\s+([`\w.]+)\s*,\s*""" +
+      """DESCRIPTOR\s*\(\s*([`\w]+)\s*\)\s*(?:,\s*(\d+)\s*)?\)\s*\)""").r
   // cross-corpus exact Jaccard: TWO tables (incoming, corpus); the
   // incoming side may stream (frozen corpus prefix index)
   private val JaccardCrossRe =
@@ -264,7 +269,7 @@ object GraftTvfRewrite {
 
   private def allRes = Seq(ExactRe, MinhashRe, SimhashRe, QualityRe,
     KeywordsRe, LangIdRe, PageRankRe, FuzzyRe, CcRe, MediaFeaturesRe,
-    MediaVideoRe, AbttRe, JaccardPairsRe, HeavyRe, ProfileRe)
+    MediaVideoRe, AbttRe, JaccardPairsRe, HeavyRe, ProfileRe, BpeRe)
 
   /** True iff the statement uses a graft TVF. */
   def present(sql: String): Boolean = Keyword.findFirstIn(sql).isDefined
@@ -534,6 +539,13 @@ object GraftTvfRewrite {
     out = ProfileRe.replaceAllIn(out, m =>
       // whole-relation (multi-distinct agg): batch only (table() guard)
       view(graft.operators.TableProfile.profile(table(m.group(1)))))
+    out = BpeRe.replaceAllIn(out, m => {
+      // whole-relation iterative trainer — batch only (table() guard)
+      val rounds = Option(m.group(3)).map(_.toInt)
+        .getOrElse(graft.queries.TextAnalysis.BpeRounds)
+      view(graft.queries.TextAnalysis.bpeMerges(
+        table(m.group(1)), c2(m, 2), rounds))
+    })
     out = PageRankRe.replaceAllIn(out, m => {
       // whole-relation power iteration — batch only (table() guard)
       val iters = Option(m.group(4)).map(_.toInt).getOrElse(3)
@@ -632,7 +644,8 @@ object GraftTvfRewrite {
           "TABLE(DEDUP_JACCARD_CROSS(TABLE incoming, TABLE corpus, " +
           "DESCRIPTOR(id), DESCRIPTOR(text)[, thetaNum, thetaDen])), " +
           "TABLE(HEAVY_HITTERS(TABLE t, DESCRIPTOR(key), k[, capacity])), " +
-          "TABLE(PROFILE(TABLE t)) " +
+          "TABLE(PROFILE(TABLE t)), " +
+          "TABLE(TEXT_BPE_MERGES(TABLE t, DESCRIPTOR(text)[, rounds])) " +
           "or TABLE(CONNECTED_COMPONENTS(TABLE edges, DESCRIPTOR(a), " +
           "DESCRIPTOR(b)))")
     }

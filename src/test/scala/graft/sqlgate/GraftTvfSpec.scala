@@ -221,6 +221,13 @@ class GraftTvfSpec extends SparkSpec {
     assert(e.getMessage.contains("malformed graft TVF"))
     GraftTvfRewrite.validateOnly(
       "SELECT * FROM TABLE(PROFILE(TABLE t))")
+    GraftTvfRewrite.validateOnly(
+      "SELECT * FROM TABLE(TEXT_BPE_MERGES(TABLE t, DESCRIPTOR(text)))")
+    GraftTvfRewrite.validateOnly(
+      "SELECT * FROM TABLE(TEXT_BPE_MERGES(TABLE t, DESCRIPTOR(text), 6))")
+    GraftTvfRewrite.validateOnly(
+      """SELECT * FROM TABLE(DEDUP_JACCARD_CROSS(TABLE a, TABLE b,
+        |DESCRIPTOR(id), DESCRIPTOR(text)))""".stripMargin)
   }
 
   test("PROFILE TVF handles exotic column types without crashing") {
