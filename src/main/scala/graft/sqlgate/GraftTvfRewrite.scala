@@ -126,6 +126,33 @@ import org.apache.spark.sql.SparkSession
   *     DESCRIPTOR(b)))` → `(node, cluster, is_keeper)`: undirected
   *     connected components by min-label propagation —
   *     [[graft.queries.Dedup.connectedComponents]].
+  *   - `TABLE(DEDUP_JACCARD_PAIRS(TABLE t, DESCRIPTOR(id),
+  *     DESCRIPTOR(text)[, <thetaNum>, <thetaDen>]))` → `(ida, idb,
+  *     jacc)`: EXACT threshold Jaccard self-join over distinct 3-word
+  *     shingles via prefix filtering (theta default 3/5) —
+  *     [[graft.queries.Dedup.jaccardJoin]]. Whole-relation (global
+  *     token-frequency order): streaming rejected loudly.
+  *   - `TABLE(DEDUP_JACCARD_CROSS(TABLE incoming, TABLE corpus,
+  *     DESCRIPTOR(id), DESCRIPTOR(text)[, <thetaNum>, <thetaDen>]))`
+  *     → `(ida, idb, jacc)`: exact cross-corpus threshold Jaccard —
+  *     [[graft.queries.Dedup.jaccardJoinCross]]. The incoming side may
+  *     STREAM (frozen corpus prefix index, stateless row-local pair
+  *     dedup — [[graft.queries.Dedup.jaccardJoinCrossStream]]); the
+  *     corpus must be bounded either way.
+  *   - `TABLE(HEAVY_HITTERS(TABLE t, DESCRIPTOR(key), <k>
+  *     [, <capacity>]))` → `(key, cnt)`: the k exactly-heaviest keys —
+  *     bounded-state Misra-Gries candidate nomination, exact
+  *     candidate-only count, provable-exactness check with an honest
+  *     full fallback — [[graft.operators.HeavyHitters.exactTopK]].
+  *     Whole-relation: streaming rejected loudly (the library's
+  *     q_stream_heavy covers the streaming sketch route).
+  *   - `TABLE(PROFILE(TABLE t))` → `(col, n_rows, n_notnull, ndv,
+  *     min_s, max_s)`: schema-driven one-scan ANALYZE —
+  *     [[graft.operators.TableProfile.profile]]. Whole-relation.
+  *   - `TABLE(TEXT_BPE_MERGES(TABLE t, DESCRIPTOR(text)[, <rounds>]))`
+  *     → `(round, a, b, freq)`: BPE-style pair-merge trainer (default
+  *     4 rounds) — [[graft.queries.TextAnalysis.bpeMerges]].
+  *     Whole-relation iterative loop: streaming rejected loudly.
   *
   * Same execution shape as [[MatchRecognizeRewrite]]: the operator runs
   * over `spark.table(src)`, the result registers as a tracked temp view
