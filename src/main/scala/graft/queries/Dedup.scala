@@ -1133,6 +1133,42 @@ object Dedup extends QueryPack {
         .withColumn("dup_ratio", $"n_dup".cast("double") / $"n_grams")
     }),
 
+    // ExactSubstr REMOVAL — the materialization step of Lee et al.
+    // 2021's span-level dedup (q_dedup_substr measures it; this applies
+    // it): drop every word position covered by any 10-gram whose hash
+    // occurs in >= 2 distinct documents, reconstruct the surviving
+    // text, and report per-doc kept/removed counts plus an md5 of the
+    // cleaned text (compact, still hash-comparable). Scale: one
+    // gram-hash shuffle (map-side combined countDistinct), one
+    // doc-keyed start-list agg, then a NARROW per-row rewrite — the
+    // in-row removal is O(words × duplicated spans in that doc), which
+    // is the per-doc output size, not a corpus term.
+    "q_dedup_substr_apply" -> ((s, dir) => {
+      import s.implicits._
+      Vec.ensureRegistered(s)
+      val docs = Tables.load(s, dir, "documents")
+        .select($"doc_id", words($"text").as("w"))
+      val grams = docs.filter(size($"w") >= 10)
+        .select($"doc_id", posexplode(shingles($"w", 10)))
+        .select($"doc_id", $"pos", tokenHash($"col").as("h"))
+      val dup = grams.groupBy($"h")
+        .agg(countDistinct($"doc_id").as("nd"))
+        .filter($"nd" >= 2).select($"h")
+      val starts = grams.join(dup, "h")
+        .groupBy($"doc_id").agg(collect_list($"pos").as("starts"))
+      val joined = docs.join(starts, Seq("doc_id"), "left")
+        .withColumn("st", coalesce($"starts", array().cast("array<int>")))
+      val idx = sequence(lit(0), size($"w") - 1)
+      val keep = filter(idx, p => !exists($"st", st => p >= st && p <= st + 9))
+      val cleanW = transform(keep, p => element_at($"w", p + 1))
+      joined
+        .withColumn("cw", cleanW)
+        .select($"doc_id",
+          size($"cw").cast("long").as("n_kept"),
+          (size($"w") - size($"cw")).cast("long").as("n_removed"),
+          md5(array_join($"cw", " ")).as("clean_md5"))
+    }),
+
     // Embedding-cosine near-dup pairs via integer-quantized vectors.
     // EXPLICITLY BOUNDED probe side (like q_dedup_ngram's doc_id guard):
     // probe rows × corpus is linear in corpus size, not quadratic — the
@@ -1619,6 +1655,32 @@ object Dedup extends QueryPack {
          |    / COUNT(*) AS dup_ratio
          |FROM h JOIN nd USING (h)
          |GROUP BY doc_id""".stripMargin,
+
+    // removal mirror: positions carried explicitly (1-based here,
+    // 0-based on the Spark side — coverage sets are identical), same
+    // 60-bit gram hash, same md5 of the space-rejoined survivor text
+    "q_dedup_substr_apply" -> {
+      val terms = (0 until 10).map(k => s"w.w[i+$k]").mkString("||' '||")
+      s"""WITH w AS (SELECT doc_id, regexp_split_to_array(text,' ') AS w
+         |  FROM documents),
+         |g0 AS (SELECT w.doc_id, i, ($terms) AS gram
+         |  FROM w, unnest(generate_series(1, len(w.w) - 9)) AS t(i)
+         |  WHERE len(w.w) >= 10),
+         |g AS (SELECT doc_id, i, ${oTokenHash("gram")} AS h FROM g0),
+         |dup AS (SELECT h FROM g GROUP BY h
+         |  HAVING COUNT(DISTINCT doc_id) >= 2),
+         |st AS (SELECT doc_id, list(i) AS starts
+         |  FROM g JOIN dup USING (h) GROUP BY doc_id),
+         |cl AS (SELECT w.doc_id, len(w.w) AS n_words,
+         |    [w.w[p] for p in generate_series(1, len(w.w))
+         |      if len(list_filter(coalesce(st.starts, []),
+         |        s -> p >= s AND p <= s + 9)) = 0] AS cw
+         |  FROM w LEFT JOIN st ON w.doc_id = st.doc_id)
+         |SELECT doc_id, CAST(len(cw) AS BIGINT) AS n_kept,
+         |  CAST(n_words - len(cw) AS BIGINT) AS n_removed,
+         |  md5(coalesce(array_to_string(cw, ' '), '')) AS clean_md5
+         |FROM cl""".stripMargin
+    },
 
     "q_dedup_embed" ->
       s"""WITH q AS (SELECT vec_id, $oQuant AS qe FROM embeddings),
