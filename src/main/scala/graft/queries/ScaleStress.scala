@@ -180,6 +180,17 @@ object ScaleStress {
         .map { case (k, v) => ("pairs", v) }),
       "cluster_cc" -> (() => countOf("q_dedup_cluster")),
       "substr_grams" -> (() => materialize("q_dedup_substr")),
+      // r16: the removal step on top of the same gram-hash shuffle —
+      // the extra cost over substr_grams is the doc-keyed start lists
+      // + the narrow in-row rewrite, so the cell must track
+      // substr_grams, not outgrow it
+      "substr_apply" -> (() => {
+        val out = graft.SparkEntry.queries("q_dedup_substr_apply")(
+          spark, sfDir)
+        import org.apache.spark.sql.functions.{sum => fsum}
+        val r = out.agg(fsum("n_removed")).head()
+        Map("removed_words" -> r.getLong(0))
+      }),
       "exact_dedup" -> (() => materialize("q_dedup_exact")),
       "lm_score" -> (() => materialize("q_text_lm_score")),
       // r14: BM25 top-k retrieval — FIXED 200 queries against the
