@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -69,8 +71,24 @@ object HeavyHitters {
       .orderBy(desc("cnt"), asc("key")).limit(k)
     if (candidates.isEmpty) return topK(df.limit(0))
     // pass 2: exact counts over candidate keys only — map-side hash
-    // tables bounded at `capacity` entries, shuffle of ≤ capacity rows
-    val exact = topK(df.where(keyCol.isin(candidates: _*)))
+    // tables bounded at `capacity` entries, shuffle of ≤ capacity rows.
+    // Small candidate sets go through an In-list (codegen'd, pushable
+    // into the scan); large ones (the TVF accepts capacity up to 2^20)
+    // through a broadcast semi-join instead — a ~1M-literal In
+    // expression stalls Catalyst planning on the driver.
+    val filtered =
+      if (candidates.size <= 1024) df.where(keyCol.isin(candidates: _*))
+      else {
+        val s = df.sparkSession
+        val keyType = df.schema(df.schema.fieldIndex(key)).dataType
+        val cands = s.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            candidates.map(org.apache.spark.sql.Row(_)).asJava),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("__hh_key", keyType))))
+        df.join(broadcast(cands), keyCol === col("__hh_key"), "left_semi")
+      }
+    val exact = topK(filtered)
     val rows = exact.collect()
     // dropped == 0: the summary never shed mass, so candidates are ALL
     // keys and the exact pass is trivially complete. Otherwise the k-th

@@ -110,20 +110,43 @@ object TextAnalysis extends QueryPack {
       .cache()
     val merges =
       scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
-    for (r <- 1 to rounds) {
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
       val toks = filter(split($"s", BpeSep), x => x =!= "")
-      val top = cur
+      // headOption, not head: a corpus of single-word docs (or more
+      // requested rounds than realizable merges) has NO adjacent pair
+      // left — stop cleanly with the merges learned so far. The oracle
+      // mirrors this for free: its round-r argmax CTE is empty, so the
+      // UNION ALL arm for round r (and, via the NULL-poisoned rewrite,
+      // every later round) contributes zero rows.
+      val topOpt = cur
         .select(explode(wordNgrams(toks, 2)).as("p"))
         .groupBy($"p").agg(count(lit(1)).as("c"))
-        .orderBy($"c".desc, $"p").limit(1).head()
-      val Array(a, b) = top.getString(0).split(" ", 2)
-      merges += ((r, a, b, top.getLong(1)))
-      val next = cur.select(
-        replace($"s", lit(a + BpeSep + b), lit(a + BpeGlue + b)).as("s"))
-        .cache()
-      next.count() // materialize before releasing the parent round
-      cur.unpersist(blocking = false)
-      cur = next
+        .orderBy($"c".desc, $"p").limit(1).collect().headOption
+      topOpt match {
+        case None => exhausted = true
+        case Some(top) =>
+          val Array(a, b) = top.getString(0).split(" ", 2)
+          merges += ((r, a, b, top.getLong(1)))
+          // The merge rewrite is anchored on BOTH sides with one
+          // sentinel char (the reason BpeSep is a DOUBLED sentinel):
+          // the pattern ·a··b· can only match
+          // a and b as WHOLE symbols, never a symbol whose suffix is a
+          // (e.g. 'xa' when merging ('a','b')) or whose prefix extends
+          // b — an unanchored replace corrupted exactly those corpora.
+          // The consumed boundary chars are restored in the
+          // replacement, so symbol delimiters stay doubled.
+          val anchor = BpeSep.substring(0, 1)
+          val next = cur.select(
+            replace($"s", lit(anchor + a + BpeSep + b + anchor),
+              lit(anchor + a + BpeGlue + b + anchor)).as("s"))
+            .cache()
+          next.count() // materialize before releasing the parent round
+          cur.unpersist(blocking = false)
+          cur = next
+          r += 1
+      }
     }
     cur.unpersist(blocking = false)
     merges.toSeq.toDF("round", "a", "b", "freq")
@@ -146,8 +169,9 @@ object TextAnalysis extends QueryPack {
     // (count adjacent symbol pairs corpus-wide) → (argmax with
     // deterministic count-desc/pair-asc tie-break) → (merge every
     // non-overlapping left-to-right occurrence corpus-wide). The merge
-    // rewrite is a plain string replace over a sentinel-delimited
-    // symbol string — replace()'s left-to-right non-overlapping
+    // rewrite is a plain string replace over a DOUBLE-sentinel-delimited
+    // symbol string, anchored one sentinel char each side so only WHOLE
+    // symbols match — replace()'s left-to-right non-overlapping
     // semantics are exactly BPE's greedy merge, and are identical in
     // Spark (UTF8String.replace) and DuckDB, so the oracle replays the
     // whole training loop bit-for-bit. Output: the learned merge table.
@@ -401,7 +425,8 @@ object TextAnalysis extends QueryPack {
   /** DuckDB replay of the BPE trainer: the K rounds unroll into K CTE
     * stages, each recomputing the pair argmax (count desc, pair asc)
     * from the previous stage's rewritten corpus and applying the same
-    * left-to-right non-overlapping replace. chr(1)/chr(2) mirror
+    * boundary-anchored left-to-right non-overlapping replace (one
+    * chr(1) each side, exactly as the trainer). chr(1)/chr(2) mirror
     * [[BpeSep]]/[[BpeGlue]].
     */
   private lazy val oBpeSql: String = {
@@ -423,8 +448,9 @@ object TextAnalysis extends QueryPack {
          |    GROUP BY p)
          |  ORDER BY c DESC, p LIMIT 1),
          |d$r AS (SELECT replace(s,
-         |    ${part(1)} || $S || ${part(2)},
-         |    ${part(1)} || chr(2) || ${part(2)}) AS s FROM d${r - 1})"""
+         |    chr(1) || ${part(1)} || $S || ${part(2)} || chr(1),
+         |    chr(1) || ${part(1)} || chr(2) || ${part(2)} || chr(1)) AS s
+         |  FROM d${r - 1})"""
         .stripMargin
     }
     sb ++= (1 to BpeRounds).map { r =>

@@ -122,6 +122,32 @@ class HeavyHittersSpec extends SparkSpec {
     }
   }
 
+  test("large candidate sets route through the broadcast semi-join, " +
+    "not a planner-stalling In-list") {
+    import spark.implicits._
+    // > 1024 candidates forces the join path; the answer must still be
+    // the exact top-k (the summary here nominates EVERY key, dropped=0)
+    val data = Seq.tabulate(6000)(i => (i % 1500).toLong) ++
+      Seq.fill(50)(3L) ++ Seq.fill(30)(7L)
+    val df = data.toDF("k").repartition(8)
+    val cands: Seq[Any] = (0L until 1500L)
+    val got = HeavyHitters.exactTopKFromSummary(df, "k", 4, cands, 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val want = df.groupBy($"k").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"k").limit(4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want)
+    // string keys take the same path (type-generic candidate frame)
+    val sdf = (data.map(v => s"k$v") ++ Seq("z", "z", "z")).toDF("k")
+    val sGot = HeavyHitters.exactTopKFromSummary(
+      sdf, "k", 3, (0L until 1500L).map(v => s"k$v") :+ "z", 0L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val sWant = sdf.groupBy($"k").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"k").limit(3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(sGot == sWant)
+  }
+
   test("exactTopK is partition-invariant and handles tiny inputs") {
     import spark.implicits._
     val df1 = Seq(1L, 1L, 2L).toDF("k")

@@ -66,6 +66,35 @@ class BpeTrainerSpec extends SparkSpec {
       reference(Seq("x y z x y z x y z"), 3))
   }
 
+  test("merge rewrite is anchored to symbol boundaries") {
+    // suffix overlap: vocab 'a'/'xa' — an unanchored replace of
+    // (a, b) would also corrupt 'xa b' into a bogus symbol, shifting
+    // later rounds' counts and argmaxes
+    val suffix = Seq.fill(30)("a b").++(Seq.fill(20)("xa b")) ++
+      Seq.fill(5)("xa b a b")
+    assert(trained(suffix, 3) == reference(suffix, 3))
+    // prefix overlap on the right symbol: vocab 'c'/'cy'
+    val prefix = Seq.fill(30)("b c") ++ Seq.fill(20)("b cy") ++
+      Seq.fill(5)("b c b cy")
+    assert(trained(prefix, 3) == reference(prefix, 3))
+    // merged-symbol suffix: after round 1 merges ('a','b'), the symbol
+    // 'a·b' must not be corrupted when a later round merges ('b','c')
+    // — the ADVICE simulation corpus (50×'a b' + 40×'b c' + 10×'a b c')
+    val merged = Seq.fill(50)("a b") ++ Seq.fill(40)("b c") ++
+      Seq.fill(10)("a b c")
+    assert(trained(merged, 3) == reference(merged, 3))
+  }
+
+  test("trainer stops cleanly when no adjacent pair remains") {
+    // single-word docs: zero pairs from round 1 — empty merge table,
+    // not a NoSuchElementException
+    assert(trained(Seq("alpha", "beta", "alpha"), 3) == Seq())
+    // pairs exhaust mid-loop: 'a b' merges once, then every doc is a
+    // single symbol — rounds 2..4 must return the round-1 table only
+    val d = Seq.fill(8)("a b")
+    assert(trained(d, 4) == reference(d, 1))
+  }
+
   test("trainer matches the reference on seeded random corpora") {
     val rnd = new Random(17)
     for (trial <- 1 to 5) {
@@ -82,8 +111,11 @@ class BpeTrainerSpec extends SparkSpec {
 
   test("trainer is partition-invariant") {
     import spark.implicits._
+    // one Random OUTSIDE the fills so docs actually vary — a per-token
+    // new Random(7) made every token identical and the test trivial
+    val rnd = new Random(7)
     val docs = Seq.fill(200)(
-      Seq.fill(10)(s"t${(new Random(7)).nextInt(4)}").mkString(" "))
+      Seq.fill(10)(s"t${rnd.nextInt(4)}").mkString(" "))
     val a = TextAnalysis.bpeMerges(
       docs.toDF("text").repartition(1), "text", 3).collect().toSeq
     val b = TextAnalysis.bpeMerges(
