@@ -27,6 +27,16 @@ import scala.collection.immutable.ListMap
   * in a "reruns" JSON field so the artifact shows what was re-measured.
   * A REAL regression still reports slow — re-running cannot make a
   * genuinely slower query fast, it only removes host-contention spikes.
+  *
+  * Calm-window commit gate: when a double sweep leaves ≥ 10 queries
+  * over 1.5× their historical min, the whole MEASUREMENT is hot (r16's
+  * committed artifact: 167/210 rerun-flagged, three headline queries
+  * over 2×, all healed in the next clean pass) — per-query healing
+  * cannot fix that shape, so the suite backs off and re-sweeps, up to
+  * 3 retries with growing pauses, merging mins. If every attempt stays
+  * hot, the artifact is emitted with `"hot_window":true`, the
+  * steady-state reference file is NOT updated, and the process exits
+  * nonzero — a hot measurement is never blessed as calm.
   */
 object Bench {
 
@@ -96,17 +106,61 @@ object Bench {
         graft.sqlgate.ScriptRunner.closeAllRunners() // leaked-dim sweep
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }.toMap
-    val sweepA = timedSweep(ordered.keys)
-    val sweepB = timedSweep(ordered.keys)
-    val firstPass = ordered.map { case (name, _) =>
-      val (a, b) = (sweepA(name), sweepB(name))
-      name -> (if (a >= 0 && b >= 0) math.min(a, b) else -1.0)
+    val priors = readPriors(sfDir)
+    // CALM-WINDOW GATE (r15/r16 adjudication: three consecutive rounds
+    // shipped hot-host artifacts — r16's had 167/210 rerun-flagged
+    // queries and three headline reads over 2× that all healed in the
+    // next clean pass). When the two initial sweeps land in a hot
+    // window, per-query healing can't fix the artifact's shape: dozens
+    // of reruns ARE the hot-window label. So the gate acts at the
+    // MEASUREMENT level: if ≥ 10 queries read > 1.5× their historical
+    // min after a double sweep, discard nothing but back off and sweep
+    // the whole suite again (mins merged across attempts — more
+    // decorrelated samples can only sharpen a min), up to 3 retries.
+    // A suite-wide REAL regression still reports slow: retries cannot
+    // make genuinely slower queries fast, the gate just refuses to
+    // bless a window the measurement itself labels hot. If every
+    // attempt is hot, the artifact is emitted with "hot_window":true
+    // and a nonzero exit so the round driver never records it as calm.
+    def hotCount(times: Map[String, Double]): Int =
+      times.count { case (name, t) =>
+        val prior = priors.getOrElse(name, -1.0)
+        t >= 0 && prior > 0 && t > prior * 1.5
+      }
+    var mins = Map.empty[String, Double]
+    var attempts = 0
+    var calm = false
+    val MaxAttempts = 4
+    while (attempts < MaxAttempts && !calm) {
+      if (attempts > 0) {
+        val backoffSec = 45L * attempts
+        System.err.println(s"[bench] hot window (${hotCount(mins)} queries " +
+          s"> 1.5x prior) — backing off ${backoffSec}s before re-sweep " +
+          s"${attempts + 1}/$MaxAttempts")
+        Thread.sleep(backoffSec * 1000)
+      }
+      val sweepA = timedSweep(ordered.keys)
+      val sweepB = timedSweep(ordered.keys)
+      val pair = ordered.map { case (name, _) =>
+        val (a, b) = (sweepA(name), sweepB(name))
+        name -> (if (a >= 0 && b >= 0) math.min(a, b) else -1.0)
+      }.toMap
+      mins = pair.map { case (name, t) =>
+        val prev = mins.getOrElse(name, Double.MaxValue)
+        name -> (if (t < 0 || prev == Double.MaxValue) t
+        else if (prev < 0) t
+        else math.min(prev, t))
+      }
+      attempts += 1
+      calm = hotCount(mins) < 10
     }
+    val hotWindow = !calm
+    val firstPass = ordered.map { case (name, _) => name -> mins(name) }
     // self-healing: queries still >1.5× their historical min get up to
     // two more SWEEPS (again spread out, not back-to-back retries of one
     // query); keep the MIN. A real regression still reports slow — extra
-    // samples cannot make a genuinely slower query fast.
-    val priors = readPriors(sfDir)
+    // samples cannot make a genuinely slower query fast. With the calm
+    // gate above this pass touches < 10 queries by construction.
     val reruns = scala.collection.mutable.LinkedHashMap[String, Int]()
     var healed: Map[String, Double] = firstPass.toMap
     def flagged: Seq[String] = firstPass.keys.toSeq.filter { name =>
@@ -139,7 +193,7 @@ object Bench {
     // Full-detail line first (all queries, full precision) for humans and
     // post-hoc analysis...
     val detail =
-      s"""{"metric":"detail","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"reruns":$rr,"n_failed":${errors.size},"sf":"$sfDir"}"""
+      s"""{"metric":"detail","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"reruns":$rr,"n_failed":${errors.size},"attempts":$attempts,"hot_window":$hotWindow,"sf":"$sfDir"}"""
     println(detail)
     // ...persisted to a file too: the driver's 2 KB stdout-tail truncates
     // the detail line, and the judge needed a full re-run last round just
@@ -166,10 +220,14 @@ object Bench {
       // headline total omits the failed queries, so it reads as a bogus
       // speedup next to a clean run (and the self-healing priors would
       // lose their reference times). Park it in a sibling file instead.
+      // ...and a HOT-WINDOW run must not decay the steady-state
+      // reference either: its uniformly-inflated times would drag every
+      // prior upward and weaken the very gate that flagged it.
       val p = java.nio.file.Paths.get(
-        if (errors.isEmpty) "dev/bench_full.json"
+        if (errors.isEmpty && !hotWindow) "dev/bench_full.json"
+        else if (hotWindow) "dev/bench_full_hot.json"
         else "dev/bench_full_failed.json")
-      val fileLine = if (errors.isEmpty) {
+      val fileLine = if (errors.isEmpty && !hotWindow) {
         val merged = results.map { case (k, v) =>
           val prior = priors.getOrElse(k, -1.0)
           k -> (if (v >= 0 && prior > 0)
@@ -211,8 +269,11 @@ object Bench {
       else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val hs = headline.flatMap(k => results.get(k).map(v => JsonUtil.str(k) + ":" + r3(v)))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$hs,"n_queries":${results.size},"n_failed":${errors.size},"n_rerun":${reruns.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$hs,"n_queries":${results.size},"n_failed":${errors.size},"n_rerun":${reruns.size},"attempts":$attempts,"hot_window":$hotWindow,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(3)
+    // refuse to bless a hot window: the artifact above self-labels, and
+    // the nonzero rc tells the driver this is not a calm measurement
+    if (hotWindow) sys.exit(4)
   }
 }

@@ -73,6 +73,77 @@ object MediaFixture {
     ids.mapPartitions(_.map(id => (id, encode(id)))).toDF("id", "media")
   }
 
+  // ---- perceptual-hash fixture (planted near-duplicates) ------------------
+  // Byte-digest dedup misses a re-encoded or resized duplicate; this
+  // corpus plants exactly those shapes so the dHash pair oracle can
+  // replay them closed-form. Every id derives a CONTENT id (cid) and a
+  // variant kind from id % 5 (mirrored token-for-token by the
+  // q_media_phash_pairs oracle):
+  //   - kind 0/4: base — content(cid = id) encoded as PNG
+  //   - kind 1:   re-encode — content(cid = id − 1), SAME pixels, BMP
+  //     (the PNG↔BMP re-encoded duplicate: identical dHash)
+  //   - kind 2:   upscale — content(cid = id − 2) pixel-doubled to
+  //     2w×2h, PNG (the resized duplicate: nearest-neighbor 9×8
+  //     sampling provably selects the same source pixels → identical
+  //     dHash; derivation in [[graft.queries.Multimodal]])
+  //   - kind 3:   perturb — content(cid = id − 3) with pixel 0 forced
+  //     white, PNG (a small edit: flips ≤ 2 dHash bits — only grid
+  //     cells that SAMPLE pixel 0 move, all in grid row 0)
+  //   so ids {5m, 5m+1, 5m+2, 5m+3} form a planted near-dup cluster of
+  //   content 5m; ids 5m+4 are singleton bases.
+  //   - content(cid): width = 8 + cid % 9, height = 8 + cid % 7, pixel
+  //     p (row-major): r = (cid + 3p) % 256, g = (2·cid + 5p) % 256,
+  //     b = (3·cid + 7p) % 256 — the [[encode]] closed form, reused
+  //   - corruption: id % 13 == 5 → payload truncated to 8 bytes
+  //     (undecodable: dropped from hashing, countable upstream)
+  // All variants are LOSSLESS formats, so the real decode → dHash path
+  // is bit-replayable by integer arithmetic on (cid, kind).
+
+  def phashKind(id: Long): Int = (id % 5).toInt
+  def phashContentId(id: Long): Long = phashKind(id) match {
+    case 1 => id - 1; case 2 => id - 2; case 3 => id - 3; case _ => id
+  }
+  def isPhashCorrupt(id: Long): Boolean = id % 13 == 5
+
+  /** One deterministic pHash-corpus payload; requires id >= 0. */
+  def encodePhash(id: Long): Array[Byte] = {
+    require(id >= 0, s"MediaFixture ids must be nonnegative, got $id")
+    val kind = phashKind(id)
+    val cid = phashContentId(id)
+    val w0 = widthFor(cid)
+    val h0 = heightFor(cid)
+    val scale = if (kind == 2) 2 else 1
+    val img = new BufferedImage(w0 * scale, h0 * scale,
+      BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h0 * scale) {
+      var x = 0
+      while (x < w0 * scale) {
+        val p = (y / scale) * w0 + (x / scale)
+        val rgb =
+          if (kind == 3 && p == 0) 0xffffff
+          else {
+            val r = ((cid + 3L * p) % 256).toInt
+            val g = ((2L * cid + 5L * p) % 256).toInt
+            val b = ((3L * cid + 7L * p) % 256).toInt
+            (r << 16) | (g << 8) | b
+          }
+        img.setRGB(x, y, rgb)
+        x += 1
+      }
+      y += 1
+    }
+    val bytes = MediaCodec.encode(img, if (kind == 1) "bmp" else "png")
+    if (isPhashCorrupt(id)) java.util.Arrays.copyOf(bytes, 8) else bytes
+  }
+
+  /** (id BIGINT, media BINARY) pHash-corpus fixture frame — narrow map. */
+  def phashTable(ids: Dataset[Long]): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.mapPartitions(_.map(id => (id, encodePhash(id)))).toDF("id", "media")
+  }
+
   // ---- audio fixture (WAV/PCM s16le) --------------------------------------
   // Closed form mirrored by the q_media_audio oracle:
   //   channels = 1 + id % 2, frames = 64 + id % 37, rate = 8000

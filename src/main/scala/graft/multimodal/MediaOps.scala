@@ -410,6 +410,73 @@ object MediaOps {
       }
   }
 
+  /** 64-bit difference hash (dHash) of a decoded image — the standard
+    * perceptual fingerprint for image near-dup detection: downscale to
+    * a 9×8 luma grid (nearest-neighbor — exact integer pixel selection,
+    * so the closed-form fixture oracle can replay it; a production
+    * box-filter variant would be a drop-in swap), then emit one bit per
+    * horizontally adjacent cell pair, set iff left > right. Robust by
+    * construction to exactly the transforms byte-digest dedup misses:
+    * re-encoding (PNG↔BMP: identical pixels → identical grid) and
+    * integer upscaling (nearest-neighbor sampling of a pixel-doubled
+    * image provably selects the same source pixels — see the oracle
+    * derivation in [[graft.queries.Multimodal]]).
+    *
+    * Bit layout (mirrored by the oracle): bit b = y·8 + x compares
+    * grid(x, y) > grid(x+1, y); bits 0–31 in `lo`, 32–63 in `hi`, each
+    * half a nonnegative Long in [0, 2^32) so the DuckDB mirror never
+    * touches the sign bit.
+    */
+  private[multimodal] def dhash9x8(
+      img: java.awt.image.BufferedImage): (Long, Long) = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val lum = new Array[Int](72)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 9) {
+        val rgb = img.getRGB(x * w / 9, y * h / 8)
+        lum(y * 9 + x) = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
+          + 114 * (rgb & 0xff)) / 1000
+        x += 1
+      }
+      y += 1
+    }
+    var lo = 0L; var hi = 0L
+    var b = 0
+    while (b < 64) {
+      val (yy, xx) = (b / 8, b % 8)
+      if (lum(yy * 9 + xx) > lum(yy * 9 + xx + 1)) {
+        if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+      }
+      b += 1
+    }
+    (hi, lo)
+  }
+
+  /** REAL decode → 64-bit dHash per image. Every DECODABLE payload is
+    * hashed (a perceptual hash needs robustness, not bit-exact pixels,
+    * so lossy formats hash too); undecodable rows are dropped — same
+    * contract as [[channelHistogram]]. Output: (id, hash_hi, hash_lo).
+    * A narrow map like every media operator.
+    */
+  def dhashFeatures(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    nonNullMedia(df).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val img = decode(bytes)
+          if (img == null) None
+          else {
+            val (hi, lo) = dhash9x8(img)
+            Some((id, hi, lo))
+          }
+        }
+      }.toDF("id", "hash_hi", "hash_lo")
+  }
+
   /** Byte-level chunk sampling: split an OPAQUE payload into k contiguous
     * chunks and emit per-chunk summaries — the pre-decode integrity scan
     * for containers with no registered codec ([[videoFrameFeatures]] is

@@ -550,6 +550,51 @@ object Dedup extends QueryPack {
       .filter(col("hamming") <= 3)
   }
 
+  /** Perceptual-hash near-duplicate pairs over a precomputed 64-bit
+    * dHash relation (id, hash_hi, hash_lo — the two 32-bit halves
+    * [[graft.multimodal.MediaOps.dhashFeatures]] emits): banded hamming
+    * blocking + exact verify, the dedup × multimodal composition
+    * byte-digest dedup can't express (a re-encoded or resized duplicate
+    * has a different digest but the same dHash).
+    *
+    * Blocking: 4 bands of 16 bits. hamming ≤ 3 over 64 bits means the
+    * differing bits touch at most 3 bands, so at least one band key
+    * collides (pigeonhole) — the blocking is LOSSLESS for
+    * maxHamming ≤ 3 and candidates get an exact bit_count verify, so
+    * output equals the brute-force all-pairs scan the oracle runs.
+    * Same shape as the SimHash chunk path ([[simhashVerifiedPairs]])
+    * with a fixed 64-bit signature; deliberately uncapped for the
+    * same losslessness reason. At 100 TB the band groupBy is the only
+    * exchange; the known skew risk is a mass-duplicated image (one
+    * hamming-0 cluster = one hot bucket) — AQE skew-split handles the
+    * join, and the downstream pair count is inherent to the data, not
+    * the plan. Output: (id_a, id_b, hamming), id_a < id_b.
+    */
+  def phashPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"phashPairs: maxHamming($maxHamming) must be in [0, 3] — 4 bands " +
+        "of 16 bits are pigeonhole-lossless only up to hamming 3")
+    val mask16 = lit(0xffffL)
+    val bands = hashes.select(col("id").as("doc_id"),
+      posexplode(array(
+        col("hash_lo").bitwiseAND(mask16),
+        shiftright(col("hash_lo"), 16).bitwiseAND(mask16),
+        col("hash_hi").bitwiseAND(mask16),
+        shiftright(col("hash_hi"), 16).bitwiseAND(mask16)))
+        .as(Seq("band", "bkey")))
+    val cand = bucketPairs(bands, Seq("band", "bkey"), None, "phash_buckets")
+    def side(tag: String) = hashes.select(col("id").as(s"id$tag"),
+      col("hash_hi").as(s"hi$tag"), col("hash_lo").as(s"lo$tag"))
+    cand
+      .join(side("a"), "ida")
+      .join(side("b"), "idb")
+      .select(col("ida").as("id_a"), col("idb").as("id_b"),
+        (bit_count(col("hia").bitwiseXOR(col("hib"))) +
+          bit_count(col("loa").bitwiseXOR(col("lob"))))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Connected components over undirected (ida, idb) pairs via min-label
     * propagation iterated to convergence — the "keep one doc per
     * duplicate cluster" operator. Each round is one shuffle join; rounds

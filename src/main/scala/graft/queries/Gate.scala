@@ -1964,6 +1964,72 @@ object Gate extends QueryPack {
       s.table("media_video_sink_out")
     }),
 
+    // ... the audio form: WAV/PCM payloads decoded by the stateless
+    // MEDIA_AUDIO TVF; shares q_media_audio's oracle verbatim.
+    "q_gate_media_audio_tvf" -> ((s, dir) => {
+      import s.implicits._
+      graft.multimodal.MediaFixture.audioTable(
+        graft.Tables.load(s, dir, "documents")
+          .select(org.apache.spark.sql.functions.col("doc_id")).as[Long])
+        .createOrReplaceTempView("media_wavs")
+      val runner = new ScriptRunner(s, batchMode = true)
+      runner.run(
+        s"""CREATE TABLE media_audio_sink (id BIGINT, fmt VARCHAR,
+           |  ok BOOLEAN, channels INT, rate INT, frames BIGINT,
+           |  ch0_sum BIGINT, ch1_sum BIGINT, peak BIGINT
+           |) WITH ('connector' = 'memory');
+           |INSERT INTO media_audio_sink
+           |SELECT id, fmt, ok, channels, rate, frames, ch0_sum,
+           |  ch1_sum, peak
+           |FROM TABLE(MEDIA_AUDIO(TABLE media_wavs, DESCRIPTOR(id),
+           |  DESCRIPTOR(media)));
+           |""".stripMargin)
+      s.table("media_audio_sink_out")
+    }),
+
+    // ... the resize form: decode + nearest-neighbor ÷2 downscale via
+    // MEDIA_RESIZE; shares q_media_resize's oracle verbatim.
+    "q_gate_media_resize_tvf" -> ((s, dir) => {
+      import s.implicits._
+      graft.multimodal.MediaFixture.mediaTable(
+        graft.Tables.load(s, dir, "documents")
+          .select(org.apache.spark.sql.functions.col("doc_id")).as[Long])
+        .createOrReplaceTempView("media_resize_imgs")
+      val runner = new ScriptRunner(s, batchMode = true)
+      runner.run(
+        s"""CREATE TABLE media_resize_sink (id BIGINT, width INT,
+           |  height INT, r_sum BIGINT, g_sum BIGINT, b_sum BIGINT
+           |) WITH ('connector' = 'memory');
+           |INSERT INTO media_resize_sink
+           |SELECT id, width, height, r_sum, g_sum, b_sum
+           |FROM TABLE(MEDIA_RESIZE(TABLE media_resize_imgs,
+           |  DESCRIPTOR(id), DESCRIPTOR(media), 2));
+           |""".stripMargin)
+      s.table("media_resize_sink_out")
+    }),
+
+    // Perceptual near-dup image pairs through the statement layer: the
+    // planted-duplicate pHash corpus scored by DEDUP_PHASH_PAIRS
+    // (decode → dHash → banded hamming blocking + exact verify);
+    // shares q_media_phash_pairs' oracle verbatim.
+    "q_gate_phash_tvf" -> ((s, dir) => {
+      import s.implicits._
+      graft.multimodal.MediaFixture.phashTable(
+        graft.Tables.load(s, dir, "documents")
+          .select(org.apache.spark.sql.functions.col("doc_id")).as[Long])
+        .createOrReplaceTempView("media_phash_imgs")
+      val runner = new ScriptRunner(s, batchMode = true)
+      runner.run(
+        s"""CREATE TABLE phash_sink (id_a BIGINT, id_b BIGINT,
+           |  hamming BIGINT) WITH ('connector' = 'memory');
+           |INSERT INTO phash_sink
+           |SELECT id_a, id_b, hamming
+           |FROM TABLE(DEDUP_PHASH_PAIRS(TABLE media_phash_imgs,
+           |  DESCRIPTOR(id), DESCRIPTOR(media), 3));
+           |""".stripMargin)
+      s.table("phash_sink_out")
+    }),
+
     // TF-IDF keyword extraction through the gate — shares the library
     // query's oracle (k=3, the default).
     "q_gate_keywords_tvf" -> ((s, dir) => {
@@ -2336,6 +2402,9 @@ object Gate extends QueryPack {
     // the library oracles verbatim (same fixture, same decode)
     "q_gate_media_tvf" -> Multimodal.oracleSql("q_media_features"),
     "q_gate_media_video_tvf" -> Multimodal.oracleSql("q_media_video"),
+    "q_gate_media_audio_tvf" -> Multimodal.oracleSql("q_media_audio"),
+    "q_gate_media_resize_tvf" -> Multimodal.oracleSql("q_media_resize"),
+    "q_gate_phash_tvf" -> Multimodal.oracleSql("q_media_phash_pairs"),
 
     // embedding cleanup through the statement layer: same fit, same SQL
     "q_gate_abtt_tvf" -> Similarity.oracleSql("q_embed_abtt"),

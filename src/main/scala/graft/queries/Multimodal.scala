@@ -60,6 +60,21 @@ object Multimodal extends QueryPack {
         .toDF()
     }),
 
+    // perceptual-hash near-dup pairs: REAL decode → 9×8 luma dHash →
+    // banded hamming blocking + exact verify, over a corpus with
+    // PLANTED re-encoded (PNG↔BMP), pixel-doubled (resized), and
+    // one-pixel-perturbed duplicates — the pairs byte-digest dedup
+    // (q_media_payload) structurally misses. Hamming ≤ 3; blocking is
+    // pigeonhole-lossless at that radius, so the output equals the
+    // brute-force all-pairs scan the oracle runs.
+    "q_media_phash_pairs" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.phashPairs(
+        MediaOps.dhashFeatures(MediaFixture.phashTable(
+          Tables.load(s, dir, "documents").select(col("doc_id")).as[Long])),
+        maxHamming = 3)
+    }),
+
     // payload-level features (no decode): the exact-dedup / integrity side
     "q_media_payload" -> ((s, dir) =>
       MediaOps.payloadFeatures(byteDF(s, dir)).toDF()),
@@ -181,6 +196,57 @@ object Multimodal extends QueryPack {
         |         ELSE list_max(list_transform(c0, x -> abs(x))) END
         |         AS BIGINT) END AS peak
         |FROM s""".stripMargin,
+
+    // pHash fixture closed form (see MediaFixture): kind = id % 5
+    // (0/4 base PNG, 1 BMP re-encode of cid=id−1, 2 pixel-doubled
+    // upscale of cid=id−2, 3 perturb of cid=id−3 with pixel 0 white);
+    // every-13th payload truncated (excluded — it never decodes).
+    // The 9×8 nearest-neighbor grid of EVERY kind reduces to the BASE
+    // content grid: re-encode has identical pixels; the upscale
+    // samples pixel (⌊x·2w⁄9⌋, ⌊y·2h⁄8⌋) of the doubled image, i.e.
+    // content pixel (⌊⌊x·2w⁄9⌋/2⌋, ⌊⌊y·2h⁄8⌋/2⌋) = (⌊x·w⁄9⌋, ⌊y·h⁄8⌋)
+    // — write x·w = 9m + r (r ≤ 8): ⌊2x·w⁄9⌋ = 2m + ⌊2r⁄9⌋ ∈
+    // {2m, 2m+1}, halved = m; the y direction is nested floor
+    // division. The perturb kind overrides exactly the grid cells
+    // whose sampled content pixel is 0. Luma, bit layout (bit b =
+    // y·8+x set iff grid(x,y) > grid(x+1,y); bits 0–31 lo, 32–63 hi)
+    // and the hamming verify mirror MediaOps.dhash9x8 / Dedup
+    // .phashPairs; the blocking there is lossless at hamming ≤ 3, so
+    // the brute-force all-pairs join here IS the expected output.
+    "q_media_phash_pairs" ->
+      """WITH p AS (SELECT doc_id AS id,
+        |    CAST(doc_id % 5 AS BIGINT) AS kind,
+        |    doc_id - (CASE WHEN doc_id % 5 IN (1, 2, 3)
+        |              THEN doc_id % 5 ELSE 0 END) AS cid
+        |  FROM documents WHERE doc_id % 13 <> 5),
+        |d AS (SELECT id, kind, cid,
+        |    8 + cid % 9 AS w0, 8 + cid % 7 AS h0 FROM p),
+        |g AS (SELECT id, list_transform(
+        |    [((i // 9) * h0 // 8) * w0 + ((i % 9) * w0 // 9)
+        |      for i in generate_series(0, 71)],
+        |    q -> CASE WHEN kind = 3 AND q = 0 THEN 255
+        |      ELSE (299 * ((cid + 3 * q) % 256)
+        |          + 587 * ((2 * cid + 5 * q) % 256)
+        |          + 114 * ((3 * cid + 7 * q) % 256)) // 1000 END) AS lum
+        |  FROM d),
+        |h AS (SELECT id,
+        |    CAST(list_sum([CASE WHEN
+        |        lum[(b // 8) * 9 + (b % 8) + 1] >
+        |        lum[(b // 8) * 9 + (b % 8) + 2]
+        |      THEN (1::BIGINT << b) ELSE 0 END
+        |      for b in generate_series(0, 31)]) AS BIGINT) AS lo,
+        |    CAST(list_sum([CASE WHEN
+        |        lum[((b + 32) // 8) * 9 + ((b + 32) % 8) + 1] >
+        |        lum[((b + 32) // 8) * 9 + ((b + 32) % 8) + 2]
+        |      THEN (1::BIGINT << b) ELSE 0 END
+        |      for b in generate_series(0, 31)]) AS BIGINT) AS hi
+        |  FROM g)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+        |    AS BIGINT) AS hamming
+        |FROM h a JOIN h b ON a.id < b.id
+        |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3"""
+        .stripMargin,
 
     "q_media_payload" ->
       s"""SELECT doc_id AS id, length(text) AS n_bytes, md5(text) AS digest,

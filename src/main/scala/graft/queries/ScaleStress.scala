@@ -294,6 +294,23 @@ object ScaleStress {
           MediaOps.videoFrameFeatures(MediaFixture.videoTable(ids), k = 3)
         Map("frames_ok" -> frames.filter(_.ok).count())
       }),
+      // r17: perceptual-hash near-dup — decode + dHash is the narrow
+      // (CPU-bound) stage; the band groupBy is the ONLY exchange, keyed
+      // on 4×16-bit band values, and the planted clusters (4 near-dup
+      // images per 5 ids) keep verified-pair mass exactly corpus-linear.
+      // The decade claim: wall time tracks decode (linear), pairs track
+      // the plant rate, and no band bucket grows super-linearly (the
+      // 16-bit key space is fixed but content-hash-distributed; a skewed
+      // real corpus — mass-duplicated images — would show up here first).
+      "phash_pairs" -> (() => {
+        import graft.multimodal.{MediaFixture, MediaOps}
+        import spark.implicits._
+        val ids = graft.Tables.load(spark, sfDir, "documents")
+          .select(col("doc_id")).as[Long]
+        val pairs = Dedup.phashPairs(
+          MediaOps.dhashFeatures(MediaFixture.phashTable(ids)), 3)
+        Map("pairs" -> pairs.count())
+      }),
       // r15: all-but-the-top embedding cleanup — per round one corpus
       // pass + one 64-key shuffle, control-plane direction vector; the
       // residual pass is row-local. Decade metric should track the

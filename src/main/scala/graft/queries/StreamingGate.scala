@@ -300,6 +300,20 @@ object StreamingGate extends QueryPack {
         "stream_abtt_gate", mode = "append")
     }),
 
+    // Audio decode at INGEST — WAV/PCM feature extraction on arriving
+    // payloads, the same stateless narrow-map contract as
+    // q_stream_media; shares q_media_audio's oracle verbatim (same
+    // fixture, same REAL javax.sound decode) — stream == batch.
+    "q_stream_media_audio" -> ((s, dir) => {
+      import s.implicits._
+      val staged = stagedTableDir(dir, "documents")
+      val ids = s.readStream.schema(s.read.parquet(staged).schema)
+        .parquet(staged).select($"doc_id").as[Long]
+      runToTable(s,
+        MediaOps.audioFeatures(MediaFixture.audioTable(ids)).toDF(),
+        "stream_media_audio_gate", mode = "append")
+    }),
+
     // Video frame sampling at ingest — the GFV1 seek-and-decode path on
     // a stream, same stateless contract; shares q_media_video's oracle.
     "q_stream_media_video" -> ((s, dir) => {
@@ -372,6 +386,7 @@ object StreamingGate extends QueryPack {
     // shared verbatim with the batch pack: the streaming drain must
     // produce bit-identical decode output to the batch operator
     "q_stream_media" -> Multimodal.oracleSql("q_media_features"),
+    "q_stream_media_audio" -> Multimodal.oracleSql("q_media_audio"),
     "q_stream_media_video" -> Multimodal.oracleSql("q_media_video"),
     "q_stream_abtt" -> Similarity.oracleSql("q_embed_abtt"))
 }

@@ -71,6 +71,23 @@ import org.apache.spark.sql.SparkSession
   *     k uniform-stride frames seek-decoded per clip (default 3) —
   *     [[graft.multimodal.MediaOps.videoFrameFeatures]]. Stateless
   *     per-row like MEDIA_FEATURES.
+  *   - `TABLE(MEDIA_AUDIO(TABLE t, DESCRIPTOR(id), DESCRIPTOR(media)))`
+  *     → `(id, fmt, ok, channels, rate, frames, ch0_sum, ch1_sum,
+  *     peak)`: REAL WAV/PCM decode of a BINARY payload column —
+  *     [[graft.multimodal.MediaOps.audioFeatures]]. Stateless per-row
+  *     like MEDIA_FEATURES (streaming routes unchanged).
+  *   - `TABLE(MEDIA_RESIZE(TABLE t, DESCRIPTOR(id), DESCRIPTOR(media)
+  *     [, <factor>]))` → `(id, width, height, r_sum, g_sum, b_sum)`:
+  *     REAL decode + nearest-neighbor ÷factor downscale (default 2),
+  *     features of the RESIZED image —
+  *     [[graft.multimodal.MediaOps.resizeFeatures]]. Stateless per-row.
+  *   - `TABLE(DEDUP_PHASH_PAIRS(TABLE t, DESCRIPTOR(id),
+  *     DESCRIPTOR(media)[, <maxHamming>]))` → `(id_a, id_b, hamming)`:
+  *     perceptual near-duplicate image pairs — REAL decode → 64-bit
+  *     dHash ([[graft.multimodal.MediaOps.dhashFeatures]]) → banded
+  *     hamming blocking + exact verify (default radius 3, the
+  *     pigeonhole-lossless bound) — [[graft.queries.Dedup.phashPairs]].
+  *     Whole-relation self-join: streaming rejected loudly.
   *   - `TABLE(EMBED_ABTT(TABLE t, DESCRIPTOR(id), DESCRIPTOR(vec)
   *     [, <rounds>]))` → `(vec_id, proj, residual)`: all-but-the-top
   *     embedding cleanup (mean-center + dominant-direction removal,
@@ -188,7 +205,7 @@ import org.apache.spark.sql.SparkSession
 object GraftTvfRewrite {
 
   private val Keyword =
-    """(?i)\b(?:DEDUP_(?:EXACT|MINHASH_PAIRS|SIMHASH_PAIRS|CROSS_PAIRS|EMBED_PAIRS|JACCARD_PAIRS|JACCARD_CROSS)|ANN_TOPK(?:_LSH|_IVFPQ)?|TEXT_QUALITY|TEXT_SEARCH_BM25|TEXT_KEYWORDS|LANG_ID|PAGERANK|FUZZY_JOIN(?:_CROSS)?|CONNECTED_COMPONENTS|MEDIA_FEATURES|MEDIA_VIDEO_FRAMES|EMBED_ABTT|HEAVY_HITTERS|PROFILE|TEXT_BPE_MERGES)\s*\(""".r
+    """(?i)\b(?:DEDUP_(?:EXACT|MINHASH_PAIRS|SIMHASH_PAIRS|CROSS_PAIRS|EMBED_PAIRS|JACCARD_PAIRS|JACCARD_CROSS|PHASH_PAIRS)|ANN_TOPK(?:_LSH|_IVFPQ)?|TEXT_QUALITY|TEXT_SEARCH_BM25|TEXT_KEYWORDS|LANG_ID|PAGERANK|FUZZY_JOIN(?:_CROSS)?|CONNECTED_COMPONENTS|MEDIA_FEATURES|MEDIA_VIDEO_FRAMES|MEDIA_AUDIO|MEDIA_RESIZE|EMBED_ABTT|HEAVY_HITTERS|PROFILE|TEXT_BPE_MERGES)\s*\(""".r
   private val viewCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private val Head =
@@ -263,6 +280,17 @@ object GraftTvfRewrite {
     (Head.format("MEDIA_FEATURES") + """\)\s*\)""").r
   private val MediaVideoRe =
     (Head.format("MEDIA_VIDEO_FRAMES") + """(?:,\s*(\d+)\s*)?\)\s*\)""").r
+  // stateless per-row WAV/PCM decode (same contract as MEDIA_FEATURES)
+  private val MediaAudioRe =
+    (Head.format("MEDIA_AUDIO") + """\)\s*\)""").r
+  // stateless per-row decode + nearest-neighbor ÷factor downscale;
+  // optional integer factor (default 2)
+  private val MediaResizeRe =
+    (Head.format("MEDIA_RESIZE") + """(?:,\s*(\d+)\s*)?\)\s*\)""").r
+  // perceptual-hash near-dup pairs: whole-relation banded self-join
+  // over per-image dHashes; optional maxHamming (default 3)
+  private val PhashRe =
+    (Head.format("DEDUP_PHASH_PAIRS") + """(?:,\s*(\d+)\s*)?\)\s*\)""").r
   // whole-relation embedding cleanup (corpus mean + power-iteration
   // fit): optional round count
   private val AbttRe =
@@ -296,7 +324,8 @@ object GraftTvfRewrite {
 
   private def allRes = Seq(ExactRe, MinhashRe, SimhashRe, QualityRe,
     KeywordsRe, LangIdRe, PageRankRe, FuzzyRe, CcRe, MediaFeaturesRe,
-    MediaVideoRe, AbttRe, JaccardPairsRe, HeavyRe, ProfileRe, BpeRe)
+    MediaVideoRe, MediaAudioRe, MediaResizeRe, PhashRe, AbttRe,
+    JaccardPairsRe, HeavyRe, ProfileRe, BpeRe)
 
   /** True iff the statement uses a graft TVF. */
   def present(sql: String): Boolean = Keyword.findFirstIn(sql).isDefined
@@ -331,7 +360,8 @@ object GraftTvfRewrite {
           "(a silent re-windowing would change semantics — rejected " +
           "loudly). Only DEDUP_EXACT (keyed first-arrival dedup), the " +
           "stateless per-row TVFs TEXT_QUALITY / LANG_ID / " +
-          "MEDIA_FEATURES / MEDIA_VIDEO_FRAMES, the incoming " +
+          "MEDIA_FEATURES / MEDIA_VIDEO_FRAMES / MEDIA_AUDIO / " +
+          "MEDIA_RESIZE, the incoming " +
           "side of DEDUP_CROSS_PAIRS / FUZZY_JOIN_CROSS / " +
           "DEDUP_EMBED_PAIRS and the query side of ANN_TOPK_LSH / " +
           "ANN_TOPK_IVFPQ route streaming sources")
@@ -503,7 +533,8 @@ object GraftTvfRewrite {
         case _ => false
       }
       require(ok,
-        s"MEDIA_FEATURES / MEDIA_VIDEO_FRAMES: id column '$idName' must be " +
+        s"media TVFs (MEDIA_FEATURES / MEDIA_VIDEO_FRAMES / MEDIA_AUDIO / " +
+          s"MEDIA_RESIZE / DEDUP_PHASH_PAIRS): id column '$idName' must be " +
           s"an integer type (BIGINT/INT/SMALLINT/TINYINT); got " +
           s"${idType.map(_.sql).getOrElse("no such column")}. Usage: " +
           "MEDIA_FEATURES(TABLE t, DESCRIPTOR(id_col), DESCRIPTOR(media_col))")
@@ -517,6 +548,25 @@ object GraftTvfRewrite {
       val k = Option(m.group(4)).map(_.toInt).getOrElse(3)
       view(graft.multimodal.MediaOps
         .videoFrameFeatures(mediaCols(m), k).toDF())
+    })
+    out = MediaAudioRe.replaceAllIn(out, m =>
+      // stateless per-row WAV/PCM decode — streaming routes unchanged
+      // (decode at ingest), exactly like MEDIA_FEATURES
+      view(graft.multimodal.MediaOps.audioFeatures(mediaCols(m)).toDF()))
+    out = MediaResizeRe.replaceAllIn(out, m => {
+      // stateless per-row decode + downscale — streaming routes too
+      val factor = Option(m.group(4)).map(_.toInt).getOrElse(2)
+      view(graft.multimodal.MediaOps
+        .resizeFeatures(mediaCols(m), factor).toDF())
+    })
+    out = PhashRe.replaceAllIn(out, m => {
+      // whole-relation banded self-join over per-image dHashes —
+      // batch only (table() guard); the per-row hash extraction is
+      // narrow but the pair stage aggregates the whole corpus
+      table(m.group(1))
+      val maxHamming = Option(m.group(4)).map(_.toInt).getOrElse(3)
+      view(graft.queries.Dedup.phashPairs(
+        graft.multimodal.MediaOps.dhashFeatures(mediaCols(m)), maxHamming))
     })
     out = AbttRe.replaceAllIn(out, m => {
       // whole-relation (corpus mean + covariance power iteration):
@@ -660,6 +710,12 @@ object GraftTvfRewrite {
           "DESCRIPTOR(media))), " +
           "TABLE(MEDIA_VIDEO_FRAMES(TABLE t, DESCRIPTOR(id), " +
           "DESCRIPTOR(media)[, k])), " +
+          "TABLE(MEDIA_AUDIO(TABLE t, DESCRIPTOR(id), " +
+          "DESCRIPTOR(media))), " +
+          "TABLE(MEDIA_RESIZE(TABLE t, DESCRIPTOR(id), " +
+          "DESCRIPTOR(media)[, factor])), " +
+          "TABLE(DEDUP_PHASH_PAIRS(TABLE t, DESCRIPTOR(id), " +
+          "DESCRIPTOR(media)[, maxHamming])), " +
           "TABLE(EMBED_ABTT(TABLE t, DESCRIPTOR(id), DESCRIPTOR(vec)" +
           "[, rounds])), " +
           "TABLE(PAGERANK(TABLE edges, DESCRIPTOR(src), DESCRIPTOR(dst)" +

@@ -1,0 +1,120 @@
+package graft.multimodal
+
+import java.io.ByteArrayInputStream
+import javax.imageio.ImageIO
+
+import graft.SparkSpec
+import graft.queries.Dedup
+
+/** The perceptual-hash near-dup path against an INDEPENDENT plain-Scala
+  * reference: decode the very same fixture bytes with `ImageIO`
+  * directly, recompute the 9×8 nearest-neighbor luma dHash in simple
+  * loops, and brute-force all-pairs hamming — then require the blocked
+  * operator to emit exactly that pair set. Plus the planted-duplicate
+  * guarantees the fixture exists to prove: a PNG↔BMP re-encode and a
+  * pixel-doubled upscale hash IDENTICALLY (the duplicates byte-digest
+  * dedup structurally misses), a one-pixel edit moves ≤ 2 bits, and
+  * corrupt payloads never reach the pair stage.
+  */
+class PhashSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference dHash: same definition as MediaOps.dhash9x8 but written
+    * independently over a direct ImageIO decode (no MediaCodec pool, no
+    * Spark) — a bug in either side breaks the equality below.
+    */
+  private def refHash(bytes: Array[Byte]): Option[(Long, Long)] = {
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(bytes))
+      catch { case _: Throwable => null }
+    if (img == null) None
+    else {
+      val grid = Array.tabulate(8, 9) { (y, x) =>
+        val rgb = img.getRGB(x * img.getWidth / 9, y * img.getHeight / 8)
+        (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+          114 * (rgb & 0xff)) / 1000
+      }
+      var lo = 0L; var hi = 0L
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val b = y * 8 + x
+        if (grid(y)(x) > grid(y)(x + 1)) {
+          if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+        }
+      }
+      Some((hi, lo))
+    }
+  }
+
+  private def refPairs(ids: Seq[Long], maxHamming: Int)
+      : Set[(Long, Long, Long)] = {
+    val hashes = ids.flatMap { id =>
+      refHash(MediaFixture.encodePhash(id)).map(h => id -> h)
+    }
+    (for {
+      (ida, (hia, loa)) <- hashes
+      (idb, (hib, lob)) <- hashes
+      if ida < idb
+      ham = java.lang.Long.bitCount(hia ^ hib) +
+        java.lang.Long.bitCount(loa ^ lob)
+      if ham <= maxHamming
+    } yield (ida, idb, ham.toLong)).toSet
+  }
+
+  private def opPairs(ids: Seq[Long], maxHamming: Int)
+      : Set[(Long, Long, Long)] =
+    Dedup.phashPairs(
+      MediaOps.dhashFeatures(MediaFixture.phashTable(ids.toDS())),
+      maxHamming)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("blocked pairs equal the brute-force reference (incl. corrupt ids)") {
+    // 0..129 covers 26 planted clusters, 10 corrupt ids (…%13==5), all
+    // five variant kinds, and every content dimension combination
+    val ids = (0L until 130L)
+    for (d <- Seq(0, 3)) {
+      assert(opPairs(ids, d) == refPairs(ids, d), s"maxHamming=$d")
+    }
+  }
+
+  test("planted re-encode and upscale duplicates hash identically; " +
+    "a one-pixel edit moves at most 2 bits") {
+    val pairs = opPairs(0L until 65L, 3).map(p => (p._1, p._2) -> p._3).toMap
+    for (base <- Seq(0L, 10L, 20L, 60L)) { // uncorrupted planted clusters
+      assert(pairs.get((base, base + 1)).contains(0L),
+        s"PNG-BMP re-encode pair ($base, ${base + 1}) must be hamming 0")
+      assert(pairs.get((base, base + 2)).contains(0L),
+        s"2x-upscale pair ($base, ${base + 2}) must be hamming 0")
+      val perturbed = pairs.get((base, base + 3))
+      assert(perturbed.exists(_ <= 2L),
+        s"perturbed pair ($base, ${base + 3}) must be within hamming 2, " +
+          s"got $perturbed")
+    }
+  }
+
+  test("corrupt payloads are dropped from hashing, never paired") {
+    // id 5 is a corrupt member of cluster {5,6,7,8}: its siblings may
+    // pair among themselves but nothing pairs WITH 5
+    val pairs = opPairs(0L until 20L, 3)
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+    assert(MediaOps.dhashFeatures(
+      MediaFixture.phashTable(Seq(5L, 18L).toDS())).count() == 0)
+  }
+
+  test("radius past the pigeonhole-lossless bound is rejected loudly") {
+    val hashes = MediaOps.dhashFeatures(
+      MediaFixture.phashTable(Seq(0L, 1L).toDS()))
+    intercept[IllegalArgumentException](Dedup.phashPairs(hashes, 4))
+    intercept[IllegalArgumentException](Dedup.phashPairs(hashes, -1))
+  }
+
+  test("pair set is partition-invariant") {
+    val ids = (0L until 50L)
+    val a = Dedup.phashPairs(MediaOps.dhashFeatures(
+      MediaFixture.phashTable(ids.toDS().repartition(1))), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = Dedup.phashPairs(MediaOps.dhashFeatures(
+      MediaFixture.phashTable(ids.toDS().repartition(13))), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a == b)
+  }
+}

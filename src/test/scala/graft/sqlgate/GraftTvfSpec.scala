@@ -202,6 +202,81 @@ class GraftTvfSpec extends SparkSpec {
         |DESCRIPTOR(media), 5))""".stripMargin)
   }
 
+  test("MEDIA_AUDIO / MEDIA_RESIZE / DEDUP_PHASH_PAIRS through the gate " +
+    "match the library operators") {
+    import spark.implicits._
+    import graft.multimodal.{MediaFixture, MediaOps}
+    val ids = Seq(0L, 1L, 2L, 3L, 4L, 5L, 7L, 10L, 11L, 12L, 13L).toDS()
+    MediaFixture.audioTable(ids).createOrReplaceTempView("tvf_wavs")
+    MediaFixture.mediaTable(ids).createOrReplaceTempView("tvf_rsz_imgs")
+    MediaFixture.phashTable(ids).createOrReplaceTempView("tvf_ph_imgs")
+    val runner = new ScriptRunner(spark, batchMode = true)
+    runner.run(
+      """CREATE TABLE wav_sink (id BIGINT, fmt STRING, ok BOOLEAN,
+        |  channels INT, rate INT, frames BIGINT, ch0_sum BIGINT,
+        |  ch1_sum BIGINT, peak BIGINT) WITH ('connector' = 'memory');
+        |INSERT INTO wav_sink SELECT id, fmt, ok, channels, rate,
+        |  frames, ch0_sum, ch1_sum, peak
+        |FROM TABLE(MEDIA_AUDIO(TABLE tvf_wavs, DESCRIPTOR(id),
+        |  DESCRIPTOR(media)));
+        |CREATE TABLE rsz_sink (id BIGINT, width INT, height INT,
+        |  r_sum BIGINT, g_sum BIGINT, b_sum BIGINT)
+        |  WITH ('connector' = 'memory');
+        |INSERT INTO rsz_sink SELECT id, width, height, r_sum, g_sum,
+        |  b_sum
+        |FROM TABLE(MEDIA_RESIZE(TABLE tvf_rsz_imgs, DESCRIPTOR(id),
+        |  DESCRIPTOR(media), 3));
+        |CREATE TABLE ph_sink (id_a BIGINT, id_b BIGINT, hamming BIGINT)
+        |  WITH ('connector' = 'memory');
+        |INSERT INTO ph_sink SELECT id_a, id_b, hamming
+        |FROM TABLE(DEDUP_PHASH_PAIRS(TABLE tvf_ph_imgs, DESCRIPTOR(id),
+        |  DESCRIPTOR(media), 2));""".stripMargin)
+    val gateWav = spark.table("wav_sink_out").collect()
+      .map(_.toSeq).sortBy(_.toString)
+    val libWav = MediaOps.audioFeatures(MediaFixture.audioTable(ids))
+      .toDF().collect().map(_.toSeq).sortBy(_.toString)
+    assert(gateWav.toSeq == libWav.toSeq)
+    val gateRsz = spark.table("rsz_sink_out").collect()
+      .map(_.toSeq).sortBy(_.toString)
+    val libRsz = MediaOps.resizeFeatures(MediaFixture.mediaTable(ids), 3)
+      .toDF().collect().map(_.toSeq).sortBy(_.toString)
+    assert(gateRsz.toSeq == libRsz.toSeq)
+    val gatePh = spark.table("ph_sink_out").collect()
+      .map(_.toSeq).sortBy(_.toString)
+    val libPh = graft.queries.Dedup.phashPairs(
+      MediaOps.dhashFeatures(MediaFixture.phashTable(ids)), 2)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(gatePh.toSeq == libPh.toSeq)
+    assert(gatePh.nonEmpty, "planted clusters must produce pairs")
+    // default-argument spellings validate pre-flight
+    GraftTvfRewrite.validateOnly(
+      "SELECT * FROM TABLE(MEDIA_AUDIO(TABLE t, DESCRIPTOR(id), " +
+        "DESCRIPTOR(media)))")
+    GraftTvfRewrite.validateOnly(
+      "SELECT * FROM TABLE(MEDIA_RESIZE(TABLE t, DESCRIPTOR(id), " +
+        "DESCRIPTOR(media)))")
+    GraftTvfRewrite.validateOnly(
+      "SELECT * FROM TABLE(DEDUP_PHASH_PAIRS(TABLE t, DESCRIPTOR(id), " +
+        "DESCRIPTOR(media)))")
+  }
+
+  test("DEDUP_PHASH_PAIRS rejects a streaming source loudly") {
+    import spark.implicits._
+    val staged = java.nio.file.Files.createTempDirectory("tvf_ph_stream")
+    staged.toFile.deleteOnExit()
+    graft.multimodal.MediaFixture.phashTable(Seq(0L, 1L).toDS())
+      .write.mode("overwrite").parquet(staged.toString)
+    val schema = spark.read.parquet(staged.toString).schema
+    spark.readStream.schema(schema).parquet(staged.toString)
+      .createOrReplaceTempView("tvf_ph_streaming")
+    val e = intercept[Exception] {
+      GraftTvfRewrite.rewriteTracking(spark,
+        "SELECT * FROM TABLE(DEDUP_PHASH_PAIRS(TABLE tvf_ph_streaming, " +
+          "DESCRIPTOR(id), DESCRIPTOR(media)))")
+    }
+    assert(e.getMessage.contains("streaming"))
+  }
+
   test("HEAVY_HITTERS / DEDUP_JACCARD_PAIRS forms validate") {
     GraftTvfRewrite.validateOnly(
       "SELECT * FROM TABLE(HEAVY_HITTERS(TABLE t, DESCRIPTOR(k), 5))")
