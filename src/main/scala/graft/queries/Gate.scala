@@ -2030,6 +2030,26 @@ object Gate extends QueryPack {
       s.table("phash_sink_out")
     }),
 
+    // BPE fit-then-encode through the gate: TOKENIZE trains the merge
+    // table on the relation and encodes every row with it; shares
+    // q_text_bpe_encode's oracle verbatim.
+    "q_gate_tokenize_tvf" -> ((s, dir) => {
+      val runner = new ScriptRunner(s, batchMode = true)
+      runner.run(
+        s"""CREATE TABLE docs_tok (doc_id BIGINT, text STRING) WITH (
+           |  'connector' = 'filesystem',
+           |  'path' = '$dir/documents.parquet',
+           |  'format' = 'parquet'
+           |);
+           |CREATE TABLE tokenize_sink (doc_id BIGINT, n_tokens BIGINT,
+           |  encoded STRING) WITH ('connector' = 'memory');
+           |INSERT INTO tokenize_sink
+           |SELECT doc_id, n_tokens, encoded FROM TABLE(TOKENIZE(
+           |  TABLE docs_tok, DESCRIPTOR(doc_id), DESCRIPTOR(text)));
+           |""".stripMargin)
+      s.table("tokenize_sink_out")
+    }),
+
     // TF-IDF keyword extraction through the gate — shares the library
     // query's oracle (k=3, the default).
     "q_gate_keywords_tvf" -> ((s, dir) => {
@@ -2357,6 +2377,7 @@ object Gate extends QueryPack {
 
     // BPE trainer: one kernel, one oracle (shared with TextAnalysis)
     "q_gate_bpe_tvf" -> TextAnalysis.oracleSql("q_text_bpe_merges"),
+    "q_gate_tokenize_tvf" -> TextAnalysis.oracleSql("q_text_bpe_encode"),
 
     // streaming route of the cross-corpus exact Jaccard join: one
     // kernel, one oracle (shared with the batch library query)

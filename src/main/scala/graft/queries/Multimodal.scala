@@ -225,9 +225,10 @@ object Multimodal extends QueryPack {
         |    [((i // 9) * h0 // 8) * w0 + ((i % 9) * w0 // 9)
         |      for i in generate_series(0, 71)],
         |    q -> CASE WHEN kind = 3 AND q = 0 THEN 255
-        |      ELSE (299 * ((cid + 3 * q) % 256)
-        |          + 587 * ((2 * cid + 5 * q) % 256)
-        |          + 114 * ((3 * cid + 7 * q) % 256)) // 1000 END) AS lum
+        |      ELSE (299 * (((cid % 97 + 1) * q + cid) % 256)
+        |          + 587 * (((cid % 89 + 2) * q + 2 * cid) % 256)
+        |          + 114 * (((cid % 83 + 3) * q + 3 * cid) % 256))
+        |        // 1000 END) AS lum
         |  FROM d),
         |h AS (SELECT id,
         |    CAST(list_sum([CASE WHEN

@@ -152,6 +152,50 @@ object TextAnalysis extends QueryPack {
     merges.toSeq.toDF("round", "a", "b", "freq")
   }
 
+  /** Learned merge table in round order, driver-collected — the merge
+    * list is control-plane sized (K rows) by construction.
+    */
+  private[graft] def bpeMergeList(df: DataFrame, textCol: String,
+      rounds: Int): Seq[(String, String)] =
+    bpeMerges(df, textCol, rounds).orderBy(col("round")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+
+  /** BPE ENCODE with a learned merge table: apply the merges in round
+    * order (Sennrich 2016's encode — merge priority IS training
+    * order), each as the same boundary-anchored greedy replace the
+    * trainer uses, so encode(fit(corpus)) over the training corpus
+    * reproduces the trainer's final per-document state bit-for-bit
+    * (which is how the DuckDB oracle replays it: the trainer CTE
+    * chain's last stage IS the encoding). Output: (idCol, n_tokens,
+    * encoded) — token count plus a rendered form ('|' between tokens,
+    * merged-pair glue shown as a space).
+    *
+    * Scale (100 TB): the merge table is control-plane sized, so the
+    * encoder is a K-deep chain of codegen'd string replaces — one
+    * narrow map over the corpus, no shuffle, no UDF. Token-budget
+    * operators downstream (q_mix_budget_bpe) can therefore budget in
+    * REAL tokenizer units for the cost of one extra projection.
+    */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val anchor = BpeSep.substring(0, 1)
+    val s0 = concat(lit(BpeSep),
+      array_join(split(col(textCol), " "), BpeSep), lit(BpeSep))
+    val sK = merges.foldLeft(s0) { case (c, (a, b)) =>
+      replace(c, lit(anchor + a + BpeSep + b + anchor),
+        lit(anchor + a + BpeGlue + b + anchor))
+    }
+    val toks = filter(split(sK, BpeSep), x => x =!= "")
+    df.select(col(idCol), size(toks).cast("long").as("n_tokens"),
+      replace(replace(sK, lit(BpeSep), lit("|")), lit(BpeGlue), lit(" "))
+        .as("encoded"))
+  }
+
+  /** Fit-then-encode over one relation — the TOKENIZE TVF kernel. */
+  def bpeFitEncode(df: DataFrame, idCol: String, textCol: String,
+      rounds: Int): DataFrame =
+    bpeEncode(df, idCol, textCol, bpeMergeList(df, textCol, rounds))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting: whitespace tokens, BPE-ish regex tokens, chars.
     "q_text_tokens" -> ((s, dir) => {
@@ -184,6 +228,32 @@ object TextAnalysis extends QueryPack {
     // shape; lineage stays flat because each round materializes.
     "q_text_bpe_merges" -> ((s, dir) =>
       bpeMerges(Tables.load(s, dir, "documents"), "text", BpeRounds)),
+
+    // BPE ENCODE with the merges trained on the same corpus — the
+    // other half of the tokenizer: per-document token counts in real
+    // tokenizer units. Fit is K driver-coordinated scans; encode is
+    // one narrow codegen'd projection (K chained replaces).
+    "q_text_bpe_encode" -> ((s, dir) =>
+      bpeFitEncode(Tables.load(s, dir, "documents"), "doc_id", "text",
+        BpeRounds)),
+
+    // Token-budget corpus mixing re-based on BPE counts (q_mix_budget
+    // budgets in whitespace tokens; training cost is TOKENIZER tokens,
+    // so the production form budgets in those). Same salted-hash
+    // order, same running-sum window, n_tok from encode(fit(corpus)).
+    "q_mix_budget_bpe" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      val tok = bpeFitEncode(docs, "doc_id", "text", BpeRounds)
+        .select($"doc_id", $"n_tokens".as("n_tok"))
+      val w = Window.partitionBy($"lang").orderBy($"h", $"doc_id")
+      docs.select($"doc_id", $"lang",
+          md5(concat(lit("mix_"), $"doc_id".cast("string"))).as("h"))
+        .join(tok, "doc_id")
+        .withColumn("cum_tok", sum($"n_tok").over(w))
+        .filter($"cum_tok" <= 3000)
+        .select($"doc_id", $"lang", $"n_tok", $"cum_tok")
+    }),
 
     // Quality scoring: mean token length, stopword ratio, digit/punct
     // ratios, and a composite score — the usual junk-filter features.
@@ -429,12 +499,18 @@ object TextAnalysis extends QueryPack {
     * chr(1) each side, exactly as the trainer). chr(1)/chr(2) mirror
     * [[BpeSep]]/[[BpeGlue]].
     */
-  private lazy val oBpeSql: String = {
-    val S = "chr(1) || chr(1)"
+  private val oS = "chr(1) || chr(1)"
+
+  /** The shared WITH-chain: d0 (per-document sentinel symbol string,
+    * doc_id carried so the ENCODE oracles can read per-document final
+    * states — the merge-table oracle just ignores it), then per round
+    * the argmax CTE m{r} and the rewritten corpus d{r}.
+    */
+  private lazy val oBpeCtes: String = {
     val sb = new StringBuilder
-    sb ++= "WITH d0 AS (SELECT " + S +
-      " || array_to_string(regexp_split_to_array(text, ' '), " + S +
-      ") || " + S + " AS s FROM documents)"
+    sb ++= "WITH d0 AS (SELECT doc_id, " + oS +
+      " || array_to_string(regexp_split_to_array(text, ' '), " + oS +
+      ") || " + oS + " AS s FROM documents)"
     for (r <- 1 to BpeRounds) {
       def part(i: Int) = s"(SELECT split_part(p, ' ', $i) FROM m$r)"
       sb ++= s""",
@@ -442,29 +518,67 @@ object TextAnalysis extends QueryPack {
          |    SELECT p, count(*) AS c FROM (
          |      SELECT unnest([w[i] || ' ' || w[i+1]
          |          for i in generate_series(1, len(w) - 1)]) AS p
-         |      FROM (SELECT list_filter(string_split(s, $S),
+         |      FROM (SELECT list_filter(string_split(s, $oS),
          |          x -> x <> '') AS w FROM d${r - 1})
          |      WHERE len(w) >= 2)
          |    GROUP BY p)
          |  ORDER BY c DESC, p LIMIT 1),
-         |d$r AS (SELECT replace(s,
-         |    chr(1) || ${part(1)} || $S || ${part(2)} || chr(1),
+         |d$r AS (SELECT doc_id, replace(s,
+         |    chr(1) || ${part(1)} || $oS || ${part(2)} || chr(1),
          |    chr(1) || ${part(1)} || chr(2) || ${part(2)} || chr(1)) AS s
          |  FROM d${r - 1})"""
         .stripMargin
     }
-    sb ++= (1 to BpeRounds).map { r =>
+    sb.toString
+  }
+
+  private lazy val oBpeSql: String =
+    oBpeCtes + (1 to BpeRounds).map { r =>
       s"""
          |SELECT $r AS round, split_part(p, ' ', 1) AS a,
          |  split_part(p, ' ', 2) AS b, c AS freq FROM m$r"""
         .stripMargin
     }.mkString("\nUNION ALL")
-    sb.toString
-  }
+
+  /** DuckDB replay of encode(fit(corpus)): the final corpus state
+    * d{K} IS the per-document encoding — count its symbols and render
+    * them ('|' separators, merged-pair glue as a space), exactly
+    * mirroring [[bpeEncode]].
+    */
+  private lazy val oBpeEncodeSql: String =
+    oBpeCtes + s"""
+      |SELECT doc_id,
+      |  CAST(len(list_filter(string_split(s, $oS), x -> x <> ''))
+      |    AS BIGINT) AS n_tokens,
+      |  replace(replace(s, $oS, '|'), chr(2), ' ') AS encoded
+      |FROM d$BpeRounds""".stripMargin
+
+  /** The mix-budget oracle re-based on BPE token counts: the same
+    * salted-hash order and running-sum window as q_mix_budget, with
+    * n_tok read from the trained-and-encoded corpus instead of the
+    * whitespace split.
+    */
+  private lazy val oMixBudgetBpeSql: String =
+    oBpeCtes + s""",
+      |tok AS (SELECT doc_id,
+      |    CAST(len(list_filter(string_split(s, $oS), x -> x <> ''))
+      |      AS BIGINT) AS n_tok
+      |  FROM d$BpeRounds),
+      |t AS (SELECT d.doc_id, d.lang, tok.n_tok,
+      |    md5('mix_' || CAST(d.doc_id AS VARCHAR)) AS h
+      |  FROM documents d JOIN tok ON d.doc_id = tok.doc_id),
+      |c AS (SELECT doc_id, lang, n_tok,
+      |    CAST(SUM(n_tok) OVER (PARTITION BY lang
+      |      ORDER BY h, doc_id) AS BIGINT) AS cum_tok
+      |  FROM t)
+      |SELECT doc_id, lang, n_tok, cum_tok FROM c
+      |WHERE cum_tok <= 3000""".stripMargin
 
   def oracleSql: Map[String, String] = {
     Map(
       "q_text_bpe_merges" -> oBpeSql,
+      "q_text_bpe_encode" -> oBpeEncodeSql,
+      "q_mix_budget_bpe" -> oMixBudgetBpeSql,
 
       "q_text_tokens" ->
         s"""SELECT doc_id, len(regexp_split_to_array(text, ' ')) AS n_ws_tokens,

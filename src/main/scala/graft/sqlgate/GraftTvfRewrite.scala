@@ -170,6 +170,12 @@ import org.apache.spark.sql.SparkSession
   *     → `(round, a, b, freq)`: BPE-style pair-merge trainer (default
   *     4 rounds) — [[graft.queries.TextAnalysis.bpeMerges]].
   *     Whole-relation iterative loop: streaming rejected loudly.
+  *   - `TABLE(TOKENIZE(TABLE t, DESCRIPTOR(id), DESCRIPTOR(text)
+  *     [, <rounds>]))` → `(id, n_tokens, encoded)`: BPE fit-then-encode
+  *     — train the merge table on the relation, then encode every row
+  *     with it (token counts in real tokenizer units) —
+  *     [[graft.queries.TextAnalysis.bpeFitEncode]]. Whole-relation fit:
+  *     streaming rejected loudly.
   *
   * Same execution shape as [[MatchRecognizeRewrite]]: the operator runs
   * over `spark.table(src)`, the result registers as a tracked temp view
@@ -205,7 +211,7 @@ import org.apache.spark.sql.SparkSession
 object GraftTvfRewrite {
 
   private val Keyword =
-    """(?i)\b(?:DEDUP_(?:EXACT|MINHASH_PAIRS|SIMHASH_PAIRS|CROSS_PAIRS|EMBED_PAIRS|JACCARD_PAIRS|JACCARD_CROSS|PHASH_PAIRS)|ANN_TOPK(?:_LSH|_IVFPQ)?|TEXT_QUALITY|TEXT_SEARCH_BM25|TEXT_KEYWORDS|LANG_ID|PAGERANK|FUZZY_JOIN(?:_CROSS)?|CONNECTED_COMPONENTS|MEDIA_FEATURES|MEDIA_VIDEO_FRAMES|MEDIA_AUDIO|MEDIA_RESIZE|EMBED_ABTT|HEAVY_HITTERS|PROFILE|TEXT_BPE_MERGES)\s*\(""".r
+    """(?i)\b(?:DEDUP_(?:EXACT|MINHASH_PAIRS|SIMHASH_PAIRS|CROSS_PAIRS|EMBED_PAIRS|JACCARD_PAIRS|JACCARD_CROSS|PHASH_PAIRS)|ANN_TOPK(?:_LSH|_IVFPQ)?|TEXT_QUALITY|TEXT_SEARCH_BM25|TEXT_KEYWORDS|LANG_ID|PAGERANK|FUZZY_JOIN(?:_CROSS)?|CONNECTED_COMPONENTS|MEDIA_FEATURES|MEDIA_VIDEO_FRAMES|MEDIA_AUDIO|MEDIA_RESIZE|EMBED_ABTT|HEAVY_HITTERS|PROFILE|TEXT_BPE_MERGES|TOKENIZE)\s*\(""".r
   private val viewCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private val Head =
@@ -314,6 +320,10 @@ object GraftTvfRewrite {
   private val BpeRe =
     ("""(?i)\bTABLE\s*\(\s*TEXT_BPE_MERGES\s*\(\s*TABLE\s+([`\w.]+)\s*,\s*""" +
       """DESCRIPTOR\s*\(\s*([`\w]+)\s*\)\s*(?:,\s*(\d+)\s*)?\)\s*\)""").r
+  // BPE fit-then-encode tokenizer: ONE descriptor pair (id, text) +
+  // optional rounds; whole-relation (the fit is K corpus scans)
+  private val TokenizeRe =
+    (Head.format("TOKENIZE") + """(?:,\s*(\d+)\s*)?\)\s*\)""").r
   // cross-corpus exact Jaccard: TWO tables (incoming, corpus); the
   // incoming side may stream (frozen corpus prefix index)
   private val JaccardCrossRe =
@@ -325,7 +335,7 @@ object GraftTvfRewrite {
   private def allRes = Seq(ExactRe, MinhashRe, SimhashRe, QualityRe,
     KeywordsRe, LangIdRe, PageRankRe, FuzzyRe, CcRe, MediaFeaturesRe,
     MediaVideoRe, MediaAudioRe, MediaResizeRe, PhashRe, AbttRe,
-    JaccardPairsRe, HeavyRe, ProfileRe, BpeRe)
+    JaccardPairsRe, HeavyRe, ProfileRe, BpeRe, TokenizeRe)
 
   /** True iff the statement uses a graft TVF. */
   def present(sql: String): Boolean = Keyword.findFirstIn(sql).isDefined
@@ -623,6 +633,13 @@ object GraftTvfRewrite {
       view(graft.queries.TextAnalysis.bpeMerges(
         table(m.group(1)), c2(m, 2), rounds))
     })
+    out = TokenizeRe.replaceAllIn(out, m => {
+      // whole-relation fit + narrow encode — batch only (table() guard)
+      val rounds = Option(m.group(4)).map(_.toInt)
+        .getOrElse(graft.queries.TextAnalysis.BpeRounds)
+      view(graft.queries.TextAnalysis.bpeFitEncode(
+        table(m.group(1)), c2(m, 2), c2(m, 3), rounds))
+    })
     out = PageRankRe.replaceAllIn(out, m => {
       // whole-relation power iteration — batch only (table() guard)
       val iters = Option(m.group(4)).map(_.toInt).getOrElse(3)
@@ -728,7 +745,9 @@ object GraftTvfRewrite {
           "DESCRIPTOR(id), DESCRIPTOR(text)[, thetaNum, thetaDen])), " +
           "TABLE(HEAVY_HITTERS(TABLE t, DESCRIPTOR(key), k[, capacity])), " +
           "TABLE(PROFILE(TABLE t)), " +
-          "TABLE(TEXT_BPE_MERGES(TABLE t, DESCRIPTOR(text)[, rounds])) " +
+          "TABLE(TEXT_BPE_MERGES(TABLE t, DESCRIPTOR(text)[, rounds])), " +
+          "TABLE(TOKENIZE(TABLE t, DESCRIPTOR(id), DESCRIPTOR(text)" +
+          "[, rounds])) " +
           "or TABLE(CONNECTED_COMPONENTS(TABLE edges, DESCRIPTOR(a), " +
           "DESCRIPTOR(b)))")
     }

@@ -109,6 +109,74 @@ class BpeTrainerSpec extends SparkSpec {
     }
   }
 
+  /** Reference ENCODE: apply the merges in round order to one doc's
+    * word symbols — the same greedy left-to-right applier the trainer
+    * reference uses per round.
+    */
+  private def refEncode(doc: String,
+      merges: Seq[(String, String)]): Vector[String] =
+    merges.foldLeft(doc.split(" ").toVector) { case (w, (a, b)) =>
+      val buf = Vector.newBuilder[String]
+      var i = 0
+      while (i < w.length) {
+        if (i + 1 < w.length && w(i) == a && w(i + 1) == b) {
+          buf += a + Glue + b; i += 2
+        } else { buf += w(i); i += 1 }
+      }
+      buf.result()
+    }
+
+  private def encoded(docs: Seq[String], rounds: Int)
+      : Seq[(Long, Long, String)] = {
+    import spark.implicits._
+    TextAnalysis.bpeFitEncode(
+      docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text"),
+      "doc_id", "text", rounds)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1).toSeq
+  }
+
+  test("encode(fit(corpus)) matches the reference applier, including " +
+    "the rendered token stream") {
+    val corpora = Seq(
+      Seq("a b c a b", "a b", "c c c"),
+      Seq("x y x y x y", "y x"),
+      // suffix-overlap vocab: anchoring matters on the encode side too
+      Seq.fill(30)("a b") ++ Seq.fill(20)("xa b") ++ Seq.fill(5)("a b c"))
+    for (docs <- corpora; rounds <- Seq(1, 3)) {
+      val merges = reference(docs, rounds).map(m => (m._2, m._3))
+      val want = docs.zipWithIndex.map { case (d, i) =>
+        val toks = refEncode(d, merges).filter(_.nonEmpty)
+        (i.toLong, toks.length.toLong,
+          "|" + refEncode(d, merges).map(_.replace(Glue, " "))
+            .mkString("|") + "|")
+      }
+      assert(encoded(docs, rounds) == want, s"rounds=$rounds docs=$docs")
+    }
+  }
+
+  test("a planted two-level merge round-trips: 'a b c' encodes to ONE " +
+    "token after the learned (a,b) then (a·b,c) merges") {
+    // 'a b' dominates round 1; the merged symbol then pairs with 'c'
+    // and dominates round 2
+    val docs = Seq.fill(20)("a b c") ++ Seq.fill(5)("a b")
+    val out = encoded(docs, 2)
+    assert(out.take(20).forall(_._2 == 1L),
+      "each 'a b c' doc must be a single token")
+    assert(out.take(20).forall(_._3 == "|a b c|"))
+    assert(out.drop(20).forall(t => t._2 == 1L && t._3 == "|a b|"))
+  }
+
+  test("encode with zero learned merges counts whitespace tokens") {
+    import spark.implicits._
+    val df = Seq((1L, "u v w"), (2L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeEncode(df, "doc_id", "text", Seq.empty)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 0L))
+  }
+
   test("trainer is partition-invariant") {
     import spark.implicits._
     // one Random OUTSIDE the fills so docs actually vary — a per-token
