@@ -381,8 +381,7 @@ object Dedup extends QueryPack {
     val (meta, idx) = StaticIndexCache.getOrBuild[(DataFrame, DataFrame)](
       StaticIndexCache.corpusKey(s, corpus, "cross_idx",
         idCol, textCol, bands, rowsPerBand, maxBucket)) {
-      val dir = java.nio.file.Files.createTempDirectory("graft_cross_idx")
-      dir.toFile.deleteOnExit()
+      val dir = StaticIndexCache.newTmpDir("graft_cross_idx")
       ensureDropLogger(s)
       rowLocalSig(corpus, "idb", "ckeys", "sb").write.parquet(s"$dir/meta")
       // keyed by idb for the per-batch meta join — see the idx comment
@@ -562,36 +561,59 @@ object Dedup extends QueryPack {
     * collides (pigeonhole) — the blocking is LOSSLESS for
     * maxHamming ≤ 3 and candidates get an exact bit_count verify, so
     * output equals the brute-force all-pairs scan the oracle runs.
-    * Same shape as the SimHash chunk path ([[simhashVerifiedPairs]])
-    * with a fixed 64-bit signature; deliberately uncapped for the
-    * same losslessness reason. At 100 TB the band groupBy is the only
-    * exchange; the known skew risk is a mass-duplicated image (one
-    * hamming-0 cluster = one hot bucket) — AQE skew-split handles the
-    * join, and the downstream pair count is inherent to the data, not
-    * the plan. Output: (id_a, id_b, hamming), id_a < id_b.
+    *
+    * Plan shape (one exchange): band explode → groupBy(band, bkey)
+    * collecting (id, hi, lo) members → row-local pair generation with
+    * the verify AND the first-shared-band dedup INSIDE the bucket row
+    * (a pair agreeing on several bands is emitted only from its first,
+    * derived in-row from the xor — the PPJoin trick), so candidate
+    * pairs never cross a second exchange. The first cut routed
+    * candidates through distinct + two hash joins; a 64-bit code's
+    * band-key space is FIXED (4×2^16), so within-bucket candidate mass
+    * grows ~n²/2^16 (measured Σbucket² ≈ 3.9 M at 45 k images,
+    * ~390 M at 10×) and shuffling that mass is the scale-killer —
+    * verified row-locally it is cheap branch-free bit arithmetic and
+    * only TRUE pairs (linear on real corpora) reach the output. The
+    * residual n²/2^16 row-local compute is the inherent floor of exact
+    * radius-3 all-pairs search over a fixed 64-bit code (4 bands is
+    * the most selective lossless split; longer codes are the way out
+    * at extreme n); buckets shard by (band, bkey), AQE-splittable. A
+    * mass-duplicated image (one giant hamming-0 cluster) makes OUTPUT
+    * itself quadratic — inherent to the data, not the plan.
+    * Output: (id_a, id_b, hamming), id_a < id_b.
     */
   def phashPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"phashPairs: maxHamming($maxHamming) must be in [0, 3] — 4 bands " +
         "of 16 bits are pigeonhole-lossless only up to hamming 3")
     val mask16 = lit(0xffffL)
-    val bands = hashes.select(col("id").as("doc_id"),
-      posexplode(array(
-        col("hash_lo").bitwiseAND(mask16),
-        shiftright(col("hash_lo"), 16).bitwiseAND(mask16),
-        col("hash_hi").bitwiseAND(mask16),
-        shiftright(col("hash_hi"), 16).bitwiseAND(mask16)))
+    def bandKeys(hi: Column, lo: Column) = array(
+      lo.bitwiseAND(mask16),
+      shiftright(lo, 16).bitwiseAND(mask16),
+      hi.bitwiseAND(mask16),
+      shiftright(hi, 16).bitwiseAND(mask16))
+    val bands = hashes.select(
+      struct(col("id"), col("hash_hi").as("hi"), col("hash_lo").as("lo"))
+        .as("m"),
+      posexplode(bandKeys(col("hash_hi"), col("hash_lo")))
         .as(Seq("band", "bkey")))
-    val cand = bucketPairs(bands, Seq("band", "bkey"), None, "phash_buckets")
-    def side(tag: String) = hashes.select(col("id").as(s"id$tag"),
-      col("hash_hi").as(s"hi$tag"), col("hash_lo").as(s"lo$tag"))
-    cand
-      .join(side("a"), "ida")
-      .join(side("b"), "idb")
-      .select(col("ida").as("id_a"), col("idb").as("id_b"),
-        (bit_count(col("hia").bitwiseXOR(col("hib"))) +
-          bit_count(col("loa").bitwiseXOR(col("lob"))))
-          .cast("long").as("hamming"))
+    val buckets = bands.groupBy(col("band"), col("bkey"))
+      .agg(collect_list(col("m")).as("ms"))
+      .filter(size(col("ms")) >= 2)
+    val xHi = col("a.hi").bitwiseXOR(col("b.hi"))
+    val xLo = col("a.lo").bitwiseXOR(col("b.lo"))
+    val firstSharedBand =
+      when(xLo.bitwiseAND(mask16) === 0, 0)
+        .when(shiftright(xLo, 16).bitwiseAND(mask16) === 0, 1)
+        .when(xHi.bitwiseAND(mask16) === 0, 2)
+        .otherwise(3)
+    buckets
+      .select(col("band"), explode(col("ms")).as("a"), col("ms"))
+      .select(col("band"), col("a"), explode(col("ms")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .filter(col("band") === firstSharedBand)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (bit_count(xHi) + bit_count(xLo)).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 
@@ -824,8 +846,7 @@ object Dedup extends QueryPack {
     val (meta, idx) = StaticIndexCache.getOrBuild[(DataFrame, DataFrame)](
       StaticIndexCache.corpusKey(s, corpus, "jaccard_cross_idx",
         idCol, textCol, num, den, shingleN)) {
-      val dir = java.nio.file.Files.createTempDirectory("graft_ppj_idx")
-      dir.toFile.deleteOnExit()
+      val dir = StaticIndexCache.newTmpDir("graft_ppj_idx")
       val sets = jaccardSets(corpus, idCol, textCol, shingleN)
       val btoks = sets.select(col("doc_id"), size(col("ss")).as("sz"),
         explode(col("ss")).as("tok"))
@@ -1391,8 +1412,7 @@ object Dedup extends QueryPack {
     val idx = StaticIndexCache.getOrBuild[DataFrame](
       StaticIndexCache.corpusKey(s, corpus, "sem_cell_idx",
         idCol, vecCol, cents)) {
-      val dir = java.nio.file.Files.createTempDirectory("graft_sem_idx")
-      dir.toFile.deleteOnExit()
+      val dir = StaticIndexCache.newTmpDir("graft_sem_idx")
       Vec.argminAssignWith(corpusP, cents)
         .groupBy(col("cell"))
         .agg(collect_list(struct(col("vec_id").as("idb"), col("qe"),

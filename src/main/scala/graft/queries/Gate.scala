@@ -2030,6 +2030,43 @@ object Gate extends QueryPack {
       s.table("phash_sink_out")
     }),
 
+    // Video-frame → similarity COMPOSITION in one script: sample and
+    // decode 3 frames per GFV1 clip (MEDIA_VIDEO_FRAMES), collapse
+    // each clip to its mean channel profile as a 3-dim embedding in a
+    // SQL view, and serve clip-level near-dup through the EXISTING
+    // DEDUP_EMBED_PAIRS machinery (quantized cosine, cell blocking) —
+    // the two-TVF pipeline a video-corpus curator runs. The tight
+    // threshold keeps the low-dimensional positive profile
+    // discriminative (3-dim cosines crowd toward 1); real pipelines
+    // use richer per-frame vectors through the same chain.
+    "q_gate_video_similarity" -> ((s, dir) => {
+      import s.implicits._
+      graft.multimodal.MediaFixture.videoTable(
+        graft.Tables.load(s, dir, "documents")
+          .select(org.apache.spark.sql.functions.col("doc_id")).as[Long])
+        .createOrReplaceTempView("vidsim_clips")
+      val runner = new ScriptRunner(s, batchMode = true)
+      runner.run(
+        s"""CREATE OR REPLACE TEMPORARY VIEW clip_vecs AS
+           |SELECT id, array(
+           |    CAST(sum(r_sum) AS DOUBLE) / CAST(sum(width * height) AS DOUBLE),
+           |    CAST(sum(g_sum) AS DOUBLE) / CAST(sum(width * height) AS DOUBLE),
+           |    CAST(sum(b_sum) AS DOUBLE) / CAST(sum(width * height) AS DOUBLE)
+           |  ) AS vec
+           |FROM TABLE(MEDIA_VIDEO_FRAMES(TABLE vidsim_clips,
+           |  DESCRIPTOR(id), DESCRIPTOR(media), 3))
+           |WHERE ok GROUP BY id;
+           |CREATE TABLE vidsim_sink (ida BIGINT, idb BIGINT,
+           |  cosine DOUBLE) WITH ('connector' = 'memory');
+           |INSERT INTO vidsim_sink
+           |SELECT ida, idb, cosine FROM TABLE(DEDUP_EMBED_PAIRS(
+           |  TABLE clip_vecs, TABLE clip_vecs, DESCRIPTOR(id),
+           |  DESCRIPTOR(vec), 0.999999))
+           |WHERE ida < idb;
+           |""".stripMargin)
+      s.table("vidsim_sink_out")
+    }),
+
     // BPE fit-then-encode through the gate: TOKENIZE trains the merge
     // table on the relation and encodes every row with it; shares
     // q_text_bpe_encode's oracle verbatim.
@@ -2426,6 +2463,7 @@ object Gate extends QueryPack {
     "q_gate_media_audio_tvf" -> Multimodal.oracleSql("q_media_audio"),
     "q_gate_media_resize_tvf" -> Multimodal.oracleSql("q_media_resize"),
     "q_gate_phash_tvf" -> Multimodal.oracleSql("q_media_phash_pairs"),
+    "q_gate_video_similarity" -> Multimodal.oVideoSimSql,
 
     // embedding cleanup through the statement layer: same fit, same SQL
     "q_gate_abtt_tvf" -> Similarity.oracleSql("q_embed_abtt"),

@@ -273,8 +273,7 @@ object Joins extends QueryPack {
 
     val (idx, meta) = StaticIndexCache.getOrBuild[(DataFrame, DataFrame)](
       StaticIndexCache.corpusKey(s, corpus, "fuzzy_cross_idx", k)) {
-      val dir = java.nio.file.Files.createTempDirectory("graft_fuzzy_idx")
-      dir.toFile.deleteOnExit()
+      val dir = StaticIndexCache.newTmpDir("graft_fuzzy_idx")
       corpus.select(col("id").as("idb"), col("name").as("nb"),
           variants(col("name"), k).as("vb"))
         .write.parquet(s"$dir/meta")

@@ -23,10 +23,11 @@ import org.apache.spark.sql.SparkSession
   * or appended at the same path — REPLACES the superseded entry and
   * unpersists its cached frames, so a long session refreshing the
   * same corpus holds one live index per (corpus, family), not one per
-  * corpus VERSION. (Tmp parquet dirs of superseded entries stay on
-  * disk until JVM exit — deleteOnExit — because an in-flight query
-  * may still be scanning them; only the block-manager pins are
-  * released eagerly.)
+  * corpus VERSION. Tmp parquet dirs a build registers via
+  * [[newTmpDir]] are reclaimed a GRACE PERIOD after their entry is
+  * superseded (an in-flight query planned against the old index
+  * finishes its scan inside the window — the vacuum contract);
+  * deleteOnExit remains the backstop for live entries.
   *
   * Keys include the [[SparkSession]] because the cached value (a
   * DataFrame or persisted frame) is bound to its session; the session
@@ -51,13 +52,80 @@ private[graft] object StaticIndexCache {
   /** Per-key build cell: at-most-once via the lazy monitor, with a
     * forced-flag so eviction can unpersist exactly the values that
     * were actually built (forcing an unbuilt cell just to clean it
-    * up would RUN the multi-second build).
+    * up would RUN the multi-second build). Tmp parquet dirs the build
+    * registers through [[newTmpDir]] are captured here so eviction can
+    * reclaim them (grace-period delete, not just deleteOnExit).
     */
   private final class Cell(build: () => AnyRef) {
     @volatile private var forced = false
-    lazy val value: AnyRef = { val v = build(); forced = true; v }
+    @volatile private[StaticIndexCache] var dirs: Seq[java.nio.file.Path] =
+      Nil
+    lazy val value: AnyRef = {
+      val buf = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
+      buildDirs.set(buf)
+      val v = try build() finally buildDirs.remove()
+      dirs = buf.toSeq
+      forced = true
+      v
+    }
     def builtValue: Option[AnyRef] = if (forced) Some(value) else None
   }
+
+  /** Dirs registered by the build currently running on this thread —
+    * builds run synchronously inside the cell's lazy monitor, so a
+    * ThreadLocal buffer is exactly scoped to one build.
+    */
+  private val buildDirs =
+    new ThreadLocal[scala.collection.mutable.ArrayBuffer[java.nio.file.Path]]
+
+  /** Create a tmp dir for a frozen-index artifact and REGISTER it with
+    * the entry being built, so a same-prefix rebuild (corpus refreshed
+    * at the same path) reclaims the superseded dir after
+    * [[tmpGraceMs]] instead of leaking it until JVM exit. The grace
+    * window exists because eviction is non-blocking: an in-flight query
+    * planned against the old index finishes its scan from disk; the
+    * window must exceed the longest expected scan (the same contract a
+    * production table-format vacuum has). deleteOnExit stays as the
+    * backstop for dirs never superseded.
+    */
+  private[graft] def newTmpDir(tag: String): java.nio.file.Path = {
+    val dir = java.nio.file.Files.createTempDirectory(tag)
+    dir.toFile.deleteOnExit()
+    Option(buildDirs.get()).foreach(_ += dir)
+    dir
+  }
+
+  /** Grace before a superseded entry's tmp dirs are deleted; system
+    * property so the spec can shrink it (default 10 min).
+    */
+  private def tmpGraceMs: Long =
+    sys.props.get("graft.index.tmpGraceMs").flatMap(_.toLongOption)
+      .getOrElse(600000L)
+
+  private lazy val reaper = {
+    val t = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      r => { val th = new Thread(r, "graft-index-reaper")
+        th.setDaemon(true); th })
+    t
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverseIterator
+        .foreach(f => try java.nio.file.Files.deleteIfExists(f)
+          catch { case _: Throwable => () })
+    } catch { case _: Throwable => () }
+
+  /** Schedule the superseded entry's registered dirs for deletion after
+    * the grace window. Best-effort by design: a failed delete leaves
+    * only what deleteOnExit already covered.
+    */
+  private def reapAfterGrace(dirs: Seq[java.nio.file.Path]): Unit =
+    if (dirs.nonEmpty)
+      reaper.schedule(new Runnable {
+        override def run(): Unit = dirs.foreach(deleteRecursively)
+      }, tmpGraceMs, java.util.concurrent.TimeUnit.MILLISECONDS)
 
   private final case class Holder(version: Any, cell: Cell)
 
@@ -99,7 +167,10 @@ private[graft] object StaticIndexCache {
           if (cur == null) cache.putIfAbsent(prefix, fresh) == null
           else cache.replace(prefix, cur, fresh)
         if (installed) {
-          if (cur != null) cur.cell.builtValue.foreach(unpersistAll)
+          if (cur != null) {
+            cur.cell.builtValue.foreach(unpersistAll)
+            reapAfterGrace(cur.cell.dirs)
+          }
           result = fresh.cell.value
           done = true
         } // lost an install race — loop and re-read the winner
@@ -152,6 +223,7 @@ private[graft] object StaticIndexCache {
       val e = it.next()
       if (prefixMatch(e.getKey)) {
         e.getValue.cell.builtValue.foreach(unpersistAll)
+        reapAfterGrace(e.getValue.cell.dirs)
         it.remove()
       }
     }

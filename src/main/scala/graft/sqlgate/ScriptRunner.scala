@@ -225,11 +225,17 @@ class ScriptRunner(spark: SparkSession,
           // view bodies are queries in the reference dialect too; CREATE
           // VIEW analyzes eagerly, so registry sources it reads must be
           // temp views first (e.g. views carving corpus/query sides for
-          // the ANN_TOPK TVF)
+          // the ANN_TOPK TVF). Rewrite BEFORE instantiateSources: the
+          // latter PARSES the query to collect table refs, and a view
+          // body containing a graft TVF (composition scripts chain
+          // TVF → view → TVF) is only Spark-parseable after the
+          // rewrite. Registry sources a TVF consumes are covered by
+          // the preInstantiation pass, which is text-based.
           if (FlinkSqlRewrite.needsPreInstantiation(c.text))
             instantiateRefs(FlinkSqlRewrite.preInstantiationTables(c.text))
-          instantiateSources(c.text)
-          spark.sql(FlinkSqlRewrite(spark, c.text))
+          val rewrittenView = FlinkSqlRewrite(spark, c.text)
+          instantiateSources(rewrittenView)
+          spark.sql(rewrittenView)
         case _ =>
           // remaining DDL (CREATE DATABASE, USE, DROP, ALTER, plain
           // CREATE TABLE) goes straight to Spark, like tEnv.executeSql.

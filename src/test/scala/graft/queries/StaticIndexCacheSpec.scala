@@ -54,6 +54,59 @@ class StaticIndexCacheSpec extends SparkSpec {
     assert(second.storageLevel != StorageLevel.NONE)
   }
 
+  test("superseded entries' tmp dirs are reclaimed after the grace " +
+    "window while an in-flight scan over the old index completes") {
+    StaticIndexCache.clear()
+    val prevGrace = sys.props.get("graft.index.tmpGraceMs")
+    sys.props("graft.index.tmpGraceMs") = "700"
+    try {
+      val dir = freshCorpusDir("g1")
+      def key() = StaticIndexCache.corpusKey(spark,
+        spark.read.parquet(dir), "grace_fam", 7)
+      def buildIndexed(rows: Int): (org.apache.spark.sql.DataFrame,
+          java.nio.file.Path) =
+        StaticIndexCache.getOrBuild[(org.apache.spark.sql.DataFrame,
+            java.nio.file.Path)](key()) {
+          val d = StaticIndexCache.newTmpDir("sic_grace_idx")
+          spark.range(rows).toDF("n").write.parquet(s"$d/idx")
+          (spark.read.parquet(s"$d/idx"), d)
+        }
+      // refresh the corpus N times at the same path: each bump
+      // supersedes the previous entry and schedules its dir
+      val dirs = (1 to 3).map { i =>
+        val (_, d) = buildIndexed(5 + i)
+        Seq((i.toLong, s"g${i + 1}")).toDF("id", "text")
+          .write.mode("overwrite").parquet(dir)
+        d
+      }
+      // force the build against the last refresh too
+      val (liveIdx, liveDir) = buildIndexed(99)
+      assert(StaticIndexCache.size == 1)
+      // IN-FLIGHT window: immediately after ITS eviction, a superseded
+      // dir still exists — a query planned against the old index can
+      // finish its scan. (Only the most recent eviction is guaranteed
+      // inside the window here; earlier ones may already have aged out
+      // while later builds ran.)
+      assert(java.nio.file.Files.exists(dirs.last),
+        "a just-superseded dir must survive the grace window")
+      // after the grace elapses, every superseded dir is gone while
+      // the LIVE entry's dir (and its scannable data) remain
+      val deadline = System.currentTimeMillis() + 10000
+      while (dirs.exists(d => java.nio.file.Files.exists(d)) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(dirs.forall(d => !java.nio.file.Files.exists(d)),
+        "superseded dirs must be reclaimed after the grace window")
+      assert(java.nio.file.Files.exists(liveDir))
+      assert(liveIdx.count() == 99)
+    } finally {
+      prevGrace match {
+        case Some(v) => sys.props("graft.index.tmpGraceMs") = v
+        case None => sys.props.remove("graft.index.tmpGraceMs")
+      }
+      StaticIndexCache.clear()
+    }
+  }
+
   test("builds run outside the map's locks: a nested getOrBuild inside " +
     "a build closure works, and racing same-key builders build once") {
     StaticIndexCache.clear()

@@ -260,6 +260,31 @@ class GraftTvfSpec extends SparkSpec {
         "DESCRIPTOR(media)))")
   }
 
+  test("a TVF inside a CREATE VIEW body routes through the rewrite " +
+    "(composition scripts chain TVF -> view -> TVF)") {
+    import spark.implicits._
+    import graft.multimodal.MediaFixture
+    MediaFixture.videoTable(Seq(0L, 1L, 2L, 3L, 4L, 6L, 7L).toDS())
+      .createOrReplaceTempView("view_tvf_clips")
+    val runner = new ScriptRunner(spark, batchMode = true)
+    // regression: instantiateSources used to PARSE the raw view body to
+    // collect table refs, and TVF syntax is only Spark-parseable after
+    // the rewrite — this script failed with PARSE_SYNTAX_ERROR
+    runner.run(
+      """CREATE OR REPLACE TEMPORARY VIEW view_tvf_vecs AS
+        |SELECT id, array(
+        |    CAST(sum(r_sum) AS DOUBLE) / CAST(sum(width * height) AS DOUBLE)
+        |  ) AS vec
+        |FROM TABLE(MEDIA_VIDEO_FRAMES(TABLE view_tvf_clips,
+        |  DESCRIPTOR(id), DESCRIPTOR(media), 3))
+        |WHERE ok GROUP BY id;
+        |CREATE TABLE view_tvf_sink (id BIGINT, n INT) WITH
+        |  ('connector' = 'memory');
+        |INSERT INTO view_tvf_sink SELECT id, 1 AS n FROM view_tvf_vecs;
+        |""".stripMargin)
+    assert(spark.table("view_tvf_sink_out").count() == 7)
+  }
+
   test("DEDUP_PHASH_PAIRS rejects a streaming source loudly") {
     import spark.implicits._
     val staged = java.nio.file.Files.createTempDirectory("tvf_ph_stream")
