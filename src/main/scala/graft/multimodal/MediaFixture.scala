@@ -92,19 +92,22 @@ object MediaFixture {
   //   so ids {5m, 5m+1, 5m+2, 5m+3} form a planted near-dup cluster of
   //   content 5m; ids 5m+4 are singleton bases.
   //   - content(cid): width = 8 + cid % 9, height = 8 + cid % 7, pixel
-  //     p (row-major): r = ((cid % 97 + 1)·p + cid) % 256,
-  //     g = ((cid % 89 + 2)·p + 2·cid) % 256,
-  //     b = ((cid % 83 + 3)·p + 3·cid) % 256. The p-coefficient MUST
-  //     vary with cid (unlike [[encode]]'s fixed 3/5/7): dHash bits are
-  //     adjacent-cell luma COMPARISONS, which are invariant under the
-  //     constant shift a cid-independent slope produces — the first cut
-  //     of this fixture used the [[encode]] formula and measured
-  //     near-QUADRATIC pair growth (1,236 pairs at 500 docs → 70,553 at
-  //     5,000) because every cid family hashed within hamming 3 of its
-  //     mod-63 siblings. Cid-dependent slopes decorrelate the 64
-  //     comparison bits across contents, so accidental collisions at
-  //     radius 3 are ~C(64,≤3)/2^64 per pair and the pair mass is the
-  //     planted (linear) set.
+  //     p (row-major):
+  //     r = ((cid % 97 + 1)·p + (cid % 41 + 1)·p² + cid) % 256,
+  //     g = ((cid % 89 + 2)·p + (cid % 43 + 1)·p² + 2·cid) % 256,
+  //     b = ((cid % 83 + 3)·p + (cid % 47 + 1)·p² + 3·cid) % 256.
+  //     Both the slope AND the curvature MUST vary with cid: dHash bits
+  //     are adjacent-cell luma COMPARISONS, invariant under constant
+  //     shifts (the first cut reused [[encode]]'s fixed slopes and
+  //     measured near-QUADRATIC pair growth — 1,236 pairs at 500 docs →
+  //     70,553 at 5,000 — because every cid family hashed within
+  //     hamming 3 of its mod-63 siblings), and cid-dependent LINEAR
+  //     slopes alone still left piecewise-monotone grids whose bit
+  //     patterns collided measurably at 500 k docs (1.10 M pairs vs
+  //     ~508 k planted). The quadratic term makes the luma sequence
+  //     non-monotone per content, decorrelating the 64 comparison bits;
+  //     accidental radius-3 collisions drop to the random-code regime
+  //     and pair mass is the planted (linear) set.
   //   - corruption: id % 13 == 5 → payload truncated to 8 bytes
   //     (undecodable: dropped from hashing, countable upstream)
   // All variants are LOSSLESS formats, so the real decode → dHash path
@@ -134,9 +137,13 @@ object MediaFixture {
         val rgb =
           if (kind == 3 && p == 0) 0xffffff
           else {
-            val r = (((cid % 97 + 1) * p + cid) % 256).toInt
-            val g = (((cid % 89 + 2) * p + 2L * cid) % 256).toInt
-            val b = (((cid % 83 + 3) * p + 3L * cid) % 256).toInt
+            val pp = p.toLong
+            val r = (((cid % 97 + 1) * pp + (cid % 41 + 1) * pp * pp + cid)
+              % 256).toInt
+            val g = (((cid % 89 + 2) * pp + (cid % 43 + 1) * pp * pp
+              + 2L * cid) % 256).toInt
+            val b = (((cid % 83 + 3) * pp + (cid % 47 + 1) * pp * pp
+              + 3L * cid) % 256).toInt
             (r << 16) | (g << 8) | b
           }
         img.setRGB(x, y, rgb)

@@ -287,9 +287,12 @@ object Multimodal extends QueryPack {
         |    [((i // 9) * h0 // 8) * w0 + ((i % 9) * w0 // 9)
         |      for i in generate_series(0, 71)],
         |    q -> CASE WHEN kind = 3 AND q = 0 THEN 255
-        |      ELSE (299 * (((cid % 97 + 1) * q + cid) % 256)
-        |          + 587 * (((cid % 89 + 2) * q + 2 * cid) % 256)
-        |          + 114 * (((cid % 83 + 3) * q + 3 * cid) % 256))
+        |      ELSE (299 * (((cid % 97 + 1) * q + (cid % 41 + 1) * q * q
+        |            + cid) % 256)
+        |          + 587 * (((cid % 89 + 2) * q + (cid % 43 + 1) * q * q
+        |            + 2 * cid) % 256)
+        |          + 114 * (((cid % 83 + 3) * q + (cid % 47 + 1) * q * q
+        |            + 3 * cid) % 256))
         |        // 1000 END) AS lum
         |  FROM d),
         |h AS (SELECT id,
