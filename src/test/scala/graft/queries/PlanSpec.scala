@@ -109,6 +109,18 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s"expected exactly 1 shuffle, got $exchanges\n$p")
   }
 
+  test("q_media_phash_pairs: one band-keyed shuffle, candidates never " +
+    "cross a second exchange") {
+    val p = plan("q_media_phash_pairs")
+    // decode → band explode → groupBy(band, bkey) is the ONLY exchange;
+    // pair generation, first-shared-band dedup, and the hamming verify
+    // all run inside the bucket row (the measured ~n²/2^16 candidate
+    // mass of a fixed 64-bit code must stay row-local — SCALE.md r17)
+    assert(!p.contains("Join"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly 1 shuffle, got $exchanges\n$p")
+  }
+
   test("q_text_pii: pure per-row map — no shuffle anywhere") {
     val p = plan("q_text_pii")
     assert(!p.contains("Exchange"), p)
