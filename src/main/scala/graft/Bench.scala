@@ -220,18 +220,27 @@ object Bench {
       // headline total omits the failed queries, so it reads as a bogus
       // speedup next to a clean run (and the self-healing priors would
       // lose their reference times). Park it in a sibling file instead.
-      // ...and a HOT-WINDOW run must not decay the steady-state
-      // reference either: its uniformly-inflated times would drag every
-      // prior upward and weaken the very gate that flagged it.
+      // ...and a HOT-WINDOW run decays the reference only with a
+      // heavily DAMPED factor (0.97/0.03 vs the clean run's 0.9/0.1).
+      // Fully freezing priors on hot runs deadlocks against the gate
+      // on a PERMANENTLY slower host (measured r17: ~3 cores of
+      // external load made 4 stable attempts read ~1.25× of the r16
+      // mins — priors unreachable, every future run hot, the decay
+      // that exists for exactly this case never fires). Damped, a
+      // one-day spike moves priors 3% of the spike and recovers, while
+      // a true level shift closes half its gap in ~23 runs — the
+      // reference tracks ACHIEVABLE steady state without ever blessing
+      // a hot measurement (the artifact still says hot_window:true and
+      // the process still exits nonzero). New mins are always believed.
       val p = java.nio.file.Paths.get(
-        if (errors.isEmpty && !hotWindow) "dev/bench_full.json"
-        else if (hotWindow) "dev/bench_full_hot.json"
+        if (errors.isEmpty) "dev/bench_full.json"
         else "dev/bench_full_failed.json")
-      val fileLine = if (errors.isEmpty && !hotWindow) {
+      val fileLine = if (errors.isEmpty) {
+        val keep = if (hotWindow) 0.97 else 0.9
         val merged = results.map { case (k, v) =>
           val prior = priors.getOrElse(k, -1.0)
           k -> (if (v >= 0 && prior > 0)
-            (if (v < prior) v else 0.9 * prior + 0.1 * v)
+            (if (v < prior) v else keep * prior + (1 - keep) * v)
           else v)
         }
         val mq = merged.map { case (k, v) => JsonUtil.str(k) + ":" + v }
@@ -261,7 +270,8 @@ object Bench {
       "q_gate_script", "q_gate_flink_tumble", "q_media_features",
       "q_train_split", "q_ann_pq_fit", "q_gate_match_recognize",
       "q_text_lm_score", "q_embed_outliers", "q_stream_over",
-      "q_pipeline_curate", "q_gate_kafka_live", "q_gate_udf")
+      "q_pipeline_curate", "q_gate_kafka_live", "q_gate_udf",
+      "q_media_phash_pairs", "q_text_bpe_encode")
     // Locale.ROOT: the f interpolator is locale-sensitive, and a comma
     // decimal separator would make the JSON line unparseable.
     def r3(v: Double): String =

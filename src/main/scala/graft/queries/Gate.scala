@@ -2087,6 +2087,60 @@ object Gate extends QueryPack {
       s.table("tokenize_sink_out")
     }),
 
+    // Cross-corpus TOKENIZE through the gate: the merge table trains
+    // on the full documents corpus, a 1-in-4 view slice encodes with
+    // it — fit/transform through the statement layer; shares
+    // q_text_bpe_encode_cross's oracle verbatim.
+    "q_gate_tokenize_cross_tvf" -> ((s, dir) => {
+      val runner = new ScriptRunner(s, batchMode = true)
+      runner.run(
+        s"""CREATE TABLE docs_tokc (doc_id BIGINT, text STRING) WITH (
+           |  'connector' = 'filesystem',
+           |  'path' = '$dir/documents.parquet',
+           |  'format' = 'parquet'
+           |);
+           |CREATE OR REPLACE TEMPORARY VIEW tokc_incoming AS
+           |  SELECT * FROM docs_tokc WHERE doc_id % 4 = 0;
+           |CREATE TABLE tokenize_cross_sink (doc_id BIGINT,
+           |  n_tokens BIGINT, encoded STRING)
+           |  WITH ('connector' = 'memory');
+           |INSERT INTO tokenize_cross_sink
+           |SELECT doc_id, n_tokens, encoded FROM TABLE(TOKENIZE(
+           |  TABLE tokc_incoming, TABLE docs_tokc, DESCRIPTOR(doc_id),
+           |  DESCRIPTOR(text)));
+           |""".stripMargin)
+      s.table("tokenize_cross_sink_out")
+    }),
+
+    // pHash near-dup CLUSTERING in one script: DEDUP_PHASH_PAIRS feeds
+    // CONNECTED_COMPONENTS — "one keeper per perceptually-identical
+    // image cluster", the apply side of image dedup. The oracle replays
+    // the pair set arithmetically and closes it with the recursive-CTE
+    // min-label closure (Dedup.oCcClosure, the q_dedup_cluster
+    // machinery).
+    "q_gate_phash_cluster" -> ((s, dir) => {
+      import s.implicits._
+      graft.multimodal.MediaFixture.phashTable(
+        graft.Tables.load(s, dir, "documents")
+          .select(org.apache.spark.sql.functions.col("doc_id")).as[Long])
+        .createOrReplaceTempView("phash_cluster_imgs")
+      val runner = new ScriptRunner(s, batchMode = true)
+      runner.run(
+        s"""CREATE OR REPLACE TEMPORARY VIEW phash_edges AS
+           |SELECT id_a, id_b FROM TABLE(DEDUP_PHASH_PAIRS(
+           |  TABLE phash_cluster_imgs, DESCRIPTOR(id),
+           |  DESCRIPTOR(media), 3));
+           |CREATE TABLE phash_cluster_sink (node BIGINT,
+           |  cluster BIGINT, is_keeper BOOLEAN)
+           |  WITH ('connector' = 'memory');
+           |INSERT INTO phash_cluster_sink
+           |SELECT node, cluster, is_keeper FROM TABLE(
+           |  CONNECTED_COMPONENTS(TABLE phash_edges, DESCRIPTOR(id_a),
+           |  DESCRIPTOR(id_b)));
+           |""".stripMargin)
+      s.table("phash_cluster_sink_out")
+    }),
+
     // TF-IDF keyword extraction through the gate — shares the library
     // query's oracle (k=3, the default).
     "q_gate_keywords_tvf" -> ((s, dir) => {
@@ -2464,6 +2518,10 @@ object Gate extends QueryPack {
     "q_gate_media_resize_tvf" -> Multimodal.oracleSql("q_media_resize"),
     "q_gate_phash_tvf" -> Multimodal.oracleSql("q_media_phash_pairs"),
     "q_gate_video_similarity" -> Multimodal.oVideoSimSql,
+    "q_gate_phash_cluster" -> Dedup.oCcClosure(Multimodal.oPhashEdges,
+      "node"),
+    "q_gate_tokenize_cross_tvf" ->
+      TextAnalysis.oracleSql("q_text_bpe_encode_cross"),
 
     // embedding cleanup through the statement layer: same fit, same SQL
     "q_gate_abtt_tvf" -> Similarity.oracleSql("q_embed_abtt"),

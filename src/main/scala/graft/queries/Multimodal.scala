@@ -173,6 +173,55 @@ object Multimodal extends QueryPack {
        |WHERE a.id < b.id AND $cosAB >= 0.999999""".stripMargin
   }
 
+  /** Shared body of the pHash oracles: fixture closed form → 9×8 luma
+    * grid → dHash halves (h), parameterized on the head SELECT so the
+    * pair oracle (id_a, id_b, hamming) and the clustering oracle's
+    * edge form (ida, idb) derive from ONE definition.
+    */
+  private def oPhashSql(head: String): String =
+    s"""WITH p AS (SELECT doc_id AS id,
+       |    CAST(doc_id % 5 AS BIGINT) AS kind,
+       |    doc_id - (CASE WHEN doc_id % 5 IN (1, 2, 3)
+       |              THEN doc_id % 5 ELSE 0 END) AS cid
+       |  FROM documents WHERE doc_id % 13 <> 5),
+       |d AS (SELECT id, kind, cid,
+       |    8 + cid % 9 AS w0, 8 + cid % 7 AS h0 FROM p),
+       |g AS (SELECT id, list_transform(
+       |    [((i // 9) * h0 // 8) * w0 + ((i % 9) * w0 // 9)
+       |      for i in generate_series(0, 71)],
+       |    q -> CASE WHEN kind = 3 AND q = 0 THEN 255
+       |      ELSE (299 * (((cid % 97 + 1) * q + (cid % 41 + 1) * q * q
+       |            + cid) % 256)
+       |          + 587 * (((cid % 89 + 2) * q + (cid % 43 + 1) * q * q
+       |            + 2 * cid) % 256)
+       |          + 114 * (((cid % 83 + 3) * q + (cid % 47 + 1) * q * q
+       |            + 3 * cid) % 256))
+       |        // 1000 END) AS lum
+       |  FROM d),
+       |h AS (SELECT id,
+       |    CAST(list_sum([CASE WHEN
+       |        lum[(b // 8) * 9 + (b % 8) + 1] >
+       |        lum[(b // 8) * 9 + (b % 8) + 2]
+       |      THEN (1::BIGINT << b) ELSE 0 END
+       |      for b in generate_series(0, 31)]) AS BIGINT) AS lo,
+       |    CAST(list_sum([CASE WHEN
+       |        lum[((b + 32) // 8) * 9 + ((b + 32) % 8) + 1] >
+       |        lum[((b + 32) // 8) * 9 + ((b + 32) % 8) + 2]
+       |      THEN (1::BIGINT << b) ELSE 0 END
+       |      for b in generate_series(0, 31)]) AS BIGINT) AS hi
+       |  FROM g)
+       |$head
+       |FROM h a JOIN h b ON a.id < b.id
+       |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3"""
+      .stripMargin
+
+  /** (ida, idb) edge form of the pair oracle, for the clustering gate
+    * query's recursive-CTE closure (Dedup.oCcClosure consumes it as a
+    * nested CTE body).
+    */
+  private[queries] lazy val oPhashEdges: String =
+    oPhashSql("SELECT a.id AS ida, b.id AS idb")
+
   def oracleSql: Map[String, String] = Map(
     // NOTE: DuckDB list_sum returns HUGEINT (int128); the driver hashes the
     // physical type, so every sum is CAST to BIGINT to match Spark's LongType.
@@ -275,44 +324,10 @@ object Multimodal extends QueryPack {
     // and the hamming verify mirror MediaOps.dhash9x8 / Dedup
     // .phashPairs; the blocking there is lossless at hamming ≤ 3, so
     // the brute-force all-pairs join here IS the expected output.
-    "q_media_phash_pairs" ->
-      """WITH p AS (SELECT doc_id AS id,
-        |    CAST(doc_id % 5 AS BIGINT) AS kind,
-        |    doc_id - (CASE WHEN doc_id % 5 IN (1, 2, 3)
-        |              THEN doc_id % 5 ELSE 0 END) AS cid
-        |  FROM documents WHERE doc_id % 13 <> 5),
-        |d AS (SELECT id, kind, cid,
-        |    8 + cid % 9 AS w0, 8 + cid % 7 AS h0 FROM p),
-        |g AS (SELECT id, list_transform(
-        |    [((i // 9) * h0 // 8) * w0 + ((i % 9) * w0 // 9)
-        |      for i in generate_series(0, 71)],
-        |    q -> CASE WHEN kind = 3 AND q = 0 THEN 255
-        |      ELSE (299 * (((cid % 97 + 1) * q + (cid % 41 + 1) * q * q
-        |            + cid) % 256)
-        |          + 587 * (((cid % 89 + 2) * q + (cid % 43 + 1) * q * q
-        |            + 2 * cid) % 256)
-        |          + 114 * (((cid % 83 + 3) * q + (cid % 47 + 1) * q * q
-        |            + 3 * cid) % 256))
-        |        // 1000 END) AS lum
-        |  FROM d),
-        |h AS (SELECT id,
-        |    CAST(list_sum([CASE WHEN
-        |        lum[(b // 8) * 9 + (b % 8) + 1] >
-        |        lum[(b // 8) * 9 + (b % 8) + 2]
-        |      THEN (1::BIGINT << b) ELSE 0 END
-        |      for b in generate_series(0, 31)]) AS BIGINT) AS lo,
-        |    CAST(list_sum([CASE WHEN
-        |        lum[((b + 32) // 8) * 9 + ((b + 32) % 8) + 1] >
-        |        lum[((b + 32) // 8) * 9 + ((b + 32) % 8) + 2]
-        |      THEN (1::BIGINT << b) ELSE 0 END
-        |      for b in generate_series(0, 31)]) AS BIGINT) AS hi
-        |  FROM g)
-        |SELECT a.id AS id_a, b.id AS id_b,
+    "q_media_phash_pairs" -> oPhashSql(
+      """SELECT a.id AS id_a, b.id AS id_b,
         |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
-        |    AS BIGINT) AS hamming
-        |FROM h a JOIN h b ON a.id < b.id
-        |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3"""
-        .stripMargin,
+        |    AS BIGINT) AS hamming""".stripMargin),
 
     "q_media_payload" ->
       s"""SELECT doc_id AS id, length(text) AS n_bytes, md5(text) AS digest,

@@ -300,6 +300,23 @@ object StreamingGate extends QueryPack {
         "stream_abtt_gate", mode = "append")
     }),
 
+    // Tokenize at INGEST: the BPE merge table trains once on the
+    // bounded corpus snapshot, every arriving document encodes through
+    // the frozen K-replace chain — stateless narrow projection, zero
+    // keyed state. The streamed relation IS the fit corpus here, so
+    // the drain must reproduce the batch q_text_bpe_encode output
+    // bit-exactly — shared oracle (the stream == batch proof).
+    "q_stream_tokenize" -> ((s, dir) => {
+      val corpus = graft.Tables.load(s, dir, "documents")
+      val staged = stagedTableDir(dir, "documents")
+      val incoming = s.readStream
+        .schema(s.read.parquet(staged).schema).parquet(staged)
+      runToTable(s,
+        TextAnalysis.bpeEncodeWith(incoming, corpus, "doc_id", "text",
+          TextAnalysis.BpeRounds),
+        "stream_tokenize_gate", mode = "append")
+    }),
+
     // Audio decode at INGEST — WAV/PCM feature extraction on arriving
     // payloads, the same stateless narrow-map contract as
     // q_stream_media; shares q_media_audio's oracle verbatim (same
@@ -386,6 +403,7 @@ object StreamingGate extends QueryPack {
     // shared verbatim with the batch pack: the streaming drain must
     // produce bit-identical decode output to the batch operator
     "q_stream_media" -> Multimodal.oracleSql("q_media_features"),
+    "q_stream_tokenize" -> TextAnalysis.oracleSql("q_text_bpe_encode"),
     "q_stream_media_audio" -> Multimodal.oracleSql("q_media_audio"),
     "q_stream_media_video" -> Multimodal.oracleSql("q_media_video"),
     "q_stream_abtt" -> Similarity.oracleSql("q_embed_abtt"))

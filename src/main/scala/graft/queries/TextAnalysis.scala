@@ -196,6 +196,29 @@ object TextAnalysis extends QueryPack {
       rounds: Int): DataFrame =
     bpeEncode(df, idCol, textCol, bpeMergeList(df, textCol, rounds))
 
+  /** Cross-corpus encode — the production tokenizer shape: the merge
+    * table is trained ONCE on a bounded reference corpus (frozen per
+    * corpus version via StaticIndexCache, so repeated gate invocations
+    * and every micro-batch reuse one fit) and applied to a DIFFERENT
+    * relation, which may STREAM: the encode chain is K literal
+    * replaces, a stateless narrow projection that runs unchanged at
+    * ingest — tokenize-at-ingest with zero keyed state.
+    */
+  def bpeEncodeWith(incoming: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String, rounds: Int): DataFrame = {
+    require(!corpus.isStreaming,
+      "TOKENIZE: the corpus (fit) side must be a BOUNDED relation — " +
+        "the merge table is trained once and frozen; declare it with " +
+        "'source.bounded' = 'true' or a batch connector")
+    val s = corpus.sparkSession
+    val merges = StaticIndexCache.getOrBuild[Seq[(String, String)]](
+      StaticIndexCache.corpusKey(s, corpus, "bpe_merges", textCol,
+        rounds)) {
+      bpeMergeList(corpus, textCol, rounds)
+    }
+    bpeEncode(incoming, idCol, textCol, merges)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Token counting: whitespace tokens, BPE-ish regex tokens, chars.
     "q_text_tokens" -> ((s, dir) => {
@@ -236,6 +259,16 @@ object TextAnalysis extends QueryPack {
     "q_text_bpe_encode" -> ((s, dir) =>
       bpeFitEncode(Tables.load(s, dir, "documents"), "doc_id", "text",
         BpeRounds)),
+
+    // Cross-corpus encode: a 1-in-4 incoming slice tokenized with the
+    // merge table trained on the FULL corpus — fit/transform split,
+    // the production cadence (train once, encode forever).
+    "q_text_bpe_encode_cross" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.load(s, dir, "documents")
+      bpeEncodeWith(docs.filter($"doc_id" % 4 === 0), docs,
+        "doc_id", "text", BpeRounds)
+    }),
 
     // Token-budget corpus mixing re-based on BPE counts (q_mix_budget
     // budgets in whitespace tokens; training cost is TOKENIZER tokens,
@@ -578,6 +611,11 @@ object TextAnalysis extends QueryPack {
     Map(
       "q_text_bpe_merges" -> oBpeSql,
       "q_text_bpe_encode" -> oBpeEncodeSql,
+      // cross encode: the training chain runs over the FULL corpus
+      // (d0..dK carry every doc), the output just filters to the
+      // incoming slice — exactly the fit/transform split
+      "q_text_bpe_encode_cross" ->
+        (oBpeEncodeSql + "\nWHERE doc_id % 4 = 0"),
       "q_mix_budget_bpe" -> oMixBudgetBpeSql,
 
       "q_text_tokens" ->

@@ -176,6 +176,12 @@ import org.apache.spark.sql.SparkSession
   *     with it (token counts in real tokenizer units) —
   *     [[graft.queries.TextAnalysis.bpeFitEncode]]. Whole-relation fit:
   *     streaming rejected loudly.
+  *   - `TABLE(TOKENIZE(TABLE incoming, TABLE corpus, DESCRIPTOR(id),
+  *     DESCRIPTOR(text)[, <rounds>]))` → same columns, the
+  *     fit/transform split: merges train ONCE on the bounded corpus
+  *     (frozen per corpus version) and encode the incoming side, which
+  *     may STREAM — tokenize-at-ingest, stateless —
+  *     [[graft.queries.TextAnalysis.bpeEncodeWith]].
   *
   * Same execution shape as [[MatchRecognizeRewrite]]: the operator runs
   * over `spark.table(src)`, the result registers as a tracked temp view
@@ -320,6 +326,13 @@ object GraftTvfRewrite {
   private val BpeRe =
     ("""(?i)\bTABLE\s*\(\s*TEXT_BPE_MERGES\s*\(\s*TABLE\s+([`\w.]+)\s*,\s*""" +
       """DESCRIPTOR\s*\(\s*([`\w]+)\s*\)\s*(?:,\s*(\d+)\s*)?\)\s*\)""").r
+  // cross-corpus tokenizer: TWO tables (incoming, corpus) — the merge
+  // table trains on the bounded corpus (frozen per version), the
+  // incoming side may STREAM (encode is a stateless K-replace chain)
+  private val TokenizeCrossRe =
+    ("""(?i)\bTABLE\s*\(\s*TOKENIZE\s*\(\s*TABLE\s+([`\w.]+)\s*,\s*""" +
+      """TABLE\s+([`\w.]+)\s*,\s*DESCRIPTOR\s*\(\s*([`\w]+)\s*\)\s*,\s*""" +
+      """DESCRIPTOR\s*\(\s*([`\w]+)\s*\)\s*(?:,\s*(\d+)\s*)?\)\s*\)""").r
   // BPE fit-then-encode tokenizer: ONE descriptor pair (id, text) +
   // optional rounds; whole-relation (the fit is K corpus scans)
   private val TokenizeRe =
@@ -350,7 +363,7 @@ object GraftTvfRewrite {
       .toLowerCase(java.util.Locale.ROOT)
     (allRes.flatMap(_.findAllMatchIn(sql).map(m => clean(m.group(1)))) ++
       Seq(AnnRe, AnnLshRe, AnnIvfPqRe, CrossRe, FuzzyCrossRe, EmbedCrossRe,
-          Bm25Re)
+          Bm25Re, TokenizeCrossRe, JaccardCrossRe)
         .flatMap(_.findAllMatchIn(sql).flatMap(m =>
           Seq(clean(m.group(1)), clean(m.group(2)))))).toSet
   }
@@ -633,6 +646,15 @@ object GraftTvfRewrite {
       view(graft.queries.TextAnalysis.bpeMerges(
         table(m.group(1)), c2(m, 2), rounds))
     })
+    out = TokenizeCrossRe.replaceAllIn(out, m => {
+      // fit on the bounded corpus (validated by the kernel), encode the
+      // incoming side — which may STREAM (stateless replace chain)
+      val rounds = Option(m.group(5)).map(_.toInt)
+        .getOrElse(graft.queries.TextAnalysis.BpeRounds)
+      view(graft.queries.TextAnalysis.bpeEncodeWith(
+        rawTable(m.group(1)), rawTable(m.group(2)), c2(m, 3), c2(m, 4),
+        rounds))
+    })
     out = TokenizeRe.replaceAllIn(out, m => {
       // whole-relation fit + narrow encode — batch only (table() guard)
       val rounds = Option(m.group(4)).map(_.toInt)
@@ -685,7 +707,7 @@ object GraftTvfRewrite {
   def validateOnly(sql: String): String = {
     val out = (allRes ++
         Seq(CrossRe, AnnRe, AnnLshRe, AnnIvfPqRe, FuzzyCrossRe,
-          EmbedCrossRe, Bm25Re, JaccardCrossRe))
+          EmbedCrossRe, Bm25Re, JaccardCrossRe, TokenizeCrossRe))
       .foldLeft(sql)((s, re) =>
         re.replaceAllIn(s, _ => "__graft_tvf_validated"))
     requireFullyRewritten(out)
@@ -747,7 +769,9 @@ object GraftTvfRewrite {
           "TABLE(PROFILE(TABLE t)), " +
           "TABLE(TEXT_BPE_MERGES(TABLE t, DESCRIPTOR(text)[, rounds])), " +
           "TABLE(TOKENIZE(TABLE t, DESCRIPTOR(id), DESCRIPTOR(text)" +
-          "[, rounds])) " +
+          "[, rounds])), " +
+          "TABLE(TOKENIZE(TABLE incoming, TABLE corpus, DESCRIPTOR(id), " +
+          "DESCRIPTOR(text)[, rounds])) " +
           "or TABLE(CONNECTED_COMPONENTS(TABLE edges, DESCRIPTOR(a), " +
           "DESCRIPTOR(b)))")
     }

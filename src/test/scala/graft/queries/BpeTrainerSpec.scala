@@ -169,6 +169,39 @@ class BpeTrainerSpec extends SparkSpec {
     assert(out.drop(20).forall(t => t._2 == 1L && t._3 == "|a b|"))
   }
 
+  test("cross-corpus encode equals fit-encode when incoming == corpus, " +
+    "and the frozen merge table is cached per corpus version") {
+    import spark.implicits._
+    StaticIndexCache.clear()
+    val docs = (Seq.fill(20)("a b c") ++ Seq.fill(5)("d e"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("bpe_cross").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val corpus = spark.read.parquet(dir)
+    val viaCross = TextAnalysis
+      .bpeEncodeWith(corpus, corpus, "doc_id", "text", 2)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val viaFit = TextAnalysis.bpeFitEncode(corpus, "doc_id", "text", 2)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(viaCross == viaFit)
+    // second invocation over the same corpus version reuses the frozen
+    // merge table: the cache holds exactly one bpe_merges entry and no
+    // retraining jobs run (entry count stays flat)
+    val before = StaticIndexCache.size
+    TextAnalysis.bpeEncodeWith(corpus.limit(3), corpus, "doc_id", "text", 2)
+      .collect()
+    assert(StaticIndexCache.size == before)
+    // a streaming corpus (fit side) is rejected loudly
+    val schema = corpus.schema
+    val streaming = spark.readStream.schema(schema).parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.bpeEncodeWith(corpus, streaming, "doc_id", "text", 2)
+    }
+    assert(e.getMessage.contains("BOUNDED"))
+    StaticIndexCache.clear()
+  }
+
   test("encode with zero learned merges counts whitespace tokens") {
     import spark.implicits._
     val df = Seq((1L, "u v w"), (2L, "")).toDF("doc_id", "text")

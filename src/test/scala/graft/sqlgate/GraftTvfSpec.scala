@@ -285,6 +285,32 @@ class GraftTvfSpec extends SparkSpec {
     assert(spark.table("view_tvf_sink_out").count() == 7)
   }
 
+  test("two-table TOKENIZE routes a STREAMING incoming side against a " +
+    "bounded fit corpus; both spellings validate") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tvf_tok_stream")
+    dir.toFile.deleteOnExit()
+    Seq((1L, "a b c"), (2L, "a b"), (3L, "a b c d"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(dir.toString)
+    val corpus = spark.read.parquet(dir.toString)
+    corpus.createOrReplaceTempView("tok_corpus")
+    spark.readStream.schema(corpus.schema).parquet(dir.toString)
+      .createOrReplaceTempView("tok_incoming_stream")
+    // the rewrite must accept a streaming incoming side (encode is a
+    // stateless replace chain) and produce a streaming relation
+    val (out, views) = GraftTvfRewrite.rewriteTracking(spark,
+      "SELECT * FROM TABLE(TOKENIZE(TABLE tok_incoming_stream, " +
+        "TABLE tok_corpus, DESCRIPTOR(doc_id), DESCRIPTOR(text), 2))")
+    assert(views.size == 1 && spark.table(views.head).isStreaming)
+    views.foreach(spark.catalog.dropTempView)
+    GraftTvfRewrite.validateOnly(
+      "SELECT * FROM TABLE(TOKENIZE(TABLE t, DESCRIPTOR(id), " +
+        "DESCRIPTOR(text), 3))")
+    GraftTvfRewrite.validateOnly(
+      "SELECT * FROM TABLE(TOKENIZE(TABLE a, TABLE b, DESCRIPTOR(id), " +
+        "DESCRIPTOR(text)))")
+  }
+
   test("DEDUP_PHASH_PAIRS rejects a streaming source loudly") {
     import spark.implicits._
     val staged = java.nio.file.Files.createTempDirectory("tvf_ph_stream")
