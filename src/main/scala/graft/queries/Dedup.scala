@@ -582,37 +582,102 @@ object Dedup extends QueryPack {
     * itself quadratic — inherent to the data, not the plan.
     * Output: (id_a, id_b, hamming), id_a < id_b.
     */
+  private val PhashMask16 = 0xffffL
+
+  /** The 4 16-bit band keys of a (hi, lo) dHash, low bits first. */
+  private def phashBandKeys(hi: Column, lo: Column): Column = array(
+    lo.bitwiseAND(lit(PhashMask16)),
+    shiftright(lo, 16).bitwiseAND(lit(PhashMask16)),
+    hi.bitwiseAND(lit(PhashMask16)),
+    shiftright(hi, 16).bitwiseAND(lit(PhashMask16)))
+
+  /** Index of the FIRST band on which two hashes agree, derived in-row
+    * from the xor — the PPJoin-style dedup rule: a pair colliding on
+    * several bands is emitted only from this one.
+    */
+  private def phashFirstSharedBand(xHi: Column, xLo: Column): Column =
+    when(xLo.bitwiseAND(lit(PhashMask16)) === 0, 0)
+      .when(shiftright(xLo, 16).bitwiseAND(lit(PhashMask16)) === 0, 1)
+      .when(xHi.bitwiseAND(lit(PhashMask16)) === 0, 2)
+      .otherwise(3)
+
   def phashPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"phashPairs: maxHamming($maxHamming) must be in [0, 3] — 4 bands " +
         "of 16 bits are pigeonhole-lossless only up to hamming 3")
-    val mask16 = lit(0xffffL)
-    def bandKeys(hi: Column, lo: Column) = array(
-      lo.bitwiseAND(mask16),
-      shiftright(lo, 16).bitwiseAND(mask16),
-      hi.bitwiseAND(mask16),
-      shiftright(hi, 16).bitwiseAND(mask16))
     val bands = hashes.select(
       struct(col("id"), col("hash_hi").as("hi"), col("hash_lo").as("lo"))
         .as("m"),
-      posexplode(bandKeys(col("hash_hi"), col("hash_lo")))
+      posexplode(phashBandKeys(col("hash_hi"), col("hash_lo")))
         .as(Seq("band", "bkey")))
     val buckets = bands.groupBy(col("band"), col("bkey"))
       .agg(collect_list(col("m")).as("ms"))
       .filter(size(col("ms")) >= 2)
     val xHi = col("a.hi").bitwiseXOR(col("b.hi"))
     val xLo = col("a.lo").bitwiseXOR(col("b.lo"))
-    val firstSharedBand =
-      when(xLo.bitwiseAND(mask16) === 0, 0)
-        .when(shiftright(xLo, 16).bitwiseAND(mask16) === 0, 1)
-        .when(xHi.bitwiseAND(mask16) === 0, 2)
-        .otherwise(3)
     buckets
       .select(col("band"), explode(col("ms")).as("a"), col("ms"))
       .select(col("band"), col("a"), explode(col("ms")).as("b"))
       .filter(col("a.id") < col("b.id"))
-      .filter(col("band") === firstSharedBand)
+      .filter(col("band") === phashFirstSharedBand(xHi, xLo))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (bit_count(xHi) + bit_count(xLo)).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Cross-corpus perceptual-hash dedup — the production cadence for an
+    * image pipeline: every (incoming, corpus) image pair within dHash
+    * hamming `maxHamming`, with the corpus's banded hash index built
+    * ONCE per corpus version (StaticIndexCache: decoded, hashed,
+    * band-exploded, persisted pre-partitioned+sorted on the band keys)
+    * and the incoming side — which may STREAM (near-dup screening at
+    * ingest) — probing it statelessly: decode + hash + band explode are
+    * narrow, the band equi-join is stream-static, and the
+    * first-shared-band dedup + exact hamming verify run row-locally
+    * (both hashes are in the joined row), so there is no keyed state
+    * and no second exchange. Merge hints pin the static side out of
+    * per-micro-batch broadcast picks (the jaccard-cross lesson); only
+    * the incoming side exchanges. Same pigeonhole-losslessness as
+    * [[phashPairs]]: radius ≤ 3 over 4×16-bit bands.
+    * Output: (id_a = incoming, id_b = corpus, hamming).
+    */
+  def phashCrossPairs(incoming: DataFrame, corpus: DataFrame,
+      idCol: String, mediaCol: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"phashCrossPairs: maxHamming($maxHamming) must be in [0, 3] — 4 " +
+        "bands of 16 bits are pigeonhole-lossless only up to hamming 3")
+    require(!corpus.isStreaming,
+      "DEDUP_PHASH_CROSS: the corpus side must be a BOUNDED relation " +
+        "(its banded hash index is built once and frozen) — declare it " +
+        "with 'source.bounded' = 'true' or a batch connector")
+    val s = corpus.sparkSession
+    def shaped(df: DataFrame): DataFrame =
+      df.select(col(idCol).cast("long").as("id"), col(mediaCol).as("media"))
+    val idx = StaticIndexCache.getOrBuild[DataFrame](
+      StaticIndexCache.corpusKey(s, corpus, "phash_cross_idx",
+        idCol, mediaCol)) {
+      val dir = StaticIndexCache.newTmpDir("graft_phash_idx")
+      graft.multimodal.MediaOps.dhashFeatures(shaped(corpus))
+        .select(col("id").as("idb"), col("hash_hi").as("hib"),
+          col("hash_lo").as("lob"),
+          posexplode(phashBandKeys(col("hash_hi"), col("hash_lo")))
+            .as(Seq("band", "bkey")))
+        .write.parquet(s"$dir/idx")
+      s.read.parquet(s"$dir/idx")
+        .repartition(col("band"), col("bkey"))
+        .sortWithinPartitions(col("band"), col("bkey"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    val inc = graft.multimodal.MediaOps.dhashFeatures(shaped(incoming))
+      .select(col("id").as("ida"), col("hash_hi").as("hia"),
+        col("hash_lo").as("loa"),
+        posexplode(phashBandKeys(col("hash_hi"), col("hash_lo")))
+          .as(Seq("band", "bkey")))
+    val xHi = col("hia").bitwiseXOR(col("hib"))
+    val xLo = col("loa").bitwiseXOR(col("lob"))
+    inc.join(idx.hint("merge"), Seq("band", "bkey"))
+      .filter(col("band") === phashFirstSharedBand(xHi, xLo))
+      .select(col("ida").as("id_a"), col("idb").as("id_b"),
         (bit_count(xHi) + bit_count(xLo)).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }

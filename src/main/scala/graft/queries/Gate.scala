@@ -2087,6 +2087,29 @@ object Gate extends QueryPack {
       s.table("tokenize_sink_out")
     }),
 
+    // Cross-corpus pHash dedup through the gate: the incoming 2-in-10
+    // slice screened against the frozen 8-in-10 corpus band index via
+    // DEDUP_PHASH_CROSS; shares q_dedup_phash_cross's oracle verbatim.
+    "q_gate_phash_cross_tvf" -> ((s, dir) => {
+      import s.implicits._
+      val ids = graft.Tables.load(s, dir, "documents")
+        .select(org.apache.spark.sql.functions.col("doc_id")).as[Long]
+      graft.multimodal.MediaFixture.phashTable(ids.filter(_ % 10 >= 8))
+        .createOrReplaceTempView("phash_cross_inc")
+      graft.multimodal.MediaFixture.phashTable(ids.filter(_ % 10 < 8))
+        .createOrReplaceTempView("phash_cross_corpus")
+      val runner = new ScriptRunner(s, batchMode = true)
+      runner.run(
+        s"""CREATE TABLE phash_cross_sink (id_a BIGINT, id_b BIGINT,
+           |  hamming BIGINT) WITH ('connector' = 'memory');
+           |INSERT INTO phash_cross_sink
+           |SELECT id_a, id_b, hamming FROM TABLE(DEDUP_PHASH_CROSS(
+           |  TABLE phash_cross_inc, TABLE phash_cross_corpus,
+           |  DESCRIPTOR(id), DESCRIPTOR(media), 3));
+           |""".stripMargin)
+      s.table("phash_cross_sink_out")
+    }),
+
     // Cross-corpus TOKENIZE through the gate: the merge table trains
     // on the full documents corpus, a 1-in-4 view slice encodes with
     // it — fit/transform through the statement layer; shares
@@ -2520,6 +2543,7 @@ object Gate extends QueryPack {
     "q_gate_video_similarity" -> Multimodal.oVideoSimSql,
     "q_gate_phash_cluster" -> Dedup.oCcClosure(Multimodal.oPhashEdges,
       "node"),
+    "q_gate_phash_cross_tvf" -> Multimodal.oracleSql("q_dedup_phash_cross"),
     "q_gate_tokenize_cross_tvf" ->
       TextAnalysis.oracleSql("q_text_bpe_encode_cross"),
 

@@ -75,6 +75,20 @@ object Multimodal extends QueryPack {
         maxHamming = 3)
     }),
 
+    // cross-corpus pHash dedup: a 2-in-10 incoming slice screened
+    // against the frozen 8-in-10 corpus hash index — the at-ingest
+    // image-dedup cadence (the streaming route, q_gate_phash_cross
+    // _stream, shares this oracle verbatim)
+    "q_dedup_phash_cross" -> ((s, dir) => {
+      import s.implicits._
+      val ids = Tables.load(s, dir, "documents")
+        .select(col("doc_id")).as[Long]
+      Dedup.phashCrossPairs(
+        MediaFixture.phashTable(ids.filter(_ % 10 >= 8)),
+        MediaFixture.phashTable(ids.filter(_ % 10 < 8)),
+        "id", "media")
+    }),
+
     // payload-level features (no decode): the exact-dedup / integrity side
     "q_media_payload" -> ((s, dir) =>
       MediaOps.payloadFeatures(byteDF(s, dir)).toDF()),
@@ -178,7 +192,7 @@ object Multimodal extends QueryPack {
     * pair oracle (id_a, id_b, hamming) and the clustering oracle's
     * edge form (ida, idb) derive from ONE definition.
     */
-  private def oPhashSql(head: String): String =
+  private lazy val oPhashCtes: String =
     s"""WITH p AS (SELECT doc_id AS id,
        |    CAST(doc_id % 5 AS BIGINT) AS kind,
        |    doc_id - (CASE WHEN doc_id % 5 IN (1, 2, 3)
@@ -209,9 +223,25 @@ object Multimodal extends QueryPack {
        |        lum[((b + 32) // 8) * 9 + ((b + 32) % 8) + 2]
        |      THEN (1::BIGINT << b) ELSE 0 END
        |      for b in generate_series(0, 31)]) AS BIGINT) AS hi
-       |  FROM g)
+       |  FROM g)""".stripMargin
+
+  private def oPhashSql(head: String): String =
+    s"""$oPhashCtes
        |$head
        |FROM h a JOIN h b ON a.id < b.id
+       |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3"""
+      .stripMargin
+
+  /** Cross-corpus pair oracle: incoming (id % 10 >= 8) vs corpus
+    * (id % 10 < 8) slices of the same fixture — brute-force cross join,
+    * which the lossless banded blocking must reproduce exactly.
+    */
+  private[queries] lazy val oPhashCrossSql: String =
+    s"""$oPhashCtes
+       |SELECT a.id AS id_a, b.id AS id_b,
+       |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+       |    AS BIGINT) AS hamming
+       |FROM h a JOIN h b ON a.id % 10 >= 8 AND b.id % 10 < 8
        |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3"""
       .stripMargin
 
@@ -328,6 +358,8 @@ object Multimodal extends QueryPack {
       """SELECT a.id AS id_a, b.id AS id_b,
         |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
         |    AS BIGINT) AS hamming""".stripMargin),
+
+    "q_dedup_phash_cross" -> oPhashCrossSql,
 
     "q_media_payload" ->
       s"""SELECT doc_id AS id, length(text) AS n_bytes, md5(text) AS digest,

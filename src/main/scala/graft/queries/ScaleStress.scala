@@ -311,6 +311,23 @@ object ScaleStress {
           MediaOps.dhashFeatures(MediaFixture.phashTable(ids)), 3)
         Map("pairs" -> pairs.count())
       }),
+      // r17: cross-corpus pHash dedup — the frozen corpus band index is
+      // built once (decode + hash + band explode, persisted
+      // pre-partitioned); the incoming 2-in-10 slice probes it through
+      // ONE stream-static-shaped equi-join with row-local verify. The
+      // decade claim: index build + probe both decode-bound (linear),
+      // cross-pair mass tracks the planted split rate.
+      "phash_cross" -> (() => {
+        import graft.multimodal.MediaFixture
+        import spark.implicits._
+        val ids = graft.Tables.load(spark, sfDir, "documents")
+          .select(col("doc_id")).as[Long]
+        val pairs = Dedup.phashCrossPairs(
+          MediaFixture.phashTable(ids.filter(_ % 10 >= 8)),
+          MediaFixture.phashTable(ids.filter(_ % 10 < 8)),
+          "id", "media")
+        Map("pairs" -> pairs.count())
+      }),
       // r15: all-but-the-top embedding cleanup — per round one corpus
       // pass + one 64-key shuffle, control-plane direction vector; the
       // residual pass is row-local. Decade metric should track the

@@ -331,6 +331,25 @@ object StreamingGate extends QueryPack {
         "stream_media_audio_gate", mode = "append")
     }),
 
+    // Perceptual near-dup SCREENING at ingest: each arriving image
+    // decodes, hashes, and probes the frozen corpus band index
+    // statelessly (both hashes ride the joined row — no keyed state);
+    // shares q_dedup_phash_cross's oracle verbatim (stream == batch).
+    "q_gate_phash_cross_stream" -> ((s, dir) => {
+      import s.implicits._
+      val allIds = graft.Tables.load(s, dir, "documents")
+        .select($"doc_id").as[Long]
+      val corpus = MediaFixture.phashTable(allIds.filter(_ % 10 < 8))
+      val staged = stagedTableDir(dir, "documents")
+      val incIds = s.readStream.schema(s.read.parquet(staged).schema)
+        .parquet(staged).select($"doc_id").as[Long]
+        .filter((id: Long) => id % 10 >= 8)
+      runToTable(s,
+        Dedup.phashCrossPairs(MediaFixture.phashTable(incIds), corpus,
+          "id", "media"),
+        "stream_phash_cross_gate", mode = "append")
+    }),
+
     // Video frame sampling at ingest — the GFV1 seek-and-decode path on
     // a stream, same stateless contract; shares q_media_video's oracle.
     "q_stream_media_video" -> ((s, dir) => {
@@ -403,6 +422,8 @@ object StreamingGate extends QueryPack {
     // shared verbatim with the batch pack: the streaming drain must
     // produce bit-identical decode output to the batch operator
     "q_stream_media" -> Multimodal.oracleSql("q_media_features"),
+    "q_gate_phash_cross_stream" ->
+      Multimodal.oracleSql("q_dedup_phash_cross"),
     "q_stream_tokenize" -> TextAnalysis.oracleSql("q_text_bpe_encode"),
     "q_stream_media_audio" -> Multimodal.oracleSql("q_media_audio"),
     "q_stream_media_video" -> Multimodal.oracleSql("q_media_video"),

@@ -88,6 +88,13 @@ import org.apache.spark.sql.SparkSession
   *     hamming blocking + exact verify (default radius 3, the
   *     pigeonhole-lossless bound) — [[graft.queries.Dedup.phashPairs]].
   *     Whole-relation self-join: streaming rejected loudly.
+  *   - `TABLE(DEDUP_PHASH_CROSS(TABLE incoming, TABLE corpus,
+  *     DESCRIPTOR(id), DESCRIPTOR(media)[, <maxHamming>]))` → same
+  *     columns (id_a = incoming, id_b = corpus): every cross pair
+  *     within the radius — the corpus freezes its banded hash index
+  *     once per version; the incoming side may STREAM (image near-dup
+  *     screening at ingest, stateless) —
+  *     [[graft.queries.Dedup.phashCrossPairs]].
   *   - `TABLE(EMBED_ABTT(TABLE t, DESCRIPTOR(id), DESCRIPTOR(vec)
   *     [, <rounds>]))` → `(vec_id, proj, residual)`: all-but-the-top
   *     embedding cleanup (mean-center + dominant-direction removal,
@@ -217,7 +224,7 @@ import org.apache.spark.sql.SparkSession
 object GraftTvfRewrite {
 
   private val Keyword =
-    """(?i)\b(?:DEDUP_(?:EXACT|MINHASH_PAIRS|SIMHASH_PAIRS|CROSS_PAIRS|EMBED_PAIRS|JACCARD_PAIRS|JACCARD_CROSS|PHASH_PAIRS)|ANN_TOPK(?:_LSH|_IVFPQ)?|TEXT_QUALITY|TEXT_SEARCH_BM25|TEXT_KEYWORDS|LANG_ID|PAGERANK|FUZZY_JOIN(?:_CROSS)?|CONNECTED_COMPONENTS|MEDIA_FEATURES|MEDIA_VIDEO_FRAMES|MEDIA_AUDIO|MEDIA_RESIZE|EMBED_ABTT|HEAVY_HITTERS|PROFILE|TEXT_BPE_MERGES|TOKENIZE)\s*\(""".r
+    """(?i)\b(?:DEDUP_(?:EXACT|MINHASH_PAIRS|SIMHASH_PAIRS|CROSS_PAIRS|EMBED_PAIRS|JACCARD_PAIRS|JACCARD_CROSS|PHASH_PAIRS|PHASH_CROSS)|ANN_TOPK(?:_LSH|_IVFPQ)?|TEXT_QUALITY|TEXT_SEARCH_BM25|TEXT_KEYWORDS|LANG_ID|PAGERANK|FUZZY_JOIN(?:_CROSS)?|CONNECTED_COMPONENTS|MEDIA_FEATURES|MEDIA_VIDEO_FRAMES|MEDIA_AUDIO|MEDIA_RESIZE|EMBED_ABTT|HEAVY_HITTERS|PROFILE|TEXT_BPE_MERGES|TOKENIZE)\s*\(""".r
   private val viewCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private val Head =
@@ -299,6 +306,13 @@ object GraftTvfRewrite {
   // optional integer factor (default 2)
   private val MediaResizeRe =
     (Head.format("MEDIA_RESIZE") + """(?:,\s*(\d+)\s*)?\)\s*\)""").r
+  // cross-corpus pHash dedup: TWO tables (incoming, corpus) — the
+  // corpus freezes its banded hash index, the incoming side may STREAM
+  // (stateless decode + hash + band probe); optional maxHamming
+  private val PhashCrossRe =
+    ("""(?i)\bTABLE\s*\(\s*DEDUP_PHASH_CROSS\s*\(\s*TABLE\s+([`\w.]+)\s*,\s*""" +
+      """TABLE\s+([`\w.]+)\s*,\s*DESCRIPTOR\s*\(\s*([`\w]+)\s*\)\s*,\s*""" +
+      """DESCRIPTOR\s*\(\s*([`\w]+)\s*\)\s*(?:,\s*(\d+)\s*)?\)\s*\)""").r
   // perceptual-hash near-dup pairs: whole-relation banded self-join
   // over per-image dHashes; optional maxHamming (default 3)
   private val PhashRe =
@@ -363,7 +377,7 @@ object GraftTvfRewrite {
       .toLowerCase(java.util.Locale.ROOT)
     (allRes.flatMap(_.findAllMatchIn(sql).map(m => clean(m.group(1)))) ++
       Seq(AnnRe, AnnLshRe, AnnIvfPqRe, CrossRe, FuzzyCrossRe, EmbedCrossRe,
-          Bm25Re, TokenizeCrossRe, JaccardCrossRe)
+          Bm25Re, TokenizeCrossRe, JaccardCrossRe, PhashCrossRe)
         .flatMap(_.findAllMatchIn(sql).flatMap(m =>
           Seq(clean(m.group(1)), clean(m.group(2)))))).toSet
   }
@@ -582,6 +596,14 @@ object GraftTvfRewrite {
       view(graft.multimodal.MediaOps
         .resizeFeatures(mediaCols(m), factor).toDF())
     })
+    out = PhashCrossRe.replaceAllIn(out, m => {
+      // corpus bounded-ness validated by the kernel; incoming may
+      // STREAM (stateless banded probe of the frozen index)
+      val maxHamming = Option(m.group(5)).map(_.toInt).getOrElse(3)
+      view(graft.queries.Dedup.phashCrossPairs(
+        rawTable(m.group(1)), rawTable(m.group(2)), c2(m, 3), c2(m, 4),
+        maxHamming))
+    })
     out = PhashRe.replaceAllIn(out, m => {
       // whole-relation banded self-join over per-image dHashes —
       // batch only (table() guard); the per-row hash extraction is
@@ -707,7 +729,8 @@ object GraftTvfRewrite {
   def validateOnly(sql: String): String = {
     val out = (allRes ++
         Seq(CrossRe, AnnRe, AnnLshRe, AnnIvfPqRe, FuzzyCrossRe,
-          EmbedCrossRe, Bm25Re, JaccardCrossRe, TokenizeCrossRe))
+          EmbedCrossRe, Bm25Re, JaccardCrossRe, TokenizeCrossRe,
+          PhashCrossRe))
       .foldLeft(sql)((s, re) =>
         re.replaceAllIn(s, _ => "__graft_tvf_validated"))
     requireFullyRewritten(out)
@@ -755,6 +778,8 @@ object GraftTvfRewrite {
           "DESCRIPTOR(media)[, factor])), " +
           "TABLE(DEDUP_PHASH_PAIRS(TABLE t, DESCRIPTOR(id), " +
           "DESCRIPTOR(media)[, maxHamming])), " +
+          "TABLE(DEDUP_PHASH_CROSS(TABLE incoming, TABLE corpus, " +
+          "DESCRIPTOR(id), DESCRIPTOR(media)[, maxHamming])), " +
           "TABLE(EMBED_ABTT(TABLE t, DESCRIPTOR(id), DESCRIPTOR(vec)" +
           "[, rounds])), " +
           "TABLE(PAGERANK(TABLE edges, DESCRIPTOR(src), DESCRIPTOR(dst)" +

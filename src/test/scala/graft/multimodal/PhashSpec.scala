@@ -100,6 +100,60 @@ class PhashSpec extends SparkSpec {
       MediaFixture.phashTable(Seq(5L, 18L).toDS())).count() == 0)
   }
 
+  private def refCrossPairs(inc: Seq[Long], corp: Seq[Long],
+      maxHamming: Int): Set[(Long, Long, Long)] = {
+    def hs(ids: Seq[Long]) = ids.flatMap { id =>
+      refHash(MediaFixture.encodePhash(id)).map(h => id -> h)
+    }
+    (for {
+      (ida, (hia, loa)) <- hs(inc)
+      (idb, (hib, lob)) <- hs(corp)
+      ham = java.lang.Long.bitCount(hia ^ hib) +
+        java.lang.Long.bitCount(loa ^ lob)
+      if ham <= maxHamming
+    } yield (ida, idb, ham.toLong)).toSet
+  }
+
+  test("cross pairs equal the brute-force cross reference; the corpus " +
+    "index is frozen and a streaming corpus is rejected") {
+    graft.queries.StaticIndexCache.clear()
+    val inc = (0L until 90L).filter(_ % 10 >= 8)
+    val corp = (0L until 90L).filter(_ % 10 < 8)
+    def op(maxHamming: Int): Set[(Long, Long, Long)] =
+      Dedup.phashCrossPairs(
+        MediaFixture.phashTable(inc.toDS()),
+        MediaFixture.phashTable(corp.toDS()),
+        "id", "media", maxHamming)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    for (d <- Seq(0, 3))
+      assert(op(d) == refCrossPairs(inc, corp, d), s"maxHamming=$d")
+    // the planted cluster {20,21,22,23} straddles the slices? no —
+    // all of 20..23 are corpus-side; cross pairs come from clusters
+    // whose members split across % 10 slices, e.g. ids 28 (incoming)
+    // and 25..27? kind(28)=3 -> cid 25: its base/re-enc/upscale
+    // siblings 25,26,27 are corpus-side -> planted CROSS pairs exist
+    assert(op(3).nonEmpty)
+    assert(op(3).exists { case (a, b, h) => a == 28L && b == 25L && h <= 2 })
+    // same (session, corpus plan, params) -> ONE frozen index entry
+    val before = graft.queries.StaticIndexCache.size
+    op(2)
+    assert(graft.queries.StaticIndexCache.size == before)
+    // a streaming corpus side is rejected loudly
+    val dir = java.nio.file.Files.createTempDirectory("ph_cross_stream")
+    dir.toFile.deleteOnExit()
+    MediaFixture.phashTable(corp.toDS())
+      .write.mode("overwrite").parquet(dir.toString)
+    val schema = spark.read.parquet(dir.toString).schema
+    val streaming = spark.readStream.schema(schema).parquet(dir.toString)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.phashCrossPairs(MediaFixture.phashTable(inc.toDS()),
+        streaming, "id", "media", 3)
+    }
+    assert(e.getMessage.contains("BOUNDED"))
+    graft.queries.StaticIndexCache.clear()
+  }
+
   test("radius past the pigeonhole-lossless bound is rejected loudly") {
     val hashes = MediaOps.dhashFeatures(
       MediaFixture.phashTable(Seq(0L, 1L).toDS()))
