@@ -210,6 +210,83 @@ object MediaFixture {
     ids.mapPartitions(_.map(id => (id, encodeWav(id)))).toDF("id", "media")
   }
 
+  // ---- audio perceptual-hash fixture (planted near-duplicates) ------------
+  // The audio analogue of the pHash corpus: byte-digest dedup misses a
+  // GAIN-SCALED re-master of the same recording; the envelope dHash
+  // ([[MediaOps.audioDhashFeatures]]) is provably invariant to uniform
+  // positive gain (energy comparisons E(w) > E(w+1) are preserved under
+  // scaling), so the fixture plants exactly that shape. Closed form
+  // (mirrored by the q_media_audio_phash_pairs oracle):
+  //   - kind = id % 4: 0/3 base; 1 → ×2 gain re-master of cid = id − 1
+  //     (identical hash); 2 → first-sample perturb of cid = id − 2
+  //     (sample 0 forced to 1023: only window 0's energy moves → ≤ 1
+  //     dHash bit)
+  //   - content(cid): MONO s16 at 8 kHz, n = 256 + 64·(cid % 8) frames
+  //     (a MULTIPLE of 64, so the fixture's per-window amplitude levels
+  //     align exactly with the operator's ⌊w·n/64⌋ window boundaries),
+  //     sample s: v(s) = base(s) · m(w) with w = s·64/n,
+  //       base(s) = ((5·cid + (cid % 37 + 3)·s) % 256) − 128,
+  //       m(w) = 1 + ((cid % 97 + 1)·w + (cid % 89 + 2)·w²
+  //                   + (cid % 83 + 3)·w³) % 97.
+  //     The per-WINDOW modulation m is the entropy carrier: a bare
+  //     sawtooth's window energies are all ≈ the same mean (measured:
+  //     16,745 pairs at 5 k docs → 179.7 M at 500 k — the envelope bits
+  //     collapsed into a handful of patterns), while m's three mixing
+  //     constants span 97·89·83 ≈ 717 k distinct envelope shapes —
+  //     more than any stressed corpus, so radius-3 collisions drop to
+  //     the planted set. |v| ≤ 128·98 = 12,544; ×2 gain ≤ 25,088 —
+  //     no s16 clipping, so the gain is EXACTLY linear.
+  //   - corruption: id % 11 == 7 → truncated to 16 bytes (undecodable,
+  //     dropped from hashing)
+
+  def audioPhashKind(id: Long): Int = (id % 4).toInt
+  def audioPhashContentId(id: Long): Long = audioPhashKind(id) match {
+    case 1 => id - 1; case 2 => id - 2; case _ => id
+  }
+  def isAudioPhashCorrupt(id: Long): Boolean = id % 11 == 7
+  def audioPhashFramesFor(cid: Long): Int = (256 + 64 * (cid % 8)).toInt
+
+  /** One deterministic audio-pHash WAV payload; requires id >= 0. */
+  def encodeAudioPhash(id: Long): Array[Byte] = {
+    require(id >= 0, s"MediaFixture ids must be nonnegative, got $id")
+    val kind = audioPhashKind(id)
+    val cid = audioPhashContentId(id)
+    val frames = audioPhashFramesFor(cid)
+    val dataLen = frames * 2
+    val out = new ByteArrayOutputStream()
+    val o = new java.io.DataOutputStream(out)
+    def le32(v: Int): Unit = o.writeInt(Integer.reverseBytes(v))
+    def le16(v: Int): Unit =
+      o.writeShort(java.lang.Short.reverseBytes(v.toShort))
+    o.writeBytes("RIFF"); le32(36 + dataLen); o.writeBytes("WAVE")
+    o.writeBytes("fmt "); le32(16)
+    le16(1); le16(1); le32(AudioRate)
+    le32(AudioRate * 2); le16(2); le16(16)
+    o.writeBytes("data"); le32(dataLen)
+    var s = 0
+    while (s < frames) {
+      val w = s.toLong * 64 / frames
+      val m = 1 + ((cid % 97 + 1) * w + (cid % 89 + 2) * w * w
+        + (cid % 83 + 3) * w * w * w) % 97
+      val v =
+        if (kind == 2 && s == 0) 1023L
+        else (((5 * cid + (cid % 37 + 3) * s) % 256) - 128) * m
+      le16((if (kind == 1) 2 * v else v).toInt)
+      s += 1
+    }
+    val bytes = out.toByteArray
+    if (isAudioPhashCorrupt(id)) java.util.Arrays.copyOf(bytes, 16)
+    else bytes
+  }
+
+  /** (id BIGINT, media BINARY) audio-pHash fixture frame — narrow map. */
+  def audioPhashTable(ids: Dataset[Long]): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.mapPartitions(_.map(id => (id, encodeAudioPhash(id))))
+      .toDF("id", "media")
+  }
+
   // ---- video fixture (GFV1: indexed packed PNG frames) ---------------------
   // Closed form mirrored by the q_media_video oracle:
   //   n = 3 + id % 5 frames; frame fi has width = 8 + (id + fi) % 9,

@@ -287,6 +287,63 @@ object MediaOps {
       } finally in.close()
     } catch { case NonFatal(_) => None }
 
+  /** 64-bit envelope dHash of a decoded PCM payload — the audio
+    * analogue of [[dhash9x8]]: split the interleaved sample stream into
+    * 64 equal windows, sum |sample| per window (the energy envelope),
+    * and emit one bit per adjacent window pair, set iff left > right
+    * (bits 0–62; bit 63 is always 0). Comparisons of energies are
+    * PROVABLY invariant under uniform positive gain — the re-mastered
+    * duplicate a byte digest structurally misses — while an edit moves
+    * only the bits whose windows it touches. Same (hash_hi, hash_lo)
+    * halves contract as the image dHash, so [[graft.queries.Dedup
+    * .phashPairs]] serves both modalities unchanged.
+    *
+    * Payloads that do not decode, or with fewer than 64 samples (empty
+    * envelope windows), are dropped — the [[channelHistogram]]
+    * contract.
+    */
+  def audioDhashFeatures(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    nonNullMedia(df).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          decodePcm(bytes) match {
+            case None => None
+            case Some((_, _, _, data)) =>
+              val n = data.length / 2
+              if (n < 64) None
+              else {
+                val env = new Array[Long](64)
+                var w = 0
+                while (w < 64) {
+                  var i = w * n / 64
+                  val hi = (w + 1) * n / 64
+                  var e = 0L
+                  while (i < hi) {
+                    val v = ((data(2 * i) & 0xff) |
+                      (data(2 * i + 1) << 8)).toShort.toLong
+                    e += math.abs(v)
+                    i += 1
+                  }
+                  env(w) = e
+                  w += 1
+                }
+                var lo = 0L; var hi64 = 0L
+                var b = 0
+                while (b < 63) {
+                  if (env(b) > env(b + 1)) {
+                    if (b < 32) lo |= 1L << b else hi64 |= 1L << (b - 32)
+                  }
+                  b += 1
+                }
+                Some((id, hi64, lo))
+              }
+          }
+        }
+      }.toDF("id", "hash_hi", "hash_lo")
+  }
+
   /** Payload-level features (no decode): size, digest, byte sum — the
     * exact-dedup / integrity side of a media pipeline (a binary digest
     * dedups identical crawls regardless of whether the payload decodes).

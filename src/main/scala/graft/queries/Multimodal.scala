@@ -89,6 +89,18 @@ object Multimodal extends QueryPack {
         "id", "media")
     }),
 
+    // audio perceptual near-dup: envelope dHash over REAL WAV decode,
+    // pairs through the SAME banded blocking as images (one operator,
+    // two modalities) — catches the gain-scaled re-master byte-digest
+    // dedup misses (energy comparisons are provably gain-invariant)
+    "q_media_audio_phash_pairs" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.phashPairs(
+        MediaOps.audioDhashFeatures(MediaFixture.audioPhashTable(
+          Tables.load(s, dir, "documents").select(col("doc_id")).as[Long])),
+        maxHamming = 3)
+    }),
+
     // payload-level features (no decode): the exact-dedup / integrity side
     "q_media_payload" -> ((s, dir) =>
       MediaOps.payloadFeatures(byteDF(s, dir)).toDF()),
@@ -360,6 +372,55 @@ object Multimodal extends QueryPack {
         |    AS BIGINT) AS hamming""".stripMargin),
 
     "q_dedup_phash_cross" -> oPhashCrossSql,
+
+    // audio-pHash fixture closed form (see MediaFixture): kind = id % 4
+    // (0/3 base, 1 ×2-gain re-master of cid=id−1, 2 first-sample
+    // perturb of cid=id−2); every-11th payload truncated (excluded);
+    // n is a multiple of 64 so fixture amplitude levels align with the
+    // operator's window boundaries; per-window modulation m carries
+    // the envelope entropy (three mixing constants — see the fixture
+    // comment for the measured quadratic collapse it fixes).
+    // Envelope: 64 integer-boundary windows over the sample list,
+    // E(w) = Σ|v|; bit b (0–62) set iff E(b) > E(b+1), bits 0–31 in
+    // lo, 32–62 in hi — mirroring MediaOps.audioDhashFeatures. The
+    // blocking (Dedup.phashPairs) is lossless at radius 3, so the
+    // brute-force all-pairs join IS the expected output.
+    "q_media_audio_phash_pairs" ->
+      """WITH p AS (SELECT doc_id AS id,
+        |    CAST(doc_id % 4 AS BIGINT) AS kind,
+        |    doc_id - (CASE WHEN doc_id % 4 IN (1, 2)
+        |              THEN doc_id % 4 ELSE 0 END) AS cid
+        |  FROM documents WHERE doc_id % 11 <> 7),
+        |d AS (SELECT id, kind, cid, 256 + 64 * (cid % 8) AS n FROM p),
+        |sm AS (SELECT id, n,
+        |    [(CASE WHEN kind = 2 AND s = 0 THEN 1023
+        |        ELSE ((5 * cid + (cid % 37 + 3) * s) % 256 - 128)
+        |          * (1 + ((cid % 97 + 1) * ((s * 64) // n)
+        |              + (cid % 89 + 2) * ((s * 64) // n) * ((s * 64) // n)
+        |              + (cid % 83 + 3) * ((s * 64) // n) * ((s * 64) // n)
+        |                * ((s * 64) // n)) % 97) END)
+        |      * (CASE WHEN kind = 1 THEN 2 ELSE 1 END)
+        |    for s in generate_series(0, n - 1)] AS v
+        |  FROM d),
+        |e AS (SELECT id, [CAST(list_sum([abs(v[i + 1])
+        |      for i in generate_series((w * n) // 64,
+        |        ((w + 1) * n) // 64 - 1)]) AS BIGINT)
+        |    for w in generate_series(0, 63)] AS ee
+        |  FROM sm),
+        |h AS (SELECT id,
+        |    CAST(list_sum([CASE WHEN ee[b + 1] > ee[b + 2]
+        |      THEN (1::BIGINT << b) ELSE 0 END
+        |      for b in generate_series(0, 31)]) AS BIGINT) AS lo,
+        |    CAST(list_sum([CASE WHEN ee[b + 33] > ee[b + 34]
+        |      THEN (1::BIGINT << b) ELSE 0 END
+        |      for b in generate_series(0, 30)]) AS BIGINT) AS hi
+        |  FROM e)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+        |    AS BIGINT) AS hamming
+        |FROM h a JOIN h b ON a.id < b.id
+        |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3"""
+        .stripMargin,
 
     "q_media_payload" ->
       s"""SELECT doc_id AS id, length(text) AS n_bytes, md5(text) AS digest,

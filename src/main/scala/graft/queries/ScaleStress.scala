@@ -311,6 +311,19 @@ object ScaleStress {
           MediaOps.dhashFeatures(MediaFixture.phashTable(ids)), 3)
         Map("pairs" -> pairs.count())
       }),
+      // r17: audio envelope pHash — the SAME banded pair operator as
+      // the image path over the audio envelope dHash; decode-bound
+      // narrow stage, one band exchange, planted (gain/perturb) pair
+      // mass linear by construction.
+      "audio_phash" -> (() => {
+        import graft.multimodal.{MediaFixture, MediaOps}
+        import spark.implicits._
+        val ids = graft.Tables.load(spark, sfDir, "documents")
+          .select(col("doc_id")).as[Long]
+        val pairs = Dedup.phashPairs(
+          MediaOps.audioDhashFeatures(MediaFixture.audioPhashTable(ids)), 3)
+        Map("pairs" -> pairs.count())
+      }),
       // r17: cross-corpus pHash dedup — the frozen corpus band index is
       // built once (decode + hash + band explode, persisted
       // pre-partitioned); the incoming 2-in-10 slice probes it through

@@ -154,6 +154,62 @@ class PhashSpec extends SparkSpec {
     graft.queries.StaticIndexCache.clear()
   }
 
+  /** Independent audio envelope dHash: decode the WAV bytes with
+    * javax.sound directly, recompute the 64-window |sample| envelope
+    * and delta bits in plain loops.
+    */
+  private def refAudioHash(bytes: Array[Byte]): Option[(Long, Long)] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(bytes))
+      val data = try in.readAllBytes() finally in.close()
+      val n = data.length / 2
+      if (n < 64) None
+      else {
+        val env = (0 until 64).map { w =>
+          (w * n / 64 until (w + 1) * n / 64).map { i =>
+            math.abs(((data(2 * i) & 0xff) | (data(2 * i + 1) << 8))
+              .toShort.toLong)
+          }.sum
+        }
+        var lo = 0L; var hi = 0L
+        for (b <- 0 until 63 if env(b) > env(b + 1)) {
+          if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
+        }
+        Some((hi, lo))
+      }
+    } catch { case _: Throwable => None }
+
+  test("audio envelope pairs equal the brute-force reference; a x2 gain " +
+    "re-master is hamming 0 and a first-sample edit moves at most 1 bit") {
+    val ids = (0L until 100L)
+    val refHashes = ids.flatMap { id =>
+      refAudioHash(MediaFixture.encodeAudioPhash(id)).map(h => id -> h)
+    }
+    val want = (for {
+      (ida, (hia, loa)) <- refHashes
+      (idb, (hib, lob)) <- refHashes
+      if ida < idb
+      ham = java.lang.Long.bitCount(hia ^ hib) +
+        java.lang.Long.bitCount(loa ^ lob)
+      if ham <= 3
+    } yield (ida, idb, ham.toLong)).toSet
+    val got = Dedup.phashPairs(
+      MediaOps.audioDhashFeatures(MediaFixture.audioPhashTable(ids.toDS())),
+      3).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == want)
+    val byPair = got.map(p => (p._1, p._2) -> p._3).toMap
+    for (base <- Seq(0L, 12L, 48L)) { // uncorrupted planted clusters
+      assert(byPair.get((base, base + 1)).contains(0L),
+        s"gain re-master pair ($base, ${base + 1}) must be hamming 0")
+      assert(byPair.get((base, base + 2)).exists(_ <= 1L),
+        s"perturbed pair ($base, ${base + 2}) must be within hamming 1")
+    }
+    // corrupt ids (…%11==7) never hash, never pair
+    assert(!got.exists(p => p._1 % 11 == 7 || p._2 % 11 == 7))
+  }
+
   test("radius past the pigeonhole-lossless bound is rejected loudly") {
     val hashes = MediaOps.dhashFeatures(
       MediaFixture.phashTable(Seq(0L, 1L).toDS()))
