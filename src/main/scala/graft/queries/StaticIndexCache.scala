@@ -62,8 +62,15 @@ private[graft] object StaticIndexCache {
       Nil
     lazy val value: AnyRef = {
       val buf = scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
+      // save/restore rather than remove: a NESTED getOrBuild inside this
+      // build closure (a supported pattern) runs its own cell build on
+      // the same thread — an unconditional remove() in its finally would
+      // clear OUR buffer, so dirs the outer build registers after the
+      // nested call would never be captured for grace-period reaping
+      val prev = buildDirs.get()
       buildDirs.set(buf)
-      val v = try build() finally buildDirs.remove()
+      val v = try build()
+      finally { if (prev == null) buildDirs.remove() else buildDirs.set(prev) }
       dirs = buf.toSeq
       forced = true
       v

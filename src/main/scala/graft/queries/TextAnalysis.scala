@@ -545,6 +545,11 @@ object TextAnalysis extends QueryPack {
       " || array_to_string(regexp_split_to_array(text, ' '), " + oS +
       ") || " + oS + " AS s FROM documents)"
     for (r <- 1 to BpeRounds) {
+      // the COALESCE below mirrors the kernel's early stop: when a round
+      // exhausts (m_r empty) the scalar subqueries are NULL and
+      // replace(s, NULL, NULL) would NULL-poison every document's state;
+      // COALESCE keeps s unchanged instead, exactly like the Scala fit
+      // loop breaking out with the prefix learned so far
       def part(i: Int) = s"(SELECT split_part(p, ' ', $i) FROM m$r)"
       sb ++= s""",
          |m$r AS (SELECT p, c FROM (
@@ -556,9 +561,9 @@ object TextAnalysis extends QueryPack {
          |      WHERE len(w) >= 2)
          |    GROUP BY p)
          |  ORDER BY c DESC, p LIMIT 1),
-         |d$r AS (SELECT doc_id, replace(s,
+         |d$r AS (SELECT doc_id, COALESCE(replace(s,
          |    chr(1) || ${part(1)} || $oS || ${part(2)} || chr(1),
-         |    chr(1) || ${part(1)} || chr(2) || ${part(2)} || chr(1)) AS s
+         |    chr(1) || ${part(1)} || chr(2) || ${part(2)} || chr(1)), s) AS s
          |  FROM d${r - 1})"""
         .stripMargin
     }
