@@ -747,6 +747,43 @@ object ScaleStress {
           TextAnalysis.BpeRounds).collect()
         Map("rounds" -> m.length.toLong, "top_freq" -> m.head.getLong(3))
       }),
+      // r18: TOKENIZE decade cell — encode cost vs merge-table DEPTH as
+      // rounds grows 4/16/64, at each corpus scale. One 64-round fit
+      // (through the same StaticIndexCache path the TVF uses, so pass 2
+      // measures the warm-cache hit the production gate sees), then the
+      // ENCODE is timed per depth: the replace chain at 4/16/64 literal
+      // replaces vs the rank-table mapPartitions encoder at 64. The
+      // chain's per-row cost is O(merges × chars) — every replace
+      // re-scans the whole document string — so chain64/chain4 names
+      // the slope, and large64 vs chain64 is the measurement behind
+      // BpeReplaceChainMax (where the depth-independent object-path
+      // encoder overtakes the codegen chain).
+      "tokenize" -> (() => {
+        val docs = graft.Tables.load(spark, sfDir, "documents")
+        val t0 = System.nanoTime()
+        val merges = StaticIndexCache.getOrBuild[Seq[(String, String)]](
+          StaticIndexCache.corpusKey(spark, docs, "bpe_merges_stress",
+            "text", 64)) {
+          TextAnalysis.bpeMergeList(docs, "text", 64)
+        }
+        val fitMs = (System.nanoTime() - t0) / 1000000
+        def encMs(df: DataFrame): Long = {
+          val t = System.nanoTime()
+          df.write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t) / 1000000
+        }
+        val c4 = encMs(TextAnalysis.bpeEncodeChain(
+          docs, "doc_id", "text", merges.take(4)))
+        val c16 = encMs(TextAnalysis.bpeEncodeChain(
+          docs, "doc_id", "text", merges.take(16)))
+        val c64 = encMs(TextAnalysis.bpeEncodeChain(
+          docs, "doc_id", "text", merges))
+        val l64 = encMs(TextAnalysis.bpeEncodeLarge(
+          docs, "doc_id", "text", merges))
+        Map("fit_ms" -> fitMs, "rounds" -> merges.size.toLong,
+          "chain4_ms" -> c4, "chain16_ms" -> c16, "chain64_ms" -> c64,
+          "large64_ms" -> l64)
+      }),
       // r16: exact heavy hitters — the claims under test are (a) the
       // sketch pass's shuffle is capacity-bounded however many distinct
       // keys the corpus grows, and (b) the exactness PROOF (kth exact

@@ -35,6 +35,18 @@ object TextAnalysis extends QueryPack {
   private[graft] val BpeGlue = "\u0002"
   private[graft] val BpeRounds = 4
 
+  /** Merge-table cap for the codegen replace-chain encoder. Measured
+    * r18 (tokenize stress cell, sf0.1→sf10): the chain stays
+    * whole-stage-codegen'd and plan-building stays flat through 64
+    * literal replaces, but per-row cost is O(merges × chars) — every
+    * merge re-scans the document — so past ~64 the rank-table
+    * mapPartitions encoder ([[bpeEncodeLarge]], per-row cost
+    * independent of vocabulary size) wins and the TOKENIZE surface
+    * routes there. Production tokenizers (32k-100k merges) always
+    * take the large path.
+    */
+  private[graft] val BpeReplaceChainMax = 64
+
   private def words(c: Column): Column = split(c, " ")
 
   // language-ID marker words, one bag per language (shared by
@@ -178,6 +190,24 @@ object TextAnalysis extends QueryPack {
     */
   def bpeEncode(df: DataFrame, idCol: String, textCol: String,
       merges: Seq[(String, String)]): DataFrame = {
+    require(merges.size <= BpeReplaceChainMax,
+      s"BPE replace-chain encoder: ${merges.size} merges exceeds the " +
+        s"$BpeReplaceChainMax cap. The chain is one literal replace() " +
+        "per merge, so the plan's expression depth grows linearly with " +
+        "the vocabulary (measured r18: analyze+codegen overhead is flat " +
+        "to 64 but every merge re-scans the full string, so chain cost " +
+        "per row is O(merges x chars)); large vocabularies must go " +
+        "through bpeEncodeLarge / the TOKENIZE surface, which routes " +
+        "to the rank-table mapPartitions encoder (O(chars log chars) " +
+        "per row, independent of vocabulary size).")
+    bpeEncodeChain(df, idCol, textCol, merges)
+  }
+
+  /** The raw replace chain — no cap, private so the stress harness can
+    * measure chain-depth behavior past [[BpeReplaceChainMax]].
+    */
+  private[graft] def bpeEncodeChain(df: DataFrame, idCol: String,
+      textCol: String, merges: Seq[(String, String)]): DataFrame = {
     val anchor = BpeSep.substring(0, 1)
     val s0 = concat(lit(BpeSep),
       array_join(split(col(textCol), " "), BpeSep), lit(BpeSep))
@@ -191,10 +221,150 @@ object TextAnalysis extends QueryPack {
         .as("encoded"))
   }
 
-  /** Fit-then-encode over one relation — the TOKENIZE TVF kernel. */
+  /** Large-vocabulary BPE ENCODE: the production form for real
+    * tokenizer merge tables (32k-100k merges), where the replace
+    * chain's O(merges × chars) per-row cost and linear plan growth
+    * are both non-starters. One narrow `mapPartitions` with a
+    * broadcast rank table; per document, the classic merge-priority
+    * loop (Sennrich 2016 §3 / the GPT-2 encoder shape): symbols in a
+    * doubly-linked list, a min-heap of (rank, position) candidates
+    * with lazy invalidation, repeatedly merge the lowest-rank
+    * leftmost adjacent pair — O(chars log chars) per document,
+    * INDEPENDENT of vocabulary size.
+    *
+    * Bit-equal to the replace chain: exhaustive in-order passes (what
+    * the chain does) and repeated lowest-rank-leftmost merging (what
+    * this does) produce the same segmentation, PROVIDED an adjacency
+    * born from the pass-k rewrite is only mergeable by ranks > k —
+    * see the minRank bound in [[encodeOneDoc]] for the one corner
+    * (merged-string collision with an earlier symbol) where the naive
+    * heap loop would diverge. NOT greedy longest-match against the
+    * final vocab, which diverges from merge order on corpora where a
+    * long vocab entry overlaps a higher-priority short one.
+    * TokenizeLargeVocabSpec pins the equality on random corpora.
+    *
+    * Scale (100 TB): stateless narrow projection — no shuffle, the
+    * rank table broadcast once per job (a 100k-merge table is ~MBs),
+    * streams unchanged at ingest like the chain form.
+    */
+  def bpeEncodeLarge(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val s = df.sparkSession
+    val rank = new java.util.HashMap[String, Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case ((a, b), i) =>
+      // composite key with a char no symbol can contain (symbols are
+      // space-split words glued with BpeGlue)
+      rank.putIfAbsent(a + " " + b, Int.box(i))
+    }
+    val bc = s.sparkContext.broadcast(rank)
+    val idField = df.schema(idCol)
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      idField.copy(name = idCol),
+      org.apache.spark.sql.types.StructField("n_tokens",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("encoded",
+        org.apache.spark.sql.types.StringType, nullable = false)))
+    df.select(col(idCol), col(textCol).as("__text"))
+      .mapPartitions { it =>
+        val rk = bc.value
+        it.map { row =>
+          val (n, enc) = encodeOneDoc(row.getString(1), rk)
+          org.apache.spark.sql.Row(row.get(0), n, enc)
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** Merge-priority encode of one document (see [[bpeEncodeLarge]]).
+    * Returns (n_tokens, rendered encoding — the chain's exact render:
+    * '|' delimiters including the leading/trailing boundary marks,
+    * glue shown as ' ').
+    */
+  private[graft] def encodeOneDoc(text: String,
+      rank: java.util.HashMap[String, Integer]): (Long, String) = {
+    val syms0 = text.split(" ").filter(_.nonEmpty)
+    val n0 = syms0.length
+    if (n0 == 0) return (0L, "||")
+    val sym = new Array[String](n0)
+    System.arraycopy(syms0, 0, sym, 0, n0)
+    val next = Array.tabulate(n0)(i => if (i == n0 - 1) -1 else i + 1)
+    val prev = Array.tabulate(n0)(i => i - 1)
+    val alive = Array.fill(n0)(true)
+    // heap of (rank, leftPos) candidates, lazily invalidated: on pop,
+    // re-check the pair is still adjacent with that exact rank.
+    // minRank pins chain fidelity: the chain applies merge j in pass j
+    // and NEVER revisits, so an adjacency created by the pass-k rewrite
+    // is only ever merged by passes > k. Without the bound, a merged
+    // symbol whose STRING collides with an earlier-round symbol (legal:
+    // glue-joined strings don't record their derivation — (a,bc) and
+    // (ab,c) both render a⟂b⟂c) could resurrect an earlier rank and
+    // diverge from the trainer/oracle.
+    val heap = new java.util.PriorityQueue[Long](math.max(n0, 1))
+    def push(i: Int, minRank: Int): Unit = {
+      val j = next(i)
+      if (j >= 0) {
+        val r = rank.get(sym(i) + " " + sym(j))
+        if (r != null && r.intValue > minRank)
+          heap.add((r.toLong << 32) | i.toLong)
+      }
+    }
+    var i = 0
+    while (i < n0 - 1) { push(i, -1); i += 1 }
+    var nSyms = n0
+    while (!heap.isEmpty) {
+      val top = heap.poll()
+      val r = (top >>> 32).toInt
+      val li = (top & 0xffffffffL).toInt
+      val rj = if (alive(li)) next(li) else -1
+      if (rj >= 0) {
+        val cur = rank.get(sym(li) + " " + sym(rj))
+        if (cur != null && cur.intValue == r) {
+          // merge rj into li; li's symbol becomes a⟂b (BpeGlue)
+          sym(li) = sym(li) + BpeGlue + sym(rj)
+          alive(rj) = false
+          val rn = next(rj)
+          next(li) = rn
+          if (rn >= 0) prev(rn) = li
+          nSyms -= 1
+          // new adjacencies on both sides of the merged symbol — born
+          // during "pass r", so mergeable only by ranks > r
+          if (prev(li) >= 0) push(prev(li), r)
+          push(li, r)
+        }
+      }
+    }
+    val sb = new java.lang.StringBuilder(text.length + 2)
+    sb.append('|')
+    var k = 0
+    var first = true
+    while (k < n0) {
+      if (alive(k)) {
+        if (!first) sb.append('|')
+        first = false
+        sb.append(sym(k).replace(BpeGlue, " "))
+      }
+      k += 1
+    }
+    sb.append('|')
+    (nSyms.toLong, sb.toString)
+  }
+
+  /** Fit-then-encode over one relation — the TOKENIZE TVF kernel.
+    * Routes by vocabulary size: the codegen replace chain up to
+    * [[BpeReplaceChainMax]] merges (zero serialization, widest
+    * whole-stage span), the rank-table mapPartitions encoder beyond
+    * (per-row cost independent of vocabulary size). The two are
+    * bit-equal (TokenizeLargeVocabSpec), so the routing is invisible.
+    */
   def bpeFitEncode(df: DataFrame, idCol: String, textCol: String,
       rounds: Int): DataFrame =
-    bpeEncode(df, idCol, textCol, bpeMergeList(df, textCol, rounds))
+    bpeEncodeAuto(df, idCol, textCol, bpeMergeList(df, textCol, rounds))
+
+  /** Size-routed encode — see [[bpeFitEncode]]. */
+  def bpeEncodeAuto(df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    if (merges.size <= BpeReplaceChainMax)
+      bpeEncodeChain(df, idCol, textCol, merges)
+    else bpeEncodeLarge(df, idCol, textCol, merges)
 
   /** Cross-corpus encode — the production tokenizer shape: the merge
     * table is trained ONCE on a bounded reference corpus (frozen per
@@ -216,7 +386,7 @@ object TextAnalysis extends QueryPack {
         rounds)) {
       bpeMergeList(corpus, textCol, rounds)
     }
-    bpeEncode(incoming, idCol, textCol, merges)
+    bpeEncodeAuto(incoming, idCol, textCol, merges)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
