@@ -879,19 +879,36 @@ object Dedup extends QueryPack {
     * [[minhashCrossPairsStream]] cadence — crawl shards arriving
     * against yesterday's corpus).
     *
-    * Streaming shape: everything per-row is STATELESS. The incoming
-    * side explodes its FULL shingle set (no incoming-side prefix — a
-    * per-doc rank against corpus df isn't row-local; the one-sided
-    * index prefix is still COMPLETE: a qualifying pair has
-    * overlap >= ceil(theta·szb), and missing all of the corpus doc's
-    * prefix leaves at most ceil(theta·szb) − 1 common tokens), joins
-    * stream-static against the frozen (tok, idb, pb, szb) prefix
-    * index, dedups pairs ROW-LOCALLY (keep the row whose token is the
-    * FIRST of the corpus doc's ordered prefix present in the incoming
-    * set — both arrays ride the row), applies the positional cut
-    * `min(sza, szb − pb) >= alpha`, and verifies exactly. No streaming
-    * aggregation, no state store — one output row per qualifying pair
-    * per micro-batch, bit-equal to the batch kernel on the same rows.
+    * Streaming shape: everything per-row is STATELESS. Both sides use
+    * the CONTENT (token-ascending) global order — unlike the batch
+    * kernel's rarest-first df order, a content order is computable
+    * row-locally on a streaming row (array_sort, no corpus-df rank) —
+    * so the incoming side explodes only its PREFIX
+    * (|ss| − ceil(theta·|ss|) + 1 tokens), not its full shingle set.
+    * Completeness is the standard both-sides prefix-filter bound
+    * (Bayardo et al. 2007): under ANY shared total token order, a
+    * pair with overlap ≥ alpha must share a token inside both
+    * prefixes. Each exploded row carries the doc's full set for the
+    * exact verify, so the wire payload is O(|prefix|·|ss|) per doc
+    * instead of the pre-r18 O(|ss|²) — the doc-length escape hatch
+    * (at theta=3/5 the prefix is ~2/5 of the set; the stressed
+    * ×10-doc-length cell measures the drop). The trade: a content
+    * order has no rarest-first selectivity, so candidate counts can
+    * exceed the batch kernel's — candidates are still exactly
+    * verified, and on long documents payload dominates candidates.
+    *
+    * Joins stream-static against the frozen (tok, idb, pb, szb)
+    * prefix index, dedups pairs ROW-LOCALLY (keep the row whose token
+    * is the FIRST of the corpus doc's ordered prefix present in the
+    * incoming PREFIX — both arrays ride the row), applies the
+    * positional cut `min(sza, szb − pbFirst) >= alpha` anchored on
+    * the first corpus-prefix token present in the incoming FULL set
+    * (valid: every common token sits at or past it in the corpus
+    * doc's order; the dedup token can't anchor the cut — a common
+    * token outside the incoming prefix may precede it), and verifies
+    * exactly. No streaming aggregation, no state store — one output
+    * row per qualifying pair per micro-batch, bit-equal to the batch
+    * kernel on the same rows.
     */
   def jaccardJoinCrossStream(incoming: DataFrame, corpus: DataFrame,
       idCol: String, textCol: String, num: Int = 3, den: Int = 5,
@@ -907,30 +924,24 @@ object Dedup extends QueryPack {
     graft.functions.GraftFunctions.register(s)
 
     // --- frozen corpus prefix index (StaticIndexCache: build once per
-    // corpus version, reuse across gate invocations) ---
+    // corpus version, reuse across gate invocations). Content order:
+    // the prefix is a slice of the token-sorted set — no corpus-df
+    // rank, no window; the same order the incoming side can compute
+    // row-locally (the cache key carries the r18 order marker so a
+    // warm pre-r18 df-ordered index can never serve this plan) ---
+    val prefixLenOf = (sz: Column) =>
+      sz - floor((sz * num + (den - 1)) / den) + 1
     val (meta, idx) = StaticIndexCache.getOrBuild[(DataFrame, DataFrame)](
-      StaticIndexCache.corpusKey(s, corpus, "jaccard_cross_idx",
+      StaticIndexCache.corpusKey(s, corpus, "jaccard_cross_idx_tokorder",
         idCol, textCol, num, den, shingleN)) {
       val dir = StaticIndexCache.newTmpDir("graft_ppj_idx")
       val sets = jaccardSets(corpus, idCol, textCol, shingleN)
-      val btoks = sets.select(col("doc_id"), size(col("ss")).as("sz"),
-        explode(col("ss")).as("tok"))
-      val dfc = btoks.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      val ranked = btoks.join(dfc, "tok")
-        .withColumn("pos", row_number().over(
-          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("tok")))
-          - 1)
-        .filter(col("pos") <
-          col("sz") - floor((col("sz") * num + (den - 1)) / den) + 1)
       // meta carries BOTH the full set (exact verify) and the ORDERED
       // prefix array (row-local first-shared-token pair dedup)
-      ranked.groupBy(col("doc_id"), col("sz"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("tok"))))
-          .as("pp"))
-        .select(col("doc_id").as("idb"), col("sz").as("szb"),
-          transform(col("pp"), p => p("tok")).as("pb_arr"))
-        .join(sets.select(col("doc_id").as("idb"), col("ss").as("sb")),
-          "idb")
+      sets.select(col("doc_id").as("idb"), size(col("ss")).as("szb"),
+          array_sort(col("ss")).as("sb"))
+        .withColumn("pb_arr",
+          slice(col("sb"), lit(1), prefixLenOf(col("szb")).cast("int")))
         .write.parquet(s"$dir/meta")
       val m = s.read.parquet(s"$dir/meta")
         .repartition(col("idb")).sortWithinPartitions(col("idb"))
@@ -945,11 +956,18 @@ object Dedup extends QueryPack {
     }
 
     val inc = jaccardSets(incoming, idCol, textCol, shingleN)
-      .select(col("doc_id").as("ida"), col("ss").as("sa"),
+      .select(col("doc_id").as("ida"), array_sort(col("ss")).as("sa"),
         size(col("ss")).as("sza"))
     val alpha = floor(
       ((col("sza") + col("szb")) * num + (num + den - 1)) / (num + den))
     val theta = num.toDouble / den
+    val plenA = prefixLenOf(col("sza"))
+    // first corpus-prefix token present in the incoming FULL set — the
+    // positional-cut anchor (every common token sits at or past it in
+    // the corpus doc's order)
+    val tokCut = element_at(
+      filter(col("pb_arr"), t => array_contains(col("sa"), t)), 1)
+    val pbCut = array_position(col("pb_arr"), tokCut) - 1
     // merge hints: each exploded stream row carries the doc's full
     // shingle array (the row-local design), so the per-micro-batch
     // planner must NEVER pick that side for a broadcast (measured at
@@ -957,18 +975,24 @@ object Dedup extends QueryPack {
     // persisted pre-partitioned+sorted on their join keys, so the
     // sort-merge join exchanges ONLY the stream side.
     inc.select(col("ida"), col("sa"), col("sza"),
-        explode(col("sa")).as("tok"))
+        // the doc-length escape hatch: explode the PREFIX slice only —
+        // |prefix| rows each carrying the |ss| verify array, instead
+        // of |ss| rows (O(|prefix|·|ss|) wire payload, not O(|ss|²))
+        explode(slice(col("sa"), lit(1), plenA.cast("int"))).as("tok"))
       .join(idx.hint("merge"), Seq("tok"))
       .where(col("szb") * den >= col("sza") * num &&
         col("sza") * den >= col("szb") * num)
       .join(meta.hint("merge"), Seq("idb", "szb"))
       // row-local pair dedup: survive only on the FIRST corpus-prefix
-      // token that the incoming set contains (both arrays are in-row)
+      // token inside the incoming PREFIX (the exploded tokens — a
+      // full-set anchor here would pick a token no exploded row has
+      // and drop the pair; both-prefix completeness guarantees the
+      // intersection is non-empty for every qualifying pair)
       .filter(col("tok") === element_at(
-        filter(col("pb_arr"), t => array_contains(col("sa"), t)), 1))
-      // positional cut from the first shared token (valid: every common
-      // token sits at or past pb in the corpus doc's order)
-      .where(least(col("sza"), col("szb") - col("pb")) >= alpha)
+        filter(col("pb_arr"), t => array_position(col("sa"), t)
+          .between(lit(1), plenA)), 1))
+      // positional cut anchored on the FULL-set first shared token
+      .where(least(col("sza"), col("szb") - pbCut) >= alpha)
       .select(col("ida"), col("idb"),
         graft.functions.GraftFunctions.jaccardDistinct(col("sa"), col("sb"))
           .as("jacc"))

@@ -736,6 +736,44 @@ object ScaleStress {
         Map("pairs" -> spark.table(name).count(),
           "timed_out" -> (if (finished) 0L else 1L))
       }),
+      // r18: the Jaccard drain's doc-length escape hatch, measured at
+      // stressed doc length ×10 (10 docs concatenated per stressed doc).
+      // The stream side explodes only prefix tokens, so the wire payload
+      // is O(|prefix|·|ss|) per doc, not O(|ss|²); payload_full_elems is
+      // the pre-r18 counterfactual (Σ sz²) next to the shipped
+      // payload_pfx_elems (Σ plen·sz) — at theta=3/5 the prefix is
+      // ~2/5 of the set, and the drop compounds with doc length.
+      "ppjoin_cross_longdoc" -> (() => {
+        import org.apache.spark.sql.streaming.Trigger
+        val stressed = graft.Tables.load(spark, sfDir, "documents")
+          .groupBy((col("doc_id") / 10).cast("long").as("doc_id"))
+          .agg(concat_ws(" ", collect_list(col("text"))).as("text"))
+        val corpus = stressed.filter(col("doc_id") % 10 < 8)
+        val incB = stressed.filter(col("doc_id") % 10 >= 8)
+        val sets = Dedup.jaccardSets(incB, "doc_id", "text", 3)
+          .select(size(col("ss")).cast("long").as("sz"))
+          .withColumn("plen",
+            col("sz") - floor((col("sz") * 3 + 4) / 5).cast("long") + 1)
+          .agg(sum(col("sz") * col("sz")).as("full"),
+            sum(col("plen") * col("sz")).as("pfx"))
+          .head()
+        val dir = java.nio.file.Files
+          .createTempDirectory("ppjl_stage").toString
+        incB.write.mode("overwrite").parquet(dir)
+        val inc = spark.readStream
+          .schema(spark.read.parquet(dir).schema).parquet(dir)
+        val out = Dedup.jaccardJoinCrossStream(
+          inc, corpus, "doc_id", "text", shingleN = 3)
+        val name = "ppjl_stress_sink"
+        val q = out.writeStream.format("memory").queryName(name)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        val finished = q.awaitTermination(540000)
+        q.stop()
+        Map("pairs" -> spark.table(name).count(),
+          "payload_full_elems" -> sets.getLong(0),
+          "payload_pfx_elems" -> sets.getLong(1),
+          "timed_out" -> (if (finished) 0L else 1L))
+      }),
       // r16: BPE pair-merge trainer — the claim under test is K-round
       // linearity: each round is one cached-corpus scan + a vocabulary-
       // sized pair-count shuffle + a per-row rewrite, with a driver-side

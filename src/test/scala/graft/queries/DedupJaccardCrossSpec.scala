@@ -90,6 +90,59 @@ class DedupJaccardCrossSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("streaming prefix explode stays exact on long documents") {
+    // the r18 doc-length escape hatch: the stream side explodes only
+    // |ss| − ceil(theta·|ss|) + 1 prefix tokens. Long docs (hundreds of
+    // distinct shingles) with planted near-dups at 0.6−ε and 0.6+ε are
+    // exactly where a completeness bug would bite: a qualifying pair
+    // whose shared tokens all sit outside one side's prefix would
+    // silently vanish. Brute force is the referee.
+    import spark.implicits._
+    val rnd = new Random(47)
+    val vocab = (0 until 900).map(i => f"tok$i%04d")
+    def mkDoc(n: Int): Seq[String] = rnd.shuffle(vocab).take(n).sorted
+    // corpus docs ~200-400 tokens; incoming = perturbed copies at
+    // graded overlap plus unrelated docs
+    val corpus = (0 until 15).map(i => (i.toLong, mkDoc(200 + rnd.nextInt(200))))
+    val incoming = corpus.take(8).zipWithIndex.map { case ((_, sb), i) =>
+      val keep = (sb.size * (0.55 + 0.08 * (i % 4))).toInt
+      val doc = (rnd.shuffle(sb).take(keep) ++
+        mkDoc(sb.size - keep)).distinct.sorted
+      (1000L + i, doc)
+    } ++ (0 until 5).map(i => (2000L + i, mkDoc(250)))
+    val got = Dedup.jaccardJoinCrossSets(
+        incoming.toDF("doc_id", "ss"), corpus.toDF("doc_id", "ss"))
+      .select($"ida", $"idb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute(incoming, corpus, 3.0 / 5))
+    // ...and the STREAMING route (the prefix-exploded drain) agrees
+    // with the batch kernel on the same long docs end-to-end
+    val asText = (corpus.map { case (id, ss) => (id, ss.mkString(" ")) } ++
+      incoming.map { case (id, ss) => (id, ss.mkString(" ")) })
+      .toDF("doc_id", "text")
+    val corpusDf = asText.filter($"doc_id" < 1000)
+    val incDf = asText.filter($"doc_id" >= 1000)
+    val want = Dedup.jaccardJoinCross(incDf, corpusDf, "doc_id", "text",
+        shingleN = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dir = java.nio.file.Files
+      .createTempDirectory("jx_longdoc").toString
+    incDf.write.mode("overwrite").parquet(dir)
+    val incS = spark.readStream
+      .schema(spark.read.parquet(dir).schema).parquet(dir)
+    val out = Dedup.jaccardJoinCrossStream(incS, corpusDf,
+      "doc_id", "text", shingleN = 1)
+    val q = out.writeStream.format("memory").queryName("jx_longdoc_sink")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(300000))
+    q.stop()
+    val gotS = spark.table("jx_longdoc_sink").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotS == want)
+  }
+
   test("streaming route rejects a streaming corpus loudly") {
     import spark.implicits._
     val docs = graft.Tables.load(spark, sf, "documents")
