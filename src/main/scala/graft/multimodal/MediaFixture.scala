@@ -120,11 +120,32 @@ object MediaFixture {
   def isPhashCorrupt(id: Long): Boolean = id % 13 == 5
 
   /** One deterministic pHash-corpus payload; requires id >= 0. */
-  def encodePhash(id: Long): Array[Byte] = {
+  def encodePhash(id: Long): Array[Byte] =
+    encodePhashSized(id, wideGrid = false)
+
+  /** The WIDE pHash corpus: same kinds, planted-duplicate structure,
+    * corruption rule, and pixel closed form as [[encodePhash]], but
+    * content width 17 + cid % 9 (≥ 17 px) so a 17-column grid samples
+    * 17 DISTINCT pixel columns and all 16 comparison bits per row of
+    * the 128-bit code are informative (at the narrow corpus's 8-16 px
+    * the wide grid resamples pixels and adjacent equal-luma cells
+    * force comparison bits to zero). The upscale variant's invariance
+    * proof carries over verbatim: floor(floor(x·2w/17)/2) =
+    * floor(x·w/17), so the pixel-doubled duplicate selects the same
+    * source pixels under the 17-grid too; the perturb variant touches
+    * only grid cell (0,0) (x·w/17 = 0 ⇒ x = 0 once w ≥ 17), flipping
+    * at most 1 bit.
+    */
+  def encodePhashWide(id: Long): Array[Byte] =
+    encodePhashSized(id, wideGrid = true)
+
+  def phashWideWidthFor(id: Long): Int = (17 + id % 9).toInt
+
+  private def encodePhashSized(id: Long, wideGrid: Boolean): Array[Byte] = {
     require(id >= 0, s"MediaFixture ids must be nonnegative, got $id")
     val kind = phashKind(id)
     val cid = phashContentId(id)
-    val w0 = widthFor(cid)
+    val w0 = if (wideGrid) phashWideWidthFor(cid) else widthFor(cid)
     val h0 = heightFor(cid)
     val scale = if (kind == 2) 2 else 1
     val img = new BufferedImage(w0 * scale, h0 * scale,
@@ -160,6 +181,14 @@ object MediaFixture {
     val spark = ids.sparkSession
     import spark.implicits._
     ids.mapPartitions(_.map(id => (id, encodePhash(id)))).toDF("id", "media")
+  }
+
+  /** (id BIGINT, media BINARY) WIDE pHash-corpus frame — narrow map. */
+  def phashWideTable(ids: Dataset[Long]): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.mapPartitions(_.map(id => (id, encodePhashWide(id))))
+      .toDF("id", "media")
   }
 
   // ---- audio fixture (WAV/PCM s16le) --------------------------------------

@@ -486,30 +486,44 @@ object MediaOps {
     */
   private[multimodal] def dhash9x8(
       img: java.awt.image.BufferedImage): (Long, Long) = {
+    val limbs = dhashGrid(img, 9, 8)
+    (limbs(1), limbs(0))
+  }
+
+  /** General dHash over a gw×gh luma grid: (gw−1)·gh comparison bits,
+    * bit b = y·(gw−1) + x set iff grid(x, y) > grid(x+1, y), packed
+    * into 32-bit limbs (low bits first, each limb a nonnegative Long
+    * in [0, 2^32) so the DuckDB mirror never touches the sign bit).
+    * The 9×8 layout is the [[dhash9x8]] contract unchanged; 17×8 is
+    * the 128-bit long-code knob ([[dhashFeaturesWide]]).
+    */
+  private[multimodal] def dhashGrid(img: java.awt.image.BufferedImage,
+      gw: Int, gh: Int): Array[Long] = {
     val w = img.getWidth
     val h = img.getHeight
-    val lum = new Array[Int](72)
+    val lum = new Array[Int](gw * gh)
     var y = 0
-    while (y < 8) {
+    while (y < gh) {
       var x = 0
-      while (x < 9) {
-        val rgb = img.getRGB(x * w / 9, y * h / 8)
-        lum(y * 9 + x) = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
-          + 114 * (rgb & 0xff)) / 1000
+      while (x < gw) {
+        val rgb = img.getRGB(x * w / gw, y * h / gh)
+        lum(y * gw + x) = (299 * ((rgb >> 16) & 0xff) +
+          587 * ((rgb >> 8) & 0xff) + 114 * (rgb & 0xff)) / 1000
         x += 1
       }
       y += 1
     }
-    var lo = 0L; var hi = 0L
+    val bits = (gw - 1) * gh
+    val limbs = new Array[Long]((bits + 31) / 32)
     var b = 0
-    while (b < 64) {
-      val (yy, xx) = (b / 8, b % 8)
-      if (lum(yy * 9 + xx) > lum(yy * 9 + xx + 1)) {
-        if (b < 32) lo |= 1L << b else hi |= 1L << (b - 32)
-      }
+    while (b < bits) {
+      val yy = b / (gw - 1)
+      val xx = b % (gw - 1)
+      if (lum(yy * gw + xx) > lum(yy * gw + xx + 1))
+        limbs(b / 32) |= 1L << (b % 32)
       b += 1
     }
-    (hi, lo)
+    limbs
   }
 
   /** REAL decode → 64-bit dHash per image. Every DECODABLE payload is
@@ -532,6 +546,29 @@ object MediaOps {
           }
         }
       }.toDF("id", "hash_hi", "hash_lo")
+  }
+
+  /** REAL decode → long perceptual code: dHash over a (gw×gh) grid,
+    * (gw−1)·gh bits as 32-bit limbs (low first) — the code-width knob
+    * behind [[graft.queries.Dedup.phashPairsWide]]. The default 17×8
+    * grid yields the 128-bit code (8 lossless 16-bit bands to radius
+    * 7, or 4 32-bit bands to radius 3 with a 2^32 key space — the
+    * in-bucket-mass escape hatch for extreme corpus sizes). Same
+    * decode contract as [[dhashFeatures]]: every decodable payload
+    * hashes, undecodable rows drop. Output: (id, limbs ARRAY<BIGINT>).
+    */
+  def dhashFeaturesWide(df: DataFrame, gridW: Int = 17,
+      gridH: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    nonNullMedia(df).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val img = decode(bytes)
+          if (img == null) None
+          else Some((id, dhashGrid(img, gridW, gridH).toSeq))
+        }
+      }.toDF("id", "limbs")
   }
 
   /** Byte-level chunk sampling: split an OPAQUE payload into k contiguous

@@ -625,6 +625,65 @@ object Dedup extends QueryPack {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Parameterized banded-hamming near-dup pairs over LONG perceptual
+    * codes — the code-width/band-count knob behind the n²/2^16 escape
+    * hatch [[phashPairs]]'s Scaladoc names: a fixed 64-bit code's
+    * 4×16-bit split is the most selective lossless radius-3 blocking
+    * it admits, so at extreme n the way out is a LONGER code
+    * ([[graft.multimodal.MediaOps.dhashFeaturesWide]]'s 128-bit 17×8
+    * dHash), which buys either a larger radius at the same key space
+    * (8×16-bit bands: pigeonhole-lossless to hamming 7) or the same
+    * radius with a 2^32 key space (4×32-bit bands: in-bucket candidate
+    * mass drops from n²/2^16 to n²/2^32 — the sf10 stress row measures
+    * the drop). Input: (id, limbs ARRAY<BIGINT>), 32-bit limbs low
+    * bits first. Same one-exchange row-local plan as [[phashPairs]]:
+    * band explode → bucket groupBy → in-row pair generation with the
+    * first-shared-band dedup derived from the xor and the exact
+    * bit_count verify. Output: (id_a, id_b, hamming), id_a < id_b —
+    * equal to the brute-force all-pairs scan for any lossless config.
+    */
+  def phashPairsWide(hashes: DataFrame, maxHamming: Int,
+      codeBits: Int = 128, bands: Int = 8): DataFrame = {
+    require(codeBits % 32 == 0,
+      s"phashPairsWide: codeBits($codeBits) must pack whole 32-bit limbs")
+    require(codeBits % bands == 0 && {
+      val bw = codeBits / bands; bw == 8 || bw == 16 || bw == 32
+    }, s"phashPairsWide: bands($bands) must split codeBits($codeBits) " +
+      "into 8/16/32-bit band keys (limb-aligned extraction)")
+    require(maxHamming >= 0 && maxHamming <= bands - 1,
+      s"phashPairsWide: maxHamming($maxHamming) must be in " +
+        s"[0, ${bands - 1}] — $bands bands are pigeonhole-lossless " +
+        s"only up to hamming ${bands - 1}")
+    val bw = codeBits / bands
+    val nLimbs = codeBits / 32
+    def bandKey(limbs: Column, b: Int): Column =
+      shiftright(element_at(limbs, (b * bw) / 32 + 1), (b * bw) % 32)
+        .bitwiseAND(lit((1L << bw) - 1))
+    val bandRows = hashes.select(
+      struct(col("id"), col("limbs")).as("m"),
+      posexplode(array((0 until bands).map(b =>
+        bandKey(col("limbs"), b)): _*)).as(Seq("band", "bkey")))
+    val buckets = bandRows.groupBy(col("band"), col("bkey"))
+      .agg(collect_list(col("m")).as("ms"))
+      .filter(size(col("ms")) >= 2)
+    val xl = zip_with(col("a.limbs"), col("b.limbs"),
+      (x, y) => x.bitwiseXOR(y))
+    buckets
+      .select(col("band"), explode(col("ms")).as("a"), col("ms"))
+      .select(col("band"), col("a"), explode(col("ms")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .withColumn("xl", xl)
+      // first band on which the two codes agree, from the xor — the
+      // emit-once rule, row-local as in phashPairs
+      .filter(col("band") === array_position(
+        array((0 until bands).map(b =>
+          bandKey(col("xl"), b) === 0): _*), true) - 1)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (1 to nLimbs).map(i => bit_count(element_at(col("xl"), i)))
+          .reduce(_ + _).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Cross-corpus perceptual-hash dedup — the production cadence for an
     * image pipeline: every (incoming, corpus) image pair within dHash
     * hamming `maxHamming`, with the corpus's banded hash index built

@@ -89,6 +89,21 @@ object Multimodal extends QueryPack {
         "id", "media")
     }),
 
+    // long-code perceptual near-dup: the 128-bit 17×8 dHash over the
+    // WIDENED fixture (content ≥ 17 px wide so all 16 comparison bits
+    // per grid row are informative), paired through the parameterized
+    // banded blocking at radius 7 over 8×16-bit bands — the code-width
+    // knob that makes the n²/2^16 escape hatch buildable (4×32-bit
+    // bands at radius 3 is the extreme-n config; the stress harness
+    // measures its in-bucket mass drop)
+    "q_media_phash_wide_pairs" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.phashPairsWide(
+        MediaOps.dhashFeaturesWide(MediaFixture.phashWideTable(
+          Tables.load(s, dir, "documents").select(col("doc_id")).as[Long])),
+        maxHamming = 7, codeBits = 128, bands = 8)
+    }),
+
     // audio perceptual near-dup: envelope dHash over REAL WAV decode,
     // pairs through the SAME banded blocking as images (one operator,
     // two modalities) — catches the gain-scaled re-master byte-digest
@@ -237,6 +252,53 @@ object Multimodal extends QueryPack {
        |      for b in generate_series(0, 31)]) AS BIGINT) AS hi
        |  FROM g)""".stripMargin
 
+  /** Wide-code pHash oracle: the 17×8 grid's 128-bit dHash as four
+    * 32-bit limbs (l0..l3, low bits first — the same limb packing
+    * [[graft.multimodal.MediaOps.dhashGrid]] emits), brute-forced at
+    * radius 7. Bit b of the code compares lum(b//16·17 + b%16) with
+    * its right neighbor; limb j holds bits 32j..32j+31.
+    */
+  private[queries] lazy val oPhashWideSql: String = {
+    def limb(j: Int): String =
+      s"""CAST(list_sum([CASE WHEN
+         |        lum[((${32 * j} + b) // 16) * 17 + ((${32 * j} + b) % 16) + 1] >
+         |        lum[((${32 * j} + b) // 16) * 17 + ((${32 * j} + b) % 16) + 2]
+         |      THEN (1::BIGINT << b) ELSE 0 END
+         |      for b in generate_series(0, 31)]) AS BIGINT) AS l$j"""
+        .stripMargin
+    val ham = (0 to 3)
+      .map(j => s"bit_count(xor(a.l$j, b.l$j))").mkString(" + ")
+    s"""WITH p AS (SELECT doc_id AS id,
+       |    CAST(doc_id % 5 AS BIGINT) AS kind,
+       |    doc_id - (CASE WHEN doc_id % 5 IN (1, 2, 3)
+       |              THEN doc_id % 5 ELSE 0 END) AS cid
+       |  FROM documents WHERE doc_id % 13 <> 5),
+       |d AS (SELECT id, kind, cid,
+       |    17 + cid % 9 AS w0, 8 + cid % 7 AS h0 FROM p),
+       |g AS (SELECT id, list_transform(
+       |    [((i // 17) * h0 // 8) * w0 + ((i % 17) * w0 // 17)
+       |      for i in generate_series(0, 135)],
+       |    q -> CASE WHEN kind = 3 AND q = 0 THEN 255
+       |      ELSE (299 * (((cid % 97 + 1) * q + (cid % 41 + 1) * q * q
+       |            + cid) % 256)
+       |          + 587 * (((cid % 89 + 2) * q + (cid % 43 + 1) * q * q
+       |            + 2 * cid) % 256)
+       |          + 114 * (((cid % 83 + 3) * q + (cid % 47 + 1) * q * q
+       |            + 3 * cid) % 256))
+       |        // 1000 END) AS lum
+       |  FROM d),
+       |h AS (SELECT id,
+       |    ${limb(0)},
+       |    ${limb(1)},
+       |    ${limb(2)},
+       |    ${limb(3)}
+       |  FROM g)
+       |SELECT a.id AS id_a, b.id AS id_b,
+       |  CAST($ham AS BIGINT) AS hamming
+       |FROM h a JOIN h b ON a.id < b.id
+       |WHERE $ham <= 7""".stripMargin
+  }
+
   private def oPhashSql(head: String): String =
     s"""$oPhashCtes
        |$head
@@ -370,6 +432,10 @@ object Multimodal extends QueryPack {
       """SELECT a.id AS id_a, b.id AS id_b,
         |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
         |    AS BIGINT) AS hamming""".stripMargin),
+
+    // wide-code blocking is lossless at radius 7 over 8×16-bit bands,
+    // so the banded output must equal this brute-force scan exactly
+    "q_media_phash_wide_pairs" -> oPhashWideSql,
 
     "q_dedup_phash_cross" -> oPhashCrossSql,
 

@@ -311,6 +311,41 @@ object ScaleStress {
           MediaOps.dhashFeatures(MediaFixture.phashTable(ids)), 3)
         Map("pairs" -> pairs.count())
       }),
+      // r18: the long-code knob measured — in-bucket candidate mass of
+      // the 128-bit code under 8×16-bit bands (key space 2^16 per band,
+      // radius ≤ 7) vs 4×32-bit bands (key space 2^32, radius ≤ 3).
+      // The claim: mass_4x32 collapses to ~the planted-duplicate mass
+      // while mass_8x16 grows n²/2^16 per band — the escape hatch for
+      // extreme n is WIDER BANDS from a LONGER code, not more bands.
+      // pairs_r3 runs the full radius-3 pipeline at the 4×32 config.
+      "phash_wide" -> (() => {
+        import graft.multimodal.{MediaFixture, MediaOps}
+        import spark.implicits._
+        val ids = graft.Tables.load(spark, sfDir, "documents")
+          .select(col("doc_id")).as[Long]
+        val hashes = MediaOps.dhashFeaturesWide(
+            MediaFixture.phashWideTable(ids))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        def mass(bands: Int): Long = {
+          val bw = 128 / bands
+          val keys = (0 until bands).map { b =>
+            shiftright(element_at(col("limbs"), (b * bw) / 32 + 1),
+              (b * bw) % 32).bitwiseAND(lit((1L << bw) - 1))
+          }
+          hashes.select(posexplode(array(keys: _*))
+              .as(Seq("band", "bkey")))
+            .groupBy(col("band"), col("bkey")).agg(count(lit(1)).as("m"))
+            .agg(coalesce(sum(col("m") * (col("m") - 1) / 2), lit(0.0))
+              .cast("long").as("mass"))
+            .head.getLong(0)
+        }
+        val m16 = mass(8)
+        val m32 = mass(4)
+        val p = Dedup.phashPairsWide(hashes, 3, codeBits = 128, bands = 4)
+          .count()
+        hashes.unpersist(blocking = false)
+        Map("pairs_r3" -> p, "mass_8x16" -> m16, "mass_4x32" -> m32)
+      }),
       // r17: audio envelope pHash — the SAME banded pair operator as
       // the image path over the audio envelope dHash; decode-bound
       // narrow stage, one band exchange, planted (gain/perturb) pair

@@ -100,6 +100,97 @@ class PhashSpec extends SparkSpec {
       MediaFixture.phashTable(Seq(5L, 18L).toDS())).count() == 0)
   }
 
+  /** Reference 128-bit dHash: 17×8 grid, 4 independent 32-bit limbs —
+    * the wide-code analogue of [[refHash]], again written directly
+    * over ImageIO with plain loops.
+    */
+  private def refHashWide(bytes: Array[Byte]): Option[Seq[Long]] = {
+    val img =
+      try ImageIO.read(new ByteArrayInputStream(bytes))
+      catch { case _: Throwable => null }
+    if (img == null) None
+    else {
+      val grid = Array.tabulate(8, 17) { (y, x) =>
+        val rgb = img.getRGB(x * img.getWidth / 17, y * img.getHeight / 8)
+        (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+          114 * (rgb & 0xff)) / 1000
+      }
+      val limbs = new Array[Long](4)
+      for (y <- 0 until 8; x <- 0 until 16) {
+        val b = y * 16 + x
+        if (grid(y)(x) > grid(y)(x + 1)) limbs(b / 32) |= 1L << (b % 32)
+      }
+      Some(limbs.toSeq)
+    }
+  }
+
+  private def refWidePairs(ids: Seq[Long], maxHamming: Int)
+      : Set[(Long, Long, Long)] = {
+    val hashes = ids.flatMap { id =>
+      refHashWide(MediaFixture.encodePhashWide(id)).map(h => id -> h)
+    }
+    (for {
+      (ida, la) <- hashes
+      (idb, lb) <- hashes
+      if ida < idb
+      ham = la.zip(lb)
+        .map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+      if ham <= maxHamming
+    } yield (ida, idb, ham.toLong)).toSet
+  }
+
+  private def opWidePairs(ids: Seq[Long], maxHamming: Int,
+      bands: Int): Set[(Long, Long, Long)] =
+    Dedup.phashPairsWide(
+      MediaOps.dhashFeaturesWide(MediaFixture.phashWideTable(ids.toDS())),
+      maxHamming, codeBits = 128, bands = bands)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("wide 128-bit pairs equal brute force at both band configs") {
+    val ids = (0L until 130L)
+    // 8×16-bit bands: lossless through radius 7
+    for (d <- Seq(0, 3, 7))
+      assert(opWidePairs(ids, d, bands = 8) == refWidePairs(ids, d),
+        s"8x16 maxHamming=$d")
+    // 4×32-bit bands (the extreme-n escape hatch): lossless to radius 3
+    for (d <- Seq(0, 3))
+      assert(opWidePairs(ids, d, bands = 4) == refWidePairs(ids, d),
+        s"4x32 maxHamming=$d")
+  }
+
+  test("wide planted duplicates: re-encode/upscale identical, edit ≤ 1 bit") {
+    val pairs = opWidePairs(0L until 65L, 7, bands = 8)
+      .map(p => (p._1, p._2) -> p._3).toMap
+    for (base <- Seq(0L, 10L, 20L, 60L)) {
+      assert(pairs.get((base, base + 1)).contains(0L))
+      assert(pairs.get((base, base + 2)).contains(0L))
+      // ≥ 17 px wide content: only grid cell (0,0) samples pixel 0
+      assert(pairs.get((base, base + 3)).exists(_ <= 1L))
+    }
+  }
+
+  test("parameterized blocking at (64, 4 bands) matches phashPairs") {
+    val hashes = MediaOps.dhashFeatures(
+      MediaFixture.phashTable((0L until 130L).toDS()))
+    val asLimbs = hashes.selectExpr("id", "array(hash_lo, hash_hi) AS limbs")
+    val wide = Dedup.phashPairsWide(asLimbs, 3, codeBits = 64, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(wide == opPairs(0L until 130L, 3))
+  }
+
+  test("wide blocking rejects a radius past the pigeonhole bound") {
+    val df = MediaOps.dhashFeaturesWide(
+      MediaFixture.phashWideTable(Seq(0L).toDS()))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.phashPairsWide(df, 4, codeBits = 128, bands = 4)
+    }
+    assert(e.getMessage.contains("pigeonhole"))
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.phashPairsWide(df, 3, codeBits = 128, bands = 3)
+    }
+    assert(e2.getMessage.contains("band"))
+  }
+
   private def refCrossPairs(inc: Seq[Long], corp: Seq[Long],
       maxHamming: Int): Set[(Long, Long, Long)] = {
     def hs(ids: Seq[Long]) = ids.flatMap { id =>
