@@ -370,4 +370,92 @@ object MediaFixture {
     import spark.implicits._
     ids.mapPartitions(_.map(id => (id, encodeVideo(id)))).toDF("id", "media")
   }
+
+  // ---- video pHash fixture (planted near-duplicate clips) -----------------
+  // The clip-level analogue of the image pHash corpus: byte-digest dedup
+  // misses a RE-ENCODED or UPSCALED clip; this corpus plants exactly
+  // those (mirrored token-for-token by the q_media_video_phash_pairs
+  // oracle). kind = id % 5, content cid = id − kind for kinds 1..3:
+  //   - kind 0/4: base — n PNG frames
+  //   - kind 1:   re-encode — SAME frame pixels, BMP frames (identical
+  //     per-frame dHash → matches at every sampled position)
+  //   - kind 2:   upscale — every frame pixel-doubled (identical dHash
+  //     by the same floor(floor(2wx/9)/2) = floor(wx/9) proof as the
+  //     image fixture)
+  //   - kind 3:   perturb — frame 0's pixel 0 forced white (≤ 2 dHash
+  //     bits on frame 0 only; the other positions still match exactly,
+  //     so the majority vote passes)
+  //   - frame content: n = 3 + cid % 5 frames (the SAME count across a
+  //     content's variants — position alignment needs it); frame fi
+  //     derives a per-frame seed e = cid + 131·fi and reuses the image
+  //     corpus's cid-QUADRATIC pixel form with cid → e (linear luma is
+  //     the documented dHash-degenerate case — the original video
+  //     fixture's linear ramps are fine for channel sums, useless as
+  //     perceptual content): width 8 + e % 9, height 8 + e % 7, pixel
+  //     p: r = ((e%97+1)·p + (e%41+1)·p² + e) % 256, g/b analogous.
+  //   - corruption: id % 13 == 5 → container truncated to 6 bytes
+  //     (parse fails → zero frames hashed → the clip never pairs); the
+  //     per-FRAME decode-failure path is q_media_video's coverage.
+
+  def videoPhashKind(id: Long): Int = (id % 5).toInt
+  def videoPhashContentId(id: Long): Long = videoPhashKind(id) match {
+    case 1 => id - 1; case 2 => id - 2; case 3 => id - 3; case _ => id
+  }
+  def isVideoPhashCorrupt(id: Long): Boolean = id % 13 == 5
+
+  /** One deterministic pHash-corpus clip; requires id >= 0. */
+  def encodeVideoPhash(id: Long): Array[Byte] = {
+    require(id >= 0, s"MediaFixture ids must be nonnegative, got $id")
+    val kind = videoPhashKind(id)
+    val cid = videoPhashContentId(id)
+    val n = (3 + cid % 5).toInt
+    val scale = if (kind == 2) 2 else 1
+    val frames = (0 until n).map { fi =>
+      val e = cid + 131L * fi
+      val w0 = (8 + e % 9).toInt
+      val h0 = (8 + e % 7).toInt
+      val img = new BufferedImage(w0 * scale, h0 * scale,
+        BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h0 * scale) {
+        var x = 0
+        while (x < w0 * scale) {
+          val p = (y / scale) * w0 + (x / scale)
+          val rgb =
+            if (kind == 3 && fi == 0 && p == 0) 0xffffff
+            else {
+              val pp = p.toLong
+              val r = (((e % 97 + 1) * pp + (e % 41 + 1) * pp * pp + e)
+                % 256).toInt
+              val g = (((e % 89 + 2) * pp + (e % 43 + 1) * pp * pp
+                + 2L * e) % 256).toInt
+              val b = (((e % 83 + 3) * pp + (e % 47 + 1) * pp * pp
+                + 3L * e) % 256).toInt
+              (r << 16) | (g << 8) | b
+            }
+          img.setRGB(x, y, rgb)
+          x += 1
+        }
+        y += 1
+      }
+      MediaCodec.encode(img, if (kind == 1) "bmp" else "png")
+    }
+    val out = new ByteArrayOutputStream()
+    val o = new java.io.DataOutputStream(out)
+    o.writeBytes("GFV1")
+    o.writeInt(n)
+    frames.foreach(f => o.writeInt(f.length))
+    frames.foreach(o.write)
+    val bytes = out.toByteArray
+    if (isVideoPhashCorrupt(id)) java.util.Arrays.copyOf(bytes, 6)
+    else bytes
+  }
+
+  /** (id BIGINT, media BINARY) video-pHash fixture frame — narrow map. */
+  def videoPhashTable(ids: Dataset[Long]): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.mapPartitions(_.map(id => (id, encodeVideoPhash(id))))
+      .toDF("id", "media")
+  }
 }

@@ -571,6 +571,43 @@ object MediaOps {
       }.toDF("id", "limbs")
   }
 
+  /** REAL video → per-sampled-frame dHash: parse the GFV1 index, seek
+    * to the k uniform-stride frames, decode ONLY those, hash each with
+    * [[dhash9x8]]. Emits the SAMPLE POSITION j (0..k−1), not the raw
+    * frame index — position-aligned comparison is the clip-vote
+    * contract of [[graft.queries.Dedup.videoPhashPairs]]: a re-encoded
+    * duplicate clip has the same frame count, so position j samples
+    * the same source frame on both sides. Unparseable containers and
+    * undecodable frames drop (their position is simply absent), the
+    * same skip-and-count contract as [[videoFrameFeatures]]. A narrow
+    * map: at 100 TB of video you hash k sampled frames per clip, you
+    * never decode the stream. Output: (id, pos, hash_hi, hash_lo).
+    */
+  def videoFrameDhashes(df: DataFrame, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    nonNullMedia(df).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          parseVideoIndex(bytes) match {
+            case None => Iterator.empty
+            case Some(table) =>
+              sampleIndices(table.length, k).iterator.zipWithIndex
+                .flatMap { case (fi, j) =>
+                  val (off, len) = table(fi)
+                  val img = decode(
+                    java.util.Arrays.copyOfRange(bytes, off, off + len))
+                  if (img == null) None
+                  else {
+                    val (hi, lo) = dhash9x8(img)
+                    Some((id, j, hi, lo))
+                  }
+                }
+          }
+        }
+      }.toDF("id", "pos", "hash_hi", "hash_lo")
+  }
+
   /** Byte-level chunk sampling: split an OPAQUE payload into k contiguous
     * chunks and emit per-chunk summaries — the pre-decode integrity scan
     * for containers with no registered codec ([[videoFrameFeatures]] is

@@ -625,6 +625,61 @@ object Dedup extends QueryPack {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Video perceptual near-dup via frame hashes — the pHash-native
+    * sibling of the embedding route (q_gate_video_similarity): sample
+    * k frames per clip ([[graft.multimodal.MediaOps.videoFrameDhashes]]
+    * — parse the index, decode ONLY those frames, dHash each), then a
+    * POSITION-ALIGNED banded near-dup with a majority-of-frames vote:
+    * two clips pair iff at least `minMatches` of the k sampled
+    * positions have frame hashes within `maxHamming`. This is the
+    * production shape for re-encoded video — a transcoded duplicate
+    * keeps its frame count, so position j samples the same source
+    * frame on both sides and every position votes yes; a one-frame
+    * edit loses one vote and still pairs; unrelated clips essentially
+    * never win a majority of independent radius-3 matches.
+    *
+    * Plan: the same one-exchange row-local bucket pattern as
+    * [[phashPairs]] with `pos` joined into the bucket key (only
+    * same-position frames ever meet), then ONE clip-level aggregation
+    * counting matched positions. Per position the banded blocking is
+    * pigeonhole-lossless at radius ≤ 3, so the vote is computed over
+    * the EXACT per-position match set and the output equals the
+    * brute-force scan the oracle runs.
+    * Output: (id_a, id_b, n_matched), id_a < id_b.
+    */
+  def videoPhashPairs(videos: DataFrame, idCol: String, mediaCol: String,
+      k: Int = 3, maxHamming: Int = 3, minMatches: Int = 2): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"videoPhashPairs: maxHamming($maxHamming) must be in [0, 3] — 4 " +
+        "bands of 16 bits are pigeonhole-lossless only up to hamming 3")
+    require(minMatches >= 1 && minMatches <= k,
+      s"videoPhashPairs: minMatches($minMatches) must be in [1, k=$k]")
+    val shaped = videos.select(
+      col(idCol).cast("long").as("id"), col(mediaCol).as("media"))
+    val hashes = graft.multimodal.MediaOps.videoFrameDhashes(shaped, k)
+    val bandRows = hashes.select(
+      col("pos"),
+      struct(col("id"), col("hash_hi").as("hi"), col("hash_lo").as("lo"))
+        .as("m"),
+      posexplode(phashBandKeys(col("hash_hi"), col("hash_lo")))
+        .as(Seq("band", "bkey")))
+    val buckets = bandRows.groupBy(col("pos"), col("band"), col("bkey"))
+      .agg(collect_list(col("m")).as("ms"))
+      .filter(size(col("ms")) >= 2)
+    val xHi = col("a.hi").bitwiseXOR(col("b.hi"))
+    val xLo = col("a.lo").bitwiseXOR(col("b.lo"))
+    buckets
+      .select(col("pos"), col("band"), explode(col("ms")).as("a"), col("ms"))
+      .select(col("pos"), col("band"), col("a"),
+        explode(col("ms")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .filter(col("band") === phashFirstSharedBand(xHi, xLo))
+      .filter((bit_count(xHi) + bit_count(xLo)) <= maxHamming)
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).cast("long").as("n_matched"))
+      .filter(col("n_matched") >= minMatches)
+  }
+
   /** Parameterized banded-hamming near-dup pairs over LONG perceptual
     * codes — the code-width/band-count knob behind the n²/2^16 escape
     * hatch [[phashPairs]]'s Scaladoc names: a fixed 64-bit code's

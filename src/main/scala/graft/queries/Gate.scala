@@ -2067,6 +2067,29 @@ object Gate extends QueryPack {
       s.table("vidsim_sink_out")
     }),
 
+    // Video perceptual near-dup through the gate: the frame-hash
+    // sibling of q_gate_video_similarity's embedding route — one script
+    // composing sampled-frame dHashes into the clip-level banded
+    // majority vote via VIDEO_PHASH_PAIRS; shares
+    // q_media_video_phash_pairs's oracle verbatim.
+    "q_gate_video_phash" -> ((s, dir) => {
+      import s.implicits._
+      graft.multimodal.MediaFixture.videoPhashTable(
+        graft.Tables.load(s, dir, "documents")
+          .select(org.apache.spark.sql.functions.col("doc_id")).as[Long])
+        .createOrReplaceTempView("vidphash_clips")
+      val runner = new ScriptRunner(s, batchMode = true)
+      runner.run(
+        s"""CREATE TABLE vidphash_sink (id_a BIGINT, id_b BIGINT,
+           |  n_matched BIGINT) WITH ('connector' = 'memory');
+           |INSERT INTO vidphash_sink
+           |SELECT id_a, id_b, n_matched FROM TABLE(VIDEO_PHASH_PAIRS(
+           |  TABLE vidphash_clips, DESCRIPTOR(id), DESCRIPTOR(media),
+           |  3, 3, 2));
+           |""".stripMargin)
+      s.table("vidphash_sink_out")
+    }),
+
     // BPE fit-then-encode through the gate: TOKENIZE trains the merge
     // table on the relation and encodes every row with it; shares
     // q_text_bpe_encode's oracle verbatim.
@@ -2541,6 +2564,7 @@ object Gate extends QueryPack {
     "q_gate_media_resize_tvf" -> Multimodal.oracleSql("q_media_resize"),
     "q_gate_phash_tvf" -> Multimodal.oracleSql("q_media_phash_pairs"),
     "q_gate_video_similarity" -> Multimodal.oVideoSimSql,
+    "q_gate_video_phash" -> Multimodal.oVideoPhashSql,
     "q_gate_phash_cluster" -> Dedup.oCcClosure(Multimodal.oPhashEdges,
       "node"),
     "q_gate_phash_cross_tvf" -> Multimodal.oracleSql("q_dedup_phash_cross"),

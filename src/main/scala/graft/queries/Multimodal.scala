@@ -89,6 +89,20 @@ object Multimodal extends QueryPack {
         "id", "media")
     }),
 
+    // video perceptual near-dup via frame hashes: sample 3 frames per
+    // clip, dHash each, pair clips when ≥ 2 of 3 position-aligned
+    // frame hashes land within hamming 3 — the pHash-native sibling of
+    // q_gate_video_similarity's embedding route, over a corpus with
+    // PLANTED re-encoded (BMP frames), upscaled (pixel-doubled), and
+    // frame-0-perturbed duplicate clips
+    "q_media_video_phash_pairs" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.videoPhashPairs(
+        MediaFixture.videoPhashTable(
+          Tables.load(s, dir, "documents").select(col("doc_id")).as[Long]),
+        "id", "media", k = 3, maxHamming = 3, minMatches = 2)
+    }),
+
     // long-code perceptual near-dup: the 128-bit 17×8 dHash over the
     // WIDENED fixture (content ≥ 17 px wide so all 16 comparison bits
     // per grid row are informative), paired through the parameterized
@@ -251,6 +265,57 @@ object Multimodal extends QueryPack {
        |      THEN (1::BIGINT << b) ELSE 0 END
        |      for b in generate_series(0, 31)]) AS BIGINT) AS hi
        |  FROM g)""".stripMargin
+
+  /** Video-pHash oracle: replay the planted-clip fixture closed form —
+    * per sampled position j (0..2), frame fi = (j·n)//3 derives seed
+    * e = cid + 131·fi, the 9×8 grid and dHash halves follow the image
+    * oracle token-for-token with cid → e — then brute-force
+    * position-aligned pairs at hamming ≤ 3 and keep clips winning ≥ 2
+    * of 3 votes. The banded operator must reproduce this exactly
+    * (per-position losslessness at radius 3 + an exact count).
+    */
+  private[queries] lazy val oVideoPhashSql: String =
+    s"""WITH p AS (SELECT doc_id AS id,
+       |    CAST(doc_id % 5 AS BIGINT) AS kind,
+       |    doc_id - (CASE WHEN doc_id % 5 IN (1, 2, 3)
+       |              THEN doc_id % 5 ELSE 0 END) AS cid
+       |  FROM documents WHERE doc_id % 13 <> 5),
+       |f AS (SELECT id, kind, cid, CAST(3 + cid % 5 AS BIGINT) AS n
+       |  FROM p),
+       |s AS (SELECT id, kind, cid, j.j AS pos, (j.j * n) // 3 AS fi
+       |  FROM f CROSS JOIN generate_series(0, 2) j(j)),
+       |e AS (SELECT id, pos, kind, fi, cid + 131 * fi AS e,
+       |    8 + (cid + 131 * fi) % 9 AS w0, 8 + (cid + 131 * fi) % 7 AS h0
+       |  FROM s),
+       |g AS (SELECT id, pos, list_transform(
+       |    [((i // 9) * h0 // 8) * w0 + ((i % 9) * w0 // 9)
+       |      for i in generate_series(0, 71)],
+       |    q -> CASE WHEN kind = 3 AND fi = 0 AND q = 0 THEN 255
+       |      ELSE (299 * (((e % 97 + 1) * q + (e % 41 + 1) * q * q
+       |            + e) % 256)
+       |          + 587 * (((e % 89 + 2) * q + (e % 43 + 1) * q * q
+       |            + 2 * e) % 256)
+       |          + 114 * (((e % 83 + 3) * q + (e % 47 + 1) * q * q
+       |            + 3 * e) % 256))
+       |        // 1000 END) AS lum
+       |  FROM e),
+       |h AS (SELECT id, pos,
+       |    CAST(list_sum([CASE WHEN
+       |        lum[(b // 8) * 9 + (b % 8) + 1] >
+       |        lum[(b // 8) * 9 + (b % 8) + 2]
+       |      THEN (1::BIGINT << b) ELSE 0 END
+       |      for b in generate_series(0, 31)]) AS BIGINT) AS lo,
+       |    CAST(list_sum([CASE WHEN
+       |        lum[((b + 32) // 8) * 9 + ((b + 32) % 8) + 1] >
+       |        lum[((b + 32) // 8) * 9 + ((b + 32) % 8) + 2]
+       |      THEN (1::BIGINT << b) ELSE 0 END
+       |      for b in generate_series(0, 31)]) AS BIGINT) AS hi
+       |  FROM g),
+       |m AS (SELECT a.id AS id_a, b.id AS id_b
+       |  FROM h a JOIN h b ON a.id < b.id AND a.pos = b.pos
+       |  WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3)
+       |SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS n_matched
+       |FROM m GROUP BY id_a, id_b HAVING count(*) >= 2""".stripMargin
 
   /** Wide-code pHash oracle: the 17×8 grid's 128-bit dHash as four
     * 32-bit limbs (l0..l3, low bits first — the same limb packing
@@ -436,6 +501,10 @@ object Multimodal extends QueryPack {
     // wide-code blocking is lossless at radius 7 over 8×16-bit bands,
     // so the banded output must equal this brute-force scan exactly
     "q_media_phash_wide_pairs" -> oPhashWideSql,
+
+    // per-position losslessness + exact vote count: the clip-level
+    // banded operator must equal the brute-force position-aligned scan
+    "q_media_video_phash_pairs" -> oVideoPhashSql,
 
     "q_dedup_phash_cross" -> oPhashCrossSql,
 

@@ -346,6 +346,13 @@ object ScaleStress {
         hashes.unpersist(blocking = false)
         Map("pairs_r3" -> p, "mass_8x16" -> m16, "mass_4x32" -> m32)
       }),
+      // r18: video perceptual near-dup — k sampled frames decoded +
+      // hashed per clip (decode-bound narrow stage), one band exchange
+      // keyed by (pos, band, bkey), one clip-level vote aggregation;
+      // planted (re-encode/upscale/perturb) pair mass linear by
+      // construction, same decade claim as phash_pairs.
+      "video_phash" -> (() => countOf("q_media_video_phash_pairs")
+        .map { case (_, v) => ("pairs", v) }),
       // r17: audio envelope pHash — the SAME banded pair operator as
       // the image path over the audio envelope dHash; decode-bound
       // narrow stage, one band exchange, planted (gain/perturb) pair

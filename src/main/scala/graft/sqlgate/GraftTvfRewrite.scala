@@ -88,6 +88,13 @@ import org.apache.spark.sql.SparkSession
   *     hamming blocking + exact verify (default radius 3, the
   *     pigeonhole-lossless bound) — [[graft.queries.Dedup.phashPairs]].
   *     Whole-relation self-join: streaming rejected loudly.
+  *   - `TABLE(VIDEO_PHASH_PAIRS(TABLE t, DESCRIPTOR(id),
+  *     DESCRIPTOR(media)[, <k>, <maxHamming>, <minMatches>]))` →
+  *     `(id_a, id_b, n_matched)`: video perceptual near-dup — sample
+  *     k frames per clip, dHash each, pair clips when ≥ minMatches
+  *     position-aligned frame hashes land within the radius (defaults
+  *     3, 3, 2) — [[graft.queries.Dedup.videoPhashPairs]].
+  *     Whole-relation self-join: streaming rejected loudly.
   *   - `TABLE(DEDUP_PHASH_CROSS(TABLE incoming, TABLE corpus,
   *     DESCRIPTOR(id), DESCRIPTOR(media)[, <maxHamming>]))` → same
   *     columns (id_a = incoming, id_b = corpus): every cross pair
@@ -224,7 +231,7 @@ import org.apache.spark.sql.SparkSession
 object GraftTvfRewrite {
 
   private val Keyword =
-    """(?i)\b(?:DEDUP_(?:EXACT|MINHASH_PAIRS|SIMHASH_PAIRS|CROSS_PAIRS|EMBED_PAIRS|JACCARD_PAIRS|JACCARD_CROSS|PHASH_PAIRS|PHASH_CROSS)|ANN_TOPK(?:_LSH|_IVFPQ)?|TEXT_QUALITY|TEXT_SEARCH_BM25|TEXT_KEYWORDS|LANG_ID|PAGERANK|FUZZY_JOIN(?:_CROSS)?|CONNECTED_COMPONENTS|MEDIA_FEATURES|MEDIA_VIDEO_FRAMES|MEDIA_AUDIO|MEDIA_RESIZE|EMBED_ABTT|HEAVY_HITTERS|PROFILE|TEXT_BPE_MERGES|TOKENIZE)\s*\(""".r
+    """(?i)\b(?:DEDUP_(?:EXACT|MINHASH_PAIRS|SIMHASH_PAIRS|CROSS_PAIRS|EMBED_PAIRS|JACCARD_PAIRS|JACCARD_CROSS|PHASH_PAIRS|PHASH_CROSS)|VIDEO_PHASH_PAIRS|ANN_TOPK(?:_LSH|_IVFPQ)?|TEXT_QUALITY|TEXT_SEARCH_BM25|TEXT_KEYWORDS|LANG_ID|PAGERANK|FUZZY_JOIN(?:_CROSS)?|CONNECTED_COMPONENTS|MEDIA_FEATURES|MEDIA_VIDEO_FRAMES|MEDIA_AUDIO|MEDIA_RESIZE|EMBED_ABTT|HEAVY_HITTERS|PROFILE|TEXT_BPE_MERGES|TOKENIZE)\s*\(""".r
   private val viewCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private val Head =
@@ -317,6 +324,12 @@ object GraftTvfRewrite {
   // over per-image dHashes; optional maxHamming (default 3)
   private val PhashRe =
     (Head.format("DEDUP_PHASH_PAIRS") + """(?:,\s*(\d+)\s*)?\)\s*\)""").r
+  // video perceptual near-dup: sample k frames per clip, dHash each,
+  // pair clips on a position-aligned majority vote; optional
+  // (k, maxHamming, minMatches), default (3, 3, 2)
+  private val VideoPhashRe =
+    (Head.format("VIDEO_PHASH_PAIRS") +
+      """(?:,\s*(\d+)\s*,\s*(\d+)\s*,\s*(\d+)\s*)?\)\s*\)""").r
   // whole-relation embedding cleanup (corpus mean + power-iteration
   // fit): optional round count
   private val AbttRe =
@@ -361,7 +374,7 @@ object GraftTvfRewrite {
 
   private def allRes = Seq(ExactRe, MinhashRe, SimhashRe, QualityRe,
     KeywordsRe, LangIdRe, PageRankRe, FuzzyRe, CcRe, MediaFeaturesRe,
-    MediaVideoRe, MediaAudioRe, MediaResizeRe, PhashRe, AbttRe,
+    MediaVideoRe, MediaAudioRe, MediaResizeRe, PhashRe, VideoPhashRe, AbttRe,
     JaccardPairsRe, HeavyRe, ProfileRe, BpeRe, TokenizeRe)
 
   /** True iff the statement uses a graft TVF. */
@@ -612,6 +625,19 @@ object GraftTvfRewrite {
       val maxHamming = Option(m.group(4)).map(_.toInt).getOrElse(3)
       view(graft.queries.Dedup.phashPairs(
         graft.multimodal.MediaOps.dhashFeatures(mediaCols(m)), maxHamming))
+    })
+    out = VideoPhashRe.replaceAllIn(out, m => {
+      // clip-level banded self-join over sampled-frame dHashes with a
+      // position-aligned majority vote — batch only (table() guard);
+      // frame decode + hash are narrow, the vote is one aggregation
+      table(m.group(1))
+      val (k, mh, mm) =
+        (Option(m.group(4)), Option(m.group(5)), Option(m.group(6))) match {
+          case (Some(a), Some(b), Some(c)) => (a.toInt, b.toInt, c.toInt)
+          case _ => (3, 3, 2)
+        }
+      view(graft.queries.Dedup.videoPhashPairs(
+        mediaCols(m), "id", "media", k, mh, mm))
     })
     out = AbttRe.replaceAllIn(out, m => {
       // whole-relation (corpus mean + covariance power iteration):

@@ -191,6 +191,61 @@ class PhashSpec extends SparkSpec {
     assert(e2.getMessage.contains("band"))
   }
 
+  /** Reference clip vote: independent GFV1 parse (magic, count,
+    * lengths), ImageIO frame decode, [[refHash]] per sampled frame,
+    * brute-force position-aligned vote — no MediaOps, no Spark.
+    */
+  private def refVideoPairs(ids: Seq[Long], maxHamming: Int,
+      minMatches: Int): Set[(Long, Long, Long)] = {
+    def frames(bytes: Array[Byte]): Seq[(Int, (Long, Long))] = {
+      if (bytes.length < 8 || !bytes.startsWith("GFV1".getBytes))
+        return Nil
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val n = bb.getInt(4)
+      if (bytes.length < 8 + 4 * n) return Nil
+      val lens = (0 until n).map(i => bb.getInt(8 + 4 * i))
+      val offs = lens.scanLeft(8 + 4 * n)(_ + _)
+      val sampled = if (n <= 3) 0 until n
+        else (0 until 3).map(j => (j.toLong * n / 3).toInt)
+      sampled.zipWithIndex.flatMap { case (fi, j) =>
+        refHash(java.util.Arrays.copyOfRange(
+          bytes, offs(fi), offs(fi) + lens(fi))).map(j -> _)
+      }
+    }
+    val clips = ids.map(id => id -> frames(MediaFixture.encodeVideoPhash(id)))
+    (for {
+      (ida, fa) <- clips; (idb, fb) <- clips
+      if ida < idb
+      matched = fa.flatMap { case (j, (hia, loa)) =>
+        fb.collectFirst { case (`j`, (hib, lob))
+          if java.lang.Long.bitCount(hia ^ hib) +
+            java.lang.Long.bitCount(loa ^ lob) <= maxHamming => j }
+      }.size
+      if matched >= minMatches
+    } yield (ida, idb, matched.toLong)).toSet
+  }
+
+  test("video clip vote equals the brute-force reference; planted " +
+    "re-encode/upscale clips match 3/3 and a frame edit still pairs") {
+    val ids = (0L until 100L)
+    val got = Dedup.videoPhashPairs(
+        MediaFixture.videoPhashTable(ids.toDS()), "id", "media",
+        k = 3, maxHamming = 3, minMatches = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == refVideoPairs(ids, 3, 2))
+    val byPair = got.map(p => (p._1, p._2) -> p._3).toMap
+    for (base <- Seq(0L, 20L, 60L)) { // uncorrupted planted clusters
+      assert(byPair.get((base, base + 1)).contains(3L),
+        s"BMP re-encode clip ($base, ${base + 1}) must match 3/3")
+      assert(byPair.get((base, base + 2)).contains(3L),
+        s"2x-upscale clip ($base, ${base + 2}) must match 3/3")
+      assert(byPair.get((base, base + 3)).exists(_ >= 2L),
+        s"frame-perturbed clip ($base, ${base + 3}) must win the vote")
+    }
+    // corrupt container (id 5): parse fails, the clip never pairs
+    assert(!got.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
   private def refCrossPairs(inc: Seq[Long], corp: Seq[Long],
       maxHamming: Int): Set[(Long, Long, Long)] = {
     def hs(ids: Seq[Long]) = ids.flatMap { id =>
