@@ -90,8 +90,8 @@ object GraftFunctions {
     */
   val nativeNames: Set[String] = Set("long_dot", "simhash60",
     "word_ngrams", "count_in", "text_fingerprint", "jaccard_distinct",
-    "quant_vec", "argmin_cos", "topn_cos", "pq_encode",
-    "deletion_variants", "heavy_hitters")
+    "first_common_pos", "quant_vec", "argmin_cos", "topn_cos",
+    "pq_encode", "deletion_variants", "heavy_hitters")
 
   // once per session: createOrReplaceTempFunction logs a WARN on every
   // re-register, and the query packs call register() per query. Weak
@@ -162,6 +162,11 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "jaccard_distinct", exprs => JaccardDistinct(exprs(0), exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "first_common_pos", exprs => FirstCommonPos(exprs(0), exprs(1),
+        if (exprs.length > 2) exprs(2)
+        else org.apache.spark.sql.catalyst.expressions.Literal(
+          Int.MaxValue)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "quant_vec", exprs => QuantizeVec(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -249,6 +254,16 @@ object GraftFunctions {
     */
   def jaccardDistinct(a: Column, b: Column): Column =
     call_function("jaccard_distinct", a, b)
+
+  /** 1-based position in `b` of the first element of `b` present among
+    * the first `alim` elements of `a` (whole `a` when omitted); NULL if
+    * disjoint. Fused O(alim + |b|) probe pass ([[FirstCommonPos]]).
+    */
+  def firstCommonPos(a: Column, b: Column): Column =
+    call_function("first_common_pos", a, b)
+
+  def firstCommonPos(a: Column, b: Column, alim: Column): Column =
+    call_function("first_common_pos", a, b, alim)
 
   /** Integer quantization of a float/double embedding (fused loop). */
   def quantVec(a: Column): Column = call_function("quant_vec", a)

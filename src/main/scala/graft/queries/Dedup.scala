@@ -1078,10 +1078,12 @@ object Dedup extends QueryPack {
     val plenA = prefixLenOf(col("sza"))
     // first corpus-prefix token present in the incoming FULL set — the
     // positional-cut anchor (every common token sits at or past it in
-    // the corpus doc's order)
-    val tokCut = element_at(
-      filter(col("pb_arr"), t => array_contains(col("sa"), t)), 1)
-    val pbCut = array_position(col("pb_arr"), tokCut) - 1
+    // the corpus doc's order). Fused native probe ([[FirstCommonPos]]):
+    // the higher-order filter() formulation is interpreted and
+    // O(|pb_arr|·|sa|) PER CANDIDATE ROW, which at stressed ×10 doc
+    // length turned the long-doc cell into a 540 s+ hang.
+    val pbCut = graft.functions.GraftFunctions.firstCommonPos(
+      col("sa"), col("pb_arr")) - 1
     // merge hints: each exploded stream row carries the doc's full
     // shingle array (the row-local design), so the per-micro-batch
     // planner must NEVER pick that side for a broadcast (measured at
@@ -1101,10 +1103,11 @@ object Dedup extends QueryPack {
       // token inside the incoming PREFIX (the exploded tokens — a
       // full-set anchor here would pick a token no exploded row has
       // and drop the pair; both-prefix completeness guarantees the
-      // intersection is non-empty for every qualifying pair)
-      .filter(col("tok") === element_at(
-        filter(col("pb_arr"), t => array_position(col("sa"), t)
-          .between(lit(1), plenA)), 1))
+      // intersection is non-empty for every qualifying pair). Same
+      // fused probe, limited to the incoming prefix slice of sa.
+      .filter(col("tok") === element_at(col("pb_arr"),
+        graft.functions.GraftFunctions.firstCommonPos(
+          col("sa"), col("pb_arr"), plenA)))
       // positional cut anchored on the FULL-set first shared token
       .where(least(col("sza"), col("szb") - pbCut) >= alpha)
       .select(col("ida"), col("idb"),

@@ -87,6 +87,48 @@ class TextExprsSpec extends SparkSpec {
     assert(e.isNullAt(0))
   }
 
+  test("first_common_pos equals the filter/array_position lambda it replaces") {
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(18)
+    val vocab = (0 until 40).map(i => s"t$i")
+    val data = (0 until 300).map { _ =>
+      def arr() = rnd.shuffle(vocab).take(rnd.nextInt(12)).sorted
+      (arr(), arr(), 1 + rnd.nextInt(12))
+    }
+    val df = data.toDF("a", "b", "lim")
+    // the streaming Jaccard kernel's original anchors, as oracles:
+    // full-array — first b element contained in a, via its position
+    val hofFull = array_position($"b",
+      try_element_at(filter($"b", t => array_contains($"a", t)), lit(1)))
+    // limited — first b element among the first `lim` elements of a
+    val hofLim = array_position($"b",
+      try_element_at(filter($"b",
+        t => array_position($"a", t).between(lit(1), $"lim")), lit(1)))
+    val rows = df.select(
+        GraftFunctions.firstCommonPos($"a", $"b").as("pf"),
+        when(hofFull === 0, null).otherwise(hofFull).as("hf"),
+        GraftFunctions.firstCommonPos($"a", $"b", $"lim").as("pl"),
+        when(hofLim === 0, null).otherwise(hofLim).as("hl"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1) &&
+        (r.isNullAt(0) || r.getInt(0).toLong == r.getLong(1)), r)
+      assert(r.isNullAt(2) == r.isNullAt(3) &&
+        (r.isNullAt(2) || r.getInt(2).toLong == r.getLong(3)), r)
+    }
+    // disjoint and empty inputs → NULL; limit past |a| is a no-op clamp
+    val edge = Seq((Seq("x", "y"), Seq("p", "q"), 99))
+      .toDF("a", "b", "lim")
+      .select(GraftFunctions.firstCommonPos($"a", $"b").as("d"),
+        GraftFunctions.firstCommonPos($"a", array().cast("array<string>"))
+          .as("eb"),
+        GraftFunctions.firstCommonPos(array().cast("array<string>"), $"b")
+          .as("ea"),
+        GraftFunctions.firstCommonPos($"a", $"b", $"lim").as("dl"))
+      .collect().head
+    (0 until 4).foreach(i => assert(edge.isNullAt(i), edge))
+  }
+
   test("quant_vec equals the transform(floor) quantization lambda") {
     GraftFunctions.register(spark)
     val df = spark.range(100).select(
