@@ -785,6 +785,15 @@ object ScaleStress {
       // the pre-r18 counterfactual (Σ sz²) next to the shipped
       // payload_pfx_elems (Σ plen·sz) — at theta=3/5 the prefix is
       // ~2/5 of the set, and the drop compounds with doc length.
+      // The incoming side is a FIXED ~100-long-doc shard (the
+      // production at-ingest unit — a micro-batch of crawl shards)
+      // with two corpus docs planted verbatim so pairs > 0 proves the
+      // probe end-to-end; the axes under stress are doc length (×10,
+      // in-cell) and CORPUS decade (via sfDir). A first cut let the
+      // shard grow with the corpus — that conflates the two axes and
+      // measures "one giant micro-batch", which at sf1 blew the 540 s
+      // escape; a shard-sized batch against the 10× corpus is the
+      // shape the operator actually runs at ingest.
       "ppjoin_cross_longdoc" -> (() => {
         import org.apache.spark.sql.streaming.Trigger
         val stressed = graft.Tables.load(spark, sfDir, "documents")
@@ -792,6 +801,10 @@ object ScaleStress {
           .agg(concat_ws(" ", collect_list(col("text"))).as("text"))
         val corpus = stressed.filter(col("doc_id") % 10 < 8)
         val incB = stressed.filter(col("doc_id") % 10 >= 8)
+          .orderBy(col("doc_id")).limit(98)
+          .unionByName(corpus.orderBy(col("doc_id")).limit(2)
+            .select((col("doc_id") + 1000000000L).as("doc_id"),
+              col("text")))
         val sets = Dedup.jaccardSets(incB, "doc_id", "text", 3)
           .select(size(col("ss")).cast("long").as("sz"))
           .withColumn("plen",

@@ -116,10 +116,21 @@ object TextAnalysis extends QueryPack {
     val s = df.sparkSession
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
+    // Per-round state rides localCheckpoint (the same lineage
+    // truncation PageRank and connectedComponents use), NOT
+    // cache()+unpersist: unpersisting round r-1's cache entry CASCADES
+    // into every cached plan containing it as a subtree — i.e. round
+    // r's freshly-built cache — so each round silently recomputed the
+    // whole replace chain from the base corpus, O(K²) corpus scans
+    // total. Invisible at the 4-round default; measured at 64 rounds:
+    // 797 s at 50k docs vs ~50 s once truncated (the r18 TOKENIZE
+    // decade stress cell caught it). Old rounds' checkpoint blocks are
+    // dropped by the ContextCleaner once unreferenced; MEMORY_AND_DISK
+    // eviction bounds the interim footprint.
     var cur = df
       .select(concat(lit(BpeSep),
         array_join(split(col(textCol), " "), BpeSep), lit(BpeSep)).as("s"))
-      .cache()
+      .localCheckpoint(true)
     val merges =
       scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var r = 1
@@ -150,17 +161,13 @@ object TextAnalysis extends QueryPack {
           // The consumed boundary chars are restored in the
           // replacement, so symbol delimiters stay doubled.
           val anchor = BpeSep.substring(0, 1)
-          val next = cur.select(
+          cur = cur.select(
             replace($"s", lit(anchor + a + BpeSep + b + anchor),
               lit(anchor + a + BpeGlue + b + anchor)).as("s"))
-            .cache()
-          next.count() // materialize before releasing the parent round
-          cur.unpersist(blocking = false)
-          cur = next
+            .localCheckpoint(true) // eager: materialize + truncate lineage
           r += 1
       }
     }
-    cur.unpersist(blocking = false)
     merges.toSeq.toDF("round", "a", "b", "freq")
   }
 
