@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Input-parallelism helper (optimization guide §2.5/§2.6: input skew /
+  * idle capacity). A small parquet file arrives as ONE scan split, which
+  * serializes every CPU-heavy narrow stage above it — shingling, hashing,
+  * edit-distance verification, media codecs — on a single core no matter
+  * how many the session has. `spread` repartitions such a sub-split input
+  * to the session's default parallelism; the exchange moves only the rows
+  * the caller has already projected, so call it AFTER the narrow
+  * projection. Scale-adaptive by construction, not a local[32] constant:
+  * a production-sized scan already carries >= defaultParallelism splits
+  * and passes through untouched, so the bench's lower-core runs and any
+  * cluster run see the same plan shape with their own core count.
+  */
+object Par {
+  def spread(df: DataFrame): DataFrame =
+    if (df.isStreaming) df
+    else {
+      val p = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    }
+
+  /** Size-aware variant for ITERATED passes (the BPE trainer's K
+    * rounds): every round pays a fixed per-partition cost (task launch,
+    * checkpoint block, agg partials), multiplied by K — so the slice
+    * count must be backed by real bytes, not just core count. Slices
+    * are ceil(inputBytes / bytesPerSlice) capped at defaultParallelism;
+    * a corpus too small to amortize the per-round overhead stays at its
+    * natural split count (measured r18: blanket 32-way spread cost the
+    * 4-round sf0.1 trainer +0.4 s while the 50k-doc stress corpus needs
+    * the parallelism).
+    */
+  def spreadSliced(df: DataFrame, bytesPerSlice: Long): DataFrame =
+    if (df.isStreaming) df
+    else {
+      val p = df.sparkSession.sparkContext.defaultParallelism
+      val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      val want = ((bytes + bytesPerSlice - 1) / bytesPerSlice)
+        .min(BigInt(p)).max(BigInt(1)).toInt
+      if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+    }
+}

@@ -36,6 +36,24 @@ object MediaFixture {
   // caches cost a temp file per encoded image)
   ImageIO.setUseCache(false)
 
+  /** Spread a sub-split id column across the cluster before the
+    * CPU-heavy encode map (guide §2.5, input parallelism): a small
+    * parquet file arrives as ONE scan split, which would serialize
+    * every downstream `ImageIO` encode/decode on a single core no
+    * matter how many the session has. The exchange moves only the
+    * 8-byte ids. Scale-adaptive by construction: once the id source
+    * carries >= defaultParallelism splits (any production-sized scan)
+    * this is the identity. Streaming inputs pass through untouched —
+    * micro-batch partitioning belongs to the drain, and `.rdd` is not
+    * defined on an unstarted stream.
+    */
+  private def spreadIds(ids: Dataset[Long]): Dataset[Long] =
+    if (ids.isStreaming) ids
+    else {
+      val p = ids.sparkSession.sparkContext.defaultParallelism
+      if (ids.rdd.getNumPartitions < p) ids.repartition(p) else ids
+    }
+
   def fmtFor(id: Long): String =
     (id % 4) match { case 3 => "jpg"; case 2 => "bmp"; case _ => "png" }
 
@@ -70,7 +88,8 @@ object MediaFixture {
   def mediaTable(ids: Dataset[Long]): DataFrame = {
     val spark = ids.sparkSession
     import spark.implicits._
-    ids.mapPartitions(_.map(id => (id, encode(id)))).toDF("id", "media")
+    spreadIds(ids).mapPartitions(_.map(id => (id, encode(id))))
+      .toDF("id", "media")
   }
 
   // ---- perceptual-hash fixture (planted near-duplicates) ------------------
@@ -180,14 +199,14 @@ object MediaFixture {
   def phashTable(ids: Dataset[Long]): DataFrame = {
     val spark = ids.sparkSession
     import spark.implicits._
-    ids.mapPartitions(_.map(id => (id, encodePhash(id)))).toDF("id", "media")
+    spreadIds(ids).mapPartitions(_.map(id => (id, encodePhash(id)))).toDF("id", "media")
   }
 
   /** (id BIGINT, media BINARY) WIDE pHash-corpus frame — narrow map. */
   def phashWideTable(ids: Dataset[Long]): DataFrame = {
     val spark = ids.sparkSession
     import spark.implicits._
-    ids.mapPartitions(_.map(id => (id, encodePhashWide(id))))
+    spreadIds(ids).mapPartitions(_.map(id => (id, encodePhashWide(id))))
       .toDF("id", "media")
   }
 
@@ -236,6 +255,9 @@ object MediaFixture {
   def audioTable(ids: Dataset[Long]): DataFrame = {
     val spark = ids.sparkSession
     import spark.implicits._
+    // NOT spread: the WAV encode is plain integer arithmetic (~µs/row,
+    // no ImageIO) — measured r18, the exchange costs more than the
+    // single-core encode it would parallelize
     ids.mapPartitions(_.map(id => (id, encodeWav(id)))).toDF("id", "media")
   }
 
@@ -312,6 +334,8 @@ object MediaFixture {
   def audioPhashTable(ids: Dataset[Long]): DataFrame = {
     val spark = ids.sparkSession
     import spark.implicits._
+    // NOT spread — same integer-arithmetic rationale as [[audioTable]]
+    // (measured r18: +0.4 s at sf0.1 for the exchange, nothing gained)
     ids.mapPartitions(_.map(id => (id, encodeAudioPhash(id))))
       .toDF("id", "media")
   }
@@ -368,7 +392,7 @@ object MediaFixture {
   def videoTable(ids: Dataset[Long]): DataFrame = {
     val spark = ids.sparkSession
     import spark.implicits._
-    ids.mapPartitions(_.map(id => (id, encodeVideo(id)))).toDF("id", "media")
+    spreadIds(ids).mapPartitions(_.map(id => (id, encodeVideo(id)))).toDF("id", "media")
   }
 
   // ---- video pHash fixture (planted near-duplicate clips) -----------------
@@ -455,7 +479,7 @@ object MediaFixture {
   def videoPhashTable(ids: Dataset[Long]): DataFrame = {
     val spark = ids.sparkSession
     import spark.implicits._
-    ids.mapPartitions(_.map(id => (id, encodeVideoPhash(id))))
+    spreadIds(ids).mapPartitions(_.map(id => (id, encodeVideoPhash(id))))
       .toDF("id", "media")
   }
 }

@@ -59,7 +59,14 @@ object TableProfile {
         r.map(fn => fn(min(c))).getOrElse(nullS).as(s"min_$i"),
         r.map(fn => fn(max(c))).getOrElse(nullS).as(s"max_$i"))
     }
-    val wide = df.agg(count(lit(1)).as("n_rows"), aggs.toIndexedSeq: _*)
+    // spread a sub-split scan before the Expand: the multi-distinct
+    // replicates every row once per distinct group (~#cols+1 of them),
+    // and on a one-split input that whole amplified stream would hash
+    // on a single core (guide §2.5 — measured 4.1 s → the map side is
+    // 97% of the query at sf0.1). The exchange moves the raw rows once;
+    // at scale the scan is already parallel and this is the identity.
+    val wide = graft.Par.spread(df)
+      .agg(count(lit(1)).as("n_rows"), aggs.toIndexedSeq: _*)
     val stackArgs = fields.zipWithIndex.map { case (f, i) =>
       val lit = f.name.replace("'", "\\'")
       s"'$lit', n_rows, nn_$i, ndv_$i, min_$i, max_$i"

@@ -207,7 +207,11 @@ object Dedup extends QueryPack {
       threshold: Double = 0.8): DataFrame = {
     val s = df.sparkSession
     graft.functions.GraftFunctions.register(s)
-    val docs0 = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    // spread BEFORE the shingle/minhash expressions: on a one-split scan
+    // the whole signature compute would run on one core (guide §2.5);
+    // the exchange moves only (doc_id, text) once, identity at scale
+    val docs0 = graft.Par.spread(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
     val cand = minhashCandidates(docs0)
     val sh = docs0
       .select(col("doc_id"), words(col("text")).as("w"))
@@ -251,8 +255,10 @@ object Dedup extends QueryPack {
       maxProduct: Int = MaxBandBucket * MaxBandBucket): DataFrame = {
     require(maxProduct >= 1, s"maxProduct($maxProduct) must allow pairs")
     val s = incoming.sparkSession
-    def norm(df: DataFrame) =
-      df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    // spread both sides before the signature/shingle compute (§2.5);
+    // no-op on streaming inputs and on production-sized scans
+    def norm(df: DataFrame) = graft.Par.spread(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
     val inc = norm(incoming)
     val cor = norm(corpus)
     val bn = minhashBandRows(inc, k, bands, rowsPerBand)
@@ -507,7 +513,12 @@ object Dedup extends QueryPack {
     val w = chunkWidth
     val nLimbs = if (4 * w > 120) 3 else 2
     def mask(bits: Int): Long = if (bits <= 0) 0L else (1L << bits) - 1
-    val docs = df.select(col(idCol).as("doc_id"), words(col(textCol)).as("w"))
+    // spread the raw rows, THEN tokenize: projections don't migrate
+    // across an exchange, so spreading after `words` would still run
+    // the tokenizer on the lone scan split (§2.5)
+    val docs = graft.Par.spread(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+      .select(col("doc_id"), words(col("text")).as("w"))
       .filter(size(col("w")) >= 2)
     val sim = simhashSignatures(docs, nLimbs)
     // chunk c covers bits [c*w, (c+1)*w) of the 4w-bit (s3 ++ s2 ++ s1)
@@ -982,7 +993,11 @@ object Dedup extends QueryPack {
   private[graft] def jaccardSets(df: DataFrame, idCol: String,
       textCol: String, shingleN: Int): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    df.select(col(idCol).as("doc_id"), words(col(textCol)).as("w"))
+    // spread the raw rows BEFORE shingling (§2.5): identity for
+    // streaming inputs and production-sized scans
+    graft.Par.spread(
+      df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+      .select(col("doc_id"), words(col("text")).as("w"))
       .filter(size(col("w")) >= shingleN)
       .select(col("doc_id"),
         array_distinct(shingles(col("w"), shingleN)).as("ss"))
@@ -1347,10 +1362,8 @@ object Dedup extends QueryPack {
     "q_dedup_ppjoin" -> ((s, dir) => {
       import s.implicits._
       Vec.ensureRegistered(s)
-      val sets = Tables.load(s, dir, "documents")
-        .select($"doc_id", words($"text").as("w"))
-        .filter(size($"w") >= 3)
-        .select($"doc_id", array_distinct(shingles($"w", 3)).as("ss"))
+      val sets = jaccardSets(Tables.load(s, dir, "documents"),
+        "doc_id", "text", 3)
       jaccardJoin(sets)
     }),
 
@@ -1363,7 +1376,8 @@ object Dedup extends QueryPack {
     "q_decontaminate" -> ((s, dir) => {
       import s.implicits._
       Vec.ensureRegistered(s)
-      val grams = Tables.load(s, dir, "documents")
+      val grams = graft.Par.spread(
+        Tables.load(s, dir, "documents").select($"doc_id", $"text"))
         .select($"doc_id", words($"text").as("w"))
         .filter(size($"w") >= 8)
         .select($"doc_id",
@@ -1391,7 +1405,8 @@ object Dedup extends QueryPack {
     "q_dedup_substr" -> ((s, dir) => {
       import s.implicits._
       Vec.ensureRegistered(s)
-      val grams = Tables.load(s, dir, "documents")
+      val grams = graft.Par.spread(
+        Tables.load(s, dir, "documents").select($"doc_id", $"text"))
         .select($"doc_id", words($"text").as("w"))
         .filter(size($"w") >= 10)
         .select($"doc_id", explode(shingles($"w", 10)).as("g"))
@@ -1418,7 +1433,8 @@ object Dedup extends QueryPack {
     "q_dedup_substr_apply" -> ((s, dir) => {
       import s.implicits._
       Vec.ensureRegistered(s)
-      val docs = Tables.load(s, dir, "documents")
+      val docs = graft.Par.spread(
+        Tables.load(s, dir, "documents").select($"doc_id", $"text"))
         .select($"doc_id", words($"text").as("w"))
       val grams = docs.filter(size($"w") >= 10)
         .select($"doc_id", posexplode(shingles($"w", 10)))

@@ -213,7 +213,11 @@ object Joins extends QueryPack {
     // stage was fused into deletion_variants — the dedup-shape ordering
     // is unaffected: this shape 44 s, whole-row DISTINCT 134 s,
     // narrow+join-back 108 s.)
-    val kv = df.select(col("id"), col("name"),
+    // spread a sub-split input before the variant fan-out: the deletion
+    // neighborhood and the per-candidate levenshtein verify are the
+    // query's CPU, and a single-split scan would run both sides' variant
+    // generation on one core (guide §2.5). Identity at scale.
+    val kv = graft.Par.spread(df).select(col("id"), col("name"),
       explode(variants).as("vk"))
     kv.select(col("vk"), col("id").as("ida"), col("name").as("na"))
       .join(kv.select(col("vk"), col("id").as("idb"), col("name").as("nb")),

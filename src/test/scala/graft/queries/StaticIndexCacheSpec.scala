@@ -58,7 +58,13 @@ class StaticIndexCacheSpec extends SparkSpec {
     "window while an in-flight scan over the old index completes") {
     StaticIndexCache.clear()
     val prevGrace = sys.props.get("graft.index.tmpGraceMs")
-    sys.props("graft.index.tmpGraceMs") = "700"
+    // The in-flight assert below runs AFTER the live rebuild (a full
+    // parquet write + read) completes, so the grace must cover that
+    // build even on a host saturated by parallel suites — 700 ms flaked
+    // exactly once under a full `sbt test` load (r18); 4 s keeps the
+    // assertion meaningful (reap still verified within the 20 s poll)
+    // without racing the scheduler.
+    sys.props("graft.index.tmpGraceMs") = "4000"
     try {
       val dir = freshCorpusDir("g1")
       def key() = StaticIndexCache.corpusKey(spark,
@@ -91,7 +97,7 @@ class StaticIndexCacheSpec extends SparkSpec {
         "a just-superseded dir must survive the grace window")
       // after the grace elapses, every superseded dir is gone while
       // the LIVE entry's dir (and its scannable data) remain
-      val deadline = System.currentTimeMillis() + 10000
+      val deadline = System.currentTimeMillis() + 20000
       while (dirs.exists(d => java.nio.file.Files.exists(d)) &&
         System.currentTimeMillis() < deadline) Thread.sleep(100)
       assert(dirs.forall(d => !java.nio.file.Files.exists(d)),
