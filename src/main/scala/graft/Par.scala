@@ -32,6 +32,22 @@ object Par {
     * 4-round sf0.1 trainer +0.4 s while the 50k-doc stress corpus needs
     * the parallelism).
     */
+  /** Stream-capable spread for CPU-heavy STATELESS probe pipelines
+    * (ANN index probes, signature computes, prefix explodes at ingest):
+    * a file-staged micro-batch arrives as one partition, serializing
+    * the whole probe on one core (measured r18: the ivfpq drain's
+    * addBatch was 3.6 s of its 4.0 s trigger). For a stream this
+    * repartitions unconditionally — `.rdd` is undefined pre-start, and
+    * the probe compute dominates the O(batch) exchange by construction
+    * (that is the caller's contract); batch inputs get the usual
+    * conditional [[spread]]. Stateless + append-mode safe: round-robin
+    * repartition changes row placement, never row content.
+    */
+  def spreadAny(df: DataFrame): DataFrame =
+    if (df.isStreaming)
+      df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    else spread(df)
+
   def spreadSliced(df: DataFrame, bytesPerSlice: Long): DataFrame =
     if (df.isStreaming) df
     else {

@@ -47,12 +47,18 @@ object MediaFixture {
     * micro-batch partitioning belongs to the drain, and `.rdd` is not
     * defined on an unstarted stream.
     */
-  private def spreadIds(ids: Dataset[Long]): Dataset[Long] =
-    if (ids.isStreaming) ids
-    else {
-      val p = ids.sparkSession.sparkContext.defaultParallelism
-      if (ids.rdd.getNumPartitions < p) ids.repartition(p) else ids
-    }
+  private def spreadIds(ids: Dataset[Long],
+      streamSpread: Boolean = true): Dataset[Long] = {
+    val p = ids.sparkSession.sparkContext.defaultParallelism
+    // one-partition micro-batch: encode+decode would run single-core;
+    // the exchange moves only 8-byte ids per batch. streamSpread=false
+    // for the cheap-per-row corpora (small pHash stills) where the
+    // per-batch exchange measured as pure overhead (r18), while the
+    // decode-heavy image/video drains keep it.
+    if (ids.isStreaming) { if (streamSpread) ids.repartition(p) else ids }
+    else if (ids.rdd.getNumPartitions < p) ids.repartition(p)
+    else ids
+  }
 
   def fmtFor(id: Long): String =
     (id % 4) match { case 3 => "jpg"; case 2 => "bmp"; case _ => "png" }
@@ -199,14 +205,16 @@ object MediaFixture {
   def phashTable(ids: Dataset[Long]): DataFrame = {
     val spark = ids.sparkSession
     import spark.implicits._
-    spreadIds(ids).mapPartitions(_.map(id => (id, encodePhash(id)))).toDF("id", "media")
+    spreadIds(ids, streamSpread = false)
+      .mapPartitions(_.map(id => (id, encodePhash(id)))).toDF("id", "media")
   }
 
   /** (id BIGINT, media BINARY) WIDE pHash-corpus frame — narrow map. */
   def phashWideTable(ids: Dataset[Long]): DataFrame = {
     val spark = ids.sparkSession
     import spark.implicits._
-    spreadIds(ids).mapPartitions(_.map(id => (id, encodePhashWide(id))))
+    spreadIds(ids, streamSpread = false)
+      .mapPartitions(_.map(id => (id, encodePhashWide(id))))
       .toDF("id", "media")
   }
 

@@ -389,7 +389,8 @@ object Dedup extends QueryPack {
         idCol, textCol, bands, rowsPerBand, maxBucket)) {
       val dir = StaticIndexCache.newTmpDir("graft_cross_idx")
       ensureDropLogger(s)
-      rowLocalSig(corpus, "idb", "ckeys", "sb").write.parquet(s"$dir/meta")
+      rowLocalSig(graft.Par.spread(corpus), "idb", "ckeys", "sb")
+        .write.parquet(s"$dir/meta")
       // keyed by idb for the per-batch meta join — see the idx comment
       val m = s.read.parquet(s"$dir/meta")
         .repartition(col("idb"))
@@ -422,7 +423,11 @@ object Dedup extends QueryPack {
     }
 
     // --- row-local incoming signature (no streaming aggregation) ---
-    val inc = rowLocalSig(incoming, "ida", "ikeys", "sa")
+    // spreadAny: a file-staged micro-batch arrives as ONE partition, so
+    // the k-hash signature compute would run single-core (§2.5); the
+    // O(batch) exchange is dominated by the per-row signature work
+    val inc = rowLocalSig(graft.Par.spreadAny(incoming), "ida", "ikeys",
+      "sa")
 
     inc.select(col("ida"), col("sa"), col("ikeys"),
         posexplode(col("ikeys")).as(Seq("band", "bkey")))
@@ -993,9 +998,10 @@ object Dedup extends QueryPack {
   private[graft] def jaccardSets(df: DataFrame, idCol: String,
       textCol: String, shingleN: Int): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    // spread the raw rows BEFORE shingling (§2.5): identity for
-    // streaming inputs and production-sized scans
-    graft.Par.spread(
+    // spread the raw rows BEFORE shingling (§2.5); spreadAny also
+    // covers the STREAMING incoming side of the cross kernels, whose
+    // one-partition micro-batches would shingle single-core
+    graft.Par.spreadAny(
       df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
       .select(col("doc_id"), words(col("text")).as("w"))
       .filter(size(col("w")) >= shingleN)

@@ -19,7 +19,11 @@ object Relational extends QueryPack {
     // arithmetic in agg args; SUM/COUNT per demo_1/demo_4).
     "q1_agg" -> ((s, dir) => {
       import s.implicits._
-      Tables.load(s, dir, "lineitem")
+      // spread the one-split scan so the partial aggregation runs on
+      // every core (§2.5); filter and pruning still push below the
+      // exchange to the parquet scan (checked in plans/r18), and the
+      // decimal sums are order-free so results are partition-invariant
+      graft.Par.spread(Tables.load(s, dir, "lineitem"))
         .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(

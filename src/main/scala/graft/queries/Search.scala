@@ -96,8 +96,12 @@ object Search extends QueryPack {
     */
   private[queries] def postingIndex(corpus: DataFrame, idCol: String,
       textCol: String, dfCap: Option[Long] = None): DataFrame = {
-    val docs = corpus.select(col(idCol).as("doc_id"),
-      words(col(textCol)).as("w"))
+    // spread the raw rows before tokenize+explode (§2.5): a one-split
+    // corpus would run the whole posting fan-out single-core; identity
+    // on production-sized scans
+    val docs = graft.Par.spread(
+      corpus.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+      .select(col("doc_id"), words(col("text")).as("w"))
       .select(col("doc_id"), col("w"), size(col("w")).as("dl"))
     val tf = docs.select(col("doc_id"), col("dl"),
         explode(col("w")).as("term"))

@@ -798,8 +798,14 @@ object Similarity extends QueryPack {
     }
 
     // ---- row-local query pipeline ----
-    val q0 = prep(queriesRaw).select(col("vec_id").as("qid"),
-      col("qe").as("qqe"), col("nrm").as("qnrm"))
+    // spread the arriving rows across the cluster first: the per-row
+    // probe (CentN fused dots + nProbe joins + ADC over member arrays)
+    // is the micro-batch's entire cost, and a file-staged batch arrives
+    // as ONE partition (measured r18: addBatch 3.6 s of a 4.0 s
+    // trigger, single-core)
+    val q0 = prep(graft.Par.spreadAny(queriesRaw))
+      .select(col("vec_id").as("qid"),
+        col("qe").as("qqe"), col("nrm").as("qnrm"))
     // per-row nProbe nearest cells as ONE fused expression
     // (graft.functions.TopNCosine) — the streaming analogue of the
     // batch probe's broadcast+window, same (ccos DESC NULLS LAST, cid)
