@@ -499,6 +499,20 @@ object Similarity extends QueryPack {
     * exact-double arithmetic keeps both engines integer-identical.
     */
   def pqFit(corpus: DataFrame, seed: Array[Long], iters: Int): Array[Long] = {
+    // freeze the fit per corpus version (StaticIndexCache) — the
+    // codebook is a pure function of (corpus, seed, iters), and "fit
+    // once per corpus version" is the production cadence the other fits
+    // (fitCentroids, pqSliceCodebook, the BPE merge table) already
+    // follow; each Lloyd round is a full corpus pass + a 16k-row collect
+    StaticIndexCache.getOrBuild[Array[Long]](
+      StaticIndexCache.corpusKey(corpus.sparkSession, corpus, "pq_fit",
+        iters, seed.toSeq)) {
+      pqFitUncached(corpus, seed, iters)
+    }
+  }
+
+  private def pqFitUncached(corpus: DataFrame, seed: Array[Long],
+      iters: Int): Array[Long] = {
     var cb = seed
     for (_ <- 1 to iters) {
       val means = corpus
