@@ -91,7 +91,7 @@ object GraftFunctions {
   val nativeNames: Set[String] = Set("long_dot", "simhash60",
     "word_ngrams", "count_in", "text_fingerprint", "jaccard_distinct",
     "first_common_pos", "quant_vec", "argmin_cos", "topn_cos",
-    "pq_encode", "deletion_variants", "heavy_hitters")
+    "pq_encode", "pq_rerank_topk", "deletion_variants", "heavy_hitters")
 
   // once per session: createOrReplaceTempFunction logs a WARN on every
   // re-register, and the query packs call register() per query. Weak
@@ -197,6 +197,18 @@ object GraftFunctions {
         intLiteral(exprs(1), "heavy_hitters", "capacity"))
         .toAggregateExpression(), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pq_rerank_topk", exprs => {
+        val cb = exprs(3).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          .toLongArray()
+        PqRerankTopK(exprs(0), exprs(1), exprs(2), cb,
+          intLiteral(exprs(4), "pq_rerank_topk", "m"),
+          intLiteral(exprs(5), "pq_rerank_topk", "c"),
+          intLiteral(exprs(6), "pq_rerank_topk", "d"),
+          intLiteral(exprs(7), "pq_rerank_topk", "cand"),
+          intLiteral(exprs(8), "pq_rerank_topk", "k"))
+      }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "pq_encode", exprs => {
         val cb = exprs(1).eval()
           .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
@@ -226,6 +238,18 @@ object GraftFunctions {
     import org.apache.spark.sql.functions.lit
     call_function("topn_cos", qe, nrm, lit(cids), lit(cents),
       lit(cnorms), lit(n))
+  }
+
+  /** Fused streaming IVF+PQ ADC → cut → re-rank → top-k
+    * ([[PqRerankTopK]]); the codebook bakes into the plan as ONE flat
+    * reference array instead of PqM·PqD literal copies.
+    */
+  def pqRerankTopK(qqe: Column, qnrm: Column, members: Column,
+      cb: Array[Long], m: Int, c: Int, d: Int, cand: Int,
+      k: Int): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("pq_rerank_topk", qqe, qnrm, members, lit(cb), lit(m),
+      lit(c), lit(d), lit(cand), lit(k))
   }
 
   /** Per-row BM25 per-doc score merge + top-k ([[Bm25MergeTopK]]). */

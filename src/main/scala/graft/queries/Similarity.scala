@@ -846,32 +846,18 @@ object Similarity extends QueryPack {
     val emptyCands = array().cast(idx.schema("cands").dataType)
     val members = flatten(array((0 until nProbe).map(j =>
       coalesce(col(s"__cands_$j"), emptyCands)): _*))
-    // integer ADC per member, computed directly from the plan-baked
-    // codebook literal: sum_m sum_i (qv[m·d+i] − cw(m, codes[m], i))²
-    // — the same arithmetic as the batch dtab lookup, exact
-    val cbLit = lit(cb)
-    def adcOf(e: Column): Column = (0 until PqM).map { m =>
-      val code = get(e.getField("codes"), lit(m)).cast("long")
-      (0 until PqD).map { i =>
-        val d = get(col("qqe"), lit(m * PqD + i)) -
-          element_at(cbLit,
-            ((lit((m * PqC).toLong) + code) * PqD + i + 1).cast("int"))
-        d * d
-      }.reduce(_ + _)
-    }.reduce(_ + _)
-    val adcScored = transform(members, e =>
-      struct(adcOf(e).as("adc"), e.getField("nid").as("nid"),
-        e.getField("qe").as("qe"), e.getField("nrm").as("nrm")))
-    val candArr =
-      slice(array_sort(adcScored, cmpAscBy("adc", "nid")), 1, cand)
-    val reranked = transform(candArr, e =>
-      struct(
-        cosineQ(col("qqe"), e.getField("qe"), col("qnrm"),
-          e.getField("nrm")).as("cosine"),
-        e.getField("nid").as("nid")))
-    joined.select(col("qid"),
-        posexplode(slice(
-          array_sort(reranked, cmpDescNullsLast("cosine", "nid")), 1, k)))
+    // Fused ADC → candidate cut → exact re-rank → top-k
+    // (functions/PqRerankTopK), bit-equal to the column-tree spelling
+    // it replaces (AnnStreamSpec pins stream ≡ batch). The tree form
+    // referenced the 16k-long codebook literal once per (m, i) ADC term
+    // — PqM·PqD copies inside a transform lambda, a measured ~3.5 MB
+    // logical plan that streaming RE-PLANS per micro-batch (addBatch
+    // ~4 s for an 8-row probe batch, r18); the fused node carries the
+    // codebook as one flat reference array, O(1) plan size — the same
+    // fix topn_cos applied to the per-cell centroid literals.
+    val topk = graft.functions.GraftFunctions.pqRerankTopK(
+      col("qqe"), col("qnrm"), members, cb, PqM, PqC, PqD, cand, k)
+    joined.select(col("qid"), posexplode(topk))
       .select(col("qid"), col("col.nid").as("nid"),
         col("col.cosine").as("cosine"), (col("pos") + 1).as("rank"))
   }
