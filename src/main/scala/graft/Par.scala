@@ -48,6 +48,22 @@ object Par {
       df.repartition(df.sparkSession.sparkContext.defaultParallelism)
     else spread(df)
 
+  /** Materialize a DOC-LEVEL intermediate that the enclosing plan
+    * references several times (guide §3/§5: materialise an intermediate
+    * to truncate the plan). Catalyst performs no subtree reuse below an
+    * exchange, so a kernel that joins its own shingle/signature relation
+    * back to itself recomputes the whole tokenize per reference — the
+    * ppjoin plan measured 12 scans / 10 shingle passes / 30 exchanges
+    * for ONE query (r18). An eager localCheckpoint computes it once and
+    * serves every reference (lineage also truncates, keeping plan size
+    * flat). Only for doc-level relations (one row per document) — never
+    * exploded token relations, whose materialization would be a ×gram
+    * blow-up at scale; recompute beats storing those. Identity for
+    * streams (checkpointing is undefined pre-start).
+    */
+  def pin(df: DataFrame): DataFrame =
+    if (df.isStreaming) df else df.localCheckpoint(true)
+
   def spreadSliced(df: DataFrame, bytesPerSlice: Long): DataFrame =
     if (df.isStreaming) df
     else {

@@ -91,7 +91,8 @@ object GraftFunctions {
   val nativeNames: Set[String] = Set("long_dot", "simhash60",
     "word_ngrams", "count_in", "text_fingerprint", "jaccard_distinct",
     "first_common_pos", "quant_vec", "argmin_cos", "topn_cos",
-    "pq_encode", "pq_rerank_topk", "deletion_variants", "heavy_hitters")
+    "pq_encode", "pq_rerank_topk", "cell_cos_pairs", "deletion_variants",
+    "heavy_hitters")
 
   // once per session: createOrReplaceTempFunction logs a WARN on every
   // re-register, and the query packs call register() per query. Weak
@@ -209,6 +210,15 @@ object GraftFunctions {
           intLiteral(exprs(8), "pq_rerank_topk", "k"))
       }, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cell_cos_pairs", exprs => {
+        val th = exprs(3).eval() match {
+          case d: java.lang.Double => d.doubleValue()
+          case other => analysisError(
+            s"cell_cos_pairs: threshold must be a DOUBLE literal, got $other")
+        }
+        CellCosPairs(exprs(0), exprs(1), exprs(2), th)
+      }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "pq_encode", exprs => {
         val cb = exprs(1).eval()
           .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
@@ -251,6 +261,12 @@ object GraftFunctions {
     call_function("pq_rerank_topk", qqe, qnrm, members, lit(cb), lit(m),
       lit(c), lit(d), lit(cand), lit(k))
   }
+
+  /** Fused in-cell threshold cosine scan ([[CellCosPairs]]). */
+  def cellCosPairs(qa: Column, na: Column, ms: Column,
+      threshold: Double): Column =
+    call_function("cell_cos_pairs", qa, na, ms,
+      org.apache.spark.sql.functions.lit(threshold))
 
   /** Per-row BM25 per-doc score merge + top-k ([[Bm25MergeTopK]]). */
   def bm25MergeTopK(members: Column, k: Int): Column =

@@ -218,6 +218,11 @@ object Dedup extends QueryPack {
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"),
         explode(array_distinct(shingles(col("w"), 3))).as("sng"))
+    // NOT pinned (unlike the jaccard kernels): this relation serves both
+    // verify sides, but measured at sf0.1 the localCheckpoint write cost
+    // more than the avoided re-tokenize (1.01 -> 1.15-1.22 s) — the
+    // verify joins already prune to candidate docs, so the recompute is
+    // candidate-sized, not corpus-sized (see OPTIMIZATION_r18.md)
     val sets = sh.groupBy(col("doc_id")).agg(collect_set(col("sng")).as("ss"))
     cand
       .join(sets.select(col("doc_id").as("ida"), col("ss").as("sa")), "ida")
@@ -525,7 +530,9 @@ object Dedup extends QueryPack {
       df.select(col(idCol).as("doc_id"), col(textCol).as("text")))
       .select(col("doc_id"), words(col("text")).as("w"))
       .filter(size(col("w")) >= 2)
-    val sim = simhashSignatures(docs, nLimbs)
+    // pin: sim feeds the chunk explode AND both hamming-verify sides —
+    // unpinned, the signature agg ran 3× per query (see Par.pin)
+    val sim = graft.Par.pin(simhashSignatures(docs, nLimbs))
     // chunk c covers bits [c*w, (c+1)*w) of the 4w-bit (s3 ++ s2 ++ s1)
     // concatenation; a chunk straddling a limb boundary stitches the
     // high bits of one limb to the low bits of the next. All shifts are
@@ -873,10 +880,17 @@ object Dedup extends QueryPack {
     * All filter thresholds use integer arithmetic in num/den form so no
     * float boundary can disagree with the verify stage.
     */
-  private[graft] def jaccardJoin(sets: DataFrame, num: Int = 3,
+  private[graft] def jaccardJoin(sets0: DataFrame, num: Int = 3,
       den: Int = 5): DataFrame = {
-    import sets.sparkSession.implicits._
+    import sets0.sparkSession.implicits._
     require(num > 0 && den > num, s"theta=num/den must be in (0,1)")
+    // pin the shingle relation: it is referenced by the df count, the
+    // rank window AND both verify sides — without a cut Catalyst
+    // re-tokenizes the corpus per reference (measured r18: 12 scans /
+    // 10 shingle passes / 30 exchanges in one plan). Doc-level rows
+    // only — the in-session analogue of materializing the PPJoin
+    // prefix index, which is the production shape.
+    val sets = graft.Par.pin(sets0)
     val toks = sets.select($"doc_id", size($"ss").as("sz"),
       explode($"ss").as("tok"))
     val dfc = toks.groupBy($"tok").agg(count(lit(1)).as("df"))
@@ -943,10 +957,14 @@ object Dedup extends QueryPack {
     * then exact verification. Output: every (ida ∈ incoming,
     * idb ∈ corpus) pair with Jaccard >= theta.
     */
-  private[graft] def jaccardJoinCrossSets(aSets: DataFrame,
-      bSets: DataFrame, num: Int = 3, den: Int = 5): DataFrame = {
-    import aSets.sparkSession.implicits._
+  private[graft] def jaccardJoinCrossSets(aSets0: DataFrame,
+      bSets0: DataFrame, num: Int = 3, den: Int = 5): DataFrame = {
+    import aSets0.sparkSession.implicits._
     require(num > 0 && den > num, s"theta=num/den must be in (0,1)")
+    // pin both shingle relations (see jaccardJoin — each side is
+    // referenced by its prefix pipeline AND its verify join)
+    val aSets = graft.Par.pin(aSets0)
+    val bSets = graft.Par.pin(bSets0)
     def toks(sets: DataFrame) = sets.select($"doc_id",
       size($"ss").as("sz"), explode($"ss").as("tok"))
     def prefixLen = $"sz" - floor(($"sz" * num + (den - 1)) / den) + 1
@@ -1654,14 +1672,15 @@ object Dedup extends QueryPack {
     val inc = Vec.argminAssignWith(prep(incoming), cents)
       .select(col("vec_id").as("ida"), col("qe").as("qa"),
         col("nrm").as("na"), col("cell"))
-    val scored = transform(col("ms"), m =>
-      struct(m.getField("idb").as("idb"),
-        Vec.cosineQ(col("qa"), m.getField("qe"), col("na"),
-          m.getField("nrm")).as("cosine")))
+    // fused native in-cell scan (functions/CellCosPairs), bit-equal to
+    // the transform+filter lambda tree it replaces: the scan is
+    // |incoming|·|cell| cosine evals and higher-order lambdas run
+    // INTERPRETED per element — measured as the video-similarity
+    // composition's residual cost (r18)
     inc.join(idx, Seq("cell"))
       .select(col("ida"),
-        explode(filter(scored, m =>
-          m.getField("cosine") >= threshold)).as("m"))
+        explode(graft.functions.GraftFunctions.cellCosPairs(
+          col("qa"), col("na"), col("ms"), threshold)).as("m"))
       .select(col("ida"), col("m.idb").as("idb"),
         col("m.cosine").as("cosine"))
   }
