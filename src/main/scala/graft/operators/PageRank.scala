@@ -66,8 +66,12 @@ object PageRank {
       .agg(count(lit(1)).as("m"))
     val deg = ew.groupBy(col("src")).agg(sum(col("m")).as("outdeg"))
     // weighted edges carry their source's outdeg so the per-iteration
-    // join is rank-vector-only; truncate = this is the reused base
-    val ewd = truncate(ew.join(deg, "src"))
+    // join is rank-vector-only; truncate = this is the reused base.
+    // Pre-partitioned on the per-iteration join key BEFORE the
+    // checkpoint (checkpoint preserves outputPartitioning): every
+    // round's ewd-side exchange — the graph-sized one — disappears,
+    // leaving only the rank vector to shuffle per iteration
+    val ewd = truncate(ew.join(deg, "src").repartition(col("src")))
     // node set from the CHECKPOINTED weighted edges, not from `ew`: the
     // inner join with deg preserves every (src, dst) row, and deriving
     // from ewd keeps this graph-sized — a second derivation from ew

@@ -847,8 +847,13 @@ object Dedup extends QueryPack {
     def truncate(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
     val pairs = pairs0.toDF("ida", "idb")
+    // pre-partitioned on the per-round join key BEFORE the checkpoint
+    // (checkpoint preserves outputPartitioning): the edge side of every
+    // label-propagation round's join — the graph-sized side — stops
+    // re-shuffling; only the label vector exchanges per round
     val edges = truncate(
-      pairs.union(pairs.select($"idb", $"ida")).toDF("en", "em"))
+      pairs.union(pairs.select($"idb", $"ida")).toDF("en", "em")
+        .repartition($"em"))
     var labels = truncate(edges.select($"en".as("node")).distinct()
       .withColumn("lab", $"node"))
     // coalesce: sum over an EMPTY labels frame (corpus with no near-dup
