@@ -1440,12 +1440,24 @@ object Dedup extends QueryPack {
         .filter(size($"w") >= 10)
         .select($"doc_id", explode(shingles($"w", 10)).as("g"))
         .select($"doc_id", tokenHash($"g").as("h"))
-      val byGram = grams.groupBy($"h")
-        .agg(countDistinct($"doc_id").as("n_docs"))
-      grams.join(byGram, "h")
+      // ONE pass over the gram stream (r18): the old
+      // `grams JOIN grams.groupBy(h).countDistinct(doc_id)` shape
+      // re-ran the whole tokenize+shingle+hash subtree for the
+      // groupBy side (no Catalyst subtree reuse). Collapse in-doc
+      // repeats first — (doc_id, h, c) has one row per distinct gram
+      // per doc, so count(*) over an h-window IS countDistinct(doc_id)
+      // — then distribute n_docs without a self-join. The window's
+      // per-group buffer is bounded by docs-per-gram (not positions);
+      // a corpus-wide boilerplate gram makes a hot group, the same
+      // skew the old join shape had on its h-shuffle.
+      val perDoc = grams.groupBy($"doc_id", $"h")
+        .agg(count(lit(1)).as("c"))
+      perDoc
+        .withColumn("n_docs",
+          count(lit(1)).over(Window.partitionBy($"h")))
         .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_grams"),
-          sum(when($"n_docs" >= 2, 1L).otherwise(0L)).as("n_dup"))
+        .agg(sum($"c").as("n_grams"),
+          sum(when($"n_docs" >= 2, $"c").otherwise(0L)).as("n_dup"))
         .withColumn("dup_ratio", $"n_dup".cast("double") / $"n_grams")
     }),
 
@@ -1468,11 +1480,22 @@ object Dedup extends QueryPack {
       val grams = docs.filter(size($"w") >= 10)
         .select($"doc_id", posexplode(shingles($"w", 10)))
         .select($"doc_id", $"pos", tokenHash($"col").as("h"))
-      val dup = grams.groupBy($"h")
-        .agg(countDistinct($"doc_id").as("nd"))
-        .filter($"nd" >= 2).select($"h")
-      val starts = grams.join(dup, "h")
-        .groupBy($"doc_id").agg(collect_list($"pos").as("starts"))
+      // ONE pass over the gram stream (r18, same restructure as
+      // q_dedup_substr): the old `grams JOIN grams.groupBy(h)...`
+      // shape re-ran the tokenize+shingle+hash subtree for the dup
+      // side. Collapse to one row per (doc, gram) carrying its
+      // position list, count distinct docs per gram with an h-window
+      // (count(*) over the collapsed rows IS countDistinct(doc_id)),
+      // keep the >= 2 rows, re-flatten. `starts` order changes
+      // (flatten of per-gram lists vs row order) but it is consumed
+      // only by the order-independent exists() below.
+      val perDocH = grams.groupBy($"doc_id", $"h")
+        .agg(collect_list($"pos").as("ps"))
+      val starts = perDocH
+        .withColumn("nd", count(lit(1)).over(Window.partitionBy($"h")))
+        .filter($"nd" >= 2)
+        .groupBy($"doc_id")
+        .agg(flatten(collect_list($"ps")).as("starts"))
       val joined = docs.join(starts, Seq("doc_id"), "left")
         .withColumn("st", coalesce($"starts", array().cast("array<int>")))
       val idx = sequence(lit(0), size($"w") - 1)
