@@ -107,18 +107,16 @@ object Search extends QueryPack {
         explode(col("w")).as("term"))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    // Corpus statistics from the DOC-level relation, not from tf: a
-    // stats aggregate over tf re-ran the whole tokenize+explode+groupBy
-    // subtree (Catalyst performs no subtree reuse), i.e. a second full
-    // posting build per query. Exactly equal by construction:
-    // countDistinct(doc_id) over tf ≡ countDistinct over docs with ≥ 1
-    // token (a 0-token or NULL-text doc produces no tf row, and dl > 0
-    // is false for both 0 and the NULL size of a NULL w), and
-    // sum(tf) ≡ sum(dl) (each exploded token is counted once either
-    // way, including under duplicate doc ids).
-    val stats = docs.filter(col("dl") > 0)
-      .agg(countDistinct(col("doc_id")).as("n_docs"),
-        sum(col("dl").cast("long")).as("total_tok"))
+    // Stats FROM tf, deliberately: the two references build
+    // bit-identical subtrees, so AQE's exchange reuse serves the stats
+    // aggregate from tf's shuffle at runtime (SearchSpec pins the
+    // ReusedExchange/ReusedQueryStage) — the corpus is tokenized ONCE
+    // and the stats pass reads term-level shuffle output, not the
+    // corpus. (r18 tried stats-from-docs to "remove the second pass";
+    // that ADDED a corpus re-scan because the doc-level branch shares
+    // no exchange to reuse — reverted, the test caught it.)
+    val stats = tf.agg(countDistinct(col("doc_id")).as("n_docs"),
+      sum(col("tf")).as("total_tok"))
     val withDf = tf
       .repartition(indexPartitions(corpus.sparkSession), col("term"))
       .withColumn("df",
