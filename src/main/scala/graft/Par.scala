@@ -15,23 +15,32 @@ import org.apache.spark.sql.DataFrame
   * cluster run see the same plan shape with their own core count.
   */
 object Par {
+  /** The exact split-count check (`df.rdd.getNumPartitions`) forces a
+    * physical-planning pass of the subtree on the driver — cheap here,
+    * measurable on a wide-cluster plan. When the logical-plan size
+    * estimate already proves the scan carries at least
+    * defaultParallelism × maxPartitionBytes of input, the scan cannot
+    * arrive under-split, so the exact check (and its planning pass) is
+    * skipped. The estimate only SKIPS work, never triggers a
+    * repartition — a wrong estimate can at worst leave a medium
+    * relation unspread, where each core still owns ≥ one full split of
+    * work.
+    */
+  private def provablyWideEnough(df: DataFrame): Boolean = {
+    val sess = df.sparkSession
+    val p = sess.sparkContext.defaultParallelism
+    val maxSplit = sess.sessionState.conf.filesMaxPartitionBytes
+    df.queryExecution.optimizedPlan.stats.sizeInBytes >=
+      BigInt(p) * BigInt(maxSplit)
+  }
+
   def spread(df: DataFrame): DataFrame =
-    if (df.isStreaming) df
+    if (df.isStreaming || provablyWideEnough(df)) df
     else {
       val p = df.sparkSession.sparkContext.defaultParallelism
       if (df.rdd.getNumPartitions < p) df.repartition(p) else df
     }
 
-  /** Size-aware variant for ITERATED passes (the BPE trainer's K
-    * rounds): every round pays a fixed per-partition cost (task launch,
-    * checkpoint block, agg partials), multiplied by K — so the slice
-    * count must be backed by real bytes, not just core count. Slices
-    * are ceil(inputBytes / bytesPerSlice) capped at defaultParallelism;
-    * a corpus too small to amortize the per-round overhead stays at its
-    * natural split count (measured r18: blanket 32-way spread cost the
-    * 4-round sf0.1 trainer +0.4 s while the 50k-doc stress corpus needs
-    * the parallelism).
-    */
   /** Stream-capable spread for CPU-heavy STATELESS probe pipelines
     * (ANN index probes, signature computes, prefix explodes at ingest):
     * a file-staged micro-batch arrives as one partition, serializing
@@ -64,8 +73,18 @@ object Par {
   def pin(df: DataFrame): DataFrame =
     if (df.isStreaming) df else df.localCheckpoint(true)
 
+  /** Size-aware variant for ITERATED passes (the BPE trainer's K
+    * rounds): every round pays a fixed per-partition cost (task launch,
+    * checkpoint block, agg partials), multiplied by K — so the slice
+    * count must be backed by real bytes, not just core count. Slices
+    * are ceil(inputBytes / bytesPerSlice) capped at defaultParallelism;
+    * a corpus too small to amortize the per-round overhead stays at its
+    * natural split count (measured r18: blanket 32-way spread cost the
+    * 4-round sf0.1 trainer +0.4 s while the 50k-doc stress corpus needs
+    * the parallelism).
+    */
   def spreadSliced(df: DataFrame, bytesPerSlice: Long): DataFrame =
-    if (df.isStreaming) df
+    if (df.isStreaming || provablyWideEnough(df)) df
     else {
       val p = df.sparkSession.sparkContext.defaultParallelism
       val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes

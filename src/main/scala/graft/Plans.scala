@@ -43,6 +43,23 @@ object Plans {
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(outDir, s"${name}_$suffix.txt"), txt)
         graft.sqlgate.ScriptRunner.closeAllRunners()
+        // optional EXECUTED-plan dump: the static dump above is the
+        // pre-AQE plan (isFinalPlan=false, no codegen ids); claims
+        // about WholeStageCodegen membership / AQE exchange reuse need
+        // the post-run plan
+        if (sys.env.contains("SPARK_GRAFT_PLANS_EXECUTED")) {
+          val dfE = fn(spark, sfDir)
+          // collect(), not a noop write: the write wraps the plan in
+          // its own QueryExecution, leaving dfE's AQE plan unexecuted
+          // (isFinalPlan=false forever); collect executes dfE's own
+          // instance so the dump carries the final stages + codegen ids
+          dfE.collect()
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(outDir, s"${name}_${suffix}_executed.txt"),
+            dfE.queryExecution.explainString(
+              ExplainMode.fromString("formatted")))
+          graft.sqlgate.ScriptRunner.closeAllRunners()
+        }
         // warm-up + timed reps, min kept (same methodology as Bench)
         var best = Double.MaxValue
         for (i <- 0 to reps) {

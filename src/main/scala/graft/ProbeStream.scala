@@ -58,7 +58,11 @@ object ProbeStream {
             java.nio.file.Files.createTempDirectory("probe_ck").toString)
           .start()
         q.awaitTermination(300000)
-        if (i == 1) System.err.println("[probe] PLAN:\n" + q.explain())
+        // q.explain() returns Unit and prints to stdout — print the
+        // label separately so stderr isn't "[probe] PLAN:\n()" while
+        // the plan mixes into stdout's JSON
+        if (i == 1) { System.err.println("[probe] PLAN follows on stdout:")
+          q.explain() }
         q.stop()
         System.err.println(f"[probe] direct run$i total ${(System.nanoTime()-t0)/1e9}%.3f s")
       }

@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -32,10 +33,7 @@ import org.apache.spark.sql.types._
   * construction — addends derive from non-null integer stats).
   */
 case class Bm25MergeTopK(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
-  // CodegenFallback, deliberately: the per-row O(n) merge loop
-  // dominates the one virtual eval call, and the fallback still nests
-  // inside the enclosing stage (same policy as [[TopNCosine]]).
+    extends UnaryExpression {
   require(k >= 1, s"bm25_merge_topk: k must be >= 1, got $k")
 
   override def dataType: DataType = ArrayType(
@@ -56,10 +54,15 @@ case class Bm25MergeTopK(child: Expression, k: Int)
           s"got ${other.sql}")
     }
 
-  override def eval(input: InternalRow): Any = {
-    val raw = child.eval(input)
-    if (raw == null) return new GenericArrayData(Array.empty[Any])
-    val arr = raw.asInstanceOf[ArrayData]
+  override def eval(input: InternalRow): Any =
+    run(child.eval(input).asInstanceOf[ArrayData])
+
+  /** The fused merge+top-k, shared by interpreted eval and the
+    * codegen'd call site (a NULL members array yields an EMPTY result,
+    * never NULL).
+    */
+  def run(arr: ArrayData): ArrayData = {
+    if (arr == null) return new GenericArrayData(Array.empty[Any])
     val n = arr.numElements()
     // exact scale-6 accumulation: addend → DECIMAL(18,6) unscaled long
     // (HALF_UP — java.math.BigDecimal.setScale matches Spark's
@@ -111,6 +114,25 @@ case class Bm25MergeTopK(child: Expression, k: Int)
     }
     new GenericArrayData(
       (0 until outN).map(j => InternalRow(topDoc(j), topScore(j))).toArray[Any])
+  }
+
+  /** Codegen: evaluate the child in the enclosing WholeStageCodegen
+    * span and call [[run]] via a reference object — removes the
+    * CodegenFallback wrapper that broke the span; the per-row O(n)
+    * merge loop itself is unchanged.
+    */
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val childEv = child.genCode(ctx)
+    val ref = ctx.addReferenceObj("bm25MergeTopK", this)
+    val ad = classOf[ArrayData].getName
+    ev.copy(code =
+      code"""
+         |${childEv.code}
+         |$ad ${ev.value} =
+         |  $ref.run(${childEv.isNull} ? null : ${childEv.value});
+         |""".stripMargin,
+      isNull = FalseLiteral)
   }
 
   override protected def withNewChildInternal(

@@ -92,7 +92,7 @@ object GraftFunctions {
     "word_ngrams", "count_in", "text_fingerprint", "jaccard_distinct",
     "first_common_pos", "quant_vec", "argmin_cos", "topn_cos",
     "pq_encode", "pq_rerank_topk", "cell_cos_pairs", "deletion_variants",
-    "heavy_hitters")
+    "heavy_hitters", "topk_by_score")
 
   // once per session: createOrReplaceTempFunction logs a WARN on every
   // re-register, and the query packs call register() per query. Weak
@@ -198,6 +198,10 @@ object GraftFunctions {
         intLiteral(exprs(1), "heavy_hitters", "capacity"))
         .toAggregateExpression(), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "topk_by_score", exprs => TopKByScore(exprs(0), exprs(1),
+        intLiteral(exprs(2), "topk_by_score", "k"))
+        .toAggregateExpression(), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "pq_rerank_topk", exprs => {
         val cb = exprs(3).eval()
           .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
@@ -271,6 +275,14 @@ object GraftFunctions {
   /** Per-row BM25 per-doc score merge + top-k ([[Bm25MergeTopK]]). */
   def bm25MergeTopK(members: Column, k: Int): Column =
     call_function("bm25_merge_topk", members,
+      org.apache.spark.sql.functions.lit(k))
+
+  /** Bounded partial top-k aggregate ([[TopKByScore]]): per group, the
+    * k (score DESC, id ASC)-first (id, score) pairs — the exchange-thin
+    * replacement for a per-group `row_number` window cut.
+    */
+  def topkByScore(score: Column, id: Column, k: Int): Column =
+    call_function("topk_by_score", score, id,
       org.apache.spark.sql.functions.lit(k))
 
   def simhash60(a: Column): Column = call_function("simhash60", a)

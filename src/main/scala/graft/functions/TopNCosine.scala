@@ -3,7 +3,8 @@ package graft.functions
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -31,12 +32,7 @@ import org.apache.spark.sql.types._
   */
 case class TopNCosine(left: Expression, right: Expression,
     cids: Array[Long], cents: Array[Long], cnorms: Array[Long], n: Int)
-    extends BinaryExpression with CodegenFallback {
-  // CodegenFallback, deliberately: the per-row O(cells·dim) cosine
-  // loop dominates the one virtual eval call by orders of magnitude,
-  // and the fallback still nests inside the enclosing stage — while a
-  // hand-rolled doGenCode buys nothing and a composed-tree spelling
-  // costs megabytes of plan (see the class doc).
+    extends BinaryExpression {
   require(cids.nonEmpty && cents.length % cids.length == 0 &&
     cnorms.length == cids.length,
     s"inconsistent centroid arrays: ${cids.length} cids, " +
@@ -105,14 +101,23 @@ case class TopNCosine(left: Expression, right: Expression,
   }
 
   override def eval(input: InternalRow): Any = {
-    val cos = new Array[Double](c)
-    java.util.Arrays.fill(cos, Double.NaN)
     val qeRaw = left.eval(input)
     val nrmRaw = right.eval(input)
-    if (qeRaw != null && nrmRaw != null) {
-      val qe = qeRaw.asInstanceOf[ArrayData]
+    run(if (qeRaw == null) null else qeRaw.asInstanceOf[ArrayData],
+      nrmRaw == null,
+      if (nrmRaw == null) 0L else nrmRaw.asInstanceOf[Long])
+  }
+
+  /** The fused scoring+selection, shared by interpreted eval and the
+    * codegen'd call site (a NULL qe or nrm means every cosine is NULL
+    * — the probe still fills its slots in cid order, never NULL out).
+    */
+  def run(qe: ArrayData, nrmNull: Boolean, nrm: Long): ArrayData = {
+    val cos = new Array[Double](c)
+    java.util.Arrays.fill(cos, Double.NaN)
+    if (qe != null && !nrmNull) {
       if (qe.numElements() == d) {
-        val sqrtNrm = Math.sqrt(nrmRaw.asInstanceOf[Long].toDouble)
+        val sqrtNrm = Math.sqrt(nrm.toDouble)
         var bad = false
         var k = 0
         while (k < c && !bad) {
@@ -132,6 +137,28 @@ case class TopNCosine(left: Expression, right: Expression,
       }
     }
     new GenericArrayData(pick(cos))
+  }
+
+  /** Codegen: evaluate the children in the enclosing WholeStageCodegen
+    * span and call [[run]] via a reference object — removes the
+    * CodegenFallback wrapper that broke the span; the per-row
+    * O(cells·dim) loop itself is unchanged.
+    */
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val qeEv = left.genCode(ctx)
+    val nrmEv = right.genCode(ctx)
+    val ref = ctx.addReferenceObj("topNCosine", this)
+    val ad = classOf[ArrayData].getName
+    ev.copy(code =
+      code"""
+         |${qeEv.code}
+         |${nrmEv.code}
+         |$ad ${ev.value} = $ref.run(
+         |  ${qeEv.isNull} ? null : ${qeEv.value},
+         |  ${nrmEv.isNull}, ${nrmEv.isNull} ? 0L : ${nrmEv.value});
+         |""".stripMargin,
+      isNull = FalseLiteral)
   }
 
   override protected def withNewChildrenInternal(

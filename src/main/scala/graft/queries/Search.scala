@@ -212,6 +212,7 @@ object Search extends QueryPack {
       qidCol: String, qtextCol: String, idCol: String, textCol: String,
       k: Int = 10, dfCap: Option[Long] = None): DataFrame = {
     require(k >= 1, s"TEXT_SEARCH_BM25: k must be >= 1, got $k")
+    graft.functions.GraftFunctions.register(queries.sparkSession)
     val postings = postingIndex(corpus, idCol, textCol, dfCap)
 
     // distinct across the RELATION, not just within a row: a caller
@@ -225,11 +226,19 @@ object Search extends QueryPack {
       .groupBy(col("qid"), col("doc_id"))
       .agg(dsum6(bm25Addend).as("score"))
 
-    scored
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("qid"))
-          .orderBy(col("score").desc, col("doc_id"))))
-      .filter(col("rank") <= k)
+    // bounded partial top-k (guide §2.3, aggregate before you shuffle):
+    // the per-qid cut used to be a row_number window whose exchange
+    // carried EVERY (qid, doc) candidate — O(Σ df over query terms)
+    // rows per query; the TypedImperativeAggregate's map-side partial
+    // step caps the exchange at k entries per qid per partition. Same
+    // total order (score DESC, doc_id ASC), so the rows and ranks are
+    // identical — top-k under a total order is merge-closed.
+    val topk = graft.functions.GraftFunctions
+      .topkByScore(col("score"), col("doc_id"), k)
+    scored.groupBy(col("qid")).agg(topk.as("tk"))
+      .select(col("qid"), posexplode(col("tk")))
+      .select(col("qid"), col("col.id").as("doc_id"),
+        col("col.score").as("score"), (col("pos") + 1).as("rank"))
   }
 
   /** STREAMING BM25 probe — contamination-lookup-at-ingest: each
@@ -344,14 +353,22 @@ object Search extends QueryPack {
   def keywordsTfidf(corpus: DataFrame, idCol: String, textCol: String,
       k: Int = 3): DataFrame = {
     require(k >= 1, s"keywordsTfidf: k must be >= 1, got $k")
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     val weight = (col("tf").cast("double") / col("dl")) * idf
+    // bounded partial top-k replacing the per-doc row_number window
+    // (see [[bm25TopK]]): the exchange carries ≤ k (term, weight)
+    // entries per doc per partition instead of the doc's full
+    // vocabulary, and the weight projection runs map-side in the
+    // term-partitioned index stage — no explicit doc_id repartition
+    // (the window's AQE-coalescing floor) is needed any more.
+    val topk = graft.functions.GraftFunctions
+      .topkByScore(col("weight"), col("term"), k)
     postingIndex(corpus, idCol, textCol)
       .select(col("doc_id"), col("term"), weight.as("weight"))
-      .repartition(indexPartitions(corpus.sparkSession), col("doc_id"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("doc_id"))
-          .orderBy(col("weight").desc, col("term"))))
-      .filter(col("rank") <= k)
+      .groupBy(col("doc_id")).agg(topk.as("tk"))
+      .select(col("doc_id"), posexplode(col("tk")))
+      .select(col("doc_id"), col("col.id").as("term"),
+        col("col.score").as("weight"), (col("pos") + 1).as("rank"))
   }
 
   /** The oracle's deterministic query set: every 97th document's first

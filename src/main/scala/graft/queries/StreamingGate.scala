@@ -61,16 +61,74 @@ object StreamingGate extends QueryPack {
     graft.Tables.normalizeTs(s.readStream.schema(fileSchema).parquet(staged))
   }
 
+  /** Scale-adaptive shuffle-partition count for a STATEFUL streaming
+    * drain over a fresh checkpoint: stateful operators create one state
+    * store per shuffle partition per operator, and every micro-batch
+    * pays an open/scan/commit cycle per store even on zero input rows
+    * (measured r18 with a StreamingQueryListener: the zero-row
+    * watermark-close batch cost 0.57 s = 32 store lifecycles). Derive
+    * the count from the staged input's bytes — ceil(bytes / 16 MiB)
+    * clamped to [1, defaultParallelism] — so a small drain pays few
+    * store lifecycles while a production-sized input keeps every core.
+    * The Par.spread discipline: a CONDITION on input size, not a
+    * local[32] constant — the driver's lower-core bench runs and any
+    * cluster run derive their own count. Partition count never changes
+    * WHAT a stateful agg/join emits, only where rows live.
+    */
+  private[queries] def drainParts(s: SparkSession, stagedDir: String): Int = {
+    val bytes = try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(stagedDir))
+        .iterator().asScala
+        .filter(f => java.nio.file.Files.isRegularFile(f))
+        .map(f => java.nio.file.Files.size(f)).sum
+    } catch { case _: Throwable => Long.MaxValue }
+    drainPartsForBytes(s, bytes)
+  }
+
+  /** [[drainParts]] for sources without a staged dir to stat (the
+    * simulated-broker gates pass their appended payload bytes).
+    */
+  private[queries] def drainPartsForBytes(s: SparkSession,
+      bytes: Long): Int = {
+    val p = s.sparkContext.defaultParallelism
+    val target = 16L << 20
+    math.max(1L, math.min(p.toLong, (bytes + target - 1) / target)).toInt
+  }
+
+  /** Conf-scoped drain for gate SCRIPTS whose streaming INSERT carries
+    * keyed state (MATCH_RECOGNIZE, dedup, CDC materialization, broker
+    * aggregates): same save/restore as [[runToTable]]'s `parts`, for
+    * drains that start inside [[graft.sqlgate.ScriptRunner]].
+    */
+  private[queries] def withDrainParts[T](s: SparkSession, parts: Int)(
+      body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  /** `parts > 0` pins spark.sql.shuffle.partitions for the drain (the
+    * stream's cloned session captures it at start) and restores the
+    * session value afterwards — pass [[drainParts]] for stateful
+    * drains; stateless ingest streams have no keyed state to size.
+    */
   private def runToTable(s: SparkSession, df: DataFrame, name: String,
-      mode: String = "complete"): DataFrame = {
-    val q = df.writeStream.format("memory").queryName(name)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    // a timed-out drain must fail the gate loudly, not hash-compare a
-    // partially-filled memory table
-    val finished = q.awaitTermination(300000)
-    q.stop()
-    require(finished, s"streaming gate query $name timed out")
-    s.table(name)
+      mode: String = "complete", parts: Int = -1): DataFrame = {
+    val prev =
+      if (parts > 0) Some(s.conf.get("spark.sql.shuffle.partitions"))
+      else None
+    if (parts > 0) s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try {
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      // a timed-out drain must fail the gate loudly, not hash-compare a
+      // partially-filled memory table
+      val finished = q.awaitTermination(300000)
+      q.stop()
+      require(finished, s"streaming gate query $name timed out")
+      s.table(name)
+    } finally prev.foreach(v => s.conf.set("spark.sql.shuffle.partitions", v))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -87,7 +145,8 @@ object StreamingGate extends QueryPack {
         .select(
           date_format($"w.start", "yyyy-MM-dd HH:mm:ss").as("wstart"),
           $"event_type", $"n", $"sum_value")
-      runToTable(s, agg, "stream_tumble_gate")
+      runToTable(s, agg, "stream_tumble_gate",
+        parts = drainParts(s, stagedEventsDir(dir)))
     }),
 
     // streaming hopping window (HOP of demo_5) — every event in two
@@ -100,7 +159,8 @@ object StreamingGate extends QueryPack {
         .select(
           date_format($"w.start", "yyyy-MM-dd HH:mm:ss").as("wstart"),
           $"event_type", $"n")
-      runToTable(s, agg, "stream_hop_gate")
+      runToTable(s, agg, "stream_hop_gate",
+        parts = drainParts(s, stagedEventsDir(dir)))
     }),
 
     // streaming session window (2h inactivity gap per user) — the only
@@ -115,7 +175,8 @@ object StreamingGate extends QueryPack {
           date_format(min($"ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("sess_start"),
           date_format(max($"ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("sess_last"))
         .select($"user_id", $"sess_start", $"sess_last", $"n_events")
-      runToTable(s, agg, "stream_session_gate")
+      runToTable(s, agg, "stream_session_gate",
+        parts = drainParts(s, stagedEventsDir(dir)))
     }),
 
     // streaming continuous (unwindowed) aggregation — the demo_1
@@ -125,7 +186,8 @@ object StreamingGate extends QueryPack {
       val agg = eventsStream(s, dir)
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n"), dsum2($"value").as("total"))
-      runToTable(s, agg, "stream_cont_gate")
+      runToTable(s, agg, "stream_cont_gate",
+        parts = drainParts(s, stagedEventsDir(dir)))
     }),
 
     // Streaming heavy hitters: the bounded-state Misra-Gries summary
@@ -144,7 +206,8 @@ object StreamingGate extends QueryPack {
           .otherwise($"user_id").as("k"))
       val sk = keyed(eventsStream(s, dir)).agg(
         graft.functions.GraftFunctions.heavyHitters($"k", 64).as("sk"))
-      val row = runToTable(s, sk, "stream_heavy_sketch").head()
+      val row = runToTable(s, sk, "stream_heavy_sketch",
+        parts = drainParts(s, stagedEventsDir(dir))).head()
       val entries = row.getSeq[org.apache.spark.sql.Row](0)
       val dropped = if (entries.isEmpty) 0L else entries.head.getLong(2)
       graft.operators.HeavyHitters.exactTopKFromSummary(
@@ -166,7 +229,8 @@ object StreamingGate extends QueryPack {
       val dd = eventsStream(s, dir)
         .select($"user_id", $"event_type")
         .dropDuplicates("user_id", "event_type")
-      runToTable(s, dd, "stream_dedup_gate", mode = "append")
+      runToTable(s, dd, "stream_dedup_gate", mode = "append",
+        parts = drainParts(s, stagedEventsDir(dir)))
     }),
 
     // streaming cumulating window (Flink 1.13+ CUMULATE TVF) — the same
@@ -191,7 +255,8 @@ object StreamingGate extends QueryPack {
           date_format(expr("timestamp_micros(g_ws)"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
           date_format(expr("timestamp_micros(g_we)"), "yyyy-MM-dd HH:mm:ss").as("wend"),
           $"event_type", $"n", $"sum_value")
-      runToTable(s, agg, "stream_cumulate_gate")
+      runToTable(s, agg, "stream_cumulate_gate",
+        parts = drainParts(s, stagedEventsDir(dir)))
     }),
 
     // Streaming Top-N — Flink SQL's Top-N pattern (ROW_NUMBER() ≤ N over
@@ -207,7 +272,8 @@ object StreamingGate extends QueryPack {
         .agg(count(lit(1)).as("n"))
         .orderBy($"n".desc, $"event_type")
         .limit(3)
-      runToTable(s, top, "stream_topn_gate")
+      runToTable(s, top, "stream_topn_gate",
+        parts = drainParts(s, stagedEventsDir(dir)))
     }),
 
     // Dual-stream interval join — demo_2's shape on a REAL streaming
@@ -219,11 +285,6 @@ object StreamingGate extends QueryPack {
     // oracle running the identical θ-join over the same parquet.
     "q_stream_join" -> ((s, dir) => {
       import s.implicits._
-      // join state-store overhead is per (partition x side x batch), not
-      // per row, at this scale: run the drain on fewer partitions
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
       // deterministic 1/4 user slice: the e2e path is the point, and
       // stream-stream join state cost scales with rows on BOTH sides
       val ev = eventsStream(s, dir).filter($"user_id" % 4 === 0)
@@ -241,8 +302,11 @@ object StreamingGate extends QueryPack {
         .select($"p_user".as("user_id"), $"p_id", $"c_id",
           date_format($"p_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").as("p_time"),
           date_format($"c_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").as("c_time"))
-      runToTable(s, joined, "stream_join_gate", mode = "append")
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      // join state-store overhead is per (partition x side x batch),
+      // not per row — size the drain from the input (was a constant 8
+      // pre-r19; drainParts is the scale-adaptive form)
+      runToTable(s, joined, "stream_join_gate", mode = "append",
+        parts = drainParts(s, stagedEventsDir(dir)))
     }),
 
     // Streaming OVER window — Flink SQL's per-row running aggregate
@@ -263,7 +327,8 @@ object StreamingGate extends QueryPack {
       runToTable(s,
         graft.streaming.StreamOps.runningOverFrame(in, preceding = 2,
           delay = "0 seconds").toDF(),
-        "stream_over_gate", mode = "update")
+        "stream_over_gate", mode = "update",
+        parts = drainParts(s, stagedEventsDir(dir)))
     }),
 
     // Media decode at INGEST — the production shape for multimodal

@@ -264,6 +264,14 @@ object Tpch extends QueryPack {
     // shuffled once on l_orderkey instead of probed three times.
     "q21_waiting" -> ((s, dir) => {
       import s.implicits._
+      // NOT pinned, measured (r19): a Par.pin of this narrow 3-column
+      // projection (it feeds the late join, the per-order supplier
+      // count and the per-order late count — 3 scans in the plan) was
+      // tried and measured WORSE (1.22 → 1.57 s isolated, sf0.1): the
+      // localCheckpoint write costs more than the column-pruned
+      // re-scans it saves, the same result as the minhash verify pin
+      // (r18). The 3 scans run as concurrent stages and each reads
+      // only the 3-column ReadSchema.
       val li = Tables.load(s, dir, "lineitem")
         .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
       val ordF = Tables.load(s, dir, "orders")
