@@ -1097,7 +1097,12 @@ object Dedup extends QueryPack {
         require(cap >= 2, s"ExactSubstr: df cap must be >= 2, got $cap")
         val nd = perDoc.groupBy($"h").agg(count(lit(1)).as("n_docs"))
         val hot = broadcast(nd.filter($"n_docs" > cap).select($"h"))
-        perDoc.join(hot, Seq("h"), "left_anti").join(nd, "h")
+        // merge hint on the count join-back: nd is vocabulary-sized, and
+        // AQE's size estimate otherwise broadcasts it (measured sf1: a
+        // ~4M-row broadcast build cost more than the whole uncapped
+        // query; at 100 TB it is the §3.1 OOM class)
+        perDoc.join(hot, Seq("h"), "left_anti")
+          .join(nd.hint("merge"), "h")
       case None => perDoc.withColumn("n_docs",
         count(lit(1)).over(Window.partitionBy($"h")))
     }

@@ -260,7 +260,11 @@ object Gate extends QueryPack {
       val (tsDdl, tsExpr) = graft.Tables.eventsTsDdl(s, dir)
       val staged = StreamingGate.stagedEventsDir(dir)
       val runner = new ScriptRunner(s, batchMode = false)
-      try {
+      // keyed-state drain: one state store per shuffle partition per
+      // micro-batch — size the count from the input, scale-adaptively
+      // (see StreamingGate.drainParts)
+      try StreamingGate.withDrainParts(s,
+        StreamingGate.drainParts(s, staged)) {
         val res = runner.run(
           s"""CREATE TABLE ev_mrs (
              |  event_id BIGINT,
@@ -459,6 +463,9 @@ object Gate extends QueryPack {
       val (tsDdl, tsExpr) = graft.Tables.eventsTsDdl(s, dir)
       val staged = StreamingGate.stagedEventsDir(dir)
       val runner = new ScriptRunner(s, batchMode = false)
+      // keyed dropDuplicates state: size the store count from the input
+      StreamingGate.withDrainParts(s,
+        StreamingGate.drainParts(s, staged)) {
       val res = runner.run(
         s"""CREATE TABLE ev_dd_src (
            |  event_id BIGINT,
@@ -491,6 +498,7 @@ object Gate extends QueryPack {
         try q.stop() catch { case _: Throwable => () }
       }
       s.table("dedup_stream_sink")
+      }
     }),
 
     // The stateless text TVFs on a STREAMING source: TEXT_QUALITY and
@@ -1364,18 +1372,24 @@ object Gate extends QueryPack {
     "q_gate_kafka_live" -> ((s, dir) => {
       val broker = new graft.sources.StubBroker("gate_live", 1)
       try {
+        var payloadBytes = 0L
         graft.Tables.load(s, dir, "orders")
           .filter(org.apache.spark.sql.functions.expr(
             "o_orderpriority = '1-URGENT' AND o_orderkey % 20 = 0"))
           .select("o_orderkey", "o_orderstatus", "o_totalprice")
           .collect()
           .foreach { r =>
-            broker.append(0, "null",
+            val msg =
               s"""{"o_orderkey":${r.getLong(0)},"o_orderstatus":"${
-                r.getString(1)}","o_totalprice":${r.getDouble(2)}}""")
+                r.getString(1)}","o_totalprice":${r.getDouble(2)}}"""
+            payloadBytes += msg.length
+            broker.append(0, "null", msg)
           }
         val runner = new ScriptRunner(s, batchMode = false)
-        val res = runner.run(
+        // keyed-agg drain: size the state-store count from the actual
+        // appended payload (see StreamingGate.drainParts)
+        val res = StreamingGate.withDrainParts(s,
+          StreamingGate.drainPartsForBytes(s, payloadBytes)) { runner.run(
           s"""CREATE TABLE kafka_live_src (
              |  o_orderkey BIGINT,
              |  o_orderstatus VARCHAR,
@@ -1396,7 +1410,7 @@ object Gate extends QueryPack {
              |  ${oSum2("o_totalprice")} AS sum_price
              |FROM kafka_live_src
              |GROUP BY o_orderstatus;
-             |""".stripMargin)
+             |""".stripMargin) }
         // AvailableNow trigger: drain everything produced above, then
         // stop. Stop ALL queries in a finally — a timed-out drain must
         // not leave a live streaming query polling the stopped broker
